@@ -1,0 +1,177 @@
+"""Posting-list codec: docID-delta + varint blocks with block-max metadata.
+
+Pure numpy, fully vectorized — this runs inside Arrow-batched
+``applyInPandas`` groups at build time and query time; there is no
+per-row Python anywhere (BASELINE.json:input_hint).
+
+Layout per (bucket, term) posting list:
+
+- doc ids (int64, may be negative — they're xxhash64 values) are mapped
+  order-preservingly to uint64 via offset-binary (``x + 2^63``), sorted
+  ascending, delta-encoded (first value raw, then gaps), LEB128-varint
+  packed into one BINARY,
+- term frequencies varint-packed into a second BINARY,
+- fixed 128-posting blocks; per block we record the byte offset into each
+  BINARY, the last (max) doc id, and the block-max BM25 term partial
+  ``wtf = tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl))`` (idf excluded — it's a
+  per-term constant applied at query time), enabling block-max
+  WAND/MaxScore skipping without decoding.
+
+The reference has no index at all (O(n) scan, USAGE.md:49); this layout
+is the classic block-max inverted index (Ding & Suel 2011) re-expressed
+as parquet-resident BINARY columns.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK_SIZE = 128
+_U63 = np.uint64(1) << np.uint64(63)
+_7 = np.uint64(7)
+_0x7F = np.uint64(0x7F)
+
+
+def to_u64(doc_ids: np.ndarray) -> np.ndarray:
+    """Order-preserving int64 → uint64 (offset binary)."""
+    return doc_ids.astype(np.int64).view(np.uint64) + _U63
+
+
+def from_u64(u: np.ndarray) -> np.ndarray:
+    return (u - _U63).view(np.int64)
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode a uint64 array (vectorized; ≤10 bytes/value)."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    n = len(v)
+    if n == 0:
+        return b""
+    bytes_mat = np.empty((n, 10), dtype=np.uint8)
+    needed = np.zeros((n, 10), dtype=bool)
+    needed[:, 0] = True
+    cur = v.copy()
+    for k in range(10):
+        bytes_mat[:, k] = (cur & _0x7F).astype(np.uint8)
+        cur = cur >> _7
+        if k < 9:
+            needed[:, k + 1] = cur != 0
+    # continuation bit on byte k iff byte k+1 is needed
+    cont = np.zeros((n, 10), dtype=bool)
+    cont[:, :9] = needed[:, 1:]
+    bytes_mat = bytes_mat | (cont.astype(np.uint8) << 7)
+    return bytes_mat[needed].tobytes()
+
+
+def varint_decode(buf: bytes, count: int | None = None) -> np.ndarray:
+    """Decode a LEB128 byte string back to uint64 (vectorized).
+
+    Exactness note: per-value byte contributions occupy disjoint bit
+    ranges, so a wrap-around cumsum + diff reconstructs each value
+    exactly mod 2^64 (and true values are < 2^64).
+    """
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if len(b) == 0:
+        return np.empty(0, dtype=np.uint64)
+    is_last = b < 128
+    ends = np.flatnonzero(is_last)
+    starts = np.empty_like(ends)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    gid = np.cumsum(np.concatenate(([0], is_last[:-1].astype(np.int64))))
+    pos = np.arange(len(b), dtype=np.int64) - starts[gid]
+    contrib = (b & 0x7F).astype(np.uint64) << (pos.astype(np.uint64) * _7)
+    with np.errstate(over="ignore"):
+        cs = np.cumsum(contrib, dtype=np.uint64)
+        vals = np.diff(np.concatenate((np.zeros(1, dtype=np.uint64), cs[ends])))
+    if count is not None:
+        assert len(vals) == count, f"decoded {len(vals)} != expected {count}"
+    return vals
+
+
+def encode_doc_ids(doc_ids_sorted: np.ndarray) -> bytes:
+    """Delta+varint encode sorted int64 doc ids (strictly increasing)."""
+    u = to_u64(np.asarray(doc_ids_sorted, dtype=np.int64))
+    if len(u) == 0:
+        return b""
+    deltas = np.empty_like(u)
+    deltas[0] = u[0]
+    deltas[1:] = u[1:] - u[:-1]
+    return varint_encode(deltas)
+
+
+def decode_doc_ids(buf: bytes, count: int | None = None) -> np.ndarray:
+    deltas = varint_decode(buf, count)
+    if len(deltas) == 0:
+        return np.empty(0, dtype=np.int64)
+    with np.errstate(over="ignore"):
+        u = np.cumsum(deltas, dtype=np.uint64)
+    return from_u64(u)
+
+
+def bm25_wtf(
+    tfs: np.ndarray, dls: np.ndarray, avgdl: float, k1: float, b: float
+) -> np.ndarray:
+    """Per-posting BM25 term partial (idf excluded), float64."""
+    tf = tfs.astype(np.float64)
+    dl = dls.astype(np.float64)
+    return tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+
+def encode_posting_list(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    avgdl: float,
+    k1: float,
+    b: float,
+) -> dict:
+    """Encode one term's postings (within one bucket) into a row dict.
+
+    ``doc_ids`` need not be pre-sorted; ties impossible (one posting per
+    (doc, term)).
+    """
+    order = np.argsort(doc_ids, kind="stable")
+    d = np.asarray(doc_ids, dtype=np.int64)[order]
+    t = np.asarray(tfs, dtype=np.int64)[order]
+    wtf = bm25_wtf(t, np.asarray(dls)[order], avgdl, k1, b)
+
+    n = len(d)
+    starts = np.arange(0, n, BLOCK_SIZE)
+    ends = np.minimum(starts + BLOCK_SIZE, n)
+
+    # byte offsets: encode per-value byte lengths to compute block starts
+    u = to_u64(d)
+    deltas = np.empty_like(u)
+    deltas[0] = u[0]
+    deltas[1:] = u[1:] - u[:-1]
+
+    def _lens(vals: np.ndarray) -> np.ndarray:
+        """Varint byte length per value (1..10), vectorized."""
+        lens = np.ones(len(vals), dtype=np.int64)
+        cur = vals >> _7
+        while cur.any():
+            lens += (cur != 0).astype(np.int64)
+            cur = cur >> _7
+        return lens
+
+    dlen = _lens(deltas)
+    tlen = _lens(t.astype(np.uint64))
+    doff = np.concatenate(([0], np.cumsum(dlen)))
+    toff = np.concatenate(([0], np.cumsum(tlen)))
+
+    block_max = np.maximum.reduceat(wtf, starts).astype(np.float32)
+    return {
+        "n": int(n),
+        "doc_bytes": varint_encode(deltas),
+        "tf_bytes": varint_encode(t.astype(np.uint64)),
+        "block_off_doc": doff[starts].astype(np.int32).tolist(),
+        "block_off_tf": toff[starts].astype(np.int32).tolist(),
+        "block_last_doc": d[ends - 1].astype(np.int64).tolist(),
+        "block_max_wtf": block_max.tolist(),
+    }
+
+
+def decode_posting_list(doc_bytes: bytes, tf_bytes: bytes, n: int):
+    """→ (doc_ids int64 asc, tfs int64)."""
+    return decode_doc_ids(doc_bytes, n), varint_decode(tf_bytes, n).astype(np.int64)

@@ -1,0 +1,176 @@
+"""BM25 top-k over the compressed index (the production read path).
+
+The reference answers a query by scanning every vector
+(``search/search.go:16-29``); here a query touches only the posting
+lists of its own terms:
+
+1. tokenize the query (driver-side, X1 semantics),
+2. look up per-term idf in the tiny stats table (one filtered read),
+3. scan ``postings/group-*`` with ``term IN (...)`` pushed into parquet —
+   files are term-sorted within buckets, so row-group stats prune most of
+   the index; bucket sharding means each matched term contributes one
+   small list per bucket,
+4. cogrouped ``applyInPandas`` per bucket: decode blocks (numpy varint),
+   look up doc lengths (one ``searchsorted``), accumulate per-query
+   scores via ``np.unique`` + ``bincount``, and emit the *bucket-local*
+   top-k (safe: the global top-k is a subset of the union of local
+   top-ks under the same total order),
+5. global ``row_number`` window (``TakeOrderedAndProject``-class) picks
+   the final k under the pinned order (round(score, 9) DESC, doc_id ASC).
+
+Scores are exact float64 BM25, rank-identical to the naive scorer in
+``same_same_spark.bm25`` (differential-tested). Block-max metadata is
+already in the layout; MaxScore/WAND block skipping is wired behind the
+same decode API (see codec.py) and can be enabled without touching the
+index format.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from same_same_spark.index import codec
+from same_same_spark.index.build import IndexManifest
+from same_same_spark.text.tokenizer import tokenize_py
+
+SCORE_SCHEMA = "query_id INT, doc_id LONG, score DOUBLE"
+
+
+def _score_bucket_fn(
+    term_idf: dict, term_qids: dict, k: int, avgdl: float, k1: float, b: float
+):
+    """Per-bucket scorer for cogrouped applyInPandas."""
+
+    def score(postings_pdf: pd.DataFrame, doclens_pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"query_id": pd.Series(dtype="int32"),
+             "doc_id": pd.Series(dtype="int64"),
+             "score": pd.Series(dtype="float64")}
+        )
+        if postings_pdf.empty or doclens_pdf.empty:
+            return empty
+
+        # decode the bucket's doc-length map once
+        dl_docs_parts, dl_vals_parts = [], []
+        for _, row in doclens_pdf.iterrows():
+            dl_docs_parts.append(
+                codec.decode_doc_ids(bytes(row["doc_bytes"]), row["n_docs"])
+            )
+            dl_vals_parts.append(
+                codec.varint_decode(bytes(row["dl_bytes"]), row["n_docs"])
+            )
+        dl_docs = np.concatenate(dl_docs_parts)
+        dl_vals = np.concatenate(dl_vals_parts).astype(np.int64)
+        if len(dl_docs_parts) > 1:
+            order = np.argsort(dl_docs, kind="stable")
+            dl_docs, dl_vals = dl_docs[order], dl_vals[order]
+
+        per_query_ids: dict[int, list[np.ndarray]] = {}
+        per_query_ws: dict[int, list[np.ndarray]] = {}
+        for _, row in postings_pdf.iterrows():
+            term = row["term"]
+            d, t = codec.decode_posting_list(
+                bytes(row["doc_bytes"]), bytes(row["tf_bytes"]), row["n"]
+            )
+            pos = np.searchsorted(dl_docs, d)
+            dl = dl_vals[pos]
+            w = term_idf[term] * codec.bm25_wtf(t, dl, avgdl, k1, b)
+            for qid in term_qids[term]:
+                per_query_ids.setdefault(qid, []).append(d)
+                per_query_ws.setdefault(qid, []).append(w)
+
+        frames = []
+        for qid, id_parts in per_query_ids.items():
+            ids = np.concatenate(id_parts)
+            ws = np.concatenate(per_query_ws[qid])
+            uids, inv = np.unique(ids, return_inverse=True)
+            scores = np.bincount(inv, weights=ws)
+            if len(uids) > k:
+                # local top-k under the global total order
+                key_score = np.round(scores, 9)
+                order = np.lexsort((uids, -key_score))[:k]
+            else:
+                order = np.arange(len(uids))
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "query_id": np.full(len(order), qid, dtype=np.int32),
+                        "doc_id": uids[order],
+                        "score": scores[order],
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True) if frames else empty
+
+    return score
+
+
+def search_batch(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+) -> DataFrame:
+    """Top-k BM25 for a batch of queries against a built index.
+
+    Returns (query_id INT, doc_id LONG, score DOUBLE, rank INT).
+    """
+    manifest = IndexManifest.load(index_dir)
+    term_qids: dict[str, list[int]] = {}
+    for qid, text in queries:
+        for term in sorted(set(tokenize_py(text))):
+            term_qids.setdefault(term, []).append(qid)
+
+    empty = spark.createDataFrame(
+        [], SCORE_SCHEMA + ", rank INT"
+    )
+    if not term_qids:
+        return empty
+    all_terms = sorted(term_qids)
+
+    stats = (
+        spark.read.parquet(f"{index_dir}/stats")
+        .filter(F.col("term").isin(all_terms))
+        .collect()
+    )
+    term_idf = {r["term"]: float(r["idf"]) for r in stats}
+    if not term_idf:
+        return empty
+    # drop query terms absent from the corpus entirely
+    term_qids = {t: qs for t, qs in term_qids.items() if t in term_idf}
+
+    # enumerate committed groups from the manifest (no globbing: a query
+    # only ever reads data whose lineage was committed)
+    post_paths = [f"{index_dir}/postings/group-{g}" for g in manifest.groups]
+    dlen_paths = [f"{index_dir}/doclens/group-{g}" for g in manifest.groups]
+    postings = spark.read.parquet(*post_paths).filter(
+        F.col("term").isin(list(term_qids))
+    )
+    doclens = spark.read.parquet(*dlen_paths)
+
+    fn = _score_bucket_fn(
+        term_idf, term_qids, k, manifest.avgdl, manifest.k1, manifest.b
+    )
+    scored = (
+        postings.groupby("bucket")
+        .cogroup(doclens.groupby("bucket"))
+        .applyInPandas(fn, SCORE_SCHEMA)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("score"), 9)), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )
+
+
+def search(
+    spark: SparkSession, index_dir: str, text: str, k: int = 10
+) -> DataFrame:
+    """Single-query convenience wrapper (reference SearchByText shape)."""
+    return search_batch(spark, index_dir, [(0, text)], k=k).drop("query_id")

@@ -9,8 +9,32 @@ partition sizing change.
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
+
+
+def package_zip() -> str:
+    """Zip the ``same_same_spark`` package for --py-files / addPyFile.
+
+    This is how the build ships to a real cluster (north star:
+    ``spark-submit --py-files``); locally it makes executors independent
+    of the driver's working directory.
+    """
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    out = os.path.join(tempfile.gettempdir(), "same_same_spark_pyfiles.zip")
+    with zipfile.ZipFile(out, "w") as zf:
+        for root, _, files in os.walk(pkg_dir):
+            for fn in files:
+                if not fn.endswith(".py"):
+                    continue
+                full = os.path.join(root, fn)
+                rel = os.path.join(
+                    "same_same_spark", os.path.relpath(full, pkg_dir)
+                )
+                zf.write(full, rel)
+    return out
 
 
 def get_spark(
@@ -51,4 +75,5 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.addPyFile(package_zip())
     return spark

@@ -1,0 +1,120 @@
+"""Index build + query: differential vs naive BM25, resume, lineage."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from same_same_spark.bm25 import score_queries
+from same_same_spark.corpus import doc_id_col, generate_corpus
+from same_same_spark.index.build import IndexManifest, build_index
+from same_same_spark.index.query import search, search_batch
+
+QUERIES = [
+    (0, "fast merge join sort"),
+    (1, "spark query data window"),
+    (2, "customer table scan"),
+    (3, "the and of"),  # all stopwords → no results
+]
+
+
+@pytest.fixture(scope="module")
+def built(spark, documents, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("index") / "docs_idx")
+    manifest = build_index(
+        documents, out, id_col="doc_id", text_col="text",
+        num_buckets=8, group_size=3, log=lambda *_: None,
+    )
+    return out, manifest
+
+
+def test_manifest_contents(built, documents):
+    _, m = built
+    assert m.n_docs == documents.count()
+    assert m.avgdl > 0 and m.n_terms > 0 and m.n_postings >= m.n_terms
+    assert m.num_buckets == 8
+    assert len(m.groups) == 3  # ceil(8/3)
+
+
+def test_lineage_records(built):
+    out, _ = built
+    lineage = sorted(os.listdir(os.path.join(out, "_lineage")))
+    assert lineage == ["group-0000.json", "group-0001.json", "group-0002.json"]
+    rec = json.load(open(os.path.join(out, "_lineage", lineage[0])))
+    assert rec["postings"] > 0 and rec["bytes"] > 0
+    assert rec["postings_per_sec"] > 0
+    assert set(rec["per_bucket"]) == {"0", "1", "2"}
+
+
+def test_index_matches_naive_scorer(spark, documents, built):
+    out, _ = built
+    naive = {
+        (r["query_id"], r["rank"]): (r["doc_id"], r["score"])
+        for r in score_queries(
+            documents, QUERIES, k=10, id_col="doc_id", text_col="text"
+        ).collect()
+    }
+    idx = {
+        (r["query_id"], r["rank"]): (r["doc_id"], r["score"])
+        for r in search_batch(spark, out, QUERIES, k=10).collect()
+    }
+    assert set(naive) == set(idx)
+    for key in naive:
+        assert naive[key][0] == idx[key][0], f"doc mismatch at {key}"
+        assert naive[key][1] == pytest.approx(idx[key][1], abs=1e-9)
+
+
+def test_single_query_wrapper(spark, built):
+    out, _ = built
+    rows = search(spark, out, "fast merge join", k=5).collect()
+    assert len(rows) == 5
+    assert [r["rank"] for r in rows] == [1, 2, 3, 4, 5]
+
+
+def test_unknown_term_only_query(spark, built):
+    out, _ = built
+    assert search(spark, out, "qqqzzzxxx", k=5).collect() == []
+
+
+def test_resume_after_partial_build(spark, documents, built, tmp_path):
+    """Kill-and-resume: drop one group's lineage + data; rebuild must
+    redo exactly that group and produce identical search results."""
+    out, _ = built
+    resumed = str(tmp_path / "resumed_idx")
+    shutil.copytree(out, resumed)
+    # simulate a crash after group 0001 started but before commit
+    os.remove(os.path.join(resumed, "_lineage", "group-0001.json"))
+    os.remove(os.path.join(resumed, "manifest.json"))
+    shutil.rmtree(os.path.join(resumed, "postings", "group-0001"))
+
+    events = []
+    build_index(
+        documents, resumed, id_col="doc_id", text_col="text",
+        num_buckets=8, group_size=3, log=lambda m: events.append(str(m)),
+    )
+    assert any("group 0000 already committed" in e for e in events)
+    assert any("group 0001 committed" in e for e in events)
+    assert any("stage resumed from checkpoint" in e for e in events)
+
+    a = search_batch(spark, out, QUERIES, k=10).collect()
+    b = search_batch(spark, resumed, QUERIES, k=10).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_build_on_synthetic_corpus(spark, tmp_path):
+    corpus = generate_corpus(spark, 300, seed=42).select(
+        doc_id_col(), "content"
+    )
+    out = str(tmp_path / "syn_idx")
+    m = build_index(corpus, out, num_buckets=4, group_size=2,
+                    log=lambda *_: None)
+    assert m.n_docs == 300
+    qs = [(0, "import handler config"), (1, "func return score")]
+    naive = score_queries(corpus, qs, k=10).collect()
+    idx = search_batch(spark, out, qs, k=10).collect()
+    assert sorted((r["query_id"], r["rank"], r["doc_id"]) for r in naive) == \
+           sorted((r["query_id"], r["rank"], r["doc_id"]) for r in idx)
