@@ -1,0 +1,94 @@
+"""A7 — hybrid scoring + the AdvancedSearch flow (filter → score → blend
+→ top-k), re-expressed over BM25.
+
+Reference: ``internal/storage/memory/advanced_search.go:25-71`` and
+weight validation at ``internal/models/filter.go:40-48``.
+
+Reference quirk preserved: the scan *filters out* docs that fail the
+FilterExpr before scoring, and ``calculateMetadataScore`` then returns
+1.0 for every survivor (advanced_search.go:80-91) — so with filters the
+blend is effectively ``wv·text + wm``. We compute the metadata score as
+an expression (``when(filter, 1.0).otherwise(0.0)``) which reproduces
+exactly that once the pre-filter has run.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from same_same_spark.bm25 import score_queries
+from same_same_spark.operators.filters import compile_filters
+
+
+@dataclass(frozen=True)
+class HybridWeight:
+    vector: float = 1.0
+    metadata: float = 0.0
+
+    def validate(self) -> "HybridWeight":
+        # filter.go:40-48
+        if not (0.0 <= self.vector <= 1.0 and 0.0 <= self.metadata <= 1.0):
+            raise ValueError("hybrid weights must be between 0 and 1")
+        if self.vector + self.metadata != 1.0:
+            raise ValueError("hybrid weights must sum to 1.0")
+        return self
+
+
+def metadata_score_col(
+    filters: dict | None, metadata_col: str | None, df: DataFrame | None = None
+) -> Column:
+    """1.0 if all filters match else 0.0 (advanced_search.go:80-91)."""
+    return F.when(
+        compile_filters(filters, metadata_col=metadata_col, df=df), F.lit(1.0)
+    ).otherwise(F.lit(0.0))
+
+
+def advanced_search(
+    docs_df: DataFrame,
+    query: str,
+    k: int = 10,
+    filters: dict | None = None,
+    hybrid: HybridWeight | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    metadata_col: str | None = None,
+) -> DataFrame:
+    """Filter → BM25 → optional hybrid blend → top-k.
+
+    Returns (doc_id, score DOUBLE, rank INT). ``top_k<=0`` callers should
+    pass the validated default (10 — models/filter.go:35-37).
+
+    The pre-filter is a Catalyst predicate, so it pushes into the scan —
+    and corpus statistics (N, avgdl, df) are computed over the *filtered*
+    corpus, mirroring the reference where non-matching vectors never
+    reach the scorer.
+    """
+    if not query:
+        raise ValueError("query cannot be empty")  # filter.go:32-34
+    if hybrid is not None:
+        hybrid.validate()
+
+    pred = compile_filters(filters, metadata_col=metadata_col, df=docs_df)
+    survivors = docs_df.filter(pred)
+    scored = score_queries(
+        survivors, [(0, query)], k=k, id_col=id_col, text_col=text_col
+    ).drop("query_id")
+
+    if hybrid is not None and (hybrid.vector, hybrid.metadata) != (1.0, 0.0):
+        # post-filter survivors all have metadata score 1.0
+        scored = scored.withColumn(
+            "score",
+            F.lit(hybrid.vector) * F.col("score") + F.lit(hybrid.metadata),
+        )
+        w = Window.orderBy(
+            F.desc(F.round(F.col("score"), 9)), F.asc("doc_id")
+        )
+        scored = (
+            scored.drop("rank")
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
+    return scored.select(F.col("doc_id"), "score", "rank")
