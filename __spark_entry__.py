@@ -36,6 +36,11 @@ from same_same_spark.stats import (
     term_doc_freqs,
     tokenized,
 )
+from same_same_spark.pipeline import ann as ann_ops
+from same_same_spark.pipeline import dedup as dedup_ops
+from same_same_spark.pipeline import multimodal as mm_ops
+from same_same_spark.pipeline import textqc as textqc_ops
+from same_same_spark.pipeline.dedup import hash60_sql, word_shingles_sql
 from same_same_spark.text.tokenizer import duckdb_tokens_sql
 
 # ---------------------------------------------------------------------------
@@ -420,6 +425,418 @@ FROM events GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# training-pipeline operators (dedup / ANN / text analysis / multimodal)
+# ---------------------------------------------------------------------------
+
+
+def _dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ copies of every 5th doc (ids +100000) — deterministic
+    duplicates so dedup operators have real work at sf0.01."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    extra = d.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    return d.unionByName(extra)
+
+
+_SQL_DUP_DOCS = (
+    "SELECT doc_id, text FROM documents "
+    "UNION ALL "
+    "SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0"
+)
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups over the duplicate-augmented corpus."""
+    return dedup_ops.exact_dedup_groups(_dup_docs(spark, sf_dir))
+
+
+_SQL_DEDUP_EXACT = f"""
+WITH base AS ({_SQL_DUP_DOCS})
+SELECT sha256(text) AS content_sha, min(doc_id) AS keep_id,
+       count(*) AS n_copies
+FROM base GROUP BY sha256(text)
+"""
+
+
+def _exact_jaccard_sql(threshold: float, shingle_n: int = 3) -> str:
+    """Exact shingle-Jaccard pairs ≥ threshold (DuckDB), over dup docs."""
+    return f"""
+WITH base AS ({_SQL_DUP_DOCS}),
+toks AS (
+  SELECT doc_id, {duckdb_tokens_sql('text')} AS toks FROM base
+),
+sh AS (
+  SELECT doc_id, {word_shingles_sql('toks', shingle_n)} AS shingles FROM toks
+),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT id_a, id_b,
+         n_inter / (sa.n_sh + sb.n_sh - n_inter)::DOUBLE AS jaccard
+  FROM cand
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+)
+SELECT id_a, id_b, round(jaccard, 6) AS jaccard
+FROM j WHERE jaccard >= {threshold}
+"""
+
+
+def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidates verified at Jaccard ≥ 0.9.
+
+    Oracle note: at this threshold surviving pairs are exact/near-exact
+    duplicates, which identical MinHash signatures catch with recall 1 —
+    so the exact-Jaccard oracle is also the LSH result.
+    """
+    out = dedup_ops.minhash_dedup_pairs(
+        _dup_docs(spark, sf_dir), threshold=0.9, n_hashes=16, bands=4
+    )
+    return _round6(out, "jaccard")
+
+
+def _q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs ≥ 0.8."""
+    out = dedup_ops.ngram_jaccard_pairs(_dup_docs(spark, sf_dir), threshold=0.8)
+    return _round6(out, "jaccard")
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit tf-weighted SimHash per document."""
+    return dedup_ops.simhash(_docs(spark, sf_dir))
+
+
+_SQL_SIMHASH = f"""
+WITH toks AS (
+  SELECT doc_id, {duckdb_tokens_sql('text')} AS toks FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM toks) GROUP BY 1, 2
+),
+th AS (SELECT doc_id, tf, {hash60_sql('term')} AS h FROM tf),
+bits AS (
+  SELECT doc_id, bit, sum(tf * (((h >> bit) & 1) * 2 - 1)) AS s
+  FROM th, unnest(range(0, {dedup_ops.SIMHASH_BITS})) AS u(bit)
+  GROUP BY 1, 2
+)
+SELECT doc_id,
+       sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT
+         AS simhash
+FROM bits GROUP BY doc_id
+"""
+
+
+def _q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (brute, cosine ≥ 0.5)."""
+    out = dedup_ops.embedding_near_dup_pairs(
+        _emb(spark, sf_dir), threshold=0.5, method="brute"
+    )
+    return _round6(out, "cosine")
+
+
+_SQL_DEDUP_EMBEDDING = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.emb, b.emb), 6) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.emb, b.emb) >= 0.5
+"""
+
+
+def _ann_queries(spark: SparkSession, sf_dir: str) -> list[tuple[int, list[float]]]:
+    emb = _emb(spark, sf_dir)
+    rows = (
+        emb.filter(F.col("vec_id").isin(0, 1, 2))
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+        .collect()
+    )
+    by_id = {int(r["vec_id"]): list(r["e"]) for r in rows}
+    return [(i, by_id[i]) for i in sorted(by_id)]
+
+
+def _q_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for three query vectors."""
+    out = ann_ops.brute_topk(
+        _emb(spark, sf_dir), _ann_queries(spark, sf_dir), k=5
+    )
+    return _round6(out, "score")
+
+
+_SQL_ANN_BRUTE = """
+WITH q AS (
+  SELECT vec_id::INTEGER AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id IN (0, 1, 2)
+),
+s AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS score
+  FROM embeddings e, q
+  WHERE len(e.embedding) = len(q.qv)
+),
+r AS (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY round(score, 9) DESC, vec_id ASC
+         ) AS rank
+  FROM s
+)
+SELECT query_id, vec_id, round(score, 6) AS score, rank::INTEGER AS rank
+FROM r WHERE rank <= 5
+"""
+
+
+def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-5, nprobe=3, centroids = per-label means."""
+    emb = _emb(spark, sf_dir)
+    cents = ann_ops.centroids_by_label(emb)
+    out = ann_ops.ivf_topk(
+        emb, _ann_queries(spark, sf_dir), cents, k=5, nprobe=3
+    )
+    return _round6(out, "score")
+
+
+_SQL_ANN_IVF = """
+WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
+),
+long AS (
+  SELECT vec_id, label, pos, emb[pos] AS v
+  FROM e, unnest(range(1, len(emb) + 1)) AS u(pos)
+),
+cent AS (
+  SELECT label::INTEGER AS centroid_id, pos, avg(v) AS m
+  FROM long GROUP BY 1, 2
+),
+cnorm AS (SELECT centroid_id, sqrt(sum(m * m)) AS nc FROM cent GROUP BY 1),
+vnorm AS (SELECT vec_id, sqrt(sum(v * v)) AS nv FROM long GROUP BY 1),
+vc AS (  -- cosine(vector, centroid)
+  SELECT l.vec_id, c.centroid_id,
+         sum(l.v * c.m) / (any_value(vn.nv) * any_value(cn.nc)) AS csim
+  FROM long l
+  JOIN cent c ON c.pos = l.pos
+  JOIN vnorm vn ON vn.vec_id = l.vec_id
+  JOIN cnorm cn ON cn.centroid_id = c.centroid_id
+  GROUP BY 1, 2
+),
+assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (
+             PARTITION BY vec_id ORDER BY round(csim, 9) DESC, centroid_id ASC
+           ) AS rn
+    FROM vc
+  ) WHERE rn = 1
+),
+q AS (
+  SELECT vec_id::INTEGER AS query_id, emb AS qv FROM e WHERE vec_id IN (0, 1, 2)
+),
+qc AS (  -- cosine(query, centroid), probe top-3
+  SELECT query_id, centroid_id FROM (
+    SELECT q.query_id, vc.centroid_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round(vc.csim, 9) DESC, vc.centroid_id ASC
+           ) AS rn
+    FROM q JOIN vc ON vc.vec_id = q.query_id
+  ) WHERE rn <= 3
+),
+cand AS (
+  SELECT qc.query_id, a.vec_id
+  FROM qc JOIN assign a ON a.centroid_id = qc.centroid_id
+),
+s AS (
+  SELECT c.query_id, c.vec_id,
+         list_cosine_similarity(e.emb, q.qv) AS score
+  FROM cand c
+  JOIN e ON e.vec_id = c.vec_id
+  JOIN q ON q.query_id = c.query_id
+  WHERE len(e.emb) = len(q.qv)
+),
+r AS (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY round(score, 9) DESC, vec_id ASC
+         ) AS rank
+  FROM s
+)
+SELECT query_id, vec_id, round(score, 6) AS score, rank::INTEGER AS rank
+FROM r WHERE rank <= 5
+"""
+
+
+def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH (8 hyperplanes, hamming ≤ 1) top-5 with exact re-rank."""
+    out = ann_ops.lsh_topk(
+        _emb(spark, sf_dir),
+        _ann_queries(spark, sf_dir),
+        k=5,
+        n_planes=8,
+        max_hamming=1,
+    )
+    return _round6(out, "score")
+
+
+_PLANE_SQL = (
+    "((" + hash60_sql("'p' || p::VARCHAR || '_' || d::VARCHAR")
+    + " % 1048576) / 1048576.0) * 2 - 1"
+)
+
+_SQL_ANN_LSH = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+planes AS (
+  SELECT p, d, {_PLANE_SQL} AS w
+  FROM unnest(range(0, 8)) tp(p), unnest(range(0, 64)) td(d)
+),
+dots AS (
+  SELECT e.vec_id, pl.p, sum(e.emb[pl.d + 1] * pl.w) AS dot
+  FROM e, planes pl GROUP BY 1, 2
+),
+sig AS (
+  SELECT vec_id,
+         sum(CASE WHEN dot >= 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT
+           AS sig
+  FROM dots GROUP BY 1
+),
+q AS (
+  SELECT e.vec_id::INTEGER AS query_id, e.emb AS qv, s.sig AS qsig
+  FROM e JOIN sig s ON s.vec_id = e.vec_id
+  WHERE e.vec_id IN (0, 1, 2)
+),
+cand AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(e.emb, q.qv) AS score
+  FROM e
+  JOIN sig s ON s.vec_id = e.vec_id
+  CROSS JOIN q
+  WHERE len(e.emb) = len(q.qv)
+    AND bit_count(xor(s.sig, q.qsig)) <= 1
+),
+r AS (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY round(score, 9) DESC, vec_id ASC
+         ) AS rank
+  FROM cand
+)
+SELECT query_id, vec_id, round(score, 6) AS score, rank::INTEGER AS rank
+FROM r WHERE rank <= 5
+"""
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID per document."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", textqc_ops.lang_id_col("text").alias("lang_guess")
+    )
+
+
+_SQL_LANG_ID = (
+    f"SELECT doc_id, {textqc_ops.lang_id_sql('text')} AS lang_guess "
+    "FROM documents"
+)
+
+
+def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality features + composite score per document."""
+    cols = textqc_ops.quality_cols("text")
+    out = _docs(spark, sf_dir).select(
+        "doc_id", *[v.alias(k) for k, v in cols.items()]
+    )
+    return _round6(
+        out, "stopword_ratio", "punct_ratio", "mean_token_len", "quality_score"
+    )
+
+
+def _sql_quality() -> str:
+    qs = textqc_ops.quality_sql("text")
+    return (
+        "SELECT doc_id, "
+        + ", ".join(
+            f"{expr} AS {name}"
+            if name in ("n_chars", "ws_tokens")
+            else f"round({expr}, 6) AS {name}"
+            for name, expr in qs.items()
+        )
+        + " FROM documents"
+    )
+
+
+def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish token counts per document."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        textqc_ops.ws_token_count_col("text").cast("bigint").alias("ws_tokens"),
+        textqc_ops.bpe_token_count_col("text").cast("bigint").alias("bpe_tokens"),
+    )
+
+
+def _sql_token_counts() -> str:
+    tc = textqc_ops.token_count_sql("text")
+    return (
+        f"SELECT doc_id, ({tc['ws_tokens']})::BIGINT AS ws_tokens, "
+        f"({tc['bpe_tokens']})::BIGINT AS bpe_tokens FROM documents"
+    )
+
+
+def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (k=8, w=4) per document."""
+    return textqc_ops.winnow_fingerprints(
+        _docs(spark, sf_dir), id_col="doc_id", text_col="text", k=8, w=4
+    )
+
+
+def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batch feature extraction over BINARY content (decode
+    stubbed with deterministic md5 features; plumbing is the contract).
+    Long format so the value compare is exact per component."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.col("text").cast("binary").alias("content")
+    )
+    feats = mm_ops.fake_features(docs, content_col="content", id_col="doc_id")
+    return feats.select(
+        "doc_id", F.posexplode("features").alias("dim", "value")
+    ).withColumn("value", F.round("value", 6))
+
+
+_SQL_MULTIMODAL = f"""
+WITH f AS ({mm_ops.fake_features_sql('doc_id', 'text', 'documents')})
+SELECT doc_id, d AS dim, round(features[d + 1], 6) AS value
+FROM f, unnest(range(0, {mm_ops.FEATURE_DIM})) AS u(d)
+"""
+
+
+def _q_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/F5 — per-source ingest statistics: row counts, empty-text
+    skips, total whitespace tokens."""
+    d = _docs(spark, sf_dir)
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when(F.length(F.trim(F.col("text"))) == 0, 1).otherwise(0)
+        ).alias("n_empty"),
+        F.sum(textqc_ops.ws_token_count_col("text")).alias("total_ws_tokens"),
+    )
+
+
+def _sql_ingest_stats() -> str:
+    tc = textqc_ops.token_count_sql("text")
+    return f"""
+SELECT source, count(*) AS n_docs,
+       sum(CASE WHEN length(trim(text, E' \\t\\n\\f\\r')) = 0 THEN 1 ELSE 0 END)
+         AS n_empty,
+       sum({tc['ws_tokens']}) AS total_ws_tokens
+FROM documents GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -438,6 +855,24 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "vector_dim_mismatch": (_q_vector_dim_mismatch, _SQL_VECTOR_DIM_MISMATCH),
     "hybrid_search": (_q_hybrid_search, _SQL_HYBRID_SEARCH),
     "events_hourly": (_q_events_hourly, _SQL_EVENTS_HOURLY),
+    # training-pipeline operators
+    "dedup_exact": (_q_dedup_exact, _SQL_DEDUP_EXACT),
+    "dedup_minhash": (_q_dedup_minhash, _exact_jaccard_sql(0.9)),
+    "dedup_ngram_jaccard": (_q_dedup_ngram, _exact_jaccard_sql(0.8)),
+    "simhash_docs": (_q_simhash, _SQL_SIMHASH),
+    "dedup_embedding": (_q_dedup_embedding, _SQL_DEDUP_EMBEDDING),
+    "ann_brute_topk": (_q_ann_brute, _SQL_ANN_BRUTE),
+    "ann_ivf_topk": (_q_ann_ivf, _SQL_ANN_IVF),
+    "ann_lsh_topk": (_q_ann_lsh, _SQL_ANN_LSH),
+    "lang_id": (_q_lang_id, _SQL_LANG_ID),
+    "quality_scores": (_q_quality, _sql_quality()),
+    "token_counts": (_q_token_counts, _sql_token_counts()),
+    "fingerprints": (
+        _q_fingerprints,
+        textqc_ops.winnow_sql("doc_id", "text", "documents", k=8, w=4),
+    ),
+    "multimodal_features": (_q_multimodal_features, _SQL_MULTIMODAL),
+    "ingest_stats": (_q_ingest_stats, _sql_ingest_stats()),
 }
 
 

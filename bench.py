@@ -1,0 +1,155 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line::
+
+    {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Phases
+------
+1. **Index build** — synthesize the code corpus (BASELINE.json:input_hint
+   shape, sf-scaled row count), sha256-verify it, build the compressed
+   inverted index (staged + bucket-sharded + lineage-committed) →
+   docs/sec, postings/sec.
+2. **Query latency** — reference query set over the built index
+   (block-sharded BM25 read path), per-query wall times + p50/p99 over
+   repeats.
+3. **Headline operators** — the __spark_entry__ queries at the sf dir
+   (BM25 naive path, filters, temporal, vector, hybrid, windowed agg).
+
+Scaling-efficiency evidence (local[8] vs local[32]) is produced by
+``scripts/scaling_bench.py`` (separate JVMs), recorded in BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def _sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+SF = _sf_from_dir(SF_DIR)
+
+# corpus rows for the build phase: 500k docs/sf unit → 50k at sf0.1
+BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", str(int(500_000 * SF))))
+QUERY_REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+
+# Reference query set over the code corpus (skew terms + tail idents).
+INDEX_QUERIES: list[tuple[int, str]] = [
+    (1, "import return func"),
+    (2, "parse buffer stream handler"),
+    (3, "index shard merge"),
+    (4, "config"),
+    (5, "tokenize batch encode decode"),
+]
+
+ENTRY_QUERY_NAMES = [
+    "bm25_topk",
+    "term_df_top100",
+    "vector_topk",
+    "hybrid_search",
+    "temporal_topk",
+    "events_hourly",
+]
+
+
+def main() -> None:
+    from same_same_spark.corpus import (
+        doc_id_col,
+        generate_corpus,
+        verify_sha,
+        with_sha,
+    )
+    from same_same_spark.index.build import build_index
+    from same_same_spark.index.query import search_batch
+    from same_same_spark.session import get_spark
+
+    import __spark_entry__ as entry
+
+    spark = get_spark(
+        app_name="same_same_bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=CPUS,
+    )
+    t_start = time.time()
+    out: dict = {"sf": SF, "cpus": CPUS, "queries": {}}
+
+    # ---- Phase 1: index build --------------------------------------------
+    corpus = with_sha(generate_corpus(spark, BENCH_DOCS))
+    corpus = corpus.withColumn("doc_id", doc_id_col())
+    idx_dir = os.path.join(tempfile.gettempdir(), f"ssbench_idx_{os.getpid()}")
+    t0 = time.time()
+    assert verify_sha(corpus) == 0, "sha256 invariant violated pre-build"
+    manifest = build_index(
+        corpus,
+        idx_dir,
+        id_col="doc_id",
+        text_col="content",
+        num_buckets=CPUS,
+        group_size=CPUS,  # one encode checkpoint: lowest overhead locally
+        overwrite=True,
+        log=lambda *_: None,
+    )
+    build_sec = time.time() - t0
+    out["build"] = {
+        "n_docs": manifest.n_docs,
+        "n_terms": manifest.n_terms,
+        "n_postings": manifest.n_postings,
+        "build_sec": round(build_sec, 3),
+        "docs_per_sec": round(manifest.n_docs / build_sec, 1),
+        "postings_per_sec": round(manifest.n_postings / build_sec, 1),
+    }
+    out["queries"]["index_build"] = round(build_sec, 3)
+
+    # ---- Phase 2: query latency over the index ---------------------------
+    lat: dict[str, list[float]] = {}
+    for rep in range(QUERY_REPEATS):
+        for qid, text in INDEX_QUERIES:
+            t0 = time.time()
+            search_batch(spark, idx_dir, [(qid, text)], k=10).collect()
+            lat.setdefault(f"index_q{qid}", []).append(time.time() - t0)
+    all_lat: list[float] = []
+    for name, times in lat.items():
+        out["queries"][name] = round(min(times), 3)  # warm latency
+        all_lat.extend(times)
+    all_lat.sort()
+    out["query_latency"] = {
+        "p50_sec": round(statistics.median(all_lat), 3),
+        "p99_sec": round(all_lat[max(int(len(all_lat) * 0.99) - 1, 0)], 3),
+        "n_samples": len(all_lat),
+    }
+    shutil.rmtree(idx_dir, ignore_errors=True)
+
+    # ---- Phase 3: headline operators at the sf dir ------------------------
+    qs = entry.queries()
+    for name in ENTRY_QUERY_NAMES:
+        t0 = time.time()
+        qs[name](spark, SF_DIR).collect()
+        out["queries"][name] = round(time.time() - t0, 3)
+
+    out["metric"] = "index_build_plus_query_sec"
+    out["unit"] = "sec"
+    out["value"] = round(time.time() - t_start, 3)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -47,7 +47,7 @@ from pyspark.sql import functions as F
 
 from same_same_spark.bm25 import B_DEFAULT, K1_DEFAULT
 from same_same_spark.index import codec
-from same_same_spark.stats import corpus_stats, doc_term_freqs, tokenized
+from same_same_spark.stats import doc_term_freqs, tokenized
 
 LAYOUT_VERSION = 1
 TOKENIZER_VERSION = "x1-v1"
@@ -90,30 +90,35 @@ def bucket_col(doc_id_col, num_buckets: int):
 
 
 def _encode_postings_fn(avgdl: float, k1: float, b: float):
+    """Per-BUCKET encoder: one applyInPandas group per bucket (not per
+    term) — thousands of tiny per-term groups cost more in Arrow/pandas
+    framing than the codec itself. Inside the group, terms are sliced
+    out of one sorted array (numpy boundaries, no pandas groupby)."""
+    import numpy as np
+
+    _COLS = [
+        "bucket", "term", "n", "doc_bytes", "tf_bytes",
+        "block_off_doc", "block_off_tf", "block_last_doc", "block_max_wtf",
+    ]
+
     def encode(pdf: pd.DataFrame) -> pd.DataFrame:
         if pdf.empty:
-            return pd.DataFrame(
-                columns=[
-                    "bucket", "term", "n", "doc_bytes", "tf_bytes",
-                    "block_off_doc", "block_off_tf", "block_last_doc",
-                    "block_max_wtf",
-                ]
+            return pd.DataFrame(columns=_COLS)
+        bucket = int(pdf["bucket"].iloc[0])
+        pdf = pdf.sort_values(["term", "doc_id"], kind="mergesort")
+        terms = pdf["term"].to_numpy()
+        doc_ids = pdf["doc_id"].to_numpy()
+        tfs = pdf["tf"].to_numpy()
+        dls = pdf["dl"].to_numpy()
+        uniq, starts = np.unique(terms, return_index=True)
+        ends = np.append(starts[1:], len(terms))
+        rows = []
+        for t, s, e in zip(uniq, starts, ends):
+            row = codec.encode_posting_list(
+                doc_ids[s:e], tfs[s:e], dls[s:e], avgdl, k1, b
             )
-        row = codec.encode_posting_list(
-            pdf["doc_id"].to_numpy(),
-            pdf["tf"].to_numpy(),
-            pdf["dl"].to_numpy(),
-            avgdl, k1, b,
-        )
-        return pd.DataFrame(
-            [
-                {
-                    "bucket": int(pdf["bucket"].iloc[0]),
-                    "term": pdf["term"].iloc[0],
-                    **row,
-                }
-            ]
-        )
+            rows.append({"bucket": bucket, "term": t, **row})
+        return pd.DataFrame(rows, columns=_COLS)
 
     return encode
 
@@ -177,10 +182,15 @@ def build_index(
     stage_marker = os.path.join(stage_dir, "_STAGE_DONE.json")
 
     # ---- Stage 1: tokenize + postings + stats (one checkpoint unit) ----
+    #
+    # Exactly ONE pass over raw content (the tokenize+explode write);
+    # everything else (N, avgdl, df/idf, posting counts) is derived from
+    # the narrow staged table — at 100 TB the content pass dominates, so
+    # don't take it twice.
     if not os.path.exists(stage_marker):
         t0 = time.time()
+        n_docs = docs_df.count()  # cheap: parquet row-group counts / range
         tok = tokenized(docs_df, id_col=id_col, text_col=text_col)
-        cs = corpus_stats(tok)
         postings = doc_term_freqs(tok).withColumn(
             "bucket", bucket_col(F.col("doc_id"), num_buckets)
         )
@@ -191,28 +201,37 @@ def build_index(
             .parquet(os.path.join(stage_dir, "postings"))
         )
         staged = spark.read.parquet(os.path.join(stage_dir, "postings"))
-        n_postings = staged.count()
-        # term stats: df from staged postings (one row per (doc, term))
+        # avgdl over ALL docs (zero-token docs contribute 0 to the dl sum
+        # and appear in n_docs, matching stats.corpus_stats exactly).
+        sum_dl = (
+            staged.groupBy("doc_id").agg(F.first("dl").alias("dl"))
+            .agg(F.sum("dl")).collect()[0][0]
+        ) or 0
+        avgdl = float(sum_dl) / n_docs if n_docs else 0.0
         term_stats = staged.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
         term_stats = term_stats.withColumn(
             "idf",
             F.log(
                 1.0
-                + (F.lit(float(cs.n_docs)) - F.col("df") + 0.5)
+                + (F.lit(float(n_docs)) - F.col("df") + 0.5)
                 / (F.col("df") + 0.5)
             ),
         )
         term_stats.repartition(1).write.mode("overwrite").parquet(
             os.path.join(out_dir, "stats")
         )
-        n_terms = spark.read.parquet(os.path.join(out_dir, "stats")).count()
+        srow = (
+            spark.read.parquet(os.path.join(out_dir, "stats"))
+            .agg(F.count(F.lit(1)), F.sum("df"))
+            .collect()[0]
+        )
         stage_info = {
-            "n_docs": cs.n_docs,
-            "avgdl": cs.avgdl,
-            "n_postings": n_postings,
-            "n_terms": n_terms,
+            "n_docs": n_docs,
+            "avgdl": avgdl,
+            "n_postings": int(srow[1] or 0),
+            "n_terms": int(srow[0]),
             "wall_sec": time.time() - t0,
-            "docs_per_sec": cs.n_docs / max(time.time() - t0, 1e-9),
+            "docs_per_sec": n_docs / max(time.time() - t0, 1e-9),
         }
         with open(stage_marker + ".tmp", "w") as f:
             json.dump(stage_info, f)
@@ -251,7 +270,7 @@ def build_index(
                 shutil.rmtree(d)
         t0 = time.time()
         part = staged.filter(F.col("bucket").isin(buckets))
-        enc = part.groupBy("bucket", "term").applyInPandas(
+        enc = part.groupBy("bucket").applyInPandas(
             _encode_postings_fn(avgdl, k1, b), POSTINGS_SCHEMA
         )
         post_tmp = post_dst + ".tmp"

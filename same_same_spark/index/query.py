@@ -38,6 +38,50 @@ from same_same_spark.text.tokenizer import tokenize_py
 
 SCORE_SCHEMA = "query_id INT, doc_id LONG, score DOUBLE"
 
+# Driver-side caches, keyed by (index_dir, manifest mtime) so a rebuilt
+# index invalidates naturally. A query broker legitimately holds the term
+# dictionary in memory — but only up to a cap, so a web-scale vocabulary
+# falls back to a pushed-down parquet read per batch.
+_MANIFEST_CACHE: dict[tuple[str, float], IndexManifest] = {}
+_IDF_CACHE: dict[tuple[str, float], dict[str, float] | None] = {}
+IDF_CACHE_MAX_TERMS = 1_000_000
+
+
+def _cache_key(index_dir: str) -> tuple[str, float]:
+    import os
+
+    return (index_dir, os.path.getmtime(f"{index_dir}/manifest.json"))
+
+
+def _load_manifest(index_dir: str) -> IndexManifest:
+    key = _cache_key(index_dir)
+    if key not in _MANIFEST_CACHE:
+        _MANIFEST_CACHE[key] = IndexManifest.load(index_dir)
+    return _MANIFEST_CACHE[key]
+
+
+def _idf_lookup(
+    spark: SparkSession, index_dir: str, terms: list[str]
+) -> dict[str, float]:
+    """term → idf for the given terms; full-dictionary cache when small."""
+    key = _cache_key(index_dir)
+    if key not in _IDF_CACHE:
+        manifest = _load_manifest(index_dir)
+        if manifest.n_terms <= IDF_CACHE_MAX_TERMS:
+            rows = spark.read.parquet(f"{index_dir}/stats").collect()
+            _IDF_CACHE[key] = {r["term"]: float(r["idf"]) for r in rows}
+        else:
+            _IDF_CACHE[key] = None  # too big: always push down
+    cached = _IDF_CACHE[key]
+    if cached is not None:
+        return {t: cached[t] for t in terms if t in cached}
+    rows = (
+        spark.read.parquet(f"{index_dir}/stats")
+        .filter(F.col("term").isin(terms))
+        .collect()
+    )
+    return {r["term"]: float(r["idf"]) for r in rows}
+
 
 def _score_bucket_fn(
     term_idf: dict, term_qids: dict, k: int, avgdl: float, k1: float, b: float
@@ -118,7 +162,7 @@ def search_batch(
 
     Returns (query_id INT, doc_id LONG, score DOUBLE, rank INT).
     """
-    manifest = IndexManifest.load(index_dir)
+    manifest = _load_manifest(index_dir)
     term_qids: dict[str, list[int]] = {}
     for qid, text in queries:
         for term in sorted(set(tokenize_py(text))):
@@ -131,12 +175,7 @@ def search_batch(
         return empty
     all_terms = sorted(term_qids)
 
-    stats = (
-        spark.read.parquet(f"{index_dir}/stats")
-        .filter(F.col("term").isin(all_terms))
-        .collect()
-    )
-    term_idf = {r["term"]: float(r["idf"]) for r in stats}
+    term_idf = _idf_lookup(spark, index_dir, all_terms)
     if not term_idf:
         return empty
     # drop query terms absent from the corpus entirely

@@ -1,0 +1,459 @@
+"""Deduplication operators: exact, MinHash+LSH, n-gram Jaccard, SimHash,
+embedding-cosine near-dup.
+
+The reference has no dedup at all (documents overwrite by ID —
+``internal/storage/memory/memory.go:25-49``); these are the
+training-pipeline operators a 100 TB corpus needs before indexing.
+
+Design for scale:
+
+- every operator is one or two hash-partitioned shuffles (groupBy /
+  join on uniformly-distributed keys) — no driver-side loops, no
+  ``collect()`` on anything proportional to the corpus,
+- pairwise work is always *bucketed first* (LSH bands, sign buckets),
+  so the quadratic step runs within small candidate groups only,
+- all hashing is :func:`hash60_col` — ``conv(substr(md5(x),1,15),16,10)``
+  — chosen because Spark and DuckDB compute it bit-identically, which
+  makes every operator here oracle-checkable end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from same_same_spark.text.tokenizer import tokens_col
+
+# ---------------------------------------------------------------------------
+# shared hashing / shingling
+# ---------------------------------------------------------------------------
+
+
+def hash60_col(c: Column) -> Column:
+    """Deterministic 60-bit hash as BIGINT, identical in Spark and DuckDB.
+
+    Spark:  ``conv(substr(md5(x), 1, 15), 16, 10)::LONG``
+    DuckDB: ``('0x' || substr(md5(x), 1, 15))::BIGINT``
+    """
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def hash60_sql(expr: str) -> str:
+    """DuckDB twin of :func:`hash60_col` for oracle SQL."""
+    return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
+def word_shingles_col(text: Column | str, n: int = 3) -> Column:
+    """Distinct ``n``-word shingles over X1 tokens (space-joined).
+
+    Documents with fewer than ``n`` tokens get one shingle — the whole
+    token sequence — so short docs still participate; zero-token docs
+    get an empty array.
+    """
+    toks = tokens_col(text)
+    n_sh = F.size(toks) - F.lit(n - 1)
+    shingled = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_sh, F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.when(F.size(toks) <= 0, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(shingled)
+    )
+
+
+def word_shingles_sql(toks_expr: str, n: int = 3) -> str:
+    """DuckDB twin of :func:`word_shingles_col`.
+
+    ``toks_expr`` must reference an already-computed token LIST column
+    (build it with ``tokenizer.duckdb_tokens_sql`` in a CTE first).
+    """
+    return (
+        f"CASE WHEN len({toks_expr}) <= 0 THEN []::VARCHAR[] "
+        f"ELSE list_distinct([array_to_string({toks_expr}[i:i+{n - 1}], ' ') "
+        f"FOR i IN range(1, greatest(len({toks_expr}) - {n - 1}, 1) + 1)]) END"
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_groups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Hash-groupBy exact dedup: one row per distinct content with the
+    surviving (minimum) id and the copy count.
+
+    ``(content_sha STRING, keep_id, n_copies LONG)`` — single shuffle on
+    sha256(text), uniformly distributed by construction.
+    """
+    return (
+        df.select(
+            F.sha2(F.col(text_col), 256).alias("content_sha"), F.col(id_col)
+        )
+        .groupBy("content_sha")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Survivors only: the input rows whose id is the group minimum."""
+    keep = exact_dedup_groups(df, id_col, text_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """``(id, mh_0 .. mh_{H-1})`` — MinHash signature per document.
+
+    One explode + one groupBy computing all H minima at once (a single
+    shuffle; map-side combined). Docs with no shingles are dropped.
+    """
+    exploded = df.select(
+        F.col(id_col),
+        F.explode(word_shingles_col(text_col, shingle_n)).alias("shingle"),
+    )
+    aggs = [
+        F.min(
+            hash60_col(F.concat(F.lit(f"{i}:"), F.col("shingle")))
+        ).alias(f"mh_{i}")
+        for i in range(n_hashes)
+    ]
+    return exploded.groupBy(id_col).agg(*aggs)
+
+
+def lsh_band_buckets(
+    sig_df: DataFrame,
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """``(id, band INT, bucket LONG)`` — one bucket key per band
+    (md5 over the band's signature rows)."""
+    rows = n_hashes // bands
+    per_band = []
+    for b in range(bands):
+        key = hash60_col(
+            F.concat_ws(
+                ",", *[F.col(f"mh_{b * rows + r}").cast("string") for r in range(rows)]
+            )
+        )
+        per_band.append(
+            sig_df.select(
+                F.col(id_col), F.lit(b).alias("band"), key.alias("bucket")
+            )
+        )
+    out = per_band[0]
+    for p in per_band[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """``(id_a, id_b)`` distinct candidate pairs sharing ≥1 LSH band bucket.
+
+    The self-join runs on (band, bucket) — the quadratic step happens
+    only inside identical-signature buckets, which is the entire point
+    of LSH at 100 TB.
+    """
+    sig = minhash_signatures(df, id_col, text_col, n_hashes, shingle_n)
+    buckets = lsh_band_buckets(sig, id_col, n_hashes, bands)
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def jaccard_for_pairs(
+    pairs: DataFrame,
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for given ``(id_a, id_b)`` pairs.
+
+    Intersections are computed only for candidate pairs (two joins on
+    id + one on shingle), never all-pairs.
+    """
+    sh = df.select(
+        F.col(id_col),
+        word_shingles_col(text_col, shingle_n).alias("shingles"),
+    ).withColumn("n_sh", F.size("shingles"))
+    ex = sh.select(id_col, F.explode("shingles").alias("sh"))
+    ex_a = ex.withColumnRenamed(id_col, "id_a")
+    ex_b = ex.withColumnRenamed(id_col, "id_b")
+
+    inter = (
+        pairs.join(ex_a, "id_a")
+        .join(ex_b, ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes = sh.select(id_col, "n_sh")
+    return (
+        pairs.join(inter, ["id_a", "id_b"], "left")
+        .na.fill({"n_inter": 0})
+        .join(
+            sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed(
+                "n_sh", "n_a"
+            ),
+            "id_a",
+        )
+        .join(
+            sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed(
+                "n_sh", "n_b"
+            ),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_inter")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+        )
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash-LSH candidates, verified with exact Jaccard ≥ threshold."""
+    cand = minhash_candidate_pairs(
+        df, id_col, text_col, n_hashes, bands, shingle_n
+    )
+    j = jaccard_for_pairs(cand, df, id_col, text_col, shingle_n)
+    return j.filter(F.col("jaccard") >= threshold)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.6,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs (no LSH): candidates are all
+    pairs sharing ≥1 shingle. Exact but quadratic in the worst case —
+    the baseline the MinHash path is differential-tested against; at
+    scale use :func:`minhash_dedup_pairs`.
+    """
+    ex = df.select(
+        F.col(id_col),
+        F.explode(word_shingles_col(text_col, shingle_n)).alias("shingle"),
+    )
+    cand = (
+        ex.alias("a")
+        .join(
+            ex.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    return jaccard_for_pairs(cand, df, id_col, text_col, shingle_n).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 60  # hash60 gives 60 usable bits
+
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """``(id, simhash LONG)`` — 60-bit tf-weighted SimHash over X1 tokens.
+
+    bit_b(simhash) = 1 iff Σ_terms tf · sign_b(hash60(term)) > 0.
+
+    Expressed as explode(term) × explode(bit) + one groupBy — pure JVM
+    column math, map-side combined. Zero-token docs are dropped.
+    """
+    terms = (
+        df.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("h", hash60_col(F.col("term")))
+    )
+    bits = terms.select(
+        id_col,
+        "tf",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit"),
+    ).withColumn(
+        # F.shiftright needs a literal shift → SQL expr for column shifts
+        "contrib",
+        F.col("tf") * (F.expr("shiftright(h, bit) & 1") * 2 - 1),
+    )
+    return (
+        bits.groupBy(id_col, "bit")
+        .agg(F.sum("contrib").alias("s"))
+        .withColumn(
+            "bitval",
+            F.when(F.col("s") > 0, F.expr("shiftleft(1L, bit)"))
+            .otherwise(F.lit(0).cast("long")),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("bitval").cast("long").alias("simhash"))
+    )
+
+
+def hamming60_col(a: Column, b: Column) -> Column:
+    """Popcount of XOR over the 60-bit space (bit_count is JVM-native)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    n_blocks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ max_hamming.
+
+    Pigeonhole blocking: split the 60 bits into ``n_blocks`` blocks; any
+    pair within distance ``max_hamming < n_blocks`` agrees exactly on at
+    least one block, so the self-join runs on (block_idx, block_value) —
+    candidates only, never all-pairs.
+    """
+    sh = simhash(df, id_col, text_col)
+    width = SIMHASH_BITS // n_blocks
+    blocks = []
+    for i in range(n_blocks):
+        blk = F.shiftright(F.col("simhash"), i * width).bitwiseAND(
+            F.lit((1 << width) - 1)
+        )
+        blocks.append(
+            sh.select(
+                id_col, "simhash", F.lit(i).alias("blk"), blk.alias("blkval")
+            )
+        )
+    b = blocks[0]
+    for p in blocks[1:]:
+        b = b.unionByName(p)
+    cand = (
+        b.alias("x")
+        .join(
+            b.alias("y"),
+            (F.col("x.blk") == F.col("y.blk"))
+            & (F.col("x.blkval") == F.col("y.blkval"))
+            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+        )
+        .select(
+            F.col(f"x.{id_col}").alias("id_a"),
+            F.col(f"y.{id_col}").alias("id_b"),
+            F.col("x.simhash").alias("sh_a"),
+            F.col("y.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", hamming60_col(F.col("sh_a"), F.col("sh_b")).cast("int")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup
+# ---------------------------------------------------------------------------
+
+
+def _cos(a: Column, b: Column) -> Column:
+    from same_same_spark.operators.vector import cosine_col
+
+    return cosine_col(a, b)
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "vec_id",
+    embedding_col: str = "embedding",
+    method: str = "brute",
+    n_planes: int = 8,
+) -> DataFrame:
+    """``(id_a, id_b, cosine)`` pairs with cosine ≥ threshold.
+
+    ``method='brute'`` — exact all-pairs (the oracle-checkable baseline;
+    only for small/filtered inputs).
+    ``method='lsh'`` — random-hyperplane sign buckets first, exact
+    cosine within buckets only (the scale path; recall < 1 by design,
+    every returned pair is still exact).
+    """
+    e = df.select(
+        F.col(id_col), F.col(embedding_col).cast("array<double>").alias("emb")
+    )
+    if method == "lsh":
+        from same_same_spark.pipeline.ann import signature_col
+
+        e = e.withColumn("sig", signature_col(F.col("emb"), n_planes))
+        cond = (
+            (F.col("a.sig") == F.col("b.sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        )
+    else:
+        cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    pairs = (
+        e.alias("a")
+        .join(e.alias("b"), cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            _cos(F.col("a.emb"), F.col("b.emb")).alias("cosine"),
+        )
+    )
+    return pairs.filter(F.col("cosine") >= threshold)

@@ -1,0 +1,175 @@
+"""Multimodal column plumbing: image/audio/video as opaque BINARY
+columns with typed metadata.
+
+Mirrors the reference's multimodal document model
+(``internal/storage/local/schema.go:85-159``: content types
+text|image|audio|video|document|custom with format-specific metadata
+structs) and its image ingestion path
+(``internal/ingestion/image.go:41-117``), re-expressed as Spark schema
++ Arrow batch processing.
+
+The actual media decode is STUBBED (no image/audio libs in this
+container): :func:`decode_image_features` raises ``NotImplementedError``
+unless PIL is importable, and :func:`fake_features` provides a
+deterministic md5-derived stand-in so the Spark-side plumbing — schema,
+partitioning, mapInPandas batch shape, feature-column contract — is
+real and tested end to end.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+CONTENT_TYPES = ("text", "image", "audio", "video", "document", "custom")
+
+# Typed metadata struct per media payload (schema.go:95-159 re-expressed)
+MEDIA_META_TYPE = T.StructType(
+    [
+        T.StructField("content_type", T.StringType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_sec", T.DoubleType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("checksum", T.StringType()),
+    ]
+)
+
+IMAGE_EXTS = (".jpg", ".jpeg", ".png", ".gif", ".bmp", ".webp")  # image.go:45-52
+
+FEATURE_DIM = 8
+
+
+def media_table(
+    df: DataFrame,
+    content_col: str = "content",
+    content_type: str = "image",
+    fmt: str | None = None,
+) -> DataFrame:
+    """Wrap a BINARY content column with the typed metadata struct and
+    the per-row checksum invariant (``schema.go:147-153``)."""
+    c = F.col(content_col)
+    meta = F.struct(
+        F.lit(content_type).alias("content_type"),
+        F.lit(fmt).cast("string").alias("format"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("double").alias("duration_sec"),
+        F.lit(None).cast("int").alias("sample_rate"),
+        F.sha2(c, 256).alias("checksum"),
+    )
+    return df.withColumn("media_meta", meta)
+
+
+def read_binary_dir(spark, path: str, pattern: str = "*.jpg") -> DataFrame:
+    """S5 — directory scan of media files (``image.go:41-117``) as the
+    built-in binaryFile source: (path, modificationTime, length, content)."""
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", pattern)
+        .option("recursiveFileLookup", "true")
+        .load(path)
+    )
+
+
+def fake_features(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    dim: int = FEATURE_DIM,
+) -> DataFrame:
+    """Deterministic stand-in feature extractor over BINARY content.
+
+    ``feature[i] = (md5(content ∥ ':' ∥ i)60bit mod 2^20) / 2^20`` —
+    reproducible in SQL, so the Arrow plumbing is oracle-checkable.
+    Runs as mapInPandas (the exact shape a real decoder would use:
+    Arrow batches in, one feature row per input row out).
+    """
+    schema = f"{id_col} LONG, features ARRAY<DOUBLE>"
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            feats = []
+            for blob in pdf[content_col]:
+                raw = bytes(blob) if blob is not None else b""
+                vec = []
+                for i in range(dim):
+                    h = hashlib.md5(raw + b":" + str(i).encode()).hexdigest()
+                    vec.append((int(h[:15], 16) % (1 << 20)) / float(1 << 20))
+                feats.append(vec)
+            yield pd.DataFrame({id_col: pdf[id_col], "features": feats})
+
+    return df.select(id_col, content_col).mapInPandas(extract, schema)
+
+
+def fake_features_sql(id_expr: str, content_expr: str, table: str, dim: int = FEATURE_DIM) -> str:
+    """DuckDB twin of :func:`fake_features` (content as BLOB/VARCHAR)."""
+    comps = ", ".join(
+        f"(('0x' || substr(md5({content_expr} || ':{i}'), 1, 15))::BIGINT "
+        f"% 1048576) / 1048576.0"
+        for i in range(dim)
+    )
+    return f"SELECT {id_expr} AS doc_id, [{comps}] AS features FROM {table}"
+
+
+def frame_sample_plan(
+    df: DataFrame,
+    n_frames: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Video frame-sampling plumbing: one output row per (video, frame
+    index) with a deterministic time offset — the decode itself is the
+    stubbed part; the explode/partition shape is the real contract."""
+    return df.select(
+        F.col(id_col),
+        F.col("media_meta"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_frames - 1))).alias("frame_idx"),
+    ).withColumn(
+        "time_frac",
+        (F.col("frame_idx") + 0.5) / F.lit(float(n_frames)),
+    )
+
+
+def decode_image_features(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    size: tuple[int, int] = (32, 32),
+) -> DataFrame:
+    """Real image decode → resize → mean-channel features, IF a decoder
+    is available. STUB: raises ``NotImplementedError`` when PIL is not
+    installed (it is not in this container) — the mapInPandas signature
+    and schema are the production contract either way.
+    """
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "image decoding requires pillow, which is not available in "
+            "this environment; use fake_features() for plumbing tests"
+        ) from e
+
+    schema = f"{id_col} LONG, features ARRAY<DOUBLE>"
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        import PIL.Image as Image
+
+        for pdf in batches:
+            feats = []
+            for blob in pdf[content_col]:
+                img = Image.open(io.BytesIO(bytes(blob))).resize(size)
+                arr = np.asarray(img, dtype=np.float64) / 255.0
+                feats.append(arr.mean(axis=(0, 1)).ravel().tolist())
+            yield pd.DataFrame({id_col: pdf[id_col], "features": feats})
+
+    return df.select(id_col, content_col).mapInPandas(extract, schema)

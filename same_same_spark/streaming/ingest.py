@@ -1,0 +1,120 @@
+"""Structured Streaming ingestion.
+
+Watermark + tumbling-window aggregation for event streams, and
+micro-batch incremental posting-delta ingestion for the index build —
+``foreachBatch`` writes each batch's postings to
+``<index_dir>/_stage/deltas/batch-NNNN`` with a lineage record, the
+exact shape the batch builder checkpoints with
+(:mod:`same_same_spark.index.build`), so a later compaction run encodes
+deltas and committed stage data identically.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from same_same_spark.index.build import bucket_col
+from same_same_spark.stats import doc_term_freqs, tokenized
+
+EVENTS_SCHEMA = (
+    "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, "
+    "value DOUBLE, props STRING"
+)
+
+
+def stream_events_hourly(
+    events_stream: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming twin of the batch ``events_hourly`` query: tumbling
+    1-hour windows × event_type with late-data handling.
+
+    Feed any streaming DataFrame with the events schema; returns the
+    windowed aggregate (append-able once the watermark passes).
+    """
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "avg_value",
+        )
+    )
+
+
+def read_events_stream(
+    spark: SparkSession, path: str, max_files: int = 10
+) -> DataFrame:
+    """File-source event stream (JSON lines directory)."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .json(path)
+    )
+
+
+def stream_doc_ingest(
+    docs_stream: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    num_buckets: int = 32,
+    trigger_available_now: bool = True,
+):
+    """Incrementally ingest a document stream into staged posting deltas.
+
+    Each micro-batch: tokenize → (doc, term, tf, dl) → bucket → append
+    ``_stage/deltas/batch-NNNN`` + lineage record with per-batch metrics
+    (docs/sec, postings — the A4 ingest-stats contract). Spark's
+    streaming checkpoint makes batch replay idempotent: a re-run batch
+    overwrites its own delta dir before re-committing lineage.
+
+    Returns the started StreamingQuery; callers ``awaitTermination``.
+    """
+    deltas_dir = os.path.join(index_dir, "_stage", "deltas")
+    lineage_dir = os.path.join(index_dir, "_lineage_stream")
+    os.makedirs(deltas_dir, exist_ok=True)
+    os.makedirs(lineage_dir, exist_ok=True)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        t0 = time.time()
+        tok = tokenized(batch_df, id_col=id_col, text_col=text_col)
+        postings = doc_term_freqs(tok).withColumn(
+            "bucket", bucket_col(F.col("doc_id"), num_buckets)
+        )
+        dst = os.path.join(deltas_dir, f"batch-{batch_id:06d}")
+        postings.write.mode("overwrite").parquet(dst)
+
+        written = batch_df.sparkSession.read.parquet(dst)
+        n_postings = written.count()
+        n_docs = written.select("doc_id").distinct().count()
+        wall = time.time() - t0
+        record = {
+            "batch_id": batch_id,
+            "docs": n_docs,
+            "postings": n_postings,
+            "wall_sec": wall,
+            "docs_per_sec": n_docs / max(wall, 1e-9),
+        }
+        tmp = os.path.join(lineage_dir, f"batch-{batch_id:06d}.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(record, f)
+        os.replace(tmp, os.path.join(lineage_dir, f"batch-{batch_id:06d}.json"))
+
+    writer = docs_stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

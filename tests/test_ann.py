@@ -1,0 +1,96 @@
+"""Similarity search: brute-force baseline, LSH, IVF."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from same_same_spark.pipeline import ann
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+def _qvecs(emb, ids=(0, 1)):
+    rows = emb.filter(F.col("vec_id").isin(*ids)).select("vec_id", "embedding").collect()
+    by_id = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in rows}
+    return [(int(i), by_id[i]) for i in ids]
+
+
+def test_brute_self_hit(spark, emb):
+    queries = _qvecs(emb)
+    out = ann.brute_topk(emb, queries, k=5).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, vec in queries:
+        rows = sorted(by_q[qid], key=lambda r: r["rank"])
+        assert rows[0]["vec_id"] == qid  # self is the best match
+        assert abs(rows[0]["score"] - 1.0) < 1e-9
+        assert [r["rank"] for r in rows] == [1, 2, 3, 4, 5]
+        scores = [round(r["score"], 9) for r in rows]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_signature_parity(spark, emb):
+    """JVM signature == driver-side numpy signature (same planes)."""
+    sample = emb.limit(8).select("vec_id", "embedding").collect()
+    df = spark.createDataFrame(
+        [(r["vec_id"], [float(x) for x in r["embedding"]]) for r in sample],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    got = {
+        r["vec_id"]: r["sig"]
+        for r in df.select(
+            "vec_id", ann.signature_col(F.col("embedding"), 8).alias("sig")
+        ).collect()
+    }
+    for r in sample:
+        expected = ann._signature_py([float(x) for x in r["embedding"]], 8)
+        assert got[r["vec_id"]] == expected
+
+
+def test_lsh_is_subset_of_brute_with_exact_scores(spark, emb):
+    queries = _qvecs(emb)
+    brute = ann.brute_topk(emb, queries, k=50).collect()
+    brute_scores = {(r["query_id"], r["vec_id"]): r["score"] for r in brute}
+    lsh = ann.lsh_topk(emb, queries, k=10, n_planes=8, max_hamming=2).collect()
+    assert len(lsh) > 0
+    for r in lsh:
+        key = (r["query_id"], r["vec_id"])
+        if key in brute_scores:
+            assert abs(r["score"] - brute_scores[key]) < 1e-12
+    # the query's own vector is always in its own bucket → rank-1 self hit
+    by_q = {}
+    for r in lsh:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, _ in queries:
+        best = min(by_q[qid], key=lambda r: r["rank"])
+        assert best["vec_id"] == qid
+
+
+def test_ivf_full_probe_equals_brute(spark, emb):
+    queries = _qvecs(emb)
+    cents = ann.centroids_by_label(emb)
+    assert len(cents) >= 2
+    brute = ann.brute_topk(emb, queries, k=5).collect()
+    ivf = ann.ivf_topk(emb, queries, cents, k=5, nprobe=len(cents)).collect()
+
+    def key(rows):
+        return sorted(
+            (r["query_id"], r["vec_id"], round(r["score"], 9), r["rank"]) for r in rows
+        )
+
+    assert key(ivf) == key(brute)
+
+
+def test_ivf_partial_probe_subset(spark, emb):
+    queries = _qvecs(emb, ids=(2,))
+    cents = ann.centroids_by_label(emb)
+    full = {r["vec_id"] for r in ann.brute_topk(emb, queries, k=500).collect()}
+    part = ann.ivf_topk(emb, queries, cents, k=5, nprobe=2).collect()
+    assert 0 < len(part) <= 5
+    assert {r["vec_id"] for r in part} <= full

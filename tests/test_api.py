@@ -1,0 +1,96 @@
+"""SameSameSpark façade: Storage-interface semantics end to end."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from same_same_spark.api import SameSameSpark
+from same_same_spark.operators.hybrid import HybridWeight
+
+
+@pytest.fixture()
+def store(spark):
+    rows = [
+        ("q1", "the theory of relativity changed physics", "Einstein", "1915",
+         "2020-01-01 00:00:00"),
+        ("q2", "quantum mechanics is counterintuitive physics", "Bohr", "1925",
+         "2023-01-01 00:00:00"),
+        ("q3", "gardening tips for growing tomatoes", "Alice", "2001",
+         "2024-01-01 00:00:00"),
+    ]
+    df = (
+        spark.createDataFrame(
+            rows, "id STRING, text STRING, author STRING, year STRING, ts STRING"
+        )
+        .withColumn(
+            "metadata",
+            F.create_map(
+                F.lit("author"), F.col("author"), F.lit("year"), F.col("year")
+            ),
+        )
+        .withColumn("created_at", F.to_timestamp("ts"))
+        .drop("author", "year", "ts")
+    )
+    return SameSameSpark(df)
+
+
+def test_count_get_list_delete_store(spark, store):
+    assert store.count() == 3
+    assert store.get("q2").count() == 1
+    listing = {r["id"]: r["text_length"] for r in store.list().collect()}
+    assert listing["q3"] == len("gardening tips for growing tomatoes")
+
+    smaller = store.delete("q3")
+    assert smaller.count() == 2 and store.count() == 3  # functional
+
+    new = store.docs.filter(F.col("id") == "q1").withColumn(
+        "text", F.lit("replaced text entirely")
+    )
+    updated = store.store(new)
+    assert updated.count() == 3
+    [r] = updated.get("q1").collect()
+    assert r["text"] == "replaced text entirely"
+
+
+def test_search_by_text(store):
+    rows = store.search_by_text("physics theory", k=2).collect()
+    assert [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])] == [1, 2]
+    assert rows[0]["id"] in ("q1", "q2")
+    # metadata pre-filter (F1)
+    rows = store.search_by_text("physics", k=5, metadata_eq={"author": "Bohr"})
+    got = [r["id"] for r in rows.collect()]
+    assert got == ["q2"]
+    # stopword-only query → zero tokens → empty
+    assert store.search_by_text("the is of", k=5).count() == 0
+
+
+def test_advanced_search_hybrid(store):
+    rows = store.advanced_search(
+        "physics",
+        k=5,
+        filters={"year": {"gte": 1900, "lte": 1920}},
+        hybrid=HybridWeight(vector=0.7, metadata=0.3),
+    ).collect()
+    assert [r["id"] for r in rows] == ["q1"]
+    with pytest.raises(ValueError):
+        store.advanced_search("x", hybrid=HybridWeight(vector=0.9, metadata=0.3))
+
+
+def test_temporal_search(store):
+    rows = store.temporal_search(
+        "physics", k=5, decay="strong", ref_time="2024-06-01 00:00:00"
+    ).collect()
+    by_id = {r["id"]: r for r in rows}
+    assert set(by_id) == {"q1", "q2"}
+    # older doc decays more
+    assert by_id["q1"]["decay_factor"] < by_id["q2"]["decay_factor"]
+    assert all(r["score"] <= r["base_score"] for r in rows)
+    ranks = [r["id"] for r in sorted(rows, key=lambda r: r["rank"])]
+    assert ranks[0] == "q2"
+
+
+def test_embedder_stats(store):
+    s = store.embedder_stats()
+    assert s["document_count"] == 3
+    assert s["vocabulary_size"] > 5

@@ -1,0 +1,128 @@
+"""Dedup operators: exact, MinHash+LSH, n-gram Jaccard, SimHash,
+embedding near-dup."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from same_same_spark.pipeline import dedup
+from same_same_spark.text.tokenizer import tokenize_py
+
+
+def _docs(spark):
+    rows = [
+        (1, "alpha bravo charlie delta echo foxtrot golf hotel"),
+        (2, "alpha bravo charlie delta echo foxtrot golf hotel"),  # dup of 1
+        (3, "alpha bravo charlie delta echo foxtrot golf india"),  # near-dup
+        (4, "quantum flux torsion entropy manifold spectral basis kernel"),
+        (5, "zeta"),  # short doc (< shingle width)
+        (6, ""),  # empty
+    ]
+    return spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([(1, "one two three four")], "doc_id LONG, text STRING")
+    [row] = df.select(dedup.word_shingles_col("text", 3).alias("s")).collect()
+    assert row["s"] == ["one two three", "two three four"]
+    # short doc → single whole-sequence shingle; empty → empty
+    df2 = spark.createDataFrame([(1, "one two"), (2, "")], "doc_id LONG, text STRING")
+    got = {
+        r["doc_id"]: r["s"]
+        for r in df2.select("doc_id", dedup.word_shingles_col("text", 3).alias("s")).collect()
+    }
+    assert got[1] == ["one two"]
+    assert got[2] == []
+
+
+def test_exact_dedup(spark):
+    df = _docs(spark)
+    groups = dedup.exact_dedup_groups(df).collect()
+    dup = [g for g in groups if g["n_copies"] > 1]
+    assert len(dup) == 1 and dup[0]["keep_id"] == 1 and dup[0]["n_copies"] == 2
+    survivors = dedup.exact_dedup(df)
+    ids = {r["doc_id"] for r in survivors.select("doc_id").collect()}
+    assert ids == {1, 3, 4, 5, 6}
+
+
+def test_minhash_identical_docs_share_signature(spark):
+    sig = dedup.minhash_signatures(_docs(spark), n_hashes=8).collect()
+    by_id = {r["doc_id"]: tuple(r[f"mh_{i}"] for i in range(8)) for r in sig}
+    assert by_id[1] == by_id[2]
+    assert by_id[1] != by_id[4]
+    assert 6 not in by_id  # empty doc dropped
+
+
+def test_minhash_pairs_and_jaccard(spark):
+    df = _docs(spark)
+    pairs = dedup.minhash_dedup_pairs(df, threshold=0.5, n_hashes=8, bands=4)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert got[(1, 2)] == 1.0  # exact dup always caught, jaccard 1
+    # near-dup 1↔3: 6 shingles each, 5 shared → j = 5/7 ≈ 0.714
+    if (1, 3) in got:
+        assert abs(got[(1, 3)] - 5 / 7) < 1e-9
+
+
+def test_ngram_jaccard_exact(spark):
+    df = _docs(spark)
+    pairs = dedup.ngram_jaccard_pairs(df, threshold=0.5)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert got[(1, 2)] == 1.0
+    assert abs(got[(1, 3)] - 5 / 7) < 1e-9
+    assert (1, 4) not in got
+    # minhash candidates are a subset of the exact shingle-sharing pairs
+    mh = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_dedup_pairs(df, threshold=0.5, n_hashes=8, bands=4)
+        .select("id_a", "id_b")
+        .collect()
+    }
+    assert mh <= set(got)
+
+
+def test_simhash_and_near_dup(spark):
+    df = _docs(spark)
+    sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash(df).collect()}
+    assert sh[1] == sh[2]
+    assert 6 not in sh
+    pairs = dedup.simhash_near_dup_pairs(df, max_hamming=3)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert got[(1, 2)] == 0
+
+
+def test_embedding_near_dup(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0]),
+        (3, [0.9, 0.1, 0.0]),
+        (4, [0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    brute = dedup.embedding_near_dup_pairs(df, threshold=0.95, method="brute")
+    got = {(r["id_a"], r["id_b"]): r["cosine"] for r in brute.collect()}
+    assert abs(got[(1, 2)] - 1.0) < 1e-9
+    assert (1, 4) not in got
+    # LSH pairs are a subset with identical cosines
+    lsh = dedup.embedding_near_dup_pairs(df, threshold=0.95, method="lsh")
+    lgot = {(r["id_a"], r["id_b"]): r["cosine"] for r in lsh.collect()}
+    assert set(lgot) <= set(got)
+    for p, c in lgot.items():
+        assert abs(c - got[p]) < 1e-12
+
+
+def test_minhash_signature_matches_python_reference(spark):
+    """Cross-check the distributed minhash against a driver-side
+    recomputation through the same hash60 definition."""
+    import hashlib
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    text = "alpha bravo charlie delta echo foxtrot golf hotel"
+    toks = tokenize_py(text)
+    shingles = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+    expected = [min(h60(f"{i}:{s}") for s in shingles) for i in range(4)]
+
+    df = spark.createDataFrame([(1, text)], "doc_id LONG, text STRING")
+    [row] = dedup.minhash_signatures(df, n_hashes=4).collect()
+    assert [row[f"mh_{i}"] for i in range(4)] == expected
