@@ -1,63 +1,83 @@
-"""Inverted-index build: staged, bucket-sharded, resumable.
+"""Inverted-index build: single-pass, document-sharded, resumable.
 
-Pipeline (north rule — see BASELINE.json):
+Architecture (north rule — see BASELINE.json): a Dean-style
+document-sharded index. Each document hashes to a bucket
+(``pmod(xxhash64(doc_id), num_buckets)``); one shuffle moves raw docs to
+their bucket and EVERYTHING else happens partition-locally inside one
+Arrow-batched ``applyInPandas`` per bucket:
 
-1. **Stage** — tokenize (JVM column expr) → explode → (doc, term, tf, dl)
-   postings with map-side combine; assign ``bucket = pmod(xxhash64(doc_id),
-   num_buckets)``. Bucket-sharding *is* the explicit salt for skewed
-   tokens: a hot term's postings ("import", "func") are split across all
-   buckets, so no single shuffle partition or encode task owns a hot
-   term. Staged postings + per-doc lengths land in
-   ``<out>/_stage/`` partitioned by bucket (partition pruning for the
-   encode pass); term→df/idf stats land in ``<out>/stats``.
-2. **Encode** — buckets are processed in *groups* (the checkpoint unit).
-   Per group: ``groupBy(bucket, term).applyInPandas`` runs the numpy
-   codec (delta+varint blocks, block-max metadata) and
-   ``groupBy(bucket)`` encodes doc lengths. Each group writes to a temp
-   dir, is atomically renamed into place, and then commits a lineage
-   record ``<out>/_lineage/group-XXXX.json`` with per-partition metrics
-   (docs, postings, bytes, wall seconds, postings/sec).
-3. **Manifest** — ``<out>/manifest.json`` freezes corpus stats
-   (N, avgdl), BM25 params, layout + tokenizer versions.
+    tokenize (vectorized pandas str ops, X1 semantics) →
+    (doc, term) tf counts (factorize + lexsort, pure numpy) →
+    per-term delta+varint posting blocks with (max_tf, min_dl)
+    block metadata → one doclens row per bucket.
 
-**Resume**: a killed build re-runs only work units whose lineage record
-is missing (the anti-join of the group work-list against committed
-lineage); a group dir without its lineage record is torn down and
-re-encoded. The reference has nothing like this — a killed ingest
-restarts from zero (``ingestor.go:231-234``).
+Why this shape at 100 TB:
 
-Scale notes: the only corpus-wide shuffles are the stage groupBy
-(map-side combined) and the encode groupBy on (bucket, term) — both key
-spaces are uniform by construction. No ``collect()`` touches anything
-proportional to corpus size.
+- **One pass over content, one shuffle of raw docs.** The naive plan
+  (explode → groupBy(doc,term) → repartition(term or bucket)) shuffles
+  the *posting* table twice — ~30× more rows than documents. Measured
+  locally that plan was memory-bandwidth-bound and stopped scaling with
+  cores; this one is CPU-bound in the Arrow workers and scales.
+- **Bucket sharding is the skew story.** A hot term ("import", "func")
+  has its postings split across *all* buckets — no single task ever
+  owns a hot term's full posting list, which is what explicit salting
+  achieves in a term-sharded build, for free.
+- **Stats decoupled.** Block metadata is stats-free (codec), so df/idf,
+  N and avgdl are derived *after* the pass from the tiny encoded table
+  (sum of per-row counts) — no second content scan.
+- **Resume.** Buckets are processed in groups (the checkpoint unit);
+  each group commits a lineage record with per-partition metrics
+  (docs, postings, bytes, postings/sec). A killed build redoes only
+  uncommitted groups (each group pass re-reads the source and keeps its
+  buckets — resume granularity trades re-scan cost, default is one
+  group = zero overhead). The reference restarts ingest from zero
+  (``ingestor.go:231-234``).
+
+Shard layout ``<out>/shards/group-XXXX/``: unified rows with
+``kind='p'`` (one per (bucket, term): compressed posting list) and
+``kind='d'`` (one per bucket: doc ids + doc lengths + sum_dl).
+``<out>/stats`` holds (term, df, idf); ``manifest.json`` freezes corpus
+stats, BM25 params, layout + tokenizer versions.
 """
 
 from __future__ import annotations
 
 import json
-import math
 import os
 import shutil
 import time
 from dataclasses import asdict, dataclass, field
 
+import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from same_same_spark.bm25 import B_DEFAULT, K1_DEFAULT
 from same_same_spark.index import codec
-from same_same_spark.stats import doc_term_freqs, tokenized
+from same_same_spark.text.tokenizer import (
+    MIN_TOKEN_LEN,
+    SPLIT_PATTERN,
+    STOPWORDS,
+    STRIP_PATTERN,
+)
 
-LAYOUT_VERSION = 1
+LAYOUT_VERSION = 2
 TOKENIZER_VERSION = "x1-v1"
 
-POSTINGS_SCHEMA = (
-    "bucket INT, term STRING, n INT, doc_bytes BINARY, tf_bytes BINARY, "
+SHARD_SCHEMA = (
+    "bucket INT, kind STRING, term STRING, n INT, "
+    "doc_bytes BINARY, tf_bytes BINARY, "
     "block_off_doc ARRAY<INT>, block_off_tf ARRAY<INT>, "
-    "block_last_doc ARRAY<LONG>, block_max_wtf ARRAY<FLOAT>"
+    "block_last_doc ARRAY<LONG>, block_max_tf ARRAY<INT>, "
+    "block_min_dl ARRAY<INT>, sum_dl LONG"
 )
-DOCLENS_SCHEMA = "bucket INT, n_docs INT, doc_bytes BINARY, dl_bytes BINARY"
+
+_SHARD_COLS = [
+    "bucket", "kind", "term", "n", "doc_bytes", "tf_bytes",
+    "block_off_doc", "block_off_tf", "block_last_doc", "block_max_tf",
+    "block_min_dl", "sum_dl",
+]
 
 
 @dataclass
@@ -89,61 +109,99 @@ def bucket_col(doc_id_col, num_buckets: int):
     return F.pmod(F.xxhash64(doc_id_col), F.lit(num_buckets)).cast("int")
 
 
-def _encode_postings_fn(avgdl: float, k1: float, b: float):
-    """Per-BUCKET encoder: one applyInPandas group per bucket (not per
-    term) — thousands of tiny per-term groups cost more in Arrow/pandas
-    framing than the codec itself. Inside the group, terms are sliced
-    out of one sorted array (numpy boundaries, no pandas groupby)."""
-    import numpy as np
+def _encode_bucket_fn(id_col: str, text_col: str):
+    """Per-bucket worker: tokenize → tf counts → encode, all vectorized.
 
-    _COLS = [
-        "bucket", "term", "n", "doc_bytes", "tf_bytes",
-        "block_off_doc", "block_off_tf", "block_last_doc", "block_max_wtf",
-    ]
+    Memory bound: one bucket's raw docs + token arrays live in one Arrow
+    worker — size buckets via ``num_buckets ≈ corpus_bytes / ~256MB``.
+    """
+    stop = STOPWORDS
+    min_len = MIN_TOKEN_LEN
+
+    stop_list = sorted(stop)
 
     def encode(pdf: pd.DataFrame) -> pd.DataFrame:
         if pdf.empty:
-            return pd.DataFrame(columns=_COLS)
+            return pd.DataFrame(columns=_SHARD_COLS)
         bucket = int(pdf["bucket"].iloc[0])
-        pdf = pdf.sort_values(["term", "doc_id"], kind="mergesort")
-        terms = pdf["term"].to_numpy()
-        doc_ids = pdf["doc_id"].to_numpy()
-        tfs = pdf["tf"].to_numpy()
-        dls = pdf["dl"].to_numpy()
-        uniq, starts = np.unique(terms, return_index=True)
-        ends = np.append(starts[1:], len(terms))
-        rows = []
-        for t, s, e in zip(uniq, starts, ends):
-            row = codec.encode_posting_list(
-                doc_ids[s:e], tfs[s:e], dls[s:e], avgdl, k1, b
-            )
-            rows.append({"bucket": bucket, "term": t, **row})
-        return pd.DataFrame(rows, columns=_COLS)
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
 
-    return encode
-
-
-def _encode_doclens_fn():
-    import numpy as np
-
-    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
-        if pdf.empty:
-            return pd.DataFrame(
-                columns=["bucket", "n_docs", "doc_bytes", "dl_bytes"]
-            )
-        order = np.argsort(pdf["doc_id"].to_numpy(), kind="stable")
-        d = pdf["doc_id"].to_numpy()[order]
-        dl = pdf["dl"].to_numpy()[order].astype(np.uint64)
-        return pd.DataFrame(
-            [
-                {
-                    "bucket": int(pdf["bucket"].iloc[0]),
-                    "n_docs": len(d),
-                    "doc_bytes": codec.encode_doc_ids(d),
-                    "dl_bytes": codec.varint_encode(dl),
-                }
-            ]
+        # Tokenize fully vectorized: clean → split → explode to one flat
+        # Series (token, doc-row index) → mask filter. No per-row Python
+        # lists — minimizes allocator churn, which is what binds encode
+        # throughput on memory-bandwidth-limited hosts.
+        flat = (
+            pdf[text_col]
+            .reset_index(drop=True)
+            .fillna("")
+            .str.lower()
+            .str.replace(STRIP_PATTERN, " ", regex=True)
+            .str.split(SPLIT_PATTERN, regex=True)
+            .explode()
         )
+        flat = flat[
+            flat.notna()
+            & (flat.str.len() >= min_len)
+            & ~flat.isin(stop_list)
+        ]
+        rowidx = flat.index.to_numpy(dtype=np.int64)
+        dl = np.bincount(rowidx, minlength=len(ids)).astype(np.int64)
+
+        rows: list[dict] = []
+
+        # ---- doclens row (every doc, including zero-token docs) ----
+        order = np.argsort(ids, kind="stable")
+        base = {c: None for c in _SHARD_COLS}
+        rows.append(
+            {
+                **base,
+                "bucket": bucket,
+                "kind": "d",
+                "n": len(ids),
+                "doc_bytes": codec.encode_doc_ids(ids[order]),
+                "tf_bytes": codec.varint_encode(dl[order].astype(np.uint64)),
+                "sum_dl": int(dl.sum()),
+            }
+        )
+
+        # ---- posting rows ----
+        total = int(dl.sum())
+        if total > 0:
+            doc_rep = ids[rowidx]
+            dl_rep = dl[rowidx]
+            codes, uniq = pd.factorize(flat.to_numpy(), sort=True)
+            order2 = np.lexsort((doc_rep, codes))
+            c = codes[order2]
+            dr = doc_rep[order2]
+            dlr = dl_rep[order2]
+            change = np.empty(len(c), dtype=bool)
+            change[0] = True
+            change[1:] = (c[1:] != c[:-1]) | (dr[1:] != dr[:-1])
+            gstarts = np.flatnonzero(change)
+            gends = np.append(gstarts[1:], len(c))
+            tf = (gends - gstarts).astype(np.int64)
+            g_code = c[gstarts]
+            g_doc = dr[gstarts]
+            g_dl = dlr[gstarts]
+            tchange = np.empty(len(g_code), dtype=bool)
+            tchange[0] = True
+            tchange[1:] = g_code[1:] != g_code[:-1]
+            tstarts = np.flatnonzero(tchange)
+            tends = np.append(tstarts[1:], len(g_code))
+            for s, e in zip(tstarts, tends):
+                row = codec.encode_posting_list(
+                    g_doc[s:e], tf[s:e], g_dl[s:e]
+                )
+                rows.append(
+                    {
+                        **base,
+                        "bucket": bucket,
+                        "kind": "p",
+                        "term": uniq[g_code[s]],
+                        **row,
+                    }
+                )
+        return pd.DataFrame(rows, columns=_SHARD_COLS)
 
     return encode
 
@@ -162,54 +220,130 @@ def build_index(
     id_col: str = "doc_id",
     text_col: str = "content",
     num_buckets: int = 32,
-    group_size: int = 8,
+    group_size: int | None = None,
     k1: float = K1_DEFAULT,
     b: float = B_DEFAULT,
     overwrite: bool = False,
     log=print,
 ) -> IndexManifest:
-    """Build (or resume building) the index at ``out_dir``."""
+    """Build (or resume building) the index at ``out_dir``.
+
+    ``group_size`` buckets are encoded per checkpointed job (default:
+    all buckets — one pass, no re-scan; smaller groups buy finer resume
+    granularity at the cost of one source scan per group).
+    """
     spark = docs_df.sparkSession
+    if group_size is None:
+        group_size = num_buckets
     if overwrite and os.path.exists(out_dir):
         shutil.rmtree(out_dir)
     manifest_path = os.path.join(out_dir, "manifest.json")
     if os.path.exists(manifest_path):
         return IndexManifest.load(out_dir)
     os.makedirs(out_dir, exist_ok=True)
-    os.makedirs(os.path.join(out_dir, "_lineage"), exist_ok=True)
+    lineage_dir = os.path.join(out_dir, "_lineage")
+    os.makedirs(lineage_dir, exist_ok=True)
 
-    stage_dir = os.path.join(out_dir, "_stage")
-    stage_marker = os.path.join(stage_dir, "_STAGE_DONE.json")
+    bucketed = docs_df.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(text_col).alias(text_col),
+    ).withColumn("bucket", bucket_col(F.col(id_col), num_buckets))
 
-    # ---- Stage 1: tokenize + postings + stats (one checkpoint unit) ----
-    #
-    # Exactly ONE pass over raw content (the tokenize+explode write);
-    # everything else (N, avgdl, df/idf, posting counts) is derived from
-    # the narrow staged table — at 100 TB the content pass dominates, so
-    # don't take it twice.
-    if not os.path.exists(stage_marker):
+    groups = [
+        list(range(g, min(g + group_size, num_buckets)))
+        for g in range(0, num_buckets, group_size)
+    ]
+    committed = {
+        fn[len("group-"):-len(".json")]
+        for fn in os.listdir(lineage_dir)
+        if fn.startswith("group-") and fn.endswith(".json")
+    }
+
+    for gi, buckets in enumerate(groups):
+        gname = f"{gi:04d}"
+        dst = os.path.join(out_dir, "shards", f"group-{gname}")
+        if gname in committed:
+            log(f"[build] group {gname} already committed — skipping (resume)")
+            continue
+        if os.path.exists(dst):  # partial write from a killed run
+            shutil.rmtree(dst)
         t0 = time.time()
-        n_docs = docs_df.count()  # cheap: parquet row-group counts / range
-        tok = tokenized(docs_df, id_col=id_col, text_col=text_col)
-        postings = doc_term_freqs(tok).withColumn(
-            "bucket", bucket_col(F.col("doc_id"), num_buckets)
+        part = bucketed if len(groups) == 1 else bucketed.filter(
+            F.col("bucket").isin(buckets)
         )
-        (
-            postings.repartition(num_buckets, "bucket")
-            .write.mode("overwrite")
-            .partitionBy("bucket")
-            .parquet(os.path.join(stage_dir, "postings"))
+        enc = (
+            part.repartition(len(buckets), "bucket")
+            .groupBy("bucket")
+            .applyInPandas(_encode_bucket_fn(id_col, text_col), SHARD_SCHEMA)
         )
-        staged = spark.read.parquet(os.path.join(stage_dir, "postings"))
-        # avgdl over ALL docs (zero-token docs contribute 0 to the dl sum
-        # and appear in n_docs, matching stats.corpus_stats exactly).
-        sum_dl = (
-            staged.groupBy("doc_id").agg(F.first("dl").alias("dl"))
-            .agg(F.sum("dl")).collect()[0][0]
-        ) or 0
-        avgdl = float(sum_dl) / n_docs if n_docs else 0.0
-        term_stats = staged.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-        term_stats = term_stats.withColumn(
+        tmp = dst + ".tmp"
+        enc.write.mode("overwrite").parquet(tmp)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        os.replace(tmp, dst)
+
+        # lineage record with per-partition metrics (north rule) — read
+        # back only the tiny metadata columns of the encoded output
+        g_df = spark.read.parquet(dst)
+        agg = (
+            g_df.groupBy("bucket")
+            .agg(
+                F.sum(F.when(F.col("kind") == "p", 1).otherwise(0)).alias("terms"),
+                F.sum(F.when(F.col("kind") == "p", F.col("n"))).alias("postings"),
+                F.sum(F.when(F.col("kind") == "d", F.col("n"))).alias("docs"),
+            )
+            .collect()
+        )
+        per_bucket = {
+            str(r["bucket"]): {
+                "terms": int(r["terms"] or 0),
+                "postings": int(r["postings"] or 0),
+                "docs": int(r["docs"] or 0),
+            }
+            for r in agg
+        }
+        wall = time.time() - t0
+        n_post_g = sum(v["postings"] for v in per_bucket.values())
+        n_docs_g = sum(v["docs"] for v in per_bucket.values())
+        record = {
+            "group": gname,
+            "buckets": buckets,
+            "per_bucket": per_bucket,
+            "docs": n_docs_g,
+            "postings": n_post_g,
+            "bytes": _dir_size(dst),
+            "wall_sec": wall,
+            "docs_per_sec": n_docs_g / max(wall, 1e-9),
+            "postings_per_sec": n_post_g / max(wall, 1e-9),
+        }
+        tmpf = os.path.join(lineage_dir, f"group-{gname}.json.tmp")
+        with open(tmpf, "w") as f:
+            json.dump(record, f)
+        os.replace(tmpf, os.path.join(lineage_dir, f"group-{gname}.json"))
+        log(
+            f"[build] group {gname} committed: {n_docs_g} docs, "
+            f"{n_post_g} postings, {wall:.1f}s "
+            f"({record['postings_per_sec']:.0f} postings/s)"
+        )
+
+    # ---- stats + manifest (over the tiny encoded table, one job) ----
+    shard_paths = [
+        os.path.join(out_dir, "shards", f"group-{i:04d}")
+        for i in range(len(groups))
+    ]
+    shards = spark.read.parquet(*shard_paths)
+    drow = (
+        shards.filter(F.col("kind") == "d")
+        .agg(F.sum("n").alias("n_docs"), F.sum("sum_dl").alias("sum_dl"))
+        .collect()[0]
+    )
+    n_docs = int(drow["n_docs"] or 0)
+    avgdl = float(drow["sum_dl"] or 0) / n_docs if n_docs else 0.0
+
+    term_stats = (
+        shards.filter(F.col("kind") == "p")
+        .groupBy("term")
+        .agg(F.sum("n").alias("df"))
+        .withColumn(
             "idf",
             F.log(
                 1.0
@@ -217,115 +351,24 @@ def build_index(
                 / (F.col("df") + 0.5)
             ),
         )
-        term_stats.repartition(1).write.mode("overwrite").parquet(
-            os.path.join(out_dir, "stats")
-        )
-        srow = (
-            spark.read.parquet(os.path.join(out_dir, "stats"))
-            .agg(F.count(F.lit(1)), F.sum("df"))
-            .collect()[0]
-        )
-        stage_info = {
-            "n_docs": n_docs,
-            "avgdl": avgdl,
-            "n_postings": int(srow[1] or 0),
-            "n_terms": int(srow[0]),
-            "wall_sec": time.time() - t0,
-            "docs_per_sec": n_docs / max(time.time() - t0, 1e-9),
-        }
-        with open(stage_marker + ".tmp", "w") as f:
-            json.dump(stage_info, f)
-        os.replace(stage_marker + ".tmp", stage_marker)
-        log(f"[build] stage done: {stage_info}")
-    else:
-        with open(stage_marker) as f:
-            stage_info = json.load(f)
-        log(f"[build] stage resumed from checkpoint: {stage_info}")
-
-    avgdl = stage_info["avgdl"]
-
-    # ---- Stage 2: encode groups (resumable work units) ----
-    groups = [
-        list(range(g, min(g + group_size, num_buckets)))
-        for g in range(0, num_buckets, group_size)
-    ]
-    lineage_dir = os.path.join(out_dir, "_lineage")
-    committed = {
-        fn[len("group-"):-len(".json")]
-        for fn in os.listdir(lineage_dir)
-        if fn.startswith("group-") and fn.endswith(".json")
-    }
-    staged = spark.read.parquet(os.path.join(stage_dir, "postings"))
-
-    for gi, buckets in enumerate(groups):
-        gname = f"{gi:04d}"
-        post_dst = os.path.join(out_dir, "postings", f"group-{gname}")
-        dlen_dst = os.path.join(out_dir, "doclens", f"group-{gname}")
-        if gname in committed:
-            log(f"[build] group {gname} already committed — skipping (resume)")
-            continue
-        # a dir without lineage = partial write from a killed run: tear down
-        for d in (post_dst, dlen_dst):
-            if os.path.exists(d):
-                shutil.rmtree(d)
-        t0 = time.time()
-        part = staged.filter(F.col("bucket").isin(buckets))
-        enc = part.groupBy("bucket").applyInPandas(
-            _encode_postings_fn(avgdl, k1, b), POSTINGS_SCHEMA
-        )
-        post_tmp = post_dst + ".tmp"
-        enc.write.mode("overwrite").parquet(post_tmp)
-
-        dlens = (
-            part.select("bucket", "doc_id", "dl")
-            .distinct()
-            .groupBy("bucket")
-            .applyInPandas(_encode_doclens_fn(), DOCLENS_SCHEMA)
-        )
-        dlen_tmp = dlen_dst + ".tmp"
-        dlens.write.mode("overwrite").parquet(dlen_tmp)
-
-        os.makedirs(os.path.dirname(post_dst), exist_ok=True)
-        os.makedirs(os.path.dirname(dlen_dst), exist_ok=True)
-        os.replace(post_tmp, post_dst)
-        os.replace(dlen_tmp, dlen_dst)
-
-        # lineage record with per-partition metrics (north rule)
-        g_post = spark.read.parquet(post_dst)
-        per_bucket = {
-            str(r["bucket"]): {"terms": r["terms"], "postings": r["postings"]}
-            for r in g_post.groupBy("bucket")
-            .agg(F.count(F.lit(1)).alias("terms"), F.sum("n").alias("postings"))
-            .collect()
-        }
-        wall = time.time() - t0
-        n_post_g = int(sum(v["postings"] for v in per_bucket.values()))
-        record = {
-            "group": gname,
-            "buckets": buckets,
-            "per_bucket": per_bucket,
-            "postings": n_post_g,
-            "bytes": _dir_size(post_dst) + _dir_size(dlen_dst),
-            "wall_sec": wall,
-            "postings_per_sec": n_post_g / max(wall, 1e-9),
-        }
-        tmp = os.path.join(lineage_dir, f"group-{gname}.json.tmp")
-        with open(tmp, "w") as f:
-            json.dump(record, f)
-        os.replace(tmp, os.path.join(lineage_dir, f"group-{gname}.json"))
-        log(
-            f"[build] group {gname} committed: {n_post_g} postings, "
-            f"{wall:.1f}s ({record['postings_per_sec']:.0f} postings/s)"
-        )
+    )
+    term_stats.repartition(1).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "stats")
+    )
+    srow = (
+        spark.read.parquet(os.path.join(out_dir, "stats"))
+        .agg(F.count(F.lit(1)), F.sum("df"))
+        .collect()[0]
+    )
 
     manifest = IndexManifest(
-        n_docs=stage_info["n_docs"],
+        n_docs=n_docs,
         avgdl=avgdl,
         k1=k1,
         b=b,
         num_buckets=num_buckets,
-        n_terms=stage_info["n_terms"],
-        n_postings=stage_info["n_postings"],
+        n_terms=int(srow[0]),
+        n_postings=int(srow[1] or 0),
         groups=[f"{i:04d}" for i in range(len(groups))],
     )
     manifest.save(out_dir)

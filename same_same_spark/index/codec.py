@@ -12,10 +12,11 @@ Layout per (bucket, term) posting list:
   packed into one BINARY,
 - term frequencies varint-packed into a second BINARY,
 - fixed 128-posting blocks; per block we record the byte offset into each
-  BINARY, the last (max) doc id, and the block-max BM25 term partial
-  ``wtf = tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl))`` (idf excluded — it's a
-  per-term constant applied at query time), enabling block-max
-  WAND/MaxScore skipping without decoding.
+  BINARY, the last (max) doc id, and (max_tf, min_dl) — from which
+  :func:`block_max_wtf_bound` derives a block-max bound on the BM25 term
+  partial ``tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl))`` at query time
+  (idf is a per-term constant applied there too). Keeping the block
+  metadata stats-free lets the whole index build run in a single pass.
 
 The reference has no index at all (O(n) scan, USAGE.md:49); this layout
 is the classic block-max inverted index (Ding & Suel 2011) re-expressed
@@ -118,23 +119,40 @@ def bm25_wtf(
     return tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
 
 
+def block_max_wtf_bound(
+    block_max_tf: np.ndarray,
+    block_min_dl: np.ndarray,
+    avgdl: float,
+    k1: float,
+    b: float,
+) -> np.ndarray:
+    """Per-block upper bound on the BM25 term partial.
+
+    ``wtf(tf, dl)`` is increasing in tf and decreasing in dl, so
+    ``wtf(max_tf, min_dl)`` bounds every posting in the block. Storing
+    (max_tf, min_dl) instead of a precomputed wtf keeps the index layout
+    independent of corpus stats — the whole build needs only one pass.
+    """
+    return bm25_wtf(
+        np.asarray(block_max_tf), np.asarray(block_min_dl), avgdl, k1, b
+    )
+
+
 def encode_posting_list(
     doc_ids: np.ndarray,
     tfs: np.ndarray,
     dls: np.ndarray,
-    avgdl: float,
-    k1: float,
-    b: float,
 ) -> dict:
     """Encode one term's postings (within one bucket) into a row dict.
 
     ``doc_ids`` need not be pre-sorted; ties impossible (one posting per
-    (doc, term)).
+    (doc, term)). Block metadata is (max_tf, min_dl) — see
+    :func:`block_max_wtf_bound` — so no global stats are needed here.
     """
     order = np.argsort(doc_ids, kind="stable")
     d = np.asarray(doc_ids, dtype=np.int64)[order]
     t = np.asarray(tfs, dtype=np.int64)[order]
-    wtf = bm25_wtf(t, np.asarray(dls)[order], avgdl, k1, b)
+    dl = np.asarray(dls, dtype=np.int64)[order]
 
     n = len(d)
     starts = np.arange(0, n, BLOCK_SIZE)
@@ -160,7 +178,8 @@ def encode_posting_list(
     doff = np.concatenate(([0], np.cumsum(dlen)))
     toff = np.concatenate(([0], np.cumsum(tlen)))
 
-    block_max = np.maximum.reduceat(wtf, starts).astype(np.float32)
+    block_max_tf = np.maximum.reduceat(t, starts).astype(np.int32)
+    block_min_dl = np.minimum.reduceat(dl, starts).astype(np.int32)
     return {
         "n": int(n),
         "doc_bytes": varint_encode(deltas),
@@ -168,10 +187,54 @@ def encode_posting_list(
         "block_off_doc": doff[starts].astype(np.int32).tolist(),
         "block_off_tf": toff[starts].astype(np.int32).tolist(),
         "block_last_doc": d[ends - 1].astype(np.int64).tolist(),
-        "block_max_wtf": block_max.tolist(),
+        "block_max_tf": block_max_tf.tolist(),
+        "block_min_dl": block_min_dl.tolist(),
     }
 
 
 def decode_posting_list(doc_bytes: bytes, tf_bytes: bytes, n: int):
     """→ (doc_ids int64 asc, tfs int64)."""
     return decode_doc_ids(doc_bytes, n), varint_decode(tf_bytes, n).astype(np.int64)
+
+
+def decode_blocks(
+    doc_bytes: bytes,
+    tf_bytes: bytes,
+    n: int,
+    block_off_doc,
+    block_off_tf,
+    block_last_doc,
+    keep: np.ndarray,
+):
+    """Decode only the blocks where ``keep[b]`` is True.
+
+    Each block's deltas are absolute-ized from the previous block's
+    last doc id, so any subset of blocks decodes independently — this
+    is what block-max skipping buys: untouched blocks cost zero decode.
+    Returns (doc_ids int64 asc within each block, tfs int64).
+    """
+    offs_d = list(block_off_doc) + [len(doc_bytes)]
+    offs_t = list(block_off_tf) + [len(tf_bytes)]
+    out_d: list[np.ndarray] = []
+    out_t: list[np.ndarray] = []
+    for bi in np.flatnonzero(keep):
+        lo = bi * BLOCK_SIZE
+        hi = min((bi + 1) * BLOCK_SIZE, n)
+        cnt = hi - lo
+        deltas = varint_decode(doc_bytes[offs_d[bi] : offs_d[bi + 1]], cnt)
+        base = (
+            to_u64(np.array([block_last_doc[bi - 1]], dtype=np.int64))[0]
+            if bi > 0
+            else np.uint64(0)
+        )
+        with np.errstate(over="ignore"):
+            u = base + np.cumsum(deltas, dtype=np.uint64)
+        out_d.append(from_u64(u))
+        out_t.append(
+            varint_decode(tf_bytes[offs_t[bi] : offs_t[bi + 1]], cnt).astype(
+                np.int64
+            )
+        )
+    if not out_d:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    return np.concatenate(out_d), np.concatenate(out_t)

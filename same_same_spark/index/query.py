@@ -84,9 +84,34 @@ def _idf_lookup(
 
 
 def _score_bucket_fn(
-    term_idf: dict, term_qids: dict, k: int, avgdl: float, k1: float, b: float
+    term_idf: dict,
+    term_qids: dict,
+    k: int,
+    avgdl: float,
+    k1: float,
+    b: float,
+    prune: bool = True,
 ):
-    """Per-bucket scorer for cogrouped applyInPandas."""
+    """Per-bucket scorer for cogrouped applyInPandas.
+
+    With ``prune=True`` runs MaxScore-style block-max pruning per
+    (query, bucket):
+
+    1. terms sorted by upper bound ``ub_t = idf_t · max_b
+       wtf(block_max_tf, block_min_dl)`` descending;
+    2. *essential* terms are fully decoded and accumulated until the
+       k-th best partial score θ dominates the summed bounds of the
+       remaining terms (θ ≥ Σ rem ub ⇒ no unseen doc can reach top-k);
+    3. each remaining *non-essential* term decodes ONLY the blocks whose
+       doc-id range overlaps the candidate set (``block_last_doc``
+       fences + searchsorted), adding exact contributions for
+       candidates.
+
+    Low-idf skew terms ("import", "func") are exactly the ones that
+    become non-essential, so their huge posting lists are mostly
+    skipped. Results are exact — rank- and score-identical to the
+    unpruned path (differential-tested).
+    """
 
     def score(postings_pdf: pd.DataFrame, doclens_pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -112,28 +137,113 @@ def _score_bucket_fn(
             order = np.argsort(dl_docs, kind="stable")
             dl_docs, dl_vals = dl_docs[order], dl_vals[order]
 
-        per_query_ids: dict[int, list[np.ndarray]] = {}
-        per_query_ws: dict[int, list[np.ndarray]] = {}
-        for _, row in postings_pdf.iterrows():
-            term = row["term"]
-            d, t = codec.decode_posting_list(
-                bytes(row["doc_bytes"]), bytes(row["tf_bytes"]), row["n"]
-            )
-            pos = np.searchsorted(dl_docs, d)
-            dl = dl_vals[pos]
-            w = term_idf[term] * codec.bm25_wtf(t, dl, avgdl, k1, b)
+        def weigh(d: np.ndarray, t: np.ndarray, idf: float) -> np.ndarray:
+            dl = dl_vals[np.searchsorted(dl_docs, d)]
+            return idf * codec.bm25_wtf(t, dl, avgdl, k1, b)
+
+        rows_by_term = {
+            row["term"]: row for _, row in postings_pdf.iterrows()
+        }
+        full_cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+
+        def decode_full(term):
+            if term not in full_cache:
+                row = rows_by_term[term]
+                full_cache[term] = codec.decode_posting_list(
+                    bytes(row["doc_bytes"]), bytes(row["tf_bytes"]), row["n"]
+                )
+            return full_cache[term]
+
+        # per-query term lists present in this bucket
+        queries: dict[int, list[str]] = {}
+        for term in rows_by_term:
             for qid in term_qids[term]:
-                per_query_ids.setdefault(qid, []).append(d)
-                per_query_ws.setdefault(qid, []).append(w)
+                queries.setdefault(qid, []).append(term)
 
         frames = []
-        for qid, id_parts in per_query_ids.items():
+        for qid, qterms in queries.items():
+            if prune and len(qterms) > 1:
+                ubs = {}
+                for term in qterms:
+                    row = rows_by_term[term]
+                    bounds = codec.block_max_wtf_bound(
+                        np.asarray(row["block_max_tf"], dtype=np.int64),
+                        np.asarray(row["block_min_dl"], dtype=np.int64),
+                        avgdl, k1, b,
+                    )
+                    ubs[term] = term_idf[term] * float(bounds.max())
+                ordered = sorted(qterms, key=lambda t: (-ubs[t], t))
+            else:
+                ordered = sorted(qterms)
+                ubs = {t: np.inf for t in ordered}
+
+            id_parts: list[np.ndarray] = []
+            w_parts: list[np.ndarray] = []
+            rest: list[str] = []
+            rem = sum(ubs[t] for t in ordered)
+            for i, term in enumerate(ordered):
+                d, t = decode_full(term)
+                id_parts.append(d)
+                w_parts.append(weigh(d, t, term_idf[term]))
+                rem -= ubs[term]
+                if prune and rem > 0 and i + 1 < len(ordered):
+                    ids = np.concatenate(id_parts)
+                    ws = np.concatenate(w_parts)
+                    uids, inv = np.unique(ids, return_inverse=True)
+                    partial = np.bincount(inv, weights=ws)
+                    if len(uids) >= k:
+                        theta = np.partition(partial, len(partial) - k)[
+                            len(partial) - k
+                        ]
+                        # strict >: an unseen doc reaching exactly rem
+                        # could still tie into top-k under the doc_id
+                        # tie-break
+                        if theta > rem:
+                            rest = ordered[i + 1 :]
+                            break
+
+            if rest:
+                # candidates = docs seen in essential terms; all others
+                # can score at most `rem` < θ
+                cand = np.unique(np.concatenate(id_parts))
+                for term in rest:
+                    if term in full_cache:
+                        d, t = full_cache[term]
+                    else:
+                        row = rows_by_term[term]
+                        lasts = np.asarray(
+                            row["block_last_doc"], dtype=np.int64
+                        )
+                        prevs = np.empty_like(lasts)
+                        prevs[0] = np.iinfo(np.int64).min
+                        prevs[1:] = lasts[:-1]
+                        hi = np.searchsorted(cand, lasts, side="right")
+                        lo = np.searchsorted(cand, prevs, side="right")
+                        keep = hi > lo
+                        d, t = codec.decode_blocks(
+                            bytes(row["doc_bytes"]), bytes(row["tf_bytes"]),
+                            row["n"], row["block_off_doc"],
+                            row["block_off_tf"], lasts, keep,
+                        )
+                    if len(d) == 0:
+                        continue
+                    pos = np.searchsorted(cand, d)
+                    pos[pos >= len(cand)] = len(cand) - 1
+                    member = cand[pos] == d
+                    d, t = d[member], t[member]
+                    if len(d):
+                        id_parts.append(d)
+                        w_parts.append(weigh(d, t, term_idf[term]))
+
             ids = np.concatenate(id_parts)
-            ws = np.concatenate(per_query_ws[qid])
+            ws = np.concatenate(w_parts)
             uids, inv = np.unique(ids, return_inverse=True)
             scores = np.bincount(inv, weights=ws)
+            if rest:
+                # drop non-candidates contributed nothing here (cand
+                # filter already applied); nothing further to mask
+                pass
             if len(uids) > k:
-                # local top-k under the global total order
                 key_score = np.round(scores, 9)
                 order = np.lexsort((uids, -key_score))[:k]
             else:
@@ -157,10 +267,13 @@ def search_batch(
     index_dir: str,
     queries: list[tuple[int, str]],
     k: int = 10,
+    prune: bool = True,
 ) -> DataFrame:
     """Top-k BM25 for a batch of queries against a built index.
 
     Returns (query_id INT, doc_id LONG, score DOUBLE, rank INT).
+    ``prune=False`` disables block-max pruning (exhaustive decode) —
+    kept for differential testing; results are identical either way.
     """
     manifest = _load_manifest(index_dir)
     term_qids: dict[str, list[int]] = {}
@@ -182,16 +295,37 @@ def search_batch(
     term_qids = {t: qs for t, qs in term_qids.items() if t in term_idf}
 
     # enumerate committed groups from the manifest (no globbing: a query
-    # only ever reads data whose lineage was committed)
-    post_paths = [f"{index_dir}/postings/group-{g}" for g in manifest.groups]
-    dlen_paths = [f"{index_dir}/doclens/group-{g}" for g in manifest.groups]
-    postings = spark.read.parquet(*post_paths).filter(
-        F.col("term").isin(list(term_qids))
+    # only ever reads data whose lineage was committed). Postings and
+    # doclens share one shard table discriminated by `kind`; both the
+    # kind and term predicates push into the parquet scan.
+    shard_paths = [f"{index_dir}/shards/group-{g}" for g in manifest.groups]
+    # NB: two independent reads on purpose — cogrouping two branches of
+    # the SAME relation plus the ranking window below trips a Spark 4.1
+    # analyzer bug that mis-binds one side's columns inside the
+    # FlatMapCoGroupsInPandas. Distinct relations keep attribute ids apart.
+    postings = (
+        spark.read.parquet(*shard_paths)
+        .filter((F.col("kind") == "p") & F.col("term").isin(list(term_qids)))
+        .select(
+            "bucket", "term", "n", "doc_bytes", "tf_bytes",
+            "block_off_doc", "block_off_tf", "block_last_doc",
+            "block_max_tf", "block_min_dl",
+        )
     )
-    doclens = spark.read.parquet(*dlen_paths)
+    doclens = (
+        spark.read.parquet(*shard_paths)
+        .filter(F.col("kind") == "d")
+        .select(
+            "bucket",
+            F.col("n").alias("n_docs"),
+            "doc_bytes",
+            F.col("tf_bytes").alias("dl_bytes"),
+        )
+    )
 
     fn = _score_bucket_fn(
-        term_idf, term_qids, k, manifest.avgdl, manifest.k1, manifest.b
+        term_idf, term_qids, k, manifest.avgdl, manifest.k1, manifest.b,
+        prune=prune,
     )
     scored = (
         postings.groupby("bucket")

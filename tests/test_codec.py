@@ -58,7 +58,7 @@ def test_posting_list_roundtrip_and_blockmax():
     dls = rng.integers(5, 200, size=n)
     avgdl, k1, b = 57.3, 1.2, 0.75
 
-    row = encode_posting_list(doc_ids, tfs, dls, avgdl, k1, b)
+    row = encode_posting_list(doc_ids, tfs, dls)
     d, t = decode_posting_list(row["doc_bytes"], row["tf_bytes"], row["n"])
 
     order = np.argsort(doc_ids)
@@ -67,14 +67,22 @@ def test_posting_list_roundtrip_and_blockmax():
     assert row["n"] == n
     assert len(row["block_last_doc"]) == (n + BLOCK_SIZE - 1) // BLOCK_SIZE
 
-    # block-max invariant: every posting's wtf ≤ its block's recorded max
+    # block-max invariant: every posting's wtf ≤ the block's derived bound
+    from same_same_spark.index.codec import block_max_wtf_bound
+
     wtf = bm25_wtf(tfs[order], dls[order], avgdl, k1, b)
+    bounds = block_max_wtf_bound(
+        np.array(row["block_max_tf"]), np.array(row["block_min_dl"]),
+        avgdl, k1, b,
+    )
     for bi, (off, last) in enumerate(
         zip(row["block_off_doc"], row["block_last_doc"])
     ):
         lo, hi = bi * BLOCK_SIZE, min((bi + 1) * BLOCK_SIZE, n)
         assert d[hi - 1] == last
-        assert wtf[lo:hi].max() <= row["block_max_wtf"][bi] + 1e-6
+        assert wtf[lo:hi].max() <= bounds[bi] + 1e-12
+        assert tfs[order][lo:hi].max() == row["block_max_tf"][bi]
+        assert dls[order][lo:hi].min() == row["block_min_dl"][bi]
 
     # byte offsets allow decoding any single block independently:
     # deltas within block bi, made absolute via previous block's last doc.

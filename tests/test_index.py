@@ -89,7 +89,7 @@ def test_resume_after_partial_build(spark, documents, built, tmp_path):
     # simulate a crash after group 0001 started but before commit
     os.remove(os.path.join(resumed, "_lineage", "group-0001.json"))
     os.remove(os.path.join(resumed, "manifest.json"))
-    shutil.rmtree(os.path.join(resumed, "postings", "group-0001"))
+    shutil.rmtree(os.path.join(resumed, "shards", "group-0001"))
 
     events = []
     build_index(
@@ -98,11 +98,28 @@ def test_resume_after_partial_build(spark, documents, built, tmp_path):
     )
     assert any("group 0000 already committed" in e for e in events)
     assert any("group 0001 committed" in e for e in events)
-    assert any("stage resumed from checkpoint" in e for e in events)
+    assert any("group 0002 already committed" in e for e in events)
 
     a = search_batch(spark, out, QUERIES, k=10).collect()
     b = search_batch(spark, resumed, QUERIES, k=10).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_pruned_equals_exhaustive(spark, built):
+    """Block-max MaxScore pruning must be invisible in results (scores
+    compared at the engine's pinned 1e-9 rounding — the two paths sum
+    float contributions in different orders)."""
+    out, _ = built
+
+    def canon(rows):
+        return sorted(
+            (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+            for r in rows
+        )
+
+    a = canon(search_batch(spark, out, QUERIES, k=10, prune=True).collect())
+    b = canon(search_batch(spark, out, QUERIES, k=10, prune=False).collect())
+    assert a == b
 
 
 def test_build_on_synthetic_corpus(spark, tmp_path):
@@ -118,3 +135,16 @@ def test_build_on_synthetic_corpus(spark, tmp_path):
     idx = search_batch(spark, out, qs, k=10).collect()
     assert sorted((r["query_id"], r["rank"], r["doc_id"]) for r in naive) == \
            sorted((r["query_id"], r["rank"], r["doc_id"]) for r in idx)
+    # skew-term query (hot 'import'/'func' become non-essential lists):
+    # pruned and exhaustive paths stay identical
+    skew_qs = [(0, "import func tokenizer"), (1, "return batch quantize")]
+
+    def canon(rows):
+        return sorted(
+            (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+            for r in rows
+        )
+
+    a = canon(search_batch(spark, out, skew_qs, k=10, prune=True).collect())
+    b = canon(search_batch(spark, out, skew_qs, k=10, prune=False).collect())
+    assert a == b
