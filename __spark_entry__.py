@@ -424,6 +424,84 @@ FROM events GROUP BY 1, 2
 """
 
 
+def _q_index_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production read path: compressed-index BM25 with block-max
+    pruning — rank- and score-identical to the naive scorer, so it
+    shares bm25_topk's oracle."""
+    import hashlib
+    import tempfile
+
+    from same_same_spark.index.build import build_index
+    from same_same_spark.index.query import search_batch
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    idx_dir = f"{tempfile.gettempdir()}/ss_entry_idx_{tag}"
+    build_index(
+        _docs(spark, sf_dir), idx_dir, id_col="doc_id", text_col="text",
+        num_buckets=8, log=lambda *_: None,
+    )
+    out = search_batch(spark, idx_dir, REF_QUERIES, k=REF_K)
+    return _round6(out, "score").withColumn("rank", F.col("rank").cast("int"))
+
+
+def _q_tags_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10 — comma-split + trim + drop-empties over a synthesized tags
+    column (lang,source, with reference-style messy spacing)."""
+    from same_same_spark.operators.tags import split_tags_col
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "tags",
+        F.concat(
+            F.lit(" "), F.col("lang"), F.lit(" , "), F.col("source"),
+            F.lit(", ,"),
+        ),
+    )
+    return docs.select(
+        "doc_id", F.explode(split_tags_col("tags")).alias("tag")
+    )
+
+
+def _q_event_age_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9 — human-readable age buckets for events vs the fixed ref time."""
+    from same_same_spark.operators.temporal import age_col
+
+    ev = _events(spark, sf_dir)
+    ref = F.to_timestamp(F.lit(_REF_TIME))
+    return ev.select(
+        "event_id", age_col(F.col("ts"), ref).alias("age")
+    )
+
+
+_SQL_EVENT_AGE_BUCKETS = f"""
+WITH h AS (
+  SELECT event_id,
+         (epoch(TIMESTAMP '{_REF_TIME}') - epoch(ts)) / 3600.0 AS hours
+  FROM events
+),
+b AS (
+  SELECT event_id,
+         floor(hours / (24 * 365.25))::BIGINT AS years,
+         floor(hours / (24 * 30.44))::BIGINT AS months,
+         floor(hours / 24.0)::BIGINT AS days,
+         floor(hours)::BIGINT AS hrs
+  FROM h
+)
+SELECT event_id,
+  CASE
+    WHEN years > 0 THEN CASE WHEN years = 1 THEN '1 year ago'
+      ELSE years::VARCHAR || ' years ago' END
+    WHEN months > 0 THEN CASE WHEN months = 1 THEN '1 month ago'
+      ELSE months::VARCHAR || ' months ago' END
+    WHEN days > 0 THEN CASE WHEN days = 1 THEN '1 day ago'
+      ELSE days::VARCHAR || ' days ago' END
+    WHEN hrs > 0 THEN CASE WHEN hrs = 1 THEN '1 hour ago'
+      ELSE hrs::VARCHAR || ' hours ago' END
+    ELSE 'just now'
+  END AS age
+FROM b
+"""
+
+
 # ---------------------------------------------------------------------------
 # training-pipeline operators (dedup / ANN / text analysis / multimodal)
 # ---------------------------------------------------------------------------
@@ -855,6 +933,16 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "vector_dim_mismatch": (_q_vector_dim_mismatch, _SQL_VECTOR_DIM_MISMATCH),
     "hybrid_search": (_q_hybrid_search, _SQL_HYBRID_SEARCH),
     "events_hourly": (_q_events_hourly, _SQL_EVENTS_HOURLY),
+    "index_bm25_topk": (_q_index_bm25_topk, _SQL_BM25_TOPK),
+    "tags_split": (
+        _q_tags_split,
+        # synthesize the same messy tags string in SQL, then split
+        "SELECT doc_id, unnest("
+        "list_filter(list_transform(string_split("
+        "' ' || lang || ' , ' || source || ', ,', ','), t -> trim(t)), "
+        "t -> length(t) > 0)) AS tag FROM documents",
+    ),
+    "event_age_buckets": (_q_event_age_buckets, _SQL_EVENT_AGE_BUCKETS),
     # training-pipeline operators
     "dedup_exact": (_q_dedup_exact, _SQL_DEDUP_EXACT),
     "dedup_minhash": (_q_dedup_minhash, _exact_jaccard_sql(0.9)),

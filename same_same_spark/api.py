@@ -180,6 +180,18 @@ class SameSameSpark:
             )
         )
 
+    # ---- K3: collection export / import -------------------------------
+
+    def export_collection(self, path: str) -> None:
+        """K3 — whole collection → JSON (``local/storage.go:461-500``)."""
+        self.docs.write.mode("overwrite").json(path)
+
+    @staticmethod
+    def import_collection(
+        spark, path: str, id_col: str = "id", text_col: str = "text"
+    ) -> "SameSameSpark":
+        return SameSameSpark(spark.read.json(path), id_col, text_col)
+
     # ---- stats --------------------------------------------------------
 
     def embedder_stats(self) -> dict:

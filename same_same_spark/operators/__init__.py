@@ -8,6 +8,10 @@ from same_same_spark.operators.temporal import (  # noqa: F401
     decay_factor_col,
     resolve_doc_time,
 )
+from same_same_spark.operators.tags import (  # noqa: F401
+    split_tags_col,
+    split_tags_sql,
+)
 from same_same_spark.operators.vector import (  # noqa: F401
     cosine_col,
     euclidean_col,

@@ -90,6 +90,32 @@ def test_temporal_search(store):
     assert ranks[0] == "q2"
 
 
+def test_export_import_roundtrip(spark, store, tmp_path):
+    p = str(tmp_path / "coll")
+    store.export_collection(p)
+    back = SameSameSpark.import_collection(spark, p)
+    assert back.count() == store.count()
+    a = {r["id"]: r["text"] for r in store.docs.select("id", "text").collect()}
+    b = {r["id"]: r["text"] for r in back.docs.select("id", "text").collect()}
+    assert a == b
+
+
+def test_tags_split(spark):
+    from same_same_spark.operators.tags import split_tags_col
+
+    df = spark.createDataFrame(
+        [(1, "physics, relativity ,science"), (2, " , ,"), (3, None)],
+        "id LONG, tags STRING",
+    )
+    got = {
+        r["id"]: r["t"]
+        for r in df.select("id", split_tags_col("tags").alias("t")).collect()
+    }
+    assert got[1] == ["physics", "relativity", "science"]
+    assert got[2] == []
+    assert got[3] == []
+
+
 def test_embedder_stats(store):
     s = store.embedder_stats()
     assert s["document_count"] == 3
