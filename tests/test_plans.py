@@ -1,0 +1,83 @@
+"""Physical-plan audits: the optimizations we rely on at 100 TB must be
+visible in `explain`, not assumed."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from same_same_spark.bm25 import score_queries
+from same_same_spark.index.build import build_index
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@pytest.fixture(scope="module")
+def shard_read(spark, documents, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("planidx") / "idx")
+    build_index(
+        documents, out, id_col="doc_id", text_col="text", num_buckets=4,
+        log=lambda *_: None,
+    )
+    return spark.read.parquet(f"{out}/shards/group-0000")
+
+
+def test_shard_scan_pushes_kind_and_term(spark, shard_read):
+    """Query-path scan: kind/term predicates must reach the parquet
+    reader (PushedFilters), and only the needed columns are read."""
+    q = shard_read.filter(
+        (F.col("kind") == "p") & F.col("term").isin(["fast", "merge"])
+    ).select("bucket", "term", "n", "doc_bytes", "tf_bytes")
+    plan = _formatted(q)
+    assert "PushedFilters:" in plan
+    assert "EqualTo(kind,p)" in plan or "kind" in plan.split("PushedFilters:")[1].split("\n")[0]
+    pushed = plan.split("PushedFilters:")[1].split("\n")[0]
+    assert "term" in pushed
+    # column pruning: ReadSchema excludes the block arrays
+    read_schema = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "block_last_doc" not in read_schema
+    assert "doc_bytes" in read_schema
+
+
+def test_naive_scorer_broadcasts_query_terms(spark, documents):
+    """The tiny query-term side must be broadcast, never shuffled."""
+    df = score_queries(
+        documents, [(0, "fast merge join")], k=5, id_col="doc_id",
+        text_col="text",
+    )
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_docs_filter_pushdown(spark, documents):
+    """FilterExpr-compiled predicates reach the documents parquet scan."""
+    from same_same_spark.operators.filters import compile_filters
+
+    pred = compile_filters(
+        {"lang": {"eq": "en"}, "n_chars": {"between": [100, 300]}},
+        metadata_col=None,
+        df=documents,
+    )
+    plan = _formatted(documents.filter(pred).select("doc_id"))
+    assert "PushedFilters:" in plan
+    pushed = plan.split("PushedFilters:")[1].split("\n")[0]
+    assert "lang" in pushed and "n_chars" in pushed
+
+
+def test_topk_is_take_ordered(spark, documents):
+    """orderBy().limit(k) must plan as a distributed top-k
+    (TakeOrderedAndProject), not a global sort."""
+    q = documents.orderBy(F.desc("n_chars"), F.asc("doc_id")).limit(10)
+    plan = _plan(q)
+    assert "TakeOrderedAndProject" in plan
