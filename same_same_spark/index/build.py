@@ -179,7 +179,15 @@ def _encode_one_bucket(bucket: int, ids, texts) -> tuple[list[dict], int]:
     if len(rowidx):
         dct = pc.dictionary_encode(flat)
         codes = dct.indices.to_numpy().astype(np.int64)
-        uniq = dct.dictionary.to_pylist()
+        uniq = np.asarray(dct.dictionary.to_pylist(), dtype=object)
+        # re-rank codes so terms emit in sorted order — parquet row-group
+        # min/max stats on `term` then prune query scans (the dictionary
+        # comes back in first-appearance order)
+        sort_order = np.argsort(uniq)
+        rank = np.empty(len(uniq), dtype=np.int64)
+        rank[sort_order] = np.arange(len(uniq))
+        codes = rank[codes]
+        uniq = uniq[sort_order]
         doc_rep = ids[rowidx]
         dl_rep = dl[rowidx]
         order2 = np.lexsort((doc_rep, codes))
