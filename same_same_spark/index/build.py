@@ -255,6 +255,168 @@ def _encode_partition_fn(id_col: str, text_col: str):
     return encode
 
 
+def _encode_delta_bucket_rows(pdf) -> list[dict]:
+    """Encode one bucket of staged POSTING rows (doc_id, term, tf, dl)
+    into shard rows — the compaction twin of :func:`_encode_one_bucket`
+    (which starts from raw text)."""
+    import pandas as pd
+
+    bucket = int(pdf["bucket"].iloc[0])
+    pdf = pdf.sort_values(["term", "doc_id"], kind="mergesort")
+    terms = pdf["term"].to_numpy()
+    doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+    tfs = pdf["tf"].to_numpy(dtype=np.int64)
+    dls = pdf["dl"].to_numpy(dtype=np.int64)
+
+    rows: list[dict] = []
+    base = {c: None for c in _SHARD_COLS}
+
+    # doclens from distinct (doc_id, dl)
+    d_sorted = np.sort(np.unique(doc_ids))
+    dl_by_doc = pd.Series(dls, index=doc_ids)
+    dl_map = dl_by_doc.groupby(level=0).first()
+    dl_vals = dl_map.loc[d_sorted].to_numpy(dtype=np.int64)
+    rows.append(
+        {
+            **base,
+            "bucket": bucket,
+            "kind": "d",
+            "n": len(d_sorted),
+            "doc_bytes": codec.encode_doc_ids(d_sorted),
+            "tf_bytes": codec.varint_encode(dl_vals.astype(np.uint64)),
+            "sum_dl": int(dl_vals.sum()),
+            "input_bytes": 0,
+        }
+    )
+
+    uniq, starts = np.unique(terms, return_index=True)
+    ends = np.append(starts[1:], len(terms))
+    for t, s, e in zip(uniq, starts, ends):
+        row = codec.encode_posting_list(doc_ids[s:e], tfs[s:e], dls[s:e])
+        rows.append({**base, "bucket": bucket, "kind": "p", "term": t, **row})
+    return rows
+
+
+def compact_deltas(spark, index_dir: str, log=print) -> IndexManifest:
+    """Fold streamed posting deltas into the index as a new shard group.
+
+    Reads ``<index_dir>/_stage/deltas/batch-*`` (written by
+    ``streaming.stream_doc_ingest``: rows (doc_id, term, tf, dl,
+    bucket)), encodes them per bucket into ``shards/group-NNNN``,
+    commits a lineage record, then rebuilds the stats table and the
+    manifest over ALL groups — so df/idf/N/avgdl equal a fresh build
+    over the union corpus, and search results are rank-identical to it
+    (tested). Contract: delta doc_ids are NEW documents (append-only;
+    dedup upstream — the reference's overwrite-by-id semantics belong
+    to the mutable store, not the index).
+    """
+    import glob as _glob
+
+    deltas_dir = os.path.join(index_dir, "_stage", "deltas")
+    batch_dirs = sorted(_glob.glob(os.path.join(deltas_dir, "batch-*")))
+    manifest = IndexManifest.load(index_dir)
+    if not batch_dirs:
+        log("[compact] no deltas to fold")
+        return manifest
+
+    gname = f"{len(manifest.groups):04d}"
+    dst = os.path.join(index_dir, "shards", f"group-{gname}")
+    staged = spark.read.parquet(*batch_dirs)
+
+    import pandas as pd
+
+    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return pd.DataFrame(columns=_SHARD_COLS)
+        return pd.DataFrame(
+            _encode_delta_bucket_rows(pdf), columns=_SHARD_COLS
+        )
+
+    t0 = time.time()
+    enc = (
+        staged.repartition(manifest.num_buckets, "bucket")
+        .groupBy("bucket")
+        .applyInPandas(encode, SHARD_SCHEMA)
+    )
+    tmp = dst + ".tmp"
+    enc.write.mode("overwrite").parquet(tmp)
+    os.replace(tmp, dst)
+
+    g_df = spark.read.parquet(dst)
+    drow = g_df.filter(F.col("kind") == "d").agg(
+        F.sum("n"), F.sum("sum_dl")
+    ).collect()[0]
+    record = {
+        "group": gname,
+        "kind": "delta-compaction",
+        "source_batches": [os.path.basename(b) for b in batch_dirs],
+        "docs": int(drow[0] or 0),
+        "wall_sec": time.time() - t0,
+    }
+    with open(os.path.join(index_dir, "_lineage", f"group-{gname}.json.tmp"), "w") as f:
+        json.dump(record, f)
+    os.replace(
+        os.path.join(index_dir, "_lineage", f"group-{gname}.json.tmp"),
+        os.path.join(index_dir, "_lineage", f"group-{gname}.json"),
+    )
+
+    # archive folded deltas (idempotence: a re-run finds no deltas)
+    done = os.path.join(index_dir, "_stage", "deltas_compacted")
+    os.makedirs(done, exist_ok=True)
+    for b in batch_dirs:
+        os.replace(b, os.path.join(done, os.path.basename(b)))
+
+    # rebuild global stats + manifest over ALL groups
+    groups = manifest.groups + [gname]
+    shard_paths = [
+        os.path.join(index_dir, "shards", f"group-{g}") for g in groups
+    ]
+    shards = spark.read.parquet(*shard_paths)
+    drow = (
+        shards.filter(F.col("kind") == "d")
+        .agg(F.sum("n").alias("n_docs"), F.sum("sum_dl").alias("sum_dl"))
+        .collect()[0]
+    )
+    n_docs = int(drow["n_docs"] or 0)
+    avgdl = float(drow["sum_dl"] or 0) / n_docs if n_docs else 0.0
+    term_stats = (
+        shards.filter(F.col("kind") == "p")
+        .groupBy("term")
+        .agg(F.sum("n").alias("df"))
+        .withColumn(
+            "idf",
+            F.log(
+                1.0
+                + (F.lit(float(n_docs)) - F.col("df") + 0.5)
+                / (F.col("df") + 0.5)
+            ),
+        )
+    )
+    stats_tmp = os.path.join(index_dir, "stats.tmp")
+    term_stats.repartition(1).write.mode("overwrite").parquet(stats_tmp)
+    stats_dir = os.path.join(index_dir, "stats")
+    shutil.rmtree(stats_dir, ignore_errors=True)
+    os.replace(stats_tmp, stats_dir)
+    srow = (
+        spark.read.parquet(stats_dir)
+        .agg(F.count(F.lit(1)), F.sum("df"))
+        .collect()[0]
+    )
+    out = IndexManifest(
+        n_docs=n_docs,
+        avgdl=avgdl,
+        k1=manifest.k1,
+        b=manifest.b,
+        num_buckets=manifest.num_buckets,
+        n_terms=int(srow[0]),
+        n_postings=int(srow[1] or 0),
+        groups=groups,
+    )
+    out.save(index_dir)
+    log(f"[compact] folded {len(batch_dirs)} delta batches into group {gname}")
+    return out
+
+
 def _dir_size(path: str) -> int:
     total = 0
     for root, _, files in os.walk(path):

@@ -141,16 +141,24 @@ def _score_bucket_fn(
             dl = dl_vals[np.searchsorted(dl_docs, d)]
             return idf * codec.bm25_wtf(t, dl, avgdl, k1, b)
 
-        rows_by_term = {
-            row["term"]: row for _, row in postings_pdf.iterrows()
-        }
+        # a term may have multiple rows per bucket (one per shard group —
+        # e.g. after streaming-delta compaction); keep them all
+        rows_by_term: dict[str, list] = {}
+        for _, row in postings_pdf.iterrows():
+            rows_by_term.setdefault(row["term"], []).append(row)
         full_cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
 
         def decode_full(term):
             if term not in full_cache:
-                row = rows_by_term[term]
-                full_cache[term] = codec.decode_posting_list(
-                    bytes(row["doc_bytes"]), bytes(row["tf_bytes"]), row["n"]
+                parts = [
+                    codec.decode_posting_list(
+                        bytes(r["doc_bytes"]), bytes(r["tf_bytes"]), r["n"]
+                    )
+                    for r in rows_by_term[term]
+                ]
+                full_cache[term] = (
+                    np.concatenate([p[0] for p in parts]),
+                    np.concatenate([p[1] for p in parts]),
                 )
             return full_cache[term]
 
@@ -165,13 +173,15 @@ def _score_bucket_fn(
             if prune and len(qterms) > 1:
                 ubs = {}
                 for term in qterms:
-                    row = rows_by_term[term]
-                    bounds = codec.block_max_wtf_bound(
-                        np.asarray(row["block_max_tf"], dtype=np.int64),
-                        np.asarray(row["block_min_dl"], dtype=np.int64),
-                        avgdl, k1, b,
-                    )
-                    ubs[term] = term_idf[term] * float(bounds.max())
+                    best = 0.0
+                    for row in rows_by_term[term]:
+                        bounds = codec.block_max_wtf_bound(
+                            np.asarray(row["block_max_tf"], dtype=np.int64),
+                            np.asarray(row["block_min_dl"], dtype=np.int64),
+                            avgdl, k1, b,
+                        )
+                        best = max(best, float(bounds.max()))
+                    ubs[term] = term_idf[term] * best
                 ordered = sorted(qterms, key=lambda t: (-ubs[t], t))
             else:
                 ordered = sorted(qterms)
@@ -210,21 +220,27 @@ def _score_bucket_fn(
                     if term in full_cache:
                         d, t = full_cache[term]
                     else:
-                        row = rows_by_term[term]
-                        lasts = np.asarray(
-                            row["block_last_doc"], dtype=np.int64
-                        )
-                        prevs = np.empty_like(lasts)
-                        prevs[0] = np.iinfo(np.int64).min
-                        prevs[1:] = lasts[:-1]
-                        hi = np.searchsorted(cand, lasts, side="right")
-                        lo = np.searchsorted(cand, prevs, side="right")
-                        keep = hi > lo
-                        d, t = codec.decode_blocks(
-                            bytes(row["doc_bytes"]), bytes(row["tf_bytes"]),
-                            row["n"], row["block_off_doc"],
-                            row["block_off_tf"], lasts, keep,
-                        )
+                        dparts, tparts = [], []
+                        for row in rows_by_term[term]:
+                            lasts = np.asarray(
+                                row["block_last_doc"], dtype=np.int64
+                            )
+                            prevs = np.empty_like(lasts)
+                            prevs[0] = np.iinfo(np.int64).min
+                            prevs[1:] = lasts[:-1]
+                            hi = np.searchsorted(cand, lasts, side="right")
+                            lo = np.searchsorted(cand, prevs, side="right")
+                            keep = hi > lo
+                            dd, tt = codec.decode_blocks(
+                                bytes(row["doc_bytes"]),
+                                bytes(row["tf_bytes"]),
+                                row["n"], row["block_off_doc"],
+                                row["block_off_tf"], lasts, keep,
+                            )
+                            dparts.append(dd)
+                            tparts.append(tt)
+                        d = np.concatenate(dparts)
+                        t = np.concatenate(tparts)
                     if len(d) == 0:
                         continue
                     pos = np.searchsorted(cand, d)

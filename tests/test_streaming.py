@@ -91,3 +91,56 @@ def test_stream_doc_ingest_deltas_and_lineage(spark, tmp_path):
     with open(os.path.join(idx, "_lineage_stream", sorted(lineage)[0])) as f:
         rec = json.load(f)
     assert rec["docs"] == 2 and rec["postings"] == len(got)
+
+
+def test_stream_then_compact_equals_fresh_build(spark, tmp_path):
+    """Batch-build half the corpus, stream the other half, compact —
+    search results must be rank- and score-identical to a fresh build
+    over the full corpus (df/N/avgdl all refreshed)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from same_same_spark.index.build import build_index, compact_deltas
+    from same_same_spark.index.query import search_batch
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    first = docs.filter(F.col("doc_id") % 2 == 0)
+    second = docs.filter(F.col("doc_id") % 2 == 1)
+
+    # incremental: batch build + streamed deltas + compaction
+    inc = str(tmp_path / "inc_idx")
+    build_index(first, inc, id_col="doc_id", text_col="text",
+                num_buckets=4, log=lambda *_: None)
+    src = str(tmp_path / "stream_src")
+    os.makedirs(src)
+    rows = second.select("doc_id", F.col("text").alias("content")).collect()
+    with open(os.path.join(src, "d.json"), "w") as f:
+        for r in rows:
+            f.write(_json.dumps({"doc_id": r["doc_id"], "content": r["content"]}) + "\n")
+    stream = spark.readStream.schema("doc_id LONG, content STRING").json(src)
+    q = stream_doc_ingest(stream, inc, checkpoint_dir=str(tmp_path / "ck"),
+                          num_buckets=4)
+    q.awaitTermination(120)
+    m = compact_deltas(spark, inc, log=lambda *_: None)
+    assert m.n_docs == docs.count()
+
+    # fresh full build
+    full = str(tmp_path / "full_idx")
+    build_index(docs, full, id_col="doc_id", text_col="text",
+                num_buckets=4, log=lambda *_: None)
+
+    queries = [(0, "fast merge join sort"), (1, "spark query data window")]
+
+    def canon(rows_):
+        return sorted(
+            (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+            for r in rows_
+        )
+
+    a = canon(search_batch(spark, inc, queries, k=10).collect())
+    b = canon(search_batch(spark, full, queries, k=10).collect())
+    assert a == b
+    # idempotent: nothing left to compact
+    m2 = compact_deltas(spark, inc, log=lambda *_: None)
+    assert m2.groups == m.groups
