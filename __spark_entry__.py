@@ -424,6 +424,99 @@ FROM events GROUP BY 1, 2
 """
 
 
+def _q_search_by_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.1 SearchByText: F1 exact-equality metadata pre-filter + BM25
+    with the handler's k=5 default (handlers/vector.go:224-226)."""
+    docs = _docs(spark, sf_dir).filter(F.col("lang") == "fr")
+    out = score_queries(
+        docs, [(0, "vector table")], k=5, id_col="doc_id", text_col="text"
+    ).drop("query_id")
+    return _round6(out, "score").withColumn("rank", F.col("rank").cast("int"))
+
+
+_SQL_SEARCH_BY_TEXT = (
+    "SELECT doc_id, score, rank::INTEGER AS rank FROM ("
+    + duckdb_bm25_sql(
+        "(SELECT * FROM documents WHERE lang = 'fr')",
+        "doc_id", "text", [(0, "vector table")], k=5,
+    )
+    + ")"
+)
+
+
+def _q_temporal_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 temporal search: BM25 top-40 → strong decay vs ref time →
+    re-ranked top-10 with base/decay breakdown (TemporalSearchResult
+    shape, models/temporal.go:141-148). created_at synthesized
+    deterministically from doc_id."""
+    docs = _docs(spark, sf_dir).withColumn(
+        "created_at",
+        F.to_timestamp(F.lit("2020-01-01 00:00:00"))
+        + F.make_interval(days=F.col("doc_id") % 1000),
+    )
+    base = score_queries(
+        docs, [(0, "table query join")], k=40, id_col="doc_id",
+        text_col="text",
+    ).drop("query_id", "rank")
+    ref = F.to_timestamp(F.lit(_REF_TIME))
+    joined = base.withColumnRenamed("score", "base_score").join(
+        docs.select("doc_id", "created_at"), "doc_id"
+    )
+    lam = DECAY_LAMBDAS["strong"]
+    from same_same_spark.operators.temporal import decay_factor_col
+
+    scored = joined.withColumn(
+        "decay_factor", decay_factor_col(F.col("created_at"), ref, lam)
+    ).withColumn("score", F.col("base_score") * F.col("decay_factor"))
+    w = Window.orderBy(F.desc(F.round(F.col("score"), 9)), F.asc("doc_id"))
+    out = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("doc_id", "score", "base_score", "decay_factor", "rank")
+    )
+    return _round6(out, "score", "base_score", "decay_factor").withColumn(
+        "rank", F.col("rank").cast("int")
+    )
+
+
+_SQL_TEMPORAL_SEARCH = (
+    """
+WITH base AS (
+"""
+    + duckdb_bm25_sql(
+        "documents", "doc_id", "text", [(0, "table query join")], k=40,
+        round_score=None,
+    )
+    + f"""
+),
+ts AS (
+  SELECT b.doc_id, b.score AS base_score,
+         TIMESTAMP '2020-01-01 00:00:00'
+           + to_days((b.doc_id % 1000)::INTEGER) AS created_at
+  FROM base b
+),
+dec AS (
+  SELECT doc_id, base_score,
+         exp(-0.5 * greatest(0.0,
+           (epoch(TIMESTAMP '{_REF_TIME}') - epoch(created_at))
+           / 31557600.0)) AS decay_factor
+  FROM ts
+),
+ranked AS (
+  SELECT doc_id, base_score * decay_factor AS score, base_score,
+         decay_factor,
+         row_number() OVER (
+           ORDER BY round(base_score * decay_factor, 9) DESC, doc_id ASC
+         ) AS rank
+  FROM dec
+)
+SELECT doc_id, round(score, 6) AS score, round(base_score, 6) AS base_score,
+       round(decay_factor, 6) AS decay_factor, rank::INTEGER AS rank
+FROM ranked WHERE rank <= 10
+"""
+)
+
+
 def _q_index_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production read path: compressed-index BM25 with block-max
     pruning — rank- and score-identical to the naive scorer, so it
@@ -431,10 +524,16 @@ def _q_index_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
     import tempfile
 
-    from same_same_spark.index.build import build_index
+    from same_same_spark.index.build import (
+        LAYOUT_VERSION,
+        TOKENIZER_VERSION,
+        build_index,
+    )
     from same_same_spark.index.query import search_batch
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    tag = hashlib.md5(
+        f"{sf_dir}|{LAYOUT_VERSION}|{TOKENIZER_VERSION}".encode()
+    ).hexdigest()[:10]
     idx_dir = f"{tempfile.gettempdir()}/ss_entry_idx_{tag}"
     build_index(
         _docs(spark, sf_dir), idx_dir, id_col="doc_id", text_col="text",
@@ -934,6 +1033,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "hybrid_search": (_q_hybrid_search, _SQL_HYBRID_SEARCH),
     "events_hourly": (_q_events_hourly, _SQL_EVENTS_HOURLY),
     "index_bm25_topk": (_q_index_bm25_topk, _SQL_BM25_TOPK),
+    "search_by_text": (_q_search_by_text, _SQL_SEARCH_BY_TEXT),
+    "temporal_search": (_q_temporal_search, _SQL_TEMPORAL_SEARCH),
     "tags_split": (
         _q_tags_split,
         # synthesize the same messy tags string in SQL, then split
