@@ -63,7 +63,7 @@ from same_same_spark.text.tokenizer import (
     STRIP_PATTERN,
 )
 
-LAYOUT_VERSION = 2
+LAYOUT_VERSION = 3  # v3: per-block doc codec tag (varint | FOR bit-pack)
 TOKENIZER_VERSION = "x1-v1"
 
 SHARD_SCHEMA = (

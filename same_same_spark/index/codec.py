@@ -8,8 +8,11 @@ Layout per (bucket, term) posting list:
 
 - doc ids (int64, may be negative — they're xxhash64 values) are mapped
   order-preservingly to uint64 via offset-binary (``x + 2^63``), sorted
-  ascending, delta-encoded (first value raw, then gaps), LEB128-varint
-  packed into one BINARY,
+  ascending, delta-encoded (first value raw, then gaps), then packed
+  per 128-doc block with a 1-byte codec tag choosing whichever is
+  smaller: LEB128 varint or FOR bit-packing (varint head delta + fixed
+  ``max_bit_width`` fields — dense hot-term blocks land well under
+  1 byte/doc),
 - term frequencies varint-packed into a second BINARY,
 - fixed 128-posting blocks; per block we record the byte offset into each
   BINARY, the last (max) doc id, and (max_tf, min_dl) — from which
@@ -90,6 +93,76 @@ def varint_decode(buf: bytes, count: int | None = None) -> np.ndarray:
     return vals
 
 
+# ---------------------------------------------------------------------------
+# FOR (frame-of-reference) bit-packing — the per-block alternative codec
+# ---------------------------------------------------------------------------
+
+
+def bitpack(values: np.ndarray, width: int) -> bytes:
+    """Pack uint64 values into ``width``-bit little-endian fields."""
+    if width == 0 or len(values) == 0:
+        return b""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    bits = (
+        (v[:, None] >> np.arange(width, dtype=np.uint64)) & np.uint64(1)
+    ).astype(np.uint8)
+    return np.packbits(bits.ravel(), bitorder="little").tobytes()
+
+
+def bitunpack(buf: bytes, count: int, width: int) -> np.ndarray:
+    if width == 0 or count == 0:
+        return np.zeros(count, dtype=np.uint64)
+    bits = np.unpackbits(
+        np.frombuffer(buf, dtype=np.uint8), bitorder="little"
+    )[: count * width].reshape(count, width)
+    weights = np.uint64(1) << np.arange(width, dtype=np.uint64)
+    return (bits.astype(np.uint64) * weights).sum(axis=1, dtype=np.uint64)
+
+
+TAG_VARINT = 0
+TAG_FOR = 1
+
+
+def encode_doc_block(deltas: np.ndarray) -> bytes:
+    """Encode one block of doc-id deltas: 1 tag byte + payload.
+
+    - ``TAG_VARINT``: plain LEB128 stream.
+    - ``TAG_FOR``: varint(delta0) — the jump from the previous block can
+      be large — then a width byte and the remaining deltas bit-packed
+      at the block's max width (classic frame-of-reference). The smaller
+      encoding wins per block; dense hot-term blocks (deltas of a few
+      bits) compress well below 1 byte/doc this way.
+    """
+    vi = varint_encode(deltas)
+    if len(deltas) > 1:
+        rest = deltas[1:]
+        width = int(rest.max()).bit_length()
+        if width <= 32:  # FOR never helps past varint for huge deltas
+            payload = (
+                varint_encode(deltas[:1])
+                + bytes([width])
+                + bitpack(rest, width)
+            )
+            if 1 + len(payload) < 1 + len(vi):
+                return bytes([TAG_FOR]) + payload
+    return bytes([TAG_VARINT]) + vi
+
+
+def decode_doc_block(chunk: bytes, count: int) -> np.ndarray:
+    """Decode one block produced by :func:`encode_doc_block` → deltas."""
+    tag = chunk[0]
+    body = chunk[1:]
+    if tag == TAG_VARINT:
+        return varint_decode(body, count)
+    b = np.frombuffer(body, dtype=np.uint8)
+    end = int(np.flatnonzero(b < 128)[0]) + 1
+    d0 = varint_decode(body[:end], 1)
+    width = body[end]
+    n_rest = count - 1
+    packed = body[end + 1 : end + 1 + (n_rest * width + 7) // 8]
+    return np.concatenate([d0, bitunpack(packed, n_rest, width)])
+
+
 def encode_doc_ids(doc_ids_sorted: np.ndarray) -> bytes:
     """Delta+varint encode sorted int64 doc ids (strictly increasing)."""
     u = to_u64(np.asarray(doc_ids_sorted, dtype=np.int64))
@@ -158,43 +231,31 @@ def encode_posting_list(
     starts = np.arange(0, n, BLOCK_SIZE)
     ends = np.minimum(starts + BLOCK_SIZE, n)
 
-    # byte offsets: encode per-value byte lengths to compute block starts
     u = to_u64(d)
     deltas = np.empty_like(u)
     deltas[0] = u[0]
     deltas[1:] = u[1:] - u[:-1]
 
-    def _lens(vals: np.ndarray) -> np.ndarray:
-        """Varint byte length per value (1..10), vectorized."""
-        lens = np.ones(len(vals), dtype=np.int64)
-        cur = vals >> _7
-        while cur.any():
-            lens += (cur != 0).astype(np.int64)
-            cur = cur >> _7
-        return lens
-
-    dlen = _lens(deltas)
-    tlen = _lens(t.astype(np.uint64))
-    doff = np.concatenate(([0], np.cumsum(dlen)))
-    toff = np.concatenate(([0], np.cumsum(tlen)))
+    doc_chunks: list[bytes] = []
+    tf_chunks: list[bytes] = []
+    for lo, hi in zip(starts, ends):
+        doc_chunks.append(encode_doc_block(deltas[lo:hi]))
+        tf_chunks.append(varint_encode(t[lo:hi].astype(np.uint64)))
+    doff = np.concatenate(([0], np.cumsum([len(c) for c in doc_chunks])))
+    toff = np.concatenate(([0], np.cumsum([len(c) for c in tf_chunks])))
 
     block_max_tf = np.maximum.reduceat(t, starts).astype(np.int32)
     block_min_dl = np.minimum.reduceat(dl, starts).astype(np.int32)
     return {
         "n": int(n),
-        "doc_bytes": varint_encode(deltas),
-        "tf_bytes": varint_encode(t.astype(np.uint64)),
-        "block_off_doc": doff[starts].astype(np.int32).tolist(),
-        "block_off_tf": toff[starts].astype(np.int32).tolist(),
+        "doc_bytes": b"".join(doc_chunks),
+        "tf_bytes": b"".join(tf_chunks),
+        "block_off_doc": doff[:-1].astype(np.int32).tolist(),
+        "block_off_tf": toff[:-1].astype(np.int32).tolist(),
         "block_last_doc": d[ends - 1].astype(np.int64).tolist(),
         "block_max_tf": block_max_tf.tolist(),
         "block_min_dl": block_min_dl.tolist(),
     }
-
-
-def decode_posting_list(doc_bytes: bytes, tf_bytes: bytes, n: int):
-    """→ (doc_ids int64 asc, tfs int64)."""
-    return decode_doc_ids(doc_bytes, n), varint_decode(tf_bytes, n).astype(np.int64)
 
 
 def decode_blocks(
@@ -204,9 +265,9 @@ def decode_blocks(
     block_off_doc,
     block_off_tf,
     block_last_doc,
-    keep: np.ndarray,
+    keep: np.ndarray | None = None,
 ):
-    """Decode only the blocks where ``keep[b]`` is True.
+    """Decode the blocks where ``keep[b]`` is True (all when None).
 
     Each block's deltas are absolute-ized from the previous block's
     last doc id, so any subset of blocks decodes independently — this
@@ -215,13 +276,17 @@ def decode_blocks(
     """
     offs_d = list(block_off_doc) + [len(doc_bytes)]
     offs_t = list(block_off_tf) + [len(tf_bytes)]
+    n_blocks = len(block_off_doc)
+    sel = (
+        np.arange(n_blocks) if keep is None else np.flatnonzero(keep)
+    )
     out_d: list[np.ndarray] = []
     out_t: list[np.ndarray] = []
-    for bi in np.flatnonzero(keep):
+    for bi in sel:
         lo = bi * BLOCK_SIZE
         hi = min((bi + 1) * BLOCK_SIZE, n)
         cnt = hi - lo
-        deltas = varint_decode(doc_bytes[offs_d[bi] : offs_d[bi + 1]], cnt)
+        deltas = decode_doc_block(doc_bytes[offs_d[bi] : offs_d[bi + 1]], cnt)
         base = (
             to_u64(np.array([block_last_doc[bi - 1]], dtype=np.int64))[0]
             if bi > 0
@@ -238,3 +303,20 @@ def decode_blocks(
     if not out_d:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
     return np.concatenate(out_d), np.concatenate(out_t)
+
+
+def decode_posting_list(row: dict | "object"):
+    """Decode a full posting-list row → (doc_ids int64 asc, tfs int64).
+
+    ``row`` is any mapping with the shard columns (n, doc_bytes,
+    tf_bytes, block_off_doc, block_off_tf, block_last_doc).
+    """
+    return decode_blocks(
+        bytes(row["doc_bytes"]),
+        bytes(row["tf_bytes"]),
+        row["n"],
+        row["block_off_doc"],
+        row["block_off_tf"],
+        row["block_last_doc"],
+        None,
+    )

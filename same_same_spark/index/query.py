@@ -151,10 +151,7 @@ def _score_bucket_fn(
         def decode_full(term):
             if term not in full_cache:
                 parts = [
-                    codec.decode_posting_list(
-                        bytes(r["doc_bytes"]), bytes(r["tf_bytes"]), r["n"]
-                    )
-                    for r in rows_by_term[term]
+                    codec.decode_posting_list(r) for r in rows_by_term[term]
                 ]
                 full_cache[term] = (
                     np.concatenate([p[0] for p in parts]),

@@ -59,7 +59,7 @@ def test_posting_list_roundtrip_and_blockmax():
     avgdl, k1, b = 57.3, 1.2, 0.75
 
     row = encode_posting_list(doc_ids, tfs, dls)
-    d, t = decode_posting_list(row["doc_bytes"], row["tf_bytes"], row["n"])
+    d, t = decode_posting_list(row)
 
     order = np.argsort(doc_ids)
     assert d.tolist() == doc_ids[order].tolist()
@@ -85,14 +85,17 @@ def test_posting_list_roundtrip_and_blockmax():
         assert dls[order][lo:hi].min() == row["block_min_dl"][bi]
 
     # byte offsets allow decoding any single block independently:
-    # deltas within block bi, made absolute via previous block's last doc.
-    from same_same_spark.index.codec import from_u64, to_u64
+    # each chunk is tag-prefixed (varint or FOR), absolute-ized via the
+    # previous block's last doc.
+    from same_same_spark.index.codec import decode_doc_block, from_u64, to_u64
 
     n_blocks = len(row["block_off_doc"])
     offs = list(row["block_off_doc"]) + [len(row["doc_bytes"])]
     for bi in range(n_blocks):
         lo, hi = bi * BLOCK_SIZE, min((bi + 1) * BLOCK_SIZE, n)
-        deltas = varint_decode(row["doc_bytes"][offs[bi] : offs[bi + 1]])
+        deltas = decode_doc_block(
+            row["doc_bytes"][offs[bi] : offs[bi + 1]], hi - lo
+        )
         assert len(deltas) == hi - lo
         base = (
             np.uint64(0) if bi == 0 else to_u64(np.array([row["block_last_doc"][bi - 1]]))[0]
@@ -100,6 +103,31 @@ def test_posting_list_roundtrip_and_blockmax():
         with np.errstate(over="ignore"):
             absolute = from_u64(base + np.cumsum(deltas, dtype=np.uint64))
         assert absolute.tolist() == d[lo:hi].tolist()
+
+
+def test_for_block_codec_roundtrip_and_wins_on_dense():
+    """Dense (small-delta) blocks must choose FOR and round-trip; sparse
+    blocks fall back to varint."""
+    from same_same_spark.index.codec import (
+        TAG_FOR,
+        TAG_VARINT,
+        decode_doc_block,
+        encode_doc_block,
+    )
+
+    dense = np.concatenate(
+        [[12345], np.ones(127, dtype=np.uint64) * 3]
+    ).astype(np.uint64)
+    chunk = encode_doc_block(dense)
+    assert chunk[0] == TAG_FOR
+    assert len(chunk) < len(varint_encode(dense)) + 1
+    assert decode_doc_block(chunk, len(dense)).tolist() == dense.tolist()
+
+    rng = np.random.default_rng(3)
+    sparse = rng.integers(2**40, 2**50, size=128).astype(np.uint64)
+    chunk = encode_doc_block(sparse)
+    assert chunk[0] == TAG_VARINT
+    assert decode_doc_block(chunk, len(sparse)).tolist() == sparse.tolist()
 
 
 def test_empty_posting_list():

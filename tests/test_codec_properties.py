@@ -56,7 +56,7 @@ def test_posting_list_roundtrip(postings):
     tfs = np.array([p[1] for p in postings], dtype=np.int64)
     dls = np.array([p[2] for p in postings], dtype=np.int64)
     row = codec.encode_posting_list(doc_ids, tfs, dls)
-    d, t = codec.decode_posting_list(row["doc_bytes"], row["tf_bytes"], row["n"])
+    d, t = codec.decode_posting_list(row)
     order = np.argsort(doc_ids, kind="stable")
     assert d.tolist() == doc_ids[order].tolist()
     assert t.tolist() == tfs[order].tolist()
