@@ -236,20 +236,69 @@ def encode_posting_list(
     deltas[0] = u[0]
     deltas[1:] = u[1:] - u[:-1]
 
-    doc_chunks: list[bytes] = []
-    tf_chunks: list[bytes] = []
-    for lo, hi in zip(starts, ends):
-        doc_chunks.append(encode_doc_block(deltas[lo:hi]))
-        tf_chunks.append(varint_encode(t[lo:hi].astype(np.uint64)))
-    doff = np.concatenate(([0], np.cumsum([len(c) for c in doc_chunks])))
-    toff = np.concatenate(([0], np.cumsum([len(c) for c in tf_chunks])))
+    # vectorized per-value varint byte lengths → per-block spans
+    lens = np.ones(len(deltas), dtype=np.int64)
+    cur = deltas >> _7
+    while cur.any():
+        lens += (cur != 0).astype(np.int64)
+        cur = cur >> _7
+    bounds = np.concatenate(([0], np.cumsum(lens)))
+    blk_lo = bounds[starts]
+    blk_hi = bounds[ends]
+    vi_sizes = blk_hi - blk_lo
+    cnts = ends - starts
+
+    # FOR candidate widths: max delta per block EXCLUDING each block's
+    # first (the cross-block jump stays varint inside the FOR payload)
+    tmp = deltas.copy()
+    tmp[starts] = 0
+    blockmax = np.maximum.reduceat(tmp, starts)
+    widths = np.array([int(x).bit_length() for x in blockmax], dtype=np.int64)
+    for_sizes = lens[starts] + 1 + ((cnts - 1) * widths + 7) // 8
+    use_for = (widths <= 32) & (cnts > 1) & (for_sizes < vi_sizes)
+
+    # tf side: vectorized whole-stream varint; block offsets from lens
+    t_u = t.astype(np.uint64)
+    tlens = np.ones(len(t_u), dtype=np.int64)
+    cur = t_u >> _7
+    while cur.any():
+        tlens += (cur != 0).astype(np.int64)
+        cur = cur >> _7
+    tbounds = np.concatenate(([0], np.cumsum(tlens)))
+    tf_bytes = varint_encode(t_u)
+    toff = np.concatenate((tbounds[starts], [tbounds[-1]]))
+
+    if not use_for.any():
+        # fast path (always taken for hash-distributed doc ids): one
+        # vectorized varint stream, tag bytes inserted at block starts
+        arr = np.frombuffer(varint_encode(deltas), dtype=np.uint8)
+        doc_all = np.insert(arr, blk_lo, np.uint8(TAG_VARINT)).tobytes()
+        chunk_lens = vi_sizes + 1
+        doff = np.concatenate(([0], np.cumsum(chunk_lens)))
+    else:
+        vi_all = varint_encode(deltas)
+        doc_chunks: list[bytes] = []
+        for bi, (lo, hi) in enumerate(zip(starts, ends)):
+            if use_for[bi]:
+                payload = (
+                    vi_all[blk_lo[bi] : blk_lo[bi] + lens[starts[bi]]]
+                    + bytes([int(widths[bi])])
+                    + bitpack(deltas[lo + 1 : hi], int(widths[bi]))
+                )
+                doc_chunks.append(bytes([TAG_FOR]) + payload)
+            else:
+                doc_chunks.append(
+                    bytes([TAG_VARINT]) + vi_all[blk_lo[bi] : blk_hi[bi]]
+                )
+        doff = np.concatenate(([0], np.cumsum([len(c) for c in doc_chunks])))
+        doc_all = b"".join(doc_chunks)
 
     block_max_tf = np.maximum.reduceat(t, starts).astype(np.int32)
     block_min_dl = np.minimum.reduceat(dl, starts).astype(np.int32)
     return {
         "n": int(n),
-        "doc_bytes": b"".join(doc_chunks),
-        "tf_bytes": b"".join(tf_chunks),
+        "doc_bytes": doc_all,
+        "tf_bytes": tf_bytes,
         "block_off_doc": doff[:-1].astype(np.int32).tolist(),
         "block_off_tf": toff[:-1].astype(np.int32).tolist(),
         "block_last_doc": d[ends - 1].astype(np.int64).tolist(),
@@ -277,6 +326,20 @@ def decode_blocks(
     offs_d = list(block_off_doc) + [len(doc_bytes)]
     offs_t = list(block_off_tf) + [len(tf_bytes)]
     n_blocks = len(block_off_doc)
+
+    if keep is None and n_blocks:
+        # bulk fast path: when every block is varint-tagged, strip the
+        # tag bytes and decode the whole delta chain in one vectorized
+        # pass (the chain is continuous across blocks by construction)
+        arr = np.frombuffer(doc_bytes, dtype=np.uint8)
+        tag_pos = np.asarray(block_off_doc, dtype=np.int64)
+        if (arr[tag_pos] == TAG_VARINT).all():
+            body = np.delete(arr, tag_pos)
+            deltas = varint_decode(body.tobytes(), n)
+            with np.errstate(over="ignore"):
+                u = np.cumsum(deltas, dtype=np.uint64)
+            return from_u64(u), varint_decode(tf_bytes, n).astype(np.int64)
+
     sel = (
         np.arange(n_blocks) if keep is None else np.flatnonzero(keep)
     )
