@@ -281,12 +281,17 @@ def search_batch(
     queries: list[tuple[int, str]],
     k: int = 10,
     prune: bool = True,
+    merge: str = "driver",
 ) -> DataFrame:
     """Top-k BM25 for a batch of queries against a built index.
 
     Returns (query_id INT, doc_id LONG, score DOUBLE, rank INT).
     ``prune=False`` disables block-max pruning (exhaustive decode) —
     kept for differential testing; results are identical either way.
+    ``merge='driver'`` (default) merges bucket-local top-ks driver-side
+    (one Spark job, bounded k x buckets x queries rows);
+    ``merge='window'`` keeps the fully-distributed ranking window —
+    use it when k x buckets is too large to collect.
     """
     manifest = _load_manifest(index_dir)
     term_qids: dict[str, list[int]] = {}
@@ -340,6 +345,25 @@ def search_batch(
         term_idf, term_qids, k, manifest.avgdl, manifest.k1, manifest.b,
         prune=prune,
     )
+    if merge == "driver":
+        # Single Spark job: each bucket already emits its local top-k
+        # under the global order, so the final merge is a bounded
+        # k x buckets x queries heap — the classic IR broker merge,
+        # done driver-side instead of paying a second shuffle + window.
+        scored = (
+            postings.groupby("bucket")
+            .cogroup(doclens.groupby("bucket"))
+            .applyInPandas(fn, SCORE_SCHEMA)
+        )
+        by_q: dict[int, list] = {}
+        for r in scored.collect():
+            by_q.setdefault(r["query_id"], []).append(r)
+        out = []
+        for qid, rows in by_q.items():
+            rows.sort(key=lambda r: (-round(r["score"], 9), r["doc_id"]))
+            for rank, r in enumerate(rows[:k], start=1):
+                out.append((qid, r["doc_id"], r["score"], rank))
+        return spark.createDataFrame(out, SCORE_SCHEMA + ", rank INT")
     scored = (
         postings.groupby("bucket")
         .cogroup(doclens.groupby("bucket"))
