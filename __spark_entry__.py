@@ -522,6 +522,7 @@ def _q_index_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruning — rank- and score-identical to the naive scorer, so it
     shares bm25_topk's oracle."""
     import hashlib
+    import os
     import tempfile
 
     from same_same_spark.index.build import (
@@ -531,8 +532,19 @@ def _q_index_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from same_same_spark.index.query import search_batch
 
+    # content fingerprint: regenerated parquet at the same sf_dir must
+    # not be served a stale cached index
+    fp_parts = []
+    doc_dir = os.path.join(sf_dir, "documents.parquet")
+    for p in sorted(
+        os.listdir(doc_dir) if os.path.isdir(doc_dir) else [doc_dir]
+    ):
+        full = os.path.join(doc_dir, p) if os.path.isdir(doc_dir) else doc_dir
+        st = os.stat(full)
+        fp_parts.append(f"{p}:{st.st_size}:{st.st_mtime_ns}")
     tag = hashlib.md5(
-        f"{sf_dir}|{LAYOUT_VERSION}|{TOKENIZER_VERSION}".encode()
+        f"{sf_dir}|{LAYOUT_VERSION}|{TOKENIZER_VERSION}|{';'.join(fp_parts)}"
+        .encode()
     ).hexdigest()[:10]
     idx_dir = f"{tempfile.gettempdir()}/ss_entry_idx_{tag}"
     build_index(
@@ -668,12 +680,17 @@ FROM j WHERE jaccard >= {threshold}
 def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidates verified at Jaccard ≥ 0.9.
 
-    Oracle note: at this threshold surviving pairs are exact/near-exact
-    duplicates, which identical MinHash signatures catch with recall 1 —
-    so the exact-Jaccard oracle is also the LSH result.
+    Oracle note: the fixture contains NATURAL near-dup pairs with
+    0.9 ≤ J < 1 (39 of 139 at sf0.01), so banded LSH (4 bands × 4 rows)
+    would miss a J=0.9 pair with p ≈ 1.4%. The entry therefore runs
+    rows=1 banding (bands = n_hashes = 16): a pair is a candidate if ANY
+    single minhash agrees, so P(miss | J ≥ 0.9) ≤ 0.1^16 — recall is 1
+    for every realizable fixture and the exact-Jaccard oracle is also
+    the LSH result. Verification stays exact-Jaccard-on-candidates; the
+    engine default (banded) is the scale path for lower thresholds.
     """
     out = dedup_ops.minhash_dedup_pairs(
-        _dup_docs(spark, sf_dir), threshold=0.9, n_hashes=16, bands=4
+        _dup_docs(spark, sf_dir), threshold=0.9, n_hashes=16, bands=16
     )
     return _round6(out, "jaccard")
 
@@ -996,7 +1013,7 @@ def _q_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(
-            F.when(F.length(F.trim(F.col("text"))) == 0, 1).otherwise(0)
+            F.when(F.length(textqc_ops.ws_trim(F.col("text"))) == 0, 1).otherwise(0)
         ).alias("n_empty"),
         F.sum(textqc_ops.ws_token_count_col("text")).alias("total_ws_tokens"),
     )
@@ -1006,9 +1023,9 @@ def _sql_ingest_stats() -> str:
     tc = textqc_ops.token_count_sql("text")
     return f"""
 SELECT source, count(*) AS n_docs,
-       sum(CASE WHEN length(trim(text, E' \\t\\n\\f\\r')) = 0 THEN 1 ELSE 0 END)
+       sum(CASE WHEN length(trim(text, E' \\t\\n\\f\\r')) = 0 THEN 1 ELSE 0 END)::BIGINT
          AS n_empty,
-       sum({tc['ws_tokens']}) AS total_ws_tokens
+       sum({tc['ws_tokens']})::BIGINT AS total_ws_tokens
 FROM documents GROUP BY source
 """
 

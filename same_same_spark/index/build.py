@@ -256,13 +256,23 @@ def _encode_partition_fn(id_col: str, text_col: str):
 
 
 def _encode_delta_bucket_rows(pdf) -> list[dict]:
-    """Encode one bucket of staged POSTING rows (doc_id, term, tf, dl)
-    into shard rows — the compaction twin of :func:`_encode_one_bucket`
-    (which starts from raw text)."""
+    """Encode one bucket of staged rows (doc_id, term, tf, dl) into
+    shard rows — the compaction twin of :func:`_encode_one_bucket`
+    (which starts from raw text).
+
+    Staged batches carry one ``term IS NULL`` row per document (written
+    by ``streaming.stream_doc_ingest``) so doclens cover every ingested
+    doc — including zero-token docs that emit no posting rows; the
+    fresh-build path counts those with dl=0 and compaction must too, or
+    N/avgdl diverge and every BM25 score shifts. Older batches without
+    doc rows fall back to postings-derived doclens.
+    """
     import pandas as pd
 
     bucket = int(pdf["bucket"].iloc[0])
-    pdf = pdf.sort_values(["term", "doc_id"], kind="mergesort")
+    is_doc_row = pdf["term"].isna()
+    doc_pdf = pdf[is_doc_row]
+    pdf = pdf[~is_doc_row].sort_values(["term", "doc_id"], kind="mergesort")
     terms = pdf["term"].to_numpy()
     doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
     tfs = pdf["tf"].to_numpy(dtype=np.int64)
@@ -271,11 +281,19 @@ def _encode_delta_bucket_rows(pdf) -> list[dict]:
     rows: list[dict] = []
     base = {c: None for c in _SHARD_COLS}
 
-    # doclens from distinct (doc_id, dl)
-    d_sorted = np.sort(np.unique(doc_ids))
-    dl_by_doc = pd.Series(dls, index=doc_ids)
-    dl_map = dl_by_doc.groupby(level=0).first()
-    dl_vals = dl_map.loc[d_sorted].to_numpy(dtype=np.int64)
+    if len(doc_pdf):
+        # authoritative per-doc rows: every doc, zero-token included
+        dd = doc_pdf["doc_id"].to_numpy(dtype=np.int64)
+        dv = doc_pdf["dl"].to_numpy(dtype=np.int64)
+        order = np.argsort(dd, kind="stable")
+        d_sorted, first_idx = np.unique(dd[order], return_index=True)
+        dl_vals = dv[order][first_idx]
+    else:
+        # legacy fallback: doclens from distinct (doc_id, dl) postings
+        d_sorted = np.sort(np.unique(doc_ids))
+        dl_by_doc = pd.Series(dls, index=doc_ids)
+        dl_map = dl_by_doc.groupby(level=0).first()
+        dl_vals = dl_map.loc[d_sorted].to_numpy(dtype=np.int64)
     rows.append(
         {
             **base,

@@ -50,7 +50,13 @@ IDF_CACHE_MAX_TERMS = 1_000_000
 def _cache_key(index_dir: str) -> tuple[str, float]:
     import os
 
-    return (index_dir, os.path.getmtime(f"{index_dir}/manifest.json"))
+    key = (index_dir, os.path.getmtime(f"{index_dir}/manifest.json"))
+    # evict superseded entries for the same index_dir (a rebuild bumps
+    # the mtime; old keys would otherwise accumulate forever)
+    for cache in (_MANIFEST_CACHE, _IDF_CACHE):
+        for stale in [k for k in cache if k[0] == index_dir and k != key]:
+            del cache[stale]
+    return key
 
 
 def _load_manifest(index_dir: str) -> IndexManifest:
@@ -202,10 +208,13 @@ def _score_bucket_fn(
                         theta = np.partition(partial, len(partial) - k)[
                             len(partial) - k
                         ]
-                        # strict >: an unseen doc reaching exactly rem
-                        # could still tie into top-k under the doc_id
-                        # tie-break
-                        if theta > rem:
+                        # margin > 1e-9: the final ranking compares
+                        # round(score, 9) with doc_id ASC tie-break, so
+                        # an unseen doc within 0.5e-9 of θ could round
+                        # to an equal key and win the tie-break —
+                        # pruning may only fire when dominance survives
+                        # the pinned rounding
+                        if theta > rem + 1e-9:
                             rest = ordered[i + 1 :]
                             break
 

@@ -22,12 +22,23 @@ from same_same_spark.text.tokenizer import STOPWORDS, tokens_col
 # standard  \w+|[^\w\s]  shape used by byte-pair pre-tokenization.
 BPE_PATTERN = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\t\n\f\r ]"
 
+# The whitespace class every operator here splits/trims on. Spark's
+# one-arg trim() strips ASCII space ONLY, while the DuckDB oracle twins
+# trim the full class — use ws_trim() so both engines agree on
+# whitespace-only / tab-padded text.
+WS_CHARS = " \t\n\f\r"
+
+
+def ws_trim(c: Column) -> Column:
+    """Trim the full ``[\\t\\n\\f\\r ]`` class (not just spaces)."""
+    return F.trim(c, F.lit(WS_CHARS))
+
 
 def ws_token_count_col(text: Column | str) -> Column:
     """Whitespace token count (``strings.Fields`` semantics: runs of
     whitespace separate, leading/trailing ignored)."""
     c = F.col(text) if isinstance(text, str) else text
-    trimmed = F.trim(c)
+    trimmed = ws_trim(c)
     return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
         F.size(F.split(trimmed, r"[\t\n\f\r ]+"))
     )
@@ -73,7 +84,7 @@ def quality_cols(text: Column | str) -> dict[str, Column]:
     c = F.col(text) if isinstance(text, str) else text
     n_chars = F.length(c)
     ws = ws_token_count_col(c).cast("double")
-    lower_words = F.split(F.trim(F.lower(c)), r"[\t\n\f\r ]+")
+    lower_words = F.split(ws_trim(F.lower(c)), r"[\t\n\f\r ]+")
     n_stop = F.size(F.filter(lower_words, lambda w: w.isin(*sorted(STOPWORDS))))
     n_punct = F.coalesce(
         F.regexp_count(c, F.lit(r"[^A-Za-z0-9\t\n\f\r ]")), F.lit(0)
@@ -152,7 +163,7 @@ LANG_MARKERS: dict[str, list[str]] = {
 def lang_id_col(text: Column | str) -> Column:
     """Heuristic language guess over lowercase whitespace words."""
     c = F.col(text) if isinstance(text, str) else text
-    words = F.split(F.trim(F.lower(c)), r"[\t\n\f\r ]+")
+    words = F.split(ws_trim(F.lower(c)), r"[\t\n\f\r ]+")
     n = F.greatest(F.size(words), F.lit(1)).cast("double")
     scores = {
         lang: F.size(F.filter(words, lambda w: w.isin(*markers))) / n

@@ -89,15 +89,35 @@ def stream_doc_ingest(
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         t0 = time.time()
-        tok = tokenized(batch_df, id_col=id_col, text_col=text_col)
-        postings = doc_term_freqs(tok).withColumn(
-            "bucket", bucket_col(F.col("doc_id"), num_buckets)
+        # Replay guard beyond the checkpoint: if compaction already
+        # archived this batch, rewriting it would let the NEXT compaction
+        # fold the same documents twice (double-counting N/df). A batch
+        # that compaction has consumed is final.
+        done = os.path.join(
+            index_dir, "_stage", "deltas_compacted", f"batch-{batch_id:06d}"
         )
+        if os.path.exists(done):
+            return
+        tok = tokenized(batch_df, id_col=id_col, text_col=text_col)
+        # One term=NULL row per document (tf=0) so compaction counts
+        # EVERY ingested doc toward N/avgdl — a doc whose text tokenizes
+        # to zero tokens emits no posting rows, and deriving doclens
+        # from postings alone would silently drop it, shifting every
+        # BM25 score vs a fresh build over the union corpus.
+        doc_rows = tok.select(
+            "doc_id",
+            F.lit(None).cast("string").alias("term"),
+            F.lit(0).cast("long").alias("tf"),
+            "dl",
+        )
+        postings = doc_rows.unionByName(
+            doc_term_freqs(tok).select("doc_id", "term", "tf", "dl")
+        ).withColumn("bucket", bucket_col(F.col("doc_id"), num_buckets))
         dst = os.path.join(deltas_dir, f"batch-{batch_id:06d}")
         postings.write.mode("overwrite").parquet(dst)
 
         written = batch_df.sparkSession.read.parquet(dst)
-        n_postings = written.count()
+        n_postings = written.filter(F.col("term").isNotNull()).count()
         n_docs = written.select("doc_id").distinct().count()
         wall = time.time() - t0
         record = {

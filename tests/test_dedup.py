@@ -126,3 +126,37 @@ def test_minhash_signature_matches_python_reference(spark):
     df = spark.createDataFrame([(1, text)], "doc_id LONG, text STRING")
     [row] = dedup.minhash_signatures(df, n_hashes=4).collect()
     assert [row[f"mh_{i}"] for i in range(4)] == expected
+
+
+def test_minhash_entry_recall_equals_exact_at_correctness_sf(spark):
+    """The dedup_minhash entry's oracle is exact Jaccard >= 0.9, and the
+    fixture contains natural pairs with 0.9 <= J < 1 — so the entry uses
+    rows=1 banding (bands = n_hashes) where a candidate needs only ONE
+    agreeing minhash (miss probability <= 0.1^16 at J >= 0.9). Pin the
+    guarantee: the entry's LSH output must equal the exact-Jaccard
+    pair set, values included."""
+    import os
+
+    import pytest
+
+    import __spark_entry__ as entry
+
+    sf_dir = "/root/testdata/sf0.01"
+    if not os.path.isdir(sf_dir):  # pragma: no cover
+        pytest.skip("driver testdata not present")
+    docs = entry._dup_docs(spark, sf_dir)
+    exact = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 6)
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.9).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 6)
+        for r in dedup.minhash_dedup_pairs(
+            docs, threshold=0.9, n_hashes=16, bands=16
+        ).collect()
+    }
+    assert exact, "fixture should contain near-dup pairs"
+    assert any(j != 1.0 for j in exact.values()), (
+        "fixture is expected to exercise natural 0.9 <= J < 1 pairs"
+    )
+    assert lsh == exact

@@ -80,11 +80,15 @@ def test_stream_doc_ingest_deltas_and_lineage(spark, tmp_path):
     )
     got = {
         (r["doc_id"], r["term"]): r["tf"]
-        for r in staged.collect()
+        for r in staged.filter(F.col("term").isNotNull()).collect()
     }
     assert got[(1, "alpha")] == 2
     assert got[(2, "delta")] == 1
     assert set(staged.columns) == {"doc_id", "term", "tf", "dl", "bucket"}
+    # one term=NULL doclen row per ingested doc (zero-token docs included)
+    doc_rows = staged.filter(F.col("term").isNull()).collect()
+    assert {r["doc_id"] for r in doc_rows} == {1, 2}
+    assert all(r["tf"] == 0 for r in doc_rows)
 
     lineage = os.listdir(os.path.join(idx, "_lineage_stream"))
     assert len(lineage) == len(deltas)
@@ -144,3 +148,48 @@ def test_stream_then_compact_equals_fresh_build(spark, tmp_path):
     # idempotent: nothing left to compact
     m2 = compact_deltas(spark, inc, log=lambda *_: None)
     assert m2.groups == m.groups
+
+
+def test_compact_counts_zero_token_delta_docs(spark, tmp_path):
+    """A streamed doc whose text tokenizes to zero tokens (all
+    stopwords) emits no postings but MUST still count toward N/avgdl —
+    post-compaction stats and scores must equal a fresh build over the
+    union corpus including that doc."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from same_same_spark.index.build import build_index, compact_deltas
+    from same_same_spark.index.query import search_batch
+
+    base = [(1, "alpha bravo charlie"), (2, "bravo delta echo alpha")]
+    delta = [(3, "the and of to is"), (4, "charlie foxtrot golf")]
+    base_df = spark.createDataFrame(base, "doc_id LONG, text STRING")
+    all_df = spark.createDataFrame(base + delta, "doc_id LONG, text STRING")
+
+    inc = str(tmp_path / "inc_idx")
+    build_index(base_df, inc, id_col="doc_id", text_col="text",
+                num_buckets=2, log=lambda *_: None)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    with open(os.path.join(src, "d.json"), "w") as f:
+        for did, text in delta:
+            f.write(_json.dumps({"doc_id": did, "content": text}) + "\n")
+    stream = spark.readStream.schema("doc_id LONG, content STRING").json(src)
+    q = stream_doc_ingest(stream, inc, checkpoint_dir=str(tmp_path / "ck"),
+                          num_buckets=2)
+    q.awaitTermination(120)
+    m = compact_deltas(spark, inc, log=lambda *_: None)
+
+    full = str(tmp_path / "full_idx")
+    fm = build_index(all_df, full, id_col="doc_id", text_col="text",
+                     num_buckets=2, log=lambda *_: None)
+    assert m.n_docs == fm.n_docs == 4
+    assert m.avgdl == pytest.approx(fm.avgdl)
+
+    got = search_batch(spark, inc, [(0, "alpha charlie")], k=10).collect()
+    want = search_batch(spark, full, [(0, "alpha charlie")], k=10).collect()
+    canon = lambda rs: sorted(
+        (r["rank"], r["doc_id"], round(r["score"], 9)) for r in rs
+    )
+    assert canon(got) == canon(want)
