@@ -63,7 +63,17 @@ from same_same_spark.text.tokenizer import (
     STRIP_PATTERN,
 )
 
-LAYOUT_VERSION = 3  # v3: per-block doc codec tag (varint | FOR bit-pack)
+# v3: per-block doc codec tag (varint | FOR bit-pack)
+# v4: posting lists store POSITIONS into the (bucket, group)'s sorted
+#     doc-id array instead of raw xxhash64 ids — deltas shrink from
+#     ~2^43 to ~n_bucket_docs/df so FOR bit-packing fires on nearly
+#     every block (~0.6 B/doc measured vs ~7 B/doc raw), and the
+#     scorer's dl lookup becomes direct indexing instead of a
+#     searchsorted per posting. Each shard row carries `grp` (the shard
+#     group that owns its position space); the per-(bucket, group)
+#     doclens row still stores raw sorted ids — n_docs entries total vs
+#     ~30x more postings.
+LAYOUT_VERSION = 4
 TOKENIZER_VERSION = "x1-v1"
 
 SHARD_SCHEMA = (
@@ -175,6 +185,9 @@ def _encode_one_bucket(bucket: int, ids, texts) -> tuple[list[dict], int]:
             "input_bytes": input_bytes,
         }
     )
+    # layout v4: postings index into the sorted doc array above
+    pos_of = np.empty(len(ids), dtype=np.int64)
+    pos_of[order] = np.arange(len(ids), dtype=np.int64)
 
     if len(rowidx):
         dct = pc.dictionary_encode(flat)
@@ -188,7 +201,7 @@ def _encode_one_bucket(bucket: int, ids, texts) -> tuple[list[dict], int]:
         rank[sort_order] = np.arange(len(uniq))
         codes = rank[codes]
         uniq = uniq[sort_order]
-        doc_rep = ids[rowidx]
+        doc_rep = pos_of[rowidx]
         dl_rep = dl[rowidx]
         order2 = np.lexsort((doc_rep, codes))
         c = codes[order2]
@@ -307,10 +320,12 @@ def _encode_delta_bucket_rows(pdf) -> list[dict]:
         }
     )
 
+    # layout v4: postings index into this group's sorted doc array
+    positions = np.searchsorted(d_sorted, doc_ids)
     uniq, starts = np.unique(terms, return_index=True)
     ends = np.append(starts[1:], len(terms))
     for t, s, e in zip(uniq, starts, ends):
-        row = codec.encode_posting_list(doc_ids[s:e], tfs[s:e], dls[s:e])
+        row = codec.encode_posting_list(positions[s:e], tfs[s:e], dls[s:e])
         rows.append({**base, "bucket": bucket, "kind": "p", "term": t, **row})
     return rows
 
@@ -355,6 +370,7 @@ def compact_deltas(spark, index_dir: str, log=print) -> IndexManifest:
         staged.repartition(manifest.num_buckets, "bucket")
         .groupBy("bucket")
         .applyInPandas(encode, SHARD_SCHEMA)
+        .withColumn("grp", F.lit(len(manifest.groups)).cast("int"))
     )
     tmp = dst + ".tmp"
     enc.write.mode("overwrite").parquet(tmp)
@@ -502,7 +518,7 @@ def build_index(
         )
         enc = part.repartition(len(buckets), "bucket").mapInArrow(
             _encode_partition_fn(id_col, text_col), SHARD_SCHEMA
-        )
+        ).withColumn("grp", F.lit(gi).cast("int"))
         tmp = dst + ".tmp"
         enc.write.mode("overwrite").parquet(tmp)
         os.makedirs(os.path.dirname(dst), exist_ok=True)

@@ -10,11 +10,12 @@ lists of its own terms:
    files are term-sorted within buckets, so row-group stats prune most of
    the index; bucket sharding means each matched term contributes one
    small list per bucket,
-4. cogrouped ``applyInPandas`` per bucket: decode blocks (numpy varint),
-   look up doc lengths (one ``searchsorted``), accumulate per-query
-   scores via ``np.unique`` + ``bincount``, and emit the *bucket-local*
-   top-k (safe: the global top-k is a subset of the union of local
-   top-ks under the same total order),
+4. cogrouped ``applyInPandas`` per bucket: decode blocks (numpy
+   varint/FOR; layout v4 postings are positions into the group's sorted
+   doc array, so doc ids AND doc lengths resolve by direct indexing),
+   accumulate per-query scores via ``np.unique`` + ``bincount``, and
+   emit the *bucket-local* top-k (safe: the global top-k is a subset of
+   the union of local top-ks under the same total order),
 5. global ``row_number`` window (``TakeOrderedAndProject``-class) picks
    the final k under the pinned order (round(score, 9) DESC, doc_id ASC).
 
@@ -128,23 +129,18 @@ def _score_bucket_fn(
         if postings_pdf.empty or doclens_pdf.empty:
             return empty
 
-        # decode the bucket's doc-length map once
-        dl_docs_parts, dl_vals_parts = [], []
+        # layout v4: each shard group owns its own position space — one
+        # (sorted doc ids, doc lengths) pair per group in this bucket
+        groups: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         for _, row in doclens_pdf.iterrows():
-            dl_docs_parts.append(
-                codec.decode_doc_ids(bytes(row["doc_bytes"]), row["n_docs"])
+            groups[int(row["grp"])] = (
+                codec.decode_doc_ids(bytes(row["doc_bytes"]), row["n_docs"]),
+                codec.varint_decode(
+                    bytes(row["dl_bytes"]), row["n_docs"]
+                ).astype(np.int64),
             )
-            dl_vals_parts.append(
-                codec.varint_decode(bytes(row["dl_bytes"]), row["n_docs"])
-            )
-        dl_docs = np.concatenate(dl_docs_parts)
-        dl_vals = np.concatenate(dl_vals_parts).astype(np.int64)
-        if len(dl_docs_parts) > 1:
-            order = np.argsort(dl_docs, kind="stable")
-            dl_docs, dl_vals = dl_docs[order], dl_vals[order]
 
-        def weigh(d: np.ndarray, t: np.ndarray, idf: float) -> np.ndarray:
-            dl = dl_vals[np.searchsorted(dl_docs, d)]
+        def weigh(t: np.ndarray, dl: np.ndarray, idf: float) -> np.ndarray:
             return idf * codec.bm25_wtf(t, dl, avgdl, k1, b)
 
         # a term may have multiple rows per bucket (one per shard group —
@@ -152,16 +148,23 @@ def _score_bucket_fn(
         rows_by_term: dict[str, list] = {}
         for _, row in postings_pdf.iterrows():
             rows_by_term.setdefault(row["term"], []).append(row)
-        full_cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        full_cache: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+
+        def decode_row_full(r):
+            """One posting row → (doc_ids, tfs, dls); positions resolve
+            to real ids and doc lengths by DIRECT indexing into the
+            row's group arrays (no searchsorted per posting)."""
+            pos, t = codec.decode_posting_list(r)
+            ids_g, dls_g = groups[int(r["grp"])]
+            return ids_g[pos], t, dls_g[pos]
 
         def decode_full(term):
             if term not in full_cache:
-                parts = [
-                    codec.decode_posting_list(r) for r in rows_by_term[term]
-                ]
+                parts = [decode_row_full(r) for r in rows_by_term[term]]
                 full_cache[term] = (
                     np.concatenate([p[0] for p in parts]),
                     np.concatenate([p[1] for p in parts]),
+                    np.concatenate([p[2] for p in parts]),
                 )
             return full_cache[term]
 
@@ -195,9 +198,9 @@ def _score_bucket_fn(
             rest: list[str] = []
             rem = sum(ubs[t] for t in ordered)
             for i, term in enumerate(ordered):
-                d, t = decode_full(term)
+                d, t, dl = decode_full(term)
                 id_parts.append(d)
-                w_parts.append(weigh(d, t, term_idf[term]))
+                w_parts.append(weigh(t, dl, term_idf[term]))
                 rem -= ubs[term]
                 if prune and rem > 0 and i + 1 < len(ordered):
                     ids = np.concatenate(id_parts)
@@ -222,40 +225,69 @@ def _score_bucket_fn(
                 # candidates = docs seen in essential terms; all others
                 # can score at most `rem` < θ
                 cand = np.unique(np.concatenate(id_parts))
+                # candidate POSITIONS per group (block fences are in
+                # position space under layout v4) — one searchsorted
+                # per (group, rest-term set), not per posting
+                cand_pos_by_grp: dict[int, np.ndarray] = {}
+
+                def cand_positions(g: int) -> np.ndarray:
+                    if g not in cand_pos_by_grp:
+                        ids_g = groups[g][0]
+                        cp = np.searchsorted(ids_g, cand)
+                        valid = cp < len(ids_g)
+                        cp = cp[valid]
+                        cp = cp[ids_g[cp] == cand[valid]]
+                        cand_pos_by_grp[g] = cp
+                    return cand_pos_by_grp[g]
+
                 for term in rest:
                     if term in full_cache:
-                        d, t = full_cache[term]
+                        d, t, dl = full_cache[term]
+                        pos = np.searchsorted(cand, d)
+                        pos[pos >= len(cand)] = len(cand) - 1
+                        member = cand[pos] == d
+                        d, t, dl = d[member], t[member], dl[member]
                     else:
-                        dparts, tparts = [], []
+                        dparts, tparts, dlparts = [], [], []
                         for row in rows_by_term[term]:
+                            g = int(row["grp"])
+                            cpos = cand_positions(g)
+                            if len(cpos) == 0:
+                                continue
                             lasts = np.asarray(
                                 row["block_last_doc"], dtype=np.int64
                             )
                             prevs = np.empty_like(lasts)
                             prevs[0] = np.iinfo(np.int64).min
                             prevs[1:] = lasts[:-1]
-                            hi = np.searchsorted(cand, lasts, side="right")
-                            lo = np.searchsorted(cand, prevs, side="right")
+                            hi = np.searchsorted(cpos, lasts, side="right")
+                            lo = np.searchsorted(cpos, prevs, side="right")
                             keep = hi > lo
-                            dd, tt = codec.decode_blocks(
+                            pp, tt = codec.decode_blocks(
                                 bytes(row["doc_bytes"]),
                                 bytes(row["tf_bytes"]),
                                 row["n"], row["block_off_doc"],
                                 row["block_off_tf"], lasts, keep,
                             )
-                            dparts.append(dd)
-                            tparts.append(tt)
+                            if len(pp) == 0:
+                                continue
+                            k_ = np.searchsorted(cpos, pp)
+                            k_[k_ >= len(cpos)] = len(cpos) - 1
+                            member = cpos[k_] == pp
+                            pp, tt = pp[member], tt[member]
+                            if len(pp):
+                                ids_g, dls_g = groups[g]
+                                dparts.append(ids_g[pp])
+                                tparts.append(tt)
+                                dlparts.append(dls_g[pp])
+                        if not dparts:
+                            continue
                         d = np.concatenate(dparts)
                         t = np.concatenate(tparts)
-                    if len(d) == 0:
-                        continue
-                    pos = np.searchsorted(cand, d)
-                    pos[pos >= len(cand)] = len(cand) - 1
-                    member = cand[pos] == d
-                    d, t = d[member], t[member]
+                        dl = np.concatenate(dlparts)
                     if len(d):
                         id_parts.append(d)
-                        w_parts.append(weigh(d, t, term_idf[term]))
+                        w_parts.append(weigh(t, dl, term_idf[term]))
 
             ids = np.concatenate(id_parts)
             ws = np.concatenate(w_parts)
@@ -334,7 +366,7 @@ def search_batch(
         spark.read.parquet(*shard_paths)
         .filter((F.col("kind") == "p") & F.col("term").isin(list(term_qids)))
         .select(
-            "bucket", "term", "n", "doc_bytes", "tf_bytes",
+            "bucket", "grp", "term", "n", "doc_bytes", "tf_bytes",
             "block_off_doc", "block_off_tf", "block_last_doc",
             "block_max_tf", "block_min_dl",
         )
@@ -344,6 +376,7 @@ def search_batch(
         .filter(F.col("kind") == "d")
         .select(
             "bucket",
+            "grp",
             F.col("n").alias("n_docs"),
             "doc_bytes",
             F.col("tf_bytes").alias("dl_bytes"),
