@@ -924,6 +924,60 @@ FROM r WHERE rank <= 5
 """
 
 
+def _ann_store_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per content fingerprint) the persisted ANN store for
+    the sf_dir's embeddings, with deterministic label-mean centroids so
+    the DuckDB oracles reproduce them exactly."""
+    import hashlib
+    import os
+    import tempfile
+
+    from same_same_spark.pipeline import ann_store
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f"{src}|{st.st_size}|{st.st_mtime_ns}|v1".encode()
+    ).hexdigest()[:10]
+    out = f"{tempfile.gettempdir()}/ss_entry_ann_{tag}"
+    if not os.path.exists(os.path.join(out, "manifest.json")):
+        emb = _emb(spark, sf_dir)
+        ann_store.build_ann_index(
+            emb, out, n_planes=8, centroids=ann_ops.centroids_by_label(emb)
+        )
+    return out
+
+
+def _q_ann_lsh_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH probe against the PERSISTED store (partition-pruned read) —
+    result-identical to the query-time path, so it shares its oracle."""
+    from same_same_spark.pipeline import ann_store
+
+    out = ann_store.lsh_topk_persisted(
+        spark,
+        _ann_store_dir(spark, sf_dir),
+        _ann_queries(spark, sf_dir),
+        k=5,
+        max_hamming=1,
+    )
+    return _round6(out, "score")
+
+
+def _q_ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe against the PERSISTED store (partition-pruned read) —
+    result-identical to the query-time path, so it shares its oracle."""
+    from same_same_spark.pipeline import ann_store
+
+    out = ann_store.ivf_topk_persisted(
+        spark,
+        _ann_store_dir(spark, sf_dir),
+        _ann_queries(spark, sf_dir),
+        k=5,
+        nprobe=3,
+    )
+    return _round6(out, "score")
+
+
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID per document."""
     return _docs(spark, sf_dir).select(
@@ -1070,6 +1124,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "ann_brute_topk": (_q_ann_brute, _SQL_ANN_BRUTE),
     "ann_ivf_topk": (_q_ann_ivf, _SQL_ANN_IVF),
     "ann_lsh_topk": (_q_ann_lsh, _SQL_ANN_LSH),
+    "ann_lsh_persisted": (_q_ann_lsh_persisted, _SQL_ANN_LSH),
+    "ann_ivf_persisted": (_q_ann_ivf_persisted, _SQL_ANN_IVF),
     "lang_id": (_q_lang_id, _SQL_LANG_ID),
     "quality_scores": (_q_quality, _sql_quality()),
     "token_counts": (_q_token_counts, _sql_token_counts()),

@@ -7,7 +7,11 @@ DataFrame-first:
 - :mod:`~same_same_spark.pipeline.dedup` — exact, MinHash+LSH, n-gram
   Jaccard, SimHash, embedding-cosine near-dup,
 - :mod:`~same_same_spark.pipeline.ann` — similarity search
-  (brute-force cosine top-k baseline, LSH / IVF scale paths),
+  (brute-force cosine top-k baseline, LSH / IVF query-time paths),
+- :mod:`~same_same_spark.pipeline.ann_store` — the persisted scale
+  path: sig/centroid assignments precomputed at ingest into
+  partitioned parquet, probes are partition-pruned reads; MLlib
+  KMeans centroids,
 - :mod:`~same_same_spark.pipeline.textqc` — language id, quality
   scoring, token counting, winnowing fingerprints,
 - :mod:`~same_same_spark.pipeline.multimodal` — binary-column

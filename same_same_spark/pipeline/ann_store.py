@@ -1,0 +1,258 @@
+"""Persisted ANN index: precomputed LSH/IVF structures, pruned probes.
+
+The query-time-only paths in :mod:`same_same_spark.pipeline.ann`
+recompute signatures / centroid assignments over the full vector table
+per batch — fine as correctness baselines, a full scan at 100 TB. This
+module is the scale path the reference lacks entirely (its search is an
+O(n) scan per query, ``internal/storage/search/search.go:16-29``):
+
+- :func:`build_ann_index` computes each vector's sign signature and
+  nearest-centroid assignment ONCE at ingest and writes two parquet
+  tables **partitioned by** ``sig`` / ``centroid_id``;
+- :func:`lsh_topk_persisted` / :func:`ivf_topk_persisted` answer a
+  query batch by reading ONLY the partitions the query probes —
+  Spark's partition pruning turns the probe into a handful of
+  directory reads (asserted in ``tests/test_plans.py``), so query cost
+  scales with cell size, not corpus size.
+
+Centroids come from MLlib KMeans (:func:`kmeans_centroids`, seeded) by
+default; any ``(centroid_id, vector)`` list can be supplied instead —
+the oracle-checked entries feed deterministic per-label means so the
+DuckDB twin can reproduce them exactly, while KMeans quality is
+asserted separately via recall-vs-brute in ``tests/test_ann.py``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from same_same_spark.operators.vector import cosine_col
+from same_same_spark.pipeline.ann import (
+    _ranked,
+    _signature_py,
+    assign_centroids,
+    signature_col,
+)
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    n_centroids: int = 16,
+    embedding_col: str = "embedding",
+    seed: int = 13,
+    max_iter: int = 20,
+) -> list[tuple[int, list[float]]]:
+    """Seeded MLlib KMeans centers over the embedding column.
+
+    Replaces the per-label-mean stand-in for real corpora (no labels);
+    k-means|| init + Lloyd iterations, all distributed. Returns the
+    same ``(centroid_id, vector)`` shape every IVF function accepts.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = df.select(
+        array_to_vector(
+            F.col(embedding_col).cast("array<double>")
+        ).alias("features")
+    )
+    model = KMeans(
+        k=n_centroids, seed=seed, maxIter=max_iter, featuresCol="features"
+    ).fit(feat)
+    return [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+
+
+def build_ann_index(
+    df: DataFrame,
+    out_dir: str,
+    id_col: str = "vec_id",
+    embedding_col: str = "embedding",
+    n_planes: int = 8,
+    centroids: list[tuple[int, list[float]]] | None = None,
+    n_centroids: int = 16,
+    seed: int = 13,
+) -> dict:
+    """Persist LSH + IVF structures for the vector table.
+
+    Layout::
+
+        <out>/lsh/sig=<S>/...          (vec_id, emb)   partitioned
+        <out>/ivf/centroid_id=<C>/...  (vec_id, emb)   partitioned
+        <out>/centroids/               (centroid_id, cvec)
+        <out>/manifest.json
+
+    One pass computes signatures (pure column math) and one
+    broadcast-join pass assigns centroids; both writes are partitioned
+    so probes prune. At 100 TB the partition count is n_planes-bounded
+    (2^8 = 256 LSH cells) / n_centroids-bounded — each cell is a
+    splittable parquet directory, never a single hot file.
+    """
+    spark = df.sparkSession
+    e = df.select(
+        F.col(id_col),
+        F.col(embedding_col).cast("array<double>").alias("emb"),
+    )
+    if centroids is None:
+        centroids = kmeans_centroids(
+            e, n_centroids=n_centroids, embedding_col="emb", seed=seed
+        )
+
+    lsh = e.withColumn("sig", signature_col(F.col("emb"), n_planes))
+    lsh.write.mode("overwrite").partitionBy("sig").parquet(f"{out_dir}/lsh")
+
+    assigned = assign_centroids(e, centroids, id_col=id_col, embedding_col="emb")
+    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(
+        f"{out_dir}/ivf"
+    )
+
+    cdf = spark.createDataFrame(
+        [(cid, [float(x) for x in vec]) for cid, vec in centroids],
+        "centroid_id INT, cvec ARRAY<DOUBLE>",
+    )
+    cdf.coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/centroids")
+
+    manifest = {
+        "n_planes": n_planes,
+        "n_centroids": len(centroids),
+        "n_vectors": e.count(),
+        "id_col": id_col,
+    }
+    tmp = os.path.join(out_dir, "manifest.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=2)
+    os.replace(tmp, os.path.join(out_dir, "manifest.json"))
+    return manifest
+
+
+def _load_manifest(ann_dir: str) -> dict:
+    with open(os.path.join(ann_dir, "manifest.json")) as f:
+        return json.load(f)
+
+
+def _query_frame(
+    spark: SparkSession, queries: list[tuple[int, list[float]]]
+) -> DataFrame:
+    return spark.createDataFrame(
+        [(qid, [float(x) for x in vec]) for qid, vec in queries],
+        "query_id INT, qvec ARRAY<DOUBLE>",
+    )
+
+
+def _hamming_ball(sig: int, n_planes: int, radius: int) -> list[int]:
+    """All signatures within hamming ≤ radius of ``sig`` (small: the
+    probe set for r=1 over 8 planes is 9 of 256 cells)."""
+    out = {sig}
+    frontier = {sig}
+    for _ in range(radius):
+        frontier = {
+            s ^ (1 << p) for s in frontier for p in range(n_planes)
+        }
+        out |= frontier
+    return sorted(out)
+
+
+def lsh_topk_persisted(
+    spark: SparkSession,
+    ann_dir: str,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    max_hamming: int = 1,
+) -> DataFrame:
+    """LSH probe against the persisted index — a partition-pruned read.
+
+    Per query: signature driver-side (tiny), probe cells = hamming ball
+    around it; the parquet scan reads ONLY those ``sig=`` partitions.
+    Result is identical to :func:`ann.lsh_topk` over the same vectors.
+    """
+    m = _load_manifest(ann_dir)
+    n_planes, id_col = m["n_planes"], m["id_col"]
+    qsigs = {qid: _signature_py(vec, n_planes) for qid, vec in queries}
+    probe_cells = sorted(
+        {
+            s
+            for qsig in qsigs.values()
+            for s in _hamming_ball(qsig, n_planes, max_hamming)
+        }
+    )
+    # (query_id, sig) probe pairs — the join re-applies the per-query
+    # hamming constraint inside the pruned read
+    probe_pairs = [
+        (qid, s)
+        for qid, qsig in qsigs.items()
+        for s in _hamming_ball(qsig, n_planes, max_hamming)
+    ]
+    probes = spark.createDataFrame(probe_pairs, "query_id INT, sig BIGINT")
+
+    vectors = spark.read.parquet(f"{ann_dir}/lsh").filter(
+        F.col("sig").isin(probe_cells)  # partition pruning
+    )
+    scored = (
+        vectors.join(F.broadcast(probes), "sig")
+        .join(F.broadcast(_query_frame(spark, queries)), "query_id")
+        .filter(F.size("emb") == F.size("qvec"))
+        .select(
+            "query_id",
+            id_col,
+            cosine_col(F.col("emb"), F.col("qvec")).alias("score"),
+        )
+    )
+    return _ranked(scored, k, id_col)
+
+
+def ivf_topk_persisted(
+    spark: SparkSession,
+    ann_dir: str,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    nprobe: int = 3,
+) -> DataFrame:
+    """IVF probe against the persisted index — a partition-pruned read.
+
+    Query→centroid sims are computed driver-side over the tiny centroid
+    table; the vector scan reads only the probed ``centroid_id=``
+    partitions. Identical to :func:`ann.ivf_topk` with the same
+    centroids.
+    """
+    m = _load_manifest(ann_dir)
+    id_col = m["id_col"]
+    cents = [
+        (int(r["centroid_id"]), list(r["cvec"]))
+        for r in spark.read.parquet(f"{ann_dir}/centroids").collect()
+    ]
+
+    probe_pairs: list[tuple[int, int]] = []
+    for qid, qvec in queries:
+        q = np.asarray(qvec, dtype=np.float64)
+        qn = np.linalg.norm(q)
+        sims = []
+        for cid, cvec in cents:
+            c = np.asarray(cvec, dtype=np.float64)
+            denom = qn * np.linalg.norm(c)
+            sims.append(
+                (round(float(q @ c / denom) if denom else 0.0, 9), -cid)
+            )
+        sims.sort(reverse=True)
+        probe_pairs.extend((qid, -negcid) for _, negcid in sims[:nprobe])
+    probes = spark.createDataFrame(probe_pairs, "query_id INT, centroid_id INT")
+
+    vectors = spark.read.parquet(f"{ann_dir}/ivf").filter(
+        F.col("centroid_id").isin(sorted({c for _, c in probe_pairs}))
+    )
+    scored = (
+        vectors.join(F.broadcast(probes), "centroid_id")
+        .join(F.broadcast(_query_frame(spark, queries)), "query_id")
+        .filter(F.size("emb") == F.size("qvec"))
+        .select(
+            "query_id",
+            id_col,
+            cosine_col(F.col("emb"), F.col("qvec")).alias("score"),
+        )
+    )
+    return _ranked(scored, k, id_col)

@@ -94,3 +94,92 @@ def test_ivf_partial_probe_subset(spark, emb):
     part = ann.ivf_topk(emb, queries, cents, k=5, nprobe=2).collect()
     assert 0 < len(part) <= 5
     assert {r["vec_id"] for r in part} <= full
+
+
+# ---------------------------------------------------------------------------
+# persisted ANN store (pipeline.ann_store)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ann_dir(spark, emb, tmp_path_factory):
+    from same_same_spark.pipeline import ann_store
+
+    out = str(tmp_path_factory.mktemp("ann") / "store")
+    ann_store.build_ann_index(
+        emb, out, n_planes=8, centroids=ann.centroids_by_label(emb)
+    )
+    return out
+
+
+def test_persisted_lsh_equals_querytime(spark, emb, ann_dir):
+    from same_same_spark.pipeline import ann_store
+
+    queries = _qvecs(emb)
+
+    def key(rows):
+        return sorted(
+            (r["query_id"], r["vec_id"], round(r["score"], 9), r["rank"])
+            for r in rows
+        )
+
+    got = ann_store.lsh_topk_persisted(
+        spark, ann_dir, queries, k=10, max_hamming=1
+    ).collect()
+    want = ann.lsh_topk(emb, queries, k=10, n_planes=8, max_hamming=1).collect()
+    assert key(got) == key(want)
+
+
+def test_persisted_ivf_equals_querytime(spark, emb, ann_dir):
+    from same_same_spark.pipeline import ann_store
+
+    queries = _qvecs(emb)
+    cents = ann.centroids_by_label(emb)
+
+    def key(rows):
+        return sorted(
+            (r["query_id"], r["vec_id"], round(r["score"], 9), r["rank"])
+            for r in rows
+        )
+
+    got = ann_store.ivf_topk_persisted(
+        spark, ann_dir, queries, k=5, nprobe=3
+    ).collect()
+    want = ann.ivf_topk(emb, queries, cents, k=5, nprobe=3).collect()
+    assert key(got) == key(want)
+
+
+def test_persisted_probe_is_partition_pruned(spark, emb, ann_dir):
+    """The probe scan must read only the probed sig= partitions —
+    partition pruning is the whole point of persisting the structure."""
+    queries = _qvecs(emb)
+    from same_same_spark.pipeline import ann_store
+
+    df = ann_store.lsh_topk_persisted(spark, ann_dir, queries, k=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    # the sig filter must appear inside PartitionFilters, not (only) as
+    # a post-scan row filter
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "sig" in m.group(1)
+
+
+def test_kmeans_centroids_and_ivf_recall(spark, emb, tmp_path):
+    """MLlib KMeans centers drive IVF: shape sanity + recall@5 vs the
+    exact brute-force baseline over all 500 vectors."""
+    from same_same_spark.pipeline import ann_store
+
+    cents = ann_store.kmeans_centroids(emb, n_centroids=8, seed=13)
+    assert len(cents) == 8
+    assert all(len(v) == 64 and np.isfinite(v).all() for _, v in cents)
+
+    queries = _qvecs(emb, ids=(0, 1, 2, 3, 4))
+    brute = ann.brute_topk(emb, queries, k=5).collect()
+    ivf = ann.ivf_topk(emb, queries, cents, k=5, nprobe=3).collect()
+    top = lambda rows: {(r["query_id"], r["vec_id"]) for r in rows}
+    inter = top(ivf) & top(brute)
+    recall = len(inter) / len(top(brute))
+    # nprobe=3 of 8 cells: expect high recall on clustered synthetic data
+    assert recall >= 0.6, f"recall@5 {recall:.2f}"
