@@ -448,31 +448,33 @@ def _q_temporal_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.9 temporal search: BM25 top-40 → strong decay vs ref time →
     re-ranked top-10 with base/decay breakdown (TemporalSearchResult
     shape, models/temporal.go:141-148). created_at synthesized
-    deterministically from doc_id."""
+    deterministically from doc_id. The BM25 base rides the compressed
+    INDEX path (rank- and score-identical to the naive scorer); the
+    re-rank is TakeOrderedAndProject + a ≤k-row rank window — no
+    unpartitioned-window stage anywhere."""
+    from same_same_spark.index.query import search_batch
+    from same_same_spark.operators.hybrid import rank_topk
+    from same_same_spark.operators.temporal import decay_factor_col
+
     docs = _docs(spark, sf_dir).withColumn(
         "created_at",
         F.to_timestamp(F.lit("2020-01-01 00:00:00"))
         + F.make_interval(days=F.col("doc_id") % 1000),
     )
-    base = score_queries(
-        docs, [(0, "table query join")], k=40, id_col="doc_id",
-        text_col="text",
+    base = search_batch(
+        spark, _entry_index_dir(spark, sf_dir),
+        [(0, "table query join")], k=40,
     ).drop("query_id", "rank")
     ref = F.to_timestamp(F.lit(_REF_TIME))
     joined = base.withColumnRenamed("score", "base_score").join(
         docs.select("doc_id", "created_at"), "doc_id"
     )
     lam = DECAY_LAMBDAS["strong"]
-    from same_same_spark.operators.temporal import decay_factor_col
-
     scored = joined.withColumn(
         "decay_factor", decay_factor_col(F.col("created_at"), ref, lam)
     ).withColumn("score", F.col("base_score") * F.col("decay_factor"))
-    w = Window.orderBy(F.desc(F.round(F.col("score"), 9)), F.asc("doc_id"))
-    out = (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
-        .select("doc_id", "score", "base_score", "decay_factor", "rank")
+    out = rank_topk(scored, 10).select(
+        "doc_id", "score", "base_score", "decay_factor", "rank"
     )
     return _round6(out, "score", "base_score", "decay_factor").withColumn(
         "rank", F.col("rank").cast("int")
@@ -517,10 +519,9 @@ FROM ranked WHERE rank <= 10
 )
 
 
-def _q_index_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The production read path: compressed-index BM25 with block-max
-    pruning — rank- and score-identical to the naive scorer, so it
-    shares bm25_topk's oracle."""
+def _entry_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per content fingerprint) the compressed index for
+    the sf_dir's documents; shared by every index-path entry."""
     import hashlib
     import os
     import tempfile
@@ -530,7 +531,6 @@ def _q_index_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         TOKENIZER_VERSION,
         build_index,
     )
-    from same_same_spark.index.query import search_batch
 
     # content fingerprint: regenerated parquet at the same sf_dir must
     # not be served a stale cached index
@@ -551,7 +551,82 @@ def _q_index_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs(spark, sf_dir), idx_dir, id_col="doc_id", text_col="text",
         num_buckets=8, log=lambda *_: None,
     )
-    out = search_batch(spark, idx_dir, REF_QUERIES, k=REF_K)
+    return idx_dir
+
+
+def _q_search_by_text_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.1 SearchByText routed through the API's attached index
+    (unfiltered → compressed-index path; rank/score-identical to the
+    naive scorer, so the oracle is plain full-corpus BM25)."""
+    from same_same_spark.api import SameSameSpark
+
+    api = SameSameSpark(
+        _docs(spark, sf_dir), id_col="doc_id", text_col="text",
+        index_dir=_entry_index_dir(spark, sf_dir),
+    )
+    out = api.search_by_text("vector table", k=5)
+    return _round6(out, "score").withColumn("rank", F.col("rank").cast("int"))
+
+
+_SQL_SEARCH_BY_TEXT_INDEXED = (
+    "SELECT doc_id, score, rank::INTEGER AS rank FROM ("
+    + duckdb_bm25_sql(
+        "documents", "doc_id", "text", [(0, "vector table")], k=5,
+    )
+    + ")"
+)
+
+
+def _q_hybrid_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 hybrid blend over the API's index path (no filters → every
+    doc's metadata score is 1.0; blend re-ranks the index's top-4k BM25
+    candidates — exact under the monotone affine blend)."""
+    from same_same_spark.api import SameSameSpark
+
+    api = SameSameSpark(
+        _docs(spark, sf_dir), id_col="doc_id", text_col="text",
+        index_dir=_entry_index_dir(spark, sf_dir),
+    )
+    out = api.advanced_search(
+        "table query join", k=10, hybrid=HybridWeight(vector=0.7, metadata=0.3)
+    )
+    return _round6(out, "score").withColumn("rank", F.col("rank").cast("int"))
+
+
+_SQL_HYBRID_SEARCH_INDEXED = (
+    """
+WITH base AS (
+"""
+    + duckdb_bm25_sql(
+        "documents", "doc_id", "text", [(0, "table query join")],
+        k=40, round_score=None,
+    )
+    + """
+),
+blended AS (
+  SELECT doc_id, 0.7 * score + 0.3 AS score FROM base
+),
+r AS (
+  SELECT doc_id, score,
+         row_number() OVER (
+           ORDER BY round(score, 9) DESC, doc_id ASC
+         )::INTEGER AS rank
+  FROM blended
+)
+SELECT doc_id, round(score, 6) AS score, rank FROM r WHERE rank <= 10
+"""
+)
+
+
+def _q_index_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production read path: compressed-index BM25 with block-max
+    pruning — rank- and score-identical to the naive scorer, so it
+    shares bm25_topk's oracle."""
+    from same_same_spark.index.query import search_batch
+
+    out = search_batch(
+        spark, _entry_index_dir(spark, sf_dir), REF_QUERIES, k=REF_K
+    )
     return _round6(out, "score").withColumn("rank", F.col("rank").cast("int"))
 
 
@@ -1105,6 +1180,14 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "events_hourly": (_q_events_hourly, _SQL_EVENTS_HOURLY),
     "index_bm25_topk": (_q_index_bm25_topk, _SQL_BM25_TOPK),
     "search_by_text": (_q_search_by_text, _SQL_SEARCH_BY_TEXT),
+    "search_by_text_indexed": (
+        _q_search_by_text_indexed,
+        _SQL_SEARCH_BY_TEXT_INDEXED,
+    ),
+    "hybrid_search_indexed": (
+        _q_hybrid_search_indexed,
+        _SQL_HYBRID_SEARCH_INDEXED,
+    ),
     "temporal_search": (_q_temporal_search, _SQL_TEMPORAL_SEARCH),
     "tags_split": (
         _q_tags_split,

@@ -18,7 +18,11 @@ from pyspark.sql import functions as F
 
 from same_same_spark.bm25 import score_queries
 from same_same_spark.operators.filters import compile_filters, matches_metadata
-from same_same_spark.operators.hybrid import HybridWeight, advanced_search
+from same_same_spark.operators.hybrid import (
+    HybridWeight,
+    advanced_search,
+    rank_topk,
+)
 from same_same_spark.operators.temporal import (
     DECAY_LAMBDAS,
     apply_decay_col,
@@ -38,10 +42,25 @@ class SameSameSpark:
     ``updated_at`` timestamps.
     """
 
-    def __init__(self, docs: DataFrame, id_col: str = "id", text_col: str = "text"):
+    def __init__(
+        self,
+        docs: DataFrame,
+        id_col: str = "id",
+        text_col: str = "text",
+        index_dir: str | None = None,
+    ):
+        """``index_dir`` (optional): a built
+        :mod:`same_same_spark.index` for this corpus. When set,
+        unfiltered retrieval routes through the compressed-index path
+        (pushed-down posting reads + bucket-local top-k) instead of
+        re-scoring the corpus; filtered searches keep the naive path
+        because the reference computes corpus stats over the *filtered*
+        corpus (filter-then-score), which an unfiltered index cannot
+        reproduce."""
         self.docs = docs
         self.id_col = id_col
         self.text_col = text_col
+        self.index_dir = index_dir
 
     # ---- CRUD-ish -----------------------------------------------------
 
@@ -77,6 +96,18 @@ class SameSameSpark:
 
     # ---- retrieval ----------------------------------------------------
 
+    def _index_topk(self, text: str, k: int) -> DataFrame:
+        """BM25 top-k via the compressed index (production read path)."""
+        from same_same_spark.index.query import search_batch
+
+        return (
+            search_batch(
+                self.docs.sparkSession, self.index_dir, [(0, text)], k=k
+            )
+            .drop("query_id")
+            .withColumnRenamed("doc_id", self.id_col)
+        )
+
     def search_by_text(
         self,
         text: str,
@@ -84,11 +115,14 @@ class SameSameSpark:
         metadata_eq: dict[str, str] | None = None,
     ) -> DataFrame:
         """The flagship read path (SURVEY §3.1): BM25 top-k with the
-        legacy F1 exact-equality metadata pre-filter."""
+        legacy F1 exact-equality metadata pre-filter. Unfiltered calls
+        ride the index when one is attached."""
+        k = k if k > 0 else SEARCH_BY_TEXT_DEFAULT_K
+        if self.index_dir and not metadata_eq:
+            return self._index_topk(text, k)
         base = self.docs
         if metadata_eq:
             base = base.filter(matches_metadata(metadata_eq))
-        k = k if k > 0 else SEARCH_BY_TEXT_DEFAULT_K
         return (
             score_queries(
                 base, [(0, text)], k=k, id_col=self.id_col,
@@ -105,8 +139,32 @@ class SameSameSpark:
         filters: dict | None = None,
         hybrid: HybridWeight | None = None,
     ) -> DataFrame:
-        """F3 FilterExpr + BM25 + A7 hybrid blend (SURVEY §3.2)."""
+        """F3 FilterExpr + BM25 + A7 hybrid blend (SURVEY §3.2).
+
+        Unfiltered calls with an attached index blend over the index's
+        top ``max(4k, k)`` BM25 candidates (exact under the monotone
+        affine blend — with no filters every doc's metadata score is
+        1.0, so blended order == BM25 order away from 1e-9 rounding
+        boundaries)."""
+        if not query:
+            raise ValueError("query cannot be empty")
         k = k if k > 0 else DEFAULT_TOP_K
+        if hybrid is not None:
+            hybrid.validate()
+        if self.index_dir and not filters:
+            base = self._index_topk(query, max(4 * k, k)).drop("rank")
+            if hybrid is not None and (hybrid.vector, hybrid.metadata) != (
+                1.0,
+                0.0,
+            ):
+                base = base.withColumn(
+                    "score",
+                    F.lit(hybrid.vector) * F.col("score")
+                    + F.lit(hybrid.metadata),
+                )
+            return rank_topk(base, k, id_col=self.id_col).select(
+                self.id_col, "score", "rank"
+            )
         meta = "metadata" if "metadata" in self.docs.columns else None
         return advanced_search(
             self.docs,
@@ -130,18 +188,19 @@ class SameSameSpark:
         """X7/X8 — BM25 then exponential time decay re-rank
         (``memory/temporal_search.go:13-81``). Returns
         (id, score, base_score, decay_factor, doc_time)."""
-        from pyspark.sql import Window
-
         lam = DECAY_LAMBDAS[decay]
         k = k if k > 0 else DEFAULT_TOP_K
-        base = (
-            score_queries(
-                self.docs, [(0, text)], k=max(k * 4, k), id_col=self.id_col,
-                text_col=self.text_col,
+        if self.index_dir:
+            base = self._index_topk(text, max(k * 4, k)).drop("rank")
+        else:
+            base = (
+                score_queries(
+                    self.docs, [(0, text)], k=max(k * 4, k),
+                    id_col=self.id_col, text_col=self.text_col,
+                )
+                .drop("query_id", "rank")
+                .withColumnRenamed("doc_id", self.id_col)
             )
-            .drop("query_id", "rank")
-            .withColumnRenamed("doc_id", self.id_col)
-        )
         meta = "metadata" if "metadata" in self.docs.columns else None
         created = "created_at" if "created_at" in self.docs.columns else None
         updated = "updated_at" if "updated_at" in self.docs.columns else None
@@ -168,16 +227,9 @@ class SameSameSpark:
             "score",
             apply_decay_col(F.col("base_score"), F.col("doc_time"), ref, lam),
         )
-        w = Window.orderBy(
-            F.desc(F.round(F.col("score"), 9)), F.asc(self.id_col)
-        )
-        return (
-            scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select(
-                self.id_col, "score", "base_score", "decay_factor",
-                "doc_time", "rank",
-            )
+        return rank_topk(scored, k, id_col=self.id_col).select(
+            self.id_col, "score", "base_score", "decay_factor",
+            "doc_time", "rank",
         )
 
     # ---- K3: collection export / import -------------------------------

@@ -1,0 +1,192 @@
+"""Index mutations: tombstoned deletes over the append-only layout.
+
+The reference mutates its store in place (``PUT/DELETE /vectors/{id}``,
+``internal/handlers/vector.go:110-166``); the index here is append-only
+(immutable shard groups + streamed delta compaction), so deletes are
+**tombstones**: :func:`delete_docs` runs one distributed pass over the
+shard table to measure exactly what the deleted docs contributed —
+per-term df, doc count, total doc length — and persists
+
+    <index_dir>/tombstones/ids/        deleted doc ids (parquet)
+    <index_dir>/tombstones/df_delta/   (term, df_removed)
+    <index_dir>/tombstones/stats.json  {n_removed, sum_dl_removed,
+                                        n_total, sum_dl_total}
+
+Query time (:mod:`same_same_spark.index.query`) then (a) drops deleted
+postings at decode, and (b) recomputes N, avgdl and per-term idf from
+the adjusted stats — so post-delete search is rank- AND score-identical
+to a fresh build over the corpus minus the deleted docs (tested), no
+shard rewrite needed. Updates = delete + re-ingest under a new doc id
+(streamed delta compaction); when tombstones grow large relative to the
+corpus, a rebuild re-compacts them away.
+
+Scale notes: the pass is one applyInPandas over the shard table
+cogrouped by bucket (the same shape as a query, touching every posting
+once); the deleted-id set is broadcast via closure — bounded by delete
+volume, the same budget class as the driver-side idf cache.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from same_same_spark.index import codec
+from same_same_spark.index.build import IndexManifest
+
+_TOMB_SCHEMA = (
+    "term STRING, df_removed LONG, n_removed LONG, sum_dl_removed LONG, "
+    "n_total LONG, sum_dl_total LONG"
+)
+
+
+def load_tombstones(index_dir: str) -> dict | None:
+    """Tombstone artifacts, or None when the index has no deletes.
+
+    Returns ``{"ids": sorted int64 ndarray, "df_delta": {term: n},
+    "n_removed", "sum_dl_removed", "n_total", "sum_dl_total"}``.
+    """
+    stats_path = os.path.join(index_dir, "tombstones", "stats.json")
+    if not os.path.exists(stats_path):
+        return None
+    with open(stats_path) as f:
+        stats = json.load(f)
+    import pyarrow.parquet as pq
+
+    ids = (
+        pq.read_table(os.path.join(index_dir, "tombstones", "ids"))
+        .column("doc_id")
+        .to_numpy()
+        .astype(np.int64)
+    )
+    dd = pq.read_table(os.path.join(index_dir, "tombstones", "df_delta"))
+    df_delta = dict(
+        zip(dd.column("term").to_pylist(), dd.column("df_removed").to_pylist())
+    )
+    return {"ids": np.sort(ids), "df_delta": df_delta, **stats}
+
+
+def _measure_fn(deleted_sorted: np.ndarray):
+    """Per-bucket pass: what do the deleted docs contribute?"""
+
+    def measure(pdf):
+        import pandas as pd
+
+        term_rows: list[tuple] = []
+        n_rem = dl_rem = n_tot = dl_tot = 0
+        # group position spaces first ('d' rows), then posting rows
+        del_pos: dict[int, np.ndarray] = {}
+        for _, row in pdf[pdf["kind"] == "d"].iterrows():
+            ids_g = codec.decode_doc_ids(bytes(row["doc_bytes"]), row["n"])
+            dls_g = codec.varint_decode(
+                bytes(row["tf_bytes"]), row["n"]
+            ).astype(np.int64)
+            p = np.searchsorted(ids_g, deleted_sorted)
+            valid = p < len(ids_g)
+            p = p[valid]
+            p = p[ids_g[p] == deleted_sorted[valid]]
+            del_pos[int(row["grp"])] = p
+            n_tot += int(row["n"])
+            dl_tot += int(row["sum_dl"])
+            n_rem += len(p)
+            dl_rem += int(dls_g[p].sum())
+        for _, row in pdf[pdf["kind"] == "p"].iterrows():
+            dp = del_pos.get(int(row["grp"]))
+            if dp is None or len(dp) == 0:
+                continue
+            pos, _tf = codec.decode_posting_list(row)
+            idx = np.searchsorted(dp, pos)
+            idx[idx >= len(dp)] = len(dp) - 1
+            hits = int((dp[idx] == pos).sum())
+            if hits:
+                term_rows.append((row["term"], hits, 0, 0, 0, 0))
+        term_rows.append((None, 0, n_rem, dl_rem, n_tot, dl_tot))
+        return pd.DataFrame(
+            term_rows,
+            columns=[
+                "term", "df_removed", "n_removed", "sum_dl_removed",
+                "n_total", "sum_dl_total",
+            ],
+        )
+
+    return measure
+
+
+def delete_docs(
+    spark: SparkSession, index_dir: str, doc_ids, log=print
+) -> dict:
+    """Tombstone ``doc_ids`` (idempotent: re-measures the union of all
+    tombstoned ids in one distributed pass) and refresh the artifacts.
+    Returns the loaded tombstone dict."""
+    manifest = IndexManifest.load(index_dir)
+    prior = load_tombstones(index_dir)
+    all_ids = np.unique(
+        np.concatenate(
+            [
+                np.asarray(list(doc_ids), dtype=np.int64),
+                prior["ids"] if prior is not None else np.empty(0, np.int64),
+            ]
+        )
+    )
+
+    shard_paths = [
+        os.path.join(index_dir, "shards", f"group-{g}")
+        for g in manifest.groups
+    ]
+    measured = (
+        spark.read.parquet(*shard_paths)
+        .groupBy("bucket")
+        .applyInPandas(_measure_fn(all_ids), _TOMB_SCHEMA)
+        .groupBy("term")
+        .agg(
+            F.sum("df_removed").alias("df_removed"),
+            F.sum("n_removed").alias("n_removed"),
+            F.sum("sum_dl_removed").alias("sum_dl_removed"),
+            F.sum("n_total").alias("n_total"),
+            F.sum("sum_dl_total").alias("sum_dl_total"),
+        )
+    )
+
+    tomb_dir = os.path.join(index_dir, "tombstones")
+    os.makedirs(tomb_dir, exist_ok=True)
+    df_delta = measured.filter(
+        F.col("term").isNotNull() & (F.col("df_removed") > 0)
+    ).select("term", "df_removed")
+    df_delta.repartition(1).write.mode("overwrite").parquet(
+        os.path.join(tomb_dir, "df_delta")
+    )
+    ids_df = spark.createDataFrame(
+        [(int(i),) for i in all_ids], "doc_id LONG"
+    )
+    ids_df.repartition(1).write.mode("overwrite").parquet(
+        os.path.join(tomb_dir, "ids")
+    )
+    srow = (
+        measured.filter(F.col("term").isNull())
+        .agg(
+            F.sum("n_removed"), F.sum("sum_dl_removed"),
+            F.sum("n_total"), F.sum("sum_dl_total"),
+        )
+        .collect()[0]
+    )
+    stats = {
+        "n_removed": int(srow[0] or 0),
+        "sum_dl_removed": int(srow[1] or 0),
+        "n_total": int(srow[2] or 0),
+        "sum_dl_total": int(srow[3] or 0),
+    }
+    tmp = os.path.join(tomb_dir, "stats.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(stats, f, indent=2)
+    os.replace(tmp, os.path.join(tomb_dir, "stats.json"))
+    # bump manifest mtime so query-side caches invalidate
+    manifest.save(index_dir)
+    log(
+        f"[delete] tombstoned {len(all_ids)} ids "
+        f"({stats['n_removed']} present in index)"
+    )
+    return load_tombstones(index_dir)

@@ -40,11 +40,13 @@ from same_same_spark.text.tokenizer import tokenize_py
 SCORE_SCHEMA = "query_id INT, doc_id LONG, score DOUBLE"
 
 # Driver-side caches, keyed by (index_dir, manifest mtime) so a rebuilt
-# index invalidates naturally. A query broker legitimately holds the term
-# dictionary in memory — but only up to a cap, so a web-scale vocabulary
-# falls back to a pushed-down parquet read per batch.
+# index invalidates naturally (delete_docs re-saves the manifest to bump
+# it). A query broker legitimately holds the term dictionary in memory —
+# but only up to a cap, so a web-scale vocabulary falls back to a
+# pushed-down parquet read per batch.
 _MANIFEST_CACHE: dict[tuple[str, float], IndexManifest] = {}
-_IDF_CACHE: dict[tuple[str, float], dict[str, float] | None] = {}
+_IDF_CACHE: dict[tuple[str, float], dict[str, tuple[int, float]] | None] = {}
+_TOMB_CACHE: dict[tuple[str, float], dict | None] = {}
 IDF_CACHE_MAX_TERMS = 1_000_000
 
 
@@ -54,7 +56,7 @@ def _cache_key(index_dir: str) -> tuple[str, float]:
     key = (index_dir, os.path.getmtime(f"{index_dir}/manifest.json"))
     # evict superseded entries for the same index_dir (a rebuild bumps
     # the mtime; old keys would otherwise accumulate forever)
-    for cache in (_MANIFEST_CACHE, _IDF_CACHE):
+    for cache in (_MANIFEST_CACHE, _IDF_CACHE, _TOMB_CACHE):
         for stale in [k for k in cache if k[0] == index_dir and k != key]:
             del cache[stale]
     return key
@@ -67,16 +69,18 @@ def _load_manifest(index_dir: str) -> IndexManifest:
     return _MANIFEST_CACHE[key]
 
 
-def _idf_lookup(
+def _stats_lookup(
     spark: SparkSession, index_dir: str, terms: list[str]
-) -> dict[str, float]:
-    """term → idf for the given terms; full-dictionary cache when small."""
+) -> dict[str, tuple[int, float]]:
+    """term → (df, idf) for the given terms; dictionary cache when small."""
     key = _cache_key(index_dir)
     if key not in _IDF_CACHE:
         manifest = _load_manifest(index_dir)
         if manifest.n_terms <= IDF_CACHE_MAX_TERMS:
             rows = spark.read.parquet(f"{index_dir}/stats").collect()
-            _IDF_CACHE[key] = {r["term"]: float(r["idf"]) for r in rows}
+            _IDF_CACHE[key] = {
+                r["term"]: (int(r["df"]), float(r["idf"])) for r in rows
+            }
         else:
             _IDF_CACHE[key] = None  # too big: always push down
     cached = _IDF_CACHE[key]
@@ -87,7 +91,16 @@ def _idf_lookup(
         .filter(F.col("term").isin(terms))
         .collect()
     )
-    return {r["term"]: float(r["idf"]) for r in rows}
+    return {r["term"]: (int(r["df"]), float(r["idf"])) for r in rows}
+
+
+def _load_tombstones(index_dir: str) -> dict | None:
+    key = _cache_key(index_dir)
+    if key not in _TOMB_CACHE:
+        from same_same_spark.index.mutate import load_tombstones
+
+        _TOMB_CACHE[key] = load_tombstones(index_dir)
+    return _TOMB_CACHE[key]
 
 
 def _score_bucket_fn(
@@ -98,6 +111,7 @@ def _score_bucket_fn(
     k1: float,
     b: float,
     prune: bool = True,
+    deleted: np.ndarray | None = None,
 ):
     """Per-bucket scorer for cogrouped applyInPandas.
 
@@ -150,12 +164,35 @@ def _score_bucket_fn(
             rows_by_term.setdefault(row["term"], []).append(row)
         full_cache: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
 
+        # tombstones: positions of deleted docs per group, computed once
+        del_pos_cache: dict[int, np.ndarray] = {}
+
+        def deleted_positions(g: int) -> np.ndarray:
+            if g not in del_pos_cache:
+                ids_g = groups[g][0]
+                p = np.searchsorted(ids_g, deleted)
+                valid = p < len(ids_g)
+                p = p[valid]
+                p = p[ids_g[p] == deleted[valid]]
+                del_pos_cache[g] = p
+            return del_pos_cache[g]
+
         def decode_row_full(r):
             """One posting row → (doc_ids, tfs, dls); positions resolve
             to real ids and doc lengths by DIRECT indexing into the
-            row's group arrays (no searchsorted per posting)."""
+            row's group arrays (no searchsorted per posting). Tombstoned
+            postings are dropped HERE — before any score accumulates —
+            so MaxScore's θ never counts a deleted doc."""
             pos, t = codec.decode_posting_list(r)
-            ids_g, dls_g = groups[int(r["grp"])]
+            g = int(r["grp"])
+            if deleted is not None and len(deleted):
+                dp = deleted_positions(g)
+                if len(dp):
+                    idx = np.searchsorted(dp, pos)
+                    idx[idx >= len(dp)] = len(dp) - 1
+                    keepm = dp[idx] != pos
+                    pos, t = pos[keepm], t[keepm]
+            ids_g, dls_g = groups[g]
             return ids_g[pos], t, dls_g[pos]
 
         def decode_full(term):
@@ -347,7 +384,30 @@ def search_batch(
         return empty
     all_terms = sorted(term_qids)
 
-    term_idf = _idf_lookup(spark, index_dir, all_terms)
+    stats = _stats_lookup(spark, index_dir, all_terms)
+    tomb = _load_tombstones(index_dir)
+    avgdl = manifest.avgdl
+    deleted: np.ndarray | None = None
+    if tomb is not None and tomb["n_removed"]:
+        # recompute N/avgdl/idf over the corpus minus tombstoned docs —
+        # scores match a fresh build without those docs exactly
+        import math
+
+        n_eff = tomb["n_total"] - tomb["n_removed"]
+        if n_eff <= 0:
+            return empty
+        avgdl = (tomb["sum_dl_total"] - tomb["sum_dl_removed"]) / n_eff
+        deleted = tomb["ids"]
+        dd = tomb["df_delta"]
+        term_idf = {}
+        for t, (df, _idf) in stats.items():
+            df2 = df - dd.get(t, 0)
+            if df2 > 0:
+                term_idf[t] = math.log(
+                    1.0 + (float(n_eff) - df2 + 0.5) / (df2 + 0.5)
+                )
+    else:
+        term_idf = {t: idf for t, (df, idf) in stats.items()}
     if not term_idf:
         return empty
     # drop query terms absent from the corpus entirely
@@ -384,8 +444,8 @@ def search_batch(
     )
 
     fn = _score_bucket_fn(
-        term_idf, term_qids, k, manifest.avgdl, manifest.k1, manifest.b,
-        prune=prune,
+        term_idf, term_qids, k, avgdl, manifest.k1, manifest.b,
+        prune=prune, deleted=deleted,
     )
     if merge == "driver":
         # Single Spark job: each bucket already emits its local top-k

@@ -83,12 +83,23 @@ def advanced_search(
             "score",
             F.lit(hybrid.vector) * F.col("score") + F.lit(hybrid.metadata),
         )
-        w = Window.orderBy(
-            F.desc(F.round(F.col("score"), 9)), F.asc("doc_id")
-        )
-        scored = (
-            scored.drop("rank")
-            .withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-        )
+        scored = rank_topk(scored.drop("rank"), k)
     return scored.select(F.col("doc_id"), "score", "rank")
+
+
+def rank_topk(scored: DataFrame, k: int, id_col: str = "doc_id") -> DataFrame:
+    """Global top-k + rank under the pinned order, shuffle-light.
+
+    ``orderBy().limit(k)`` compiles to ``TakeOrderedAndProject`` (each
+    partition keeps a local k-heap, the driver merges k×partitions rows)
+    — never the all-rows-to-one-task shape of an unpartitioned window.
+    The rank window then runs over ≤k rows; partitioning it by a
+    constant keeps WindowExec off its single-partition warning path.
+    """
+    order = [F.desc(F.round(F.col("score"), 9)), F.asc(id_col)]
+    w = Window.partitionBy(F.lit(0)).orderBy(*order)
+    return (
+        scored.orderBy(*order)
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w))
+    )

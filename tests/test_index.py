@@ -148,3 +148,48 @@ def test_build_on_synthetic_corpus(spark, tmp_path):
     a = canon(search_batch(spark, out, skew_qs, k=10, prune=True).collect())
     b = canon(search_batch(spark, out, skew_qs, k=10, prune=False).collect())
     assert a == b
+
+
+def test_tombstoned_delete_matches_fresh_build(spark, documents, tmp_path):
+    """delete_docs + query must be rank- AND score-identical to a fresh
+    build over the corpus minus the deleted docs (N/avgdl/df/idf all
+    adjusted, deleted postings dropped before MaxScore's θ accumulates)."""
+    from same_same_spark.index.mutate import delete_docs, load_tombstones
+
+    idx = str(tmp_path / "idx")
+    build_index(documents, idx, id_col="doc_id", text_col="text",
+                num_buckets=4, log=lambda *_: None)
+
+    # delete docs that actually appear in current top-10s
+    base = search_batch(spark, idx, QUERIES, k=10).collect()
+    victims = sorted({r["doc_id"] for r in base if r["rank"] <= 2})
+    assert victims
+    tomb = delete_docs(spark, idx, victims, log=lambda *_: None)
+    assert tomb["n_removed"] == len(victims)
+
+    fresh = str(tmp_path / "fresh")
+    build_index(
+        documents.filter(~F.col("doc_id").isin(victims)), fresh,
+        id_col="doc_id", text_col="text", num_buckets=4,
+        log=lambda *_: None,
+    )
+
+    def canon(rows):
+        return sorted(
+            (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+            for r in rows
+        )
+
+    got = search_batch(spark, idx, QUERIES, k=10).collect()
+    want = search_batch(spark, fresh, QUERIES, k=10).collect()
+    assert canon(got) == canon(want)
+    assert not ({r["doc_id"] for r in got} & set(victims))
+    # pruned and exhaustive agree post-delete too
+    got_ex = search_batch(spark, idx, QUERIES, k=10, prune=False).collect()
+    assert canon(got) == canon(got_ex)
+
+    # idempotent: deleting the same ids again changes nothing
+    tomb2 = delete_docs(spark, idx, victims, log=lambda *_: None)
+    assert tomb2["n_removed"] == tomb["n_removed"]
+    assert canon(search_batch(spark, idx, QUERIES, k=10).collect()) == canon(want)
+    assert load_tombstones(idx)["ids"].tolist() == sorted(victims)
