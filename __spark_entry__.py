@@ -1053,6 +1053,252 @@ def _q_ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round6(out, "score")
 
 
+def _q_euclidean_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 — euclidean nearest-5 for three query vectors (distance ASC,
+    vec_id ASC tie-break; dim-mismatched vectors dropped pre-score like
+    the reference scan)."""
+    from same_same_spark.operators.vector import euclidean_col
+
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    qdf = spark.createDataFrame(
+        [(qid, vec) for qid, vec in _ann_queries(spark, sf_dir)],
+        "query_id INT, qvec ARRAY<DOUBLE>",
+    )
+    scored = (
+        e.crossJoin(F.broadcast(qdf))
+        .filter(F.size("emb") == F.size("qvec"))
+        .select(
+            "query_id",
+            "vec_id",
+            euclidean_col(F.col("emb"), F.col("qvec")).alias("dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc(F.round(F.col("dist"), 9)), F.asc("vec_id")
+    )
+    out = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "vec_id", "dist", "rank")
+    )
+    return _round6(out, "dist").withColumn("rank", F.col("rank").cast("int"))
+
+
+_SQL_EUCLIDEAN_TOPK = """
+WITH q AS (
+  SELECT vec_id::INTEGER AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id IN (0, 1, 2)
+),
+s AS (
+  SELECT q.query_id, e.vec_id,
+         list_distance(e.embedding::DOUBLE[], q.qv) AS dist
+  FROM embeddings e, q
+  WHERE len(e.embedding) = len(q.qv)
+),
+r AS (
+  SELECT query_id, vec_id, dist,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY round(dist, 9) ASC, vec_id ASC
+         ) AS rank
+  FROM s
+)
+SELECT query_id, vec_id, round(dist, 6) AS dist, rank::INTEGER AS rank
+FROM r WHERE rank <= 5
+"""
+
+
+def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming ≤ 3) over the dup-augmented
+    corpus. Pigeonhole blocking (4 blocks over 60 bits) is exhaustive
+    for distance ≤ 3, so the blocked result equals the all-pairs filter
+    the oracle computes."""
+    return dedup_ops.simhash_near_dup_pairs(
+        _dup_docs(spark, sf_dir), max_hamming=3, n_blocks=4
+    )
+
+
+_SQL_SIMHASH_PAIRS = f"""
+WITH base AS ({_SQL_DUP_DOCS}),
+toks AS (
+  SELECT doc_id, {duckdb_tokens_sql('text')} AS toks FROM base
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM toks) GROUP BY 1, 2
+),
+th AS (SELECT doc_id, tf, {hash60_sql('term')} AS h FROM tf),
+bits AS (
+  SELECT doc_id, bit, sum(tf * (((h >> bit) & 1) * 2 - 1)) AS s
+  FROM th, unnest(range(0, {dedup_ops.SIMHASH_BITS})) AS u(bit)
+  GROUP BY 1, 2
+),
+sh AS (
+  SELECT doc_id,
+         sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT
+           AS simhash
+  FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash))::INTEGER AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# source-parsing entries (S1-S3 + offline S4) over deterministic fixtures
+# ---------------------------------------------------------------------------
+
+
+def _write_fixture(name: str, content: str) -> str:
+    import os
+    import tempfile
+
+    path = os.path.join(tempfile.gettempdir(), f"ss_entry_fix_{name}")
+    with open(path + ".tmp", "w") as f:
+        f.write(content)
+    os.replace(path + ".tmp", path)
+    return path
+
+
+def _q_source_quotes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 — quotes parsing: separator/trim/malformed-skip semantics.
+    The oracle derives id/metadata independently from the documented
+    rules (builtin.go:70-89)."""
+    from same_same_spark.sources import read_quotes_source
+
+    path = _write_fixture(
+        "quotes.txt",
+        "To be or not to be — Shakespeare\n"
+        "malformed line without separator\n"
+        "one — two — three\n"
+        "  Trimmed quote   —   Trimmed Author  \n"
+        "left —  \n"
+        " — right\n",
+    )
+    return read_quotes_source(spark, path).select(
+        "id", "text", F.to_json("metadata").alias("metadata_json")
+    )
+
+
+_SQL_SOURCE_QUOTES = """
+WITH v(text, author) AS (VALUES
+  ('To be or not to be', 'Shakespeare'),
+  ('Trimmed quote', 'Trimmed Author'))
+SELECT 'quote_' || substr(sha256(text || '|' || author), 1, 16) AS id,
+       text,
+       '{"author":"' || author || '","namespace":"quotes"}' AS metadata_json
+FROM v
+"""
+
+
+def _q_source_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 — CSV parsing: header→metadata, quoted commas, F5 empty-text
+    skip, F9 namespace."""
+    from same_same_spark.sources import read_csv_source
+
+    path = _write_fixture(
+        "src.csv",
+        "doc,text,lang\n"
+        "r1,hello world,en\n"
+        'r2,"comma, quoted value",fr\n'
+        "r3,,de\n"
+        "r4,last row,es\n",
+    )
+    return read_csv_source(spark, path).select(
+        "id", "text", F.to_json("metadata").alias("metadata_json")
+    )
+
+
+_SQL_SOURCE_CSV = """
+WITH v(doc, text, lang) AS (VALUES
+  ('r1', 'hello world', 'en'),
+  ('r2', 'comma, quoted value', 'fr'),
+  ('r4', 'last row', 'es')),
+m AS (
+  SELECT doc, text,
+         '{"doc":"' || doc || '","lang":"' || lang ||
+         '","namespace":"general"}' AS metadata_json
+  FROM v
+)
+SELECT 'vec_' || substr(sha256(text || '|' || metadata_json), 1, 16) AS id,
+       text, metadata_json
+FROM m
+"""
+
+
+def _q_source_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 — JSONL parsing: text-field fallback chain, scalar-only
+    metadata, malformed-line skip (file.go:145-209). Metadata key order
+    is the inferred schema's alphabetical order, namespace last."""
+    from same_same_spark.sources import read_jsonl_source
+
+    path = _write_fixture(
+        "src.jsonl",
+        '{"text":"alpha bravo","lang":"en","year":2001}\n'
+        '{"content":"charlie delta","lang":"fr"}\n'
+        '{"quote":"golf hotel","flag":true}\n'
+        "not json\n"
+        '{"lang":"de"}\n',
+    )
+    return read_jsonl_source(spark, path).select(
+        "id", "text", F.to_json("metadata").alias("metadata_json")
+    )
+
+
+_SQL_SOURCE_JSONL = """
+WITH v(text, flag, lang, year) AS (VALUES
+  ('alpha bravo', '', 'en', '2001'),
+  ('charlie delta', '', 'fr', ''),
+  ('golf hotel', 'true', '', '')),
+m AS (
+  SELECT text,
+         '{"flag":"' || flag || '","lang":"' || lang || '","year":"' ||
+         year || '","namespace":"general"}' AS metadata_json
+  FROM v
+)
+SELECT 'vec_' || substr(sha256(text || '|' || metadata_json), 1, 16) AS id,
+       text, metadata_json
+FROM m
+"""
+
+
+def _q_source_hf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 (offline) — HF-export JSONL record mapping
+    (huggingface.go:156-202): scalar metadata + injected
+    source/dataset/namespace, records without the text field skipped."""
+    from same_same_spark.sources import read_hf_export_source
+
+    path = _write_fixture(
+        "hf.jsonl",
+        '{"text":"india juliet","label":1,"lang":"en"}\n'
+        '{"text":"kilo lima","label":0,"lang":"fr"}\n'
+        '{"label":2}\n',
+    )
+    return read_hf_export_source(
+        spark, path, dataset="demo", namespace="hfns"
+    ).select("id", "text", F.to_json("metadata").alias("metadata_json"))
+
+
+_SQL_SOURCE_HF = """
+WITH v(text, label, lang) AS (VALUES
+  ('india juliet', '1', 'en'),
+  ('kilo lima', '0', 'fr')),
+m AS (
+  SELECT text,
+         '{"label":"' || label || '","lang":"' || lang ||
+         '","source":"huggingface","dataset":"demo","namespace":"hfns"}'
+           AS metadata_json
+  FROM v
+)
+SELECT 'vec_' || substr(sha256(text || '|' || metadata_json), 1, 16) AS id,
+       text, metadata_json
+FROM m
+"""
+
+
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID per document."""
     return _docs(spark, sf_dir).select(
@@ -1209,6 +1455,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "ann_lsh_topk": (_q_ann_lsh, _SQL_ANN_LSH),
     "ann_lsh_persisted": (_q_ann_lsh_persisted, _SQL_ANN_LSH),
     "ann_ivf_persisted": (_q_ann_ivf_persisted, _SQL_ANN_IVF),
+    "euclidean_topk": (_q_euclidean_topk, _SQL_EUCLIDEAN_TOPK),
+    "simhash_pairs": (_q_simhash_pairs, _SQL_SIMHASH_PAIRS),
+    "source_quotes": (_q_source_quotes, _SQL_SOURCE_QUOTES),
+    "source_csv": (_q_source_csv, _SQL_SOURCE_CSV),
+    "source_jsonl": (_q_source_jsonl, _SQL_SOURCE_JSONL),
+    "source_hf": (_q_source_hf, _SQL_SOURCE_HF),
     "lang_id": (_q_lang_id, _SQL_LANG_ID),
     "quality_scores": (_q_quality, _sql_quality()),
     "token_counts": (_q_token_counts, _sql_token_counts()),

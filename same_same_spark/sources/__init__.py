@@ -9,4 +9,5 @@ where the reference applies them.
 """
 
 from same_same_spark.sources.files import read_csv_source, read_jsonl_source  # noqa: F401
+from same_same_spark.sources.huggingface import read_hf_export_source  # noqa: F401
 from same_same_spark.sources.quotes import parse_quotes_lines, read_quotes_source  # noqa: F401

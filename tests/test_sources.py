@@ -83,3 +83,36 @@ def test_jsonl_source_fallback_and_skips(spark, tmp_path):
     assert by_text["fallback content"]["flag"] in ("true", "True")
     assert "nested" not in by_text["fallback body"]  # non-scalar skipped
     assert "arr" not in by_text["fallback body"]
+
+
+def test_hf_export_source(spark, tmp_path):
+    """S4 offline adapter over the JSONL shape the reference's generated
+    script dumps (huggingface.go:121-146) with its record mapping
+    (huggingface.go:156-202)."""
+    from same_same_spark.sources import read_hf_export_source
+
+    p = tmp_path / "hf.jsonl"
+    lines = [
+        {"text": "alpha bravo", "label": 1, "lang": "en"},
+        {"text": "charlie delta", "label": 0, "lang": "fr", "deep": {"x": 1}},
+        {"label": 2},            # text missing → skipped
+        {"text": "", "label": 3},  # empty text → skipped (F5)
+    ]
+    p.write_text("\n".join(json.dumps(x) for x in lines) + "\nbroken{\n")
+    df = read_hf_export_source(
+        spark, str(p), dataset="imdb", namespace="hf-ns"
+    )
+    rows = df.collect()
+    assert {r["text"] for r in rows} == {"alpha bravo", "charlie delta"}
+    meta = {r["text"]: r["metadata"] for r in rows}
+    assert meta["alpha bravo"]["label"] == "1"
+    assert meta["alpha bravo"]["source"] == "huggingface"
+    assert meta["alpha bravo"]["dataset"] == "imdb"
+    assert meta["alpha bravo"]["namespace"] == "hf-ns"
+    assert "deep" not in meta["charlie delta"]  # nested skipped
+    assert all(r["id"].startswith("vec_") and len(r["id"]) == 20 for r in rows)
+    # missing text field name → hard error (huggingface.go text assertion)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        read_hf_export_source(spark, str(p), dataset="x", text_field="nope")
