@@ -67,6 +67,8 @@ ENTRY_QUERY_NAMES = [
     "term_df_top100",
     "vector_topk",
     "hybrid_search",
+    "hybrid_search_indexed",
+    "search_by_text_indexed",
     "temporal_topk",
     "events_hourly",
 ]
@@ -155,6 +157,9 @@ def main() -> None:
     shutil.rmtree(idx_dir, ignore_errors=True)
 
     # ---- Phase 3: headline operators at the sf dir ------------------------
+    # the *_indexed entries read the sf-dir entry index; build it untimed
+    # (index construction is phase 1's metric, not query latency)
+    entry._entry_index_dir(spark, SF_DIR)
     qs = entry.queries()
     for name in ENTRY_QUERY_NAMES:
         t0 = time.time()

@@ -51,6 +51,10 @@ def varint_encode(values: np.ndarray) -> bytes:
     n = len(v)
     if n == 0:
         return b""
+    if (v < np.uint64(128)).all():
+        # single-byte fast path — the usual shape for tf and doc-length
+        # streams, where the (n × 10) matrix below is pure overhead
+        return v.astype(np.uint8).tobytes()
     bytes_mat = np.empty((n, 10), dtype=np.uint8)
     needed = np.zeros((n, 10), dtype=bool)
     needed[:, 0] = True
@@ -269,29 +273,77 @@ def encode_posting_list(
     toff = np.concatenate((tbounds[starts], [tbounds[-1]]))
 
     if not use_for.any():
-        # fast path (always taken for hash-distributed doc ids): one
-        # vectorized varint stream, tag bytes inserted at block starts
+        # all-varint fast path (the shape raw hash-distributed ids take):
+        # one vectorized varint stream, tag bytes inserted at block starts
         arr = np.frombuffer(varint_encode(deltas), dtype=np.uint8)
         doc_all = np.insert(arr, blk_lo, np.uint8(TAG_VARINT)).tobytes()
         chunk_lens = vi_sizes + 1
         doff = np.concatenate(([0], np.cumsum(chunk_lens)))
     else:
-        vi_all = varint_encode(deltas)
-        doc_chunks: list[bytes] = []
-        for bi, (lo, hi) in enumerate(zip(starts, ends)):
-            if use_for[bi]:
-                payload = (
-                    vi_all[blk_lo[bi] : blk_lo[bi] + lens[starts[bi]]]
-                    + bytes([int(widths[bi])])
-                    + bitpack(deltas[lo + 1 : hi], int(widths[bi]))
-                )
-                doc_chunks.append(bytes([TAG_FOR]) + payload)
-            else:
-                doc_chunks.append(
-                    bytes([TAG_VARINT]) + vi_all[blk_lo[bi] : blk_hi[bi]]
-                )
-        doff = np.concatenate(([0], np.cumsum([len(c) for c in doc_chunks])))
-        doc_all = b"".join(doc_chunks)
+        # mixed/FOR path — the COMMON shape under layout v4 (dense
+        # positions → FOR on ~every block), so it must stay vectorized:
+        # bit-packing runs as one (blocks × BLOCK_SIZE-1) matrix op per
+        # distinct width over the full blocks; only heads/tags and the
+        # (rare) partial or varint blocks touch Python per block. The
+        # full varint stream is never materialized here — only block
+        # heads (nb values) and the rare varint-tagged block ranges.
+        head_lens = lens[starts]
+        head_arr = np.frombuffer(
+            varint_encode(deltas[starts]), dtype=np.uint8
+        )
+        head_bounds = np.concatenate(([0], np.cumsum(head_lens)))
+        chunk_lens = np.where(
+            use_for,
+            1 + head_lens + 1 + ((cnts - 1) * widths + 7) // 8,
+            1 + vi_sizes,
+        )
+        doff = np.concatenate(([0], np.cumsum(chunk_lens)))
+        doc_arr = np.zeros(doff[-1], dtype=np.uint8)
+        doc_arr[doff[:-1]] = np.where(use_for, TAG_FOR, TAG_VARINT)
+        u_deltas = deltas  # uint64 view used by bitpack groups
+
+        for_idx = np.flatnonzero(use_for)
+        # heads + width bytes (≤10 B each — cheap loop over blocks)
+        for bi in for_idx:
+            o = doff[bi] + 1
+            hl = head_lens[bi]
+            doc_arr[o : o + hl] = head_arr[
+                head_bounds[bi] : head_bounds[bi] + hl
+            ]
+            doc_arr[o + hl] = widths[bi]
+        for bi in np.flatnonzero(~use_for):
+            o = doff[bi] + 1
+            vi = np.frombuffer(
+                varint_encode(deltas[starts[bi] : ends[bi]]), dtype=np.uint8
+            )
+            doc_arr[o : o + vi_sizes[bi]] = vi
+
+        full = for_idx[cnts[for_idx] == BLOCK_SIZE]
+        partial = for_idx[cnts[for_idx] != BLOCK_SIZE]
+        if len(full):
+            rest_n = BLOCK_SIZE - 1
+            gather = starts[full][:, None] + np.arange(1, BLOCK_SIZE)
+            rest_mat = u_deltas[gather]  # (nb, 127) uint64
+            pay_off = doff[full] + 2 + head_lens[full]
+            for w in np.unique(widths[full]):
+                sel = widths[full] == w
+                m = rest_mat[sel]
+                bits = (
+                    (m[:, :, None] >> np.arange(w, dtype=np.uint64))
+                    & np.uint64(1)
+                ).astype(np.uint8).reshape(len(m), rest_n * int(w))
+                packed = np.packbits(bits, axis=1, bitorder="little")
+                nbytes = (rest_n * int(w) + 7) // 8
+                pos = pay_off[sel][:, None] + np.arange(nbytes)
+                doc_arr[pos] = packed[:, :nbytes]
+        for bi in partial:  # ≤1 per posting list (the tail block)
+            o = doff[bi] + 2 + head_lens[bi]
+            pk = np.frombuffer(
+                bitpack(u_deltas[starts[bi] + 1 : ends[bi]], int(widths[bi])),
+                dtype=np.uint8,
+            )
+            doc_arr[o : o + len(pk)] = pk
+        doc_all = doc_arr.tobytes()
 
     block_max_tf = np.maximum.reduceat(t, starts).astype(np.int32)
     block_min_dl = np.minimum.reduceat(dl, starts).astype(np.int32)
@@ -305,6 +357,63 @@ def encode_posting_list(
         "block_max_tf": block_max_tf.tolist(),
         "block_min_dl": block_min_dl.tolist(),
     }
+
+
+def _decode_all_for_blocks(
+    arr: np.ndarray, offs: np.ndarray, n: int
+) -> np.ndarray:
+    """Vectorized full decode of an all-FOR-tagged block chain → deltas.
+
+    Heads are parsed as one (blocks × 10) byte matrix; rest payloads
+    bit-unpack as one matrix op per distinct width over the full
+    blocks. The delta chain is continuous across blocks (each head is
+    the jump from the previous block's last id), so callers cumsum the
+    result directly.
+    """
+    nb = len(offs)
+    cnts = np.full(nb, BLOCK_SIZE, dtype=np.int64)
+    cnts[-1] = n - (nb - 1) * BLOCK_SIZE
+
+    pad = np.concatenate([arr, np.zeros(16, dtype=np.uint8)])
+    hmat = pad[offs[:, None] + 1 + np.arange(10)]
+    head_len = np.argmax(hmat < 128, axis=1) + 1
+    shifts = (np.arange(10, dtype=np.uint64) * _7)
+    contrib = (hmat.astype(np.uint64) & _0x7F) << shifts
+    contrib[np.arange(10) >= head_len[:, None]] = 0
+    with np.errstate(over="ignore"):
+        d0 = contrib.sum(axis=1, dtype=np.uint64)
+    widths = pad[offs + 1 + head_len].astype(np.int64)
+    pay_off = offs + 2 + head_len
+
+    deltas = np.zeros(n, dtype=np.uint64)
+    deltas[(np.arange(nb)) * BLOCK_SIZE] = d0
+
+    full = np.flatnonzero(cnts == BLOCK_SIZE)
+    rest_n = BLOCK_SIZE - 1
+    for w in np.unique(widths[full]):
+        sel = full[widths[full] == w]
+        if w == 0 or not len(sel):
+            continue
+        nbytes = (rest_n * int(w) + 7) // 8
+        rows = pad[pay_off[sel][:, None] + np.arange(nbytes)]
+        bits = np.unpackbits(rows, axis=1, bitorder="little")[
+            :, : rest_n * int(w)
+        ].reshape(len(sel), rest_n, int(w))
+        vals = (
+            bits.astype(np.uint64)
+            * (np.uint64(1) << np.arange(int(w), dtype=np.uint64))
+        ).sum(axis=2, dtype=np.uint64)
+        idx = (sel * BLOCK_SIZE)[:, None] + np.arange(1, BLOCK_SIZE)
+        deltas[idx] = vals
+    if cnts[-1] != BLOCK_SIZE and cnts[-1] > 1:
+        bi = nb - 1
+        w = int(widths[bi])
+        nbytes = ((cnts[bi] - 1) * w + 7) // 8
+        deltas[bi * BLOCK_SIZE + 1 : bi * BLOCK_SIZE + cnts[bi]] = bitunpack(
+            pad[pay_off[bi] : pay_off[bi] + nbytes].tobytes(),
+            int(cnts[bi] - 1), w,
+        )
+    return deltas
 
 
 def decode_blocks(
@@ -328,14 +437,21 @@ def decode_blocks(
     n_blocks = len(block_off_doc)
 
     if keep is None and n_blocks:
-        # bulk fast path: when every block is varint-tagged, strip the
-        # tag bytes and decode the whole delta chain in one vectorized
-        # pass (the chain is continuous across blocks by construction)
+        # bulk fast paths: the delta chain is continuous across blocks
+        # by construction, so a homogeneous tag run decodes in one
+        # vectorized pass — varint (raw hash ids) or FOR (layout v4
+        # dense positions)
         arr = np.frombuffer(doc_bytes, dtype=np.uint8)
         tag_pos = np.asarray(block_off_doc, dtype=np.int64)
-        if (arr[tag_pos] == TAG_VARINT).all():
+        tags = arr[tag_pos]
+        if (tags == TAG_VARINT).all():
             body = np.delete(arr, tag_pos)
             deltas = varint_decode(body.tobytes(), n)
+            with np.errstate(over="ignore"):
+                u = np.cumsum(deltas, dtype=np.uint64)
+            return from_u64(u), varint_decode(tf_bytes, n).astype(np.int64)
+        if (tags == TAG_FOR).all():
+            deltas = _decode_all_for_blocks(arr, tag_pos, n)
             with np.errstate(over="ignore"):
                 u = np.cumsum(deltas, dtype=np.uint64)
             return from_u64(u), varint_decode(tf_bytes, n).astype(np.int64)
