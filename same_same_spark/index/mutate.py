@@ -70,6 +70,201 @@ def load_tombstones(index_dir: str) -> dict | None:
     return {"ids": np.sort(ids), "df_delta": df_delta, **stats}
 
 
+def _rewrite_fn(deleted_sorted: np.ndarray):
+    """Per-bucket pass: rebuild the bucket as ONE group — union doclens
+    minus deleted docs, posting lists merged across groups and
+    re-encoded against the new position space."""
+
+    def rewrite(pdf):
+        import pandas as pd
+
+        from same_same_spark.index.build import _SHARD_COLS
+
+        bucket = int(pdf["bucket"].iloc[0])
+        base = {c: None for c in _SHARD_COLS}
+
+        groups: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        input_bytes = 0
+        for _, row in pdf[pdf["kind"] == "d"].iterrows():
+            groups[int(row["grp"])] = (
+                codec.decode_doc_ids(bytes(row["doc_bytes"]), row["n"]),
+                codec.varint_decode(
+                    bytes(row["tf_bytes"]), row["n"]
+                ).astype(np.int64),
+            )
+            input_bytes += int(row["input_bytes"] or 0)
+
+        def kept(ids: np.ndarray) -> np.ndarray:
+            if not len(deleted_sorted) or not len(ids):
+                return np.ones(len(ids), dtype=bool)
+            p = np.searchsorted(deleted_sorted, ids)
+            p[p >= len(deleted_sorted)] = len(deleted_sorted) - 1
+            return deleted_sorted[p] != ids
+
+        id_parts, dl_parts = [], []
+        for ids_g, dls_g in groups.values():
+            m = kept(ids_g)
+            id_parts.append(ids_g[m])
+            dl_parts.append(dls_g[m])
+        all_ids = np.concatenate(id_parts) if id_parts else np.empty(0, np.int64)
+        all_dls = np.concatenate(dl_parts) if dl_parts else np.empty(0, np.int64)
+        order = np.argsort(all_ids, kind="stable")
+        d_sorted = all_ids[order]
+        dl_vals = all_dls[order]
+
+        rows: list[dict] = []
+        if len(d_sorted):
+            rows.append(
+                {
+                    **base,
+                    "bucket": bucket,
+                    "kind": "d",
+                    "n": len(d_sorted),
+                    "doc_bytes": codec.encode_doc_ids(d_sorted),
+                    "tf_bytes": codec.varint_encode(dl_vals.astype(np.uint64)),
+                    "sum_dl": int(dl_vals.sum()),
+                    "input_bytes": input_bytes,
+                }
+            )
+        by_term: dict[str, list] = {}
+        for _, row in pdf[pdf["kind"] == "p"].iterrows():
+            by_term.setdefault(row["term"], []).append(row)
+        for term in sorted(by_term):
+            dparts, tparts = [], []
+            for row in by_term[term]:
+                pos, tf = codec.decode_posting_list(row)
+                ids_g = groups[int(row["grp"])][0]
+                d = ids_g[pos]
+                m = kept(d)
+                dparts.append(d[m])
+                tparts.append(tf[m])
+            d = np.concatenate(dparts)
+            t = np.concatenate(tparts)
+            if not len(d):
+                continue
+            o = np.argsort(d, kind="stable")
+            positions = np.searchsorted(d_sorted, d[o])
+            enc = codec.encode_posting_list(
+                positions, t[o], dl_vals[positions]
+            )
+            rows.append(
+                {**base, "bucket": bucket, "kind": "p", "term": term, **enc}
+            )
+        return pd.DataFrame(rows, columns=_SHARD_COLS)
+
+    return rewrite
+
+
+def rewrite_compacted(spark: SparkSession, index_dir: str, log=print):
+    """Rewrite the index as a single fresh shard group: fold every
+    group together, drop tombstoned docs for good, rebuild stats and
+    the manifest, clear tombstones. The periodic maintenance pass that
+    keeps delete masks and streaming-compaction group counts bounded —
+    equivalent to a fresh build over the surviving corpus (tested)
+    without re-reading any source text.
+
+    Crash-safe ordering: the new group is written under a fresh name,
+    stats are rebuilt, the manifest (atomic rename) flips readers to
+    the new group, and only then are old group dirs and tombstones
+    removed — a crash at any point leaves a readable index.
+    """
+    import shutil
+
+    from same_same_spark.index.build import SHARD_SCHEMA, IndexManifest
+
+    manifest = IndexManifest.load(index_dir)
+    tomb = load_tombstones(index_dir)
+    deleted = tomb["ids"] if tomb is not None else np.empty(0, np.int64)
+
+    old_groups = list(manifest.groups)
+    shard_paths = [
+        os.path.join(index_dir, "shards", f"group-{g}") for g in old_groups
+    ]
+    gen = 0
+    for g in old_groups:
+        if g.startswith("c"):
+            gen = max(gen, int(g[1:].split("-")[0]) + 1)
+    new_name = f"c{gen}-0000"
+    dst = os.path.join(index_dir, "shards", f"group-{new_name}")
+
+    rewritten = (
+        spark.read.parquet(*shard_paths)
+        .groupBy("bucket")
+        .applyInPandas(_rewrite_fn(np.sort(deleted)), SHARD_SCHEMA)
+        .withColumn("grp", F.lit(0).cast("int"))
+    )
+    tmp = dst + ".tmp"
+    rewritten.write.mode("overwrite").parquet(tmp)
+    os.replace(tmp, dst)
+
+    new_df = spark.read.parquet(dst)
+    drow = (
+        new_df.filter(F.col("kind") == "d")
+        .agg(F.sum("n").alias("n_docs"), F.sum("sum_dl").alias("sum_dl"))
+        .collect()[0]
+    )
+    n_docs = int(drow["n_docs"] or 0)
+    avgdl = float(drow["sum_dl"] or 0) / n_docs if n_docs else 0.0
+    term_stats = (
+        new_df.filter(F.col("kind") == "p")
+        .groupBy("term")
+        .agg(F.sum("n").alias("df"))
+        .withColumn(
+            "idf",
+            F.log(
+                1.0
+                + (F.lit(float(n_docs)) - F.col("df") + 0.5)
+                / (F.col("df") + 0.5)
+            ),
+        )
+    )
+    stats_tmp = os.path.join(index_dir, "stats.tmp")
+    term_stats.repartition(1).write.mode("overwrite").parquet(stats_tmp)
+    stats_dir = os.path.join(index_dir, "stats")
+    shutil.rmtree(stats_dir, ignore_errors=True)
+    os.replace(stats_tmp, stats_dir)
+    srow = (
+        spark.read.parquet(stats_dir)
+        .agg(F.count(F.lit(1)), F.sum("df"))
+        .collect()[0]
+    )
+    out = IndexManifest(
+        n_docs=n_docs,
+        avgdl=avgdl,
+        k1=manifest.k1,
+        b=manifest.b,
+        num_buckets=manifest.num_buckets,
+        n_terms=int(srow[0]),
+        n_postings=int(srow[1] or 0),
+        groups=[new_name],
+    )
+    out.save(index_dir)  # atomic flip: readers now see only the new group
+    shutil.rmtree(os.path.join(index_dir, "tombstones"), ignore_errors=True)
+    for g in old_groups:
+        shutil.rmtree(
+            os.path.join(index_dir, "shards", f"group-{g}"),
+            ignore_errors=True,
+        )
+    rec = {
+        "group": new_name,
+        "kind": "tombstone-compaction",
+        "folded_groups": old_groups,
+        "dropped_docs": int(len(deleted)),
+        "docs": n_docs,
+    }
+    lineage_dir = os.path.join(index_dir, "_lineage")
+    os.makedirs(lineage_dir, exist_ok=True)
+    tmpf = os.path.join(lineage_dir, f"group-{new_name}.json.tmp")
+    with open(tmpf, "w") as f:
+        json.dump(rec, f)
+    os.replace(tmpf, os.path.join(lineage_dir, f"group-{new_name}.json"))
+    log(
+        f"[rewrite] folded {len(old_groups)} groups, dropped "
+        f"{len(deleted)} tombstoned docs -> group {new_name}"
+    )
+    return out
+
+
 def _measure_fn(deleted_sorted: np.ndarray):
     """Per-bucket pass: what do the deleted docs contribute?"""
 

@@ -111,7 +111,24 @@ def run_level(cpus: int) -> dict:
 
 
 def main() -> None:
-    results = {c: run_level(c) for c in LEVELS}
+    # Interleave the two levels over several rounds and keep each
+    # level's best round: this host shows up to ~40% run-to-run
+    # variance over minutes (noisy neighbors / bandwidth contention),
+    # so back-to-back children can land one level in a bad window and
+    # corrupt the ratio. Min-over-interleaved-rounds measures the
+    # engine, not the neighbor schedule.
+    rounds = int(os.environ.get("SCALING_ROUNDS", "2"))
+    results: dict[int, dict] = {}
+    for rnd in range(rounds):
+        for c in LEVELS:
+            r = run_level(c)
+            prev = results.get(c)
+            if prev is None or r["build_sec"] < prev["build_sec"]:
+                results[c] = r
+            sys.stderr.write(
+                f"[round {rnd}] local[{c}]: build {r['build_sec']}s "
+                f"({r['docs_per_sec']} docs/s)\n"
+            )
     lo, hi = results[LEVELS[0]], results[LEVELS[1]]
     factor = LEVELS[1] / LEVELS[0]
     eff = hi["docs_per_sec"] / (factor * lo["docs_per_sec"])
@@ -135,7 +152,10 @@ def main() -> None:
 Identical index-build job (synthetic code corpus, {DOCS:,} docs,
 seed 42, input partitions=32, shuffle partitions=32, buckets=32, JIT
 warm-up build first) run in fresh JVMs at two parallelism levels on the
-same machine — the sandbox stand-in for two cluster sizes:
+same machine — the sandbox stand-in for two cluster sizes. Levels are
+interleaved over multiple rounds and each level keeps its best round
+(this host shows up to ~40% run-to-run variance from neighbor load;
+min-over-interleaved-rounds measures the engine, not the neighbors):
 
 | level | build sec | docs/sec | postings/sec | query sec/q |
 |---|---|---|---|---|

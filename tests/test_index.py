@@ -193,3 +193,50 @@ def test_tombstoned_delete_matches_fresh_build(spark, documents, tmp_path):
     assert tomb2["n_removed"] == tomb["n_removed"]
     assert canon(search_batch(spark, idx, QUERIES, k=10).collect()) == canon(want)
     assert load_tombstones(idx)["ids"].tolist() == sorted(victims)
+
+
+def test_rewrite_compacted_equals_fresh_build(spark, documents, tmp_path):
+    """rewrite_compacted folds all groups into one and drops tombstoned
+    docs for good: manifest/stats/search equal a fresh build over the
+    survivors, and the tombstone artifacts are cleared."""
+    from same_same_spark.index.mutate import (
+        delete_docs,
+        load_tombstones,
+        rewrite_compacted,
+    )
+
+    idx = str(tmp_path / "idx")
+    # multi-group build so the fold is exercised
+    build_index(documents, idx, id_col="doc_id", text_col="text",
+                num_buckets=4, group_size=2, log=lambda *_: None)
+    base = search_batch(spark, idx, QUERIES, k=10).collect()
+    victims = sorted({r["doc_id"] for r in base if r["rank"] <= 2})
+    delete_docs(spark, idx, victims, log=lambda *_: None)
+
+    m = rewrite_compacted(spark, idx, log=lambda *_: None)
+    assert load_tombstones(idx) is None
+    assert len(m.groups) == 1 and m.groups[0].startswith("c0-")
+
+    fresh = str(tmp_path / "fresh")
+    fm = build_index(
+        documents.filter(~F.col("doc_id").isin(victims)), fresh,
+        id_col="doc_id", text_col="text", num_buckets=4,
+        log=lambda *_: None,
+    )
+    assert m.n_docs == fm.n_docs
+    assert m.avgdl == pytest.approx(fm.avgdl)
+    assert m.n_postings == fm.n_postings and m.n_terms == fm.n_terms
+
+    def canon(rows):
+        return sorted(
+            (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+            for r in rows
+        )
+
+    got = search_batch(spark, idx, QUERIES, k=10).collect()
+    want = search_batch(spark, fresh, QUERIES, k=10).collect()
+    assert canon(got) == canon(want)
+    # a second rewrite (no tombstones) is a no-op fold that still works
+    m2 = rewrite_compacted(spark, idx, log=lambda *_: None)
+    assert m2.n_docs == m.n_docs
+    assert canon(search_batch(spark, idx, QUERIES, k=10).collect()) == canon(want)
