@@ -132,6 +132,28 @@ class SameSameSpark:
             .withColumnRenamed("doc_id", self.id_col)
         )
 
+    def search_by_text_batch(
+        self, texts: list[str], k: int = SEARCH_BY_TEXT_DEFAULT_K
+    ) -> DataFrame:
+        """Batch form of :meth:`search_by_text` — one job for N queries
+        (the broker shape a service would actually run). Returns
+        (query_id, id, score, rank); query_id = position in ``texts``.
+        Rides the index when attached, else the naive scorer."""
+        k = k if k > 0 else SEARCH_BY_TEXT_DEFAULT_K
+        queries = list(enumerate(texts))
+        if self.index_dir:
+            from same_same_spark.index.query import search_batch
+
+            out = search_batch(
+                self.docs.sparkSession, self.index_dir, queries, k=k
+            )
+        else:
+            out = score_queries(
+                self.docs, queries, k=k, id_col=self.id_col,
+                text_col=self.text_col,
+            )
+        return out.withColumnRenamed("doc_id", self.id_col)
+
     def advanced_search(
         self,
         query: str,

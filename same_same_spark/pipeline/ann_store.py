@@ -131,9 +131,29 @@ def build_ann_index(
     return manifest
 
 
+# centroid tables are tiny (n_centroids × dim) and probed on every IVF
+# batch — cache per (ann_dir, manifest mtime) like the index broker's
+# term dictionary, with superseded keys evicted on rebuild
+_CENTROID_CACHE: dict[tuple[str, float], list[tuple[int, list[float]]]] = {}
+
+
 def _load_manifest(ann_dir: str) -> dict:
     with open(os.path.join(ann_dir, "manifest.json")) as f:
         return json.load(f)
+
+
+def _load_centroids(
+    spark: SparkSession, ann_dir: str
+) -> list[tuple[int, list[float]]]:
+    key = (ann_dir, os.path.getmtime(os.path.join(ann_dir, "manifest.json")))
+    for stale in [k for k in _CENTROID_CACHE if k[0] == ann_dir and k != key]:
+        del _CENTROID_CACHE[stale]
+    if key not in _CENTROID_CACHE:
+        _CENTROID_CACHE[key] = [
+            (int(r["centroid_id"]), list(r["cvec"]))
+            for r in spark.read.parquet(f"{ann_dir}/centroids").collect()
+        ]
+    return _CENTROID_CACHE[key]
 
 
 def _query_frame(
@@ -222,10 +242,7 @@ def ivf_topk_persisted(
     """
     m = _load_manifest(ann_dir)
     id_col = m["id_col"]
-    cents = [
-        (int(r["centroid_id"]), list(r["cvec"]))
-        for r in spark.read.parquet(f"{ann_dir}/centroids").collect()
-    ]
+    cents = _load_centroids(spark, ann_dir)
 
     probe_pairs: list[tuple[int, int]] = []
     for qid, qvec in queries:

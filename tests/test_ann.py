@@ -183,3 +183,14 @@ def test_kmeans_centroids_and_ivf_recall(spark, emb, tmp_path):
     recall = len(inter) / len(top(brute))
     # nprobe=3 of 8 cells: expect high recall on clustered synthetic data
     assert recall >= 0.6, f"recall@5 {recall:.2f}"
+
+
+def test_persisted_ivf_probe_is_partition_pruned(spark, emb, ann_dir):
+    from same_same_spark.pipeline import ann_store
+
+    df = ann_store.ivf_topk_persisted(spark, ann_dir, _qvecs(emb), k=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "centroid_id" in m.group(1)

@@ -120,3 +120,36 @@ def test_embedder_stats(store):
     s = store.embedder_stats()
     assert s["document_count"] == 3
     assert s["vocabulary_size"] > 5
+
+
+def test_search_by_text_batch_matches_single(spark, tmp_path):
+    """Batch API == per-query API on both paths (naive and indexed)."""
+    from same_same_spark.index.build import build_index
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    texts = ["fast merge join sort", "spark query data window"]
+
+    naive = SameSameSpark(docs, id_col="doc_id", text_col="text")
+    got = naive.search_by_text_batch(texts, k=5).collect()
+    for qid, text in enumerate(texts):
+        single = naive.search_by_text(text, k=5).collect()
+        batch_q = sorted(
+            (r["rank"], r["doc_id"], round(r["score"], 9))
+            for r in got if r["query_id"] == qid
+        )
+        want = sorted(
+            (r["rank"], r["doc_id"], round(r["score"], 9)) for r in single
+        )
+        assert batch_q == want
+
+    idx = str(tmp_path / "idx")
+    build_index(docs, idx, id_col="doc_id", text_col="text",
+                num_buckets=4, log=lambda *_: None)
+    indexed = SameSameSpark(docs, id_col="doc_id", text_col="text",
+                            index_dir=idx)
+    got_idx = indexed.search_by_text_batch(texts, k=5).collect()
+    canon = lambda rows: sorted(
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+        for r in rows
+    )
+    assert canon(got_idx) == canon(got)

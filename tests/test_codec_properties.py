@@ -86,3 +86,39 @@ def test_posting_list_roundtrip(postings):
         expect_t.extend(t[lo:hi].tolist())
     assert ds.tolist() == expect_d
     assert ts.tolist() == expect_t
+
+
+@given(
+    st.integers(min_value=1, max_value=2000),  # n postings
+    st.integers(min_value=1, max_value=8),     # density divisor
+    st.integers(min_value=0, max_value=2**32), # seed
+)
+@settings(max_examples=60, deadline=None)
+def test_dense_position_roundtrip_and_pruned_decode(n, div, seed):
+    """Layout-v4 shape: positions into a dense 0..N space — FOR fires
+    on nearly every block, exercising the vectorized multi-block
+    encode, the bulk all-FOR decode, and block-subset decode, which the
+    wide-id strategies above almost never reach."""
+    rng = np.random.default_rng(seed)
+    space = max(n * div, n)
+    pos = np.sort(rng.choice(space, size=n, replace=False)).astype(np.int64)
+    tfs = rng.integers(1, 300, n).astype(np.int64)
+    dls = rng.integers(0, 5000, n).astype(np.int64)
+    row = codec.encode_posting_list(pos, tfs, dls)
+    d, t = codec.decode_posting_list(row)
+    assert d.tolist() == pos.tolist()
+    assert t.tolist() == tfs.tolist()
+    # any block subset decodes independently (block-max skipping)
+    n_blocks = len(row["block_off_doc"])
+    keep = rng.random(n_blocks) < 0.5
+    ds, ts = codec.decode_blocks(
+        row["doc_bytes"], row["tf_bytes"], row["n"],
+        row["block_off_doc"], row["block_off_tf"], row["block_last_doc"],
+        keep,
+    )
+    expect_d, expect_t = [], []
+    for bi in np.flatnonzero(keep):
+        lo, hi = bi * codec.BLOCK_SIZE, min((bi + 1) * codec.BLOCK_SIZE, n)
+        expect_d.extend(pos[lo:hi]); expect_t.extend(tfs[lo:hi])
+    assert ds.tolist() == expect_d
+    assert ts.tolist() == expect_t
