@@ -630,6 +630,32 @@ def _q_index_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round6(out, "score").withColumn("rank", F.col("rank").cast("int"))
 
 
+def _q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — the reference's actual quote-search scoring model (TF-IDF
+    embed + cosine over the whole store, tfidf.go:85-235 /
+    search.go:16-42), sparse re-expression."""
+    from same_same_spark.operators.tfidf import tfidf_topk
+
+    out = tfidf_topk(
+        _docs(spark, sf_dir), REF_QUERIES, k=REF_K,
+        id_col="doc_id", text_col="text",
+    )
+    return _round6(out, "score").withColumn("rank", F.col("rank").cast("int"))
+
+
+def _sql_tfidf_topk() -> str:
+    from same_same_spark.operators.tfidf import duckdb_tfidf_sql
+
+    return (
+        "SELECT query_id, doc_id, score, rank::INTEGER AS rank FROM ("
+        + duckdb_tfidf_sql("documents", "doc_id", "text", REF_QUERIES, k=REF_K)
+        + ")"
+    )
+
+
+_SQL_TFIDF_TOPK = _sql_tfidf_topk()
+
+
 def _q_tags_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X10 — comma-split + trim + drop-empties over a synthesized tags
     column (lang,source, with reference-style messy spacing)."""
@@ -1425,6 +1451,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "hybrid_search": (_q_hybrid_search, _SQL_HYBRID_SEARCH),
     "events_hourly": (_q_events_hourly, _SQL_EVENTS_HOURLY),
     "index_bm25_topk": (_q_index_bm25_topk, _SQL_BM25_TOPK),
+    "tfidf_topk": (_q_tfidf_topk, _SQL_TFIDF_TOPK),
     "search_by_text": (_q_search_by_text, _SQL_SEARCH_BY_TEXT),
     "search_by_text_indexed": (
         _q_search_by_text_indexed,
