@@ -656,6 +656,39 @@ def _sql_tfidf_topk() -> str:
 _SQL_TFIDF_TOPK = _sql_tfidf_topk()
 
 
+_CLIP_QUERY = "fast vector search index"
+_CLIP_DIM = 32  # oracle needs dim <= 128 (chr() stays single-byte)
+
+
+def _q_clip_text_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X11 — SimpleCLIP hash embedder (text path) + cosine top-k over the
+    ASCII document subset (simple.go:75-106). doc_id % 5 == 0 bounds the
+    oracle's md5 volume; the Spark path itself has no such limit."""
+    from same_same_spark.pipeline.clip import ascii_filter_col, clip_text_topk
+
+    docs = _docs(spark, sf_dir)
+    docs = docs.filter(
+        (F.col("doc_id") % 5 == 0) & ascii_filter_col(F.col("text"))
+    )
+    out = clip_text_topk(
+        docs, _CLIP_QUERY, k=REF_K, dim=_CLIP_DIM,
+        id_col="doc_id", text_col="text",
+    )
+    return _round6(out, "score").withColumn("rank", F.col("rank").cast("int"))
+
+
+def _sql_clip_text_topk() -> str:
+    from same_same_spark.pipeline.clip import duckdb_clip_sql
+
+    return duckdb_clip_sql(
+        "documents", "doc_id", "text", _CLIP_QUERY,
+        k=REF_K, dim=_CLIP_DIM, where="doc_id % 5 = 0",
+    )
+
+
+_SQL_CLIP_TEXT_TOPK = _sql_clip_text_topk()
+
+
 def _q_tags_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X10 — comma-split + trim + drop-empties over a synthesized tags
     column (lang,source, with reference-style messy spacing)."""
@@ -1452,6 +1485,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "events_hourly": (_q_events_hourly, _SQL_EVENTS_HOURLY),
     "index_bm25_topk": (_q_index_bm25_topk, _SQL_BM25_TOPK),
     "tfidf_topk": (_q_tfidf_topk, _SQL_TFIDF_TOPK),
+    "clip_text_topk": (_q_clip_text_topk, _SQL_CLIP_TEXT_TOPK),
     "search_by_text": (_q_search_by_text, _SQL_SEARCH_BY_TEXT),
     "search_by_text_indexed": (
         _q_search_by_text_indexed,
