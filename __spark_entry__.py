@@ -689,6 +689,49 @@ def _sql_clip_text_topk() -> str:
 _SQL_CLIP_TEXT_TOPK = _sql_clip_text_topk()
 
 
+def _q_clip_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2/X11 image path — SimpleCLIP visual features (color histogram /
+    texture edges with Go uint32-wraparound semantics / spatial grid,
+    simple.go:107-259) over deterministic hex-keyed stand-in pixels (the
+    real byte decode stays PIL-gated). Emits the first 16 spatial dims
+    post-L2-normalisation; the norm folds in every nonzero histogram and
+    texture entry, so all three sections are value-checked."""
+    from same_same_spark.pipeline.clip import (
+        clip_image_features,
+        fake_decode_rgb_hex,
+    )
+
+    docs = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id")
+        .withColumn("content", F.col("doc_id").cast("string").cast("binary"))
+    )
+    feats = clip_image_features(
+        docs, decoder=lambda p: fake_decode_rgb_hex(p.decode(), 32)
+    )
+    out = feats.select(
+        "doc_id",
+        F.posexplode(F.slice("clip_emb", 385, 16)).alias("pos", "val"),
+    )
+    return out.select(
+        "doc_id",
+        (F.col("pos") + 384).cast("int").alias("i"),
+        F.round("val", 6).alias("val"),
+    )
+
+
+def _sql_clip_image_features() -> str:
+    from same_same_spark.pipeline.clip import duckdb_clip_image_sql
+
+    return duckdb_clip_image_sql(
+        "documents", "doc_id", size=32, where="doc_id % 5 = 0", out_dims=16
+    )
+
+
+_SQL_CLIP_IMAGE = _sql_clip_image_features()
+
+
 def _q_tags_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X10 — comma-split + trim + drop-empties over a synthesized tags
     column (lang,source, with reference-style messy spacing)."""
@@ -1486,6 +1529,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "index_bm25_topk": (_q_index_bm25_topk, _SQL_BM25_TOPK),
     "tfidf_topk": (_q_tfidf_topk, _SQL_TFIDF_TOPK),
     "clip_text_topk": (_q_clip_text_topk, _SQL_CLIP_TEXT_TOPK),
+    "clip_image_features": (_q_clip_image_features, _SQL_CLIP_IMAGE),
     "search_by_text": (_q_search_by_text, _SQL_SEARCH_BY_TEXT),
     "search_by_text_indexed": (
         _q_search_by_text_indexed,

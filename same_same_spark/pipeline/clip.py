@@ -303,3 +303,360 @@ ranked AS (
 SELECT doc_id, {sel_score}, rank::INTEGER AS rank
 FROM ranked WHERE rank <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# image path (simple.go:107-259) — feature math is real; DECODE is gated
+# ---------------------------------------------------------------------------
+
+IMG_DIM = 512  # 256 color-histogram + 128 texture + 128 spatial
+
+
+def embed_image_py(rgb) -> list[float]:
+    """Literal scalar model of ``embedImage`` (simple.go:107-259) over an
+    (H, W, 3) uint8 pixel array.
+
+    Channel values are widened to Go's 16-bit ``RGBA()`` scale
+    (``v16 = v8 * 0x101``, opaque images). The reference resizes to
+    224x224 with Lanczos3 first — resizing belongs to the (gated) decode
+    step here, so features are computed over the array as given.
+
+    Faithful quirks preserved on purpose:
+    - color histogram grayscale uses *integer* ``(r+g+b)/3`` then
+      ``>> 8`` (simple.go:158-161);
+    - texture edge deltas are **uint32 subtractions** — a darker
+      right/lower neighbour wraps around 2^32 before the float
+      conversion (simple.go:185-190), exactly as in Go;
+    - spatial grid uses integer cell sizes and fills (avg, brightness)
+      pairs until 128 slots are used (simple.go:225-253).
+    """
+    import numpy as np
+
+    a = np.asarray(rgb, dtype=np.uint32)
+    h, w = a.shape[0], a.shape[1]
+    r = a[:, :, 0] * 0x101
+    g = a[:, :, 1] * 0x101
+    b = a[:, :, 2] * 0x101
+
+    emb = [0.0] * IMG_DIM
+
+    # 1. color histogram (dims 0..255), every 16th pixel
+    count = 0
+    for y in range(0, h, 16):
+        for x in range(0, w, 16):
+            gray = (int(r[y, x]) + int(g[y, x]) + int(b[y, x])) // 3
+            emb[gray >> 8] += 1.0
+            count += 1
+    if count > 0:
+        for i in range(256):
+            emb[i] /= float(count)
+
+    # 2. texture edges (dims 256..383), 2x2 patches every 8 px
+    tex = [0.0] * 128
+    M32 = 1 << 32
+    for y in range(0, h - 8, 8):
+        for x in range(0, w - 8, 8):
+            d = 0.0
+            for c in (r, g, b):  # horizontal: At(x+8, y) - At(x, y)
+                d += float((int(c[y, x + 8]) - int(c[y, x])) % M32)
+            h_edge = abs(d)
+            d = 0.0
+            for c in (r, g, b):  # vertical: At(x, y+8) - At(x, y)
+                d += float((int(c[y + 8, x]) - int(c[y, x])) % M32)
+            v_edge = abs(d)
+            tex[int(h_edge / 65536.0 * 64.0) % 64] += 1.0
+            tex[64 + int(v_edge / 65536.0 * 64.0) % 64] += 1.0
+    s = sum(tex)
+    if s > 0:
+        tex = [v / s for v in tex]
+    emb[256:384] = tex
+
+    # 3. spatial grid (dims 384..511): 8x8 cell centers, (avg, brightness)
+    spat = [0.0] * 128
+    cw, ch = w // 8, h // 8
+    idx = 0
+    for gy in range(8):
+        if idx >= 128:
+            break
+        for gx in range(8):
+            if idx >= 128:
+                break
+            cx, cy = gx * cw + cw // 2, gy * ch + ch // 2
+            if cx < w and cy < h:
+                rr, gg, bb = int(r[cy, cx]), int(g[cy, cx]), int(b[cy, cx])
+                spat[idx] = float(rr + gg + bb) / (3.0 * 65535.0)
+                if idx + 1 < 128:
+                    spat[idx + 1] = (
+                        0.299 * rr + 0.587 * gg + 0.114 * bb
+                    ) / 65535.0
+                idx += 2
+    emb[384:512] = spat
+
+    norm = math.sqrt(sum(float(x) * float(x) for x in emb))
+    if norm == 0:
+        return emb
+    return [x / norm for x in emb]
+
+
+def _embed_image_one(rgb) -> np.ndarray:
+    """Vectorised twin of :func:`embed_image_py` (bit-identical)."""
+    a = np.asarray(rgb, dtype=np.uint32)
+    h, w = a.shape[0], a.shape[1]
+    c16 = a * np.uint32(0x101)
+    r, g, b = c16[:, :, 0], c16[:, :, 1], c16[:, :, 2]
+
+    emb = np.zeros(IMG_DIM, dtype=np.float64)
+
+    samp = (r[::16, ::16] + g[::16, ::16] + b[::16, ::16]) // 3
+    bins = (samp >> 8).ravel()
+    count = bins.size
+    if count:
+        emb[:256] = np.bincount(bins, minlength=256)[:256] / float(count)
+
+    ys, xs = np.arange(0, h - 8, 8), np.arange(0, w - 8, 8)
+    if ys.size and xs.size:
+        p = np.ix_(ys, xs)
+        ph = np.ix_(ys, xs + 8)
+        pv = np.ix_(ys + 8, xs)
+        # uint32 wraparound, then float — same quirk as the scalar model
+        h_edge = np.abs(
+            (r[ph] - r[p]).astype(np.float64)
+            + (g[ph] - g[p]).astype(np.float64)
+            + (b[ph] - b[p]).astype(np.float64)
+        )
+        v_edge = np.abs(
+            (r[pv] - r[p]).astype(np.float64)
+            + (g[pv] - g[p]).astype(np.float64)
+            + (b[pv] - b[p]).astype(np.float64)
+        )
+        hb = (h_edge / 65536.0 * 64.0).astype(np.int64).ravel() % 64
+        vb = (v_edge / 65536.0 * 64.0).astype(np.int64).ravel() % 64
+        tex = np.bincount(hb, minlength=64).astype(np.float64)
+        tex = np.concatenate(
+            [tex, np.bincount(vb, minlength=64).astype(np.float64)]
+        )
+        s = tex.sum()
+        if s > 0:
+            emb[256:384] = tex / s
+
+    cw, ch = w // 8, h // 8
+    idx = 0
+    for gy in range(8):
+        if idx >= 128:
+            break
+        for gx in range(8):
+            if idx >= 128:
+                break
+            cx, cy = gx * cw + cw // 2, gy * ch + ch // 2
+            if cx < w and cy < h:
+                rr = int(r[cy, cx]); gg = int(g[cy, cx]); bb = int(b[cy, cx])
+                emb[384 + idx] = float(rr + gg + bb) / (3.0 * 65535.0)
+                if idx + 1 < 128:
+                    emb[384 + idx + 1] = (
+                        0.299 * rr + 0.587 * gg + 0.114 * bb
+                    ) / 65535.0
+                idx += 2
+
+    norm = math.sqrt(sum(float(x) * float(x) for x in emb))
+    if norm == 0.0:
+        return emb
+    return emb / norm
+
+
+def fake_decode_rgb(payload: bytes, size: int = 32) -> np.ndarray:
+    """Deterministic stand-in decoder: BINARY payload -> (size, size, 3)
+    uint8 grid via md5 row seeds. The real decoder (PIL + Lanczos resize
+    to 224) stays behind :func:`decode_image_rgb`'s import gate; this
+    keeps the *feature* path testable end to end, mirroring
+    ``multimodal.fake_features``'s role for the plumbing."""
+    rows = []
+    for y in range(size):
+        seed = hashlib.md5(payload + b"#" + str(y).encode()).digest()
+        row = hashlib.md5(seed).digest()
+        while len(row) < size * 3:
+            row += hashlib.md5(row[-16:]).digest()
+        rows.append(np.frombuffer(row[: size * 3], dtype=np.uint8))
+    return np.stack(rows).reshape(size, size, 3)
+
+
+def decode_image_rgb(payload: bytes, size: tuple[int, int] = (224, 224)):
+    """Real decode + Lanczos resize — gated on PIL (absent here)."""
+    try:
+        import PIL.Image as Image
+    except ImportError as e:  # pragma: no cover - no PIL in container
+        raise NotImplementedError(
+            "image decoding requires pillow; use fake_decode_rgb() for "
+            "feature-path tests"
+        ) from e
+    import io
+
+    img = Image.open(io.BytesIO(payload)).convert("RGB")
+    return np.asarray(img.resize(size, Image.LANCZOS), dtype=np.uint8)
+
+
+def clip_image_features(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    decoder=fake_decode_rgb,
+) -> DataFrame:
+    """SimpleCLIP image embeddings over a BINARY column via mapInPandas
+    (Arrow batches in, one 512-dim row out per input row). ``decoder``
+    is the pluggable bytes->pixels step (real PIL decode at production,
+    :func:`fake_decode_rgb` in this container)."""
+    from collections.abc import Iterator
+
+    schema = f"{id_col} LONG, clip_emb ARRAY<DOUBLE>"
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                _embed_image_one(
+                    decoder(bytes(blob) if blob is not None else b"")
+                ).tolist()
+                for blob in pdf[content_col]
+            ]
+            yield pd.DataFrame({id_col: pdf[id_col], "clip_emb": feats})
+
+    return df.select(id_col, content_col).mapInPandas(extract, schema)
+
+
+def fake_decode_rgb_hex(key: str, size: int = 32) -> np.ndarray:
+    """ASCII-keyed stand-in decoder: pixel (x, y) channels come from the
+    first three bytes of ``md5(key + ':' + x + ':' + y)``'s hex digest.
+    Unlike :func:`fake_decode_rgb` every md5 input is an ASCII string, so
+    a SQL engine can reproduce any sampled pixel exactly — which is what
+    makes :func:`duckdb_clip_image_sql` possible."""
+    grid = np.empty((size, size, 3), dtype=np.uint8)
+    for y in range(size):
+        for x in range(size):
+            h = hashlib.md5(f"{key}:{x}:{y}".encode()).hexdigest()
+            grid[y, x] = (
+                int(h[0:2], 16), int(h[2:4], 16), int(h[4:6], 16)
+            )
+    return grid
+
+
+def duckdb_clip_image_sql(
+    table: str,
+    id_col: str,
+    size: int = 32,
+    where: str = "TRUE",
+    out_dims: int = 16,
+    round_score: int | None = 6,
+) -> str:
+    """DuckDB twin of the SimpleCLIP image feature path over
+    ``fake_decode_rgb_hex(str(id))`` grids.
+
+    Computes the embedding *sparsely* — only the pixels the reference
+    actually samples (simple.go:144-259): the every-16th histogram
+    grid, the 8-px-stride texture patches, and the 64 spatial cell
+    centers. The L2 norm is assembled from all three sections' nonzero
+    entries, then the first ``out_dims`` spatial components (dims
+    384..384+out_dims-1) are emitted post-normalisation as
+    ``(doc_id, i, val)`` — matching the Spark entry's projection.
+    """
+    assert size % 16 == 0 and size >= 16, "sparse SQL assumes 16 | size"
+    hist_pos = [(x, y) for y in range(0, size, 16) for x in range(0, size, 16)]
+    tex_pos = [
+        (x, y) for y in range(0, size - 8, 8) for x in range(0, size - 8, 8)
+    ]
+    cell = size // 8
+    centers = [
+        (c, gx * cell + cell // 2, gy * cell + cell // 2)
+        for c in range(64)
+        for gy, gx in [(c // 8, c % 8)]
+    ]
+    need = sorted(
+        set(hist_pos)
+        | {p for (x, y) in tex_pos for p in ((x, y), (x + 8, y), (x, y + 8))}
+        | {(cx, cy) for _, cx, cy in centers}
+    )
+    pos_vals = ", ".join(f"({x}, {y})" for x, y in need)
+    hist_vals = ", ".join(f"({x}, {y})" for x, y in hist_pos)
+    tex_vals = ", ".join(f"({x}, {y})" for x, y in tex_pos)
+    cen_vals = ", ".join(f"({c}, {x}, {y})" for c, x, y in centers)
+    n_hist = len(hist_pos)
+
+    def chan(off: int) -> str:
+        return (
+            f"('0x' || substr(md5(d.key || ':' || p.x || ':' || p.y), "
+            f"{off}, 2))::BIGINT * 257"
+        )
+
+    wrap = "CASE WHEN {d} < 0 THEN {d} + 4294967296 ELSE {d} END"
+
+    def edge(a: str, b: str) -> str:
+        return " + ".join(
+            wrap.format(d=f"({a}.{c} - {b}.{c})") + "::DOUBLE"
+            for c in ("r", "g", "b")
+        )
+
+    sel_val = (
+        f"round(val, {round_score}) AS val" if round_score is not None
+        else "val"
+    )
+    return f"""
+WITH docs AS (
+  SELECT {id_col} AS doc_id, {id_col}::VARCHAR AS key
+  FROM {table} WHERE {where}
+),
+pos AS ( SELECT * FROM (VALUES {pos_vals}) AS p(x, y) ),
+pix AS (
+  SELECT d.doc_id, p.x, p.y,
+         {chan(1)} AS r, {chan(3)} AS g, {chan(5)} AS b
+  FROM docs d CROSS JOIN pos p
+),
+hist AS (
+  SELECT doc_id, ((r + g + b) // 3) // 256 AS bin,
+         count(*)::DOUBLE / {n_hist} AS v
+  FROM pix JOIN (VALUES {hist_vals}) AS h(x, y) USING (x, y)
+  GROUP BY doc_id, bin
+),
+tex_bins AS (
+  SELECT p1.doc_id, bin, count(*) AS cnt FROM (
+    SELECT p1.doc_id,
+           (floor(abs({edge("p2", "p1")}) / 65536.0 * 64.0))::BIGINT % 64
+             AS hbin,
+           64 + (floor(abs({edge("p3", "p1")}) / 65536.0 * 64.0))::BIGINT % 64
+             AS vbin
+    FROM (VALUES {tex_vals}) AS t(x, y)
+    JOIN pix p1 ON p1.x = t.x AND p1.y = t.y
+    JOIN pix p2 ON p2.doc_id = p1.doc_id AND p2.x = t.x + 8 AND p2.y = t.y
+    JOIN pix p3 ON p3.doc_id = p1.doc_id AND p3.x = t.x AND p3.y = t.y + 8
+  ) p1(doc_id, hbin, vbin),
+  LATERAL (SELECT unnest([hbin, vbin]) AS bin) u
+  GROUP BY p1.doc_id, bin
+),
+tex AS (
+  SELECT doc_id, bin,
+         cnt / (sum(cnt) OVER (PARTITION BY doc_id))::DOUBLE AS v
+  FROM tex_bins
+),
+spat AS (
+  SELECT p.doc_id, i, v FROM (
+    SELECT p.doc_id,
+           384 + 2 * c.c AS avg_i,
+           (p.r + p.g + p.b)::DOUBLE / (3.0 * 65535.0) AS avg_v,
+           384 + 2 * c.c + 1 AS br_i,
+           (0.299 * p.r + 0.587 * p.g + 0.114 * p.b) / 65535.0 AS br_v
+    FROM (VALUES {cen_vals}) AS c(c, x, y)
+    JOIN pix p ON p.x = c.x AND p.y = c.y
+  ) p(doc_id, avg_i, avg_v, br_i, br_v),
+  LATERAL (SELECT unnest([avg_i, br_i]) AS i, unnest([avg_v, br_v]) AS v) u
+),
+norms AS (
+  SELECT doc_id, sqrt(sum(vv)) AS nrm FROM (
+    SELECT doc_id, v * v AS vv FROM hist
+    UNION ALL SELECT doc_id, v * v FROM tex
+    UNION ALL SELECT doc_id, v * v FROM spat
+  ) GROUP BY doc_id
+),
+outv AS (
+  SELECT s.doc_id, s.i,
+         CASE WHEN n.nrm = 0 THEN s.v ELSE s.v / n.nrm END AS val
+  FROM spat s JOIN norms n ON s.doc_id = n.doc_id
+  WHERE s.i < 384 + {out_dims}
+)
+SELECT doc_id, i::INTEGER AS i, {sel_val} FROM outv
+"""

@@ -49,28 +49,25 @@ def test_empty_text_zero_vector():
 
 
 def test_golden_values():
-    # Pinned outputs of the reference hashing math (hash = BE-uint32 of
+    # FROZEN outputs of the reference hashing math (hash = BE-uint32 of
     # md5(word + byte(i) + byte(j)), sin/cos mix, L2 norm). Any change
-    # to the pipeline shows up here first.
-    v = embed_text_py("hello world", dim=4)
-    h = hash(tuple(round(x, 12) for x in v))
-    # derive the golden from the scalar model itself once, then freeze:
-    import hashlib
-    t = "hello world"
-    b = t.encode()
-    exp = []
-    for i in range(4):
-        val = 0.0
-        for j, w in enumerate(["hello", "world"]):
-            hh = hashlib.md5(w.encode() + bytes((i, j))).digest()
-            val += math.sin(float(int.from_bytes(hh[:4], "big"))) * 0.5
-        for j in range(len(b) - 2):
-            hh = hashlib.md5(b[j:j + 3] + bytes((i, 0))).digest()
-            val += math.cos(float(int.from_bytes(hh[:4], "big"))) * 0.1
-        exp.append(val)
-    nrm = math.sqrt(sum(x * x for x in exp))
-    exp = [x / nrm for x in exp]
-    assert v == exp
+    # to the embedder shows up here first — goldens are literals, not
+    # re-derived.
+    assert embed_text_py("hello world", dim=4) == [
+        0.13989587652424632,
+        0.49849724016159846,
+        -0.2541185999046733,
+        -0.8169169985165391,
+    ]
+
+
+def test_image_golden_values():
+    from same_same_spark.pipeline.clip import embed_image_py, fake_decode_rgb
+
+    v = embed_image_py(fake_decode_rgb(b"payload-a", 32))
+    assert v[0] == 0.0
+    assert v[400] == 0.11378334902080119
+    assert sum(1 for x in v if x != 0) == 148
 
 
 def test_case_and_trim_normalisation():
@@ -133,3 +130,80 @@ def _sq(s: str) -> str:
     return "'" + s.replace("'", "''").replace("\t", "' || chr(9) || '").replace(
         "\n", "' || chr(10) || '"
     ) + "'"
+
+
+# ---------------------------------------------------------------------------
+# image path
+# ---------------------------------------------------------------------------
+
+def _grids():
+    from same_same_spark.pipeline.clip import fake_decode_rgb
+
+    return [
+        fake_decode_rgb(b"payload-a", 32),
+        fake_decode_rgb(b"payload-b", 32),
+        fake_decode_rgb(b"payload-a", 224),  # reference-size grid
+        fake_decode_rgb(b"small", 8),        # < texture/hist sample sizes
+        fake_decode_rgb(b"odd", 33),         # not divisible by 8/16
+        np.zeros((16, 16, 3), dtype=np.uint8),
+        np.full((16, 16, 3), 255, dtype=np.uint8),
+    ]
+
+
+def test_image_scalar_vs_vectorized():
+    from same_same_spark.pipeline.clip import _embed_image_one, embed_image_py
+
+    for g in _grids():
+        a = np.asarray(embed_image_py(g))
+        b = _embed_image_one(g)
+        assert np.array_equal(a, b), g.shape
+
+
+def test_image_sections_and_norm():
+    from same_same_spark.pipeline.clip import _embed_image_one
+
+    v = _embed_image_one(_grids()[0])
+    assert v.shape == (512,)
+    n = float(np.dot(v, v))
+    assert n == pytest.approx(1.0, abs=1e-12)
+
+
+def test_image_texture_wraparound_quirk():
+    # A darker right neighbour must wrap mod 2^32 (Go uint32 math), which
+    # lands the edge in a *different* bin than the symmetric |delta| would
+    from same_same_spark.pipeline.clip import embed_image_py
+
+    g = np.zeros((16, 16, 3), dtype=np.uint8)
+    g[:, :8] = 200   # bright left half
+    g[:, 8:] = 100   # darker right half -> negative delta -> wraps
+    v = embed_image_py(g)
+    tex = v[256:384]
+    assert sum(1 for x in tex if x != 0) > 0
+    # the wrapped h-edge value: (100-200)*0x101 mod 2^32, x3 channels
+    wrapped = ((100 - 200) * 0x101) % (1 << 32) * 3.0
+    want_bin = int(wrapped / 65536.0 * 64.0) % 64
+    assert tex[want_bin] != 0
+
+
+def test_image_spark_plumbing(spark):
+    from same_same_spark.pipeline.clip import (
+        _embed_image_one,
+        clip_image_features,
+        fake_decode_rgb,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"payload-a")), (2, bytearray(b"payload-b"))],
+        "doc_id LONG, content BINARY",
+    )
+    rows = {r["doc_id"]: r["clip_emb"] for r in clip_image_features(df).collect()}
+    for i, payload in ((1, b"payload-a"), (2, b"payload-b")):
+        want = _embed_image_one(fake_decode_rgb(payload)).tolist()
+        assert list(rows[i]) == want
+
+
+def test_real_decode_is_gated():
+    from same_same_spark.pipeline.clip import decode_image_rgb
+
+    with pytest.raises(NotImplementedError):
+        decode_image_rgb(b"\x89PNG...")
