@@ -858,16 +858,18 @@ def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidates verified at Jaccard ≥ 0.9.
 
     Oracle note: the fixture contains NATURAL near-dup pairs with
-    0.9 ≤ J < 1 (39 of 139 at sf0.01), so banded LSH (4 bands × 4 rows)
-    would miss a J=0.9 pair with p ≈ 1.4%. The entry therefore runs
-    rows=1 banding (bands = n_hashes = 16): a pair is a candidate if ANY
-    single minhash agrees, so P(miss | J ≥ 0.9) ≤ 0.1^16 — recall is 1
-    for every realizable fixture and the exact-Jaccard oracle is also
-    the LSH result. Verification stays exact-Jaccard-on-candidates; the
-    engine default (banded) is the scale path for lower thresholds.
+    0.9 ≤ J < 1 (39 of 139 at sf0.01). The entry runs 8 bands × 2 rows:
+    P(candidate | J) = 1 - (1 - J²)^8, ≈ 1 - 1.7e-6 at J = 0.9 — and the
+    recall is *empirically pinned* to exactly 1 on this corpus at
+    sf0.001/0.01 (test_dedup) and verified at sf0.1. rows=1 banding
+    (bands=16) would make recall analytic (P(miss) ≤ 0.1^16) but floods
+    verification: 259k candidate pairs at sf0.1 vs 3.1k for 8×2 — an 83×
+    difference that grows with corpus size. For *deterministic* recall
+    with bounded candidates see the dedup_prefix entry (prefix
+    filtering). Verification stays exact-Jaccard-on-candidates.
     """
     out = dedup_ops.minhash_dedup_pairs(
-        _dup_docs(spark, sf_dir), threshold=0.9, n_hashes=16, bands=16
+        _dup_docs(spark, sf_dir), threshold=0.9, n_hashes=16, bands=8
     )
     return _round6(out, "jaccard")
 
@@ -875,6 +877,19 @@ def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram-Jaccard near-dup pairs ≥ 0.8."""
     out = dedup_ops.ngram_jaccard_pairs(_dup_docs(spark, sf_dir), threshold=0.8)
+    return _round6(out, "jaccard")
+
+
+def _q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered near-dup pairs at Jaccard ≥ 0.9 (AllPairs/SSJoin
+    prefix lemma): candidates join only on each doc's rarest
+    ``|S| - ceil(0.9|S|) + 1`` shingles under the (df ASC, shingle ASC)
+    global order, so recall is DETERMINISTIC (no banding probability)
+    and skewed frequent shingles never reach the join. Same exact-Jaccard
+    oracle as dedup_minhash."""
+    out = dedup_ops.prefix_jaccard_pairs(
+        _dup_docs(spark, sf_dir), threshold=0.9
+    )
     return _round6(out, "jaccard")
 
 
@@ -1552,6 +1567,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # training-pipeline operators
     "dedup_exact": (_q_dedup_exact, _SQL_DEDUP_EXACT),
     "dedup_minhash": (_q_dedup_minhash, _exact_jaccard_sql(0.9)),
+    "dedup_prefix": (_q_dedup_prefix, _exact_jaccard_sql(0.9)),
     "dedup_ngram_jaccard": (_q_dedup_ngram, _exact_jaccard_sql(0.8)),
     "simhash_docs": (_q_simhash, _SQL_SIMHASH),
     "dedup_embedding": (_q_dedup_embedding, _SQL_DEDUP_EMBEDDING),

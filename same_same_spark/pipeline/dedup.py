@@ -19,7 +19,7 @@ Design for scale:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from same_same_spark.text.tokenizer import tokens_col
@@ -457,3 +457,87 @@ def embedding_near_dup_pairs(
         )
     )
     return pairs.filter(F.col("cosine") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# prefix-filtering join (AllPairs / SSJoin-style) — deterministic recall
+# ---------------------------------------------------------------------------
+
+
+def prefix_filter_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.9,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs with GUARANTEED recall at Jaccard ≥ t.
+
+    Classic prefix filtering (Chaudhuri et al. SSJoin; Bayardo et al.
+    AllPairs): under any global total order on shingles, if
+    ``J(a, b) >= t`` then ``|a ∩ b| >= ceil(t * |a|)``, so a and b must
+    share a shingle inside each other's first ``|s| - ceil(t*|s|) + 1``
+    shingles (pigeonhole). Unlike rows=1 MinHash banding — which is also
+    recall-1 but floods verification with every pair sharing any
+    min-shingle — prefix filtering joins only on each doc's *rarest*
+    shingles (the global order is ``(df ASC, shingle ASC)``), so
+    candidate groups are small by construction and shrink further as the
+    corpus grows more diverse.
+
+    Plan: one shingle-df aggregation, one per-doc rank window
+    (partitioned by doc — cardinality N, no skew), one equi-join on the
+    prefix shingles. All shuffle keys are either doc ids or rare
+    shingles; the frequent-shingle skew that breaks naive
+    shared-shingle joins never reaches a join here.
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc_id"),
+        word_shingles_col(text_col, shingle_n).alias("shingles"),
+    ).withColumn("n_sh", F.size("shingles"))
+    ex = sh.select("doc_id", "n_sh", F.explode("shingles").alias("sh"))
+    sh_df = ex.groupBy("sh").agg(F.count(F.lit(1)).alias("sh_df"))
+    ranked = (
+        ex.join(sh_df, "sh")
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(
+                    F.asc("sh_df"), F.asc("sh")
+                )
+            ),
+        )
+        # prefix length L = n - ceil(t*n) + 1
+        .filter(
+            F.col("pos")
+            <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+        )
+        .select("doc_id", "sh")
+    )
+    a = ranked.withColumnRenamed("doc_id", "id_a")
+    b = ranked.withColumnRenamed("doc_id", "id_b")
+    return (
+        a.join(b, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def prefix_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.9,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact near-dup pairs at Jaccard ≥ threshold via prefix-filtered
+    candidates + exact verification. Same output as
+    :func:`ngram_jaccard_pairs` (proved by the prefix lemma), with
+    candidate volume bounded by rare-shingle group sizes instead of the
+    quadratic shared-shingle blowup."""
+    cand = prefix_filter_candidates(
+        df, id_col, text_col, threshold, shingle_n
+    )
+    return jaccard_for_pairs(cand, df, id_col, text_col, shingle_n).filter(
+        F.col("jaccard") >= threshold
+    )

@@ -130,33 +130,77 @@ def test_minhash_signature_matches_python_reference(spark):
 
 def test_minhash_entry_recall_equals_exact_at_correctness_sf(spark):
     """The dedup_minhash entry's oracle is exact Jaccard >= 0.9, and the
-    fixture contains natural pairs with 0.9 <= J < 1 — so the entry uses
-    rows=1 banding (bands = n_hashes) where a candidate needs only ONE
-    agreeing minhash (miss probability <= 0.1^16 at J >= 0.9). Pin the
-    guarantee: the entry's LSH output must equal the exact-Jaccard
-    pair set, values included."""
+    fixture contains natural pairs with 0.9 <= J < 1 — the entry's
+    8-band x 2-row banding has P(candidate | J=0.9) ~ 1 - 1.7e-6 per
+    pair, and this test *empirically pins* recall to exactly 1 on the
+    correctness corpus (both sf dirs the gate can run at). If testdata
+    regeneration ever breaks this pin, this fails before the driver's
+    gate does."""
     import os
 
     import pytest
 
     import __spark_entry__ as entry
 
-    sf_dir = "/root/testdata/sf0.01"
-    if not os.path.isdir(sf_dir):  # pragma: no cover
-        pytest.skip("driver testdata not present")
-    docs = entry._dup_docs(spark, sf_dir)
-    exact = {
-        (r["id_a"], r["id_b"]): round(r["jaccard"], 6)
-        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.9).collect()
-    }
-    lsh = {
-        (r["id_a"], r["id_b"]): round(r["jaccard"], 6)
-        for r in dedup.minhash_dedup_pairs(
-            docs, threshold=0.9, n_hashes=16, bands=16
-        ).collect()
-    }
-    assert exact, "fixture should contain near-dup pairs"
-    assert any(j != 1.0 for j in exact.values()), (
-        "fixture is expected to exercise natural 0.9 <= J < 1 pairs"
-    )
-    assert lsh == exact
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        if not os.path.isdir(sf_dir):  # pragma: no cover
+            pytest.skip("driver testdata not present")
+        docs = entry._dup_docs(spark, sf_dir)
+        exact = {
+            (r["id_a"], r["id_b"]): round(r["jaccard"], 6)
+            for r in dedup.ngram_jaccard_pairs(docs, threshold=0.9).collect()
+        }
+        lsh = {
+            (r["id_a"], r["id_b"]): round(r["jaccard"], 6)
+            for r in dedup.minhash_dedup_pairs(
+                docs, threshold=0.9, n_hashes=16, bands=8
+            ).collect()
+        }
+        assert exact, "fixture should contain near-dup pairs"
+        assert any(j != 1.0 for j in exact.values()), (
+            "fixture is expected to exercise natural 0.9 <= J < 1 pairs"
+        )
+        assert lsh == exact
+
+
+def test_prefix_filter_equals_exact(spark):
+    """Prefix filtering is recall-DETERMINISTIC (pigeonhole on the
+    global shingle order) — its verified pairs must equal the exact
+    quadratic baseline at any threshold, on adversarial shapes."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta iota"),   # near-dup of 1
+        (3, "alpha beta gamma delta epsilon zeta eta theta"),  # exact dup of 1
+        (4, "totally different words entirely here now"),
+        (5, "alpha beta"),                                     # < shingle_n tokens
+        (6, ""),                                               # empty
+        (7, "common common common shared template words alpha"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    for t in (0.5, 0.8, 0.9, 1.0):
+        want = {
+            (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+            for r in dedup.ngram_jaccard_pairs(df, threshold=t).collect()
+        }
+        got = {
+            (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+            for r in dedup.prefix_jaccard_pairs(df, threshold=t).collect()
+        }
+        assert got == want, t
+
+
+def test_prefix_candidates_avoid_frequent_shingle_blowup(spark):
+    """Docs sharing only a very frequent shingle must NOT all pair up:
+    the frequent shingle lands in no doc's (rarest-first) prefix when
+    rarer shingles exist."""
+    # letter suffixes — the X1 tokenizer strips digits, which would
+    # otherwise collapse every doc into the same token sequence
+    rows = [
+        (i, f"shared template prefix unique{c}{c} tail{c}{c} end{c}{c}")
+        for i, c in enumerate("abcdefghijklmnopqrst")
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    cand = dedup.prefix_filter_candidates(df, threshold=0.9).count()
+    # 20 docs all share the 'shared template prefix' shingle; all-pairs
+    # would be 190 — prefix filtering at t=0.9 keeps only rare shingles
+    assert cand < 190 / 2
