@@ -113,16 +113,42 @@ class SameSameSpark:
         text: str,
         k: int = SEARCH_BY_TEXT_DEFAULT_K,
         metadata_eq: dict[str, str] | None = None,
+        scorer: str = "bm25",
     ) -> DataFrame:
-        """The flagship read path (SURVEY §3.1): BM25 top-k with the
-        legacy F1 exact-equality metadata pre-filter. Unfiltered calls
-        ride the index when one is attached."""
+        """The flagship read path (SURVEY §3.1): top-k with the legacy F1
+        exact-equality metadata pre-filter.
+
+        ``scorer`` mirrors the reference's embedder selection
+        (``server.go:73-91``): ``"bm25"`` (default — the north-rule
+        scoring model; unfiltered calls ride the index when attached),
+        ``"tfidf"`` (the reference's own TF-IDF embed + cosine,
+        frozen-corpus form), or ``"clip"`` (SimpleCLIP hash embedding).
+        Unknown names fall back to bm25, like the reference's factory
+        falls back to its local embedder.
+        """
         k = k if k > 0 else SEARCH_BY_TEXT_DEFAULT_K
-        if self.index_dir and not metadata_eq:
-            return self._index_topk(text, k)
         base = self.docs
         if metadata_eq:
             base = base.filter(matches_metadata(metadata_eq))
+        if scorer == "tfidf":
+            from same_same_spark.operators.tfidf import tfidf_topk
+
+            return (
+                tfidf_topk(
+                    base, [(0, text)], k=k, id_col=self.id_col,
+                    text_col=self.text_col,
+                )
+                .drop("query_id")
+                .withColumnRenamed("doc_id", self.id_col)
+            )
+        if scorer == "clip":
+            from same_same_spark.pipeline.clip import clip_text_topk
+
+            return clip_text_topk(
+                base, text, k=k, id_col=self.id_col, text_col=self.text_col
+            ).withColumnRenamed("doc_id", self.id_col)
+        if self.index_dir and not metadata_eq:
+            return self._index_topk(text, k)
         return (
             score_queries(
                 base, [(0, text)], k=k, id_col=self.id_col,

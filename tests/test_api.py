@@ -153,3 +153,31 @@ def test_search_by_text_batch_matches_single(spark, tmp_path):
         for r in rows
     )
     assert canon(got_idx) == canon(got)
+
+
+def test_search_by_text_scorer_selection(spark):
+    """scorer= mirrors the reference's embedder factory: tfidf and clip
+    produce their own rankings; unknown falls back to bm25."""
+    from same_same_spark.api import SameSameSpark
+
+    rows = [
+        (1, "zebra quantum flux unique marker", "a"),
+        (2, "common words appear here together often", "a"),
+        (3, "quantum mechanics common words appear", "b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING, lang STRING")
+    api = SameSameSpark(df, id_col="doc_id", text_col="text")
+
+    bm25 = api.search_by_text("zebra quantum", k=3).collect()
+    assert bm25 and bm25[0]["doc_id"] == 1
+
+    tfidf = api.search_by_text("zebra quantum", k=3, scorer="tfidf").collect()
+    assert len(tfidf) == 3  # tf-idf cosine scores the whole store
+    assert tfidf[0]["doc_id"] == 1
+
+    clip = api.search_by_text("zebra quantum", k=3, scorer="clip").collect()
+    assert len(clip) == 3
+    assert {"doc_id", "score", "rank"} <= set(clip[0].asDict())
+
+    fallback = api.search_by_text("zebra quantum", k=3, scorer="nope").collect()
+    assert [r["doc_id"] for r in fallback] == [r["doc_id"] for r in bm25]
