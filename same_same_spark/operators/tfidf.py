@@ -145,26 +145,45 @@ def tfidf_topk(
     closed-form dot products derived in the module docstring.
     """
     spark = docs_df.sparkSession
+    empty = spark.createDataFrame(
+        [], "query_id INT, doc_id LONG, score DOUBLE, rank INT"
+    )
+    if not queries:
+        return empty
     tok = tokenized(docs_df, id_col=id_col, text_col=text_col)
     n_docs = tok.count()
     if n_docs == 0:
-        return spark.createDataFrame(
-            [], "query_id INT, doc_id LONG, score DOUBLE, rank INT"
-        )
-    vocab = build_vocab(
+        return empty
+    # The vocabulary is <= max_features rows by construction — collect it
+    # once and re-broadcast as a literal relation (one job, no lingering
+    # .cache() across calls, and the doc-weight join is a broadcast).
+    vocab_rows = build_vocab(
         tok, n_docs, min_df=min_df, max_df_ratio=max_df_ratio,
         max_features=max_features,
-    ).cache()
-    v_size = vocab.count()
+    ).collect()
+    v_size = len(vocab_rows)
+    if v_size == 0:
+        # Degenerate corpus (every term pruned): the reference embeds
+        # everything as a ZERO-LENGTH vector, whose cosine is 0 against
+        # anything (vector.go:49-51) — all docs tie at 0 under doc_id.
+        w = Window.partitionBy("query_id").orderBy(F.asc("doc_id"))
+        qids = spark.createDataFrame(
+            [(qid,) for qid, _ in queries], "query_id INT"
+        )
+        return (
+            tok.select("doc_id")
+            .crossJoin(F.broadcast(qids))
+            .withColumn("score", F.lit(0.0))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "doc_id", "score", "rank")
+        )
+    vocab = spark.createDataFrame(vocab_rows)
     docw = doc_unit_weights(tok, vocab)
 
     # Driver-side query embedding: idf only for the queries' own terms.
-    qterms = sorted({t for _, text in queries for t in tokenize_py(text)})
-    vocab_idf = {
-        r["term"]: float(r["idf"])
-        for r in vocab.filter(F.col("term").isin(qterms)).collect()
-    } if qterms else {}
-    sqrt_v = math.sqrt(float(v_size)) if v_size else 1.0
+    vocab_idf = {r["term"]: float(r["idf"]) for r in vocab_rows}
+    sqrt_v = math.sqrt(float(v_size))
 
     # Per-doc unit-weight sums power both fallback directions.
     doc_sums = docw.groupBy("doc_id").agg(F.sum("d_hat").alias("d_sum"))
@@ -366,9 +385,11 @@ scored AS (
   SELECT u.query_id, d.doc_id, d.d_sum / vz.sv AS score
   FROM uniform_q u CROSS JOIN doc_sums d CROSS JOIN vsize vz
   UNION ALL
-  -- uniform query x uniform doc
-  SELECT u.query_id, f.doc_id, 1.0 AS score
-  FROM uniform_q u CROSS JOIN fallback_docs f
+  -- uniform query x uniform doc (cosine 1 — unless the vocabulary is
+  -- empty, where embeddings are zero-length and cosine is 0)
+  SELECT u.query_id, f.doc_id,
+         CASE WHEN vz.v = 0 THEN 0.0 ELSE 1.0 END AS score
+  FROM uniform_q u CROSS JOIN fallback_docs f CROSS JOIN vsize vz
 ),
 ranked AS (
   SELECT query_id, doc_id, score,

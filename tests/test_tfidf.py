@@ -165,3 +165,40 @@ def test_duckdb_oracle_matches(docs_df):
     for g, w in zip(got, want):
         assert g[0] == w[0] and g[1] == w[1] and g[3] == w[3], (g, w)
         assert g[2] == pytest.approx(w[2], abs=1e-9), (g, w)
+
+
+def test_empty_queries_returns_empty(docs_df):
+    assert tfidf_topk(docs_df, [], k=5).collect() == []
+
+
+def test_empty_vocab_scores_zero(spark):
+    # one doc; its only term has df/N = 1 > max_df_ratio -> vocab empty
+    # -> reference embeds zero-length vectors -> cosine 0 everywhere
+    df = spark.createDataFrame(
+        [(1, "solitary solitary"), (2, "solitary wordhere")],
+        "doc_id LONG, content STRING",
+    )
+    res = tfidf_topk(
+        df, [(0, "solitary")], k=5, max_df_ratio=0.4
+    ).collect()
+    assert len(res) == 2
+    assert all(r["score"] == 0.0 for r in res)
+    assert [r["doc_id"] for r in res] == [1, 2]  # doc_id tie-break
+
+    # DuckDB twin agrees on the degenerate case
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE d AS SELECT * FROM (VALUES "
+        "(1, 'solitary solitary'), (2, 'solitary wordhere')"
+        ") AS v(doc_id, content)"
+    )
+    sql = duckdb_tfidf_sql(
+        "d", "doc_id", "content", [(0, "solitary")], k=5,
+        max_df_ratio=0.4, round_score=None,
+    )
+    rows = con.execute(sql).fetchall()
+    assert sorted((r[0], r[1], r[2]) for r in rows) == [
+        (0, 1, 0.0), (0, 2, 0.0)
+    ]
