@@ -184,6 +184,28 @@ The reference publishes no numbers to compare against (see BASELINE.md);
 its own design is a single-threaded O(n) scan (`USAGE.md:49`), so any
 distributed number is a categorical improvement. These measurements are
 the round's authoritative baseline.
+
+## Large-scale smoke (10M docs, layout v4)
+
+10,000,000 docs / 330,393,953 postings built at local[16], 32 buckets:
+completed without OOM in 387.9s (25.8k docs/s, 852k postings/s) —
+*while a concurrent pytest run shared the machine*, so this is a lower
+bound. Total index footprint 414.3 MB = **1.254 bytes/posting**
+all-in (postings + per-bucket doc arrays + doclens + stats + parquet
+overhead; the posting payload itself FOR-packs at ~0.55 B). Warm
+single-query latency on the 330M-posting index: 1.5-5.3s; a 5-query
+batch answers in 9.9s (per-query work amortizes — the broker merge is
+one job regardless of batch size).
+
+## Host variance note
+
+This VM's throughput oscillates up to ~4x between runs minutes apart
+with zero external load visible (the same 500k-doc build measured
+9.4s-44s across one hour at local[32]; vmstat shows the slow phases at
+~30-45% cpu with elevated sys time — neighbor/IO-credit noise, not the
+engine). All headline numbers are min-of-N; bench.py itself reports
+min-of-2 full-size builds plus both raw samples so a driver run that
+lands in a slow window is visible as such.
 """
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
