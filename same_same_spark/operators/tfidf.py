@@ -143,6 +143,10 @@ def tfidf_topk(
     Every document receives a score (the reference scores its whole
     store, search.go:16-42); uniform-fallback docs/queries use the
     closed-form dot products derived in the module docstring.
+
+    Executes EAGERLY (the k x Q result is bounded and returned as a
+    literal DataFrame) so the per-call persisted token/weight tables can
+    be released deterministically before returning.
     """
     spark = docs_df.sparkSession
     empty = spark.createDataFrame(
@@ -150,45 +154,74 @@ def tfidf_topk(
     )
     if not queries:
         return empty
-    tok = tokenized(docs_df, id_col=id_col, text_col=text_col)
-    n_docs = tok.count()
-    if n_docs == 0:
-        return empty
-    # The vocabulary is <= max_features rows by construction — collect it
-    # once and re-broadcast as a literal relation (one job, no lingering
-    # .cache() across calls, and the doc-weight join is a broadcast).
-    vocab_rows = build_vocab(
-        tok, n_docs, min_df=min_df, max_df_ratio=max_df_ratio,
-        max_features=max_features,
-    ).collect()
-    v_size = len(vocab_rows)
-    if v_size == 0:
-        # Degenerate corpus (every term pruned): the reference embeds
-        # everything as a ZERO-LENGTH vector, whose cosine is 0 against
-        # anything (vector.go:49-51) — all docs tie at 0 under doc_id.
-        w = Window.partitionBy("query_id").orderBy(F.asc("doc_id"))
-        qids = spark.createDataFrame(
-            [(qid,) for qid, _ in queries], "query_id INT"
-        )
-        return (
-            tok.select("doc_id")
-            .crossJoin(F.broadcast(qids))
-            .withColumn("score", F.lit(0.0))
-            .withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("query_id", "doc_id", "score", "rank")
-        )
-    vocab = spark.createDataFrame(vocab_rows)
-    docw = doc_unit_weights(tok, vocab)
+    # The algorithm is genuinely multi-pass over the token table (count,
+    # vocab, weights, sums, grid) and Spark recomputes common subtrees —
+    # persist tok/docw for the call, materialise the bounded k x Q
+    # result eagerly, and release both before returning.
+    tok = tokenized(docs_df, id_col=id_col, text_col=text_col).persist()
+    try:
+        n_docs = tok.count()
+        if n_docs == 0:
+            return empty
+        # The vocabulary is <= max_features rows by construction —
+        # collect it once and re-broadcast as a literal relation.
+        vocab_rows = build_vocab(
+            tok, n_docs, min_df=min_df, max_df_ratio=max_df_ratio,
+            max_features=max_features,
+        ).collect()
+        v_size = len(vocab_rows)
+        all_docs = docs_df.select(F.col(id_col).alias("doc_id"))
+        if v_size == 0:
+            # Degenerate corpus (every term pruned): the reference
+            # embeds everything as a ZERO-LENGTH vector, whose cosine
+            # is 0 against anything (vector.go:49-51) — all docs tie
+            # at 0 under doc_id.
+            w = Window.partitionBy("query_id").orderBy(F.asc("doc_id"))
+            qids = spark.createDataFrame(
+                [(qid,) for qid, _ in queries], "query_id INT"
+            )
+            return _eager(
+                spark,
+                all_docs.crossJoin(F.broadcast(qids))
+                .withColumn("score", F.lit(0.0))
+                .withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select("query_id", "doc_id", "score", "rank"),
+            )
+        vocab = spark.createDataFrame(vocab_rows)
+        docw = doc_unit_weights(tok, vocab).persist()
 
-    # Driver-side query embedding: idf only for the queries' own terms.
-    vocab_idf = {r["term"]: float(r["idf"]) for r in vocab_rows}
-    sqrt_v = math.sqrt(float(v_size))
+        # Driver-side query embedding over the collected vocab idf.
+        vocab_idf = {r["term"]: float(r["idf"]) for r in vocab_rows}
+        sqrt_v = math.sqrt(float(v_size))
 
-    # Per-doc unit-weight sums power both fallback directions.
-    doc_sums = docw.groupBy("doc_id").agg(F.sum("d_hat").alias("d_sum"))
-    all_docs = tok.select("doc_id")
-    fallback_docs = all_docs.join(doc_sums, "doc_id", "left_anti")
+        # Per-doc unit-weight sums power both fallback directions.
+        doc_sums = docw.groupBy("doc_id").agg(F.sum("d_hat").alias("d_sum"))
+        fallback_docs = all_docs.join(doc_sums, "doc_id", "left_anti")
+        return _score_and_rank(
+            spark, queries, vocab_idf, sqrt_v, docw, doc_sums,
+            fallback_docs, k,
+        )
+    finally:
+        tok.unpersist()
+
+
+def _eager(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Materialise a bounded result into a literal DataFrame so cached
+    inputs can be released before returning."""
+    return spark.createDataFrame(df.collect(), schema=df.schema)
+
+
+def _score_and_rank(
+    spark: SparkSession,
+    queries: list[tuple[int, str]],
+    vocab_idf: dict[str, float],
+    sqrt_v: float,
+    docw: DataFrame,
+    doc_sums: DataFrame,
+    fallback_docs: DataFrame,
+    k: int,
+) -> DataFrame:
 
     qw_rows, qconst_rows, uniform_qids = [], [], []
     for qid, text in queries:
@@ -256,11 +289,15 @@ def tfidf_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.desc(F.round(F.col("score"), 9)), F.asc("doc_id")
     )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "doc_id", "score", "rank")
-    )
+    try:
+        return _eager(
+            spark,
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "doc_id", "score", "rank"),
+        )
+    finally:
+        docw.unpersist()
 
 
 def duckdb_tfidf_sql(

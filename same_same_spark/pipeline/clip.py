@@ -35,11 +35,30 @@ import math
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, DoubleType
 
 DIM_DEFAULT = 512  # simple.go:29
+
+# Go's unicode.IsSpace set (White_Space property) — what strings.Fields
+# and strings.TrimSpace split/trim on. Python's str.split()/strip()
+# additionally treat the information separators \x1c-\x1f as whitespace,
+# which Go does NOT; using them would silently diverge from the
+# reference (and from the DuckDB oracle) on texts containing \x1c-\x1f.
+_GO_WS = (
+    "\t\n\v\f\r \x85\xa0\u1680"
+    + "".join(chr(c) for c in range(0x2000, 0x200B))
+    + "\u2028\u2029\u202f\u205f\u3000"
+)
+import re as _re  # after the constant: regex built from it below
+
+_GO_WS_RE = _re.compile("[" + _re.escape(_GO_WS) + "]+")
+
+
+def _go_fields(t: str) -> list[str]:
+    """``strings.Fields`` — split on runs of Go whitespace."""
+    return [w for w in _GO_WS_RE.split(t) if w]
 
 # Per-executor memoisation: (bytes, seed2, dim, trig) -> the trig-applied
 # hash vector over seed1 = 0..dim-1. Bounded; cleared wholesale when full.
@@ -71,9 +90,9 @@ def _trig_vec(s: bytes, seed2: int, dim: int, use_cos: bool) -> np.ndarray:
 
 def embed_text_py(text: str | None, dim: int = DIM_DEFAULT) -> list[float]:
     """Literal scalar model of simple.go:75-106 — test/golden reference."""
-    t = (text or "").strip().lower()
+    t = (text or "").strip(_GO_WS).lower()
     b = t.encode("utf-8")
-    words = t.split()
+    words = _go_fields(t)
     emb = [0.0] * dim
     for i in range(dim):
         v = 0.0
@@ -97,9 +116,9 @@ def embed_text_py(text: str | None, dim: int = DIM_DEFAULT) -> list[float]:
 def _embed_one(text: str | None, dim: int) -> np.ndarray:
     """Vectorised (over dims) embedding with memoised hashes; preserves
     the Go per-component accumulation order exactly."""
-    t = (text or "").strip().lower()
+    t = (text or "").strip(_GO_WS).lower()
     b = t.encode("utf-8")
-    words = t.split()
+    words = _go_fields(t)
     vec = np.zeros(dim, dtype=np.float64)
     if words:
         inv_w = 1.0 / len(words)
@@ -163,6 +182,8 @@ def clip_text_topk(
     ``(round(score, 9) DESC, doc_id ASC)`` order via a global
     ``orderBy().limit(k)`` (TakeOrderedAndProject — no window).
     """
+    from same_same_spark.operators.hybrid import rank_topk
+
     qv = embed_text_py(query, dim)
     scored = clip_text_embed(
         docs_df.select(F.col(id_col).alias("doc_id"), text_col),
@@ -170,16 +191,7 @@ def clip_text_topk(
     ).select(
         "doc_id", _dot_with_lit(F.col("clip_emb"), qv).alias("score")
     )
-    top = (
-        scored.orderBy(F.desc(F.round(F.col("score"), 9)), F.asc("doc_id"))
-        .limit(k)
-    )
-    # Ranking the k survivors is driver-scale work; the window spans <= k
-    # rows by construction (the heavy global sort is TakeOrderedAndProject).
-    w = F.row_number().over(
-        Window.orderBy(F.desc(F.round(F.col("score"), 9)), F.asc("doc_id"))
-    )
-    return top.withColumn("rank", w).select("doc_id", "score", "rank")
+    return rank_topk(scored, k).select("doc_id", "score", "rank")
 
 
 # ---------------------------------------------------------------------------

@@ -207,3 +207,34 @@ def test_real_decode_is_gated():
 
     with pytest.raises(NotImplementedError):
         decode_image_rgb(b"\x89PNG...")
+
+
+def test_info_separators_are_not_whitespace(spark):
+    """Go strings.Fields does NOT split on \\x1c-\\x1f (Python's
+    str.split does) — the model must keep 'foo\\x1cbar' as one word and
+    agree with the DuckDB oracle on such texts (review finding)."""
+    from same_same_spark.pipeline.clip import _go_fields
+
+    assert _go_fields("foo\x1cbar baz") == ["foo\x1cbar", "baz"]
+
+    docs = [(1, "foo\x1cbar baz"), (2, "foo bar baz")]
+    df = spark.createDataFrame(docs, "doc_id LONG, content STRING")
+    got = sorted(
+        (r["doc_id"], round(r["score"], 9))
+        for r in clip_text_topk(
+            df.filter(ascii_filter_col(df["content"])), "foo", k=10, dim=8
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE docs AS SELECT 1 AS doc_id, "
+        "'foo' || chr(28) || 'bar baz' AS content "
+        "UNION ALL SELECT 2, 'foo bar baz'"
+    )
+    sql = duckdb_clip_sql(
+        "docs", "doc_id", "content", "foo", k=10, dim=8, round_score=None
+    )
+    want = sorted(
+        (r[0], round(r[1], 9)) for r in con.execute(sql).fetchall()
+    )
+    assert got == want
