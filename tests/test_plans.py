@@ -81,3 +81,41 @@ def test_topk_is_take_ordered(spark, documents):
     q = documents.orderBy(F.desc("n_chars"), F.asc("doc_id")).limit(10)
     plan = _plan(q)
     assert "TakeOrderedAndProject" in plan
+
+
+def test_tfidf_doc_weights_broadcast_vocab(spark, documents):
+    """The <=max_features vocabulary side of the doc-weight join must be
+    broadcast, never shuffled against the corpus-sized posting table."""
+    from same_same_spark.operators.tfidf import build_vocab, doc_unit_weights
+    from same_same_spark.stats import tokenized
+
+    tok = tokenized(documents, id_col="doc_id", text_col="text")
+    vocab = spark.createDataFrame(
+        build_vocab(tok, documents.count(), max_features=100).collect()
+    )
+    plan = _plan(doc_unit_weights(tok, vocab))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_prefix_filter_no_cartesian(spark, documents):
+    """Prefix-filter candidates must come from an equi-join on the
+    prefix shingles — no cartesian/nested-loop anywhere in the plan."""
+    from same_same_spark.pipeline.dedup import prefix_filter_candidates
+
+    plan = _plan(
+        prefix_filter_candidates(documents, "doc_id", "text", 0.9)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_clip_topk_is_take_ordered(spark, documents):
+    """clip_text_topk's global top-k must be TakeOrderedAndProject (a
+    bounded per-partition heap), not a global sort or a window over all
+    rows."""
+    from same_same_spark.pipeline.clip import clip_text_topk
+
+    plan = _plan(clip_text_topk(documents.limit(50), "fast merge", k=5,
+                                dim=8, text_col="text"))
+    assert "TakeOrderedAndProject" in plan
