@@ -138,3 +138,67 @@ def stream_doc_ingest(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_dedup_exact(
+    docs_stream: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    state_timeout: str = "NoTimeout",
+) -> DataFrame:
+    """Cross-micro-batch exact dedup as a custom STATEFUL operator
+    (``applyInPandasWithState``): the first document to arrive with a
+    given ``sha256(text)`` anywhere in the stream survives; every later
+    copy — same batch or any later batch — is dropped.
+
+    The state key is the content hash, so state is hash-partitioned and
+    uniformly distributed (the same argument as the batch
+    :func:`~same_same_spark.pipeline.dedup.exact_dedup_groups` shuffle);
+    per-key state is one boolean-sized record ("seen"), giving
+    O(distinct contents) total state. This is the streaming twin of the
+    batch exact dedup and the shape any custom stateful training-data
+    operator takes here (keyed state + Arrow batches in/out).
+
+    Semantics note: survivors are FIRST-ARRIVAL (within one batch the
+    minimum id, across batches whichever batch came first) — equal to
+    the batch twin's min-id rule only when earlier batches carry the
+    smaller ids. Streams have an arrival order; frozen tables don't.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    out_schema = f"{id_col} LONG, content_sha STRING, {text_col} STRING"
+    state_schema = "seen BOOLEAN"
+
+    def dedup_fn(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if state.exists:
+            return iter(())  # hash already seen in an earlier batch
+        # first batch containing this content: keep the minimum id
+        # (deterministic within-batch tie-break, matching batch dedup)
+        keep = rows.sort_values(id_col).iloc[[0]]
+        state.update((True,))
+        return iter([keep[[id_col, "content_sha", text_col]]])
+
+    hashed = docs_stream.withColumn(
+        "content_sha", F.sha2(F.col(text_col), 256)
+    )
+    timeout = getattr(GroupStateTimeout, state_timeout, None)
+    if timeout is None:
+        timeout = GroupStateTimeout.NoTimeout
+    return hashed.groupBy("content_sha").applyInPandasWithState(
+        dedup_fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=timeout,
+    )

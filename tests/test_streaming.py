@@ -193,3 +193,63 @@ def test_compact_counts_zero_token_delta_docs(spark, tmp_path):
         (r["rank"], r["doc_id"], round(r["score"], 9)) for r in rs
     )
     assert canon(got) == canon(want)
+
+
+def test_stream_dedup_exact_across_batches(spark, tmp_path):
+    """applyInPandasWithState dedup: the first arrival of a content hash
+    survives; duplicates in the SAME batch and in LATER batches are both
+    dropped. Differential vs the batch exact dedup over the union."""
+    from same_same_spark.pipeline.dedup import exact_dedup
+    from same_same_spark.streaming.ingest import stream_dedup_exact
+
+    b0 = [
+        {"doc_id": 3, "content": "alpha bravo"},
+        {"doc_id": 1, "content": "alpha bravo"},   # same-batch dup -> min id
+        {"doc_id": 2, "content": "charlie delta"},
+    ]
+    b1 = [
+        {"doc_id": 4, "content": "alpha bravo"},   # cross-batch dup
+        {"doc_id": 5, "content": "echo foxtrot"},
+    ]
+    src = str(tmp_path / "docs")
+    os.makedirs(src)
+    # two files + maxFilesPerTrigger=1 => two micro-batches; the file
+    # source orders by modification time, so pin mtimes explicitly
+    for i, batch in enumerate((b0, b1)):
+        p = os.path.join(src, f"d{i}.json")
+        with open(p, "w") as f:
+            for d in batch:
+                f.write(json.dumps(d) + "\n")
+        os.utime(p, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    stream = (
+        spark.readStream.schema("doc_id LONG, content STRING")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    out = stream_dedup_exact(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["doc_id"]
+        for r in spark.sql("SELECT doc_id FROM dedup_out").collect()
+    }
+    assert got == {1, 2, 5}
+
+    # batch twin over the union keeps the same survivor set
+    union = spark.createDataFrame(
+        [(d["doc_id"], d["content"]) for d in b0 + b1],
+        "doc_id LONG, content STRING",
+    )
+    batch_ids = {
+        r["doc_id"]
+        for r in exact_dedup(union, "doc_id", "content").collect()
+    }
+    assert got == batch_ids
