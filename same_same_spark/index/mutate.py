@@ -18,7 +18,10 @@ the adjusted stats — so post-delete search is rank- AND score-identical
 to a fresh build over the corpus minus the deleted docs (tested), no
 shard rewrite needed. Updates = delete + re-ingest under a new doc id
 (streamed delta compaction); when tombstones grow large relative to the
-corpus, a rebuild re-compacts them away.
+corpus, :func:`rewrite_touched_groups` re-compacts ONLY the shard
+groups that contain tombstoned docs (O(touched groups), untouched
+files left alone), and :func:`rewrite_compacted` does the full
+defragmenting fold.
 
 Scale notes: the pass is one applyInPandas over the shard table
 cogrouped by bucket (the same shape as a query, touching every posting
@@ -195,9 +198,69 @@ def rewrite_compacted(spark: SparkSession, index_dir: str, log=print):
     )
     tmp = dst + ".tmp"
     rewritten.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(dst):
+        import shutil as _sh
+
+        _sh.rmtree(dst)
     os.replace(tmp, dst)
 
-    new_df = spark.read.parquet(dst)
+    out = _finalize_groups(
+        spark,
+        index_dir,
+        manifest,
+        new_groups=[new_name],
+        remove_groups=old_groups,
+        lineage={
+            new_name: {
+                "group": new_name,
+                "kind": "tombstone-compaction",
+                "folded_groups": old_groups,
+                "dropped_docs": int(len(deleted)),
+            }
+        },
+    )
+    log(
+        f"[rewrite] folded {len(old_groups)} groups, dropped "
+        f"{len(deleted)} tombstoned docs -> group {new_name}"
+    )
+    return out
+
+
+def _finalize_groups(
+    spark: SparkSession,
+    index_dir: str,
+    manifest,
+    new_groups: list[str],
+    remove_groups: list[str],
+    lineage: dict[str, dict],
+    keep_groups: list[str] | None = None,
+):
+    """Shared commit tail for both compaction paths: rebuild stats over
+    the surviving group set, atomically flip the manifest, then remove
+    superseded group dirs and tombstones. Crash-safe: until the
+    manifest rename lands, readers see the old groups + tombstones.
+    """
+    import shutil
+
+    groups = (keep_groups or []) + new_groups
+    if not groups:
+        # every document tombstoned: empty but valid index
+        out = IndexManifest(
+            n_docs=0, avgdl=0.0, k1=manifest.k1, b=manifest.b,
+            num_buckets=manifest.num_buckets, n_terms=0, n_postings=0,
+            groups=[],
+        )
+        out.save(index_dir)
+        shutil.rmtree(os.path.join(index_dir, "tombstones"),
+                      ignore_errors=True)
+        for g in remove_groups:
+            shutil.rmtree(
+                os.path.join(index_dir, "shards", f"group-{g}"),
+                ignore_errors=True,
+            )
+        return out
+    paths = [os.path.join(index_dir, "shards", f"group-{g}") for g in groups]
+    new_df = spark.read.parquet(*paths)
     drow = (
         new_df.filter(F.col("kind") == "d")
         .agg(F.sum("n").alias("n_docs"), F.sum("sum_dl").alias("sum_dl"))
@@ -236,31 +299,170 @@ def rewrite_compacted(spark: SparkSession, index_dir: str, log=print):
         num_buckets=manifest.num_buckets,
         n_terms=int(srow[0]),
         n_postings=int(srow[1] or 0),
-        groups=[new_name],
+        groups=groups,
     )
-    out.save(index_dir)  # atomic flip: readers now see only the new group
+    out.save(index_dir)  # atomic flip: readers now see the new group set
     shutil.rmtree(os.path.join(index_dir, "tombstones"), ignore_errors=True)
-    for g in old_groups:
+    for g in remove_groups:
         shutil.rmtree(
             os.path.join(index_dir, "shards", f"group-{g}"),
             ignore_errors=True,
         )
-    rec = {
-        "group": new_name,
-        "kind": "tombstone-compaction",
-        "folded_groups": old_groups,
-        "dropped_docs": int(len(deleted)),
-        "docs": n_docs,
-    }
     lineage_dir = os.path.join(index_dir, "_lineage")
     os.makedirs(lineage_dir, exist_ok=True)
-    tmpf = os.path.join(lineage_dir, f"group-{new_name}.json.tmp")
-    with open(tmpf, "w") as f:
-        json.dump(rec, f)
-    os.replace(tmpf, os.path.join(lineage_dir, f"group-{new_name}.json"))
+    for name, rec in lineage.items():
+        rec = dict(rec, docs=n_docs)
+        tmpf = os.path.join(lineage_dir, f"group-{name}.json.tmp")
+        with open(tmpf, "w") as f:
+            json.dump(rec, f)
+        os.replace(tmpf, os.path.join(lineage_dir, f"group-{name}.json"))
+    return out
+
+
+def _probe_fn(deleted_sorted: np.ndarray):
+    """Doclens-only pass: how many tombstoned docs live in each shard
+    row's group? Decodes doc arrays only — never postings."""
+
+    def probe(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                ids_g = codec.decode_doc_ids(
+                    bytes(row["doc_bytes"]), row["n"]
+                )
+                p = np.searchsorted(ids_g, deleted_sorted)
+                valid = p < len(ids_g)
+                hits = int(
+                    (ids_g[p[valid]] == deleted_sorted[valid]).sum()
+                )
+                out.append((row["path"], hits))
+            yield pd.DataFrame(out, columns=["path", "hits"])
+
+    return probe
+
+
+def rewrite_touched_groups(spark: SparkSession, index_dir: str, log=print):
+    """Incremental tombstone compaction: rewrite ONLY the shard groups
+    that actually contain tombstoned docs, leaving every clean group's
+    files untouched.
+
+    A document lives in exactly one ``(bucket, group)``, so deletes
+    concentrated in a few ingestion batches (the common case: retention
+    windows, bad-batch rollbacks) touch few groups — rewriting those
+    alone turns compaction cost from O(index) into O(touched groups).
+    The probe pass decodes doclens arrays only (≈8 bytes/doc, no
+    posting bytes); each touched group is then rebuilt through the same
+    :func:`_rewrite_fn` as the full fold, keeping its original ``grp``
+    int so untouched groups' position spaces stay valid.
+
+    Same crash-safe ordering as :func:`rewrite_compacted`: new dirs are
+    written and renamed first, the manifest flip is atomic, and old
+    dirs + tombstones are removed only after the flip. Equivalent to a
+    fresh build over the surviving corpus (tested).
+    """
+    import shutil
+
+    from same_same_spark.index.build import SHARD_SCHEMA, IndexManifest
+
+    manifest = IndexManifest.load(index_dir)
+    tomb = load_tombstones(index_dir)
+    if tomb is None:
+        log("[rewrite] no tombstones — nothing to do")
+        return manifest
+    if not tomb["n_removed"]:
+        # tombstone records exist but matched nothing — clear them.
+        # Re-saving the manifest bumps its mtime, which is the cache key
+        # for the query-side tombstone/idf caches.
+        shutil.rmtree(os.path.join(index_dir, "tombstones"),
+                      ignore_errors=True)
+        manifest.save(index_dir)
+        log("[rewrite] tombstones matched no documents — cleared")
+        return manifest
+    deleted_sorted = np.sort(np.asarray(tomb["ids"], dtype=np.int64))
+
+    # 1. probe: per-group tombstone counts from doclens rows only
+    shard_root = os.path.join(index_dir, "shards")
+    paths = [os.path.join(shard_root, f"group-{g}") for g in manifest.groups]
+    probe_rows = (
+        spark.read.parquet(*paths)
+        .filter(F.col("kind") == "d")
+        .select("n", "doc_bytes", F.input_file_name().alias("path"))
+        .mapInPandas(_probe_fn(deleted_sorted), "path STRING, hits LONG")
+        .groupBy("path")
+        .agg(F.sum("hits").alias("hits"))
+        .collect()
+    )
+    hits_by_group: dict[str, int] = {}
+    for r in probe_rows:
+        name = r["path"].split("/group-")[1].split("/")[0]
+        hits_by_group[name] = hits_by_group.get(name, 0) + int(r["hits"])
+    touched = sorted(g for g in manifest.groups if hits_by_group.get(g, 0))
+    kept = [g for g in manifest.groups if g not in set(touched)]
+    if not touched:
+        # tombstoned ids not present in any group (already gone)
+        shutil.rmtree(os.path.join(index_dir, "tombstones"),
+                      ignore_errors=True)
+        manifest.save(index_dir)  # bump mtime -> invalidate caches
+        return manifest
+
+    # 2. rewrite each touched group in place-by-name-bump, keeping grp
+    gen = 0
+    for g in manifest.groups:
+        if g.startswith("c"):
+            gen = max(gen, int(g[1:].split("-")[0]) + 1)
+    new_names: list[str] = []
+    lineage: dict[str, dict] = {}
+    for i, g in enumerate(touched):
+        src = os.path.join(shard_root, f"group-{g}")
+        src_df = spark.read.parquet(src)
+        gi = src_df.select("grp").first()["grp"]
+        rewritten = (
+            src_df.groupBy("bucket")
+            .applyInPandas(_rewrite_fn(deleted_sorted), SHARD_SCHEMA)
+            .withColumn("grp", F.lit(int(gi)).cast("int"))
+        )
+        new_name = f"c{gen}-{i:04d}"
+        dst = os.path.join(shard_root, f"group-{new_name}")
+        tmp = dst + ".tmp"
+        rewritten.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(dst):
+            shutil.rmtree(dst)
+        os.replace(tmp, dst)
+        # a group whose every doc was tombstoned rewrites to zero docs —
+        # drop it from the manifest entirely
+        n_left = (
+            spark.read.parquet(dst)
+            .filter(F.col("kind") == "d")
+            .agg(F.sum("n"))
+            .collect()[0][0]
+        )
+        if not n_left:
+            shutil.rmtree(dst, ignore_errors=True)
+            log(f"[rewrite] group {g} fully tombstoned — dropped")
+            continue
+        new_names.append(new_name)
+        lineage[new_name] = {
+            "group": new_name,
+            "kind": "tombstone-compaction-incremental",
+            "rewritten_from": g,
+            "dropped_docs": int(hits_by_group[g]),
+        }
+
+    out = _finalize_groups(
+        spark,
+        index_dir,
+        manifest,
+        new_groups=new_names,
+        remove_groups=touched,
+        lineage=lineage,
+        keep_groups=kept,
+    )
     log(
-        f"[rewrite] folded {len(old_groups)} groups, dropped "
-        f"{len(deleted)} tombstoned docs -> group {new_name}"
+        f"[rewrite] incremental: {len(touched)}/{len(manifest.groups)} "
+        f"groups rewritten ({len(kept)} untouched), dropped "
+        f"{int(tomb['n_removed'])} tombstoned docs"
     )
     return out
 

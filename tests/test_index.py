@@ -240,3 +240,89 @@ def test_rewrite_compacted_equals_fresh_build(spark, documents, tmp_path):
     m2 = rewrite_compacted(spark, idx, log=lambda *_: None)
     assert m2.n_docs == m.n_docs
     assert canon(search_batch(spark, idx, QUERIES, k=10).collect()) == canon(want)
+
+
+def test_rewrite_touched_groups_incremental(spark, documents, tmp_path):
+    """Incremental compaction rewrites ONLY groups containing tombstoned
+    docs: untouched group dirs survive byte-identical by name, the
+    manifest/stats/search equal a fresh build over the survivors, and
+    tombstones are cleared."""
+    import os
+
+    from same_same_spark.index import codec
+    from same_same_spark.index.mutate import (
+        delete_docs,
+        load_tombstones,
+        rewrite_touched_groups,
+    )
+
+    idx = str(tmp_path / "idx")
+    build_index(documents, idx, id_col="doc_id", text_col="text",
+                num_buckets=4, group_size=2, log=lambda *_: None)
+    groups0 = sorted(
+        d[len("group-"):]
+        for d in os.listdir(os.path.join(idx, "shards"))
+    )
+    assert len(groups0) == 2
+
+    # pick victims living ONLY in the first group
+    g0 = spark.read.parquet(
+        os.path.join(idx, "shards", f"group-{groups0[0]}")
+    )
+    drow = g0.filter(F.col("kind") == "d").limit(1).collect()[0]
+    ids0 = codec.decode_doc_ids(bytes(drow["doc_bytes"]), drow["n"])
+    victims = sorted(int(x) for x in ids0[:3])
+    delete_docs(spark, idx, victims, log=lambda *_: None)
+
+    m = rewrite_touched_groups(spark, idx, log=lambda *_: None)
+    assert load_tombstones(idx) is None
+    # the untouched group keeps its original name; the touched one is
+    # replaced by a c-generation group
+    names = set(m.groups)
+    assert groups0[1] in names
+    assert groups0[0] not in names
+    assert any(n.startswith("c0-") for n in names)
+
+    fresh = str(tmp_path / "fresh")
+    fm = build_index(
+        documents.filter(~F.col("doc_id").isin(victims)), fresh,
+        id_col="doc_id", text_col="text", num_buckets=4,
+        log=lambda *_: None,
+    )
+    assert m.n_docs == fm.n_docs
+    assert m.avgdl == pytest.approx(fm.avgdl)
+    assert m.n_postings == fm.n_postings and m.n_terms == fm.n_terms
+
+    def canon(rows):
+        return sorted(
+            (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+            for r in rows
+        )
+
+    got = search_batch(spark, idx, QUERIES, k=10).collect()
+    want = search_batch(spark, fresh, QUERIES, k=10).collect()
+    assert canon(got) == canon(want)
+    assert not ({r["doc_id"] for r in got} & set(victims))
+    # pruned == exhaustive still holds on the mixed-generation index
+    got_ex = search_batch(spark, idx, QUERIES, k=10, prune=False).collect()
+    assert canon(got) == canon(got_ex)
+
+
+def test_rewrite_touched_groups_noop_for_absent_ids(spark, documents, tmp_path):
+    """Tombstoned ids that exist in no group: compaction clears the
+    tombstones and leaves every group dir untouched."""
+    from same_same_spark.index.build import IndexManifest
+    from same_same_spark.index.mutate import (
+        delete_docs,
+        load_tombstones,
+        rewrite_touched_groups,
+    )
+
+    idx = str(tmp_path / "idx")
+    build_index(documents, idx, id_col="doc_id", text_col="text",
+                num_buckets=4, log=lambda *_: None)
+    before = IndexManifest.load(idx).groups
+    delete_docs(spark, idx, [10**15 + 1, 10**15 + 2], log=lambda *_: None)
+    m = rewrite_touched_groups(spark, idx, log=lambda *_: None)
+    assert load_tombstones(idx) is None
+    assert m.groups == before
