@@ -103,6 +103,33 @@ class IndexManifest:
     layout_version: int = LAYOUT_VERSION
     tokenizer_version: str = TOKENIZER_VERSION
     groups: list[str] = field(default_factory=list)
+    # Monotonic allocator for shard-group `grp` ints AND delta-group
+    # names. NEVER derived from len(groups): compaction can rename or
+    # drop groups, and a shrunk list would re-issue a live grp int /
+    # dir name (position-space collision in the query cogroup). -1 =
+    # legacy manifest, fall back to len(groups).
+    next_grp: int = -1
+    # Stats generation: the manifest references its stats directory by
+    # name ("stats" for gen 0, "stats-{gen}" after), so stats and group
+    # set flip ATOMICALLY with the manifest rename — a crash between a
+    # stats rewrite and the manifest flip can never pair new stats with
+    # old groups/tombstones.
+    stats_gen: int = 0
+    # Tombstones are live only when the manifest says so: compaction
+    # clears this flag IN the atomic flip, so a crash before the
+    # tombstone files are actually removed leaves them ignored, not
+    # double-subtracted against the freshly rebuilt stats.
+    has_tombstones: bool = False
+    # Exact total token count (sum of doc lengths). avgdl alone cannot
+    # reconstruct it without float rounding; the tombstone-adjusted
+    # query path needs the exact integer. -1 = legacy manifest.
+    sum_dl: int = -1
+
+    def alloc_grp(self) -> int:
+        return self.next_grp if self.next_grp >= 0 else len(self.groups)
+
+    def stats_dirname(self) -> str:
+        return "stats" if self.stats_gen == 0 else f"stats-{self.stats_gen}"
 
     def save(self, index_dir: str) -> None:
         tmp = os.path.join(index_dir, "manifest.json.tmp")
@@ -352,7 +379,8 @@ def compact_deltas(spark, index_dir: str, log=print) -> IndexManifest:
         log("[compact] no deltas to fold")
         return manifest
 
-    gname = f"{len(manifest.groups):04d}"
+    new_grp = manifest.alloc_grp()
+    gname = f"{new_grp:04d}"
     dst = os.path.join(index_dir, "shards", f"group-{gname}")
     staged = spark.read.parquet(*batch_dirs)
 
@@ -370,7 +398,7 @@ def compact_deltas(spark, index_dir: str, log=print) -> IndexManifest:
         staged.repartition(manifest.num_buckets, "bucket")
         .groupBy("bucket")
         .applyInPandas(encode, SHARD_SCHEMA)
-        .withColumn("grp", F.lit(len(manifest.groups)).cast("int"))
+        .withColumn("grp", F.lit(new_grp).cast("int"))
     )
     tmp = dst + ".tmp"
     enc.write.mode("overwrite").parquet(tmp)
@@ -426,9 +454,13 @@ def compact_deltas(spark, index_dir: str, log=print) -> IndexManifest:
             ),
         )
     )
-    stats_tmp = os.path.join(index_dir, "stats.tmp")
+    # versioned stats: write the NEW generation, flip the manifest
+    # (atomic — references both the new group set and the new stats),
+    # only then drop the old generation
+    new_stats_gen = manifest.stats_gen + 1
+    stats_dir = os.path.join(index_dir, f"stats-{new_stats_gen}")
+    stats_tmp = stats_dir + ".tmp"
     term_stats.repartition(1).write.mode("overwrite").parquet(stats_tmp)
-    stats_dir = os.path.join(index_dir, "stats")
     shutil.rmtree(stats_dir, ignore_errors=True)
     os.replace(stats_tmp, stats_dir)
     srow = (
@@ -445,8 +477,16 @@ def compact_deltas(spark, index_dir: str, log=print) -> IndexManifest:
         n_terms=int(srow[0]),
         n_postings=int(srow[1] or 0),
         groups=groups,
+        next_grp=new_grp + 1,
+        stats_gen=new_stats_gen,
+        has_tombstones=manifest.has_tombstones,
+        sum_dl=int(drow["sum_dl"] or 0),
     )
     out.save(index_dir)
+    shutil.rmtree(
+        os.path.join(index_dir, manifest.stats_dirname()),
+        ignore_errors=True,
+    )
     log(f"[compact] folded {len(batch_dirs)} delta batches into group {gname}")
     return out
 
@@ -617,6 +657,8 @@ def build_index(
         n_terms=int(srow[0]),
         n_postings=int(srow[1] or 0),
         groups=[f"{i:04d}" for i in range(len(groups))],
+        next_grp=len(groups),
+        sum_dl=int(drow["sum_dl"] or 0),
     )
     manifest.save(out_dir)
     log(f"[build] manifest committed: {manifest}")

@@ -50,9 +50,16 @@ _TOMB_SCHEMA = (
 def load_tombstones(index_dir: str) -> dict | None:
     """Tombstone artifacts, or None when the index has no deletes.
 
+    The MANIFEST is authoritative (``has_tombstones``): compaction
+    clears the flag in its atomic manifest flip, so tombstone files
+    left behind by a crash mid-cleanup are ignored rather than
+    double-subtracted against freshly rebuilt stats.
+
     Returns ``{"ids": sorted int64 ndarray, "df_delta": {term: n},
     "n_removed", "sum_dl_removed", "n_total", "sum_dl_total"}``.
     """
+    if not IndexManifest.load(index_dir).has_tombstones:
+        return None
     stats_path = os.path.join(index_dir, "tombstones", "stats.json")
     if not os.path.exists(stats_path):
         return None
@@ -243,47 +250,46 @@ def _finalize_groups(
     import shutil
 
     groups = (keep_groups or []) + new_groups
-    if not groups:
-        # every document tombstoned: empty but valid index
-        out = IndexManifest(
-            n_docs=0, avgdl=0.0, k1=manifest.k1, b=manifest.b,
-            num_buckets=manifest.num_buckets, n_terms=0, n_postings=0,
-            groups=[],
+    if groups:
+        paths = [
+            os.path.join(index_dir, "shards", f"group-{g}") for g in groups
+        ]
+        new_df = spark.read.parquet(*paths)
+        drow = (
+            new_df.filter(F.col("kind") == "d")
+            .agg(F.sum("n").alias("n_docs"), F.sum("sum_dl").alias("sum_dl"))
+            .collect()[0]
         )
-        out.save(index_dir)
-        shutil.rmtree(os.path.join(index_dir, "tombstones"),
-                      ignore_errors=True)
-        for g in remove_groups:
-            shutil.rmtree(
-                os.path.join(index_dir, "shards", f"group-{g}"),
-                ignore_errors=True,
+        n_docs = int(drow["n_docs"] or 0)
+        sum_dl = int(drow["sum_dl"] or 0)
+        avgdl = float(sum_dl) / n_docs if n_docs else 0.0
+        term_stats = (
+            new_df.filter(F.col("kind") == "p")
+            .groupBy("term")
+            .agg(F.sum("n").alias("df"))
+            .withColumn(
+                "idf",
+                F.log(
+                    1.0
+                    + (F.lit(float(n_docs)) - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                ),
             )
-        return out
-    paths = [os.path.join(index_dir, "shards", f"group-{g}") for g in groups]
-    new_df = spark.read.parquet(*paths)
-    drow = (
-        new_df.filter(F.col("kind") == "d")
-        .agg(F.sum("n").alias("n_docs"), F.sum("sum_dl").alias("sum_dl"))
-        .collect()[0]
-    )
-    n_docs = int(drow["n_docs"] or 0)
-    avgdl = float(drow["sum_dl"] or 0) / n_docs if n_docs else 0.0
-    term_stats = (
-        new_df.filter(F.col("kind") == "p")
-        .groupBy("term")
-        .agg(F.sum("n").alias("df"))
-        .withColumn(
-            "idf",
-            F.log(
-                1.0
-                + (F.lit(float(n_docs)) - F.col("df") + 0.5)
-                / (F.col("df") + 0.5)
-            ),
         )
-    )
-    stats_tmp = os.path.join(index_dir, "stats.tmp")
+    else:
+        # every document tombstoned: empty but valid (and searchable
+        # as empty) index — stats must be rewritten too, not left stale
+        n_docs, avgdl, sum_dl = 0, 0.0, 0
+        term_stats = spark.createDataFrame(
+            [], "term STRING, df LONG, idf DOUBLE"
+        )
+    # versioned stats: new generation written first; the manifest
+    # rename below flips readers to (new groups, new stats, tombstones
+    # cleared) in ONE atomic step
+    new_stats_gen = manifest.stats_gen + 1
+    stats_dir = os.path.join(index_dir, f"stats-{new_stats_gen}")
+    stats_tmp = stats_dir + ".tmp"
     term_stats.repartition(1).write.mode("overwrite").parquet(stats_tmp)
-    stats_dir = os.path.join(index_dir, "stats")
     shutil.rmtree(stats_dir, ignore_errors=True)
     os.replace(stats_tmp, stats_dir)
     srow = (
@@ -300,9 +306,17 @@ def _finalize_groups(
         n_terms=int(srow[0]),
         n_postings=int(srow[1] or 0),
         groups=groups,
+        next_grp=manifest.alloc_grp(),
+        stats_gen=new_stats_gen,
+        has_tombstones=False,
+        sum_dl=sum_dl,
     )
     out.save(index_dir)  # atomic flip: readers now see the new group set
     shutil.rmtree(os.path.join(index_dir, "tombstones"), ignore_errors=True)
+    shutil.rmtree(
+        os.path.join(index_dir, manifest.stats_dirname()),
+        ignore_errors=True,
+    )
     for g in remove_groups:
         shutil.rmtree(
             os.path.join(index_dir, "shards", f"group-{g}"),
@@ -337,8 +351,8 @@ def _probe_fn(deleted_sorted: np.ndarray):
                 hits = int(
                     (ids_g[p[valid]] == deleted_sorted[valid]).sum()
                 )
-                out.append((row["path"], hits))
-            yield pd.DataFrame(out, columns=["path", "hits"])
+                out.append((row["path"], hits, int(row["n"])))
+            yield pd.DataFrame(out, columns=["path", "hits", "n_docs"])
 
     return probe
 
@@ -373,11 +387,12 @@ def rewrite_touched_groups(spark: SparkSession, index_dir: str, log=print):
         return manifest
     if not tomb["n_removed"]:
         # tombstone records exist but matched nothing — clear them.
-        # Re-saving the manifest bumps its mtime, which is the cache key
-        # for the query-side tombstone/idf caches.
+        # Flag first (atomic manifest save), then files; the save also
+        # bumps the mtime that keys the query-side caches.
+        manifest.has_tombstones = False
+        manifest.save(index_dir)
         shutil.rmtree(os.path.join(index_dir, "tombstones"),
                       ignore_errors=True)
-        manifest.save(index_dir)
         log("[rewrite] tombstones matched no documents — cleared")
         return manifest
     deleted_sorted = np.sort(np.asarray(tomb["ids"], dtype=np.int64))
@@ -389,22 +404,31 @@ def rewrite_touched_groups(spark: SparkSession, index_dir: str, log=print):
         spark.read.parquet(*paths)
         .filter(F.col("kind") == "d")
         .select("n", "doc_bytes", F.input_file_name().alias("path"))
-        .mapInPandas(_probe_fn(deleted_sorted), "path STRING, hits LONG")
+        .mapInPandas(
+            _probe_fn(deleted_sorted), "path STRING, hits LONG, n_docs LONG"
+        )
         .groupBy("path")
-        .agg(F.sum("hits").alias("hits"))
+        .agg(F.sum("hits").alias("hits"), F.sum("n_docs").alias("n_docs"))
         .collect()
     )
     hits_by_group: dict[str, int] = {}
+    docs_by_group: dict[str, int] = {}
     for r in probe_rows:
-        name = r["path"].split("/group-")[1].split("/")[0]
+        # parquet part files sit directly under .../shards/group-NAME/;
+        # parse from the file's parent dir (an index_dir containing
+        # '/group-' elsewhere must not confuse the mapping)
+        parent = os.path.basename(os.path.dirname(r["path"]))
+        name = parent[len("group-"):]
         hits_by_group[name] = hits_by_group.get(name, 0) + int(r["hits"])
+        docs_by_group[name] = docs_by_group.get(name, 0) + int(r["n_docs"])
     touched = sorted(g for g in manifest.groups if hits_by_group.get(g, 0))
     kept = [g for g in manifest.groups if g not in set(touched)]
     if not touched:
         # tombstoned ids not present in any group (already gone)
+        manifest.has_tombstones = False
+        manifest.save(index_dir)  # flag + mtime bump -> caches refresh
         shutil.rmtree(os.path.join(index_dir, "tombstones"),
                       ignore_errors=True)
-        manifest.save(index_dir)  # bump mtime -> invalidate caches
         return manifest
 
     # 2. rewrite each touched group in place-by-name-bump, keeping grp
@@ -414,7 +438,13 @@ def rewrite_touched_groups(spark: SparkSession, index_dir: str, log=print):
             gen = max(gen, int(g[1:].split("-")[0]) + 1)
     new_names: list[str] = []
     lineage: dict[str, dict] = {}
-    for i, g in enumerate(touched):
+    seq = 0
+    for g in touched:
+        # a group whose EVERY doc is tombstoned needs no rewrite at all
+        # (the probe already knows its doc count) — just drop it
+        if hits_by_group[g] >= docs_by_group.get(g, 0):
+            log(f"[rewrite] group {g} fully tombstoned — dropped")
+            continue
         src = os.path.join(shard_root, f"group-{g}")
         src_df = spark.read.parquet(src)
         gi = src_df.select("grp").first()["grp"]
@@ -423,25 +453,14 @@ def rewrite_touched_groups(spark: SparkSession, index_dir: str, log=print):
             .applyInPandas(_rewrite_fn(deleted_sorted), SHARD_SCHEMA)
             .withColumn("grp", F.lit(int(gi)).cast("int"))
         )
-        new_name = f"c{gen}-{i:04d}"
+        new_name = f"c{gen}-{seq:04d}"
+        seq += 1
         dst = os.path.join(shard_root, f"group-{new_name}")
         tmp = dst + ".tmp"
         rewritten.write.mode("overwrite").parquet(tmp)
         if os.path.exists(dst):
             shutil.rmtree(dst)
         os.replace(tmp, dst)
-        # a group whose every doc was tombstoned rewrites to zero docs —
-        # drop it from the manifest entirely
-        n_left = (
-            spark.read.parquet(dst)
-            .filter(F.col("kind") == "d")
-            .agg(F.sum("n"))
-            .collect()[0][0]
-        )
-        if not n_left:
-            shutil.rmtree(dst, ignore_errors=True)
-            log(f"[rewrite] group {g} fully tombstoned — dropped")
-            continue
         new_names.append(new_name)
         lineage[new_name] = {
             "group": new_name,
@@ -580,7 +599,10 @@ def delete_docs(
     with open(tmp, "w") as f:
         json.dump(stats, f, indent=2)
     os.replace(tmp, os.path.join(tomb_dir, "stats.json"))
-    # bump manifest mtime so query-side caches invalidate
+    # flag flip + manifest mtime bump (query-side caches key on mtime);
+    # tombstone files are complete before the flag goes live, so a
+    # crash before this save simply means the delete never happened
+    manifest.has_tombstones = True
     manifest.save(index_dir)
     log(
         f"[delete] tombstoned {len(all_ids)} ids "

@@ -74,10 +74,11 @@ def _stats_lookup(
 ) -> dict[str, tuple[int, float]]:
     """term → (df, idf) for the given terms; dictionary cache when small."""
     key = _cache_key(index_dir)
+    manifest = _load_manifest(index_dir)
+    stats_path = f"{index_dir}/{manifest.stats_dirname()}"
     if key not in _IDF_CACHE:
-        manifest = _load_manifest(index_dir)
         if manifest.n_terms <= IDF_CACHE_MAX_TERMS:
-            rows = spark.read.parquet(f"{index_dir}/stats").collect()
+            rows = spark.read.parquet(stats_path).collect()
             _IDF_CACHE[key] = {
                 r["term"]: (int(r["df"]), float(r["idf"])) for r in rows
             }
@@ -87,7 +88,7 @@ def _stats_lookup(
     if cached is not None:
         return {t: cached[t] for t in terms if t in cached}
     rows = (
-        spark.read.parquet(f"{index_dir}/stats")
+        spark.read.parquet(stats_path)
         .filter(F.col("term").isin(terms))
         .collect()
     )
@@ -390,13 +391,22 @@ def search_batch(
     deleted: np.ndarray | None = None
     if tomb is not None and tomb["n_removed"]:
         # recompute N/avgdl/idf over the corpus minus tombstoned docs —
-        # scores match a fresh build without those docs exactly
+        # scores match a fresh build without those docs exactly.
+        # Totals come from the MANIFEST (kept current by delta
+        # compaction), not the delete-time snapshot, so deletes and
+        # streamed appends compose; legacy manifests without sum_dl
+        # fall back to the snapshot.
         import math
 
-        n_eff = tomb["n_total"] - tomb["n_removed"]
+        n_total = manifest.n_docs
+        sum_dl_total = (
+            manifest.sum_dl if manifest.sum_dl >= 0
+            else tomb["sum_dl_total"]
+        )
+        n_eff = n_total - tomb["n_removed"]
         if n_eff <= 0:
             return empty
-        avgdl = (tomb["sum_dl_total"] - tomb["sum_dl_removed"]) / n_eff
+        avgdl = (sum_dl_total - tomb["sum_dl_removed"]) / n_eff
         deleted = tomb["ids"]
         dd = tomb["df_delta"]
         term_idf = {}

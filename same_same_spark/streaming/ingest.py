@@ -144,7 +144,6 @@ def stream_dedup_exact(
     docs_stream: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "content",
-    state_timeout: str = "NoTimeout",
 ) -> DataFrame:
     """Cross-micro-batch exact dedup as a custom STATEFUL operator
     (``applyInPandasWithState``): the first document to arrive with a
@@ -180,11 +179,12 @@ def stream_dedup_exact(
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        rows = pd.concat(list(pdfs), ignore_index=True)
-        if state.exists:
-            return iter(())  # hash already seen in an earlier batch
+        batches = [p for p in pdfs if len(p)]
+        if state.exists or not batches:
+            return iter(())  # hash already seen, or no data for the key
         # first batch containing this content: keep the minimum id
         # (deterministic within-batch tie-break, matching batch dedup)
+        rows = pd.concat(batches, ignore_index=True)
         keep = rows.sort_values(id_col).iloc[[0]]
         state.update((True,))
         return iter([keep[[id_col, "content_sha", text_col]]])
@@ -192,13 +192,15 @@ def stream_dedup_exact(
     hashed = docs_stream.withColumn(
         "content_sha", F.sha2(F.col(text_col), 256)
     )
-    timeout = getattr(GroupStateTimeout, state_timeout, None)
-    if timeout is None:
-        timeout = GroupStateTimeout.NoTimeout
+    # NoTimeout on purpose: a timed-out "seen" record would let a later
+    # duplicate through, breaking exactness. State is one boolean per
+    # DISTINCT content — bounding it is a retention-policy decision a
+    # caller must make by re-keying, not a default this operator should
+    # silently apply.
     return hashed.groupBy("content_sha").applyInPandasWithState(
         dedup_fn,
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",
-        timeoutConf=timeout,
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

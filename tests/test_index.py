@@ -326,3 +326,76 @@ def test_rewrite_touched_groups_noop_for_absent_ids(spark, documents, tmp_path):
     m = rewrite_touched_groups(spark, idx, log=lambda *_: None)
     assert load_tombstones(idx) is None
     assert m.groups == before
+
+
+def test_dropped_group_then_delta_compaction_no_collision(spark, tmp_path):
+    """Reviewer repro: fully tombstoning one group drops it from the
+    manifest; a later streaming delta compaction must NOT re-issue that
+    group's name or grp int (the monotonic next_grp allocator), and
+    search must equal a fresh build over (survivors + appended)."""
+    import json as _json
+    import os
+
+    from same_same_spark.index import codec
+    from same_same_spark.index.build import (
+        IndexManifest,
+        compact_deltas,
+    )
+    from same_same_spark.index.mutate import delete_docs, rewrite_touched_groups
+    from same_same_spark.streaming.ingest import stream_doc_ingest
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    idx = str(tmp_path / "idx")
+    build_index(docs, idx, id_col="doc_id", text_col="text",
+                num_buckets=4, group_size=2, log=lambda *_: None)
+    m0 = IndexManifest.load(idx)
+    assert len(m0.groups) == 2 and m0.next_grp == 2
+
+    # tombstone EVERY doc of the first group
+    g0_dir = os.path.join(idx, "shards", f"group-{m0.groups[0]}")
+    victims = []
+    for r in spark.read.parquet(g0_dir).filter(F.col("kind") == "d").collect():
+        victims.extend(
+            int(x) for x in codec.decode_doc_ids(bytes(r["doc_bytes"]), r["n"])
+        )
+    delete_docs(spark, idx, victims, log=lambda *_: None)
+    m1 = rewrite_touched_groups(spark, idx, log=lambda *_: None)
+    assert m0.groups[0] not in m1.groups          # dropped, not rewritten
+    assert m1.groups == [m0.groups[1]]
+    assert m1.next_grp == 2                       # allocator NOT shrunk
+
+    # stream new docs + compact: name/grp must not collide with the
+    # live group (grp 1) nor resurrect the dropped name (grp/name 0)
+    extra = [(10_000_001, "fresh streamed alpha document"),
+             (10_000_002, "another streamed bravo document")]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    with open(os.path.join(src, "d.json"), "w") as f:
+        for did, text in extra:
+            f.write(_json.dumps({"doc_id": did, "content": text}) + "\n")
+    stream = spark.readStream.schema("doc_id LONG, content STRING").json(src)
+    q = stream_doc_ingest(stream, idx, checkpoint_dir=str(tmp_path / "ck"),
+                          num_buckets=4)
+    q.awaitTermination(120)
+    m2 = compact_deltas(spark, idx, log=lambda *_: None)
+    assert m2.groups == [m0.groups[1], "0002"]    # new name from next_grp
+    assert m2.next_grp == 3
+
+    fresh = str(tmp_path / "fresh")
+    survivors = (
+        docs.select("doc_id", "text")
+        .filter(~F.col("doc_id").isin(victims))
+        .unionByName(spark.createDataFrame(extra, "doc_id LONG, text STRING"))
+    )
+    build_index(survivors, fresh, id_col="doc_id", text_col="text",
+                num_buckets=4, log=lambda *_: None)
+
+    def canon(rows_):
+        return sorted(
+            (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+            for r in rows_
+        )
+
+    got = canon(search_batch(spark, idx, QUERIES, k=10).collect())
+    want = canon(search_batch(spark, fresh, QUERIES, k=10).collect())
+    assert got == want

@@ -253,3 +253,57 @@ def test_stream_dedup_exact_across_batches(spark, tmp_path):
         for r in exact_dedup(union, "doc_id", "content").collect()
     }
     assert got == batch_ids
+
+
+def test_delete_then_stream_append_composes(spark, tmp_path):
+    """Deletes + streamed appends must compose: tombstone some docs,
+    then stream new docs and compact — search must equal a fresh build
+    over (original - deleted + appended). The adjusted N/avgdl come
+    from the MANIFEST (kept current by compaction), not the delete-time
+    snapshot (review finding)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from same_same_spark.index.build import build_index, compact_deltas
+    from same_same_spark.index.mutate import delete_docs
+    from same_same_spark.index.query import search_batch
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base = docs.filter(F.col("doc_id") % 2 == 0)
+    extra = docs.filter(F.col("doc_id") % 2 == 1).limit(40)
+
+    idx = str(tmp_path / "idx")
+    build_index(base, idx, id_col="doc_id", text_col="text",
+                num_buckets=4, log=lambda *_: None)
+    queries = [(0, "fast merge join sort"), (1, "spark query data window")]
+    hit = search_batch(spark, idx, queries, k=10).collect()
+    victims = sorted({r["doc_id"] for r in hit if r["rank"] <= 2})
+    delete_docs(spark, idx, victims, log=lambda *_: None)
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    with open(os.path.join(src, "d.json"), "w") as f:
+        for r in extra.select("doc_id", "text").collect():
+            f.write(_json.dumps(
+                {"doc_id": r["doc_id"], "content": r["text"]}) + "\n")
+    stream = spark.readStream.schema("doc_id LONG, content STRING").json(src)
+    q = stream_doc_ingest(stream, idx, checkpoint_dir=str(tmp_path / "ck"),
+                          num_buckets=4)
+    q.awaitTermination(120)
+    compact_deltas(spark, idx, log=lambda *_: None)
+
+    fresh = str(tmp_path / "fresh")
+    survivors = base.filter(~F.col("doc_id").isin(victims)).unionByName(extra)
+    build_index(survivors, fresh, id_col="doc_id", text_col="text",
+                num_buckets=4, log=lambda *_: None)
+
+    def canon(rows_):
+        return sorted(
+            (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+            for r in rows_
+        )
+
+    got = canon(search_batch(spark, idx, queries, k=10).collect())
+    want = canon(search_batch(spark, fresh, queries, k=10).collect())
+    assert got == want
