@@ -140,7 +140,15 @@ class IndexManifest:
     @staticmethod
     def load(index_dir: str) -> "IndexManifest":
         with open(os.path.join(index_dir, "manifest.json")) as f:
-            return IndexManifest(**json.load(f))
+            data = json.load(f)
+        if "has_tombstones" not in data:
+            # legacy manifest written before the flag existed: the
+            # tombstone files themselves are authoritative — defaulting
+            # to False would silently resurrect deleted docs
+            data["has_tombstones"] = os.path.exists(
+                os.path.join(index_dir, "tombstones", "stats.json")
+            )
+        return IndexManifest(**data)
 
 
 def bucket_col(doc_id_col, num_buckets: int):
@@ -362,19 +370,70 @@ def compact_deltas(spark, index_dir: str, log=print) -> IndexManifest:
 
     Reads ``<index_dir>/_stage/deltas/batch-*`` (written by
     ``streaming.stream_doc_ingest``: rows (doc_id, term, tf, dl,
-    bucket)), encodes them per bucket into ``shards/group-NNNN``,
-    commits a lineage record, then rebuilds the stats table and the
-    manifest over ALL groups — so df/idf/N/avgdl equal a fresh build
-    over the union corpus, and search results are rank-identical to it
-    (tested). Contract: delta doc_ids are NEW documents (append-only;
-    dedup upstream — the reference's overwrite-by-id semantics belong
-    to the mutable store, not the index).
+    bucket)), encodes them per bucket into ``shards/group-NNNN``, then
+    rebuilds the stats table and the manifest over ALL groups — so
+    df/idf/N/avgdl equal a fresh build over the union corpus, and
+    search results are rank-identical to it (tested). Contract: delta
+    doc_ids are NEW documents (append-only; dedup upstream — the
+    reference's overwrite-by-id semantics belong to the mutable store,
+    not the index).
+
+    Crash-safe ordering: group dir (atomic rename) → lineage record
+    naming its source batches → stats + manifest flip → batch archive.
+    A rerun after a crash at ANY point either refolds (no lineage yet:
+    orphan dir replaced, batches untouched), finishes the commit
+    (lineage but no manifest entry: group dir is complete), or just
+    archives (manifest entry present) — streamed documents can neither
+    be lost nor double-counted.
     """
     import glob as _glob
 
+    from same_same_spark.index.mutate import _finalize_groups
+
     deltas_dir = os.path.join(index_dir, "_stage", "deltas")
-    batch_dirs = sorted(_glob.glob(os.path.join(deltas_dir, "batch-*")))
+    done_dir = os.path.join(index_dir, "_stage", "deltas_compacted")
+    lineage_dir = os.path.join(index_dir, "_lineage")
+
+    # ---- recovery: finish or archive folds interrupted by a crash ----
+    # Commit ordering below is: group dir (atomic rename) -> lineage
+    # record (names its source batches) -> manifest flip -> archive
+    # batches. A lineage record is therefore the durable marker that
+    # its group dir fully covers those batches.
     manifest = IndexManifest.load(index_dir)
+    for rec_path in sorted(_glob.glob(os.path.join(lineage_dir, "group-*.json"))):
+        with open(rec_path) as f:
+            rec = json.load(f)
+        if rec.get("kind") != "delta-compaction":
+            continue
+        g = rec["group"]
+        pending = [
+            b for b in rec.get("source_batches", [])
+            if os.path.exists(os.path.join(deltas_dir, b))
+        ]
+        if not pending:
+            continue
+        os.makedirs(done_dir, exist_ok=True)
+        if g not in manifest.groups and os.path.exists(
+            os.path.join(index_dir, "shards", f"group-{g}")
+        ):
+            # crashed between lineage and manifest flip: the group dir
+            # is complete — finish the commit, then archive
+            log(f"[compact] recovering interrupted fold -> group {g}")
+            manifest = _finalize_groups(
+                spark, index_dir, manifest,
+                new_groups=[g], remove_groups=[], lineage={},
+                keep_groups=manifest.groups,
+                next_grp=int(g) + 1, keep_tombstones=True,
+            )
+        if g in manifest.groups:
+            # committed fold whose archive step crashed (or just now
+            # recovered): consume its batches so they don't double-fold
+            for b in pending:
+                os.replace(
+                    os.path.join(deltas_dir, b), os.path.join(done_dir, b)
+                )
+
+    batch_dirs = sorted(_glob.glob(os.path.join(deltas_dir, "batch-*")))
     if not batch_dirs:
         log("[compact] no deltas to fold")
         return manifest
@@ -382,6 +441,14 @@ def compact_deltas(spark, index_dir: str, log=print) -> IndexManifest:
     new_grp = manifest.alloc_grp()
     gname = f"{new_grp:04d}"
     dst = os.path.join(index_dir, "shards", f"group-{gname}")
+    # collision guard for legacy allocators: never reuse a LIVE name
+    while gname in manifest.groups:
+        new_grp += 1
+        gname = f"{new_grp:04d}"
+        dst = os.path.join(index_dir, "shards", f"group-{gname}")
+    if os.path.exists(dst):
+        # orphan from a crash before its lineage record: replace it
+        shutil.rmtree(dst)
     staged = spark.read.parquet(*batch_dirs)
 
     import pandas as pd
@@ -404,89 +471,24 @@ def compact_deltas(spark, index_dir: str, log=print) -> IndexManifest:
     enc.write.mode("overwrite").parquet(tmp)
     os.replace(tmp, dst)
 
-    g_df = spark.read.parquet(dst)
-    drow = g_df.filter(F.col("kind") == "d").agg(
-        F.sum("n"), F.sum("sum_dl")
-    ).collect()[0]
+    # commit: lineage (durable batch marker) -> stats + manifest flip
+    # (shared tail, preserves tombstones) -> archive consumed batches
     record = {
         "group": gname,
         "kind": "delta-compaction",
         "source_batches": [os.path.basename(b) for b in batch_dirs],
-        "docs": int(drow[0] or 0),
         "wall_sec": time.time() - t0,
     }
-    with open(os.path.join(index_dir, "_lineage", f"group-{gname}.json.tmp"), "w") as f:
-        json.dump(record, f)
-    os.replace(
-        os.path.join(index_dir, "_lineage", f"group-{gname}.json.tmp"),
-        os.path.join(index_dir, "_lineage", f"group-{gname}.json"),
+    out = _finalize_groups(
+        spark, index_dir, manifest,
+        new_groups=[gname], remove_groups=[],
+        lineage={gname: record},
+        keep_groups=manifest.groups,
+        next_grp=new_grp + 1, keep_tombstones=True,
     )
-
-    # archive folded deltas (idempotence: a re-run finds no deltas)
-    done = os.path.join(index_dir, "_stage", "deltas_compacted")
-    os.makedirs(done, exist_ok=True)
+    os.makedirs(done_dir, exist_ok=True)
     for b in batch_dirs:
-        os.replace(b, os.path.join(done, os.path.basename(b)))
-
-    # rebuild global stats + manifest over ALL groups
-    groups = manifest.groups + [gname]
-    shard_paths = [
-        os.path.join(index_dir, "shards", f"group-{g}") for g in groups
-    ]
-    shards = spark.read.parquet(*shard_paths)
-    drow = (
-        shards.filter(F.col("kind") == "d")
-        .agg(F.sum("n").alias("n_docs"), F.sum("sum_dl").alias("sum_dl"))
-        .collect()[0]
-    )
-    n_docs = int(drow["n_docs"] or 0)
-    avgdl = float(drow["sum_dl"] or 0) / n_docs if n_docs else 0.0
-    term_stats = (
-        shards.filter(F.col("kind") == "p")
-        .groupBy("term")
-        .agg(F.sum("n").alias("df"))
-        .withColumn(
-            "idf",
-            F.log(
-                1.0
-                + (F.lit(float(n_docs)) - F.col("df") + 0.5)
-                / (F.col("df") + 0.5)
-            ),
-        )
-    )
-    # versioned stats: write the NEW generation, flip the manifest
-    # (atomic — references both the new group set and the new stats),
-    # only then drop the old generation
-    new_stats_gen = manifest.stats_gen + 1
-    stats_dir = os.path.join(index_dir, f"stats-{new_stats_gen}")
-    stats_tmp = stats_dir + ".tmp"
-    term_stats.repartition(1).write.mode("overwrite").parquet(stats_tmp)
-    shutil.rmtree(stats_dir, ignore_errors=True)
-    os.replace(stats_tmp, stats_dir)
-    srow = (
-        spark.read.parquet(stats_dir)
-        .agg(F.count(F.lit(1)), F.sum("df"))
-        .collect()[0]
-    )
-    out = IndexManifest(
-        n_docs=n_docs,
-        avgdl=avgdl,
-        k1=manifest.k1,
-        b=manifest.b,
-        num_buckets=manifest.num_buckets,
-        n_terms=int(srow[0]),
-        n_postings=int(srow[1] or 0),
-        groups=groups,
-        next_grp=new_grp + 1,
-        stats_gen=new_stats_gen,
-        has_tombstones=manifest.has_tombstones,
-        sum_dl=int(drow["sum_dl"] or 0),
-    )
-    out.save(index_dir)
-    shutil.rmtree(
-        os.path.join(index_dir, manifest.stats_dirname()),
-        ignore_errors=True,
-    )
+        os.replace(b, os.path.join(done_dir, os.path.basename(b)))
     log(f"[compact] folded {len(batch_dirs)} delta batches into group {gname}")
     return out
 

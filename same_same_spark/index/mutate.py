@@ -241,11 +241,16 @@ def _finalize_groups(
     remove_groups: list[str],
     lineage: dict[str, dict],
     keep_groups: list[str] | None = None,
+    next_grp: int | None = None,
+    keep_tombstones: bool = False,
 ):
-    """Shared commit tail for both compaction paths: rebuild stats over
-    the surviving group set, atomically flip the manifest, then remove
-    superseded group dirs and tombstones. Crash-safe: until the
-    manifest rename lands, readers see the old groups + tombstones.
+    """Shared commit tail for EVERY group-set change (tombstone
+    compactions and delta folds): rebuild stats over the surviving
+    group set, write lineage, atomically flip the manifest, then remove
+    superseded group dirs (and tombstones unless ``keep_tombstones``).
+    Crash-safe: the versioned stats dir and lineage records land before
+    the manifest rename, so until the rename readers see the old
+    (groups, stats, tombstones) triple; after it, the new one.
     """
     import shutil
 
@@ -297,6 +302,16 @@ def _finalize_groups(
         .agg(F.count(F.lit(1)), F.sum("df"))
         .collect()[0]
     )
+    # lineage records land before the flip — for delta folds they are
+    # the durable marker that the new group covers its source batches
+    lineage_dir = os.path.join(index_dir, "_lineage")
+    os.makedirs(lineage_dir, exist_ok=True)
+    for name, rec in lineage.items():
+        rec = dict(rec, docs=n_docs)
+        tmpf = os.path.join(lineage_dir, f"group-{name}.json.tmp")
+        with open(tmpf, "w") as f:
+            json.dump(rec, f)
+        os.replace(tmpf, os.path.join(lineage_dir, f"group-{name}.json"))
     out = IndexManifest(
         n_docs=n_docs,
         avgdl=avgdl,
@@ -306,13 +321,16 @@ def _finalize_groups(
         n_terms=int(srow[0]),
         n_postings=int(srow[1] or 0),
         groups=groups,
-        next_grp=manifest.alloc_grp(),
+        next_grp=manifest.alloc_grp() if next_grp is None else next_grp,
         stats_gen=new_stats_gen,
-        has_tombstones=False,
+        has_tombstones=manifest.has_tombstones if keep_tombstones else False,
         sum_dl=sum_dl,
     )
     out.save(index_dir)  # atomic flip: readers now see the new group set
-    shutil.rmtree(os.path.join(index_dir, "tombstones"), ignore_errors=True)
+    if not keep_tombstones:
+        shutil.rmtree(
+            os.path.join(index_dir, "tombstones"), ignore_errors=True
+        )
     shutil.rmtree(
         os.path.join(index_dir, manifest.stats_dirname()),
         ignore_errors=True,
@@ -322,14 +340,6 @@ def _finalize_groups(
             os.path.join(index_dir, "shards", f"group-{g}"),
             ignore_errors=True,
         )
-    lineage_dir = os.path.join(index_dir, "_lineage")
-    os.makedirs(lineage_dir, exist_ok=True)
-    for name, rec in lineage.items():
-        rec = dict(rec, docs=n_docs)
-        tmpf = os.path.join(lineage_dir, f"group-{name}.json.tmp")
-        with open(tmpf, "w") as f:
-            json.dump(rec, f)
-        os.replace(tmpf, os.path.join(lineage_dir, f"group-{name}.json"))
     return out
 
 

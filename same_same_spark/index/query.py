@@ -62,8 +62,10 @@ def _cache_key(index_dir: str) -> tuple[str, float]:
     return key
 
 
-def _load_manifest(index_dir: str) -> IndexManifest:
-    key = _cache_key(index_dir)
+def _load_manifest(
+    index_dir: str, key: tuple[str, float] | None = None
+) -> IndexManifest:
+    key = key if key is not None else _cache_key(index_dir)
     if key not in _MANIFEST_CACHE:
         _MANIFEST_CACHE[key] = IndexManifest.load(index_dir)
     return _MANIFEST_CACHE[key]
@@ -74,7 +76,7 @@ def _stats_lookup(
 ) -> dict[str, tuple[int, float]]:
     """term → (df, idf) for the given terms; dictionary cache when small."""
     key = _cache_key(index_dir)
-    manifest = _load_manifest(index_dir)
+    manifest = _load_manifest(index_dir, key)
     stats_path = f"{index_dir}/{manifest.stats_dirname()}"
     if key not in _IDF_CACHE:
         if manifest.n_terms <= IDF_CACHE_MAX_TERMS:

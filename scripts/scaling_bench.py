@@ -120,7 +120,9 @@ def _code_fingerprint() -> str:
         "same_same_spark/index/build.py",
         "same_same_spark/index/codec.py",
         "same_same_spark/index/query.py",
+        "same_same_spark/index/mutate.py",
         "same_same_spark/corpus.py",
+        "same_same_spark/session.py",
         "same_same_spark/text/tokenizer.py",
     ):
         with open(os.path.join(REPO, rel), "rb") as f:

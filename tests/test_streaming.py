@@ -307,3 +307,92 @@ def test_delete_then_stream_append_composes(spark, tmp_path):
     got = canon(search_batch(spark, idx, queries, k=10).collect())
     want = canon(search_batch(spark, fresh, queries, k=10).collect())
     assert got == want
+
+
+def _mini_streamed_index(spark, tmp_path, tag):
+    """Small index + one staged delta batch, NOT yet compacted."""
+    import json as _json
+
+    from same_same_spark.index.build import build_index
+
+    base = [(1, "alpha bravo charlie"), (2, "bravo delta echo alpha")]
+    delta = [(3, "charlie foxtrot golf"), (4, "alpha golf hotel")]
+    idx = str(tmp_path / f"idx_{tag}")
+    build_index(
+        spark.createDataFrame(base, "doc_id LONG, text STRING"), idx,
+        id_col="doc_id", text_col="text", num_buckets=2, log=lambda *_: None,
+    )
+    src = str(tmp_path / f"src_{tag}")
+    os.makedirs(src)
+    with open(os.path.join(src, "d.json"), "w") as f:
+        for did, text in delta:
+            f.write(_json.dumps({"doc_id": did, "content": text}) + "\n")
+    stream = spark.readStream.schema("doc_id LONG, content STRING").json(src)
+    q = stream_doc_ingest(stream, idx,
+                          checkpoint_dir=str(tmp_path / f"ck_{tag}"),
+                          num_buckets=2)
+    q.awaitTermination(120)
+    return idx
+
+
+def test_compact_recovers_from_crash_windows(spark, tmp_path):
+    """compact_deltas' commit ordering survives a crash at every window:
+    (a) orphan group dir without lineage -> replaced and refolded;
+    (b) lineage written but manifest flip lost -> commit finished;
+    (c) manifest flipped but archive lost -> batches archived, never
+    double-folded. Each end state equals the uninterrupted fold."""
+    import glob
+    import shutil
+
+    from same_same_spark.index.build import IndexManifest, compact_deltas
+    from same_same_spark.index.query import search_batch
+
+    def state(idx):
+        m = IndexManifest.load(idx)
+        rows = search_batch(spark, idx, [(0, "alpha golf")], k=10).collect()
+        return (
+            m.n_docs, m.n_postings, sorted(m.groups),
+            sorted((r["doc_id"], round(r["score"], 9)) for r in rows),
+        )
+
+    # reference: uninterrupted fold
+    ref_idx = _mini_streamed_index(spark, tmp_path, "ref")
+    compact_deltas(spark, ref_idx, log=lambda *_: None)
+    want = state(ref_idx)
+
+    # (a) orphan dir, no lineage record
+    idx = _mini_streamed_index(spark, tmp_path, "a")
+    orphan = os.path.join(idx, "shards", "group-0001")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "junk"), "w") as f:
+        f.write("partial")
+    compact_deltas(spark, idx, log=lambda *_: None)
+    assert state(idx)[:2] == want[:2] and state(idx)[3] == want[3]
+
+    # (b) lineage + group dir exist, manifest flip lost
+    idx = _mini_streamed_index(spark, tmp_path, "b")
+    pre_manifest = open(os.path.join(idx, "manifest.json")).read()
+    compact_deltas(spark, idx, log=lambda *_: None)
+    # rewind: restore pre-fold manifest, un-archive batches
+    with open(os.path.join(idx, "manifest.json"), "w") as f:
+        f.write(pre_manifest)
+    done = os.path.join(idx, "_stage", "deltas_compacted")
+    for b in glob.glob(os.path.join(done, "batch-*")):
+        os.replace(b, os.path.join(idx, "_stage", "deltas",
+                                   os.path.basename(b)))
+    m = compact_deltas(spark, idx, log=lambda *_: None)
+    assert state(idx)[:2] == want[:2] and state(idx)[3] == want[3]
+    assert not glob.glob(os.path.join(idx, "_stage", "deltas", "batch-*"))
+
+    # (c) manifest flipped, archive lost
+    idx = _mini_streamed_index(spark, tmp_path, "c")
+    compact_deltas(spark, idx, log=lambda *_: None)
+    done = os.path.join(idx, "_stage", "deltas_compacted")
+    for b in glob.glob(os.path.join(done, "batch-*")):
+        os.replace(b, os.path.join(idx, "_stage", "deltas",
+                                   os.path.basename(b)))
+    n_before = IndexManifest.load(idx).n_docs
+    compact_deltas(spark, idx, log=lambda *_: None)
+    assert IndexManifest.load(idx).n_docs == n_before  # no double-fold
+    assert state(idx)[:2] == want[:2] and state(idx)[3] == want[3]
+    assert not glob.glob(os.path.join(idx, "_stage", "deltas", "batch-*"))
