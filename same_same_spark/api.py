@@ -81,17 +81,41 @@ class SameSameSpark:
         return self.docs.select(*cols)
 
     def store(self, new_docs: DataFrame) -> "SameSameSpark":
-        """K1 upsert semantics: incoming ids replace existing rows."""
+        """K1 upsert semantics: incoming ids replace existing rows.
+
+        The attached index (if any) is detached: it predates the new
+        rows and replaced ids would serve stale postings. Re-attach
+        after a rebuild or streamed delta compaction.
+        """
         merged = self.docs.join(
             new_docs.select(self.id_col), self.id_col, "left_anti"
         ).unionByName(new_docs, allowMissingColumns=True)
         return SameSameSpark(merged, self.id_col, self.text_col)
 
     def delete(self, doc_id) -> "SameSameSpark":
+        """DELETE /vectors/{id} parity: remove from the frame AND
+        tombstone the attached index (post-delete index search is rank-
+        and score-identical to a fresh build without the doc), so the
+        production read path survives deletes. Non-integer ids (no
+        index identity) detach the index instead."""
+        index_dir = self.index_dir
+        if index_dir:
+            try:
+                ids = [int(doc_id)]
+            except (TypeError, ValueError):
+                index_dir = None  # conservative: fall back to naive
+            else:
+                from same_same_spark.index.mutate import delete_docs
+
+                delete_docs(
+                    self.docs.sparkSession, index_dir, ids,
+                    log=lambda *_: None,
+                )
         return SameSameSpark(
             self.docs.filter(F.col(self.id_col) != F.lit(doc_id)),
             self.id_col,
             self.text_col,
+            index_dir=index_dir,
         )
 
     # ---- retrieval ----------------------------------------------------

@@ -181,3 +181,40 @@ def test_search_by_text_scorer_selection(spark):
 
     fallback = api.search_by_text("zebra quantum", k=3, scorer="nope").collect()
     assert [r["doc_id"] for r in fallback] == [r["doc_id"] for r in bm25]
+
+
+def test_delete_tombstones_attached_index(spark, tmp_path):
+    """api.delete with an index attached keeps the index usable: the
+    tombstoned doc disappears from index-path search, rank/score equal
+    to a fresh index without it."""
+    from same_same_spark.api import SameSameSpark
+    from same_same_spark.index.build import build_index
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    idx = str(tmp_path / "idx")
+    build_index(docs, idx, id_col="doc_id", text_col="text",
+                num_buckets=4, log=lambda *_: None)
+    api = SameSameSpark(docs, id_col="doc_id", text_col="text",
+                        index_dir=idx)
+    top = api.search_by_text("fast merge join sort", k=5).collect()
+    victim = top[0]["doc_id"]
+
+    api2 = api.delete(victim)
+    assert api2.index_dir == idx  # index stays attached
+    after = api2.search_by_text("fast merge join sort", k=5).collect()
+    assert victim not in {r["doc_id"] for r in after}
+
+    fresh = str(tmp_path / "fresh")
+    survivors = docs.filter(F.col("doc_id") != victim)
+    build_index(survivors, fresh, id_col="doc_id", text_col="text",
+                num_buckets=4, log=lambda *_: None)
+    fresh_api = SameSameSpark(survivors, id_col="doc_id",
+                              text_col="text", index_dir=fresh)
+    want = fresh_api.search_by_text("fast merge join sort", k=5).collect()
+    canon = lambda rs: [
+        (r["rank"], r["doc_id"], round(r["score"], 9)) for r in rs
+    ]
+    assert canon(after) == canon(want)
