@@ -93,16 +93,42 @@ class SameSameSpark:
         return SameSameSpark(merged, self.id_col, self.text_col)
 
     def delete(self, doc_id) -> "SameSameSpark":
-        """DELETE /vectors/{id} parity: remove from the frame AND
-        tombstone the attached index (post-delete index search is rank-
-        and score-identical to a fresh build without the doc), so the
-        production read path survives deletes. Non-integer ids (no
-        index identity) detach the index instead."""
+        """DELETE /vectors/{id} parity — single-id convenience form of
+        :meth:`delete_many`. For request streams, batch ids and call
+        ``delete_many`` once: each call pays one distributed measure
+        pass over the index."""
+        return self.delete_many([doc_id])
+
+    def delete_many(self, doc_ids: list) -> "SameSameSpark":
+        """Remove docs from the frame AND tombstone the attached index
+        in ONE distributed measure pass (post-delete index search is
+        rank- and score-identical to a fresh build without the docs).
+
+        The FRAME mutation is functional (a new façade is returned);
+        the INDEX mutation is shared state, exactly like the
+        reference's in-place store (``vector.go:110-166``): every
+        façade attached to the same ``index_dir`` sees the delete. Ids
+        without an exact integer index identity (floats, bools,
+        non-numeric strings) detach the index instead — tombstoning a
+        truncated id would delete the wrong document.
+        """
         index_dir = self.index_dir
         if index_dir:
-            try:
-                ids = [int(doc_id)]
-            except (TypeError, ValueError):
+            ids = []
+            for d in doc_ids:
+                if isinstance(d, bool) or not isinstance(d, (int, str)):
+                    ids = None
+                    break
+                try:
+                    iv = int(d)
+                except ValueError:
+                    ids = None
+                    break
+                if str(iv) != str(d).strip():
+                    ids = None  # non-canonical id: no index identity
+                    break
+                ids.append(iv)
+            if ids is None:
                 index_dir = None  # conservative: fall back to naive
             else:
                 from same_same_spark.index.mutate import delete_docs
@@ -111,8 +137,15 @@ class SameSameSpark:
                     self.docs.sparkSession, index_dir, ids,
                     log=lambda *_: None,
                 )
+        # stringified comparison — the reference keys its store by
+        # string id (vector.go), and it sidesteps lit-type mismatches
+        # for ids that cannot occur in the column anyway
         return SameSameSpark(
-            self.docs.filter(F.col(self.id_col) != F.lit(doc_id)),
+            self.docs.filter(
+                ~F.col(self.id_col)
+                .cast("string")
+                .isin([str(d) for d in doc_ids])
+            ),
             self.id_col,
             self.text_col,
             index_dir=index_dir,

@@ -388,50 +388,17 @@ def compact_deltas(spark, index_dir: str, log=print) -> IndexManifest:
     """
     import glob as _glob
 
-    from same_same_spark.index.mutate import _finalize_groups
+    from same_same_spark.index.mutate import (
+        _finalize_groups,
+        _read_batch_token,
+        recover_delta_folds,
+    )
 
     deltas_dir = os.path.join(index_dir, "_stage", "deltas")
     done_dir = os.path.join(index_dir, "_stage", "deltas_compacted")
-    lineage_dir = os.path.join(index_dir, "_lineage")
 
-    # ---- recovery: finish or archive folds interrupted by a crash ----
-    # Commit ordering below is: group dir (atomic rename) -> lineage
-    # record (names its source batches) -> manifest flip -> archive
-    # batches. A lineage record is therefore the durable marker that
-    # its group dir fully covers those batches.
-    manifest = IndexManifest.load(index_dir)
-    for rec_path in sorted(_glob.glob(os.path.join(lineage_dir, "group-*.json"))):
-        with open(rec_path) as f:
-            rec = json.load(f)
-        if rec.get("kind") != "delta-compaction":
-            continue
-        g = rec["group"]
-        pending = [
-            b for b in rec.get("source_batches", [])
-            if os.path.exists(os.path.join(deltas_dir, b))
-        ]
-        if not pending:
-            continue
-        os.makedirs(done_dir, exist_ok=True)
-        if g not in manifest.groups and os.path.exists(
-            os.path.join(index_dir, "shards", f"group-{g}")
-        ):
-            # crashed between lineage and manifest flip: the group dir
-            # is complete — finish the commit, then archive
-            log(f"[compact] recovering interrupted fold -> group {g}")
-            manifest = _finalize_groups(
-                spark, index_dir, manifest,
-                new_groups=[g], remove_groups=[], lineage={},
-                keep_groups=manifest.groups,
-                next_grp=int(g) + 1, keep_tombstones=True,
-            )
-        if g in manifest.groups:
-            # committed fold whose archive step crashed (or just now
-            # recovered): consume its batches so they don't double-fold
-            for b in pending:
-                os.replace(
-                    os.path.join(deltas_dir, b), os.path.join(done_dir, b)
-                )
+    # finish/archive any fold a crash interrupted before folding anew
+    manifest = recover_delta_folds(spark, index_dir, log=log)
 
     batch_dirs = sorted(_glob.glob(os.path.join(deltas_dir, "batch-*")))
     if not batch_dirs:
@@ -473,10 +440,22 @@ def compact_deltas(spark, index_dir: str, log=print) -> IndexManifest:
 
     # commit: lineage (durable batch marker) -> stats + manifest flip
     # (shared tail, preserves tombstones) -> archive consumed batches
+    g_docs = (
+        spark.read.parquet(dst)
+        .filter(F.col("kind") == "d")
+        .agg(F.sum("n"))
+        .collect()[0][0]
+    )
     record = {
         "group": gname,
         "kind": "delta-compaction",
         "source_batches": [os.path.basename(b) for b in batch_dirs],
+        "batch_tokens": {
+            os.path.basename(b): _read_batch_token(b)
+            for b in batch_dirs
+            if _read_batch_token(b) is not None
+        },
+        "docs": int(g_docs or 0),
         "wall_sec": time.time() - t0,
     }
     out = _finalize_groups(

@@ -182,7 +182,10 @@ def rewrite_compacted(spark: SparkSession, index_dir: str, log=print):
 
     from same_same_spark.index.build import SHARD_SCHEMA, IndexManifest
 
-    manifest = IndexManifest.load(index_dir)
+    # consume pending committed delta batches BEFORE touching groups —
+    # folding a committed delta group away would strand its unarchived
+    # batches and a later fold would re-ingest them
+    manifest = recover_delta_folds(spark, index_dir, log=log)
     tomb = load_tombstones(index_dir)
     deleted = tomb["ids"] if tomb is not None else np.empty(0, np.int64)
 
@@ -307,7 +310,8 @@ def _finalize_groups(
     lineage_dir = os.path.join(index_dir, "_lineage")
     os.makedirs(lineage_dir, exist_ok=True)
     for name, rec in lineage.items():
-        rec = dict(rec, docs=n_docs)
+        rec = dict(rec)
+        rec.setdefault("docs", n_docs)
         tmpf = os.path.join(lineage_dir, f"group-{name}.json.tmp")
         with open(tmpf, "w") as f:
             json.dump(rec, f)
@@ -331,10 +335,23 @@ def _finalize_groups(
         shutil.rmtree(
             os.path.join(index_dir, "tombstones"), ignore_errors=True
         )
-    shutil.rmtree(
-        os.path.join(index_dir, manifest.stats_dirname()),
-        ignore_errors=True,
-    )
+    # sweep EVERY superseded stats generation, not just the immediate
+    # predecessor — a crash between a past flip and its cleanup would
+    # otherwise leak that generation forever
+    import glob as _glob
+
+    for d in _glob.glob(os.path.join(index_dir, "stats-*")):
+        base = os.path.basename(d)
+        if base.endswith(".tmp"):
+            continue
+        try:
+            gen = int(base.split("-", 1)[1])
+        except ValueError:
+            continue
+        if gen < new_stats_gen:
+            shutil.rmtree(d, ignore_errors=True)
+    if new_stats_gen > 0:
+        shutil.rmtree(os.path.join(index_dir, "stats"), ignore_errors=True)
     for g in remove_groups:
         shutil.rmtree(
             os.path.join(index_dir, "shards", f"group-{g}"),
@@ -390,7 +407,9 @@ def rewrite_touched_groups(spark: SparkSession, index_dir: str, log=print):
 
     from same_same_spark.index.build import SHARD_SCHEMA, IndexManifest
 
-    manifest = IndexManifest.load(index_dir)
+    # consume pending committed delta batches first (see
+    # recover_delta_folds: group renames would strand them)
+    manifest = recover_delta_folds(spark, index_dir, log=log)
     tomb = load_tombstones(index_dir)
     if tomb is None:
         log("[rewrite] no tombstones — nothing to do")
@@ -619,3 +638,93 @@ def delete_docs(
         f"({stats['n_removed']} present in index)"
     )
     return load_tombstones(index_dir)
+
+
+def _read_batch_token(batch_dir: str) -> str | None:
+    p = os.path.join(batch_dir, "_batch_token")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return f.read().strip()
+
+
+def recover_delta_folds(spark: SparkSession, index_dir: str, log=print):
+    """Finish or archive delta folds interrupted by a crash; returns the
+    (possibly updated) manifest.
+
+    MUST run before anything that renames or removes groups (both
+    tombstone compactions call it, as does ``compact_deltas`` itself):
+    the fold protocol's durable marker is its lineage record plus the
+    group's presence on disk/manifest, and a compaction that folds a
+    committed delta group away would otherwise strand that group's
+    still-unarchived batches, which a later fold would then re-ingest.
+
+    Decision table per delta-compaction lineage record with pending
+    source batches (content-verified by the ``_batch_token`` written at
+    ingest — batch NAMES repeat after a checkpoint reset):
+
+    - group on disk but not in the manifest → the commit crashed
+      between lineage and manifest flip; finish it, then archive;
+    - group in the manifest → the archive step crashed; archive;
+    - group in neither → the record predates a compaction that (having
+      run this recovery first) already archived the real batches — the
+      pending same-named batches are NEW data; leave them for a fresh
+      fold.
+    """
+    import glob as _glob
+    import shutil
+
+    from same_same_spark.index.build import IndexManifest
+
+    manifest = IndexManifest.load(index_dir)
+    deltas_dir = os.path.join(index_dir, "_stage", "deltas")
+    done_dir = os.path.join(index_dir, "_stage", "deltas_compacted")
+    pending = {
+        os.path.basename(p): p
+        for p in _glob.glob(os.path.join(deltas_dir, "batch-*"))
+    }
+    if not pending:
+        return manifest
+    lineage_dir = os.path.join(index_dir, "_lineage")
+    for rec_path in sorted(
+        _glob.glob(os.path.join(lineage_dir, "group-*.json"))
+    ):
+        with open(rec_path) as f:
+            rec = json.load(f)
+        if rec.get("kind") != "delta-compaction":
+            continue
+        tokens = rec.get("batch_tokens", {})
+        covered = []
+        for b in rec.get("source_batches", []):
+            p = pending.get(b)
+            if p is None:
+                continue
+            tok_rec, tok_now = tokens.get(b), _read_batch_token(p)
+            if (
+                tok_rec is not None
+                and tok_now is not None
+                and tok_rec != tok_now
+            ):
+                continue  # same name, different content: a NEW batch
+            covered.append(b)
+        if not covered:
+            continue
+        g = rec["group"]
+        on_disk = os.path.exists(
+            os.path.join(index_dir, "shards", f"group-{g}")
+        )
+        if g not in manifest.groups and on_disk:
+            log(f"[recover] finishing interrupted delta fold -> group {g}")
+            manifest = _finalize_groups(
+                spark, index_dir, manifest,
+                new_groups=[g], remove_groups=[], lineage={},
+                keep_groups=manifest.groups,
+                next_grp=max(manifest.alloc_grp(), int(g) + 1),
+                keep_tombstones=True,
+            )
+        if g in manifest.groups:
+            os.makedirs(done_dir, exist_ok=True)
+            for b in covered:
+                os.replace(pending.pop(b), os.path.join(done_dir, b))
+                log(f"[recover] archived already-folded batch {b}")
+    return manifest

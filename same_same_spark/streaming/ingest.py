@@ -115,6 +115,13 @@ def stream_doc_ingest(
         ).withColumn("bucket", bucket_col(F.col("doc_id"), num_buckets))
         dst = os.path.join(deltas_dir, f"batch-{batch_id:06d}")
         postings.write.mode("overwrite").parquet(dst)
+        # content identity: batch NAMES can repeat after a checkpoint
+        # reset; the fold's lineage records this token so its recovery
+        # never mistakes a fresh same-named batch for an archived one
+        import uuid as _uuid
+
+        with open(os.path.join(dst, "_batch_token"), "w") as f:
+            f.write(f"{batch_id}-{_uuid.uuid4().hex}")
 
         written = batch_df.sparkSession.read.parquet(dst)
         n_postings = written.filter(F.col("term").isNotNull()).count()

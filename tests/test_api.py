@@ -218,3 +218,33 @@ def test_delete_tombstones_attached_index(spark, tmp_path):
         (r["rank"], r["doc_id"], round(r["score"], 9)) for r in rs
     ]
     assert canon(after) == canon(want)
+
+
+def test_delete_rejects_non_canonical_ids(spark, tmp_path):
+    """Floats/bools/non-numeric ids have no index identity: delete must
+    DETACH the index rather than tombstone a truncated id (review
+    finding: int(7.2)==7 would delete the wrong document)."""
+    from same_same_spark.api import SameSameSpark
+    from same_same_spark.index.build import build_index
+    from same_same_spark.index.mutate import load_tombstones
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    idx = str(tmp_path / "idx")
+    build_index(docs, idx, id_col="doc_id", text_col="text",
+                num_buckets=4, log=lambda *_: None)
+    api = SameSameSpark(docs, id_col="doc_id", text_col="text",
+                        index_dir=idx)
+    for bad in (7.2, True, "seven", "7.0"):
+        out = api.delete(bad)
+        assert out.index_dir is None, bad
+    assert load_tombstones(idx) is None  # index untouched
+
+    # batch form tombstones all ids in one pass
+    victims = [r["doc_id"] for r in docs.limit(3).collect()]
+    out = api.delete_many(victims)
+    assert out.index_dir == idx
+    assert out.count() == docs.count() - 3
+    tomb = load_tombstones(idx)
+    assert tomb is not None and tomb["n_removed"] == 3

@@ -396,3 +396,68 @@ def test_compact_recovers_from_crash_windows(spark, tmp_path):
     assert IndexManifest.load(idx).n_docs == n_before  # no double-fold
     assert state(idx)[:2] == want[:2] and state(idx)[3] == want[3]
     assert not glob.glob(os.path.join(idx, "_stage", "deltas", "batch-*"))
+
+
+def test_compaction_consumes_pending_batches_before_renaming_groups(
+    spark, tmp_path
+):
+    """Reviewer repro: archive-window crash, then a tombstone compaction
+    folds the delta group away. Recovery must archive the pending
+    batches BEFORE the rename so the next fold cannot double-count."""
+    import glob
+
+    from same_same_spark.index.build import IndexManifest, compact_deltas
+    from same_same_spark.index.mutate import delete_docs, rewrite_compacted
+    from same_same_spark.index.query import search_batch
+
+    idx = _mini_streamed_index(spark, tmp_path, "dd")
+    compact_deltas(spark, idx, log=lambda *_: None)
+    n0 = IndexManifest.load(idx).n_docs
+    # simulate the archive-window crash: batches back into deltas/
+    done = os.path.join(idx, "_stage", "deltas_compacted")
+    for b in glob.glob(os.path.join(done, "batch-*")):
+        os.replace(b, os.path.join(idx, "_stage", "deltas",
+                                   os.path.basename(b)))
+    # tombstone compaction renames every group — recovery inside it
+    # must consume the pending batches first
+    delete_docs(spark, idx, [1], log=lambda *_: None)
+    rewrite_compacted(spark, idx, log=lambda *_: None)
+    assert not glob.glob(os.path.join(idx, "_stage", "deltas", "batch-*"))
+    m = compact_deltas(spark, idx, log=lambda *_: None)  # nothing to fold
+    assert m.n_docs == n0 - 1  # no double-count, one deleted
+    rows = search_batch(spark, idx, [(0, "alpha golf")], k=10).collect()
+    assert 1 not in {r["doc_id"] for r in rows}
+    assert {r["doc_id"] for r in rows} <= {2, 3, 4}
+
+
+def test_checkpoint_reset_same_batch_names_not_mistaken_as_archived(
+    spark, tmp_path
+):
+    """A fresh stream after a checkpoint reset reuses batch names; the
+    content token must keep recovery from archiving the NEW batches
+    unfolded (they'd be silently lost)."""
+    import glob
+    import json as _json
+    import shutil
+
+    from same_same_spark.index.build import IndexManifest, compact_deltas
+
+    idx = _mini_streamed_index(spark, tmp_path, "tok")
+    compact_deltas(spark, idx, log=lambda *_: None)
+    n0 = IndexManifest.load(idx).n_docs
+    # operator purges the archive AND resets the checkpoint
+    shutil.rmtree(os.path.join(idx, "_stage", "deltas_compacted"))
+    src = str(tmp_path / "src_tok2")
+    os.makedirs(src)
+    with open(os.path.join(src, "d.json"), "w") as f:
+        for did, text in ((7, "india juliet alpha"), (8, "kilo lima")):
+            f.write(_json.dumps({"doc_id": did, "content": text}) + "\n")
+    stream = spark.readStream.schema("doc_id LONG, content STRING").json(src)
+    q = stream_doc_ingest(stream, idx,
+                          checkpoint_dir=str(tmp_path / "ck_tok2"),
+                          num_buckets=2)
+    q.awaitTermination(120)
+    # the new stream re-created batch-000000 with NEW content
+    assert glob.glob(os.path.join(idx, "_stage", "deltas", "batch-000000"))
+    m = compact_deltas(spark, idx, log=lambda *_: None)
+    assert m.n_docs == n0 + 2  # folded, not silently archived
