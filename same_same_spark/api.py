@@ -110,9 +110,17 @@ class SameSameSpark:
         façade attached to the same ``index_dir`` sees the delete. Ids
         without an exact integer index identity (floats, bools,
         non-numeric strings) detach the index instead — tombstoning a
-        truncated id would delete the wrong document.
+        truncated id would delete the wrong document. Whitespace-padded
+        numeric strings (" 12 ") canonicalize to their integer form for
+        BOTH the index tombstone and the frame filter, so the two views
+        always drop the same documents.
         """
         index_dir = self.index_dir
+        # default frame-filter identities: stringified raw ids — the
+        # reference keys its store by string id (vector.go), and this
+        # sidesteps lit-type mismatches for ids that cannot occur in
+        # the column anyway
+        filter_ids = [str(d) for d in doc_ids]
         if index_dir:
             ids = []
             for d in doc_ids:
@@ -137,14 +145,14 @@ class SameSameSpark:
                     self.docs.sparkSession, index_dir, ids,
                     log=lambda *_: None,
                 )
-        # stringified comparison — the reference keys its store by
-        # string id (vector.go), and it sidesteps lit-type mismatches
-        # for ids that cannot occur in the column anyway
+                # the index was tombstoned under the CANONICAL forms;
+                # filter the frame under the same identities or a
+                # padded string would vanish from index search while
+                # surviving count()/naive search
+                filter_ids = [str(iv) for iv in ids]
         return SameSameSpark(
             self.docs.filter(
-                ~F.col(self.id_col)
-                .cast("string")
-                .isin([str(d) for d in doc_ids])
+                ~F.col(self.id_col).cast("string").isin(filter_ids)
             ),
             self.id_col,
             self.text_col,

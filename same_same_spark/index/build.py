@@ -120,6 +120,15 @@ class IndexManifest:
     # tombstone files are actually removed leaves them ignored, not
     # double-subtracted against the freshly rebuilt stats.
     has_tombstones: bool = False
+    # Tombstone generation, versioned like stats_gen: every delete
+    # writes a COMPLETE artifact set (ids, df_delta, stats.json) into a
+    # fresh "tombstones-{gen}" dir and the manifest flip points readers
+    # at it atomically. Without this, a second delete overwriting the
+    # live dir in place could crash mid-write and leave mixed-generation
+    # artifacts being served (the flag is still true from the first
+    # delete). Monotonic — never reset, it only names directories.
+    # 0 = legacy unversioned dir name "tombstones".
+    tomb_gen: int = 0
     # Exact total token count (sum of doc lengths). avgdl alone cannot
     # reconstruct it without float rounding; the tombstone-adjusted
     # query path needs the exact integer. -1 = legacy manifest.
@@ -130,6 +139,12 @@ class IndexManifest:
 
     def stats_dirname(self) -> str:
         return "stats" if self.stats_gen == 0 else f"stats-{self.stats_gen}"
+
+    def tomb_dirname(self) -> str:
+        return (
+            "tombstones" if self.tomb_gen == 0
+            else f"tombstones-{self.tomb_gen}"
+        )
 
     def save(self, index_dir: str) -> None:
         tmp = os.path.join(index_dir, "manifest.json.tmp")

@@ -5,12 +5,19 @@ The reference mutates its store in place (``PUT/DELETE /vectors/{id}``,
 (immutable shard groups + streamed delta compaction), so deletes are
 **tombstones**: :func:`delete_docs` runs one distributed pass over the
 shard table to measure exactly what the deleted docs contributed —
-per-term df, doc count, total doc length — and persists
+per-term df, doc count, total doc length — and persists a COMPLETE
+artifact set into a fresh generation-named directory
+(``manifest.tomb_dirname()``, e.g. ``tombstones-3``):
 
-    <index_dir>/tombstones/ids/        deleted doc ids (parquet)
-    <index_dir>/tombstones/df_delta/   (term, df_removed)
-    <index_dir>/tombstones/stats.json  {n_removed, sum_dl_removed,
-                                        n_total, sum_dl_total}
+    <index_dir>/tombstones-G/ids/        deleted doc ids (parquet)
+    <index_dir>/tombstones-G/df_delta/   (term, df_removed)
+    <index_dir>/tombstones-G/stats.json  {n_removed, sum_dl_removed,
+                                          n_total, sum_dl_total}
+
+The generation is flipped by the atomic manifest rename — like
+``stats_gen`` — so a crash anywhere inside a SECOND delete leaves the
+first delete's artifacts being served intact (never a mixed-generation
+directory; the old in-place overwrite failed exactly that way).
 
 Query time (:mod:`same_same_spark.index.query`) then (a) drops deleted
 postings at decode, and (b) recomputes N, avgdl and per-term idf from
@@ -58,9 +65,11 @@ def load_tombstones(index_dir: str) -> dict | None:
     Returns ``{"ids": sorted int64 ndarray, "df_delta": {term: n},
     "n_removed", "sum_dl_removed", "n_total", "sum_dl_total"}``.
     """
-    if not IndexManifest.load(index_dir).has_tombstones:
+    manifest = IndexManifest.load(index_dir)
+    if not manifest.has_tombstones:
         return None
-    stats_path = os.path.join(index_dir, "tombstones", "stats.json")
+    tomb_dir = os.path.join(index_dir, manifest.tomb_dirname())
+    stats_path = os.path.join(tomb_dir, "stats.json")
     if not os.path.exists(stats_path):
         return None
     with open(stats_path) as f:
@@ -68,16 +77,33 @@ def load_tombstones(index_dir: str) -> dict | None:
     import pyarrow.parquet as pq
 
     ids = (
-        pq.read_table(os.path.join(index_dir, "tombstones", "ids"))
+        pq.read_table(os.path.join(tomb_dir, "ids"))
         .column("doc_id")
         .to_numpy()
         .astype(np.int64)
     )
-    dd = pq.read_table(os.path.join(index_dir, "tombstones", "df_delta"))
+    dd = pq.read_table(os.path.join(tomb_dir, "df_delta"))
     df_delta = dict(
         zip(dd.column("term").to_pylist(), dd.column("df_removed").to_pylist())
     )
     return {"ids": np.sort(ids), "df_delta": df_delta, **stats}
+
+
+def _sweep_tomb_dirs(index_dir: str, keep: str | None) -> None:
+    """Remove every tombstone generation directory except ``keep``
+    (a dirname, or None to remove them all). Mirrors the stats-gen
+    sweep: superseded generations from crashed runs must not leak."""
+    import glob as _glob
+    import shutil
+
+    candidates = _glob.glob(os.path.join(index_dir, "tombstones-*")) + [
+        os.path.join(index_dir, "tombstones")
+    ]
+    for d in candidates:
+        base = os.path.basename(d)
+        if base == keep or not os.path.isdir(d):
+            continue
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def _rewrite_fn(deleted_sorted: np.ndarray):
@@ -328,13 +354,12 @@ def _finalize_groups(
         next_grp=manifest.alloc_grp() if next_grp is None else next_grp,
         stats_gen=new_stats_gen,
         has_tombstones=manifest.has_tombstones if keep_tombstones else False,
+        tomb_gen=manifest.tomb_gen,
         sum_dl=sum_dl,
     )
     out.save(index_dir)  # atomic flip: readers now see the new group set
     if not keep_tombstones:
-        shutil.rmtree(
-            os.path.join(index_dir, "tombstones"), ignore_errors=True
-        )
+        _sweep_tomb_dirs(index_dir, keep=None)
     # sweep EVERY superseded stats generation, not just the immediate
     # predecessor — a crash between a past flip and its cleanup would
     # otherwise leak that generation forever
@@ -420,8 +445,7 @@ def rewrite_touched_groups(spark: SparkSession, index_dir: str, log=print):
         # bumps the mtime that keys the query-side caches.
         manifest.has_tombstones = False
         manifest.save(index_dir)
-        shutil.rmtree(os.path.join(index_dir, "tombstones"),
-                      ignore_errors=True)
+        _sweep_tomb_dirs(index_dir, keep=None)
         log("[rewrite] tombstones matched no documents — cleared")
         return manifest
     deleted_sorted = np.sort(np.asarray(tomb["ids"], dtype=np.int64))
@@ -456,8 +480,7 @@ def rewrite_touched_groups(spark: SparkSession, index_dir: str, log=print):
         # tombstoned ids not present in any group (already gone)
         manifest.has_tombstones = False
         manifest.save(index_dir)  # flag + mtime bump -> caches refresh
-        shutil.rmtree(os.path.join(index_dir, "tombstones"),
-                      ignore_errors=True)
+        _sweep_tomb_dirs(index_dir, keep=None)
         return manifest
 
     # 2. rewrite each touched group in place-by-name-bump, keeping grp
@@ -596,19 +619,32 @@ def delete_docs(
         )
     )
 
-    tomb_dir = os.path.join(index_dir, "tombstones")
-    os.makedirs(tomb_dir, exist_ok=True)
+    # generation-versioned artifact set: EVERYTHING lands in a fresh
+    # tombstones-{gen} directory (staged via .tmp + atomic dir rename)
+    # and only the manifest save below points readers at it — so a
+    # crash anywhere inside a repeat delete keeps serving the previous
+    # generation complete, never a half-overwritten mix.
+    import shutil
+
+    new_gen = manifest.tomb_gen + 1
+    tomb_dir = os.path.join(index_dir, f"tombstones-{new_gen}")
+    tomb_tmp = tomb_dir + ".tmp"
+    shutil.rmtree(tomb_tmp, ignore_errors=True)
+    # a same-named dir from a crash after the rename but before the
+    # manifest save is unreferenced garbage — replace it
+    shutil.rmtree(tomb_dir, ignore_errors=True)
+    os.makedirs(tomb_tmp)
     df_delta = measured.filter(
         F.col("term").isNotNull() & (F.col("df_removed") > 0)
     ).select("term", "df_removed")
     df_delta.repartition(1).write.mode("overwrite").parquet(
-        os.path.join(tomb_dir, "df_delta")
+        os.path.join(tomb_tmp, "df_delta")
     )
     ids_df = spark.createDataFrame(
         [(int(i),) for i in all_ids], "doc_id LONG"
     )
     ids_df.repartition(1).write.mode("overwrite").parquet(
-        os.path.join(tomb_dir, "ids")
+        os.path.join(tomb_tmp, "ids")
     )
     srow = (
         measured.filter(F.col("term").isNull())
@@ -624,15 +660,17 @@ def delete_docs(
         "n_total": int(srow[2] or 0),
         "sum_dl_total": int(srow[3] or 0),
     }
-    tmp = os.path.join(tomb_dir, "stats.json.tmp")
-    with open(tmp, "w") as f:
+    with open(os.path.join(tomb_tmp, "stats.json"), "w") as f:
         json.dump(stats, f, indent=2)
-    os.replace(tmp, os.path.join(tomb_dir, "stats.json"))
-    # flag flip + manifest mtime bump (query-side caches key on mtime);
-    # tombstone files are complete before the flag goes live, so a
-    # crash before this save simply means the delete never happened
+    os.replace(tomb_tmp, tomb_dir)
+    # generation + flag flip + manifest mtime bump (query-side caches
+    # key on mtime); the artifact set is complete before this save, so
+    # a crash before it simply means THIS delete never happened — the
+    # prior generation (if any) stays live and intact
     manifest.has_tombstones = True
+    manifest.tomb_gen = new_gen
     manifest.save(index_dir)
+    _sweep_tomb_dirs(index_dir, keep=manifest.tomb_dirname())
     log(
         f"[delete] tombstoned {len(all_ids)} ids "
         f"({stats['n_removed']} present in index)"
@@ -700,12 +738,15 @@ def recover_delta_folds(spark: SparkSession, index_dir: str, log=print):
             if p is None:
                 continue
             tok_rec, tok_now = tokens.get(b), _read_batch_token(p)
-            if (
-                tok_rec is not None
-                and tok_now is not None
-                and tok_rec != tok_now
-            ):
-                continue  # same name, different content: a NEW batch
+            if tok_rec is None or tok_now is None or tok_rec != tok_now:
+                # Only a POSITIVE content-token match covers a batch.
+                # A token-less lineage record (written before the token
+                # protocol) must not claim same-named batches: after a
+                # checkpoint reset those are NEW data, and archiving
+                # them unfolded would silently lose documents. Legacy
+                # interrupted folds simply refold — idempotent, the new
+                # group gets a fresh name.
+                continue
             covered.append(b)
         if not covered:
             continue

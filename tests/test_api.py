@@ -248,3 +248,31 @@ def test_delete_rejects_non_canonical_ids(spark, tmp_path):
     assert out.count() == docs.count() - 3
     tomb = load_tombstones(idx)
     assert tomb is not None and tomb["n_removed"] == 3
+
+
+def test_delete_padded_id_drops_frame_and_index_together(spark, tmp_path):
+    """ADVICE r2: a whitespace-padded numeric string (" 12 ")
+    canonicalizes to its integer for the index tombstone — the FRAME
+    filter must use the same canonical identity, or the doc vanishes
+    from index search while surviving count()/naive search."""
+    from same_same_spark.api import SameSameSpark
+    from same_same_spark.index.build import build_index
+    from same_same_spark.index.mutate import load_tombstones
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    idx = str(tmp_path / "idx")
+    build_index(docs, idx, id_col="doc_id", text_col="text",
+                num_buckets=4, log=lambda *_: None)
+    api = SameSameSpark(docs, id_col="doc_id", text_col="text",
+                        index_dir=idx)
+    victim = docs.limit(1).collect()[0]["doc_id"]
+
+    out = api.delete(f"  {victim} ")
+    assert out.index_dir == idx
+    tomb = load_tombstones(idx)
+    assert tomb is not None and tomb["ids"].tolist() == [victim]
+    # the frame dropped the SAME document the index tombstoned
+    assert out.count() == docs.count() - 1
+    assert out.get(victim).count() == 0

@@ -195,6 +195,79 @@ def test_tombstoned_delete_matches_fresh_build(spark, documents, tmp_path):
     assert load_tombstones(idx)["ids"].tolist() == sorted(victims)
 
 
+def test_repeat_delete_crash_serves_prior_generation(
+    spark, documents, tmp_path
+):
+    """Tombstone artifacts are generation-versioned (ADVICE r2): a crash
+    anywhere inside a SECOND delete — partial staged writes, or a
+    completed artifact-dir rename without the manifest flip — leaves the
+    FIRST delete's artifact set being served, complete and correct. A
+    later successful delete then supersedes everything cleanly."""
+    from same_same_spark.index.mutate import delete_docs, load_tombstones
+
+    idx = str(tmp_path / "idx")
+    build_index(documents, idx, id_col="doc_id", text_col="text",
+                num_buckets=4, log=lambda *_: None)
+    base = search_batch(spark, idx, QUERIES, k=10).collect()
+    victims = sorted({r["doc_id"] for r in base if r["rank"] <= 2})
+    delete_docs(spark, idx, victims, log=lambda *_: None)
+    m = IndexManifest.load(idx)
+    assert m.tomb_gen == 1 and m.tomb_dirname() == "tombstones-1"
+
+    def canon(rows):
+        return sorted(
+            (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+            for r in rows
+        )
+
+    after_first = canon(search_batch(spark, idx, QUERIES, k=10).collect())
+
+    # crash window A: a second delete died mid-write — only a partial
+    # staging dir exists. Gen 1 must be served untouched.
+    tmp2 = os.path.join(idx, "tombstones-2.tmp")
+    os.makedirs(os.path.join(tmp2, "ids"))
+    with open(os.path.join(tmp2, "stats.json"), "w") as f:
+        f.write("{ truncated")
+    tomb = load_tombstones(idx)
+    assert tomb is not None and tomb["ids"].tolist() == sorted(victims)
+    assert canon(search_batch(spark, idx, QUERIES, k=10).collect()) \
+        == after_first
+
+    # crash window B: the staged dir was renamed to tombstones-2 but
+    # the manifest flip never happened — the manifest still points at
+    # gen 1, so the unreferenced (and here corrupt) gen-2 dir is inert.
+    os.replace(tmp2, os.path.join(idx, "tombstones-2"))
+    assert IndexManifest.load(idx).tomb_dirname() == "tombstones-1"
+    tomb = load_tombstones(idx)
+    assert tomb is not None and tomb["ids"].tolist() == sorted(victims)
+    assert canon(search_batch(spark, idx, QUERIES, k=10).collect()) \
+        == after_first
+
+    # recovery: the next delete replaces the garbage gen-2 dir with a
+    # complete artifact set and flips the manifest to it; superseded
+    # generations are swept.
+    extra = sorted(
+        {r["doc_id"] for r in base if r["rank"] == 3} - set(victims)
+    )[:1]
+    assert extra
+    delete_docs(spark, idx, victims + extra, log=lambda *_: None)
+    m = IndexManifest.load(idx)
+    assert m.tomb_gen == 2 and m.tomb_dirname() == "tombstones-2"
+    assert load_tombstones(idx)["ids"].tolist() == sorted(victims + extra)
+    assert not os.path.exists(os.path.join(idx, "tombstones-1"))
+    assert not os.path.exists(os.path.join(idx, "tombstones-2.tmp"))
+
+    fresh = str(tmp_path / "fresh")
+    build_index(
+        documents.filter(~F.col("doc_id").isin(victims + extra)), fresh,
+        id_col="doc_id", text_col="text", num_buckets=4,
+        log=lambda *_: None,
+    )
+    got = canon(search_batch(spark, idx, QUERIES, k=10).collect())
+    want = canon(search_batch(spark, fresh, QUERIES, k=10).collect())
+    assert got == want
+
+
 def test_rewrite_compacted_equals_fresh_build(spark, documents, tmp_path):
     """rewrite_compacted folds all groups into one and drops tombstoned
     docs for good: manifest/stats/search equal a fresh build over the

@@ -461,3 +461,44 @@ def test_checkpoint_reset_same_batch_names_not_mistaken_as_archived(
     assert glob.glob(os.path.join(idx, "_stage", "deltas", "batch-000000"))
     m = compact_deltas(spark, idx, log=lambda *_: None)
     assert m.n_docs == n0 + 2  # folded, not silently archived
+
+
+def test_tokenless_lineage_never_covers_pending_batches(spark, tmp_path):
+    """ADVICE r2: a lineage record written BEFORE the token protocol
+    (no batch_tokens) must not claim same-named pending batches — after
+    a checkpoint reset those are NEW data, and archiving them unfolded
+    would silently lose documents. Recovery requires a POSITIVE token
+    match; legacy interrupted folds simply refold."""
+    import glob
+    import json as _json
+    import shutil
+
+    from same_same_spark.index.build import IndexManifest, compact_deltas
+
+    idx = _mini_streamed_index(spark, tmp_path, "legacy")
+    compact_deltas(spark, idx, log=lambda *_: None)
+    n0 = IndexManifest.load(idx).n_docs
+    # age the lineage record to the pre-token era
+    for rec_path in glob.glob(os.path.join(idx, "_lineage", "group-*.json")):
+        with open(rec_path) as f:
+            rec = _json.load(f)
+        if rec.get("kind") == "delta-compaction":
+            rec.pop("batch_tokens", None)
+            with open(rec_path, "w") as f:
+                _json.dump(rec, f)
+    # operator purges the archive AND resets the checkpoint; the fresh
+    # stream reuses batch-000000 for genuinely new documents
+    shutil.rmtree(os.path.join(idx, "_stage", "deltas_compacted"))
+    src = str(tmp_path / "src_legacy2")
+    os.makedirs(src)
+    with open(os.path.join(src, "d.json"), "w") as f:
+        for did, text in ((9, "mike november oscar"), (10, "papa quebec")):
+            f.write(_json.dumps({"doc_id": did, "content": text}) + "\n")
+    stream = spark.readStream.schema("doc_id LONG, content STRING").json(src)
+    q = stream_doc_ingest(stream, idx,
+                          checkpoint_dir=str(tmp_path / "ck_legacy2"),
+                          num_buckets=2)
+    q.awaitTermination(120)
+    assert glob.glob(os.path.join(idx, "_stage", "deltas", "batch-000000"))
+    m = compact_deltas(spark, idx, log=lambda *_: None)
+    assert m.n_docs == n0 + 2  # refolded as new data, not archived away
