@@ -26,7 +26,7 @@ Scoring model (pinned; documented because the goldens depend on it):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from same_same_spark.stats import corpus_stats, doc_term_freqs, tokenized
@@ -85,7 +85,11 @@ def score_queries(
     set — so only matched postings survive, df for exactly those terms is
     computed from the matched set (every doc containing a query term is
     present post-join, so per-term counts are the true global df) — and a
-    per-query window top-k (``TakeOrderedAndProject``-class work).
+    salted two-level tournament top-k
+    (:func:`same_same_spark.operators.topk.topk_per_query`): no stage
+    ever holds more than ``max(k, salts*k)`` rows of one query, unlike
+    the per-query rank window this replaced (which landed ALL of a
+    query's matched docs on one task).
     """
     spark = docs_df.sparkSession
     tok = tokenized(docs_df, id_col=id_col, text_col=text_col)
@@ -125,14 +129,9 @@ def score_queries(
         .agg(F.sum("w").alias("score"))
     )
 
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc(F.round(F.col("score"), 9)), F.asc("doc_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "doc_id", "score", "rank")
-    )
+    from same_same_spark.operators.topk import topk_per_query
+
+    return topk_per_query(scored, k)
 
 
 def duckdb_bm25_sql(

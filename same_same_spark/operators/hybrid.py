@@ -93,13 +93,25 @@ def rank_topk(scored: DataFrame, k: int, id_col: str = "doc_id") -> DataFrame:
     ``orderBy().limit(k)`` compiles to ``TakeOrderedAndProject`` (each
     partition keeps a local k-heap, the driver merges k×partitions rows)
     — never the all-rows-to-one-task shape of an unpartitioned window.
-    The rank window then runs over ≤k rows; partitioning it by a
-    constant keeps WindowExec off its single-partition warning path.
+    Rank is then assigned to the ≤k survivors by packing them into ONE
+    sorted array (``collect_list``/``sort_array``/``posexplode`` over
+    the sortable key ``(0.0 - round(score, 9), id)``) — bounded at k
+    rows, all JVM built-ins, and no ``WindowExec`` at all: the old
+    rank window executed with an empty partition spec (Catalyst folds a
+    ``partitionBy(lit(0))`` away) and logged ``No Partition Defined``
+    on every query.
     """
+    from same_same_spark.operators.topk import neg_rounded_score
+
     order = [F.desc(F.round(F.col("score"), 9)), F.asc(id_col)]
-    w = Window.partitionBy(F.lit(0)).orderBy(*order)
+    entry = F.struct(
+        neg_rounded_score(F.col("score")).alias("nk"),
+        F.col(id_col).alias("ik"),
+        F.struct(*[F.col(c) for c in scored.columns]).alias("row"),
+    )
+    top = scored.orderBy(*order).limit(k).select(entry.alias("s"))
     return (
-        scored.orderBy(*order)
-        .limit(k)
-        .withColumn("rank", F.row_number().over(w))
+        top.agg(F.sort_array(F.collect_list("s")).alias("arr"))
+        .select(F.posexplode("arr").alias("pos", "s"))
+        .select("s.row.*", (F.col("pos") + 1).cast("int").alias("rank"))
     )

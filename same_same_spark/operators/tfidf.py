@@ -176,17 +176,19 @@ def tfidf_topk(
             # embeds everything as a ZERO-LENGTH vector, whose cosine
             # is 0 against anything (vector.go:49-51) — all docs tie
             # at 0 under doc_id.
-            w = Window.partitionBy("query_id").orderBy(F.asc("doc_id"))
+            from same_same_spark.operators.topk import topk_per_query
+
             qids = spark.createDataFrame(
                 [(qid,) for qid, _ in queries], "query_id INT"
             )
             return _eager(
                 spark,
-                all_docs.crossJoin(F.broadcast(qids))
-                .withColumn("score", F.lit(0.0))
-                .withColumn("rank", F.row_number().over(w))
-                .filter(F.col("rank") <= k)
-                .select("query_id", "doc_id", "score", "rank"),
+                topk_per_query(
+                    all_docs.crossJoin(F.broadcast(qids)).withColumn(
+                        "score", F.lit(0.0)
+                    ),
+                    k,
+                ),
             )
         vocab = spark.createDataFrame(vocab_rows)
         docw = doc_unit_weights(tok, vocab).persist()
@@ -283,19 +285,13 @@ def _score_and_rank(
             )
         )
 
+    from same_same_spark.operators.topk import topk_per_query
+
     scored = parts[0]
     for p in parts[1:]:
         scored = scored.unionByName(p)
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc(F.round(F.col("score"), 9)), F.asc("doc_id")
-    )
     try:
-        return _eager(
-            spark,
-            scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("query_id", "doc_id", "score", "rank"),
-        )
+        return _eager(spark, topk_per_query(scored, k))
     finally:
         docw.unpersist()
 

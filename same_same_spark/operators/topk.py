@@ -1,0 +1,75 @@
+"""Shuffle-safe top-k primitives under the engine's pinned total order
+``(round(score, 9) DESC, doc_id ASC)``.
+
+Both helpers avoid ``WindowExec`` entirely (VERDICT r2 items #3/#5):
+
+- an UNPARTITIONED rank window logs ``No Partition Defined`` and runs
+  single-task, and
+- a ``partitionBy(query_id)`` window lands ALL of one query's matched
+  docs on one task — the classic per-query scale hazard.
+
+Instead the pinned order is encoded as a sortable struct key
+``(0.0 - round(score, 9), doc_id)`` — ``0.0 - x`` rather than ``-x`` so
+a zero score stays IEEE ``+0.0`` and struct comparison never sees the
+``-0.0 < 0.0`` corner — and ranking happens via the JVM built-ins
+``sort_array``/``slice``/``posexplode`` over explicitly bounded arrays.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Default fan-in for the salted tournament. Each (query, salt) task
+# handles ~1/SALTS of a query's matched docs and emits at most k rows;
+# the final per-query merge touches <= SALTS * k rows.
+TOPK_SALTS = 32
+
+
+def neg_rounded_score(score_col: Column) -> Column:
+    """Ascending-sortable form of ``round(score, 9) DESC``."""
+    return F.lit(0.0) - F.round(score_col, 9)
+
+
+def topk_per_query(
+    scored: DataFrame, k: int, salts: int = TOPK_SALTS
+) -> DataFrame:
+    """Exact top-k + rank per ``query_id``, with no single-task-per-query
+    stage.
+
+    Input: (query_id, doc_id, score). Output: (query_id, doc_id, score,
+    rank INT), rank 1..k per query under the pinned order.
+
+    Two-level tournament: a salted local top-k first (each (query,
+    salt) group keeps its best k — correct because the global top-k is
+    a subset of the union of local top-ks under the same total order),
+    then a per-query merge over the <= salts*k survivors. Both levels
+    are ``collect_list`` + ``sort_array`` + ``slice`` — bounded arrays,
+    JVM built-ins, no ``WindowExec``.
+    """
+    entry = F.struct(
+        neg_rounded_score(F.col("score")).alias("nk"),
+        F.col("doc_id").alias("doc_id"),
+        F.col("score").alias("score"),
+    )
+    local = (
+        scored.withColumn(
+            "salt",
+            F.pmod(F.xxhash64(F.col("doc_id")), F.lit(salts)).cast("int"),
+        )
+        .groupBy("query_id", "salt")
+        .agg(F.slice(F.sort_array(F.collect_list(entry)), 1, k).alias("cand"))
+    )
+    merged = local.groupBy("query_id").agg(
+        F.slice(
+            F.sort_array(F.flatten(F.collect_list("cand"))), 1, k
+        ).alias("top")
+    )
+    return merged.select(
+        "query_id", F.posexplode("top").alias("pos", "s")
+    ).select(
+        "query_id",
+        F.col("s.doc_id").alias("doc_id"),
+        F.col("s.score").alias("score"),
+        (F.col("pos") + 1).cast("int").alias("rank"),
+    )
