@@ -618,6 +618,54 @@ SELECT doc_id, round(score, 6) AS score, rank FROM r WHERE rank <= 10
 )
 
 
+def _q_filter_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VERDICT r2 #1 — FILTERED search riding the index (opt-in
+    ``global_stats=True``): top-k with over-fetch + compiled-filter
+    post-filter, widening until k survivors. Scores use GLOBAL corpus
+    stats, so the oracle is full-corpus BM25 filtered afterwards. The
+    filter shape mirrors the reference's combined FilterExpr truth
+    tables (filter_test.go:185-204)."""
+    from same_same_spark.api import SameSameSpark
+
+    api = SameSameSpark(
+        _docs(spark, sf_dir), id_col="doc_id", text_col="text",
+        index_dir=_entry_index_dir(spark, sf_dir),
+    )
+    out = api.advanced_search(
+        "table query join", k=10,
+        filters={"lang": {"in": ["fr", "de"]}, "n_chars": {"gte": 200}},
+        global_stats=True,
+    )
+    return _round6(out, "score").withColumn("rank", F.col("rank").cast("int"))
+
+
+_SQL_FILTER_SEARCH_INDEXED = (
+    """
+WITH base AS (
+"""
+    + duckdb_bm25_sql(
+        "documents", "doc_id", "text", [(0, "table query join")],
+        k=1_000_000_000, round_score=None,
+    )
+    + """
+),
+survivors AS (
+  SELECT b.doc_id, b.score
+  FROM base b JOIN documents d ON b.doc_id = d.doc_id
+  WHERE d.lang IN ('fr', 'de') AND d.n_chars >= 200
+),
+r AS (
+  SELECT doc_id, score,
+         row_number() OVER (
+           ORDER BY round(score, 9) DESC, doc_id ASC
+         )::INTEGER AS rank
+  FROM survivors
+)
+SELECT doc_id, round(score, 6) AS score, rank FROM r WHERE rank <= 10
+"""
+)
+
+
 def _q_index_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production read path: compressed-index BM25 with block-max
     pruning — rank- and score-identical to the naive scorer, so it
@@ -1553,6 +1601,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "hybrid_search_indexed": (
         _q_hybrid_search_indexed,
         _SQL_HYBRID_SEARCH_INDEXED,
+    ),
+    "filter_search_indexed": (
+        _q_filter_search_indexed,
+        _SQL_FILTER_SEARCH_INDEXED,
     ),
     "temporal_search": (_q_temporal_search, _SQL_TEMPORAL_SEARCH),
     "tags_split": (

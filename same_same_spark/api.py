@@ -173,12 +173,65 @@ class SameSameSpark:
             .withColumnRenamed("doc_id", self.id_col)
         )
 
+    def _index_topk_filtered(self, text: str, k: int, pred) -> DataFrame:
+        """Filtered retrieval THROUGH the index under GLOBAL corpus
+        stats (the opt-in ``global_stats=True`` mode): fetch the
+        index's top-f BM25 candidates (f = k, 4k, 16k, …), post-filter
+        with the compiled Catalyst predicate, and widen f until k
+        survivors remain or every matched doc has been fetched.
+
+        Returns the top-k survivors as (id, score) — NO rank column
+        (callers blend/re-rank). Termination is guaranteed: the index
+        returns at most the set of docs matching ≥1 query term, so a
+        fetch that comes back short of f has exhausted that set.
+
+        Scale notes: each iteration is one index probe (pushed posting
+        reads, bounded driver merge) plus one broadcast join of the
+        ≤f-row candidate set against the docs scan — the predicate and
+        the id semi-join both push into the parquet read, so the scan
+        prunes instead of re-scoring the corpus like the naive
+        filter-then-score path. Stats divergence vs the reference
+        default is documented on the callers: here scores use the
+        UNFILTERED corpus's N/avgdl/df.
+        """
+        from same_same_spark.index.query import _load_manifest, search_batch
+
+        spark = self.docs.sparkSession
+        n_docs = max(int(_load_manifest(self.index_dir).n_docs), 1)
+        fetch = max(k, 1)
+        while True:
+            fetch = min(fetch, n_docs)
+            cand = (
+                search_batch(spark, self.index_dir, [(0, text)], k=fetch)
+                .drop("query_id", "rank")
+                .withColumnRenamed("doc_id", self.id_col)
+            )
+            # search_batch materializes its bounded merge driver-side,
+            # so this count is local, not a Spark job
+            n_cand = cand.count()
+            survivors = (
+                cand.join(self.docs, self.id_col)
+                .filter(pred)
+                .select(F.col(self.id_col), "score")
+            )
+            if fetch >= n_docs or n_cand < fetch:
+                return rank_topk(survivors, k, id_col=self.id_col).drop(
+                    "rank"
+                )
+            got = survivors.count()
+            if got >= k:
+                return rank_topk(survivors, k, id_col=self.id_col).drop(
+                    "rank"
+                )
+            fetch *= 4
+
     def search_by_text(
         self,
         text: str,
         k: int = SEARCH_BY_TEXT_DEFAULT_K,
         metadata_eq: dict[str, str] | None = None,
         scorer: str = "bm25",
+        global_stats: bool = False,
     ) -> DataFrame:
         """The flagship read path (SURVEY §3.1): top-k with the legacy F1
         exact-equality metadata pre-filter.
@@ -190,8 +243,26 @@ class SameSameSpark:
         frozen-corpus form), or ``"clip"`` (SimpleCLIP hash embedding).
         Unknown names fall back to bm25, like the reference's factory
         falls back to its local embedder.
+
+        ``global_stats=True`` (opt-in) lets a FILTERED bm25 search ride
+        the index: top-k with over-fetch + post-filter, scores computed
+        under the unfiltered corpus's N/avgdl/df. The default keeps the
+        reference's filter-THEN-score semantics
+        (``advanced_search.go:25-59``: corpus stats are filtered-corpus
+        stats), which an unfiltered index cannot reproduce — that path
+        re-scores the filtered corpus naively.
         """
         k = k if k > 0 else SEARCH_BY_TEXT_DEFAULT_K
+        if (
+            scorer == "bm25"
+            and metadata_eq
+            and global_stats
+            and self.index_dir
+        ):
+            out = self._index_topk_filtered(
+                text, k, matches_metadata(metadata_eq)
+            )
+            return rank_topk(out, k, id_col=self.id_col)
         base = self.docs
         if metadata_eq:
             base = base.filter(matches_metadata(metadata_eq))
@@ -251,6 +322,7 @@ class SameSameSpark:
         k: int = DEFAULT_TOP_K,
         filters: dict | None = None,
         hybrid: HybridWeight | None = None,
+        global_stats: bool = False,
     ) -> DataFrame:
         """F3 FilterExpr + BM25 + A7 hybrid blend (SURVEY §3.2).
 
@@ -258,12 +330,40 @@ class SameSameSpark:
         top ``max(4k, k)`` BM25 candidates (exact under the monotone
         affine blend — with no filters every doc's metadata score is
         1.0, so blended order == BM25 order away from 1e-9 rounding
-        boundaries)."""
+        boundaries).
+
+        ``global_stats=True`` (opt-in) routes FILTERED calls through the
+        index too: over-fetch + compiled-filter post-filter, looping
+        until k survivors (see :meth:`_index_topk_filtered`). BM25
+        scores then come from UNFILTERED corpus stats; the default
+        keeps the reference's filter-then-score stats and re-scores the
+        filtered corpus naively. The hybrid blend stays exact either
+        way: post-filter every survivor's metadata score is 1.0
+        (advanced_search.go:80-91), so the blend is the monotone affine
+        ``wv·score + wm`` and cannot reorder the top-k."""
         if not query:
             raise ValueError("query cannot be empty")
         k = k if k > 0 else DEFAULT_TOP_K
         if hybrid is not None:
             hybrid.validate()
+        if self.index_dir and filters and global_stats:
+            meta = "metadata" if "metadata" in self.docs.columns else None
+            pred = compile_filters(
+                filters, metadata_col=meta, df=self.docs
+            )
+            base = self._index_topk_filtered(query, k, pred)
+            if hybrid is not None and (hybrid.vector, hybrid.metadata) != (
+                1.0,
+                0.0,
+            ):
+                base = base.withColumn(
+                    "score",
+                    F.lit(hybrid.vector) * F.col("score")
+                    + F.lit(hybrid.metadata),
+                )
+            return rank_topk(base, k, id_col=self.id_col).select(
+                self.id_col, "score", "rank"
+            )
         if self.index_dir and not filters:
             base = self._index_topk(query, max(4 * k, k)).drop("rank")
             if hybrid is not None and (hybrid.vector, hybrid.metadata) != (

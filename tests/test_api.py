@@ -250,6 +250,87 @@ def test_delete_rejects_non_canonical_ids(spark, tmp_path):
     assert tomb is not None and tomb["n_removed"] == 3
 
 
+def test_filtered_search_rides_index_with_global_stats(spark, tmp_path):
+    """VERDICT r2 #1: opt-in ``global_stats=True`` routes FILTERED
+    search through the index (over-fetch + post-filter loop). Must
+    terminate and match the naive GLOBAL-stats ranking (score the full
+    corpus, then filter, then top-k) exactly; the default path keeps
+    filtered-corpus stats and is unchanged."""
+    from pyspark.sql import functions as F
+
+    from same_same_spark.api import SameSameSpark
+    from same_same_spark.bm25 import score_queries
+    from same_same_spark.index.build import build_index
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text", "lang")
+    idx = str(tmp_path / "idx")
+    build_index(docs, idx, id_col="doc_id", text_col="text",
+                num_buckets=4, log=lambda *_: None)
+    api = SameSameSpark(docs, id_col="doc_id", text_col="text",
+                        index_dir=idx)
+    query = "fast merge join sort"
+    # the rarest language forces the over-fetch loop through several
+    # widenings before k survivors accumulate
+    rare = docs.groupBy("lang").count().orderBy("count", "lang").first()[
+        "lang"
+    ]
+
+    # naive global-stats expectation: score the FULL corpus, filter
+    # survivors afterwards, pinned-order top-k
+    scored = score_queries(
+        docs, [(0, query)], k=10**6, id_col="doc_id", text_col="text"
+    ).drop("rank", "query_id")
+    want = (
+        scored.join(docs.select("doc_id", "lang"), "doc_id")
+        .filter(F.col("lang") == rare)
+        .orderBy(F.desc(F.round(F.col("score"), 9)), F.asc("doc_id"))
+        .limit(5)
+        .collect()
+    )
+    assert want  # the filter matches something
+
+    got = api.advanced_search(
+        query, k=5, filters={"lang": {"eq": rare}}, global_stats=True
+    ).orderBy("rank").collect()
+    assert [r["rank"] for r in got] == list(range(1, len(want) + 1))
+    assert [(r["doc_id"], round(r["score"], 9)) for r in got] == [
+        (r["doc_id"], round(r["score"], 9)) for r in want
+    ]
+
+    # hybrid blend on top stays exact (monotone affine)
+    blended = api.advanced_search(
+        query, k=5, filters={"lang": {"eq": rare}},
+        hybrid=HybridWeight(vector=0.7, metadata=0.3), global_stats=True,
+    ).orderBy("rank").collect()
+    assert [r["doc_id"] for r in blended] == [r["doc_id"] for r in got]
+    assert blended[0]["score"] == pytest.approx(
+        0.7 * got[0]["score"] + 0.3
+    )
+
+    # a filter matching nothing terminates with zero rows (the loop
+    # exhausts the matched set instead of widening forever)
+    none = api.advanced_search(
+        query, k=5, filters={"lang": {"eq": "zz-none"}}, global_stats=True
+    ).collect()
+    assert none == []
+
+    # the DEFAULT (reference-semantics) path still scores the filtered
+    # corpus with filtered-corpus stats — different N/avgdl/df, so the
+    # scores legitimately differ from the global-stats path
+    default = api.advanced_search(
+        query, k=5, filters={"lang": {"eq": rare}}
+    ).orderBy("rank").collect()
+    filtered_docs = docs.filter(F.col("lang") == rare)
+    want_default = score_queries(
+        filtered_docs, [(0, query)], k=5, id_col="doc_id", text_col="text"
+    ).orderBy("rank").collect()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in default] == [
+        (r["doc_id"], round(r["score"], 9)) for r in want_default
+    ]
+
+
 def test_delete_padded_id_drops_frame_and_index_together(spark, tmp_path):
     """ADVICE r2: a whitespace-padded numeric string (" 12 ")
     canonicalizes to its integer for the index tombstone — the FRAME
