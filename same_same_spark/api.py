@@ -84,13 +84,82 @@ class SameSameSpark:
         """K1 upsert semantics: incoming ids replace existing rows.
 
         The attached index (if any) is detached: it predates the new
-        rows and replaced ids would serve stale postings. Re-attach
-        after a rebuild or streamed delta compaction.
+        rows and replaced ids would serve stale postings. Use
+        :meth:`upsert` to keep the index attached (tombstone + staged
+        delta + compaction), or re-attach after a rebuild.
         """
-        merged = self.docs.join(
+        merged = self._merge_frames(new_docs)
+        return SameSameSpark(merged, self.id_col, self.text_col)
+
+    def _merge_frames(self, new_docs: DataFrame) -> DataFrame:
+        return self.docs.join(
             new_docs.select(self.id_col), self.id_col, "left_anti"
         ).unionByName(new_docs, allowMissingColumns=True)
-        return SameSameSpark(merged, self.id_col, self.text_col)
+
+    def upsert(self, new_docs: DataFrame) -> "SameSameSpark":
+        """PUT /vectors/{id} parity THROUGH the index
+        (``handlers/vector.go:110-146``): incoming ids replace existing
+        rows in the frame AND the attached index stays attached —
+        post-upsert index search is rank- and score-identical to a
+        fresh build over the updated corpus (tested).
+
+        Composition over the append-only layout:
+
+        1. fold any PENDING streamed deltas first (an unfolded batch
+           carrying an upserted id would later double the doc),
+        2. tombstone the overwritten ids (one distributed measure pass),
+        3. incremental compaction (physically removes the old postings
+           — necessary because the query-time tombstone mask applies to
+           every group, so it would hide the re-ingested ids too),
+        4. stage the new docs as a delta batch (the streamed-ingest
+           shape, content-token and all) and fold it.
+
+        Ids without an exact integer index identity fall back to
+        :meth:`store` (index detached), same rule as
+        :meth:`delete_many`. Cost: two bounded compactions + one
+        measure pass — PUT-request-sized batches, not corpus scans.
+        """
+        if not self.index_dir:
+            return self.store(new_docs)
+        ids = []
+        for d in [r[0] for r in new_docs.select(self.id_col).collect()]:
+            if isinstance(d, bool) or not isinstance(d, (int, str)):
+                ids = None
+                break
+            try:
+                iv = int(d)
+            except ValueError:
+                ids = None
+                break
+            if str(iv) != str(d).strip():
+                ids = None
+                break
+            ids.append(iv)
+        if ids is None:
+            return self.store(new_docs)
+
+        from same_same_spark.index.build import IndexManifest, compact_deltas
+        from same_same_spark.index.mutate import (
+            delete_docs,
+            rewrite_touched_groups,
+        )
+        from same_same_spark.streaming.ingest import stage_delta_batch
+
+        spark = self.docs.sparkSession
+        quiet = lambda *_: None  # noqa: E731
+        compact_deltas(spark, self.index_dir, log=quiet)
+        delete_docs(spark, self.index_dir, ids, log=quiet)
+        rewrite_touched_groups(spark, self.index_dir, log=quiet)
+        manifest = IndexManifest.load(self.index_dir)
+        stage_delta_batch(
+            new_docs, self.index_dir, id_col=self.id_col,
+            text_col=self.text_col, num_buckets=manifest.num_buckets,
+        )
+        compact_deltas(spark, self.index_dir, log=quiet)
+        return SameSameSpark(
+            self._merge_frames(new_docs), self.id_col, self.text_col,
+            index_dir=self.index_dir,
+        )
 
     def delete(self, doc_id) -> "SameSameSpark":
         """DELETE /vectors/{id} parity — single-id convenience form of

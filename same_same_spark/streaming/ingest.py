@@ -63,6 +63,52 @@ def read_events_stream(
     )
 
 
+def stage_delta_batch(
+    batch_df: DataFrame,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    num_buckets: int = 32,
+    batch_name: str | None = None,
+) -> str:
+    """Synchronously stage ONE document batch as a posting delta — the
+    exact on-disk shape :func:`stream_doc_ingest` writes per
+    micro-batch (doclens NULL-term rows so zero-token docs still count
+    toward N/avgdl, posting rows, bucket column, content ``_batch_token``)
+    — so a later :func:`~same_same_spark.index.build.compact_deltas`
+    folds API-staged and streamed batches identically. Returns the
+    batch dir path.
+
+    Contract (same as the streamed path): doc_ids must be NEW to the
+    index — ``api.upsert`` tombstones + compacts overwritten ids away
+    first. ``num_buckets`` must equal the target index's manifest value.
+    """
+    import uuid as _uuid
+
+    deltas_dir = os.path.join(index_dir, "_stage", "deltas")
+    os.makedirs(deltas_dir, exist_ok=True)
+    name = batch_name or f"batch-api-{_uuid.uuid4().hex[:12]}"
+    tok = tokenized(batch_df, id_col=id_col, text_col=text_col).withColumn(
+        "doc_id", F.col("doc_id").cast("long")
+    )
+    doc_rows = tok.select(
+        "doc_id",
+        F.lit(None).cast("string").alias("term"),
+        F.lit(0).cast("long").alias("tf"),
+        "dl",
+    )
+    postings = doc_rows.unionByName(
+        doc_term_freqs(tok).select("doc_id", "term", "tf", "dl")
+    ).withColumn("bucket", bucket_col(F.col("doc_id"), num_buckets))
+    dst = os.path.join(deltas_dir, name)
+    postings.write.mode("overwrite").parquet(dst)
+    # content identity: names can repeat (streaming checkpoint resets);
+    # fold recovery archives only on a POSITIVE token match
+    with open(os.path.join(dst, "_batch_token"), "w") as f:
+        f.write(f"{name}-{_uuid.uuid4().hex}")
+    return dst
+
+
 def stream_doc_ingest(
     docs_stream: DataFrame,
     index_dir: str,
@@ -98,31 +144,10 @@ def stream_doc_ingest(
         )
         if os.path.exists(done):
             return
-        tok = tokenized(batch_df, id_col=id_col, text_col=text_col)
-        # One term=NULL row per document (tf=0) so compaction counts
-        # EVERY ingested doc toward N/avgdl — a doc whose text tokenizes
-        # to zero tokens emits no posting rows, and deriving doclens
-        # from postings alone would silently drop it, shifting every
-        # BM25 score vs a fresh build over the union corpus.
-        doc_rows = tok.select(
-            "doc_id",
-            F.lit(None).cast("string").alias("term"),
-            F.lit(0).cast("long").alias("tf"),
-            "dl",
+        dst = stage_delta_batch(
+            batch_df, index_dir, id_col=id_col, text_col=text_col,
+            num_buckets=num_buckets, batch_name=f"batch-{batch_id:06d}",
         )
-        postings = doc_rows.unionByName(
-            doc_term_freqs(tok).select("doc_id", "term", "tf", "dl")
-        ).withColumn("bucket", bucket_col(F.col("doc_id"), num_buckets))
-        dst = os.path.join(deltas_dir, f"batch-{batch_id:06d}")
-        postings.write.mode("overwrite").parquet(dst)
-        # content identity: batch NAMES can repeat after a checkpoint
-        # reset; the fold's lineage records this token so its recovery
-        # never mistakes a fresh same-named batch for an archived one
-        import uuid as _uuid
-
-        with open(os.path.join(dst, "_batch_token"), "w") as f:
-            f.write(f"{batch_id}-{_uuid.uuid4().hex}")
-
         written = batch_df.sparkSession.read.parquet(dst)
         n_postings = written.filter(F.col("term").isNotNull()).count()
         n_docs = written.select("doc_id").distinct().count()

@@ -250,6 +250,78 @@ def test_delete_rejects_non_canonical_ids(spark, tmp_path):
     assert tomb is not None and tomb["n_removed"] == 3
 
 
+def test_upsert_keeps_index_rank_identical_to_fresh_build(spark, tmp_path):
+    """VERDICT r2 #2: api.upsert composes tombstone delete + incremental
+    compaction + staged delta + fold, so an id overwrite keeps
+    ``index_dir`` attached and post-upsert index search is rank- AND
+    score-identical to a fresh build over the updated corpus."""
+    from same_same_spark.api import SameSameSpark
+    from same_same_spark.index.build import build_index
+    from same_same_spark.index.query import search_batch
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    idx = str(tmp_path / "idx")
+    build_index(docs, idx, id_col="doc_id", text_col="text",
+                num_buckets=4, group_size=2, log=lambda *_: None)
+    api = SameSameSpark(docs, id_col="doc_id", text_col="text",
+                        index_dir=idx)
+    queries = [(0, "fast merge join sort"), (1, "vector table scan")]
+    top = search_batch(spark, idx, queries, k=5).collect()
+    overwrite = sorted({r["doc_id"] for r in top if r["rank"] == 1})[:2]
+    assert overwrite
+    new_id = int(docs.agg(F.max("doc_id")).collect()[0][0]) + 1
+    new_rows = [
+        (did, "replacement text about vector table merge join")
+        for did in overwrite
+    ] + [(new_id, "brand new document about fast scan sort")]
+    new_docs = spark.createDataFrame(new_rows, "doc_id LONG, text STRING")
+
+    api2 = api.upsert(new_docs)
+    assert api2.index_dir == idx  # stays attached
+    assert api2.count() == docs.count() + 1
+    # the frame swapped the rows
+    assert api2.get(overwrite[0]).collect()[0]["text"].startswith(
+        "replacement"
+    )
+
+    updated = docs.filter(~F.col("doc_id").isin(overwrite)).unionByName(
+        new_docs
+    )
+    fresh = str(tmp_path / "fresh")
+    build_index(updated, fresh, id_col="doc_id", text_col="text",
+                num_buckets=4, log=lambda *_: None)
+
+    def canon(rows):
+        return sorted(
+            (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+            for r in rows
+        )
+
+    got = canon(search_batch(spark, idx, queries, k=10).collect())
+    want = canon(search_batch(spark, fresh, queries, k=10).collect())
+    assert got == want
+
+    # upserting the SAME id twice serves the latest content (delete of
+    # the first upsert's version must compose with the second)
+    newer = spark.createDataFrame(
+        [(overwrite[0], "second replacement entirely different words")],
+        "doc_id LONG, text STRING",
+    )
+    api3 = api2.upsert(newer)
+    assert api3.index_dir == idx
+    updated2 = updated.filter(
+        F.col("doc_id") != overwrite[0]
+    ).unionByName(newer)
+    fresh2 = str(tmp_path / "fresh2")
+    build_index(updated2, fresh2, id_col="doc_id", text_col="text",
+                num_buckets=4, log=lambda *_: None)
+    got2 = canon(search_batch(spark, idx, queries, k=10).collect())
+    want2 = canon(search_batch(spark, fresh2, queries, k=10).collect())
+    assert got2 == want2
+
+
 def test_filtered_search_rides_index_with_global_stats(spark, tmp_path):
     """VERDICT r2 #1: opt-in ``global_stats=True`` routes FILTERED
     search through the index (over-fetch + post-filter loop). Must
