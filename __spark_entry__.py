@@ -704,6 +704,20 @@ def _sql_tfidf_topk() -> str:
 _SQL_TFIDF_TOPK = _sql_tfidf_topk()
 
 
+def _q_tfidf_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VERDICT r2 #4 — the reference's TF-IDF scoring model served from
+    the posting INDEX (pushed term reads + per-doc aux table + bucket-
+    local top-k; no corpus re-tokenization). Rank- and score-identical
+    to the naive sparse path, so it shares tfidf_topk's oracle."""
+    from same_same_spark.index.tfidf import tfidf_search_batch
+
+    out = tfidf_search_batch(
+        spark, _entry_index_dir(spark, sf_dir), REF_QUERIES, k=REF_K,
+        log=lambda *_: None,
+    )
+    return _round6(out, "score").withColumn("rank", F.col("rank").cast("int"))
+
+
 _CLIP_QUERY = "fast vector search index"
 _CLIP_DIM = 32  # oracle needs dim <= 128 (chr() stays single-byte)
 
@@ -1591,6 +1605,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "events_hourly": (_q_events_hourly, _SQL_EVENTS_HOURLY),
     "index_bm25_topk": (_q_index_bm25_topk, _SQL_BM25_TOPK),
     "tfidf_topk": (_q_tfidf_topk, _SQL_TFIDF_TOPK),
+    "tfidf_topk_indexed": (_q_tfidf_topk_indexed, _SQL_TFIDF_TOPK),
     "clip_text_topk": (_q_clip_text_topk, _SQL_CLIP_TEXT_TOPK),
     "clip_image_features": (_q_clip_image_features, _SQL_CLIP_IMAGE),
     "search_by_text": (_q_search_by_text, _SQL_SEARCH_BY_TEXT),

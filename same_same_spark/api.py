@@ -336,6 +336,23 @@ class SameSameSpark:
         if metadata_eq:
             base = base.filter(matches_metadata(metadata_eq))
         if scorer == "tfidf":
+            if self.index_dir and not metadata_eq:
+                from same_same_spark.index.build import IndexManifest
+                from same_same_spark.index.tfidf import tfidf_search_batch
+
+                if not IndexManifest.load(self.index_dir).has_tombstones:
+                    # unfiltered tfidf rides the index too (rank- and
+                    # score-identical to the naive sparse path); a
+                    # tombstoned index falls through to naive until the
+                    # next compaction re-freezes the stats
+                    return (
+                        tfidf_search_batch(
+                            self.docs.sparkSession, self.index_dir,
+                            [(0, text)], k=k, log=lambda *_: None,
+                        )
+                        .drop("query_id")
+                        .withColumnRenamed("doc_id", self.id_col)
+                    )
             from same_same_spark.operators.tfidf import tfidf_topk
 
             return (

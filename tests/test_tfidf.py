@@ -171,6 +171,105 @@ def test_empty_queries_returns_empty(docs_df):
     assert tfidf_topk(docs_df, [], k=5).collect() == []
 
 
+def _canon_approx(rows):
+    return sorted(
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+        for r in rows
+    )
+
+
+def test_index_tfidf_matches_naive_on_fixture(spark, docs_df, tmp_path):
+    """VERDICT r2 #4: the index-backed TF-IDF scorer must be rank- and
+    score-identical to the naive sparse path — including uniform
+    fallback docs (zero tokens / all stopwords), a uniform query, and
+    zero-overlap docs filled at cosine 0."""
+    from same_same_spark.index.build import build_index
+    from same_same_spark.index.tfidf import tfidf_search_batch
+
+    idx = str(tmp_path / "idx")
+    build_index(docs_df, idx, id_col="doc_id", text_col="content",
+                num_buckets=2, log=lambda *_: None)
+    got = _canon_approx(
+        tfidf_search_batch(spark, idx, QUERIES, k=5, log=lambda *_: None)
+        .collect()
+    )
+    want = _canon_approx(tfidf_topk(docs_df, QUERIES, k=5).collect())
+    assert [g[:3] for g in got] == [w[:3] for w in want]
+    for g, w in zip(got, want):
+        assert g[3] == pytest.approx(w[3], abs=1e-9)
+    # k >= N returns the whole store, exactly like the reference's scan
+    all_got = _canon_approx(
+        tfidf_search_batch(spark, idx, [(0, "zebra")], k=100,
+                           log=lambda *_: None).collect()
+    )
+    all_want = _canon_approx(
+        tfidf_topk(docs_df, [(0, "zebra")], k=100).collect()
+    )
+    assert [g[:3] for g in all_got] == [w[:3] for w in all_want]
+
+
+def test_index_tfidf_matches_naive_at_sf0001(spark, documents, tmp_path):
+    """Same differential over the real sf0.001 corpus and reference-set
+    style queries; also proves the aux table is reused (second call) and
+    that a tombstoned index is rejected until compaction."""
+    from same_same_spark.index.build import build_index
+    from same_same_spark.index.mutate import (
+        delete_docs,
+        rewrite_touched_groups,
+    )
+    from same_same_spark.index.tfidf import tfidf_search_batch
+
+    docs = documents.select("doc_id", "text")
+    idx = str(tmp_path / "idx")
+    build_index(docs, idx, id_col="doc_id", text_col="text",
+                num_buckets=4, group_size=2, log=lambda *_: None)
+    queries = [
+        (0, "fast merge join sort"),
+        (1, "vector table scan"),
+        (2, "the a an"),  # stopword-only -> uniform query
+    ]
+    want = _canon_approx(
+        tfidf_topk(docs, queries, k=10, id_col="doc_id", text_col="text")
+        .collect()
+    )
+    got = _canon_approx(
+        tfidf_search_batch(spark, idx, queries, k=10, log=lambda *_: None)
+        .collect()
+    )
+    assert [g[:3] for g in got] == [w[:3] for w in want]
+    for g, w in zip(got, want):
+        assert g[3] == pytest.approx(w[3], abs=1e-9)
+
+    # aux fingerprint is stable: a second call reuses the table
+    import glob
+    import os
+
+    aux_before = sorted(glob.glob(os.path.join(idx, "tfidf-aux-*")))
+    tfidf_search_batch(spark, idx, queries[:1], k=5, log=lambda *_: None)
+    assert sorted(glob.glob(os.path.join(idx, "tfidf-aux-*"))) == aux_before
+
+    # tombstones freeze out the tfidf path until compaction...
+    victim = int(docs.limit(1).collect()[0]["doc_id"])
+    delete_docs(spark, idx, [victim], log=lambda *_: None)
+    with pytest.raises(ValueError, match="compacted"):
+        tfidf_search_batch(spark, idx, queries[:1], k=5)
+    # ...after which the aux rebuilds for the new generation and the
+    # result equals the naive scorer over the surviving corpus
+    rewrite_touched_groups(spark, idx, log=lambda *_: None)
+    survivors = docs.filter(docs["doc_id"] != victim)
+    got2 = _canon_approx(
+        tfidf_search_batch(spark, idx, queries[:1], k=10,
+                           log=lambda *_: None).collect()
+    )
+    want2 = _canon_approx(
+        tfidf_topk(survivors, queries[:1], k=10, id_col="doc_id",
+                   text_col="text").collect()
+    )
+    assert [g[:3] for g in got2] == [w[:3] for w in want2]
+    aux_after = sorted(glob.glob(os.path.join(idx, "tfidf-aux-*")))
+    assert aux_after and aux_after != aux_before  # superseded aux swept
+
+
 def test_empty_vocab_scores_zero(spark):
     # one doc; its only term has df/N = 1 > max_df_ratio -> vocab empty
     # -> reference embeds zero-length vectors -> cosine 0 everywhere
