@@ -618,6 +618,64 @@ SELECT doc_id, round(score, 6) AS score, rank FROM r WHERE rank <= 10
 )
 
 
+_DELETE_MOD, _DELETE_RESIDUE = 101, 7  # fixed deterministic victim set
+
+
+def _entry_deleted_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """A COPY of the entry index with the fixed victim set
+    (doc_id % 101 == 7) tombstoned via ``mutate.delete_docs`` — deletes
+    are shared state, so the other index entries must never see them.
+    Cached per content fingerprint like :func:`_entry_index_dir`."""
+    import os
+    import shutil
+
+    from same_same_spark.index.build import IndexManifest
+    from same_same_spark.index.mutate import delete_docs
+
+    src = _entry_index_dir(spark, sf_dir)
+    dst = src + "_del"
+    manifest_path = os.path.join(dst, "manifest.json")
+    if os.path.exists(manifest_path) and IndexManifest.load(
+        dst
+    ).has_tombstones:
+        return dst
+    shutil.rmtree(dst, ignore_errors=True)
+    shutil.copytree(src, dst)
+    victims = [
+        int(r["doc_id"])
+        for r in _docs(spark, sf_dir)
+        .filter(F.col("doc_id") % _DELETE_MOD == _DELETE_RESIDUE)
+        .select("doc_id")
+        .collect()  # bounded by delete volume (~1% of the corpus)
+    ]
+    delete_docs(spark, dst, victims, log=lambda *_: None)
+    return dst
+
+
+def _q_index_bm25_after_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VERDICT r2 #6 — the MUTATION path oracle-checked end to end:
+    tombstoned deletes (``mutate.delete_docs``) + the tombstone-adjusted
+    query path must equal DuckDB BM25 over the corpus minus the victims
+    (stats re-derived: N, avgdl, per-term df all shift)."""
+    from same_same_spark.index.query import search_batch
+
+    out = search_batch(
+        spark, _entry_deleted_index_dir(spark, sf_dir), REF_QUERIES, k=REF_K
+    )
+    return _round6(out, "score").withColumn("rank", F.col("rank").cast("int"))
+
+
+_SQL_INDEX_BM25_AFTER_DELETE = (
+    "SELECT query_id, doc_id, score, rank::INTEGER AS rank FROM ("
+    + duckdb_bm25_sql(
+        f"(SELECT * FROM documents "
+        f"WHERE doc_id % {_DELETE_MOD} <> {_DELETE_RESIDUE})",
+        "doc_id", "text", REF_QUERIES, k=REF_K,
+    )
+    + ")"
+)
+
+
 def _q_filter_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VERDICT r2 #1 — FILTERED search riding the index (opt-in
     ``global_stats=True``): top-k with over-fetch + compiled-filter
@@ -1604,6 +1662,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "hybrid_search": (_q_hybrid_search, _SQL_HYBRID_SEARCH),
     "events_hourly": (_q_events_hourly, _SQL_EVENTS_HOURLY),
     "index_bm25_topk": (_q_index_bm25_topk, _SQL_BM25_TOPK),
+    "index_bm25_topk_after_delete": (
+        _q_index_bm25_after_delete,
+        _SQL_INDEX_BM25_AFTER_DELETE,
+    ),
     "tfidf_topk": (_q_tfidf_topk, _SQL_TFIDF_TOPK),
     "tfidf_topk_indexed": (_q_tfidf_topk_indexed, _SQL_TFIDF_TOPK),
     "clip_text_topk": (_q_clip_text_topk, _SQL_CLIP_TEXT_TOPK),

