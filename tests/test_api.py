@@ -250,6 +250,30 @@ def test_delete_rejects_non_canonical_ids(spark, tmp_path):
     assert tomb is not None and tomb["n_removed"] == 3
 
 
+def test_tfidf_scorer_rides_index_when_attached(spark, tmp_path):
+    """scorer='tfidf' with an attached (untombstoned) index serves the
+    index-backed TF-IDF path, identical to the naive sparse scorer."""
+    from same_same_spark.api import SameSameSpark
+    from same_same_spark.index.build import build_index
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    idx = str(tmp_path / "idx")
+    build_index(docs, idx, id_col="doc_id", text_col="text",
+                num_buckets=4, log=lambda *_: None)
+    naive = SameSameSpark(docs, id_col="doc_id", text_col="text")
+    indexed = SameSameSpark(docs, id_col="doc_id", text_col="text",
+                            index_dir=idx)
+    a = naive.search_by_text("vector table", k=5, scorer="tfidf").collect()
+    b = indexed.search_by_text("vector table", k=5, scorer="tfidf").collect()
+    assert [(r["rank"], r["doc_id"]) for r in a] == [
+        (r["rank"], r["doc_id"]) for r in b
+    ]
+    for ra, rb in zip(a, b):
+        assert ra["score"] == pytest.approx(rb["score"], abs=1e-9)
+
+
 def test_upsert_keeps_index_rank_identical_to_fresh_build(spark, tmp_path):
     """VERDICT r2 #2: api.upsert composes tombstone delete + incremental
     compaction + staged delta + fold, so an id overwrite keeps
