@@ -83,8 +83,10 @@ ENTRY_QUERY_NAMES = [
 # VERDICT r2 #7: events_hourly regressed 2x in r2 on a single sample —
 # consistent with this host's documented ~4x swings. Entries listed here
 # get min-of-N timing (raw samples recorded) so one noisy sample can't
-# read as a plan regression again.
-ENTRY_REPEATS = {"events_hourly": 3}
+# read as a plan regression again. dedup_minhash/ann_ivf_persisted joined
+# after a 20.9s->92.9s / 2.2s->7.2s single-sample swing that re-timed to
+# 22.4s / 1.4s warm on an idle host (same code, plans unchanged).
+ENTRY_REPEATS = {"events_hourly": 3, "dedup_minhash": 2, "ann_ivf_persisted": 2}
 
 
 def main() -> None:
