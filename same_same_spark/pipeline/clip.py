@@ -492,14 +492,22 @@ def fake_decode_rgb(payload: bytes, size: int = 32) -> np.ndarray:
 
 
 def decode_image_rgb(payload: bytes, size: tuple[int, int] = (224, 224)):
-    """Real decode + Lanczos resize — gated on PIL (absent here)."""
+    """Real decode + Lanczos3 resize, mirroring the reference's
+    ``image.Decode`` + ``resize.Lanczos3`` (``simple.go:107-143``).
+
+    PIL handles every registered format when present; without it the
+    stdlib codec (:mod:`same_same_spark.pipeline.imagecodec`) decodes
+    PNG/BMP for real — only JPEG/GIF/WebP remain gated
+    (``UnsupportedImageError``, a ``NotImplementedError`` subclass)."""
     try:
         import PIL.Image as Image
-    except ImportError as e:  # pragma: no cover - no PIL in container
-        raise NotImplementedError(
-            "image decoding requires pillow; use fake_decode_rgb() for "
-            "feature-path tests"
-        ) from e
+    except ImportError:  # no PIL in this container — stdlib codec path
+        from same_same_spark.pipeline.imagecodec import (
+            decode_image,
+            resize_lanczos3,
+        )
+
+        return resize_lanczos3(decode_image(payload), size)
     import io
 
     img = Image.open(io.BytesIO(payload)).convert("RGB")

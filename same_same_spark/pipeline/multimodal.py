@@ -8,12 +8,14 @@ structs) and its image ingestion path
 (``internal/ingestion/image.go:41-117``), re-expressed as Spark schema
 + Arrow batch processing.
 
-The actual media decode is STUBBED (no image/audio libs in this
-container): :func:`decode_image_features` raises ``NotImplementedError``
-unless PIL is importable, and :func:`fake_features` provides a
+Image decode is REAL for PNG and BMP via the pure-stdlib codec
+(:mod:`same_same_spark.pipeline.imagecodec`; PIL is used instead when
+installed, covering JPEG/GIF/WebP too — without it those formats raise
+``UnsupportedImageError``). Audio/video decode remains stubbed (no
+codecs in this container); :func:`fake_features` provides a
 deterministic md5-derived stand-in so the Spark-side plumbing — schema,
 partitioning, mapInPandas batch shape, feature-column contract — is
-real and tested end to end.
+oracle-checkable end to end regardless of media libs.
 """
 
 from __future__ import annotations
@@ -144,31 +146,39 @@ def decode_image_features(
     id_col: str = "doc_id",
     size: tuple[int, int] = (32, 32),
 ) -> DataFrame:
-    """Real image decode → resize → mean-channel features, IF a decoder
-    is available. STUB: raises ``NotImplementedError`` when PIL is not
-    installed (it is not in this container) — the mapInPandas signature
-    and schema are the production contract either way.
+    """Real image decode → Lanczos3 resize → mean-channel features.
+
+    Decode order per blob: PIL when installed (every registered
+    format), else the pure-stdlib codec
+    (:mod:`same_same_spark.pipeline.imagecodec` — real PNG/BMP decode;
+    JPEG/GIF/WebP raise ``UnsupportedImageError``, a
+    ``NotImplementedError`` subclass, the narrowed honest gate).
     """
-    try:
-        import PIL.Image  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "image decoding requires pillow, which is not available in "
-            "this environment; use fake_features() for plumbing tests"
-        ) from e
 
     schema = f"{id_col} LONG, features ARRAY<DOUBLE>"
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import io
+        try:
+            import io
 
-        import PIL.Image as Image
+            import PIL.Image as Image
+
+            def to_rgb(blob: bytes) -> np.ndarray:
+                img = Image.open(io.BytesIO(blob)).convert("RGB")
+                return np.asarray(img.resize(size, Image.LANCZOS))
+        except ImportError:
+            from same_same_spark.pipeline.imagecodec import (
+                decode_image,
+                resize_lanczos3,
+            )
+
+            def to_rgb(blob: bytes) -> np.ndarray:
+                return resize_lanczos3(decode_image(blob), size)
 
         for pdf in batches:
             feats = []
             for blob in pdf[content_col]:
-                img = Image.open(io.BytesIO(bytes(blob))).resize(size)
-                arr = np.asarray(img, dtype=np.float64) / 255.0
+                arr = to_rgb(bytes(blob)).astype(np.float64) / 255.0
                 feats.append(arr.mean(axis=(0, 1)).ravel().tolist())
             yield pd.DataFrame({id_col: pdf[id_col], "features": feats})
 

@@ -1,0 +1,338 @@
+"""Unit tests for the pure-stdlib image codec.
+
+Strategy: the decoder is exercised from two independent directions —
+(a) round-trips through :func:`encode_png` (filter 0 only), and
+(b) PNGs constructed *by hand* in this file (chunk framing, scanline
+filters 1-4, sub-byte depths, palette/tRNS, Adam7 interlace), so the
+decoder's filter/interlace logic is checked against the spec, not
+against itself.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from same_same_spark.pipeline.imagecodec import (
+    PNG_SIG,
+    UnsupportedImageError,
+    decode_bmp,
+    decode_image,
+    decode_png,
+    encode_png,
+    resize_lanczos3,
+    sniff_format,
+)
+
+
+def _chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body))
+    )
+
+
+def _png(w, h, depth, color_type, raw, extra=b"", interlace=0) -> bytes:
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, interlace)
+    return (
+        PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + extra
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def _rng(seed=0):
+    return np.random.RandomState(seed)
+
+
+# ---------------------------------------------------------------------------
+# encoder round-trips
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("shape", [(1, 1), (3, 5), (17, 9), (32, 32)])
+def test_png_roundtrip_rgb(shape):
+    img = _rng(shape[0]).randint(0, 256, size=(*shape, 3), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(img)), img)
+
+
+def test_png_roundtrip_gray_replicates_channels():
+    g = _rng(7).randint(0, 256, size=(11, 6), dtype=np.uint8)
+    out = decode_png(encode_png(g))
+    assert out.shape == (11, 6, 3)
+    assert np.array_equal(out, np.repeat(g[..., None], 3, axis=2))
+
+
+# ---------------------------------------------------------------------------
+# hand-built scanline filters (independent of the encoder)
+# ---------------------------------------------------------------------------
+
+
+def _apply_filter(ftype, line, prev, fbpp):
+    """Forward PNG filter, straight from the spec, for test vectors."""
+    out = bytearray(len(line))
+    for i in range(len(line)):
+        left = line[i - fbpp] if i >= fbpp else 0
+        up = prev[i] if prev is not None else 0
+        ul = prev[i - fbpp] if (prev is not None and i >= fbpp) else 0
+        if ftype == 0:
+            pred = 0
+        elif ftype == 1:
+            pred = left
+        elif ftype == 2:
+            pred = up
+        elif ftype == 3:
+            pred = (left + up) >> 1
+        else:  # Paeth
+            p = left + up - ul
+            pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+            pred = left if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
+        out[i] = (line[i] - pred) & 0xFF
+    return bytes(out)
+
+
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+def test_png_each_filter_type_inverts(ftype):
+    img = _rng(ftype).randint(0, 256, size=(6, 4, 3), dtype=np.uint8)
+    raw = b""
+    prev = None
+    for y in range(6):
+        line = img[y].tobytes()
+        raw += bytes([ftype]) + _apply_filter(ftype, line, prev, 3)
+        prev = line
+    assert np.array_equal(decode_png(_png(4, 6, 8, 2, raw)), img)
+
+
+def test_png_mixed_filters_per_row():
+    img = _rng(42).randint(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    raw = b""
+    prev = None
+    for y in range(5):
+        ftype = y % 5
+        line = img[y].tobytes()
+        raw += bytes([ftype]) + _apply_filter(ftype, line, prev, 3)
+        prev = line
+    assert np.array_equal(decode_png(_png(7, 5, 8, 2, raw)), img)
+
+
+# ---------------------------------------------------------------------------
+# bit depths, palette, alpha
+# ---------------------------------------------------------------------------
+
+
+def test_png_gray_1bit_scales_to_full_range():
+    # 2x9 1-bit: rows 101010101 and 011110000, packed MSB-first
+    bits = np.array(
+        [[1, 0, 1, 0, 1, 0, 1, 0, 1], [0, 1, 1, 1, 1, 0, 0, 0, 0]],
+        dtype=np.uint8,
+    )
+    packed = np.packbits(bits, axis=1)  # (2, 2) bytes, 9 bits -> 2 bytes/row
+    raw = b"".join(b"\x00" + packed[y].tobytes() for y in range(2))
+    out = decode_png(_png(9, 2, 1, 0, raw))
+    assert np.array_equal(out[..., 0], bits * 255)
+    assert np.array_equal(out[..., 0], out[..., 2])
+
+
+def test_png_gray_4bit():
+    # one row, values 0..15 -> scaled x*17
+    vals = np.arange(16, dtype=np.uint8)
+    packed = bytes(
+        [(int(vals[i]) << 4) | int(vals[i + 1]) for i in range(0, 16, 2)]
+    )
+    out = decode_png(_png(16, 1, 4, 0, b"\x00" + packed))
+    assert np.array_equal(out[0, :, 0], vals * 17)
+
+
+def test_png_16bit_takes_high_byte():
+    px = np.array([[[0x1234, 0xFF00, 0x00FF]]], dtype=np.uint16)
+    raw = b"\x00" + px.astype(">u2").tobytes()
+    out = decode_png(_png(1, 1, 16, 2, raw))
+    assert out[0, 0].tolist() == [0x12, 0xFF, 0x00]
+
+
+def test_png_palette_and_trns_premultiply():
+    # palette: red, green, half-transparent blue (alpha 128 via tRNS)
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    trns = bytes([255, 255, 128])
+    raw = b"\x00" + bytes([0, 1, 2])
+    out = decode_png(
+        _png(3, 1, 8, 3, raw, extra=_chunk(b"PLTE", plte) + _chunk(b"tRNS", trns))
+    )
+    assert out[0, 0].tolist() == [255, 0, 0]
+    assert out[0, 1].tolist() == [0, 255, 0]
+    # Go's conversion: ((255 * 128 * 257) // 255) >> 8 == 128
+    assert out[0, 2].tolist() == [0, 0, ((255 * 128 * 257) // 255) >> 8]
+
+
+def test_png_rgba_premultiplies_like_go():
+    px = np.array([[[200, 100, 50, 64]]], dtype=np.uint8)
+    raw = b"\x00" + px.tobytes()
+    out = decode_png(_png(1, 1, 8, 6, raw))
+    expect = [((c * 64 * 257) // 255) >> 8 for c in (200, 100, 50)]
+    assert out[0, 0].tolist() == expect
+
+
+def test_png_gray_alpha():
+    px = np.array([[[180, 255], [180, 0]]], dtype=np.uint8)  # opaque, clear
+    raw = b"\x00" + px.tobytes()
+    out = decode_png(_png(2, 1, 8, 4, raw))
+    assert out[0, 0].tolist() == [180, 180, 180]
+    assert out[0, 1].tolist() == [0, 0, 0]
+
+
+# ---------------------------------------------------------------------------
+# Adam7 interlace (pass extraction written here, not shared with codec)
+# ---------------------------------------------------------------------------
+
+
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+@pytest.mark.parametrize("shape", [(8, 8), (9, 13), (3, 2), (1, 1)])
+def test_png_adam7_interlaced(shape):
+    h, w = shape
+    img = _rng(h * 100 + w).randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+    raw = b""
+    for x0, y0, dx, dy in _ADAM7:
+        sub = img[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        for y in range(sub.shape[0]):
+            raw += b"\x00" + sub[y].tobytes()
+    assert np.array_equal(decode_png(_png(w, h, 8, 2, raw, interlace=1)), img)
+
+
+# ---------------------------------------------------------------------------
+# corruption / gates
+# ---------------------------------------------------------------------------
+
+
+def test_png_bad_crc_rejected():
+    good = encode_png(np.zeros((2, 2, 3), dtype=np.uint8))
+    bad = bytearray(good)
+    bad[-5] ^= 0xFF  # flip a byte inside IEND's CRC
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(bad))
+
+
+def test_png_truncated_idat_rejected():
+    img = np.zeros((4, 4, 3), dtype=np.uint8)
+    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(3))  # one row short
+    with pytest.raises(ValueError, match="IDAT too short"):
+        decode_png(_png(4, 4, 8, 2, raw))
+
+
+def test_dispatch_gates():
+    assert sniff_format(b"\xff\xd8\xff\xe0hello") == "jpeg"
+    # malformed jpeg is a data error (real decoder), not a capability gap
+    with pytest.raises(ValueError):
+        decode_image(b"\xff\xd8\xff\xe0hello")
+    with pytest.raises(UnsupportedImageError):
+        decode_image(b"GIF89a" + b"\x00" * 20)
+    with pytest.raises(UnsupportedImageError):
+        decode_image(b"RIFF\x00\x00\x00\x00WEBP")
+    with pytest.raises(ValueError):
+        decode_image(b"not an image at all")
+    # NotImplementedError compatibility: callers that gated on PIL used it
+    assert issubclass(UnsupportedImageError, NotImplementedError)
+
+
+# ---------------------------------------------------------------------------
+# BMP
+# ---------------------------------------------------------------------------
+
+
+def _bmp(img: np.ndarray, bpp=24, topdown=False) -> bytes:
+    h, w = img.shape[:2]
+    nbytes = bpp // 8
+    stride = ((bpp * w + 31) // 32) * 4
+    rows = img if topdown else img[::-1]
+    body = b""
+    for y in range(h):
+        line = b""
+        for x in range(w):
+            r, g, b = (int(v) for v in rows[y, x])
+            line += bytes([b, g, r] + ([0] if bpp == 32 else []))
+        body += line + b"\x00" * (stride - len(line))
+    pix_off = 54
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", pix_off + len(body), 0, 0, pix_off)
+        + struct.pack(
+            "<IiiHHIIiiII",
+            40, w, (h if not topdown else -h), 1, bpp, 0,
+            len(body), 2835, 2835, 0, 0,
+        )
+    )
+    return header + body
+
+
+@pytest.mark.parametrize("bpp", [24, 32])
+@pytest.mark.parametrize("topdown", [False, True])
+def test_bmp_roundtrip(bpp, topdown):
+    img = _rng(bpp).randint(0, 256, size=(5, 3, 3), dtype=np.uint8)
+    assert np.array_equal(decode_bmp(_bmp(img, bpp=bpp, topdown=topdown)), img)
+
+
+def test_bmp_rle_rejected():
+    img = np.zeros((1, 1, 3), dtype=np.uint8)
+    data = bytearray(_bmp(img))
+    struct.pack_into("<I", data, 30, 1)  # BI_RLE8
+    with pytest.raises(UnsupportedImageError):
+        decode_bmp(bytes(data))
+
+
+# ---------------------------------------------------------------------------
+# Lanczos3 resize
+# ---------------------------------------------------------------------------
+
+
+def test_resize_identity_is_exact():
+    img = _rng(1).randint(0, 256, size=(16, 12, 3), dtype=np.uint8)
+    assert np.array_equal(resize_lanczos3(img, (12, 16)), img)
+
+
+def test_resize_constant_stays_constant():
+    img = np.full((20, 30, 3), 137, dtype=np.uint8)
+    for size in [(7, 5), (64, 48), (1, 1)]:
+        out = resize_lanczos3(img, size)
+        assert out.shape == (size[1], size[0], 3)
+        assert np.all(out == 137)
+
+
+def test_resize_downscale_checkerboard_averages():
+    img = np.zeros((32, 32), dtype=np.uint8)
+    img[::2, ::2] = 255
+    img[1::2, 1::2] = 255
+    out = resize_lanczos3(img, (4, 4)).astype(float)
+    assert abs(out.mean() - 127.5) < 8.0
+
+
+def test_resize_is_separable_symmetric():
+    img = _rng(3).randint(0, 256, size=(10, 10, 3), dtype=np.uint8)
+    a = resize_lanczos3(img, (5, 7))
+    b = resize_lanczos3(img.transpose(1, 0, 2), (7, 5)).transpose(1, 0, 2)
+    assert np.array_equal(a, b)
+
+
+def test_resize_matches_mean_on_exact_2x_boxlike():
+    # Lanczos is not a box filter, but on a linear ramp it must
+    # reproduce the ramp (partition of unity + odd symmetry).
+    ramp = np.tile(np.arange(0, 256, 8, dtype=np.uint8), (4, 1))
+    out = resize_lanczos3(ramp, (32, 4))
+    assert np.array_equal(out, ramp)

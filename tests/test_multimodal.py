@@ -51,15 +51,29 @@ def test_frame_sample_plan(spark, media):
     assert out.count() == 3 * 4
 
 
-def test_decode_image_is_stubbed(spark, media):
-    try:
-        import PIL  # noqa: F401
+def test_decode_image_features_real_png(spark):
+    """Real end-to-end decode: PNG blobs -> mapInPandas -> mean-channel
+    features, PIL-free via the stdlib codec."""
+    import numpy as np
 
-        pytest.skip("pillow available; stub not exercised")
-    except ImportError:
-        pass
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_image_features(media)
+    from same_same_spark.pipeline.imagecodec import encode_png, resize_lanczos3
+
+    rng = np.random.RandomState(5)
+    imgs = {i: rng.randint(0, 256, size=(40, 30, 3), dtype=np.uint8) for i in (1, 2)}
+    df = spark.createDataFrame(
+        [(i, bytearray(encode_png(img))) for i, img in imgs.items()],
+        "doc_id LONG, content BINARY",
+    )
+    rows = {
+        r["doc_id"]: r["features"]
+        for r in multimodal.decode_image_features(df, size=(8, 8)).collect()
+    }
+    for i, img in imgs.items():
+        want = (
+            resize_lanczos3(img, (8, 8)).astype(np.float64) / 255.0
+        ).mean(axis=(0, 1))
+        assert np.allclose(rows[i], want)
+    assert rows[1] != rows[2]
 
 
 def test_binary_file_source(spark, tmp_path):
