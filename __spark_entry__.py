@@ -1598,6 +1598,91 @@ def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition metrics. The corpus has no newlines, so
+    the entry first builds a deterministic multi-line page per document
+    (lines of 2 words, paragraphs of 4 lines) with the *same* array
+    construction in both engines, then measures line/paragraph
+    duplication — exercising the operator end-to-end on real data."""
+    words = F.split(textqc_ops.ws_trim(F.col("text")), r"[\t\n\f\r ]+")
+    n_lines = F.ceil(F.size(words) / F.lit(2.0)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), n_lines - F.lit(1)),
+        lambda i: F.array_join(F.slice(words, i * 2 + 1, 2), " "),
+    )
+    n_paras = F.ceil(F.size(lines) / F.lit(4.0)).cast("int")
+    paras = F.transform(
+        F.sequence(F.lit(0), n_paras - F.lit(1)),
+        lambda j: F.array_join(F.slice(lines, j * 4 + 1, 4), "\n"),
+    )
+    page = F.array_join(paras, "\n\n")
+    cols = textqc_ops.repetition_cols(page)
+    out = _docs(spark, sf_dir).select(
+        "doc_id", *[v.alias(k) for k, v in cols.items()]
+    )
+    return _round6(
+        out,
+        "dup_line_frac",
+        "dup_line_char_frac",
+        "dup_para_frac",
+        "dup_para_char_frac",
+    )
+
+
+def _sql_repetition() -> str:
+    rs = textqc_ops.repetition_sql("page")
+    fields = ", ".join(
+        f"{expr} AS {name}"
+        if name in ("n_lines", "n_paras")
+        else f"round({expr}, 6) AS {name}"
+        for name, expr in rs.items()
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         string_split_regex(trim(text, E' \\t\\n\\f\\r'), '[\\t\\n\\f\\r ]+')
+           AS words
+  FROM documents
+),
+l AS (
+  SELECT doc_id,
+         list_transform(range(0, cast(ceil(len(words) / 2.0) AS BIGINT)),
+                        i -> array_to_string(words[i*2+1 : i*2+2], ' '))
+           AS lines
+  FROM w
+),
+p AS (
+  SELECT doc_id,
+         list_transform(range(0, cast(ceil(len(lines) / 4.0) AS BIGINT)),
+                        j -> array_to_string(lines[j*4+1 : j*4+4], chr(10)))
+           AS paras
+  FROM l
+),
+pg AS (
+  SELECT doc_id, array_to_string(paras, chr(10) || chr(10)) AS page FROM p
+)
+SELECT doc_id, {fields} FROM pg
+"""
+
+
+def _q_top_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top word-3-gram coverage + duplicate-3-gram char fraction."""
+    out = textqc_ops.top_ngram_stats(
+        _docs(spark, sf_dir), id_col="doc_id", text_col="text", n=3
+    )
+    return _round6(out, "top_ngram_char_frac", "dup_ngram_char_frac")
+
+
+def _sql_top_ngram() -> str:
+    inner = textqc_ops.top_ngram_sql("doc_id", "text", "documents", n=3)
+    return (
+        f"SELECT doc_id, top_gram, top_count, "
+        f"round(top_ngram_char_frac, 6) AS top_ngram_char_frac, "
+        f"round(dup_ngram_char_frac, 6) AS dup_ngram_char_frac "
+        f"FROM ({inner}) s"
+    )
+
+
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batch feature extraction over BINARY content (decode
     stubbed with deterministic md5 features; plumbing is the contract).
@@ -1718,6 +1803,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         _q_fingerprints,
         textqc_ops.winnow_sql("doc_id", "text", "documents", k=8, w=4),
     ),
+    "repetition_metrics": (_q_repetition, _sql_repetition()),
+    "top_ngram": (_q_top_ngram, _sql_top_ngram()),
     "multimodal_features": (_q_multimodal_features, _SQL_MULTIMODAL),
     "ingest_stats": (_q_ingest_stats, _sql_ingest_stats()),
 }

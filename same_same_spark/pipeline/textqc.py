@@ -206,6 +206,223 @@ def lang_id_sql(col_expr: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# repetition metrics (Gopher-style quality filters)
+# ---------------------------------------------------------------------------
+
+# Rae et al. 2021 ("Scaling Language Models: ... Gopher", table A1)
+# repetition filters: fraction of duplicate lines / paragraphs, fraction
+# of characters inside duplicate lines / paragraphs, and character
+# coverage of the most-frequent word n-gram. The reference engine has no
+# equivalent (it stores clean snippets) — these are the standard
+# training-data filters a 100-TB pipeline runs before indexing.
+
+
+def _dup_metrics(arr: Column) -> tuple[Column, Column, Column]:
+    """(count, dup_frac, dup_char_frac) for an array of text units.
+
+    ``dup_frac`` = units beyond their first occurrence / units;
+    ``dup_char_frac`` = chars of those repeat occurrences / total chars
+    (the standard implementation: total − distinct, order-free).
+    All pure JVM column math — no explode, no shuffle.
+    """
+    n = F.size(arr)
+    nd = F.size(F.array_distinct(arr))
+    tot = F.aggregate(arr, F.lit(0).cast("long"), lambda a, x: a + F.length(x))
+    dist = F.aggregate(
+        F.array_distinct(arr), F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+    dup_frac = F.when(n > 0, (n - nd) / n).otherwise(F.lit(0.0))
+    dup_char_frac = F.when(tot > 0, (tot - dist) / tot).otherwise(F.lit(0.0))
+    return n, dup_frac, dup_char_frac
+
+
+def repetition_cols(text: Column | str) -> dict[str, Column]:
+    """Per-document repetition metrics over lines and paragraphs.
+
+    Lines split on ``\\n``, paragraphs on runs of 2+ newlines; both are
+    whitespace-trimmed and empties dropped before counting, so blank
+    lines and paragraph gaps never count as duplicates of each other.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    lines = F.filter(
+        F.transform(F.split(c, r"\n"), ws_trim), lambda l: F.length(l) > 0
+    )
+    paras = F.filter(
+        F.transform(F.split(c, r"\n{2,}"), ws_trim), lambda p: F.length(p) > 0
+    )
+    n_lines, dlf, dlcf = _dup_metrics(lines)
+    n_paras, dpf, dpcf = _dup_metrics(paras)
+    return {
+        "n_lines": n_lines.cast("bigint"),
+        "dup_line_frac": dlf,
+        "dup_line_char_frac": dlcf,
+        "n_paras": n_paras.cast("bigint"),
+        "dup_para_frac": dpf,
+        "dup_para_char_frac": dpcf,
+    }
+
+
+def _dup_metrics_sql(arr: str) -> tuple[str, str, str]:
+    """DuckDB twin of :func:`_dup_metrics` over a list expression."""
+    n = f"len({arr})"
+    nd = f"len(list_distinct({arr}))"
+    tot = f"coalesce(list_sum(list_transform({arr}, x -> length(x))), 0)"
+    dist = (
+        f"coalesce(list_sum(list_transform(list_distinct({arr}), "
+        f"x -> length(x))), 0)"
+    )
+    dup = f"CASE WHEN {n} > 0 THEN ({n} - {nd}) / {n}::DOUBLE ELSE 0.0 END"
+    dupc = (
+        f"CASE WHEN {tot} > 0 THEN ({tot} - ({dist})) / ({tot})::DOUBLE "
+        f"ELSE 0.0 END"
+    )
+    return n, dup, dupc
+
+
+def repetition_sql(col_expr: str) -> dict[str, str]:
+    """DuckDB twins of :func:`repetition_cols` (same names, same math)."""
+    trim_ws = "E' \\t\\n\\f\\r'"
+    lines = (
+        f"list_filter(list_transform(string_split({col_expr}, chr(10)), "
+        f"l -> trim(l, {trim_ws})), l -> length(l) > 0)"
+    )
+    paras = (
+        f"list_filter(list_transform(string_split_regex({col_expr}, "
+        f"'\\n{{2,}}'), p -> trim(p, {trim_ws})), p -> length(p) > 0)"
+    )
+    nl, dlf, dlcf = _dup_metrics_sql(lines)
+    np_, dpf, dpcf = _dup_metrics_sql(paras)
+    return {
+        "n_lines": f"({nl})::BIGINT",
+        "dup_line_frac": dlf,
+        "dup_line_char_frac": dlcf,
+        "n_paras": f"({np_})::BIGINT",
+        "dup_para_frac": dpf,
+        "dup_para_char_frac": dpcf,
+    }
+
+
+def top_ngram_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Most-frequent word ``n``-gram per document + duplicate-n-gram
+    character fraction (Gopher's top-n-gram / dup-n-gram filters).
+
+    Words = lowercase whitespace tokens. Returns ``(id, top_gram,
+    top_count, top_ngram_char_frac, dup_ngram_char_frac)``:
+
+    - ``top_ngram_char_frac`` — chars covered by occurrences of the
+      most frequent n-gram / total word chars (separators excluded);
+      ties broken by (count DESC, gram ASC) so both engines agree.
+    - ``dup_ngram_char_frac`` — char mass of n-gram occurrences whose
+      gram appears >1× / char mass of all n-gram occurrences
+      (overlaps counted per occurrence — the standard approximation).
+
+    Docs with fewer than ``n`` words produce no row (no grams exist).
+    Scale: one shuffle keyed by (doc, gram) then by doc — uniformly
+    distributed, no corpus-wide hot key; partial aggregation applies.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    c = F.lower(F.col(text_col))
+    words = F.filter(
+        F.split(ws_trim(c), r"[\t\n\f\r ]+"), lambda w: F.length(w) > 0
+    )
+    wchars = F.aggregate(
+        words, F.lit(0).cast("long"), lambda a, w: a + F.length(w)
+    )
+    grams_arr = F.when(
+        F.size(words) < n, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.size(words) - F.lit(n - 1), F.lit(1))
+            ),
+            lambda i: F.array_join(F.slice(words, i, n), " "),
+        )
+    )
+    g = df.select(
+        F.col(id_col), wchars.alias("wchars"), F.explode(grams_arr).alias("gram")
+    )
+    counts = g.groupBy(id_col, "gram").agg(
+        F.count(F.lit(1)).alias("cnt"), F.first("wchars").alias("wchars")
+    )
+    # gram char length net of the n-1 separator spaces we joined with
+    gram_chars = F.length(F.col("gram")) - F.lit(n - 1)
+    occ_chars = F.col("cnt") * gram_chars
+    agg = counts.groupBy(id_col).agg(
+        F.min_by(
+            F.struct(F.col("gram"), F.col("cnt")),
+            F.struct((-F.col("cnt")).alias("nc"), F.col("gram").alias("g")),
+        ).alias("top"),
+        F.first("wchars").alias("wchars"),
+        (
+            F.sum(F.when(F.col("cnt") > 1, occ_chars).otherwise(F.lit(0)))
+            / F.sum(occ_chars)
+        ).alias("dup_ngram_char_frac"),
+    )
+    return agg.select(
+        F.col(id_col),
+        F.col("top.gram").alias("top_gram"),
+        F.col("top.cnt").alias("top_count"),
+        (
+            F.col("top.cnt")
+            * (F.length("top.gram") - F.lit(n - 1))
+            / F.col("wchars")
+        ).alias("top_ngram_char_frac"),
+        "dup_ngram_char_frac",
+    )
+
+
+def top_ngram_sql(
+    id_expr: str, col_expr: str, table: str, n: int = 3
+) -> str:
+    """DuckDB twin of :func:`top_ngram_stats` (same tie-break)."""
+    words = (
+        f"list_filter(string_split_regex(trim(lower({col_expr}), "
+        f"E' \\t\\n\\f\\r'), '[\\t\\n\\f\\r ]+'), w -> length(w) > 0)"
+    )
+    return f"""
+WITH w AS (
+  SELECT {id_expr} AS doc_id, {words} AS words FROM {table}
+),
+wc AS (
+  SELECT doc_id, words,
+         coalesce(list_sum(list_transform(words, x -> length(x))), 0) AS wchars
+  FROM w
+),
+g AS (
+  SELECT doc_id, wchars, array_to_string(words[i : i + {n - 1}], ' ') AS gram
+  FROM wc, unnest(range(1, greatest(len(words) - {n - 1}, 0) + 1)) AS u(i)
+),
+c AS (
+  SELECT doc_id, gram, any_value(wchars) AS wchars, count(*) AS cnt
+  FROM g GROUP BY doc_id, gram
+),
+a AS (
+  SELECT doc_id, any_value(wchars) AS wchars,
+         sum(CASE WHEN cnt > 1 THEN cnt * (length(gram) - {n - 1})
+             ELSE 0 END)::DOUBLE
+           / sum(cnt * (length(gram) - {n - 1})) AS dup_ngram_char_frac
+  FROM c GROUP BY doc_id
+),
+t AS (
+  SELECT doc_id, gram, cnt FROM c
+  QUALIFY row_number() OVER (PARTITION BY doc_id
+                             ORDER BY cnt DESC, gram ASC) = 1
+)
+SELECT t.doc_id, t.gram AS top_gram, t.cnt AS top_count,
+       t.cnt * (length(t.gram) - {n - 1}) / a.wchars::DOUBLE
+         AS top_ngram_char_frac,
+       a.dup_ngram_char_frac
+FROM t JOIN a USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
 # winnowing fingerprints
 # ---------------------------------------------------------------------------
 

@@ -133,3 +133,110 @@ def test_winnow_oracle_parity(spark):
         for r in textqc.winnow_fingerprints(df, k=8, w=4).collect()
     }
     assert got == oracle
+
+
+# ---------------------------------------------------------------------------
+# repetition metrics
+# ---------------------------------------------------------------------------
+
+_REP_TEXTS = [
+    (1, "a b\na b\n\nc d e\n\n  \na b"),  # 4 lines (3 distinct), 3 paras
+    (2, "x y z"),                          # single line, single para
+    (3, ""),                               # empty → all zeros
+    (4, "foo bar foo bar foo bar baz"),    # heavy n-gram repetition
+    (5, "  \n \n  "),                      # whitespace-only lines dropped
+    (6, "p q\n\np q\n\np q"),              # fully duplicated paragraphs
+]
+
+
+def _rep_df(spark):
+    return spark.createDataFrame(_REP_TEXTS, "doc_id LONG, text STRING")
+
+
+def test_repetition_metrics(spark):
+    cols = textqc.repetition_cols("text")
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in _rep_df(spark)
+        .select("doc_id", *[v.alias(k) for k, v in cols.items()])
+        .collect()
+    }
+    # doc 1: lines = [a b, a b, c d e, a b] → 2 of 4 are repeats;
+    # chars 3+3+5+3 = 14, distinct 8 → dup_char 6/14
+    assert out[1]["n_lines"] == 4
+    assert out[1]["dup_line_frac"] == pytest.approx(0.5)
+    assert out[1]["dup_line_char_frac"] == pytest.approx(6 / 14)
+    assert out[1]["n_paras"] == 3 and out[1]["dup_para_frac"] == 0.0
+    # empty + whitespace-only texts: no units, all fractions zero
+    for d in (3, 5):
+        assert out[d]["n_lines"] == 0 and out[d]["n_paras"] == 0
+        assert out[d]["dup_line_frac"] == 0.0
+        assert out[d]["dup_para_char_frac"] == 0.0
+    # doc 6: 3 identical paragraphs → dup_para_frac 2/3, char frac 2/3
+    assert out[6]["n_paras"] == 3
+    assert out[6]["dup_para_frac"] == pytest.approx(2 / 3)
+    assert out[6]["dup_para_char_frac"] == pytest.approx(2 / 3)
+
+
+def test_repetition_oracle_parity(spark):
+    cols = textqc.repetition_cols("text")
+    got = (
+        _rep_df(spark)
+        .select("doc_id", *[v.alias(k) for k, v in cols.items()])
+        .orderBy("doc_id")
+        .collect()
+    )
+    con = duckdb.connect()
+    con.register("d", _rep_df(spark).toPandas())
+    rs = textqc.repetition_sql("text")
+    oracle = con.execute(
+        "SELECT doc_id, "
+        + ", ".join(f"{e} AS {k}" for k, e in rs.items())
+        + " FROM d ORDER BY doc_id"
+    ).fetchall()
+    for a, b in zip(got, oracle):
+        assert a["doc_id"] == b[0]
+        for i, k in enumerate(
+            ["n_lines", "dup_line_frac", "dup_line_char_frac",
+             "n_paras", "dup_para_frac", "dup_para_char_frac"]
+        ):
+            assert a[k] == pytest.approx(b[i + 1]), (a["doc_id"], k)
+
+
+def test_top_ngram_stats(spark):
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in textqc.top_ngram_stats(_rep_df(spark), n=2).collect()
+    }
+    # doc 4 words: foo bar foo bar foo bar baz → 'foo bar' ×3 of 6 grams
+    r4 = out[4]
+    assert r4["top_gram"] == "foo bar" and r4["top_count"] == 3
+    # covered = 3 × 6 chars; word chars = 3*3 + 3*3 + 3 = 21
+    assert r4["top_ngram_char_frac"] == pytest.approx(18 / 21)
+    # dup grams: foo bar ×3 (6), bar foo ×2 (6) → 30 of 36 occurrence chars
+    assert r4["dup_ngram_char_frac"] == pytest.approx(30 / 36)
+    # docs shorter than n words produce no row
+    assert 3 not in out and 5 not in out
+    # deterministic tie-break: doc 2 grams x y / y z (both ×1) → 'x y'
+    assert out[2]["top_gram"] == "x y" and out[2]["top_count"] == 1
+    assert out[2]["dup_ngram_char_frac"] == 0.0
+
+
+def test_top_ngram_oracle_parity(spark):
+    got = (
+        textqc.top_ngram_stats(_rep_df(spark), n=3)
+        .orderBy("doc_id")
+        .collect()
+    )
+    con = duckdb.connect()
+    con.register("d", _rep_df(spark).toPandas())
+    oracle = con.execute(
+        textqc.top_ngram_sql("doc_id", "text", "d", n=3) + " ORDER BY doc_id"
+    ).fetchall()
+    assert len(got) == len(oracle)
+    for a, b in zip(got, oracle):
+        assert (
+            a["doc_id"], a["top_gram"], a["top_count"]
+        ) == (b[0], b[1], b[2])
+        assert a["top_ngram_char_frac"] == pytest.approx(b[3])
+        assert a["dup_ngram_char_frac"] == pytest.approx(b[4])
