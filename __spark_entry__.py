@@ -994,6 +994,42 @@ def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round6(out, "jaccard")
 
 
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive duplicate clusters: minhash pairs (same parameters as
+    the dedup_minhash entry, whose recall vs exact Jaccard is pinned at
+    1 on this corpus) → connected components → per-doc cluster
+    assignment with sizes. ``cluster_id == doc_id`` marks survivors."""
+    docs = _dup_docs(spark, sf_dir)
+    pairs = dedup_ops.minhash_dedup_pairs(
+        docs, threshold=0.9, n_hashes=16, bands=8
+    )
+    return dedup_ops.dedup_clusters(docs, pairs)
+
+
+# Oracle: exact-Jaccard pairs (≡ the minhash pairs at pinned recall 1),
+# closed transitively with a recursive CTE, min-id label per component.
+_SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE
+pairs AS ({_exact_jaccard_sql(0.9)}),
+e AS (SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+r(u, l) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM e) t
+  UNION
+  SELECT e.u, r.l FROM e JOIN r ON e.v = r.u
+),
+cc AS (SELECT u AS doc_id, min(l) AS cluster_id FROM r GROUP BY u),
+base AS ({_SQL_DUP_DOCS}),
+asg AS (
+  SELECT b.doc_id, coalesce(cc.cluster_id, b.doc_id) AS cluster_id
+  FROM base b LEFT JOIN cc ON b.doc_id = cc.doc_id
+)
+SELECT doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM asg
+"""
+
+
 def _q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram-Jaccard near-dup pairs ≥ 0.8."""
     out = dedup_ops.ngram_jaccard_pairs(_dup_docs(spark, sf_dir), threshold=0.8)
@@ -1782,6 +1818,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "dedup_exact": (_q_dedup_exact, _SQL_DEDUP_EXACT),
     "dedup_minhash": (_q_dedup_minhash, _exact_jaccard_sql(0.9)),
     "dedup_prefix": (_q_dedup_prefix, _exact_jaccard_sql(0.9)),
+    "dedup_clusters": (_q_dedup_clusters, _SQL_DEDUP_CLUSTERS),
     "dedup_ngram_jaccard": (_q_dedup_ngram, _exact_jaccard_sql(0.8)),
     "simhash_docs": (_q_simhash, _SQL_SIMHASH),
     "dedup_embedding": (_q_dedup_embedding, _SQL_DEDUP_EMBEDDING),

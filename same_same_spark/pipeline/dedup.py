@@ -541,3 +541,102 @@ def prefix_jaccard_pairs(
     return jaccard_for_pairs(cand, df, id_col, text_col, shingle_n).filter(
         F.col("jaccard") >= threshold
     )
+
+
+# ---------------------------------------------------------------------------
+# duplicate clustering (connected components over near-dup pairs)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components over an undirected pair list: ``(id,
+    cluster_id)`` where ``cluster_id`` is the minimum id in the
+    component. Only ids appearing in ``pairs`` are returned.
+
+    The missing piece between pair-finding (minhash / prefix / simhash
+    dedup) and actually deduplicating a corpus: transitive closure
+    groups A≈B≈C into one cluster so "keep the minimum id per cluster"
+    is well-defined even when A and C never formed a direct pair.
+
+    Algorithm: min-label propagation with pointer jumping —
+    per round each node takes the min label over itself and its
+    neighbours (one shuffle keyed by id), then labels are compressed
+    through one extra self-join (``l(u) ← l(l(u))``), which halves
+    chain lengths and brings convergence to O(log n) rounds instead of
+    O(diameter). Each round is materialized via ``localCheckpoint`` to
+    truncate lineage (on a real cluster prefer
+    ``spark.sparkContext.setCheckpointDir`` + ``checkpoint()`` for
+    fault tolerance); convergence is detected with a ``limit(1)``
+    existence probe, not a full count. All shuffles are keyed by node
+    id — uniformly distributed, no hot key; dup clusters in web corpora
+    are overwhelmingly small, and the giant-component worst case costs
+    rounds (log n), not skew.
+    """
+    e = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    edges = (
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .persist()
+    )
+    labels = edges.select("u").distinct().withColumn("l", F.col("u"))
+    for _ in range(max_iter):
+        nbr = edges.join(
+            labels.select(F.col("u").alias("v"), F.col("l").alias("lv")), "v"
+        ).select("u", F.col("lv").alias("l"))
+        new = labels.unionByName(nbr).groupBy("u").agg(F.min("l").alias("l"))
+        jump = new.select(F.col("u").alias("ju"), F.col("l").alias("jl"))
+        new = (
+            new.join(jump, new["l"] == jump["ju"], "left")
+            .select("u", F.coalesce("jl", "l").alias("l"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "u")
+            .filter(F.col("n.l") != F.col("o.l"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
+    edges.unpersist()
+    return labels.select(F.col("u").alias("id"), F.col("l").alias("cluster_id"))
+
+
+def dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Cluster assignment for EVERY document: ``(id, cluster_id,
+    cluster_size)``. Docs in no pair are singleton clusters of
+    themselves; ``cluster_id == id`` marks the canonical survivor, so
+    ``filter(cluster_id == id)`` IS the deduplicated corpus and
+    ``cluster_size`` is how many docs it absorbed."""
+    cc = connected_components(pairs, id_a, id_b, max_iter).withColumnRenamed(
+        "id", id_col
+    )
+    asg = (
+        df.select(id_col)
+        .join(cc, id_col, "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", F.col(id_col)))
+    )
+    sizes = asg.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return asg.join(sizes, "cluster_id").select(
+        id_col, "cluster_id", "cluster_size"
+    )

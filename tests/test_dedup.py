@@ -208,3 +208,43 @@ def test_prefix_candidates_avoid_frequent_shingle_blowup(spark):
     # 20 docs all share the 'shared template prefix' shingle; all-pairs
     # would be 190 — prefix filtering at t=0.9 keeps only rare shingles
     assert cand < 190 / 2
+
+
+def test_connected_components_chain_and_cliques(spark):
+    # chain 1..8 exercises pointer jumping (diameter 7 > log2 rounds of
+    # plain propagation would need 7; jumping converges much earlier)
+    pairs = [(i, i + 1) for i in range(1, 8)] + [
+        (10, 11), (11, 12), (10, 12), (20, 21),
+    ]
+    pdf = spark.createDataFrame(pairs, "id_a LONG, id_b LONG")
+    cc = {r["id"]: r["cluster_id"] for r in dedup.connected_components(pdf).collect()}
+    assert all(cc[i] == 1 for i in range(1, 9))
+    assert cc[10] == cc[11] == cc[12] == 10
+    assert cc[20] == cc[21] == 20
+
+
+def test_dedup_clusters_assignment(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a LONG, id_b LONG"
+    )
+    docs = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 10, 11, 99)], "doc_id LONG"
+    )
+    out = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"])
+        for r in dedup.dedup_clusters(docs, pairs).collect()
+    }
+    assert out[1] == (1, 3) and out[2] == (1, 3) and out[3] == (1, 3)
+    assert out[10] == (10, 2) and out[11] == (10, 2)
+    assert out[99] == (99, 1)  # singleton: its own canonical survivor
+    # survivors = one per cluster
+    survivors = [d for d, (c, _) in out.items() if c == d]
+    assert sorted(survivors) == [1, 10, 99]
+
+
+def test_connected_components_empty_pairs(spark):
+    empty = spark.createDataFrame([], "id_a LONG, id_b LONG")
+    assert dedup.connected_components(empty).count() == 0
+    docs = spark.createDataFrame([(7,)], "doc_id LONG")
+    [r] = dedup.dedup_clusters(docs, empty).collect()
+    assert (r["cluster_id"], r["cluster_size"]) == (7, 1)
