@@ -39,6 +39,7 @@ from same_same_spark.stats import (
 from same_same_spark.pipeline import ann as ann_ops
 from same_same_spark.pipeline import dedup as dedup_ops
 from same_same_spark.pipeline import multimodal as mm_ops
+from same_same_spark.pipeline import sampling as sampling_ops
 from same_same_spark.pipeline import textqc as textqc_ops
 from same_same_spark.pipeline.dedup import hash60_sql, word_shingles_sql
 from same_same_spark.text.tokenizer import duckdb_tokens_sql
@@ -1634,6 +1635,51 @@ def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MIX_FRACTIONS = {"en": 0.5, "de": 0.25, "fr": 0.75, "es": 0.1}
+
+
+def _q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-mix sampling: per-language keep rates via
+    hash thresholding — zero-shuffle, bit-identical in both engines
+    (unlisted langs, e.g. zh, fall to the 0.0 default and drop)."""
+    return sampling_ops.sample_stratified(
+        _docs(spark, sf_dir),
+        _MIX_FRACTIONS,
+        strata_col="lang",
+        id_col="doc_id",
+        seed="mix1",
+    ).select("doc_id", "lang")
+
+
+_SQL_SAMPLE_STRATIFIED = (
+    "SELECT doc_id, lang FROM documents WHERE "
+    + sampling_ops.sample_stratified_sql(
+        "lang", "doc_id", _MIX_FRACTIONS, seed="mix1"
+    )
+)
+
+
+def _q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test assignment (10%/10%) + per-(lang, split) counts —
+    membership is a pure function of (seed, doc_id), so docs never
+    migrate between splits as the corpus grows."""
+    return (
+        sampling_ops.assign_splits(
+            _docs(spark, sf_dir), id_col="doc_id",
+            test_frac=0.1, val_frac=0.1, seed="split",
+        )
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+_SQL_SPLIT_ASSIGN = (
+    "SELECT lang, "
+    + sampling_ops.assign_splits_sql("doc_id", 0.1, 0.1, seed="split")
+    + " AS split, count(*) AS n_docs FROM documents GROUP BY lang, split"
+)
+
+
 def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition metrics. The corpus has no newlines, so
     the entry first builds a deterministic multi-line page per document
@@ -1840,6 +1886,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         _q_fingerprints,
         textqc_ops.winnow_sql("doc_id", "text", "documents", k=8, w=4),
     ),
+    "sample_stratified": (_q_sample_stratified, _SQL_SAMPLE_STRATIFIED),
+    "split_assign": (_q_split_assign, _SQL_SPLIT_ASSIGN),
     "repetition_metrics": (_q_repetition, _sql_repetition()),
     "top_ngram": (_q_top_ngram, _sql_top_ngram()),
     "multimodal_features": (_q_multimodal_features, _SQL_MULTIMODAL),

@@ -1,0 +1,148 @@
+"""Deterministic sampling for training-data mixes: hash-based fraction
+sampling, per-stratum (language / source / domain) rates, and
+train/val/test split assignment.
+
+The reference engine has no sampling (it serves top-k queries); these
+are the operators a 100-TB pipeline needs to compose a training mix
+("3% of web, 30% of code, 3 epochs of wiki") and carve held-out splits.
+
+Design for scale — every operator here is a *stateless per-row filter*:
+
+- the keep/drop decision is ``hash60(seed | id) / 2^60 < fraction`` —
+  no shuffle, no sort, no sampling state, no ``sample()``
+  non-determinism; it composes with predicate pushdown and partition
+  pruning, and re-running on a grown corpus keeps every previously
+  kept row (ids hash the same), which makes incremental mixes stable.
+- exact-count sampling (``limit(n)`` after a global sort) is
+  deliberately NOT offered: a total order over 100 TB is a cluster-wide
+  sort for a property ("exactly n rows") training mixes don't need —
+  fraction semantics give n·(1 ± ε) with ε → 0 at scale.
+- the md5-60bit scheme (:func:`~same_same_spark.pipeline.dedup.hash60_col`)
+  is computed bit-identically by Spark and DuckDB, so every operator is
+  oracle-checkable: both engines keep literally the same rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from same_same_spark.pipeline.dedup import hash60_col, hash60_sql
+
+_DENOM = float(2**60)
+
+
+def hash_uniform_col(key: Column | str, seed: str = "") -> Column:
+    """Deterministic uniform in [0, 1) from a row key.
+
+    ``hash60(seed || '|' || key) / 2^60`` — the same bigint and the
+    same IEEE division in both engines, so thresholds compare
+    identically (no epsilon needed).
+    """
+    c = F.col(key) if isinstance(key, str) else key
+    return hash60_col(F.concat(F.lit(seed + "|"), c.cast("string"))) / F.lit(
+        _DENOM
+    )
+
+
+def hash_uniform_sql(key_expr: str, seed: str = "") -> str:
+    """DuckDB twin of :func:`hash_uniform_col`."""
+    h = hash60_sql(f"'{seed}|' || ({key_expr})::VARCHAR")
+    return f"({h} / {2**60}.0)"
+
+
+def sample_fraction(
+    df: DataFrame,
+    fraction: float,
+    id_col: str = "doc_id",
+    seed: str = "",
+) -> DataFrame:
+    """Keep a deterministic ~``fraction`` of rows, keyed by ``id_col``."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return df.filter(hash_uniform_col(id_col, seed) < F.lit(fraction))
+
+
+def stratum_fraction_col(
+    strata_col: Column | str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+) -> Column:
+    """Per-row sampling rate looked up from the stratum value."""
+    c = F.col(strata_col) if isinstance(strata_col, str) else strata_col
+    out = F.lit(float(default_fraction))
+    for value, frac in sorted(fractions.items()):
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for {value!r} must be in [0, 1]")
+        out = F.when(c == value, F.lit(float(frac))).otherwise(out)
+    return out
+
+
+def sample_stratified(
+    df: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: str = "",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling — the training-mix operator:
+    ``fractions`` maps stratum value → keep rate; strata not listed get
+    ``default_fraction``. Pure filter: no shuffle at any scale."""
+    rate = stratum_fraction_col(strata_col, fractions, default_fraction)
+    return df.filter(hash_uniform_col(id_col, seed) < rate)
+
+
+def sample_stratified_sql(
+    strata_expr: str,
+    id_expr: str,
+    fractions: dict[str, float],
+    seed: str = "",
+    default_fraction: float = 0.0,
+) -> str:
+    """DuckDB twin of the :func:`sample_stratified` WHERE clause."""
+    rate = repr(float(default_fraction))
+    for value, frac in sorted(fractions.items()):
+        rate = (
+            f"CASE WHEN {strata_expr} = '{value}' THEN {float(frac)!r} "
+            f"ELSE {rate} END"
+        )
+    return f"{hash_uniform_sql(id_expr, seed)} < ({rate})"
+
+
+def assign_splits(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    test_frac: float = 0.1,
+    val_frac: float = 0.1,
+    seed: str = "split",
+) -> DataFrame:
+    """Add a ``split`` column (train/val/test) by hash thresholding:
+    u < test_frac → test, u < test_frac + val_frac → val, else train.
+    Membership is a pure function of (seed, id): stable across runs,
+    re-partitioning, and corpus growth — a doc never migrates between
+    splits, which is the property held-out sets actually require."""
+    if test_frac < 0 or val_frac < 0 or test_frac + val_frac > 1:
+        raise ValueError("need test_frac, val_frac >= 0 and sum <= 1")
+    u = hash_uniform_col(id_col, seed)
+    return df.withColumn(
+        "split",
+        F.when(u < F.lit(test_frac), F.lit("test"))
+        .when(u < F.lit(test_frac + val_frac), F.lit("val"))
+        .otherwise(F.lit("train")),
+    )
+
+
+def assign_splits_sql(
+    id_expr: str,
+    test_frac: float = 0.1,
+    val_frac: float = 0.1,
+    seed: str = "split",
+) -> str:
+    """DuckDB twin of the :func:`assign_splits` split expression."""
+    u = hash_uniform_sql(id_expr, seed)
+    return (
+        f"CASE WHEN {u} < {float(test_frac)!r} THEN 'test' "
+        f"WHEN {u} < {float(test_frac + val_frac)!r} THEN 'val' "
+        f"ELSE 'train' END"
+    )

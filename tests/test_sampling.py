@@ -1,0 +1,90 @@
+"""Deterministic sampling: fractions, strata, split assignment."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from same_same_spark.pipeline import sampling
+
+
+def _ids(spark, n=2000):
+    return spark.range(n).withColumnRenamed("id", "doc_id")
+
+
+def test_sample_fraction_rate_and_determinism(spark):
+    df = _ids(spark)
+    a = sampling.sample_fraction(df, 0.3, seed="s1")
+    n1, n2 = a.count(), sampling.sample_fraction(df, 0.3, seed="s1").count()
+    assert n1 == n2  # fully deterministic
+    assert 0.25 < n1 / 2000 < 0.35  # ~binomial around 0.3
+    # different seed → different (but similarly sized) sample
+    b = sampling.sample_fraction(df, 0.3, seed="s2")
+    ids_a = {r["doc_id"] for r in a.collect()}
+    ids_b = {r["doc_id"] for r in b.collect()}
+    assert ids_a != ids_b
+
+
+def test_sample_fraction_is_nested_by_rate(spark):
+    # hash thresholding ⇒ the 10% sample is a subset of the 30% sample
+    df = _ids(spark)
+    small = {r["doc_id"] for r in sampling.sample_fraction(df, 0.1, seed="s").collect()}
+    big = {r["doc_id"] for r in sampling.sample_fraction(df, 0.3, seed="s").collect()}
+    assert small <= big
+
+
+def test_sample_stratified_rates(spark):
+    df = _ids(spark).withColumn(
+        "lang", F.when(F.col("doc_id") % 2 == 0, "en").otherwise("zz")
+    )
+    out = sampling.sample_stratified(
+        df, {"en": 0.5}, strata_col="lang", seed="m"
+    )
+    langs = {r["lang"] for r in out.select("lang").distinct().collect()}
+    assert langs == {"en"}  # default_fraction=0 drops unlisted strata
+    frac = out.count() / 1000
+    assert 0.4 < frac < 0.6
+
+
+def test_assign_splits_stable_under_growth(spark):
+    small = sampling.assign_splits(_ids(spark, 500), seed="sp")
+    big = sampling.assign_splits(_ids(spark, 2000), seed="sp")
+    s = {r["doc_id"]: r["split"] for r in small.collect()}
+    b = {r["doc_id"]: r["split"] for r in big.collect()}
+    assert all(b[i] == s[i] for i in s)  # no doc migrates as corpus grows
+    counts = {r["split"]: r["c"] for r in big.groupBy("split").agg(F.count("*").alias("c")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+
+
+def test_sampling_oracle_parity(spark):
+    df = _ids(spark, 300).withColumn(
+        "lang", F.when(F.col("doc_id") % 3 == 0, "en").otherwise("de")
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in sampling.sample_stratified(
+            df, {"en": 0.4, "de": 0.2}, seed="p"
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.register("d", df.toPandas())
+    where = sampling.sample_stratified_sql("lang", "doc_id", {"en": 0.4, "de": 0.2}, seed="p")
+    oracle = sorted(r[0] for r in con.execute(f"SELECT doc_id FROM d WHERE {where}").fetchall())
+    assert got == oracle  # literally the same rows in both engines
+
+    sp = {r["doc_id"]: r["split"] for r in sampling.assign_splits(df, seed="q").collect()}
+    expr = sampling.assign_splits_sql("doc_id", seed="q")
+    osp = dict(con.execute(f"SELECT doc_id, {expr} FROM d").fetchall())
+    assert sp == osp
+
+
+def test_sampling_validation(spark):
+    df = _ids(spark, 10)
+    with pytest.raises(ValueError):
+        sampling.sample_fraction(df, 1.5)
+    with pytest.raises(ValueError):
+        sampling.sample_stratified(df, {"en": -0.1})
+    with pytest.raises(ValueError):
+        sampling.assign_splits(df, test_frac=0.7, val_frac=0.6)
