@@ -1635,6 +1635,51 @@ def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The synthetic corpus has no punctuation, so the C4 entry runs on a
+# handcrafted fixture that exercises every rule: kept/dropped lines,
+# sentence minimum, both blocklist terms, quotes, and the empty doc.
+_C4_FIXTURE = [
+    (1, "This is a proper sentence with words.\nshort line\n"
+        "Another good sentence follows right here!\nno punct here at all"),
+    (2, "Lorem Ipsum dolor sit amet. This has three words? Yes it does. "
+        "And more!"),
+    (3, "function f() { return 1; }"),
+    (4, ""),
+    (5, 'He said "quoted line ends with a quote."\n'
+        "Five words ending right now."),
+    (6, "One good sentence right here. Two good sentences right here! "
+        "Three good sentences right here?"),
+]
+
+
+def _q_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning heuristics (Raffel et al. 2020 §2.2): line filter
+    (terminal punctuation + ≥5 words) and doc flags (≥3 sentences,
+    blocklist) over a fixture covering every rule."""
+    df = spark.createDataFrame(_C4_FIXTURE, "doc_id LONG, text STRING")
+    flags = textqc_ops.c4_doc_flags("text")
+    return df.select(
+        "doc_id",
+        textqc_ops.c4_line_filter("text").alias("kept_lines"),
+        *[v.alias(k) for k, v in flags.items()],
+    )
+
+
+def _sql_c4_filter() -> str:
+    def esc(t: str) -> str:
+        return t.replace("\\", "\\\\").replace("'", "''").replace("\n", "\\n")
+
+    values = ", ".join(f"({i}, E'{esc(t)}')" for i, t in _C4_FIXTURE)
+    fs = textqc_ops.c4_doc_flags_sql("text")
+    return (
+        f"WITH d(doc_id, text) AS (VALUES {values}) SELECT doc_id, "
+        + textqc_ops.c4_line_filter_sql("text")
+        + " AS kept_lines, "
+        + ", ".join(f"{e} AS {k}" for k, e in fs.items())
+        + " FROM d"
+    )
+
+
 _MIX_FRACTIONS = {"en": 0.5, "de": 0.25, "fr": 0.75, "es": 0.1}
 
 
@@ -1886,6 +1931,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         _q_fingerprints,
         textqc_ops.winnow_sql("doc_id", "text", "documents", k=8, w=4),
     ),
+    "c4_filter": (_q_c4_filter, _sql_c4_filter()),
     "sample_stratified": (_q_sample_stratified, _SQL_SAMPLE_STRATIFIED),
     "split_assign": (_q_split_assign, _SQL_SPLIT_ASSIGN),
     "repetition_metrics": (_q_repetition, _sql_repetition()),

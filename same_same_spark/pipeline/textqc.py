@@ -489,3 +489,85 @@ wins AS (
 )
 SELECT DISTINCT doc_id, fp FROM wins
 """
+
+
+# ---------------------------------------------------------------------------
+# C4-style heuristic filters
+# ---------------------------------------------------------------------------
+
+# Raffel et al. 2020 (T5 / C4, §2.2) cleaning heuristics, re-expressed
+# as pure column math. Line rules keep lines that (a) end in terminal
+# punctuation and (b) have >= min_line_words words; doc rules flag docs
+# with fewer than min_sentences sentences or containing any blocklisted
+# substring (C4 used "lorem ipsum", "{" and a badword list; the list
+# here is a parameter, not a policy).
+
+C4_TERMINAL_PUNCT = (".", "!", "?", '"')
+C4_DEFAULT_BLOCKLIST = ("lorem ipsum", "{")
+
+
+def c4_line_filter(
+    text: Column | str, min_line_words: int = 5
+) -> Column:
+    """Rebuild the text from the lines C4 keeps (terminal punctuation +
+    word minimum), joined with ``\\n``. Docs with no surviving line
+    become the empty string. Pure array math — no shuffle."""
+    c = F.col(text) if isinstance(text, str) else text
+    lines = F.transform(F.split(c, r"\n"), ws_trim)
+    ends_ok = lambda l: F.substring(l, -1, 1).isin(*C4_TERMINAL_PUNCT)  # noqa: E731
+    long_enough = lambda l: ws_token_count_col(l) >= min_line_words  # noqa: E731
+    kept = F.filter(lines, lambda l: ends_ok(l) & long_enough(l))
+    return F.array_join(kept, "\n")
+
+
+def c4_doc_flags(
+    text: Column | str,
+    min_sentences: int = 3,
+    blocklist: tuple[str, ...] = C4_DEFAULT_BLOCKLIST,
+) -> dict[str, Column]:
+    """Document-level C4 flags: sentence count (terminal-punctuation
+    runs), blocklist hit, and the combined keep decision."""
+    c = F.col(text) if isinstance(text, str) else text
+    n_sentences = F.coalesce(
+        F.regexp_count(c, F.lit(r"[.!?]")), F.lit(0)
+    )
+    lower = F.lower(c)
+    blocked = F.lit(False)
+    for term in blocklist:
+        blocked = blocked | lower.contains(term.lower())
+    return {
+        "n_sentences": n_sentences.cast("bigint"),
+        "blocklisted": blocked,
+        "c4_keep": (n_sentences >= min_sentences) & ~blocked,
+    }
+
+
+def c4_line_filter_sql(col_expr: str, min_line_words: int = 5) -> str:
+    """DuckDB twin of :func:`c4_line_filter`."""
+    punct_list = ", ".join(f"'{p}'" for p in C4_TERMINAL_PUNCT)
+    tc = token_count_sql("l")["ws_tokens"]
+    # coalesce: DuckDB's array_to_string([]) is NULL, Spark's is ''
+    return (
+        f"coalesce(array_to_string(list_filter(list_transform("
+        f"string_split({col_expr}, chr(10)), "
+        f"x -> trim(x, E' \\t\\n\\f\\r')), "
+        f"l -> substr(l, length(l), 1) IN ({punct_list}) "
+        f"AND ({tc}) >= {min_line_words}), chr(10)), '')"
+    )
+
+
+def c4_doc_flags_sql(
+    col_expr: str,
+    min_sentences: int = 3,
+    blocklist: tuple[str, ...] = C4_DEFAULT_BLOCKLIST,
+) -> dict[str, str]:
+    """DuckDB twins of :func:`c4_doc_flags` (same names, same logic)."""
+    n_sent = f"len(regexp_extract_all({col_expr}, '[.!?]'))"
+    blocked = " OR ".join(
+        f"contains(lower({col_expr}), '{t.lower()}')" for t in blocklist
+    )
+    return {
+        "n_sentences": f"({n_sent})::BIGINT",
+        "blocklisted": f"({blocked})",
+        "c4_keep": f"(({n_sent}) >= {min_sentences} AND NOT ({blocked}))",
+    }

@@ -240,3 +240,78 @@ def test_top_ngram_oracle_parity(spark):
         ) == (b[0], b[1], b[2])
         assert a["top_ngram_char_frac"] == pytest.approx(b[3])
         assert a["dup_ngram_char_frac"] == pytest.approx(b[4])
+
+
+# ---------------------------------------------------------------------------
+# C4-style filters
+# ---------------------------------------------------------------------------
+
+
+def test_c4_line_filter(spark):
+    text = (
+        "This is a proper sentence with words.\n"
+        "short line\n"                      # < 5 words
+        "no terminal punctuation on this line\n"
+        'He said "it ends with a quote."\n'  # quote counts as terminal
+        "Ends with bang and has five words!"
+    )
+    [r] = _one(spark, text).select(
+        textqc.c4_line_filter("text").alias("kept")
+    ).collect()
+    kept = r["kept"].split("\n")
+    assert kept == [
+        "This is a proper sentence with words.",
+        'He said "it ends with a quote."',
+        "Ends with bang and has five words!",
+    ]
+    # no surviving lines → empty string, not null
+    [r0] = _one(spark, "nope\nalso nope").select(
+        textqc.c4_line_filter("text").alias("kept")
+    ).collect()
+    assert r0["kept"] == ""
+
+
+def test_c4_doc_flags(spark):
+    flags = textqc.c4_doc_flags("text")
+
+    def run(text):
+        [r] = _one(spark, text).select(
+            *[v.alias(k) for k, v in flags.items()]
+        ).collect()
+        return r
+
+    good = run("One sentence here. Two sentences here! Three sentences here?")
+    assert good["n_sentences"] == 3 and good["c4_keep"] is True
+    few = run("Only two sentences. Right here.")
+    assert few["c4_keep"] is False and few["blocklisted"] is False
+    code = run("if (x) { y(); } done. more. three. four.")
+    assert code["blocklisted"] is True and code["c4_keep"] is False
+    lorem = run("Lorem IPSUM filler. Second one. Third one.")
+    assert lorem["blocklisted"] is True  # case-insensitive match
+
+
+def test_c4_oracle_parity(spark):
+    texts = [
+        (1, "Good sentence number one. Good sentence number two! Third?"),
+        (2, "short\nlorem ipsum. x. y. z."),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(texts, "doc_id LONG, text STRING")
+    flags = textqc.c4_doc_flags("text")
+    got = df.select(
+        "doc_id", textqc.c4_line_filter("text").alias("kept"),
+        *[v.alias(k) for k, v in flags.items()],
+    ).orderBy("doc_id").collect()
+    con = duckdb.connect()
+    con.register("d", df.toPandas())
+    fs = textqc.c4_doc_flags_sql("text")
+    oracle = con.execute(
+        "SELECT doc_id, " + textqc.c4_line_filter_sql("text") + " AS kept, "
+        + ", ".join(f"{e} AS {k}" for k, e in fs.items())
+        + " FROM d ORDER BY doc_id"
+    ).fetchall()
+    for a, b in zip(got, oracle):
+        assert (
+            a["doc_id"], a["kept"], a["n_sentences"],
+            a["blocklisted"], a["c4_keep"],
+        ) == tuple(b)
