@@ -1635,6 +1635,86 @@ def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus preparation (pipeline/mix.py): quality
+    gate ≥ 0.72 → exact dedup → fuzzy dedup (minhash pairs at the
+    pinned-recall parameters → connected components → min-id survivor)
+    → per-language mix sampling → train/val/test assignment. One lazy
+    plan; the oracle composes the same six stages in SQL."""
+    from same_same_spark.pipeline.mix import MixConfig, prepare_training_corpus
+
+    d = _docs(spark, sf_dir).select("doc_id", "text", "lang")
+    extra = d.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    base = d.unionByName(extra)
+    cfg = MixConfig(
+        min_quality=0.72,
+        exact=True,
+        fuzzy_threshold=0.9,
+        fractions=_MIX_FRACTIONS,
+        default_fraction=0.35,
+        test_frac=0.1,
+        val_frac=0.1,
+        seed="mix1",
+    )
+    return prepare_training_corpus(base, cfg).select("doc_id", "lang", "split")
+
+
+def _sql_training_mix() -> str:
+    score = textqc_ops.quality_sql("text")["quality_score"]
+    sample_where = sampling_ops.sample_stratified_sql(
+        "lang", "doc_id", _MIX_FRACTIONS, seed="mix1", default_fraction=0.35
+    )
+    split_expr = sampling_ops.assign_splits_sql(
+        "doc_id", 0.1, 0.1, seed="mix1:split"
+    )
+    return f"""
+WITH RECURSIVE
+base AS (
+  SELECT doc_id, text, lang FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text, lang FROM documents WHERE doc_id % 5 = 0
+),
+q AS (SELECT * FROM base WHERE ({score}) >= 0.72),
+ex AS (
+  SELECT q.* FROM q
+  JOIN (SELECT min(doc_id) AS doc_id FROM q GROUP BY sha256(text)) k
+  USING (doc_id)
+),
+toks AS (SELECT doc_id, {duckdb_tokens_sql('text')} AS toks FROM ex),
+sh AS (SELECT doc_id, {word_shingles_sql('toks', 3)} AS shingles FROM toks),
+exp AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM exp a JOIN exp b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM cand
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter)::DOUBLE >= 0.9
+),
+e AS (SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+r(u, l) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM e) t
+  UNION
+  SELECT e.u, r.l FROM e JOIN r ON e.v = r.u
+),
+cc AS (SELECT u AS doc_id, min(l) AS cluster_id FROM r GROUP BY u),
+surv AS (
+  SELECT ex.* FROM ex LEFT JOIN cc USING (doc_id)
+  WHERE coalesce(cc.cluster_id, ex.doc_id) = ex.doc_id
+),
+samp AS (SELECT * FROM surv WHERE {sample_where})
+SELECT doc_id, lang, {split_expr} AS split FROM samp
+"""
+
+
 # The synthetic corpus has no punctuation, so the C4 entry runs on a
 # handcrafted fixture that exercises every rule: kept/dropped lines,
 # sentence minimum, both blocklist terms, quotes, and the empty doc.
@@ -1932,6 +2012,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         textqc_ops.winnow_sql("doc_id", "text", "documents", k=8, w=4),
     ),
     "c4_filter": (_q_c4_filter, _sql_c4_filter()),
+    "training_mix": (_q_training_mix, _sql_training_mix()),
     "sample_stratified": (_q_sample_stratified, _SQL_SAMPLE_STRATIFIED),
     "split_assign": (_q_split_assign, _SQL_SPLIT_ASSIGN),
     "repetition_metrics": (_q_repetition, _sql_repetition()),

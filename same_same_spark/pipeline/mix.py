@@ -1,0 +1,163 @@
+"""End-to-end training-corpus preparation: the composition a 100-TB
+pipeline actually runs before tokenization.
+
+Stage order (each optional, each a module this package already ships):
+
+1. quality gate   — :func:`~same_same_spark.pipeline.textqc.quality_cols`
+   composite score threshold (pure column math),
+2. C4 doc gate    — :func:`~same_same_spark.pipeline.textqc.c4_doc_flags`
+   keep decision,
+3. exact dedup    — :func:`~same_same_spark.pipeline.dedup.exact_dedup`
+   (one shuffle on sha256),
+4. fuzzy dedup    — MinHash-LSH pairs →
+   :func:`~same_same_spark.pipeline.dedup.connected_components` →
+   keep each cluster's minimum id,
+5. mix sampling   — :func:`~same_same_spark.pipeline.sampling.sample_stratified`
+   per-stratum rates (zero-shuffle hash filter),
+6. split columns  — :func:`~same_same_spark.pipeline.sampling.assign_splits`.
+
+Everything stays one lazy DataFrame plan until the caller acts, so
+Catalyst sees the whole pipeline at once: the quality/C4 gates are
+plain filters that push into the scan, dedup joins happen on already
+gated (smaller) data, and the sampling filter costs nothing extra.
+Stage ordering matters at scale — cheap per-row gates BEFORE the
+shuffling dedup stages is the difference between shuffling 100 TB and
+shuffling what survives the gates.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from same_same_spark.pipeline import dedup as dedup_ops
+from same_same_spark.pipeline import sampling as sampling_ops
+from same_same_spark.pipeline import textqc as textqc_ops
+
+
+@dataclass(frozen=True)
+class MixConfig:
+    """Configuration for :func:`prepare_training_corpus`."""
+
+    id_col: str = "doc_id"
+    text_col: str = "text"
+    min_quality: float | None = None
+    c4_gate: bool = False
+    c4_min_sentences: int = 3
+    exact: bool = True
+    fuzzy_threshold: float | None = None
+    minhash_n_hashes: int = 16
+    minhash_bands: int = 8
+    shingle_n: int = 3
+    fractions: dict[str, float] | None = None
+    strata_col: str = "lang"
+    default_fraction: float = 0.0
+    test_frac: float = 0.0
+    val_frac: float = 0.0
+    seed: str = "mix"
+    max_cc_iter: int = 30
+
+    def stages(self) -> list[str]:
+        out = []
+        if self.min_quality is not None:
+            out.append("quality")
+        if self.c4_gate:
+            out.append("c4")
+        if self.exact:
+            out.append("exact_dedup")
+        if self.fuzzy_threshold is not None:
+            out.append("fuzzy_dedup")
+        if self.fractions is not None:
+            out.append("sample")
+        if self.test_frac or self.val_frac:
+            out.append("split")
+        return out
+
+
+def prepare_training_corpus(df: DataFrame, cfg: MixConfig) -> DataFrame:
+    """Run the configured stages; returns the surviving rows with all
+    input columns (+ ``split`` when splits are configured)."""
+    out = df
+    if cfg.min_quality is not None:
+        score = textqc_ops.quality_cols(cfg.text_col)["quality_score"]
+        out = out.filter(score >= F.lit(cfg.min_quality))
+    if cfg.c4_gate:
+        keep = textqc_ops.c4_doc_flags(
+            cfg.text_col, min_sentences=cfg.c4_min_sentences
+        )["c4_keep"]
+        out = out.filter(keep)
+    if cfg.exact:
+        out = dedup_ops.exact_dedup(out, cfg.id_col, cfg.text_col)
+    if cfg.fuzzy_threshold is not None:
+        pairs = dedup_ops.minhash_dedup_pairs(
+            out,
+            cfg.id_col,
+            cfg.text_col,
+            threshold=cfg.fuzzy_threshold,
+            n_hashes=cfg.minhash_n_hashes,
+            bands=cfg.minhash_bands,
+            shingle_n=cfg.shingle_n,
+        )
+        clusters = dedup_ops.dedup_clusters(
+            out, pairs, cfg.id_col, max_iter=cfg.max_cc_iter
+        )
+        survivors = clusters.filter(
+            F.col("cluster_id") == F.col(cfg.id_col)
+        ).select(cfg.id_col)
+        out = out.join(survivors, cfg.id_col, "left_semi")
+    if cfg.fractions is not None:
+        out = sampling_ops.sample_stratified(
+            out,
+            cfg.fractions,
+            strata_col=cfg.strata_col,
+            id_col=cfg.id_col,
+            seed=cfg.seed,
+            default_fraction=cfg.default_fraction,
+        )
+    if cfg.test_frac or cfg.val_frac:
+        out = sampling_ops.assign_splits(
+            out,
+            id_col=cfg.id_col,
+            test_frac=cfg.test_frac,
+            val_frac=cfg.val_frac,
+            seed=cfg.seed + ":split",
+        )
+    return out
+
+
+def mix_report(df: DataFrame, cfg: MixConfig) -> dict[str, int]:
+    """Row counts after each configured stage (one Spark action per
+    stage — a diagnostic for notebooks and tests, NOT part of the lazy
+    production plan; run it on a sample at scale)."""
+    counts: dict[str, int] = {"input": df.count()}
+    for stage in cfg.stages():
+        partial = _truncated(cfg, stage)
+        counts[stage] = prepare_training_corpus(df, partial).count()
+    return counts
+
+
+def _truncated(cfg: MixConfig, upto: str) -> MixConfig:
+    """A copy of ``cfg`` with every stage after ``upto`` disabled."""
+    order = cfg.stages()
+    keep = set(order[: order.index(upto) + 1])
+    return MixConfig(
+        id_col=cfg.id_col,
+        text_col=cfg.text_col,
+        min_quality=cfg.min_quality if "quality" in keep else None,
+        c4_gate=cfg.c4_gate and "c4" in keep,
+        c4_min_sentences=cfg.c4_min_sentences,
+        exact=cfg.exact and "exact_dedup" in keep,
+        fuzzy_threshold=cfg.fuzzy_threshold if "fuzzy_dedup" in keep else None,
+        minhash_n_hashes=cfg.minhash_n_hashes,
+        minhash_bands=cfg.minhash_bands,
+        shingle_n=cfg.shingle_n,
+        fractions=cfg.fractions if "sample" in keep else None,
+        strata_col=cfg.strata_col,
+        default_fraction=cfg.default_fraction,
+        test_frac=cfg.test_frac if "split" in keep else 0.0,
+        val_frac=cfg.val_frac if "split" in keep else 0.0,
+        seed=cfg.seed,
+        max_cc_iter=cfg.max_cc_iter,
+    )

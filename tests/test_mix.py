@@ -1,0 +1,85 @@
+"""End-to-end training-corpus preparation (pipeline/mix.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from same_same_spark.pipeline.mix import (
+    MixConfig,
+    mix_report,
+    prepare_training_corpus,
+)
+
+# 4 distinct docs; 11/12 are exact copies of 1/2; 13 is a near-dup of 1
+# (one word changed in a long text); 99 is junk (low quality score).
+_BASE = (
+    "the table scan reads every row and the filter keeps the fast ones "
+    "while the join matches keys and the sort orders the output stream"
+)
+_DOCS = [
+    (1, _BASE, "en"),
+    (2, "a completely different document about window aggregation over "
+        "streams with the batch engine and the merge step", "en"),
+    (3, "der hund und die katze sind nicht ein team mit von das und der "
+        "die das und ist nicht eine von mit der die das", "de"),
+    (11, _BASE, "en"),
+    (12, "a completely different document about window aggregation over "
+        "streams with the batch engine and the merge step", "en"),
+    (13, _BASE.replace("sort", "merge"), "en"),
+    (99, "@@@ ###", "en"),
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(_DOCS, "doc_id LONG, text STRING, lang STRING")
+
+
+def test_stages_compose(spark):
+    # 1-vs-13 shingle Jaccard is 2/3 (one changed word in a 24-word
+    # text), so the fuzzy gate needs a threshold below that.
+    cfg = MixConfig(
+        min_quality=0.5, exact=True, fuzzy_threshold=0.6,
+        minhash_bands=16, minhash_n_hashes=16,
+    )
+    out = prepare_training_corpus(_df(spark), cfg)
+    ids = sorted(r["doc_id"] for r in out.collect())
+    # 99 fails quality; 11/12 are exact copies; 13 is a fuzzy dup of 1
+    assert ids == [1, 2, 3]
+    assert "split" not in out.columns  # splits not configured
+
+
+def test_split_and_sampling_stages(spark):
+    cfg = MixConfig(
+        exact=False,
+        fractions={"en": 1.0, "de": 1.0},
+        test_frac=0.3, val_frac=0.3, seed="t",
+    )
+    out = prepare_training_corpus(_df(spark), cfg)
+    assert out.count() == len(_DOCS)  # rate 1.0 keeps everything
+    splits = {r["split"] for r in out.select("split").distinct().collect()}
+    assert splits <= {"train", "val", "test"}
+
+
+def test_mix_report_counts_are_monotone(spark):
+    cfg = MixConfig(
+        min_quality=0.5, exact=True, fuzzy_threshold=0.6,
+        minhash_bands=16, fractions={"en": 1.0, "de": 1.0},
+        test_frac=0.2, val_frac=0.0, seed="r",
+    )
+    rep = mix_report(_df(spark), cfg)
+    assert rep["input"] == len(_DOCS)
+    order = ["input"] + cfg.stages()
+    vals = [rep[s] for s in order]
+    # filters and dedup only remove rows; split assignment removes none
+    assert all(a >= b for a, b in zip(vals, vals[1:]))
+    assert rep["quality"] == 6          # 99 dropped
+    assert rep["exact_dedup"] == 4      # 11, 12 dropped
+    assert rep["fuzzy_dedup"] == 3      # 13 dropped
+    assert rep["split"] == rep["sample"]
+
+
+def test_all_stages_disabled_is_identity(spark):
+    cfg = MixConfig(exact=False)
+    out = prepare_training_corpus(_df(spark), cfg)
+    assert out.count() == len(_DOCS)
+    assert out.columns == ["doc_id", "text", "lang"]
