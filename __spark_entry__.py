@@ -946,12 +946,15 @@ FROM base GROUP BY sha256(text)
 """
 
 
-def _exact_jaccard_sql(threshold: float, shingle_n: int = 3) -> str:
-    """Exact shingle-Jaccard pairs ≥ threshold (DuckDB), over dup docs."""
-    return f"""
-WITH base AS ({_SQL_DUP_DOCS}),
-toks AS (
-  SELECT doc_id, {duckdb_tokens_sql('text')} AS toks FROM base
+def _jaccard_pairs_ctes(shingle_n: int = 3, base: str = "base") -> str:
+    """CTE chain computing exact shingle-Jaccard for all pairs of docs
+    in ``base`` (columns doc_id, text) sharing ≥ 1 shingle; ends with
+    CTE ``j`` = (id_a, id_b, jaccard DOUBLE). The single definition of
+    the oracle-side shingle/candidate/Jaccard semantics — shared by the
+    dedup_* entries and the training_mix pipeline so they cannot
+    silently diverge. Claims the CTE names toks/sh/ex/sizes/cand/j."""
+    return f"""toks AS (
+  SELECT doc_id, {duckdb_tokens_sql('text')} AS toks FROM {base}
 ),
 sh AS (
   SELECT doc_id, {word_shingles_sql('toks', shingle_n)} AS shingles FROM toks
@@ -969,7 +972,14 @@ j AS (
   FROM cand
   JOIN sizes sa ON sa.doc_id = id_a
   JOIN sizes sb ON sb.doc_id = id_b
-)
+)"""
+
+
+def _exact_jaccard_sql(threshold: float, shingle_n: int = 3) -> str:
+    """Exact shingle-Jaccard pairs ≥ threshold (DuckDB), over dup docs."""
+    return f"""
+WITH base AS ({_SQL_DUP_DOCS}),
+{_jaccard_pairs_ctes(shingle_n)}
 SELECT id_a, id_b, round(jaccard, 6) AS jaccard
 FROM j WHERE jaccard >= {threshold}
 """
@@ -1677,27 +1687,13 @@ base AS (
   SELECT doc_id + 100000, text, lang FROM documents WHERE doc_id % 5 = 0
 ),
 q AS (SELECT * FROM base WHERE ({score}) >= 0.72),
-ex AS (
+exd AS (
   SELECT q.* FROM q
   JOIN (SELECT min(doc_id) AS doc_id FROM q GROUP BY sha256(text)) k
   USING (doc_id)
 ),
-toks AS (SELECT doc_id, {duckdb_tokens_sql('text')} AS toks FROM ex),
-sh AS (SELECT doc_id, {word_shingles_sql('toks', 3)} AS shingles FROM toks),
-exp AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
-cand AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-  FROM exp a JOIN exp b ON a.s = b.s AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-),
-pairs AS (
-  SELECT id_a, id_b
-  FROM cand
-  JOIN sizes sa ON sa.doc_id = id_a
-  JOIN sizes sb ON sb.doc_id = id_b
-  WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter)::DOUBLE >= 0.9
-),
+{_jaccard_pairs_ctes(3, base='exd')},
+pairs AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.9),
 e AS (SELECT id_a AS u, id_b AS v FROM pairs
       UNION SELECT id_b, id_a FROM pairs),
 r(u, l) AS (
@@ -1707,8 +1703,8 @@ r(u, l) AS (
 ),
 cc AS (SELECT u AS doc_id, min(l) AS cluster_id FROM r GROUP BY u),
 surv AS (
-  SELECT ex.* FROM ex LEFT JOIN cc USING (doc_id)
-  WHERE coalesce(cc.cluster_id, ex.doc_id) = ex.doc_id
+  SELECT exd.* FROM exd LEFT JOIN cc USING (doc_id)
+  WHERE coalesce(cc.cluster_id, exd.doc_id) = exd.doc_id
 ),
 samp AS (SELECT * FROM surv WHERE {sample_where})
 SELECT doc_id, lang, {split_expr} AS split FROM samp

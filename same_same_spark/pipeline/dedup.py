@@ -583,33 +583,38 @@ def connected_components(
         .distinct()
         .persist()
     )
-    labels = edges.select("u").distinct().withColumn("l", F.col("u"))
-    for _ in range(max_iter):
-        nbr = edges.join(
-            labels.select(F.col("u").alias("v"), F.col("l").alias("lv")), "v"
-        ).select("u", F.col("lv").alias("l"))
-        new = labels.unionByName(nbr).groupBy("u").agg(F.min("l").alias("l"))
-        jump = new.select(F.col("u").alias("ju"), F.col("l").alias("jl"))
-        new = (
-            new.join(jump, new["l"] == jump["ju"], "left")
-            .select("u", F.coalesce("jl", "l").alias("l"))
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "u")
-            .filter(F.col("n.l") != F.col("o.l"))
-            .limit(1)
-            .count()
-        )
-        labels = new
-        if changed == 0:
-            break
-    else:
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iter} rounds"
-        )
-    edges.unpersist()
+    try:
+        labels = edges.select("u").distinct().withColumn("l", F.col("u"))
+        for _ in range(max_iter):
+            nbr = edges.join(
+                labels.select(F.col("u").alias("v"), F.col("l").alias("lv")),
+                "v",
+            ).select("u", F.col("lv").alias("l"))
+            new = (
+                labels.unionByName(nbr).groupBy("u").agg(F.min("l").alias("l"))
+            )
+            jump = new.select(F.col("u").alias("ju"), F.col("l").alias("jl"))
+            new = (
+                new.join(jump, new["l"] == jump["ju"], "left")
+                .select("u", F.coalesce("jl", "l").alias("l"))
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                new.alias("n")
+                .join(labels.alias("o"), "u")
+                .filter(F.col("n.l") != F.col("o.l"))
+                .limit(1)
+                .count()
+            )
+            labels = new
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} rounds"
+            )
+    finally:
+        edges.unpersist()
     return labels.select(F.col("u").alias("id"), F.col("l").alias("cluster_id"))
 
 
@@ -625,7 +630,16 @@ def dedup_clusters(
     cluster_size)``. Docs in no pair are singleton clusters of
     themselves; ``cluster_id == id`` marks the canonical survivor, so
     ``filter(cluster_id == id)`` IS the deduplicated corpus and
-    ``cluster_size`` is how many docs it absorbed."""
+    ``cluster_size`` is how many docs it absorbed.
+
+    ``cluster_id`` is always an id PRESENT IN ``df`` (the minimum df
+    member of the component), even when ``pairs`` mentions ids ``df``
+    doesn't contain (pairs computed on a superset, or a pre-filtered
+    ``df``): component labels from the pair graph are re-anchored to
+    the smallest surviving member, so the survivor filter above never
+    silently drops a whole cluster whose graph-minimum was filtered
+    away. One extra groupBy on cluster labels — same key distribution
+    as the size count below."""
     cc = connected_components(pairs, id_a, id_b, max_iter).withColumnRenamed(
         "id", id_col
     )
@@ -633,6 +647,10 @@ def dedup_clusters(
         df.select(id_col)
         .join(cc, id_col, "left")
         .withColumn("cluster_id", F.coalesce("cluster_id", F.col(id_col)))
+    )
+    canon = asg.groupBy("cluster_id").agg(F.min(id_col).alias("_canon"))
+    asg = asg.join(canon, "cluster_id").select(
+        id_col, F.col("_canon").alias("cluster_id")
     )
     sizes = asg.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("cluster_size")

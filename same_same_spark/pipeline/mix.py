@@ -27,7 +27,7 @@ shuffling what survives the gates.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, replace
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -139,25 +139,21 @@ def mix_report(df: DataFrame, cfg: MixConfig) -> dict[str, int]:
 
 
 def _truncated(cfg: MixConfig, upto: str) -> MixConfig:
-    """A copy of ``cfg`` with every stage after ``upto`` disabled."""
+    """A copy of ``cfg`` with every stage after ``upto`` disabled.
+
+    Only the stage-disabling fields are overridden (via
+    :func:`dataclasses.replace`), so fields added to
+    :class:`MixConfig` later are carried through unchanged instead of
+    silently reverting to defaults in :func:`mix_report`."""
     order = cfg.stages()
     keep = set(order[: order.index(upto) + 1])
-    return MixConfig(
-        id_col=cfg.id_col,
-        text_col=cfg.text_col,
+    return replace(
+        cfg,
         min_quality=cfg.min_quality if "quality" in keep else None,
         c4_gate=cfg.c4_gate and "c4" in keep,
-        c4_min_sentences=cfg.c4_min_sentences,
         exact=cfg.exact and "exact_dedup" in keep,
         fuzzy_threshold=cfg.fuzzy_threshold if "fuzzy_dedup" in keep else None,
-        minhash_n_hashes=cfg.minhash_n_hashes,
-        minhash_bands=cfg.minhash_bands,
-        shingle_n=cfg.shingle_n,
         fractions=cfg.fractions if "sample" in keep else None,
-        strata_col=cfg.strata_col,
-        default_fraction=cfg.default_fraction,
         test_frac=cfg.test_frac if "split" in keep else 0.0,
         val_frac=cfg.val_frac if "split" in keep else 0.0,
-        seed=cfg.seed,
-        max_cc_iter=cfg.max_cc_iter,
     )

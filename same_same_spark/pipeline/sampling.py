@@ -32,6 +32,11 @@ from same_same_spark.pipeline.dedup import hash60_col, hash60_sql
 _DENOM = float(2**60)
 
 
+def _sql_lit(s: str) -> str:
+    """A DuckDB single-quoted string literal (quotes doubled)."""
+    return "'" + s.replace("'", "''") + "'"
+
+
 def hash_uniform_col(key: Column | str, seed: str = "") -> Column:
     """Deterministic uniform in [0, 1) from a row key.
 
@@ -47,7 +52,7 @@ def hash_uniform_col(key: Column | str, seed: str = "") -> Column:
 
 def hash_uniform_sql(key_expr: str, seed: str = "") -> str:
     """DuckDB twin of :func:`hash_uniform_col`."""
-    h = hash60_sql(f"'{seed}|' || ({key_expr})::VARCHAR")
+    h = hash60_sql(f"{_sql_lit(seed + '|')} || ({key_expr})::VARCHAR")
     return f"({h} / {2**60}.0)"
 
 
@@ -104,7 +109,7 @@ def sample_stratified_sql(
     rate = repr(float(default_fraction))
     for value, frac in sorted(fractions.items()):
         rate = (
-            f"CASE WHEN {strata_expr} = '{value}' THEN {float(frac)!r} "
+            f"CASE WHEN {strata_expr} = {_sql_lit(value)} THEN {float(frac)!r} "
             f"ELSE {rate} END"
         )
     return f"{hash_uniform_sql(id_expr, seed)} < ({rate})"

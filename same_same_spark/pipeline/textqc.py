@@ -529,7 +529,7 @@ def c4_doc_flags(
     runs), blocklist hit, and the combined keep decision."""
     c = F.col(text) if isinstance(text, str) else text
     n_sentences = F.coalesce(
-        F.regexp_count(c, F.lit(r"[.!?]")), F.lit(0)
+        F.regexp_count(c, F.lit(r"[.!?]+")), F.lit(0)
     )
     lower = F.lower(c)
     blocked = F.lit(False)
@@ -562,10 +562,13 @@ def c4_doc_flags_sql(
     blocklist: tuple[str, ...] = C4_DEFAULT_BLOCKLIST,
 ) -> dict[str, str]:
     """DuckDB twins of :func:`c4_doc_flags` (same names, same logic)."""
-    n_sent = f"len(regexp_extract_all({col_expr}, '[.!?]'))"
+    n_sent = f"len(regexp_extract_all({col_expr}, '[.!?]+'))"
     blocked = " OR ".join(
-        f"contains(lower({col_expr}), '{t.lower()}')" for t in blocklist
-    )
+        "contains(lower({}), '{}')".format(
+            col_expr, t.lower().replace("'", "''")
+        )
+        for t in blocklist
+    ) or "false"
     return {
         "n_sentences": f"({n_sent})::BIGINT",
         "blocklisted": f"({blocked})",

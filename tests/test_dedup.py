@@ -242,6 +242,23 @@ def test_dedup_clusters_assignment(spark):
     assert sorted(survivors) == [1, 10, 99]
 
 
+def test_dedup_clusters_foreign_pair_ids(spark):
+    # pairs computed on a superset: component minimum (5) is absent
+    # from df — cluster_id must re-anchor to the smallest df member so
+    # filter(cluster_id == id) keeps exactly one survivor per cluster
+    pairs = spark.createDataFrame(
+        [(5, 6), (6, 7)], "id_a LONG, id_b LONG"
+    )
+    docs = spark.createDataFrame([(6,), (7,)], "doc_id LONG")
+    out = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"])
+        for r in dedup.dedup_clusters(docs, pairs).collect()
+    }
+    assert out[6] == (6, 2) and out[7] == (6, 2)
+    survivors = [d for d, (c, _) in out.items() if c == d]
+    assert survivors == [6]
+
+
 def test_connected_components_empty_pairs(spark):
     empty = spark.createDataFrame([], "id_a LONG, id_b LONG")
     assert dedup.connected_components(empty).count() == 0

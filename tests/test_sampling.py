@@ -80,6 +80,26 @@ def test_sampling_oracle_parity(spark):
     assert sp == osp
 
 
+def test_sampling_sql_quotes_escaped(spark):
+    # stratum values and seeds containing single quotes must produce
+    # valid, equivalent SQL (language/domain strata like "o'odham")
+    df = _ids(spark, 120).withColumn(
+        "lang", F.when(F.col("doc_id") % 2 == 0, "o'odham").otherwise("de")
+    )
+    fr = {"o'odham": 0.5, "de": 0.25}
+    got = sorted(
+        r["doc_id"]
+        for r in sampling.sample_stratified(df, fr, seed="s'd").collect()
+    )
+    con = duckdb.connect()
+    con.register("d", df.toPandas())
+    where = sampling.sample_stratified_sql("lang", "doc_id", fr, seed="s'd")
+    oracle = sorted(
+        r[0] for r in con.execute(f"SELECT doc_id FROM d WHERE {where}").fetchall()
+    )
+    assert got == oracle and got  # same rows, and the sample is non-empty
+
+
 def test_sampling_validation(spark):
     df = _ids(spark, 10)
     with pytest.raises(ValueError):

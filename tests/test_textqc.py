@@ -288,6 +288,31 @@ def test_c4_doc_flags(spark):
     assert code["blocklisted"] is True and code["c4_keep"] is False
     lorem = run("Lorem IPSUM filler. Second one. Third one.")
     assert lorem["blocklisted"] is True  # case-insensitive match
+    # a punctuation RUN is one sentence: ellipsis junk must not pass
+    junk = run("um... hmm... yeah...")
+    assert junk["n_sentences"] == 3 and junk["c4_keep"] is True
+    junk2 = run("wait.... what?!")
+    assert junk2["n_sentences"] == 2
+
+
+def test_c4_doc_flags_sql_empty_blocklist(spark):
+    # the SQL twin must stay valid SQL when no blocklist is configured
+    df = spark.createDataFrame(
+        [(1, "One. Two. Three.")], "doc_id LONG, text STRING"
+    )
+    con = duckdb.connect()
+    con.register("d", df.toPandas())
+    fs = textqc.c4_doc_flags_sql("text", blocklist=())
+    row = con.execute(
+        "SELECT "
+        + ", ".join(f"{e} AS {k}" for k, e in fs.items())
+        + " FROM d"
+    ).fetchone()
+    assert row == (3, False, True)
+    # and the Spark twin agrees
+    flags = textqc.c4_doc_flags("text", blocklist=())
+    [r] = df.select(*[v.alias(k) for k, v in flags.items()]).collect()
+    assert (r["n_sentences"], r["blocklisted"], r["c4_keep"]) == row
 
 
 def test_c4_oracle_parity(spark):
