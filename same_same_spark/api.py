@@ -96,6 +96,26 @@ class SameSameSpark:
             new_docs.select(self.id_col), self.id_col, "left_anti"
         ).unionByName(new_docs, allowMissingColumns=True)
 
+    @staticmethod
+    def _canonical_int_ids(raw_ids) -> "list[int] | None":
+        """The exact-integer index identities of ``raw_ids``, or None
+        if any id lacks one (floats, bools, non-numeric or non-canonical
+        strings — tombstoning a truncated id would hit the wrong doc).
+        The single identity rule shared by :meth:`delete_many` and
+        :meth:`upsert`."""
+        out: list[int] = []
+        for d in raw_ids:
+            if isinstance(d, bool) or not isinstance(d, (int, str)):
+                return None
+            try:
+                iv = int(d)
+            except ValueError:
+                return None
+            if str(iv) != str(d).strip():
+                return None
+            out.append(iv)
+        return out
+
     def upsert(self, new_docs: DataFrame) -> "SameSameSpark":
         """PUT /vectors/{id} parity THROUGH the index
         (``handlers/vector.go:110-146``): incoming ids replace existing
@@ -121,22 +141,15 @@ class SameSameSpark:
         """
         if not self.index_dir:
             return self.store(new_docs)
-        ids = []
-        for d in [r[0] for r in new_docs.select(self.id_col).collect()]:
-            if isinstance(d, bool) or not isinstance(d, (int, str)):
-                ids = None
-                break
-            try:
-                iv = int(d)
-            except ValueError:
-                ids = None
-                break
-            if str(iv) != str(d).strip():
-                ids = None
-                break
-            ids.append(iv)
+        ids = self._canonical_int_ids(
+            r[0] for r in new_docs.select(self.id_col).collect()
+        )
         if ids is None:
             return self.store(new_docs)
+        if not ids:
+            # nothing to overwrite — and staging an empty batch would
+            # commit a permanent zero-doc shard group to the index
+            return self
 
         from same_same_spark.index.build import IndexManifest, compact_deltas
         from same_same_spark.index.mutate import (
@@ -156,9 +169,24 @@ class SameSameSpark:
             text_col=self.text_col, num_buckets=manifest.num_buckets,
         )
         compact_deltas(spark, self.index_dir, log=quiet)
+        # Merge the FRAME under the same canonical identities the index
+        # used (the staged batch casts ids to long): a padded string id
+        # (" 12 ") must replace the stored "12" row, not coexist with
+        # it, or count()/naive search and index search diverge. The
+        # replacement rows also carry the canonical id form so a fresh
+        # build over the merged frame indexes each doc exactly once.
+        canon = [str(iv) for iv in ids]
+        incoming = new_docs
+        if dict(new_docs.dtypes).get(self.id_col) == "string":
+            incoming = new_docs.withColumn(
+                self.id_col,
+                F.col(self.id_col).cast("long").cast("string"),
+            )
+        merged = self.docs.filter(
+            ~F.col(self.id_col).cast("string").isin(canon)
+        ).unionByName(incoming, allowMissingColumns=True)
         return SameSameSpark(
-            self._merge_frames(new_docs), self.id_col, self.text_col,
-            index_dir=self.index_dir,
+            merged, self.id_col, self.text_col, index_dir=self.index_dir,
         )
 
     def delete(self, doc_id) -> "SameSameSpark":
@@ -191,20 +219,7 @@ class SameSameSpark:
         # the column anyway
         filter_ids = [str(d) for d in doc_ids]
         if index_dir:
-            ids = []
-            for d in doc_ids:
-                if isinstance(d, bool) or not isinstance(d, (int, str)):
-                    ids = None
-                    break
-                try:
-                    iv = int(d)
-                except ValueError:
-                    ids = None
-                    break
-                if str(iv) != str(d).strip():
-                    ids = None  # non-canonical id: no index identity
-                    break
-                ids.append(iv)
+            ids = self._canonical_int_ids(doc_ids)
             if ids is None:
                 index_dir = None  # conservative: fall back to naive
             else:

@@ -85,11 +85,12 @@ def score_queries(
     set — so only matched postings survive, df for exactly those terms is
     computed from the matched set (every doc containing a query term is
     present post-join, so per-term counts are the true global df) — and a
-    salted two-level tournament top-k
-    (:func:`same_same_spark.operators.topk.topk_per_query`): no stage
-    ever holds more than ``max(k, salts*k)`` rows of one query, unlike
-    the per-query rank window this replaced (which landed ALL of a
-    query's matched docs on one task).
+    three-level tournament top-k
+    (:func:`same_same_spark.operators.topk.topk_per_query`): no task and
+    no aggregation buffer ever holds more than one input PARTITION's
+    matches for a query (then ≤ ceil(parts/salts)·k, then ≤ salts·k
+    pruned survivors), unlike the per-query rank window this replaced
+    (which landed ALL of a query's matched docs on one task).
     """
     spark = docs_df.sparkSession
     tok = tokenized(docs_df, id_col=id_col, text_col=text_col)

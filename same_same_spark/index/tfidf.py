@@ -195,6 +195,11 @@ def ensure_tfidf_aux(
         .write.mode("overwrite")
         .parquet(os.path.join(tmp, "docs"))
     )
+    # the vocab is keyed by the same fingerprint as the aux docs —
+    # persisting it here lets warm queries skip the per-call
+    # stats-scan + collect that derive_vocab costs
+    with open(os.path.join(tmp, "vocab.json"), "w") as f:
+        json.dump(vocab_idf, f)
     with open(os.path.join(tmp, "meta.json"), "w") as f:
         json.dump(
             {
@@ -221,7 +226,6 @@ def ensure_tfidf_aux(
 
 def _tfidf_bucket_fn(
     term_idf: dict[str, float],
-    term_qids: dict[str, list[int]],
     sparse_q: dict[int, tuple[dict[str, float], float]],
     uniform_qids: list[int],
     sqrt_v: float,
@@ -384,10 +388,15 @@ def tfidf_search_batch(
         spark, index_dir, min_df=min_df, max_df_ratio=max_df_ratio,
         max_features=max_features, log=log,
     )
-    vocab_idf = derive_vocab(
-        spark, index_dir, min_df=min_df, max_df_ratio=max_df_ratio,
-        max_features=max_features,
-    )
+    vocab_path = os.path.join(aux_dir, "vocab.json")
+    if os.path.exists(vocab_path):
+        with open(vocab_path) as f:
+            vocab_idf = json.load(f)
+    else:  # aux dir written before vocab persistence — derive once
+        vocab_idf = derive_vocab(
+            spark, index_dir, min_df=min_df, max_df_ratio=max_df_ratio,
+            max_features=max_features,
+        )
     v_size = len(vocab_idf)
     aux = spark.read.parquet(os.path.join(aux_dir, "docs"))
 
@@ -441,9 +450,7 @@ def tfidf_search_batch(
             "block_off_doc", "block_off_tf", "block_last_doc",
         )
     )
-    fn = _tfidf_bucket_fn(
-        term_idf, term_qids, sparse_q, uniform_qids, sqrt_v, k
-    )
+    fn = _tfidf_bucket_fn(term_idf, sparse_q, uniform_qids, sqrt_v, k)
     scored = (
         shard.groupby("bucket")
         .cogroup(aux.groupby("bucket"))

@@ -35,17 +35,32 @@ def topk_per_query(
     scored: DataFrame, k: int, salts: int = TOPK_SALTS
 ) -> DataFrame:
     """Exact top-k + rank per ``query_id``, with no single-task-per-query
-    stage.
+    stage and no aggregation buffer proportional to a query's total
+    match count.
 
     Input: (query_id, doc_id, score). Output: (query_id, doc_id, score,
     rank INT), rank 1..k per query under the pinned order.
 
-    Two-level tournament: a salted local top-k first (each (query,
-    salt) group keeps its best k — correct because the global top-k is
-    a subset of the union of local top-ks under the same total order),
-    then a per-query merge over the <= salts*k survivors. Both levels
-    are ``collect_list`` + ``sort_array`` + ``slice`` — bounded arrays,
-    JVM built-ins, no ``WindowExec``.
+    Three-level tournament (correct at every level because the global
+    top-k is a subset of the union of local top-ks under the same total
+    order, for ANY grouping of the input):
+
+    1. group by (query, ``spark_partition_id()``) — every group's rows
+       live in a single input partition, so the ``collect_list`` buffer
+       holds at most ONE PARTITION's matches for one query (sized by
+       ``spark.sql.files.maxPartitionBytes``, never by the corpus);
+       each group keeps its best k;
+    2. group the level-1 survivors by (query, part % salts) — buffers
+       hold ≤ ceil(parts / salts) · k already-pruned entries;
+    3. per-query merge of ≤ salts · k survivors.
+
+    The first shuffle still carries every matched row once (exact
+    top-k cannot prune before seeing the rows — the production index
+    path avoids even that via bucket-local MaxScore); what this shape
+    guarantees is that no single aggregation buffer and no single task
+    ever materializes one query's full match list. All levels are
+    ``collect_list`` + ``sort_array`` + ``slice``/``flatten`` — JVM
+    built-ins, no ``WindowExec``.
     """
     entry = F.struct(
         neg_rounded_score(F.col("score")).alias("nk"),
@@ -53,12 +68,16 @@ def topk_per_query(
         F.col("score").alias("score"),
     )
     local = (
-        scored.withColumn(
-            "salt",
-            F.pmod(F.xxhash64(F.col("doc_id")), F.lit(salts)).cast("int"),
-        )
-        .groupBy("query_id", "salt")
+        scored.withColumn("part", F.spark_partition_id())
+        .groupBy("query_id", "part")
         .agg(F.slice(F.sort_array(F.collect_list(entry)), 1, k).alias("cand"))
+        .withColumn("salt", F.pmod(F.col("part"), F.lit(salts)).cast("int"))
+        .groupBy("query_id", "salt")
+        .agg(
+            F.slice(
+                F.sort_array(F.flatten(F.collect_list("cand"))), 1, k
+            ).alias("cand")
+        )
     )
     merged = local.groupBy("query_id").agg(
         F.slice(

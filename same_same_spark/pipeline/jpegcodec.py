@@ -221,6 +221,15 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     H, W, comps = frame
     if H == 0 or W == 0:
         raise ValueError("jpeg: zero-sized image")
+    missing = [c["id"] for c in comps if c["id"] not in scan]
+    if missing:
+        # spec-legal per-component (non-interleaved) scans select a
+        # subset of the frame's components; this baseline decoder only
+        # handles the single interleaved scan — gate honestly
+        raise UnsupportedImageError(
+            "jpeg: non-interleaved scan (components "
+            f"{missing} not in first SOS) unsupported"
+        )
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcus_x = -(-W // (8 * hmax))

@@ -8,10 +8,11 @@ structs) and its image ingestion path
 (``internal/ingestion/image.go:41-117``), re-expressed as Spark schema
 + Arrow batch processing.
 
-Image decode is REAL for PNG and BMP via the pure-stdlib codec
-(:mod:`same_same_spark.pipeline.imagecodec`; PIL is used instead when
-installed, covering JPEG/GIF/WebP too — without it those formats raise
-``UnsupportedImageError``). Audio/video decode remains stubbed (no
+Image decode is REAL for PNG, BMP and baseline JPEG via the
+pure-stdlib codec (:mod:`same_same_spark.pipeline.imagecodec`; PIL is
+used instead when installed, covering progressive JPEG/GIF/WebP too —
+without it those formats raise ``UnsupportedImageError``). Audio/video
+decode remains stubbed (no
 codecs in this container); :func:`fake_features` provides a
 deterministic md5-derived stand-in so the Spark-side plumbing — schema,
 partitioning, mapInPandas batch shape, feature-column contract — is
@@ -150,9 +151,10 @@ def decode_image_features(
 
     Decode order per blob: PIL when installed (every registered
     format), else the pure-stdlib codec
-    (:mod:`same_same_spark.pipeline.imagecodec` — real PNG/BMP decode;
-    JPEG/GIF/WebP raise ``UnsupportedImageError``, a
-    ``NotImplementedError`` subclass, the narrowed honest gate).
+    (:mod:`same_same_spark.pipeline.imagecodec` — real PNG/BMP and
+    baseline-JPEG decode; progressive JPEG, non-interleaved scans, GIF
+    and WebP raise ``UnsupportedImageError``, a ``NotImplementedError``
+    subclass, the narrowed honest gate).
     """
 
     schema = f"{id_col} LONG, features ARRAY<DOUBLE>"

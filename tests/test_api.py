@@ -346,6 +346,59 @@ def test_upsert_keeps_index_rank_identical_to_fresh_build(spark, tmp_path):
     assert got2 == want2
 
 
+def test_upsert_padded_string_id_replaces_not_duplicates(spark, tmp_path):
+    """A whitespace-padded numeric string id must REPLACE the stored
+    row under its canonical identity (the index already tombstones and
+    re-ingests canonical long 2) — not coexist with it in the frame."""
+    from same_same_spark.api import SameSameSpark
+    from same_same_spark.index.build import build_index
+
+    docs = spark.createDataFrame(
+        [(str(i), f"document number {i} about shared topic {i % 3}")
+         for i in range(1, 9)],
+        "doc_id STRING, text STRING",
+    )
+    idx = str(tmp_path / "idx")
+    build_index(docs, idx, id_col="doc_id", text_col="text",
+                num_buckets=2, log=lambda *_: None)
+    api = SameSameSpark(docs, id_col="doc_id", text_col="text",
+                        index_dir=idx)
+    new = spark.createDataFrame(
+        [(" 2 ", "replacement content entirely different words")],
+        "doc_id STRING, text STRING",
+    )
+    api2 = api.upsert(new)
+    assert api2.index_dir == idx
+    rows = api2.docs.filter(F.col("doc_id").cast("long") == 2).collect()
+    assert len(rows) == 1  # replaced, not duplicated
+    assert rows[0]["doc_id"] == "2"  # canonical form in the frame
+    assert rows[0]["text"].startswith("replacement")
+    assert api2.count() == 8
+
+
+def test_upsert_empty_batch_is_noop(spark, tmp_path):
+    """An empty upsert must not run the delete/stage/compact pipeline —
+    staging an empty batch would commit a permanent zero-doc group."""
+    from same_same_spark.api import SameSameSpark
+    from same_same_spark.index.build import IndexManifest, build_index
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} here") for i in range(1, 6)],
+        "doc_id LONG, text STRING",
+    )
+    idx = str(tmp_path / "idx")
+    build_index(docs, idx, id_col="doc_id", text_col="text",
+                num_buckets=2, log=lambda *_: None)
+    api = SameSameSpark(docs, id_col="doc_id", text_col="text",
+                        index_dir=idx)
+    groups_before = sorted(IndexManifest.load(idx).groups)
+    api2 = api.upsert(
+        spark.createDataFrame([], "doc_id LONG, text STRING")
+    )
+    assert api2.index_dir == idx and api2.count() == 5
+    assert sorted(IndexManifest.load(idx).groups) == groups_before
+
+
 def test_filtered_search_rides_index_with_global_stats(spark, tmp_path):
     """VERDICT r2 #1: opt-in ``global_stats=True`` routes FILTERED
     search through the index (over-fetch + post-filter loop). Must

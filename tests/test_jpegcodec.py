@@ -326,6 +326,21 @@ def test_progressive_gate():
         decode_jpeg(data)
 
 
+def test_non_interleaved_scan_gated():
+    # spec-legal baseline per-component scan (SOS selects 1 of the 3
+    # frame components): honest capability gate, not a KeyError
+    img = _smooth(16, 16, seed=9)
+    data = encode_jpeg(img, q=1)
+    i = data.find(b"\xff\xda")
+    seglen = struct.unpack_from(">H", data, i + 2)[0]
+    new_sos = (
+        struct.pack(">H", 8) + bytes([1, 1, 0x00]) + b"\x00\x3f\x00"
+    )
+    patched = data[: i + 2] + new_sos + data[i + 2 + seglen :]
+    with pytest.raises(UnsupportedImageError):
+        decode_jpeg(patched)
+
+
 def test_malformed_rejected():
     with pytest.raises(ValueError):
         decode_jpeg(b"\xff\xd8\xff\xe0hello world")
