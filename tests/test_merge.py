@@ -1,0 +1,115 @@
+"""Index merge (index/merge.py): parallel sub-builds combined into one
+queryable index, rank- and score-identical to a fresh union build."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from same_same_spark.index.build import IndexManifest, build_index
+from same_same_spark.index.merge import IndexMergeError, merge_indexes
+from same_same_spark.index.query import search_batch
+
+QUERIES = [(0, "fast merge join sort"), (1, "vector table scan")]
+
+
+def _docs(spark):
+    return spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+
+
+def _canon(rows):
+    return sorted(
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+        for r in rows
+    )
+
+
+def _build(docs, out, **kw):
+    kw.setdefault("num_buckets", 4)
+    build_index(docs, out, id_col="doc_id", text_col="text",
+                log=lambda *_: None, **kw)
+
+
+def test_merge_matches_fresh_union_build(spark, tmp_path):
+    docs = _docs(spark)
+    # three disjoint slices, built independently (the parallel
+    # partition-build pattern), then merged into the first
+    parts = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    dirs = [str(tmp_path / f"idx{i}") for i in range(3)]
+    for p, d in zip(parts, dirs):
+        _build(p, d, group_size=2)  # multi-group sources
+
+    out = merge_indexes(spark, dirs[0], dirs[1:], log=lambda *_: None)
+    assert out.n_docs == docs.count()
+
+    fresh = str(tmp_path / "fresh")
+    _build(docs, fresh)
+    got = _canon(search_batch(spark, dirs[0], QUERIES, k=10).collect())
+    want = _canon(search_batch(spark, fresh, QUERIES, k=10).collect())
+    assert got == want
+
+    # sources untouched
+    for d in dirs[1:]:
+        m = IndexManifest.load(d)
+        assert m.groups and not m.has_tombstones
+
+
+def test_merge_retry_after_simulated_crash(spark, tmp_path):
+    docs = _docs(spark)
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    da, db = str(tmp_path / "a"), str(tmp_path / "b")
+    _build(a, da)
+    _build(b, db)
+
+    # simulate a merge that crashed after copying a group but before
+    # the manifest flip: plant garbage at the exact target name the
+    # allocator will choose
+    next_grp = IndexManifest.load(da).alloc_grp()
+    orphan = os.path.join(da, "shards", f"group-{next_grp:04d}")
+    os.makedirs(orphan, exist_ok=True)
+    with open(os.path.join(orphan, "junk"), "w") as f:
+        f.write("partial write")
+
+    merge_indexes(spark, da, [db], log=lambda *_: None)
+    fresh = str(tmp_path / "fresh")
+    _build(docs, fresh)
+    got = _canon(search_batch(spark, da, QUERIES, k=10).collect())
+    want = _canon(search_batch(spark, fresh, QUERIES, k=10).collect())
+    assert got == want
+    assert not os.path.exists(os.path.join(orphan, "junk"))
+
+
+def test_merge_compatibility_gates(spark, tmp_path):
+    docs = _docs(spark)
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    da, db8 = str(tmp_path / "a"), str(tmp_path / "b8")
+    _build(a, da)
+    _build(b, db8, num_buckets=8)  # bucket-count mismatch
+    with pytest.raises(IndexMergeError, match="num_buckets"):
+        merge_indexes(spark, da, [db8], log=lambda *_: None)
+
+    # tombstoned source refused
+    db = str(tmp_path / "b")
+    _build(b, db)
+    from same_same_spark.index.mutate import delete_docs
+
+    some_id = int(b.agg(F.min("doc_id")).collect()[0][0])
+    delete_docs(spark, db, [some_id], log=lambda *_: None)
+    with pytest.raises(IndexMergeError, match="tombstones"):
+        merge_indexes(spark, da, [db], log=lambda *_: None)
+
+    # pending source deltas refused
+    dc = str(tmp_path / "c")
+    _build(b, dc)
+    staged = os.path.join(dc, "_stage", "deltas", "batch-000")
+    os.makedirs(staged)
+    with pytest.raises(IndexMergeError, match="delta"):
+        merge_indexes(spark, da, [dc], log=lambda *_: None)
+    shutil.rmtree(staged)
