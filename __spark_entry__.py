@@ -37,6 +37,7 @@ from same_same_spark.stats import (
     tokenized,
 )
 from same_same_spark.pipeline import ann as ann_ops
+from same_same_spark.pipeline import decontam as decontam_ops
 from same_same_spark.pipeline import dedup as dedup_ops
 from same_same_spark.pipeline import multimodal as mm_ops
 from same_same_spark.pipeline import sampling as sampling_ops
@@ -1711,6 +1712,31 @@ SELECT doc_id, lang, {split_expr} AS split FROM samp
 """
 
 
+def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (pipeline/decontam.py): flag every
+    train doc sharing an 8-gram shingle with the derived eval set
+    (docs with doc_id % 89 = 0 — members are trivially contaminated
+    with themselves; everyone else is judged on natural overlap). Eval
+    shingles are 60-bit-hashed and broadcast; one shuffle keyed by
+    doc_id."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    ev = d.filter(F.col("doc_id") % 89 == 0)
+    out = decontam_ops.contamination_flags(d, ev, n=8)
+    return _round6(out, "hit_frac")
+
+
+# round hit_frac to 6dp to match the Spark side's _round6
+_SQL_CONTAMINATION = f"""
+SELECT doc_id, n_shingles, n_hit_shingles,
+       round(hit_frac, 6) AS hit_frac, contaminated
+FROM ({decontam_ops.contamination_sql(
+    "documents",
+    "(SELECT doc_id, text FROM documents WHERE doc_id % 89 = 0)",
+    n=8,
+)})
+"""
+
+
 # The synthetic corpus has no punctuation, so the C4 entry runs on a
 # handcrafted fixture that exercises every rule: kept/dropped lines,
 # sentence minimum, both blocklist terms, quotes, and the empty doc.
@@ -2009,6 +2035,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     ),
     "c4_filter": (_q_c4_filter, _sql_c4_filter()),
     "training_mix": (_q_training_mix, _sql_training_mix()),
+    "contamination": (_q_contamination, _SQL_CONTAMINATION),
     "sample_stratified": (_q_sample_stratified, _SQL_SAMPLE_STRATIFIED),
     "split_assign": (_q_split_assign, _SQL_SPLIT_ASSIGN),
     "repetition_metrics": (_q_repetition, _sql_repetition()),
