@@ -1712,6 +1712,35 @@ SELECT doc_id, lang, {split_expr} AS split FROM samp
 """
 
 
+def _q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card statistics per language (pipeline/profile.py): doc
+    counts, token totals/means, EXACT interpolated p50/p90 token
+    quantiles, mean quality, distinct-content counts and dup rate —
+    one groupBy(lang) pass."""
+    from same_same_spark.pipeline.profile import corpus_profile
+
+    out = corpus_profile(_docs(spark, sf_dir), strata_col="lang")
+    return _round6(
+        out, "mean_tokens", "p50_tokens", "p90_tokens", "mean_quality",
+        "dup_rate",
+    )
+
+
+def _sql_corpus_profile() -> str:
+    from same_same_spark.pipeline.profile import corpus_profile_sql
+
+    return f"""
+SELECT stratum, n_docs, total_tokens,
+       round(mean_tokens, 6) AS mean_tokens,
+       round(p50_tokens, 6) AS p50_tokens,
+       round(p90_tokens, 6) AS p90_tokens,
+       round(mean_quality, 6) AS mean_quality,
+       n_distinct_texts,
+       round(dup_rate, 6) AS dup_rate
+FROM ({corpus_profile_sql('documents')})
+"""
+
+
 def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (pipeline/decontam.py): flag every
     train doc sharing an 8-gram shingle with the derived eval set
@@ -2036,6 +2065,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "c4_filter": (_q_c4_filter, _sql_c4_filter()),
     "training_mix": (_q_training_mix, _sql_training_mix()),
     "contamination": (_q_contamination, _SQL_CONTAMINATION),
+    "corpus_profile": (_q_corpus_profile, _sql_corpus_profile()),
     "sample_stratified": (_q_sample_stratified, _SQL_SAMPLE_STRATIFIED),
     "split_assign": (_q_split_assign, _SQL_SPLIT_ASSIGN),
     "repetition_metrics": (_q_repetition, _sql_repetition()),
