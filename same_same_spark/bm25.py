@@ -88,9 +88,10 @@ def score_queries(
     three-level tournament top-k
     (:func:`same_same_spark.operators.topk.topk_per_query`): no task and
     no aggregation buffer ever holds more than one input PARTITION's
-    matches for a query (then ≤ ceil(parts/salts)·k, then ≤ salts·k
-    pruned survivors), unlike the per-query rank window this replaced
-    (which landed ALL of a query's matched docs on one task).
+    matches for a query — matches/shuffle-partition-count, shrinking
+    with P (then ≤ ceil(parts/salts)·k, then ≤ salts·k pruned
+    survivors) — unlike the per-query rank window this replaced, which
+    landed ALL of a query's matched docs on one task at any P.
     """
     spark = docs_df.sparkSession
     tok = tokenized(docs_df, id_col=id_col, text_col=text_col)

@@ -30,8 +30,11 @@ participants (parallel partition builds satisfy this by construction).
 
 Crash safety: copied group dirs land before the manifest flip and are
 unreferenced garbage until it; a rerun re-copies into the same names
-(the allocator only advances IN the flip) with mode=overwrite, so a
-merge interrupted anywhere can simply be re-run.
+(the allocator only advances IN the flip) with mode=overwrite. A rerun
+AFTER the flip is recognized by the source content token committed in
+each group's lineage record and skipped — so a merge interrupted (or
+blindly retried by an orchestrator) at ANY point can simply be re-run
+without duplicating documents.
 """
 
 from __future__ import annotations
@@ -82,6 +85,79 @@ def _check_compatible(dest: IndexManifest, src: IndexManifest, sdir: str):
     )
 
 
+def _source_token(sm: IndexManifest, sdir: str) -> str:
+    """Content fingerprint of a source index (path-independent): a
+    retried merge recognizes a source it already committed even if the
+    directory moved. Besides the manifest's aggregate counts, the
+    bytes of the (tiny) stats parquet are folded in — the term→df
+    distribution distinguishes two different doc sets whose aggregate
+    counts happen to coincide (plausible for symmetric shards)."""
+    import glob as _glob
+    import hashlib
+    import json as _json
+
+    h = hashlib.md5()
+    h.update(
+        _json.dumps(
+            {
+                "n_docs": sm.n_docs,
+                "sum_dl": sm.sum_dl,
+                "n_postings": sm.n_postings,
+                "n_terms": sm.n_terms,
+                "num_buckets": sm.num_buckets,
+                "groups": sorted(sm.groups),
+                "tokenizer_version": sm.tokenizer_version,
+            },
+            sort_keys=True,
+        ).encode()
+    )
+    stats_dir = os.path.join(sdir, sm.stats_dirname())
+    for p in sorted(_glob.glob(os.path.join(stats_dir, "*.parquet"))):
+        with open(p, "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()[:16]
+
+
+def _already_merged(
+    dest_dir: str, dest: IndexManifest, token: str
+) -> bool:
+    """Decision table over committed ``index-merge`` lineage records
+    carrying ``token`` (mirrors ``recover_delta_folds``):
+
+    - no records → not merged;
+    - a record's group is ON DISK but NOT in the manifest → the commit
+      was interrupted between lineage write and manifest flip — NOT
+      merged (the rerun re-copies the same names, since the allocator
+      only advances in the flip, and recommits);
+    - otherwise (groups live in the manifest, or consumed by a later
+      compaction that removed both dir and manifest entry) → merged.
+    """
+    import glob as _glob
+    import json as _json
+
+    recs = []
+    for p in _glob.glob(
+        os.path.join(dest_dir, "_lineage", "group-*.json")
+    ):
+        with open(p) as f:
+            rec = _json.load(f)
+        if (
+            rec.get("kind") == "index-merge"
+            and rec.get("source_token") == token
+        ):
+            recs.append(rec)
+    if not recs:
+        return False
+    for rec in recs:
+        g = rec["group"]
+        on_disk = os.path.exists(
+            os.path.join(dest_dir, "shards", f"group-{g}")
+        )
+        if g not in dest.groups and on_disk:
+            return False
+    return True
+
+
 def _no_pending_deltas(sdir: str) -> None:
     import glob as _glob
 
@@ -104,9 +180,14 @@ def merge_indexes(
     """Merge every index in ``src_dirs`` INTO ``dest_dir``.
 
     Returns the destination's post-merge manifest. Sources are read,
-    never modified. Idempotent under retry after a crash (see module
-    docstring). Cost: one partition-local parquet copy per source
-    group + the stats rebuild every group-set change pays.
+    never modified. Idempotent under retry at EVERY crash window:
+    before the manifest flip a rerun simply re-copies into the same
+    group names; after it, the committed lineage records carry each
+    source's content token, so a rerun recognizes already-merged
+    sources and skips them instead of duplicating their documents
+    (the post-commit-crash retry an orchestrator will eventually
+    issue). Cost: one partition-local parquet copy per source group +
+    the stats rebuild every group-set change pays.
     """
     from same_same_spark.index.mutate import (
         _finalize_groups,
@@ -124,18 +205,35 @@ def merge_indexes(
         "(merged stats must not double-apply tombstone deltas)",
     )
 
+    # the destination must not be a source (it would duplicate its own
+    # corpus), and listing a source twice would duplicate that source
+    dest_real = os.path.realpath(dest_dir)
+    seen_real: set[str] = set()
     sources: list[tuple[str, IndexManifest]] = []
     for sdir in src_dirs:
+        real = os.path.realpath(sdir)
+        _require(
+            real != dest_real,
+            f"{sdir}: the destination cannot also be a source",
+        )
+        _require(
+            real not in seen_real,
+            f"{sdir}: source listed more than once",
+        )
+        seen_real.add(real)
         sm = IndexManifest.load(sdir)
         _check_compatible(dest, sm, sdir)
         _no_pending_deltas(sdir)
+        if _already_merged(dest_dir, dest, _source_token(sm, sdir)):
+            log(f"[merge] {sdir}: already merged (token match) — skipped")
+            continue
         sources.append((sdir, sm))
 
     next_grp = dest.alloc_grp()
     new_groups: list[str] = []
     lineage: dict[str, dict] = {}
-    t0 = time.time()
     for sdir, sm in sources:
+        tok = _source_token(sm, sdir)
         for g in sm.groups:
             gname = f"{next_grp:04d}"
             while gname in dest.groups:  # legacy-allocator guard
@@ -145,26 +243,34 @@ def merge_indexes(
             dst_path = os.path.join(
                 dest_dir, "shards", f"group-{gname}"
             )
+            t_g = time.time()
             (
                 spark.read.parquet(src_path)
                 .withColumn("grp", F.lit(next_grp).cast("int"))
                 .write.mode("overwrite")
                 .parquet(dst_path)
             )
+            g_docs = (
+                spark.read.parquet(dst_path)
+                .filter(F.col("kind") == "d")
+                .agg(F.sum("n"))
+                .collect()[0][0]
+            )
             lineage[gname] = {
                 "group": gname,
                 "kind": "index-merge",
                 "source_index": sdir,
                 "source_group": g,
-                "docs": sm.n_docs,
-                "wall_sec": time.time() - t0,
+                "source_token": tok,
+                "docs": int(g_docs or 0),
+                "wall_sec": time.time() - t_g,
             }
             new_groups.append(gname)
             next_grp += 1
             log(f"[merge] {sdir}:group-{g} -> group-{gname}")
 
     if not new_groups:
-        log("[merge] nothing to merge (sources have no groups)")
+        log("[merge] nothing to merge (sources empty or already merged)")
         return dest
     out = _finalize_groups(
         spark, dest_dir, dest,

@@ -47,9 +47,13 @@ def topk_per_query(
 
     1. group by (query, ``spark_partition_id()``) — every group's rows
        live in a single input partition, so the ``collect_list`` buffer
-       holds at most ONE PARTITION's matches for one query (sized by
-       ``spark.sql.files.maxPartitionBytes``, never by the corpus);
-       each group keeps its best k;
+       holds at most ONE INPUT PARTITION's matches for one query. For
+       the shuffle-output inputs the callers feed this, that is
+       ``matches / spark.sql.shuffle.partitions`` — it shrinks with the
+       partition count (the standard Spark sizing lever; size P so a
+       partition fits executor memory), unlike the replaced
+       ``partitionBy(query_id)`` window whose single task held a
+       query's ENTIRE match list at any P. Each group keeps its best k;
     2. group the level-1 survivors by (query, part % salts) — buffers
        hold ≤ ceil(parts / salts) · k already-pruned entries;
     3. per-query merge of ≤ salts · k survivors.

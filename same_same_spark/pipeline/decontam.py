@@ -160,11 +160,13 @@ joined AS (
   FROM tr_sh t LEFT JOIN ev_sh e ON t.sh = e.ev_sh
 ),
 agg AS (
+  -- IS NOT DISTINCT FROM: a NULL train id must group with its own
+  -- shingle rows exactly as Spark's groupBy(id) does
   SELECT d.doc_id,
          count(j.sh) AS n_shingles,
          count(j.ev_sh) AS n_hit_shingles
   FROM (SELECT DISTINCT doc_id FROM tr_toks) d
-  LEFT JOIN joined j ON d.doc_id = j.doc_id
+  LEFT JOIN joined j ON d.doc_id IS NOT DISTINCT FROM j.doc_id
   GROUP BY d.doc_id
 )
 SELECT doc_id, n_shingles, n_hit_shingles,

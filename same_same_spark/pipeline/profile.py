@@ -11,8 +11,11 @@ Scale shape: one groupBy on the stratum column. Exact quantiles use
 strata counts are language-sized, i.e. millions of docs per group at
 most, and the sorted values are single longs). For pathologically hot
 strata swap in ``percentile_approx`` — the column expression is the
-only change. The duplicate rate reuses the md5-based content hash so
-DuckDB computes the identical value.
+only change. The duplicate rate hashes content through the repo's one
+sanctioned cross-engine scheme
+(:func:`~same_same_spark.pipeline.dedup.hash60_col`), so DuckDB
+computes the identical value (60-bit collisions undercount distincts
+by ~n²/2⁶¹ — immaterial for card statistics).
 """
 
 from __future__ import annotations
@@ -20,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from same_same_spark.pipeline.dedup import hash60_col, hash60_sql
 from same_same_spark.pipeline.textqc import (
     quality_cols,
     quality_sql,
@@ -47,7 +51,7 @@ def corpus_profile(
         F.col(strata_col).alias("stratum"),
         toks,
         quality,
-        F.md5(F.col(text_col)).alias("content_md5"),
+        hash60_col(F.col(text_col)).alias("content_h60"),
     )
     out = rows.groupBy("stratum").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -56,7 +60,7 @@ def corpus_profile(
         F.percentile(F.col("n_tokens"), F.lit(0.5)).alias("p50_tokens"),
         F.percentile(F.col("n_tokens"), F.lit(0.9)).alias("p90_tokens"),
         F.avg("q").alias("mean_quality"),
-        F.countDistinct("content_md5").alias("n_distinct_texts"),
+        F.countDistinct("content_h60").alias("n_distinct_texts"),
     )
     return out.withColumn(
         "dup_rate",
@@ -80,7 +84,7 @@ WITH rows_ AS (
   SELECT {strata_expr} AS stratum,
          ({tc})::BIGINT AS n_tokens,
          ({q}) AS q,
-         md5({text_expr}) AS content_md5
+         {hash60_sql(text_expr)} AS content_h60
   FROM {rel}
 )
 SELECT stratum,
@@ -90,8 +94,8 @@ SELECT stratum,
        quantile_cont(n_tokens, 0.5) AS p50_tokens,
        quantile_cont(n_tokens, 0.9) AS p90_tokens,
        avg(q) AS mean_quality,
-       count(DISTINCT content_md5) AS n_distinct_texts,
-       1.0 - count(DISTINCT content_md5) / count(*)::DOUBLE AS dup_rate
+       count(DISTINCT content_h60) AS n_distinct_texts,
+       1.0 - count(DISTINCT content_h60) / count(*)::DOUBLE AS dup_rate
 FROM rows_
 GROUP BY stratum
 """

@@ -2,11 +2,12 @@
 """Parallel-build + merge evidence: shard the corpus, build each shard,
 merge, and compare against a single monolithic build.
 
-Appends a section to BENCH/BASELINE.md showing (a) the merge itself is
-a small fraction of build cost (it re-registers groups, no shuffle,
-one stats rebuild) and (b) the merged index is search-identical to the
-single build — numbers behind the parallel build strategy merge_job.py
-deploys. Run with the machine otherwise idle.
+Writes BENCH/merge.json showing (a) the merge itself is a small
+fraction of build cost (it re-registers groups, no shuffle, one stats
+rebuild) and (b) the merged index is search-identical to the single
+build — the numbers behind the parallel build strategy merge_job.py
+deploys (summarized by hand in BENCH/BASELINE.md — update that table
+when rerunning). Run with the machine otherwise idle.
 """
 
 from __future__ import annotations
@@ -97,8 +98,8 @@ def main() -> None:
     print(json.dumps(result))
     assert identical, "merged search diverged from monolithic build"
 
-    md = os.path.join(REPO, "BENCH", "merge.json")
-    with open(md, "w") as f:
+    out = os.path.join(REPO, "BENCH", "merge.json")
+    with open(out, "w") as f:
         json.dump(result, f, indent=2)
     shutil.rmtree(base, ignore_errors=True)
 

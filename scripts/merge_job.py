@@ -29,9 +29,12 @@ import time
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--dest", required=True,
-                    help="destination index (merged INTO; also a source)")
+                    help="destination index (sources are merged INTO "
+                         "it; its own docs stay; must NOT be listed "
+                         "under --src)")
     ap.add_argument("--src", required=True, nargs="+",
-                    help="source index directories (read-only)")
+                    help="source index directories (read-only; each "
+                         "listed once)")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession

@@ -85,6 +85,40 @@ def test_merge_retry_after_simulated_crash(spark, tmp_path):
     assert not os.path.exists(os.path.join(orphan, "junk"))
 
 
+def test_merge_retry_after_commit_skips_merged_source(spark, tmp_path):
+    """The post-manifest-flip crash window: an orchestrator retrying a
+    COMMITTED merge must not duplicate the source's documents — the
+    source content token in the committed lineage marks it merged."""
+    docs = _docs(spark)
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    da, db = str(tmp_path / "a"), str(tmp_path / "b")
+    _build(a, da)
+    _build(b, db)
+
+    first = merge_indexes(spark, da, [db], log=lambda *_: None)
+    assert first.n_docs == docs.count()
+    before = _canon(search_batch(spark, da, QUERIES, k=10).collect())
+
+    # blind retry of the identical command
+    second = merge_indexes(spark, da, [db], log=lambda *_: None)
+    assert second.n_docs == docs.count()  # NOT doubled
+    assert sorted(second.groups) == sorted(first.groups)
+    after = _canon(search_batch(spark, da, QUERIES, k=10).collect())
+    assert after == before
+
+
+def test_merge_rejects_dest_as_source_and_dup_sources(spark, tmp_path):
+    docs = _docs(spark)
+    da, db = str(tmp_path / "a"), str(tmp_path / "b")
+    _build(docs.filter(F.col("doc_id") % 2 == 0), da)
+    _build(docs.filter(F.col("doc_id") % 2 == 1), db)
+    with pytest.raises(IndexMergeError, match="destination"):
+        merge_indexes(spark, da, [da], log=lambda *_: None)
+    with pytest.raises(IndexMergeError, match="more than once"):
+        merge_indexes(spark, da, [db, db], log=lambda *_: None)
+
+
 def test_merge_compatibility_gates(spark, tmp_path):
     docs = _docs(spark)
     a = docs.filter(F.col("doc_id") % 2 == 0)
