@@ -12,9 +12,12 @@ Stage order (each optional, each a module this package already ships):
 4. fuzzy dedup    — MinHash-LSH pairs →
    :func:`~same_same_spark.pipeline.dedup.connected_components` →
    keep each cluster's minimum id,
-5. mix sampling   — :func:`~same_same_spark.pipeline.sampling.sample_stratified`
+5. decontamination — :func:`~same_same_spark.pipeline.decontam.decontaminate`
+   against an eval set (broadcast shingle hashes; only when the caller
+   passes ``eval_df``),
+6. mix sampling   — :func:`~same_same_spark.pipeline.sampling.sample_stratified`
    per-stratum rates (zero-shuffle hash filter),
-6. split columns  — :func:`~same_same_spark.pipeline.sampling.assign_splits`.
+7. split columns  — :func:`~same_same_spark.pipeline.sampling.assign_splits`.
 
 Everything stays one lazy DataFrame plan until the caller acts, so
 Catalyst sees the whole pipeline at once: the quality/C4 gates are
@@ -58,8 +61,12 @@ class MixConfig:
     val_frac: float = 0.0
     seed: str = "mix"
     max_cc_iter: int = 30
+    # decontamination runs only when prepare_training_corpus receives
+    # an eval_df; these tune its shingle width and drop threshold
+    decontam_n: int = 8
+    decontam_max_hit_frac: float = 0.0
 
-    def stages(self) -> list[str]:
+    def stages(self, with_decontam: bool = False) -> list[str]:
         out = []
         if self.min_quality is not None:
             out.append("quality")
@@ -69,6 +76,8 @@ class MixConfig:
             out.append("exact_dedup")
         if self.fuzzy_threshold is not None:
             out.append("fuzzy_dedup")
+        if with_decontam:
+            out.append("decontam")
         if self.fractions is not None:
             out.append("sample")
         if self.test_frac or self.val_frac:
@@ -76,9 +85,13 @@ class MixConfig:
         return out
 
 
-def prepare_training_corpus(df: DataFrame, cfg: MixConfig) -> DataFrame:
+def prepare_training_corpus(
+    df: DataFrame, cfg: MixConfig, eval_df: DataFrame | None = None
+) -> DataFrame:
     """Run the configured stages; returns the surviving rows with all
-    input columns (+ ``split`` when splits are configured)."""
+    input columns (+ ``split`` when splits are configured).
+    ``eval_df`` (columns incl. ``text``) switches on the
+    decontamination stage after dedup."""
     out = df
     if cfg.min_quality is not None:
         score = textqc_ops.quality_cols(cfg.text_col)["quality_score"]
@@ -107,6 +120,14 @@ def prepare_training_corpus(df: DataFrame, cfg: MixConfig) -> DataFrame:
             F.col("cluster_id") == F.col(cfg.id_col)
         ).select(cfg.id_col)
         out = out.join(survivors, cfg.id_col, "left_semi")
+    if eval_df is not None:
+        from same_same_spark.pipeline.decontam import decontaminate
+
+        out = decontaminate(
+            out, eval_df, n=cfg.decontam_n, id_col=cfg.id_col,
+            text_col=cfg.text_col,
+            max_hit_frac=cfg.decontam_max_hit_frac,
+        )
     if cfg.fractions is not None:
         out = sampling_ops.sample_stratified(
             out,
@@ -127,25 +148,35 @@ def prepare_training_corpus(df: DataFrame, cfg: MixConfig) -> DataFrame:
     return out
 
 
-def mix_report(df: DataFrame, cfg: MixConfig) -> dict[str, int]:
+def mix_report(
+    df: DataFrame, cfg: MixConfig, eval_df: DataFrame | None = None
+) -> dict[str, int]:
     """Row counts after each configured stage (one Spark action per
     stage — a diagnostic for notebooks and tests, NOT part of the lazy
     production plan; run it on a sample at scale)."""
+    with_d = eval_df is not None
     counts: dict[str, int] = {"input": df.count()}
-    for stage in cfg.stages():
-        partial = _truncated(cfg, stage)
-        counts[stage] = prepare_training_corpus(df, partial).count()
+    for stage in cfg.stages(with_decontam=with_d):
+        partial = _truncated(cfg, stage, with_decontam=with_d)
+        order = cfg.stages(with_decontam=with_d)
+        keep = set(order[: order.index(stage) + 1])
+        ev = eval_df if "decontam" in keep else None
+        counts[stage] = prepare_training_corpus(df, partial, ev).count()
     return counts
 
 
-def _truncated(cfg: MixConfig, upto: str) -> MixConfig:
+def _truncated(
+    cfg: MixConfig, upto: str, with_decontam: bool = False
+) -> MixConfig:
     """A copy of ``cfg`` with every stage after ``upto`` disabled.
 
     Only the stage-disabling fields are overridden (via
     :func:`dataclasses.replace`), so fields added to
     :class:`MixConfig` later are carried through unchanged instead of
-    silently reverting to defaults in :func:`mix_report`."""
-    order = cfg.stages()
+    silently reverting to defaults in :func:`mix_report`. (The
+    decontam stage is toggled by ``mix_report`` withholding
+    ``eval_df``, not by a cfg field.)"""
+    order = cfg.stages(with_decontam=with_decontam)
     keep = set(order[: order.index(upto) + 1])
     return replace(
         cfg,

@@ -78,6 +78,27 @@ def test_mix_report_counts_are_monotone(spark):
     assert rep["split"] == rep["sample"]
 
 
+def test_decontam_stage(spark):
+    # doc 2's text IS the eval doc → dropped when eval_df is passed;
+    # everything else survives (no 8-gram overlap among the others)
+    eval_df = spark.createDataFrame(
+        [(0, _DOCS[1][1])], "eid LONG, text STRING"
+    )
+    cfg = MixConfig(exact=False)
+    with_ = sorted(
+        r["doc_id"]
+        for r in prepare_training_corpus(
+            _df(spark), cfg, eval_df
+        ).collect()
+    )
+    assert 2 not in with_ and 12 not in with_  # both copies of the text
+    assert 1 in with_ and 3 in with_
+    without = prepare_training_corpus(_df(spark), cfg).count()
+    assert without == len(_DOCS)  # no eval set → stage is off
+    rep = mix_report(_df(spark), cfg, eval_df)
+    assert rep["decontam"] == rep["input"] - 2
+
+
 def test_all_stages_disabled_is_identity(spark):
     cfg = MixConfig(exact=False)
     out = prepare_training_corpus(_df(spark), cfg)
