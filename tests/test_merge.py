@@ -108,6 +108,52 @@ def test_merge_retry_after_commit_skips_merged_source(spark, tmp_path):
     assert after == before
 
 
+def test_merge_retry_after_lineage_but_no_flip(spark, tmp_path):
+    """The OTHER commit window: lineage records written, group dirs on
+    disk, but the manifest flip never happened (crash inside
+    _finalize_groups). The decision table must treat the source as NOT
+    merged — a rerun re-copies the same names and finishes the commit,
+    losing nothing and duplicating nothing."""
+    import json
+
+    docs = _docs(spark)
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    da, db = str(tmp_path / "a"), str(tmp_path / "b")
+    _build(a, da)
+    _build(b, db)
+
+    pre_manifest_path = os.path.join(da, "manifest.json")
+    with open(pre_manifest_path) as f:
+        pre_manifest = f.read()
+
+    first = merge_indexes(spark, da, [db], log=lambda *_: None)
+    committed_groups = sorted(first.groups)
+
+    # simulate the crash: lineage + group dirs exist, manifest reverted
+    with open(pre_manifest_path, "w") as f:
+        f.write(pre_manifest)
+    # sanity: the merged groups are on disk but absent from the manifest
+    m = IndexManifest.load(da)
+    assert sorted(m.groups) != committed_groups
+    lineage = [
+        json.load(open(os.path.join(da, "_lineage", p)))
+        for p in os.listdir(os.path.join(da, "_lineage"))
+        if p.startswith("group-")
+    ]
+    assert any(r.get("kind") == "index-merge" for r in lineage)
+
+    retried = merge_indexes(spark, da, [db], log=lambda *_: None)
+    assert retried.n_docs == docs.count()  # completed, not skipped
+    assert sorted(retried.groups) == committed_groups  # same names
+
+    fresh = str(tmp_path / "fresh")
+    _build(docs, fresh)
+    got = _canon(search_batch(spark, da, QUERIES, k=10).collect())
+    want = _canon(search_batch(spark, fresh, QUERIES, k=10).collect())
+    assert got == want
+
+
 def test_merge_rejects_dest_as_source_and_dup_sources(spark, tmp_path):
     docs = _docs(spark)
     da, db = str(tmp_path / "a"), str(tmp_path / "b")
