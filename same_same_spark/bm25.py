@@ -85,13 +85,13 @@ def score_queries(
     set — so only matched postings survive, df for exactly those terms is
     computed from the matched set (every doc containing a query term is
     present post-join, so per-term counts are the true global df) — and a
-    three-level tournament top-k
-    (:func:`same_same_spark.operators.topk.topk_per_query`): no task and
-    no aggregation buffer ever holds more than one input PARTITION's
-    matches for a query — matches/shuffle-partition-count, shrinking
-    with P (then ≤ ceil(parts/salts)·k, then ≤ salts·k pruned
-    survivors) — unlike the per-query rank window this replaced, which
-    landed ALL of a query's matched docs on one task at any P.
+    tournament top-k
+    (:func:`same_same_spark.operators.topk.topk_per_query`): an exact
+    Arrow-batch pre-prune keeps ≤ k rows per (batch, query) BEFORE any
+    shuffle, so the top-k wire traffic and every aggregation buffer are
+    bounded by batches·k per query — unlike the per-query rank window
+    this replaced, which landed ALL of a query's matched docs on one
+    task.
     """
     spark = docs_df.sparkSession
     tok = tokenized(docs_df, id_col=id_col, text_col=text_col)

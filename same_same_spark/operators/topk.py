@@ -17,6 +17,8 @@ a zero score stays IEEE ``+0.0`` and struct comparison never sees the
 
 from __future__ import annotations
 
+from typing import Iterator
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -31,8 +33,50 @@ def neg_rounded_score(score_col: Column) -> Column:
     return F.lit(0.0) - F.round(score_col, 9)
 
 
+def prune_local_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Exact-safe per-Arrow-batch top-k pre-prune of (query_id, doc_id,
+    score) rows under the pinned order — run BEFORE any shuffle so the
+    wire carries ≤ batches·queries·k rows instead of every match.
+
+    Correct because a batch is a subset of its partition and the
+    global top-k is a subset of the union of local top-ks under the
+    same total order. The sort key ``nk = 0.0 - round(score, 9)`` is
+    computed JVM-SIDE and shipped through Arrow: Spark's ``round`` is
+    HALF_UP while ``np.round`` is banker's rounding, and a prune under
+    a key that rounds differently at a tie boundary could drop a row
+    the final order ranks inside the top-k.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    with_key = scored.withColumn("nk", neg_rounded_score(F.col("score")))
+    out_schema = with_key.schema
+
+    def prune(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            qid = b.column("query_id").to_numpy(zero_copy_only=False)
+            did = b.column("doc_id").to_numpy(zero_copy_only=False)
+            nk = b.column("nk").to_numpy(zero_copy_only=False)
+            order = np.lexsort((did, nk, qid))
+            q_sorted = qid[order]
+            starts = np.flatnonzero(
+                np.r_[True, q_sorted[1:] != q_sorted[:-1]]
+            )
+            sizes = np.diff(np.r_[starts, len(order)])
+            ranks = np.arange(len(order)) - np.repeat(starts, sizes)
+            keep = np.sort(order[ranks < k])
+            yield b.take(pa.array(keep))
+
+    return with_key.mapInArrow(prune, out_schema).drop("nk")
+
+
 def topk_per_query(
-    scored: DataFrame, k: int, salts: int = TOPK_SALTS
+    scored: DataFrame,
+    k: int,
+    salts: int = TOPK_SALTS,
+    arrow_prune: bool = True,
 ) -> DataFrame:
     """Exact top-k + rank per ``query_id``, with no single-task-per-query
     stage and no aggregation buffer proportional to a query's total
@@ -58,14 +102,19 @@ def topk_per_query(
        hold ≤ ceil(parts / salts) · k already-pruned entries;
     3. per-query merge of ≤ salts · k survivors.
 
-    The first shuffle still carries every matched row once (exact
-    top-k cannot prune before seeing the rows — the production index
-    path avoids even that via bucket-local MaxScore); what this shape
-    guarantees is that no single aggregation buffer and no single task
-    ever materializes one query's full match list. All levels are
+    With ``arrow_prune`` (default) a :func:`prune_local_topk` stage
+    runs BEFORE level 1, so the first shuffle carries only
+    ≤ batches·queries·k pre-pruned rows instead of every matched row,
+    and the level-1 buffers shrink to the same bound. (Without it the
+    first shuffle carries every match once and level-1 buffers hold up
+    to one input partition's matches for a query.) No single
+    aggregation buffer and no single task ever materializes one
+    query's full match list either way. Tournament levels are
     ``collect_list`` + ``sort_array`` + ``slice``/``flatten`` — JVM
     built-ins, no ``WindowExec``.
     """
+    if arrow_prune:
+        scored = prune_local_topk(scored, k)
     entry = F.struct(
         neg_rounded_score(F.col("score")).alias("nk"),
         F.col("doc_id").alias("doc_id"),

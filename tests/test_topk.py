@@ -28,11 +28,15 @@ def _run(spark, rows, k, parts=None, salts=32):
     )
     if parts:
         df = df.repartition(parts)
-    got = {
-        (r["query_id"], r["rank"]): (r["doc_id"], r["score"])
-        for r in topk_per_query(df, k, salts=salts).collect()
-    }
-    assert got == _reference_topk(rows, k)
+    want = _reference_topk(rows, k)
+    for prune in (True, False):
+        got = {
+            (r["query_id"], r["rank"]): (r["doc_id"], r["score"])
+            for r in topk_per_query(
+                df, k, salts=salts, arrow_prune=prune
+            ).collect()
+        }
+        assert got == want, f"arrow_prune={prune}"
 
 
 def test_topk_random_differential(spark):
