@@ -1712,6 +1712,31 @@ SELECT doc_id, lang, {split_expr} AS split FROM samp
 """
 
 
+def _q_sample_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-capped sampling (pipeline/sampling.sample_quota): cap en
+    at ~120 docs and de at ~60, keep other strata whole — one tiny
+    totals pass + the zero-shuffle hash filter."""
+    out = sampling_ops.sample_quota(
+        _docs(spark, sf_dir).select("doc_id", "lang"),
+        {"en": 120, "de": 60},
+        strata_col="lang",
+        seed="quota1",
+    )
+    return out.select("doc_id", "lang")
+
+
+_SQL_SAMPLE_QUOTA = f"""
+SELECT doc_id, lang FROM (
+{sampling_ops.sample_quota_sql(
+    "(SELECT doc_id, lang FROM documents)",
+    {"en": 120, "de": 60},
+    strata_expr="lang",
+    seed="quota1",
+)}
+)
+"""
+
+
 def _q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset-card statistics per language (pipeline/profile.py): doc
     counts, token totals/means, EXACT interpolated p50/p90 token
@@ -2066,6 +2091,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "training_mix": (_q_training_mix, _sql_training_mix()),
     "contamination": (_q_contamination, _SQL_CONTAMINATION),
     "corpus_profile": (_q_corpus_profile, _sql_corpus_profile()),
+    "sample_quota": (_q_sample_quota, _SQL_SAMPLE_QUOTA),
     "sample_stratified": (_q_sample_stratified, _SQL_SAMPLE_STRATIFIED),
     "split_assign": (_q_split_assign, _SQL_SPLIT_ASSIGN),
     "repetition_metrics": (_q_repetition, _sql_repetition()),

@@ -115,6 +115,98 @@ def sample_stratified_sql(
     return f"{hash_uniform_sql(id_expr, seed)} < ({rate})"
 
 
+def sample_quota(
+    df: DataFrame,
+    quotas: dict[str, float],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: str = "",
+    weight_col: str | None = None,
+    default_keep: bool = True,
+) -> DataFrame:
+    """Budget-capped sampling: keep each stratum under a QUOTA — a doc
+    count (``weight_col=None``) or any additive budget such as total
+    tokens (``weight_col="n_tokens"``). This is how real mixes are
+    specified ("at most 50 B tokens of web, all of wiki").
+
+    Two passes, both cheap: (1) one groupBy(strata) totals pass (rows
+    = #strata, broadcastable), (2) the same zero-shuffle hash filter
+    as :func:`sample_stratified` with per-stratum rate
+    ``min(1, quota / total)``. Expected kept weight ≈ quota; exact
+    caps would need a per-stratum total order (a cluster-wide sort
+    whose determinism mixes don't require). Strata without a quota are
+    kept whole (``default_keep=True``) or dropped. Deterministic in
+    (seed, id): growing the corpus only dilutes rates, it never
+    un-keeps a kept doc for an unchanged stratum total.
+    """
+    w = (
+        F.lit(1.0)
+        if weight_col is None
+        else F.col(weight_col).cast("double")
+    )
+    totals = (
+        df.groupBy(F.col(strata_col).alias("_stratum"))
+        .agg(F.sum(w).alias("_total"))
+    )
+    rate = F.lit(None).cast("double")
+    for value, quota in sorted(quotas.items()):
+        if quota < 0:
+            raise ValueError(f"quota for {value!r} must be >= 0")
+        rate = F.when(
+            F.col("_stratum") == value,
+            F.least(F.lit(1.0), F.lit(float(quota)) / F.col("_total")),
+        ).otherwise(rate)
+    rates = totals.select(
+        "_stratum", F.coalesce(rate, F.lit(1.0 if default_keep else 0.0))
+        .alias("_rate")
+    )
+    joined = df.join(
+        F.broadcast(rates),
+        df[strata_col] == rates["_stratum"],
+        "left",
+    )
+    return (
+        joined.filter(
+            hash_uniform_col(F.col(id_col), seed)
+            < F.coalesce(F.col("_rate"), F.lit(0.0))
+        )
+        .drop("_stratum", "_rate")
+    )
+
+
+def sample_quota_sql(
+    rel: str,
+    quotas: dict[str, float],
+    strata_expr: str = "lang",
+    id_expr: str = "doc_id",
+    seed: str = "",
+    weight_expr: str | None = None,
+    default_keep: bool = True,
+) -> str:
+    """DuckDB twin of :func:`sample_quota` (full SELECT over ``rel``)."""
+    w = "1.0" if weight_expr is None else f"({weight_expr})::DOUBLE"
+    rate = "NULL"
+    for value, quota in sorted(quotas.items()):
+        rate = (
+            f"CASE WHEN _stratum = {_sql_lit(value)} "
+            f"THEN least(1.0, {float(quota)!r} / _total) "
+            f"ELSE {rate} END"
+        )
+    default = "1.0" if default_keep else "0.0"
+    return f"""
+WITH totals AS (
+  SELECT {strata_expr} AS _stratum, sum({w}) AS _total
+  FROM {rel} GROUP BY 1
+),
+rates AS (
+  SELECT _stratum, coalesce({rate}, {default}) AS _rate FROM totals
+)
+SELECT d.* FROM {rel} d
+LEFT JOIN rates r ON d.{strata_expr} = r._stratum
+WHERE {hash_uniform_sql('d.' + id_expr, seed)} < coalesce(r._rate, 0.0)
+"""
+
+
 def assign_splits(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -100,6 +100,65 @@ def test_sampling_sql_quotes_escaped(spark):
     assert got == oracle and got  # same rows, and the sample is non-empty
 
 
+def test_sample_quota_doc_counts(spark):
+    df = _ids(spark, 400).withColumn(
+        "lang", F.when(F.col("doc_id") % 2 == 0, "en").otherwise("de")
+    )
+    out = sampling.sample_quota(
+        df, {"en": 50}, strata_col="lang", seed="q"
+    )
+    counts = {
+        r["lang"]: r["c"]
+        for r in out.groupBy("lang").agg(F.count("*").alias("c")).collect()
+    }
+    # en capped near 50 (hash sampling: expected value, not exact);
+    # de has no quota -> kept whole by default
+    assert 30 <= counts["en"] <= 70 and counts["de"] == 200
+    # default_keep=False drops unquoted strata entirely
+    dropped = sampling.sample_quota(
+        df, {"en": 50}, strata_col="lang", seed="q", default_keep=False
+    )
+    assert dropped.filter(F.col("lang") == "de").count() == 0
+    # quota above the stratum size keeps everything (rate clamps at 1)
+    all_en = sampling.sample_quota(
+        df, {"en": 10_000}, strata_col="lang", seed="q"
+    )
+    assert all_en.filter(F.col("lang") == "en").count() == 200
+
+
+def test_sample_quota_token_budget(spark):
+    df = _ids(spark, 300).withColumn("lang", F.lit("en")).withColumn(
+        "n_tokens", (F.col("doc_id") % 7 + 1).cast("double")
+    )
+    total = df.agg(F.sum("n_tokens")).collect()[0][0]
+    budget = total / 4.0
+    out = sampling.sample_quota(
+        df, {"en": budget}, strata_col="lang", seed="t",
+        weight_col="n_tokens",
+    )
+    kept = out.agg(F.sum("n_tokens")).collect()[0][0]
+    assert budget * 0.5 <= kept <= budget * 1.6  # ~budget in expectation
+
+
+def test_sample_quota_oracle_parity(spark):
+    df = _ids(spark, 250).withColumn(
+        "lang", F.when(F.col("doc_id") % 3 == 0, "en").otherwise("de")
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in sampling.sample_quota(
+            df, {"en": 30, "de": 40}, strata_col="lang", seed="p"
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.register("d", df.toPandas())
+    sql = sampling.sample_quota_sql(
+        "d", {"en": 30, "de": 40}, strata_expr="lang", seed="p"
+    )
+    oracle = sorted(r[0] for r in con.execute(sql).fetchall())
+    assert got == oracle and got
+
+
 def test_sampling_validation(spark):
     df = _ids(spark, 10)
     with pytest.raises(ValueError):
