@@ -257,6 +257,50 @@ WHERE lang <> 'en'
 """
 
 
+def _q_list_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7/F8 — the REST listing projection (id + text length) through
+    the API façade (api.list, memory.go:70-90 List parity)."""
+    from same_same_spark.api import SameSameSpark
+
+    api = SameSameSpark(
+        _docs(spark, sf_dir).select("doc_id", "text"),
+        id_col="doc_id", text_col="text",
+    )
+    return api.list()
+
+
+_SQL_LIST_PROJECTION = """
+SELECT doc_id, length(text) AS text_length FROM documents
+"""
+
+
+def _q_metadata_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 — per-doc metadata match score (1.0 iff every filter matches,
+    advanced_search.go:80-91) over the MAP<STRING,STRING> shape."""
+    from same_same_spark.operators.hybrid import metadata_score_col
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "metadata",
+        F.create_map(
+            F.lit("lang"), F.col("lang"),
+            F.lit("n_chars"), F.col("n_chars").cast("string"),
+        ),
+    )
+    score = metadata_score_col(
+        {"lang": {"eq": "en"}, "n_chars": {"gte": 200}},
+        metadata_col="metadata",
+    )
+    return docs.select("doc_id", score.alias("metadata_score"))
+
+
+_SQL_METADATA_SCORE = """
+SELECT doc_id,
+       CASE WHEN lang = 'en' AND n_chars >= 200
+            THEN 1.0 ELSE 0.0 END AS metadata_score
+FROM documents
+"""
+
+
 def _q_legacy_metadata_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1 — legacy exact-equality metadata match (search/search.go:46-53)."""
     docs = _docs(spark, sf_dir).withColumn(
@@ -2023,6 +2067,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "filter_expr": (_q_filter_expr, _SQL_FILTER_EXPR),
     "filter_metadata_map": (_q_filter_metadata_map, _SQL_FILTER_METADATA_MAP),
     "legacy_metadata_eq": (_q_legacy_metadata_eq, _SQL_LEGACY_METADATA_EQ),
+    "list_projection": (_q_list_projection, _SQL_LIST_PROJECTION),
+    "metadata_score": (_q_metadata_score, _SQL_METADATA_SCORE),
     "temporal_decay": (_q_temporal_decay, _SQL_TEMPORAL_DECAY),
     "temporal_topk": (_q_temporal_topk, _SQL_TEMPORAL_TOPK),
     "vector_topk": (_q_vector_topk, _SQL_VECTOR_TOPK),
