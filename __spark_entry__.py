@@ -1774,7 +1774,7 @@ SELECT doc_id, lang FROM (
 {sampling_ops.sample_quota_sql(
     "(SELECT doc_id, lang FROM documents)",
     {"en": 120, "de": 60},
-    strata_expr="lang",
+    strata_col="lang",
     seed="quota1",
 )}
 )

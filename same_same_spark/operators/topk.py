@@ -45,11 +45,16 @@ def prune_local_topk(scored: DataFrame, k: int) -> DataFrame:
     HALF_UP while ``np.round`` is banker's rounding, and a prune under
     a key that rounds differently at a tie boundary could drop a row
     the final order ranks inside the top-k.
+
+    ``doc_id`` must be non-null (true for every scorer in this
+    engine); NULL scores are ordered FIRST like Spark's ascending
+    struct sort of their NULL key, so both prune paths agree on them.
     """
     import numpy as np
     import pyarrow as pa
 
-    with_key = scored.withColumn("nk", neg_rounded_score(F.col("score")))
+    key = "__topk_nk"  # collision-safe: passthrough columns survive
+    with_key = scored.withColumn(key, neg_rounded_score(F.col("score")))
     out_schema = with_key.schema
 
     def prune(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -58,7 +63,15 @@ def prune_local_topk(scored: DataFrame, k: int) -> DataFrame:
                 continue
             qid = b.column("query_id").to_numpy(zero_copy_only=False)
             did = b.column("doc_id").to_numpy(zero_copy_only=False)
-            nk = b.column("nk").to_numpy(zero_copy_only=False)
+            col = b.column(key)
+            nk = col.to_numpy(zero_copy_only=False)
+            if col.null_count:
+                # NULL sorts FIRST in Spark's ascending order; numpy
+                # would turn it into NaN (sorts LAST) — substitute -inf
+                nk = np.where(
+                    col.is_null().to_numpy(zero_copy_only=False),
+                    -np.inf, nk,
+                )
             order = np.lexsort((did, nk, qid))
             q_sorted = qid[order]
             starts = np.flatnonzero(
@@ -69,7 +82,7 @@ def prune_local_topk(scored: DataFrame, k: int) -> DataFrame:
             keep = np.sort(order[ranks < k])
             yield b.take(pa.array(keep))
 
-    return with_key.mapInArrow(prune, out_schema).drop("nk")
+    return with_key.mapInArrow(prune, out_schema).drop(key)
 
 
 def topk_per_query(

@@ -155,29 +155,26 @@ def mix_report(
     stage — a diagnostic for notebooks and tests, NOT part of the lazy
     production plan; run it on a sample at scale)."""
     with_d = eval_df is not None
+    order = cfg.stages(with_decontam=with_d)
     counts: dict[str, int] = {"input": df.count()}
-    for stage in cfg.stages(with_decontam=with_d):
-        partial = _truncated(cfg, stage, with_decontam=with_d)
-        order = cfg.stages(with_decontam=with_d)
-        keep = set(order[: order.index(stage) + 1])
+    for i, stage in enumerate(order):
+        keep = set(order[: i + 1])
+        partial = _truncated(cfg, keep)
         ev = eval_df if "decontam" in keep else None
         counts[stage] = prepare_training_corpus(df, partial, ev).count()
     return counts
 
 
-def _truncated(
-    cfg: MixConfig, upto: str, with_decontam: bool = False
-) -> MixConfig:
-    """A copy of ``cfg`` with every stage after ``upto`` disabled.
+def _truncated(cfg: MixConfig, keep: set[str]) -> MixConfig:
+    """A copy of ``cfg`` with every stage not in ``keep`` disabled.
 
     Only the stage-disabling fields are overridden (via
     :func:`dataclasses.replace`), so fields added to
     :class:`MixConfig` later are carried through unchanged instead of
     silently reverting to defaults in :func:`mix_report`. (The
     decontam stage is toggled by ``mix_report`` withholding
-    ``eval_df``, not by a cfg field.)"""
-    order = cfg.stages(with_decontam=with_decontam)
-    keep = set(order[: order.index(upto) + 1])
+    ``eval_df``, not by a cfg field — the caller derives both from ONE
+    stage-order computation.)"""
     return replace(
         cfg,
         min_quality=cfg.min_quality if "quality" in keep else None,

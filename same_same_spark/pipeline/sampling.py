@@ -134,10 +134,15 @@ def sample_quota(
     as :func:`sample_stratified` with per-stratum rate
     ``min(1, quota / total)``. Expected kept weight ≈ quota; exact
     caps would need a per-stratum total order (a cluster-wide sort
-    whose determinism mixes don't require). Strata without a quota are
-    kept whole (``default_keep=True``) or dropped. Deterministic in
-    (seed, id): growing the corpus only dilutes rates, it never
-    un-keeps a kept doc for an unchanged stratum total.
+    whose determinism mixes don't require). Strata without a quota —
+    including a NULL stratum value (the join is null-safe) — are kept
+    whole (``default_keep=True``) or dropped. A QUOTED stratum whose
+    total weight is NULL or ≤ 0 (e.g. every weight NULL after an
+    upstream failure) keeps NOTHING: an unverifiable budget must not
+    silently bypass the cap. Deterministic in (seed, id): growing the
+    corpus only dilutes rates, it never un-keeps a kept doc for an
+    unchanged stratum total. ``strata_col``/``id_col`` are bare column
+    names (not expressions), as in the SQL twin.
     """
     w = (
         F.lit(1.0)
@@ -154,7 +159,12 @@ def sample_quota(
             raise ValueError(f"quota for {value!r} must be >= 0")
         rate = F.when(
             F.col("_stratum") == value,
-            F.least(F.lit(1.0), F.lit(float(quota)) / F.col("_total")),
+            F.when(
+                F.col("_total").isNull() | (F.col("_total") <= 0),
+                F.lit(0.0),
+            ).otherwise(
+                F.least(F.lit(1.0), F.lit(float(quota)) / F.col("_total"))
+            ),
         ).otherwise(rate)
     rates = totals.select(
         "_stratum", F.coalesce(rate, F.lit(1.0 if default_keep else 0.0))
@@ -162,7 +172,7 @@ def sample_quota(
     )
     joined = df.join(
         F.broadcast(rates),
-        df[strata_col] == rates["_stratum"],
+        df[strata_col].eqNullSafe(rates["_stratum"]),
         "left",
     )
     return (
@@ -177,33 +187,44 @@ def sample_quota(
 def sample_quota_sql(
     rel: str,
     quotas: dict[str, float],
-    strata_expr: str = "lang",
-    id_expr: str = "doc_id",
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
     seed: str = "",
     weight_expr: str | None = None,
     default_keep: bool = True,
 ) -> str:
-    """DuckDB twin of :func:`sample_quota` (full SELECT over ``rel``)."""
+    """DuckDB twin of :func:`sample_quota` (full SELECT over ``rel``).
+
+    ``strata_col``/``id_col`` are bare COLUMN NAMES (they get
+    ``d.``-qualified in the join); ``weight_expr`` may be any
+    expression over ``rel``'s columns.
+    """
+    for name, val in (("strata_col", strata_col), ("id_col", id_col)):
+        if not val.isidentifier():
+            raise ValueError(
+                f"{name} must be a bare column name, got {val!r}"
+            )
     w = "1.0" if weight_expr is None else f"({weight_expr})::DOUBLE"
     rate = "NULL"
     for value, quota in sorted(quotas.items()):
         rate = (
-            f"CASE WHEN _stratum = {_sql_lit(value)} "
-            f"THEN least(1.0, {float(quota)!r} / _total) "
+            f"CASE WHEN _stratum = {_sql_lit(value)} THEN "
+            f"(CASE WHEN _total IS NULL OR _total <= 0 THEN 0.0 "
+            f"ELSE least(1.0, {float(quota)!r} / _total) END) "
             f"ELSE {rate} END"
         )
     default = "1.0" if default_keep else "0.0"
     return f"""
 WITH totals AS (
-  SELECT {strata_expr} AS _stratum, sum({w}) AS _total
+  SELECT {strata_col} AS _stratum, sum({w}) AS _total
   FROM {rel} GROUP BY 1
 ),
 rates AS (
   SELECT _stratum, coalesce({rate}, {default}) AS _rate FROM totals
 )
 SELECT d.* FROM {rel} d
-LEFT JOIN rates r ON d.{strata_expr} = r._stratum
-WHERE {hash_uniform_sql('d.' + id_expr, seed)} < coalesce(r._rate, 0.0)
+LEFT JOIN rates r ON d.{strata_col} IS NOT DISTINCT FROM r._stratum
+WHERE {hash_uniform_sql('d.' + id_col, seed)} < coalesce(r._rate, 0.0)
 """
 
 

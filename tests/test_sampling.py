@@ -153,10 +153,48 @@ def test_sample_quota_oracle_parity(spark):
     con = duckdb.connect()
     con.register("d", df.toPandas())
     sql = sampling.sample_quota_sql(
-        "d", {"en": 30, "de": 40}, strata_expr="lang", seed="p"
+        "d", {"en": 30, "de": 40}, strata_col="lang", seed="p"
     )
     oracle = sorted(r[0] for r in con.execute(sql).fetchall())
     assert got == oracle and got
+
+
+def test_sample_quota_null_stratum_kept_by_default(spark):
+    # NULL stratum values are "strata without a quota": kept whole by
+    # default (null-safe join), dropped with default_keep=False
+    df = _ids(spark, 40).withColumn(
+        "lang",
+        F.when(F.col("doc_id") % 2 == 0, "en").otherwise(F.lit(None)),
+    )
+    out = sampling.sample_quota(df, {"en": 1000}, seed="n")
+    assert out.filter(F.col("lang").isNull()).count() == 20
+    out2 = sampling.sample_quota(
+        df, {"en": 1000}, seed="n", default_keep=False
+    )
+    assert out2.filter(F.col("lang").isNull()).count() == 0
+    # SQL twin agrees on the null-stratum rows
+    con = duckdb.connect()
+    con.register("d", df.toPandas())
+    sql = sampling.sample_quota_sql("d", {"en": 1000}, seed="n")
+    oracle = sorted(r[0] for r in con.execute(sql).fetchall())
+    assert oracle == sorted(r["doc_id"] for r in out.collect())
+
+
+def test_sample_quota_null_weights_do_not_bypass_cap(spark):
+    # a quoted stratum whose weights are all NULL keeps NOTHING — an
+    # unverifiable budget must not silently keep the whole stratum
+    df = _ids(spark, 30).withColumn("lang", F.lit("web")).withColumn(
+        "n_tokens", F.lit(None).cast("double")
+    )
+    out = sampling.sample_quota(
+        df, {"web": 1e9}, seed="w", weight_col="n_tokens"
+    )
+    assert out.count() == 0
+
+
+def test_sample_quota_sql_rejects_expressions(spark):
+    with pytest.raises(ValueError, match="bare column"):
+        sampling.sample_quota_sql("d", {"en": 1}, id_col="upper(doc_id)")
 
 
 def test_sampling_validation(spark):

@@ -68,3 +68,27 @@ def test_topk_zero_scores_stay_positive_zero(spark):
 def test_topk_more_salts_than_rows(spark):
     rows = [(0, 1, 0.9), (0, 2, 0.8)]
     _run(spark, rows, k=2, salts=64)
+
+
+def test_topk_null_scores_agree_across_prune_paths(spark):
+    # Spark's ascending struct sort puts a NULL key FIRST (rank 1);
+    # the Arrow prune must order NULLs identically or results become
+    # partitioning-dependent
+    rows = [(0, i, float(i)) for i in range(1, 9)]
+    df = spark.createDataFrame(
+        rows, "query_id INT, doc_id LONG, score DOUBLE"
+    ).unionByName(
+        spark.sql("SELECT 0 query_id, 99L doc_id, CAST(NULL AS DOUBLE) score")
+    )
+    for parts in (1, 4):
+        outs = []
+        for prune in (True, False):
+            got = [
+                (r["rank"], r["doc_id"])
+                for r in topk_per_query(
+                    df.repartition(parts), 3, arrow_prune=prune
+                ).orderBy("rank").collect()
+            ]
+            outs.append(got)
+        assert outs[0] == outs[1]
+        assert outs[0][0] == (1, 99)  # NULL score ranks first
