@@ -983,6 +983,21 @@ def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.exact_dedup_groups(_dup_docs(spark, sf_dir))
 
 
+def _q_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication (MOSS-style winnowing diagonals,
+    pipeline/dedup.shared_span_pairs): doc pairs sharing ≥ 3 aligned
+    fingerprints at one offset, with the span extent in chars —
+    catches copied SUBSTRINGS whole-doc Jaccard structurally misses."""
+    return dedup_ops.shared_span_pairs(
+        _dup_docs(spark, sf_dir), min_fps=3, max_fp_df=30
+    )
+
+
+_SQL_SHARED_SPANS = dedup_ops.shared_span_sql(
+    f"({_SQL_DUP_DOCS})", min_fps=3, max_fp_df=30
+)
+
+
 _SQL_DEDUP_EXACT = f"""
 WITH base AS ({_SQL_DUP_DOCS})
 SELECT sha256(text) AS content_sha, min(doc_id) AS keep_id,
@@ -1880,6 +1895,42 @@ def _sql_c4_filter() -> str:
     )
 
 
+# PII entry fixture: the synthetic corpus carries no PII, so the entry
+# exercises the patterns on handcrafted rows (multi-hit, boundary
+# cases, clean, empty) — both engines see literally the same rows.
+_PII_FIXTURE = [
+    (1, "contact bob.smith+x@example.co.uk or 10.0.0.1 and "
+        "alice@test.org done"),
+    (2, "two mails x@y.io z@w.ai one ip 8.8.8.8 and a version 1.2.3"),
+    (3, "ip-ish 999.1.2.3 still matches the mechanical ipv4 pattern"),
+    (4, "nothing sensitive at all"),
+    (5, ""),
+]
+
+
+def _q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (pipeline/textqc.redact_pii): chained
+    regexp_replace with per-type counts — pure column math that runs
+    at any scale; patterns restricted to Java-regex/RE2-identical
+    syntax so the twin is exact."""
+    df = spark.createDataFrame(_PII_FIXTURE, "doc_id LONG, text STRING")
+    flags = textqc_ops.redact_pii("text")
+    return df.select("doc_id", *[v.alias(k) for k, v in flags.items()])
+
+
+def _sql_pii_redact() -> str:
+    values = ", ".join(
+        "({}, '{}')".format(i, t.replace("'", "''"))
+        for i, t in _PII_FIXTURE
+    )
+    fs = textqc_ops.redact_pii_sql("text")
+    return (
+        f"WITH d(doc_id, text) AS (VALUES {values}) SELECT doc_id, "
+        + ", ".join(f"{e} AS {k}" for k, e in fs.items())
+        + " FROM d"
+    )
+
+
 _MIX_FRACTIONS = {"en": 0.5, "de": 0.25, "fr": 0.75, "es": 0.1}
 
 
@@ -2109,6 +2160,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "event_age_buckets": (_q_event_age_buckets, _SQL_EVENT_AGE_BUCKETS),
     # training-pipeline operators
     "dedup_exact": (_q_dedup_exact, _SQL_DEDUP_EXACT),
+    "shared_spans": (_q_shared_spans, _SQL_SHARED_SPANS),
     "dedup_minhash": (_q_dedup_minhash, _exact_jaccard_sql(0.9)),
     "dedup_prefix": (_q_dedup_prefix, _exact_jaccard_sql(0.9)),
     "dedup_clusters": (_q_dedup_clusters, _SQL_DEDUP_CLUSTERS),
@@ -2134,6 +2186,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         textqc_ops.winnow_sql("doc_id", "text", "documents", k=8, w=4),
     ),
     "c4_filter": (_q_c4_filter, _sql_c4_filter()),
+    "pii_redact": (_q_pii_redact, _sql_pii_redact()),
     "training_mix": (_q_training_mix, _sql_training_mix()),
     "contamination": (_q_contamination, _SQL_CONTAMINATION),
     "corpus_profile": (_q_corpus_profile, _sql_corpus_profile()),

@@ -574,3 +574,53 @@ def c4_doc_flags_sql(
         "blocklisted": f"({blocked})",
         "c4_keep": f"(({n_sent}) >= {min_sentences} AND NOT ({blocked}))",
     }
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# Patterns restricted to syntax Java regex (Spark) and RE2 (DuckDB)
+# interpret identically: no backrefs, no lookaround. Policy lives with
+# the caller — these are the mechanical defaults a release pipeline
+# starts from (emails, bare IPv4s), not a compliance guarantee.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+)
+
+
+def redact_pii(text: Column | str) -> dict[str, Column]:
+    """``redacted`` text plus per-type match counts — pure column math.
+
+    Counts are taken on the ORIGINAL text per pattern in declaration
+    order; replacement chains in the same order, so an email whose
+    host would also match a later pattern is consumed by the earlier
+    rule exactly as in the SQL twin.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    out: dict[str, Column] = {}
+    red = c
+    for name, pat, token in PII_PATTERNS:
+        out[f"n_{name}"] = F.coalesce(
+            F.regexp_count(red, F.lit(pat)), F.lit(0)
+        ).cast("bigint")
+        red = F.regexp_replace(red, pat, token)
+    out["redacted"] = red
+    return out
+
+
+def redact_pii_sql(col_expr: str) -> dict[str, str]:
+    """DuckDB twin of :func:`redact_pii` (same names, same chaining)."""
+    out: dict[str, str] = {}
+    red = col_expr
+    for name, pat, token in PII_PATTERNS:
+        # DuckDB single-quoted literals are escape-free: pass the
+        # pattern verbatim, only double embedded quotes
+        esc = pat.replace("'", "''")
+        out[f"n_{name}"] = (
+            f"len(regexp_extract_all({red}, '{esc}'))::BIGINT"
+        )
+        red = f"regexp_replace({red}, '{esc}', '{token}', 'g')"
+    out["redacted"] = red
+    return out

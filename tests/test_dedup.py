@@ -242,6 +242,63 @@ def test_dedup_clusters_assignment(spark):
     assert sorted(survivors) == [1, 10, 99]
 
 
+def test_shared_span_pairs_finds_copied_substring(spark):
+    # a 60-char chunk copied between otherwise-different docs: whole-doc
+    # similarity is low, but the span sits on one diagonal
+    chunk = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, "completely unrelated opening text here " + chunk
+            + " and some trailing content"),
+        (2, "different preamble words " + chunk
+            + " with another ending altogether"),
+        (3, "no shared content at all in this one just original words"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = dedup.shared_span_pairs(df, min_fps=3).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in out}
+    assert pairs == {(1, 2)}
+    best = max(out, key=lambda r: r["n_fps"])
+    # span extent ≈ the copied chunk (k-gram anchors trim the edges)
+    assert len(chunk) * 0.5 <= best["span_chars"] <= len(chunk) + 16
+    # the diagonal equals the offset difference of the chunk
+    assert best["diag"] == rows[0][1].index(chunk) - rows[1][1].index(chunk)
+
+
+def test_shared_span_oracle_parity(spark):
+    chunk = "shared central phrase that was copied verbatim across docs"
+    rows = [
+        (1, "alpha opening " + chunk + " omega closing words"),
+        (2, "totally different head " + chunk + " and tail text"),
+        (3, "unrelated filler content without any copies present"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = sorted(map(tuple, dedup.shared_span_pairs(df).collect()))
+    con = _duck(df)
+    sql = dedup.shared_span_sql("d")
+    oracle = sorted(tuple(r) for r in con.execute(sql).fetchall())
+    assert got == oracle and got
+
+
+def _duck(df):
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("d", df.toPandas())
+    return con
+
+
+def test_shared_span_frequent_fp_guard(spark):
+    # a fingerprint present in > max_fp_df docs is excluded from the
+    # candidate join (boilerplate guard)
+    chunk = "this exact boilerplate header appears in every document here"
+    rows = [(i, chunk + f" unique suffix number {i}") for i in range(1, 8)]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    none = dedup.shared_span_pairs(df, max_fp_df=3).collect()
+    assert none == []  # all shared fps are frequent -> guarded out
+    some = dedup.shared_span_pairs(df, max_fp_df=50).collect()
+    assert some  # raising the guard finds the shared header spans
+
+
 def test_dedup_clusters_foreign_pair_ids(spark):
     # pairs computed on a superset: component minimum (5) is absent
     # from df — cluster_id must re-anchor to the smallest df member so

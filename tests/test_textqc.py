@@ -315,6 +315,48 @@ def test_c4_doc_flags_sql_empty_blocklist(spark):
     assert (r["n_sentences"], r["blocklisted"], r["c4_keep"]) == row
 
 
+def test_redact_pii(spark):
+    flags = textqc.redact_pii("text")
+    [r] = _one(
+        spark,
+        "contact bob.smith+x@example.co.uk or 10.0.0.1 and "
+        "alice@test.org done",
+    ).select(*[v.alias(k) for k, v in flags.items()]).collect()
+    assert r["n_email"] == 2 and r["n_ipv4"] == 1
+    assert "<EMAIL>" in r["redacted"] and "<IP>" in r["redacted"]
+    assert "example" not in r["redacted"] and "10.0.0.1" not in r["redacted"]
+    [clean] = _one(spark, "no personal data here at all").select(
+        *[v.alias(k) for k, v in flags.items()]
+    ).collect()
+    assert clean["n_email"] == 0 and clean["n_ipv4"] == 0
+
+
+def test_redact_pii_oracle_parity(spark):
+    texts = [
+        (1, "mail me at a.b@c.de or ping 192.168.1.254 thanks"),
+        (2, "two mails x@y.io z@w.ai one ip 8.8.8.8"),
+        (3, "nothing sensitive at all"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(texts, "doc_id LONG, text STRING")
+    flags = textqc.redact_pii("text")
+    got = df.select(
+        "doc_id", *[v.alias(k) for k, v in flags.items()]
+    ).orderBy("doc_id").collect()
+    con = duckdb.connect()
+    con.register("d", df.toPandas())
+    fs = textqc.redact_pii_sql("text")
+    oracle = con.execute(
+        "SELECT doc_id, "
+        + ", ".join(f"{e} AS {k}" for k, e in fs.items())
+        + " FROM d ORDER BY doc_id"
+    ).fetchall()
+    for a, b in zip(got, oracle):
+        assert (
+            a["doc_id"], a["n_email"], a["n_ipv4"], a["redacted"]
+        ) == tuple(b)
+
+
 def test_c4_oracle_parity(spark):
     texts = [
         (1, "Good sentence number one. Good sentence number two! Third?"),
