@@ -665,46 +665,6 @@ def dedup_clusters(
 # ---------------------------------------------------------------------------
 
 
-def winnow_fingerprints_pos(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    k: int = 8,
-    w: int = 4,
-) -> DataFrame:
-    """Positional winnowing fingerprints ``(id, pos, fp)``.
-
-    Same scheme as :func:`~same_same_spark.pipeline.textqc.winnow_fingerprints`
-    (hash char k-grams of the lowercased whitespace-collapsed text,
-    keep each w-window's minimum) but retains WHERE each fingerprint
-    first occurs — ``pos`` is the smallest window-start position whose
-    window selected ``fp``. One row per distinct (id, fp): a
-    fingerprint repeating later in the doc keeps only its first
-    position (span detection below wants alignment anchors, not
-    exhaustive occurrence lists).
-    """
-    c = F.regexp_replace(F.lower(F.col(text_col)), r"[\t\n\f\r ]+", " ")
-    n_grams = F.length(c) - F.lit(k - 1)
-    gram_hashes = F.when(
-        n_grams <= 0, F.array().cast("array<long>")
-    ).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
-            lambda i: hash60_col(c.substr(i, F.lit(k))),
-        )
-    )
-    grams = df.select(
-        F.col(id_col), F.posexplode(gram_hashes).alias("pos", "h")
-    )
-    win = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
-    return (
-        grams.withColumn("fp", F.min("h").over(win))
-        .groupBy(id_col, "fp")
-        .agg(F.min("pos").alias("pos"))
-        .select(id_col, "pos", "fp")
-    )
-
-
 def shared_span_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -722,35 +682,50 @@ def shared_span_pairs(
     (pair, diagonal): ``diag = pos_a − pos_b`` (a shared substring
     places all its fingerprints on one diagonal), ``n_fps`` = aligned
     fingerprints on it, ``span_chars = max(pos_a) − min(pos_a) + k``,
-    the shared region's extent in characters. Pairs below ``min_fps``
-    aligned fingerprints are dropped.
+    the shared region's extent. Positions — and therefore ``diag`` and
+    ``span_chars`` — are measured in the NORMALIZED text (lowercased,
+    whitespace runs collapsed to one space), not raw-document offsets.
+    Pairs below ``min_fps`` aligned fingerprints are dropped.
 
-    Scale shape: fingerprints are one explode + per-doc window; the
-    candidate join is keyed by fingerprint hash with the
-    frequent-fingerprint guard ``max_fp_df`` (boilerplate shared by
-    thousands of docs — license headers, copy-pasted preambles — would
-    otherwise make the self-join quadratic in its df; dropping those
-    fingerprints loses only spans that occur in > ``max_fp_df`` docs,
-    which per-pair span dedup does not need); the diagonal groupBy is
-    keyed by (pair, diag) — uniformly distributed. This finds COPIED
-    SUBSTRINGS between otherwise-different docs, which whole-doc
-    Jaccard/MinHash (document-level similarity) structurally miss.
+    Scale shape: fingerprints come from the single winnowing
+    definition (:func:`~same_same_spark.pipeline.textqc.winnow_fingerprints_pos`
+    — one explode + per-doc window); the frequent-fingerprint guard
+    ``max_fp_df`` is a count-over-window on the SAME fp-partitioned
+    exchange (boilerplate shared by thousands of docs — license
+    headers, copy-pasted preambles — would otherwise make the
+    self-join quadratic in its df; dropping those fingerprints loses
+    only spans occurring in > ``max_fp_df`` docs, which per-pair span
+    dedup does not need), letting Catalyst reuse one shuffle for the
+    guard and both join sides; the diagonal groupBy is keyed by
+    (pair, diag) — uniformly distributed. This finds COPIED SUBSTRINGS
+    between otherwise-different docs, which whole-doc Jaccard/MinHash
+    (document-level similarity) structurally miss.
     """
+    from same_same_spark.pipeline.textqc import winnow_fingerprints_pos
+
     fpos = winnow_fingerprints_pos(df, id_col, text_col, k=k, w=w)
-    rare = (
-        fpos.groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("fp_df"))
+    by_fp = Window.partitionBy("fp")
+    fpos = (
+        fpos.withColumn("fp_df", F.count(F.lit(1)).over(by_fp))
         .filter(F.col("fp_df") <= max_fp_df)
-        .select("fp")
+        .drop("fp_df")
     )
-    fpos = fpos.join(rare, "fp")
-    a = fpos.select(
-        F.col(id_col).alias("id_a"), F.col("pos").alias("pos_a"), "fp"
+    # alias-style self-join: both sides are the IDENTICAL subtree, so
+    # Catalyst reuses one exchange for them (winnowing runs once)
+    matched = (
+        fpos.alias("a")
+        .join(
+            fpos.alias("b"),
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.pos").alias("pos_a"),
+            F.col("b.pos").alias("pos_b"),
+        )
     )
-    b = fpos.select(
-        F.col(id_col).alias("id_b"), F.col("pos").alias("pos_b"), "fp"
-    )
-    matched = a.join(b, "fp").filter(F.col("id_a") < F.col("id_b"))
     return (
         matched.groupBy(
             "id_a", "id_b",
@@ -775,30 +750,20 @@ def shared_span_sql(
     min_fps: int = 3,
     max_fp_df: int = 50,
 ) -> str:
-    """DuckDB twin of :func:`shared_span_pairs`."""
-    norm = f"regexp_replace(lower({col_expr}), '[\\t\\n\\f\\r ]+', ' ', 'g')"
+    """DuckDB twin of :func:`shared_span_pairs` (winnowing CTEs come
+    from the single SQL-side definition, ``textqc.winnow_ctes``)."""
+    from same_same_spark.pipeline.textqc import winnow_ctes
+
     return f"""
-WITH norm AS (
-  SELECT {id_expr} AS doc_id, {norm} AS t FROM {table}
-),
-grams AS (
-  SELECT doc_id, i AS pos,
-         {hash60_sql(f"substr(t, i, {k})")} AS h
-  FROM norm, unnest(range(1, greatest(length(t) - {k - 1}, 0) + 1)) AS u(i)
-),
-wins AS (
-  SELECT doc_id, pos,
-         min(h) OVER (PARTITION BY doc_id ORDER BY pos
-                      ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS fp
-  FROM grams
-),
+WITH {winnow_ctes(id_expr, col_expr, table, k, w)},
 fpos AS (
   SELECT doc_id, fp, min(pos) AS pos FROM wins GROUP BY doc_id, fp
 ),
-rare AS (
-  SELECT fp FROM fpos GROUP BY fp HAVING count(*) <= {max_fp_df}
+f2 AS (
+  SELECT doc_id, fp, pos FROM (
+    SELECT fpos.*, count(*) OVER (PARTITION BY fp) AS fp_df FROM fpos
+  ) WHERE fp_df <= {max_fp_df}
 ),
-f2 AS (SELECT fpos.* FROM fpos JOIN rare USING (fp)),
 matched AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          a.pos AS pos_a, b.pos AS pos_b

@@ -427,31 +427,37 @@ FROM t JOIN a USING (doc_id)
 # ---------------------------------------------------------------------------
 
 
-def winnow_fingerprints(
+def winnow_fingerprints_pos(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 8,
     w: int = 4,
 ) -> DataFrame:
-    """Winnowing document fingerprints (Schleimer et al. 2003 scheme):
-    hash all char ``k``-grams of the normalized text, slide a window of
-    ``w`` hashes, keep each window's minimum, dedup.
+    """Positional winnowing fingerprints (Schleimer et al. 2003
+    scheme): hash all char ``k``-grams of the normalized text, slide a
+    window of ``w`` hashes, keep each window's minimum.
 
-    Returns ``(id, fp LONG)`` — typically ~2/(w+1) of the k-gram hashes
-    per doc. Normalization = lowercase + collapse whitespace runs to
-    one space (so formatting doesn't change fingerprints).
-    Implementation: explode k-gram positions → rolling ``min`` window →
-    distinct; all JVM-side.
+    Returns ``(id, pos, fp LONG)`` — one row per distinct (id, fp)
+    with ``pos`` = the smallest window-start position (0-based, in the
+    NORMALIZED text) whose window selected ``fp``. The single
+    definition of the winnowing scheme: the non-positional
+    :func:`winnow_fingerprints` and the span detector in
+    ``pipeline/dedup`` both derive from it. Normalization = lowercase
+    + collapse whitespace runs to one space (so formatting doesn't
+    change fingerprints).
     """
     c = F.regexp_replace(
         F.lower(F.col(text_col)), r"[\t\n\f\r ]+", " "
     )
     n_grams = F.length(c) - F.lit(k - 1)
     # NB: Spark sequence(1, 0) yields [1, 0] (auto-descending) — guard
-    # short texts explicitly so they produce zero grams, like the oracle.
+    # short texts explicitly so they produce zero grams, like the
+    # oracle; NULL text must ALSO take the empty branch (a NULL
+    # condition falls through to otherwise, which would emit one
+    # NULL-hash gram the SQL twin doesn't).
     gram_hashes = F.when(
-        n_grams <= 0, F.array().cast("array<long>")
+        c.isNull() | (n_grams <= 0), F.array().cast("array<long>")
     ).otherwise(
         F.transform(
             F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
@@ -464,16 +470,34 @@ def winnow_fingerprints(
     win = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
     return (
         grams.withColumn("fp", F.min("h").over(win))
-        .select(id_col, "fp")
-        .distinct()
+        .groupBy(id_col, "fp")
+        .agg(F.min("pos").alias("pos"))
+        .select(id_col, "pos", "fp")
     )
 
 
-def winnow_sql(id_expr: str, col_expr: str, table: str, k: int = 8, w: int = 4) -> str:
-    """DuckDB twin of :func:`winnow_fingerprints`."""
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints ``(id, fp LONG)`` — typically
+    ~2/(w+1) of the k-gram hashes per doc; the positionless projection
+    of :func:`winnow_fingerprints_pos` (one row per distinct (id, fp)
+    either way)."""
+    return winnow_fingerprints_pos(
+        df, id_col=id_col, text_col=text_col, k=k, w=w
+    ).select(id_col, "fp")
+
+
+def winnow_ctes(id_expr: str, col_expr: str, table: str, k: int = 8, w: int = 4) -> str:
+    """Shared DuckDB CTE prefix of the winnowing scheme — ends with
+    CTE ``wins`` = (doc_id, pos, fp). Single SQL-side definition,
+    used by :func:`winnow_sql` and ``dedup.shared_span_sql``."""
     norm = f"regexp_replace(lower({col_expr}), '[\\t\\n\\f\\r ]+', ' ', 'g')"
-    return f"""
-WITH norm AS (
+    return f"""norm AS (
   SELECT {id_expr} AS doc_id, {norm} AS t FROM {table}
 ),
 grams AS (
@@ -482,11 +506,17 @@ grams AS (
   FROM norm, unnest(range(1, greatest(length(t) - {k - 1}, 0) + 1)) AS u(i)
 ),
 wins AS (
-  SELECT doc_id,
+  SELECT doc_id, pos,
          min(h) OVER (PARTITION BY doc_id ORDER BY pos
                       ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS fp
   FROM grams
-)
+)"""
+
+
+def winnow_sql(id_expr: str, col_expr: str, table: str, k: int = 8, w: int = 4) -> str:
+    """DuckDB twin of :func:`winnow_fingerprints`."""
+    return f"""
+WITH {winnow_ctes(id_expr, col_expr, table, k, w)}
 SELECT DISTINCT doc_id, fp FROM wins
 """
 
@@ -593,10 +623,12 @@ PII_PATTERNS = (
 def redact_pii(text: Column | str) -> dict[str, Column]:
     """``redacted`` text plus per-type match counts — pure column math.
 
-    Counts are taken on the ORIGINAL text per pattern in declaration
-    order; replacement chains in the same order, so an email whose
-    host would also match a later pattern is consumed by the earlier
-    rule exactly as in the SQL twin.
+    Counting and replacement CHAIN in declaration order: each pattern
+    is counted on (and removed from) the text as redacted by the
+    earlier rules, so text matched by an earlier rule is consumed
+    exactly once — ``1.2.3.4@x.co`` counts as one email, zero IPs —
+    and the SQL twin chains identically. NULL text yields 0 counts in
+    both engines (and a NULL ``redacted``).
     """
     c = F.col(text) if isinstance(text, str) else text
     out: dict[str, Column] = {}
@@ -618,8 +650,9 @@ def redact_pii_sql(col_expr: str) -> dict[str, str]:
         # DuckDB single-quoted literals are escape-free: pass the
         # pattern verbatim, only double embedded quotes
         esc = pat.replace("'", "''")
+        # coalesce: NULL text must count 0 like the Spark side
         out[f"n_{name}"] = (
-            f"len(regexp_extract_all({red}, '{esc}'))::BIGINT"
+            f"coalesce(len(regexp_extract_all({red}, '{esc}')), 0)::BIGINT"
         )
         red = f"regexp_replace({red}, '{esc}', '{token}', 'g')"
     out["redacted"] = red

@@ -337,6 +337,8 @@ def test_redact_pii_oracle_parity(spark):
         (2, "two mails x@y.io z@w.ai one ip 8.8.8.8"),
         (3, "nothing sensitive at all"),
         (4, ""),
+        (5, None),  # NULL text: 0 counts in BOTH engines
+        (6, "1.2.3.4@x.co"),  # consumed by the earlier email rule
     ]
     df = spark.createDataFrame(texts, "doc_id LONG, text STRING")
     flags = textqc.redact_pii("text")
