@@ -165,6 +165,56 @@ def test_merge_rejects_dest_as_source_and_dup_sources(spark, tmp_path):
         merge_indexes(spark, da, [db, db], log=lambda *_: None)
 
 
+def test_merge_composes_with_append_delete_compact(spark, tmp_path):
+    """Full mutation lifecycle ON a merged index: merge → streamed
+    delta append → tombstone delete → incremental compaction. The end
+    state must be rank- and score-identical to a fresh build over
+    (union + appended − deleted) — every mutation path composes with
+    merge-created groups."""
+    from same_same_spark.index.build import compact_deltas
+    from same_same_spark.index.mutate import (
+        delete_docs,
+        rewrite_touched_groups,
+    )
+    from same_same_spark.streaming.ingest import stage_delta_batch
+
+    docs = _docs(spark)
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    da, db = str(tmp_path / "a"), str(tmp_path / "b")
+    _build(a, da, group_size=2)
+    _build(b, db, group_size=2)
+    merge_indexes(spark, da, [db], log=lambda *_: None)
+
+    # streamed append of two new docs
+    new_id = int(docs.agg(F.max("doc_id")).collect()[0][0]) + 1
+    extra = spark.createDataFrame(
+        [
+            (new_id, "fast merge join sort appended document"),
+            (new_id + 1, "vector table scan appended too"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    stage_delta_batch(extra, da, id_col="doc_id", text_col="text",
+                      num_buckets=4)
+    compact_deltas(spark, da, log=lambda *_: None)
+
+    # tombstone two docs (one from each original half), then compact
+    victims = [
+        int(a.agg(F.min("doc_id")).collect()[0][0]),
+        int(b.agg(F.min("doc_id")).collect()[0][0]),
+    ]
+    delete_docs(spark, da, victims, log=lambda *_: None)
+    rewrite_touched_groups(spark, da, log=lambda *_: None)
+
+    final = docs.filter(~F.col("doc_id").isin(victims)).unionByName(extra)
+    fresh = str(tmp_path / "fresh")
+    _build(final, fresh)
+    got = _canon(search_batch(spark, da, QUERIES, k=10).collect())
+    want = _canon(search_batch(spark, fresh, QUERIES, k=10).collect())
+    assert got == want
+
+
 def test_merge_compatibility_gates(spark, tmp_path):
     docs = _docs(spark)
     a = docs.filter(F.col("doc_id") % 2 == 0)
