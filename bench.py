@@ -77,6 +77,7 @@ ENTRY_QUERY_NAMES = [
     "tfidf_topk_indexed",
     "clip_text_topk",
     "dedup_minhash",
+    "shared_spans",
     "contamination",
     "training_mix",
     "ann_ivf_persisted",

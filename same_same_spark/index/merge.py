@@ -171,16 +171,54 @@ def _no_pending_deltas(sdir: str) -> None:
     )
 
 
+def _settle_index(spark: SparkSession, idir: str, log) -> IndexManifest:
+    """Bring an index to the merge-ready state (no pending delta
+    batches, no live tombstones) by running its own compactions IN
+    PLACE. Only called under ``auto_compact=True`` — the default merge
+    contract keeps sources strictly read-only, so settling is an
+    explicit opt-in. Both steps are the same crash-safe operations a
+    caller would run by hand (``compact_deltas`` folds staged batches;
+    ``rewrite_touched_groups`` rewrites only tombstoned groups), so a
+    crash mid-settle leaves the index exactly as recoverable as those
+    operations always leave it."""
+    import glob as _glob
+
+    from same_same_spark.index.build import compact_deltas
+    from same_same_spark.index.mutate import rewrite_touched_groups
+
+    pending = _glob.glob(
+        os.path.join(idir, "_stage", "deltas", "batch-*")
+    )
+    if pending:
+        log(
+            f"[merge] {idir}: auto-compacting {len(pending)} "
+            "staged delta batch(es)"
+        )
+        compact_deltas(spark, idir, log=log)
+    m = IndexManifest.load(idir)
+    if m.has_tombstones:
+        log(f"[merge] {idir}: auto-compacting tombstones")
+        rewrite_touched_groups(spark, idir, log=log)
+        m = IndexManifest.load(idir)
+    return m
+
+
 def merge_indexes(
     spark: SparkSession,
     dest_dir: str,
     src_dirs: list[str],
     log=print,
+    auto_compact: bool = False,
 ) -> IndexManifest:
     """Merge every index in ``src_dirs`` INTO ``dest_dir``.
 
     Returns the destination's post-merge manifest. Sources are read,
-    never modified. Idempotent under retry at EVERY crash window:
+    never modified — unless ``auto_compact=True``, which settles any
+    participant that still has staged delta batches or live tombstones
+    by running its own crash-safe compactions in place first (the
+    exact ``compact_deltas`` / ``rewrite_touched_groups`` calls the
+    default contract asks the caller to run by hand).
+    Idempotent under retry at EVERY crash window:
     before the manifest flip a rerun simply re-copies into the same
     group names; after it, the committed lineage records carry each
     source's content token, so a rerun recognizes already-merged
@@ -199,6 +237,8 @@ def merge_indexes(
     # manifest (a half-committed fold could otherwise allocate the
     # same grp ints this merge is about to take)
     dest = recover_delta_folds(spark, dest_dir, log=log)
+    if auto_compact and dest.has_tombstones:
+        dest = _settle_index(spark, dest_dir, log)
     _require(
         not dest.has_tombstones,
         f"{dest_dir}: destination has live tombstones — compact first "
@@ -221,7 +261,10 @@ def merge_indexes(
             f"{sdir}: source listed more than once",
         )
         seen_real.add(real)
-        sm = IndexManifest.load(sdir)
+        if auto_compact:
+            sm = _settle_index(spark, sdir, log)
+        else:
+            sm = IndexManifest.load(sdir)
         _check_compatible(dest, sm, sdir)
         _no_pending_deltas(sdir)
         if _already_merged(dest_dir, dest, _source_token(sm, sdir)):

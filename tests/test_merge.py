@@ -215,6 +215,55 @@ def test_merge_composes_with_append_delete_compact(spark, tmp_path):
     assert got == want
 
 
+def test_merge_auto_compact_settles_sources(spark, tmp_path):
+    """auto_compact=True settles a tombstoned destination AND a source
+    carrying both a staged delta batch and live tombstones, then the
+    merge result is rank-identical to a fresh build over the settled
+    union. Default (auto_compact=False) still refuses the same inputs."""
+    from same_same_spark.index.mutate import delete_docs
+    from same_same_spark.streaming.ingest import stage_delta_batch
+
+    docs = _docs(spark)
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    da, db = str(tmp_path / "a"), str(tmp_path / "b")
+    _build(a, da, group_size=2)
+    _build(b, db, group_size=2)
+
+    victim_a = int(a.agg(F.min("doc_id")).collect()[0][0])
+    victim_b = int(b.agg(F.min("doc_id")).collect()[0][0])
+    delete_docs(spark, da, [victim_a], log=lambda *_: None)
+    delete_docs(spark, db, [victim_b], log=lambda *_: None)
+    new_id = int(docs.agg(F.max("doc_id")).collect()[0][0]) + 1
+    extra = spark.createDataFrame(
+        [(new_id, "fast merge join sort appended into source b")],
+        "doc_id LONG, text STRING",
+    )
+    stage_delta_batch(extra, db, id_col="doc_id", text_col="text",
+                      num_buckets=4)
+
+    with pytest.raises(IndexMergeError, match="tombstones"):
+        merge_indexes(spark, da, [db], log=lambda *_: None)
+
+    out = merge_indexes(spark, da, [db], log=lambda *_: None,
+                        auto_compact=True)
+    final = docs.filter(
+        ~F.col("doc_id").isin([victim_a, victim_b])
+    ).unionByName(extra)
+    assert out.n_docs == final.count()
+
+    fresh = str(tmp_path / "fresh")
+    _build(final, fresh)
+    got = _canon(search_batch(spark, da, QUERIES, k=10).collect())
+    want = _canon(search_batch(spark, fresh, QUERIES, k=10).collect())
+    assert got == want
+    # source b was settled in place: no tombstones, no pending deltas
+    mb = IndexManifest.load(db)
+    assert not mb.has_tombstones
+    assert not os.path.exists(os.path.join(db, "_stage", "deltas")) or \
+        not os.listdir(os.path.join(db, "_stage", "deltas"))
+
+
 def test_merge_compatibility_gates(spark, tmp_path):
     docs = _docs(spark)
     a = docs.filter(F.col("doc_id") % 2 == 0)
