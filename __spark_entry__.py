@@ -1825,6 +1825,62 @@ FROM ({corpus_profile_sql('documents')})
 """
 
 
+def _q_profile_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained dataset card (pipeline/profile.py
+    store): two appends + one delete folded into persisted mergeable
+    state (scalar sums, an exact token-length histogram, content-hash
+    counts); the card is then derived from state alone — no corpus
+    rescan. The oracle recomputes the same card from scratch over the
+    surviving documents, so a green hash proves the incremental path
+    is value-identical to a full batch profile."""
+    import shutil
+    import tempfile
+
+    from same_same_spark.pipeline.profile import (
+        profile_store_card,
+        profile_store_init,
+        profile_store_update,
+    )
+
+    docs = _docs(spark, sf_dir)
+    store = tempfile.mkdtemp(prefix="ss_entry_pstore_")
+    shutil.rmtree(store)
+    profile_store_init(spark, store)
+    profile_store_update(
+        spark, store, docs.filter(F.col("doc_id") % 2 == 0),
+        log=lambda *_: None,
+    )
+    profile_store_update(
+        spark, store, docs.filter(F.col("doc_id") % 2 == 1),
+        log=lambda *_: None,
+    )
+    profile_store_update(
+        spark, store, docs.filter(F.col("doc_id") % 7 == 0),
+        delete=True, log=lambda *_: None,
+    )
+    out = profile_store_card(spark, store)
+    return _round6(
+        out, "mean_tokens", "p50_tokens", "p90_tokens", "mean_quality",
+        "dup_rate",
+    )
+
+
+def _sql_profile_incremental() -> str:
+    from same_same_spark.pipeline.profile import corpus_profile_sql
+
+    surviving = "(SELECT * FROM documents WHERE doc_id % 7 <> 0)"
+    return f"""
+SELECT stratum, n_docs, total_tokens,
+       round(mean_tokens, 6) AS mean_tokens,
+       round(p50_tokens, 6) AS p50_tokens,
+       round(p90_tokens, 6) AS p90_tokens,
+       round(mean_quality, 6) AS mean_quality,
+       n_distinct_texts,
+       round(dup_rate, 6) AS dup_rate
+FROM ({corpus_profile_sql(surviving)})
+"""
+
+
 def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (pipeline/decontam.py): flag every
     train doc sharing an 8-gram shingle with the derived eval set
@@ -2190,6 +2246,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "training_mix": (_q_training_mix, _sql_training_mix()),
     "contamination": (_q_contamination, _SQL_CONTAMINATION),
     "corpus_profile": (_q_corpus_profile, _sql_corpus_profile()),
+    "profile_incremental": (
+        _q_profile_incremental, _sql_profile_incremental(),
+    ),
     "sample_quota": (_q_sample_quota, _SQL_SAMPLE_QUOTA),
     "sample_stratified": (_q_sample_stratified, _SQL_SAMPLE_STRATIFIED),
     "split_assign": (_q_split_assign, _SQL_SPLIT_ASSIGN),

@@ -20,8 +20,14 @@ by ~n²/2⁶¹ — immaterial for card statistics).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+import glob
+import json
+import os
+import shutil
+
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from same_same_spark.pipeline.dedup import hash60_col, hash60_sql
 from same_same_spark.pipeline.textqc import (
@@ -99,3 +105,286 @@ SELECT stratum,
 FROM rows_
 GROUP BY stratum
 """
+
+
+# ---------------------------------------------------------------------------
+# Incremental dataset-card maintenance
+#
+# A training-data release is not profiled once: batches land, bad
+# batches are rolled back, and the card must stay current WITHOUT
+# re-scanning 100 TB per update. The store below keeps three exactly
+# mergeable state tables, so each update touches only the new batch
+# plus state that is O(strata + distinct lengths + distinct contents)
+# — never the raw corpus:
+#
+#   scalars  (stratum, n_docs, total_tokens, sum_quality)   — tiny
+#   lengths  (stratum, n_tokens, cnt)                        — small:
+#            an EXACT histogram of per-doc token counts; distinct doc
+#            lengths are bounded by the max doc length, not by corpus
+#            size, so exact interpolated quantiles survive any scale
+#   hashes   (stratum, content_h60, cnt)                     — the big
+#            one, O(distinct contents): exact duplicate accounting
+#            (a sketch would drift from the batch profile; the state
+#            is ~9 bytes/distinct doc — index-sized, not corpus-sized)
+#
+# Appends ADD counts; deletes SUBTRACT them (counts, not sets, so
+# deleting one copy of a duplicated text keeps the other). Every state
+# table merges by groupBy-sum, so the card derived from the store is
+# EXACTLY the card `corpus_profile` computes over the surviving corpus
+# (floats to summation order; tested).
+#
+# Commit protocol (same shape as the index manifest): new-generation
+# dirs are written first and are unreferenced garbage until
+# `profile_manifest.json` is atomically replaced; stale generations
+# are swept on the next update. A crash mid-update leaves the previous
+# generation fully live.
+# ---------------------------------------------------------------------------
+
+_PROFILE_MANIFEST = "profile_manifest.json"
+_STATE_TABLES = ("scalars", "lengths", "hashes")
+
+
+def _profile_manifest_load(store_dir: str) -> dict:
+    with open(os.path.join(store_dir, _PROFILE_MANIFEST)) as f:
+        return json.load(f)
+
+
+def _profile_manifest_flip(store_dir: str, manifest: dict) -> None:
+    tmp = os.path.join(store_dir, f".{_PROFILE_MANIFEST}.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=2)
+    os.replace(tmp, os.path.join(store_dir, _PROFILE_MANIFEST))
+
+
+def _gen_dir(store_dir: str, table: str, gen: int) -> str:
+    return os.path.join(store_dir, f"{table}-{gen:06d}")
+
+
+def _sweep_stale_gens(store_dir: str, live_gen: int) -> None:
+    """Remove state dirs from any generation other than the live one:
+    orphans of a crashed update (newer gen, manifest never flipped) or
+    leftovers of a completed one (older gen)."""
+    for table in _STATE_TABLES:
+        for d in glob.glob(os.path.join(store_dir, f"{table}-*")):
+            if d != _gen_dir(store_dir, table, live_gen):
+                shutil.rmtree(d, ignore_errors=True)
+
+
+def _batch_state(
+    df: DataFrame, strata_col: str, text_col: str, sign: int
+) -> dict[str, DataFrame]:
+    """The three partial-aggregate tables for one batch, with counts
+    multiplied by ``sign`` (+1 append, −1 delete). Single derivation
+    site — the same expressions :func:`corpus_profile` uses, so store
+    and batch profile cannot diverge."""
+    rows = df.select(
+        F.col(strata_col).alias("stratum"),
+        ws_token_count_col(text_col).alias("n_tokens"),
+        quality_cols(text_col)["quality_score"].alias("q"),
+        hash60_col(F.col(text_col)).alias("content_h60"),
+    )
+    s = F.lit(sign)
+    return {
+        "scalars": rows.groupBy("stratum").agg(
+            (s * F.count(F.lit(1))).alias("n_docs"),
+            (s * F.sum("n_tokens")).alias("total_tokens"),
+            (s.cast("double") * F.sum("q")).alias("sum_quality"),
+        ),
+        "lengths": rows.groupBy("stratum", "n_tokens").agg(
+            (s * F.count(F.lit(1))).alias("cnt")
+        ),
+        "hashes": rows.groupBy("stratum", "content_h60").agg(
+            (s * F.count(F.lit(1))).alias("cnt")
+        ),
+    }
+
+
+def profile_store_init(
+    spark: SparkSession,
+    store_dir: str,
+    strata_col: str = "lang",
+    text_col: str = "text",
+) -> None:
+    """Create an empty profile store (generation 0)."""
+    os.makedirs(store_dir, exist_ok=True)
+    empty = spark.createDataFrame(
+        [], "stratum STRING, n_docs LONG, total_tokens LONG, "
+        "sum_quality DOUBLE",
+    )
+    empty.write.mode("overwrite").parquet(
+        _gen_dir(store_dir, "scalars", 0)
+    )
+    spark.createDataFrame(
+        [], "stratum STRING, n_tokens LONG, cnt LONG"
+    ).write.mode("overwrite").parquet(_gen_dir(store_dir, "lengths", 0))
+    spark.createDataFrame(
+        [], "stratum STRING, content_h60 LONG, cnt LONG"
+    ).write.mode("overwrite").parquet(_gen_dir(store_dir, "hashes", 0))
+    _profile_manifest_flip(
+        store_dir,
+        {
+            "version": 1,
+            "generation": 0,
+            "strata_col": strata_col,
+            "text_col": text_col,
+        },
+    )
+
+
+def profile_store_update(
+    spark: SparkSession,
+    store_dir: str,
+    df: DataFrame,
+    delete: bool = False,
+    log=print,
+) -> None:
+    """Fold a batch of appended (or, with ``delete=True``, removed)
+    documents into the store. Cost: one aggregation over the batch +
+    a groupBy-sum merge with each state table — no corpus rescan.
+
+    Deletes must pass the documents being removed (their text is
+    needed to subtract the right histogram/hash counts); deleting a
+    document the store never saw raises rather than silently
+    corrupting the card.
+    """
+    m = _profile_manifest_load(store_dir)
+    gen, new_gen = m["generation"], m["generation"] + 1
+    _sweep_stale_gens(store_dir, gen)
+
+    batch = _batch_state(
+        df, m["strata_col"], m["text_col"], -1 if delete else 1
+    )
+    merged: dict[str, DataFrame] = {}
+    for table, delta in batch.items():
+        old = spark.read.parquet(_gen_dir(store_dir, table, gen))
+        keys = [c for c in delta.columns
+                if c not in ("n_docs", "total_tokens", "sum_quality",
+                             "cnt")]
+        vals = [c for c in delta.columns if c not in keys]
+        merged[table] = (
+            old.unionByName(delta)
+            .groupBy(*keys)
+            .agg(*[F.sum(c).alias(c) for c in vals])
+        )
+
+    if delete:
+        # a delete of unseen docs drives some count negative — refuse
+        neg = (
+            merged["hashes"].filter(F.col("cnt") < 0).limit(1).count()
+            + merged["scalars"].filter(F.col("n_docs") < 0)
+            .limit(1).count()
+        )
+        if neg:
+            raise ValueError(
+                "profile_store_update(delete=True): batch contains "
+                "documents the store never counted"
+            )
+
+    count_col = {"scalars": "n_docs", "lengths": "cnt", "hashes": "cnt"}
+    for table, out in merged.items():
+        out.filter(F.col(count_col[table]) != 0).write.mode(
+            "overwrite"
+        ).parquet(_gen_dir(store_dir, table, new_gen))
+
+    m["generation"] = new_gen
+    _profile_manifest_flip(store_dir, m)
+    _sweep_stale_gens(store_dir, new_gen)
+    log(
+        f"[profile-store] gen {gen} -> {new_gen} "
+        f"({'delete' if delete else 'append'})"
+    )
+
+
+def _hist_quantile_aggs(pos: Column, cum: Column, v: Column, tag: str):
+    """Aggregate pieces of an exact interpolated quantile over a
+    cumulative histogram: the value at 1-based position ``k`` is the
+    first histogram value whose cumulative count reaches ``k``."""
+    return [
+        F.min(F.when(cum >= F.floor(pos), v)).alias(f"_lo_{tag}"),
+        F.min(F.when(cum >= F.ceil(pos), v)).alias(f"_hi_{tag}"),
+        F.first(pos).alias(f"_pos_{tag}"),
+    ]
+
+
+def _hist_quantile_value(tag: str, name: str) -> Column:
+    """Spark ``percentile``'s own interpolation, term for term —
+    ``(higher−pos)·lo + (pos−lower)·hi`` with an early return at
+    integer positions — so the histogram-derived quantile is
+    bit-compatible with the per-group-sort batch profile."""
+    pos = F.col(f"_pos_{tag}")
+    lo = F.col(f"_lo_{tag}").cast("double")
+    hi = F.col(f"_hi_{tag}").cast("double")
+    return (
+        F.when(F.floor(pos) == F.ceil(pos), lo)
+        .otherwise((F.ceil(pos) - pos) * lo + (pos - F.floor(pos)) * hi)
+        .alias(name)
+    )
+
+
+def profile_store_card(
+    spark: SparkSession, store_dir: str
+) -> DataFrame:
+    """The dataset card from store state alone — same schema and same
+    values as :func:`corpus_profile` over the surviving corpus, but
+    computed from O(state) not O(corpus).
+
+    Quantiles come from the exact length histogram via a per-stratum
+    cumulative window (histogram rows per stratum are bounded by
+    distinct doc lengths — thousands, not corpus-sized)."""
+    m = _profile_manifest_load(store_dir)
+    gen = m["generation"]
+    scalars = spark.read.parquet(_gen_dir(store_dir, "scalars", gen))
+    lengths = spark.read.parquet(_gen_dir(store_dir, "lengths", gen))
+    hashes = spark.read.parquet(_gen_dir(store_dir, "hashes", gen))
+
+    distinct = hashes.groupBy("stratum").agg(
+        F.count(F.lit(1)).alias("n_distinct_texts")
+    )
+
+    w = (
+        Window.partitionBy("stratum")
+        .orderBy("n_tokens")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    h = (
+        lengths.join(scalars.select("stratum", "n_docs"), "stratum")
+        .withColumn("cum", F.sum("cnt").over(w))
+    )
+    pos50 = F.lit(1) + (F.col("n_docs") - 1) * F.lit(0.5)
+    pos90 = F.lit(1) + (F.col("n_docs") - 1) * F.lit(0.9)
+    quant = (
+        h.groupBy("stratum")
+        .agg(
+            *_hist_quantile_aggs(pos50, F.col("cum"),
+                                 F.col("n_tokens"), "p50"),
+            *_hist_quantile_aggs(pos90, F.col("cum"),
+                                 F.col("n_tokens"), "p90"),
+        )
+        .select(
+            "stratum",
+            _hist_quantile_value("p50", "p50_tokens"),
+            _hist_quantile_value("p90", "p90_tokens"),
+        )
+    )
+
+    return (
+        scalars.join(quant, "stratum").join(distinct, "stratum")
+        .select(
+            "stratum",
+            "n_docs",
+            "total_tokens",
+            (F.col("total_tokens") / F.col("n_docs")).alias(
+                "mean_tokens"
+            ),
+            "p50_tokens",
+            "p90_tokens",
+            (F.col("sum_quality") / F.col("n_docs")).alias(
+                "mean_quality"
+            ),
+            "n_distinct_texts",
+            (
+                F.lit(1.0)
+                - F.col("n_distinct_texts") / F.col("n_docs")
+            ).alias("dup_rate"),
+        )
+    )

@@ -51,3 +51,112 @@ def test_corpus_profile_oracle_parity(spark):
         for r in con.execute(corpus_profile_sql("d")).fetchall()
     )
     assert got == oracle
+
+
+def _canon_card(rows):
+    return sorted(
+        (
+            r["stratum"], r["n_docs"], r["total_tokens"],
+            round(r["mean_tokens"], 9), round(r["p50_tokens"], 9),
+            round(r["p90_tokens"], 9), round(r["mean_quality"], 9),
+            r["n_distinct_texts"], round(r["dup_rate"], 9),
+        )
+        for r in rows
+    )
+
+
+def test_profile_store_matches_batch_profile(spark, tmp_path):
+    """Three appends + one delete through the store == one batch
+    corpus_profile over the surviving corpus, value for value."""
+    from pyspark.sql import functions as F
+
+    from same_same_spark.pipeline.profile import (
+        profile_store_card,
+        profile_store_init,
+        profile_store_update,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text", "lang")
+    store = str(tmp_path / "pstore")
+    profile_store_init(spark, store)
+    for i in range(3):
+        profile_store_update(
+            spark, store, docs.filter(F.col("doc_id") % 3 == i),
+            log=lambda *_: None,
+        )
+    victims = docs.filter(F.col("doc_id") % 7 == 0)
+    profile_store_update(spark, store, victims, delete=True,
+                         log=lambda *_: None)
+
+    surviving = docs.filter(F.col("doc_id") % 7 != 0)
+    got = _canon_card(profile_store_card(spark, store).collect())
+    want = _canon_card(corpus_profile(surviving).collect())
+    assert got == want
+
+
+def test_profile_store_delete_unseen_doc_refused(spark, tmp_path):
+    from same_same_spark.pipeline.profile import (
+        profile_store_init,
+        profile_store_update,
+    )
+
+    store = str(tmp_path / "pstore")
+    profile_store_init(spark, store)
+    profile_store_update(spark, store, _df(spark), log=lambda *_: None)
+    ghost = spark.createDataFrame(
+        [(99, "text the store never counted", "en")],
+        "doc_id LONG, text STRING, lang STRING",
+    )
+    with pytest.raises(ValueError, match="never counted"):
+        profile_store_update(spark, store, ghost, delete=True,
+                             log=lambda *_: None)
+
+
+def test_profile_store_crash_window_keeps_previous_generation(
+    spark, tmp_path
+):
+    """New-generation dirs written but manifest not flipped (the crash
+    window) must leave the previous card fully live; the next update
+    sweeps the orphans and proceeds normally."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from same_same_spark.pipeline.profile import (
+        _gen_dir,
+        profile_store_card,
+        profile_store_init,
+        profile_store_update,
+    )
+
+    docs = _df(spark)
+    store = str(tmp_path / "pstore")
+    profile_store_init(spark, store)
+    profile_store_update(spark, store, docs, log=lambda *_: None)
+    want = _canon_card(profile_store_card(spark, store).collect())
+
+    # simulate a crashed update: orphan gen-2 dirs, manifest still gen-1
+    for t in ("scalars", "lengths", "hashes"):
+        src = _gen_dir(store, t, 1)
+        spark.read.parquet(src).limit(0).write.parquet(
+            _gen_dir(store, t, 2)
+        )
+    assert _canon_card(profile_store_card(spark, store).collect()) == want
+
+    extra = spark.createDataFrame(
+        [(10, "new doc after crash", "en")],
+        "doc_id LONG, text STRING, lang STRING",
+    )
+    profile_store_update(spark, store, extra, log=lambda *_: None)
+    got = _canon_card(profile_store_card(spark, store).collect())
+    assert got == _canon_card(
+        corpus_profile(docs.unionByName(extra)).collect()
+    )
+    # exactly one live generation remains on disk
+    for t in ("scalars", "lengths", "hashes"):
+        assert glob.glob(os.path.join(store, f"{t}-*")) == [
+            _gen_dir(store, t, 2)
+        ]
