@@ -177,6 +177,20 @@ def main() -> None:
         "docs_per_sec": round(manifest.n_docs / build_sec, 1),
         "postings_per_sec": round(manifest.n_postings / build_sec, 1),
     }
+    # execution counters from the build's own lineage records (one per
+    # committed group; build.py captures them per encode job)
+    import glob as _glob
+
+    exec_totals = {"shuffle_write_bytes": 0, "shuffle_read_bytes": 0,
+                   "memory_spill_bytes": 0, "disk_spill_bytes": 0}
+    for rec_path in _glob.glob(
+        os.path.join(idx_dir, "_lineage", "group-*.json")
+    ):
+        with open(rec_path) as f:
+            rec = json.load(f)
+        for k in exec_totals:
+            exec_totals[k] += int(rec.get("exec", {}).get(k, 0))
+    out["build"]["exec"] = exec_totals
     out["queries"]["index_build"] = round(build_sec, 3)
 
     # ---- Phase 2: query latency over the index ---------------------------

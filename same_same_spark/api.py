@@ -260,9 +260,13 @@ class SameSameSpark:
     def _index_topk_filtered(self, text: str, k: int, pred) -> DataFrame:
         """Filtered retrieval THROUGH the index under GLOBAL corpus
         stats (the opt-in ``global_stats=True`` mode): fetch the
-        index's top-f BM25 candidates (f = k, 4k, 16k, …), post-filter
+        index's top-f BM25 candidates (f starts at k), post-filter
         with the compiled Catalyst predicate, and widen f until k
-        survivors remain or every matched doc has been fetched.
+        survivors remain or every matched doc has been fetched. The
+        widening is selectivity-adaptive: f jumps to ~2k over the
+        observed survivor rate (with a x4 floor), so selective
+        filters settle in a couple of probes instead of climbing a
+        geometric ladder.
 
         Returns the top-k survivors as (id, score) — NO rank column
         (callers blend/re-rank). Termination is guaranteed: the index
@@ -307,7 +311,16 @@ class SameSameSpark:
                 return rank_topk(survivors, k, id_col=self.id_col).drop(
                     "rank"
                 )
-            fetch *= 4
+            # selectivity-adaptive widening: estimate the survivor
+            # rate from the candidates already seen (Laplace-smoothed
+            # so a zero-survivor sample neither stalls nor explodes)
+            # and jump near the fetch size expected to yield k
+            # survivors, with 2x headroom; the x4 step stays as a
+            # floor so the probe count is logarithmic even when the
+            # estimate is wrong (a selective filter now typically
+            # costs 2-3 probes total instead of a full x4 ladder)
+            p_hat = (got + 1) / (n_cand + 2)
+            fetch = max(4 * fetch, int(2 * k / p_hat) + 1)
 
     def search_by_text(
         self,

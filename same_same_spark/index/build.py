@@ -55,6 +55,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from same_same_spark.bm25 import B_DEFAULT, K1_DEFAULT
+from same_same_spark.metrics import MetricsWindow
 from same_same_spark.index import codec
 from same_same_spark.text.tokenizer import (
     MIN_TOKEN_LEN,
@@ -556,7 +557,8 @@ def build_index(
             _encode_partition_fn(id_col, text_col), SHARD_SCHEMA
         ).withColumn("grp", F.lit(gi).cast("int"))
         tmp = dst + ".tmp"
-        enc.write.mode("overwrite").parquet(tmp)
+        with MetricsWindow(spark) as mw:
+            enc.write.mode("overwrite").parquet(tmp)
         os.makedirs(os.path.dirname(dst), exist_ok=True)
         os.replace(tmp, dst)
 
@@ -597,6 +599,11 @@ def build_index(
             "wall_sec": wall,
             "docs_per_sec": n_docs_g / max(wall, 1e-9),
             "postings_per_sec": n_post_g / max(wall, 1e-9),
+            # execution-side counters for the encode job (shuffle
+            # bytes, spill) + per-partition task rows of its heaviest
+            # stage — the skew evidence the north rule asks for
+            "exec": mw.totals(),
+            "exec_partitions": mw.task_detail(),
         }
         tmpf = os.path.join(lineage_dir, f"group-{gname}.json.tmp")
         with open(tmpf, "w") as f:

@@ -1,0 +1,158 @@
+"""Per-stage / per-partition execution metrics.
+
+The north rule asks the build to emit per-stage metrics — docs/sec,
+postings/sec, **shuffle bytes** — per partition. Throughput numbers
+come from the build's own lineage records (``index/build.py``); this
+module supplies the execution-side counters by reading Spark's
+``AppStatusStore`` — the driver-side store that backs the UI and REST
+API. It is populated from executor heartbeats even with
+``spark.ui.enabled=false``, needs no listener registration, and works
+identically on local mode and a real cluster, so the same call sites
+emit real shuffle/input/spill numbers at 1000 executors.
+
+Access goes through py4j internals (``sc._jsc.sc().statusStore()``),
+which is a private surface — every reader here degrades to an empty
+result instead of failing the job if a future Spark reshapes it.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import SparkSession
+
+
+def _status_store(spark: SparkSession):
+    return spark.sparkContext._jsc.sc().statusStore()
+
+
+def stage_metrics(spark: SparkSession) -> list[dict[str, Any]]:
+    """Snapshot of every stage Spark has run in this session: one dict
+    per stage with task counts, input/output bytes, and shuffle
+    read/write bytes. Newest first (store order)."""
+    try:
+        gw = spark.sparkContext._gateway
+        empty = gw.jvm.java.util.ArrayList()
+        darr = gw.new_array(gw.jvm.double, 0)
+        stages = _status_store(spark).stageList(
+            empty, False, False, darr, empty
+        )
+        out = []
+        for i in range(stages.size()):
+            st = stages.apply(i)
+            out.append(
+                {
+                    "stage_id": st.stageId(),
+                    "attempt": st.attemptId(),
+                    "status": str(st.status()),
+                    "name": str(st.name()),
+                    "num_tasks": st.numTasks(),
+                    "num_complete_tasks": st.numCompleteTasks(),
+                    "input_bytes": st.inputBytes(),
+                    "output_bytes": st.outputBytes(),
+                    "shuffle_write_bytes": st.shuffleWriteBytes(),
+                    "shuffle_read_bytes": st.shuffleReadBytes(),
+                    "executor_run_time_ms": st.executorRunTime(),
+                    "memory_spill_bytes": st.memoryBytesSpilled(),
+                    "disk_spill_bytes": st.diskBytesSpilled(),
+                }
+            )
+        return out
+    except Exception:  # private surface — degrade, never fail the job
+        return []
+
+
+def task_metrics(
+    spark: SparkSession, stage_id: int, max_tasks: int = 10_000
+) -> list[dict[str, Any]]:
+    """Per-task (= per-partition) metrics for one stage: the
+    finest-grained evidence of skew — a partition whose shuffle write
+    or runtime dwarfs its siblings is the salting candidate."""
+    try:
+        tl = _status_store(spark).taskList(stage_id, 0, max_tasks)
+        out = []
+        for i in range(tl.size()):
+            t = tl.apply(i)
+            tm_opt = t.taskMetrics()
+            if not tm_opt.isDefined():
+                continue
+            tm = tm_opt.get()
+            out.append(
+                {
+                    "partition": t.index(),
+                    "executor_run_time_ms": tm.executorRunTime(),
+                    "input_records": tm.inputMetrics().recordsRead(),
+                    "input_bytes": tm.inputMetrics().bytesRead(),
+                    "shuffle_write_bytes": (
+                        tm.shuffleWriteMetrics().bytesWritten()
+                    ),
+                    "shuffle_read_bytes": (
+                        tm.shuffleReadMetrics().localBytesRead()
+                        + tm.shuffleReadMetrics().remoteBytesRead()
+                    ),
+                    "memory_spill_bytes": tm.memoryBytesSpilled(),
+                }
+            )
+        return sorted(out, key=lambda r: r["partition"])
+    except Exception:
+        return []
+
+
+class MetricsWindow:
+    """Capture the stages a block of work ran::
+
+        with MetricsWindow(spark) as mw:
+            build_index(...)
+        totals = mw.totals()      # summed shuffle/input bytes
+        stages = mw.stages()      # per-stage rows
+        tasks  = mw.task_detail() # per-partition rows, heaviest stage
+
+    Stage ids are monotonically increasing per SparkContext, so the
+    window is simply "stages with id above the entry-time high-water
+    mark" — no listener, no race with concurrent history eviction.
+    """
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self._mark = -1
+        self._stages: list[dict[str, Any]] = []
+
+    def __enter__(self) -> "MetricsWindow":
+        before = stage_metrics(self.spark)
+        self._mark = max((s["stage_id"] for s in before), default=-1)
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self._stages = [
+            s
+            for s in stage_metrics(self.spark)
+            if s["stage_id"] > self._mark
+        ]
+
+    def stages(self) -> list[dict[str, Any]]:
+        return sorted(self._stages, key=lambda s: s["stage_id"])
+
+    def totals(self) -> dict[str, int]:
+        keys = (
+            "num_complete_tasks",
+            "input_bytes",
+            "output_bytes",
+            "shuffle_write_bytes",
+            "shuffle_read_bytes",
+            "executor_run_time_ms",
+            "memory_spill_bytes",
+            "disk_spill_bytes",
+        )
+        return {
+            k: sum(int(s[k]) for s in self._stages) for k in keys
+        }
+
+    def task_detail(self) -> list[dict[str, Any]]:
+        """Per-partition metrics for the window's heaviest stage (by
+        executor run time) — the stage where skew would live."""
+        if not self._stages:
+            return []
+        heaviest = max(
+            self._stages, key=lambda s: s["executor_run_time_ms"]
+        )
+        return task_metrics(self.spark, heaviest["stage_id"])

@@ -84,6 +84,16 @@ t0 = time.time(); reps = 5
 for _ in range(reps):
     search_batch(spark, out, queries, k=10).collect()
 query_wall = (time.time() - t0) / (reps * len(queries))
+# execution counters (shuffle bytes) from the build's lineage records —
+# identical bytes at both core counts proves the job, not the plan,
+# is what scaled
+import glob
+shuf_w = shuf_r = 0
+for p in glob.glob(os.path.join(out, "_lineage", "group-*.json")):
+    with open(p) as f:
+        rec = json.load(f)
+    shuf_w += int(rec.get("exec", {}).get("shuffle_write_bytes", 0))
+    shuf_r += int(rec.get("exec", {}).get("shuffle_read_bytes", 0))
 shutil.rmtree(out, ignore_errors=True)
 print("RESULT " + json.dumps({
     "cpus": cpus, "docs": m.n_docs, "postings": m.n_postings,
@@ -91,6 +101,8 @@ print("RESULT " + json.dumps({
     "docs_per_sec": round(m.n_docs / build_wall, 1),
     "postings_per_sec": round(m.n_postings / build_wall, 1),
     "query_sec_per_query": round(query_wall, 4),
+    "shuffle_write_bytes": shuf_w,
+    "shuffle_read_bytes": shuf_r,
 }))
 """
 
