@@ -497,8 +497,8 @@ def decode_image_rgb(payload: bytes, size: tuple[int, int] = (224, 224)):
 
     PIL handles every registered format when present; without it the
     stdlib codec (:mod:`same_same_spark.pipeline.imagecodec`) decodes
-    PNG/BMP and baseline JPEG for real — only progressive JPEG,
-    non-interleaved scans, GIF and WebP remain gated
+    PNG/BMP and huffman-DCT JPEG (incl. progressive) for real — only
+    GIF, WebP and lossless/arithmetic JPEG remain gated
     (``UnsupportedImageError``, a ``NotImplementedError`` subclass)."""
     try:
         import PIL.Image as Image

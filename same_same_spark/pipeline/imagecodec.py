@@ -425,8 +425,9 @@ def sniff_format(data: bytes) -> str:
 
 def decode_image(data: bytes) -> np.ndarray:
     """Sniff + decode to ``(H, W, 3)`` uint8 RGB. PNG/BMP decode here,
-    baseline JPEG in :mod:`same_same_spark.pipeline.jpegcodec`;
-    GIF/WebP (and progressive/arithmetic JPEG) raise
+    huffman-DCT JPEG (baseline, extended sequential, progressive) in
+    :mod:`same_same_spark.pipeline.jpegcodec`;
+    GIF/WebP (and lossless/hierarchical/arithmetic JPEG) raise
     :class:`UnsupportedImageError` — the narrowed honest gate; anything
     else raises ``ValueError``."""
     fmt = sniff_format(data)

@@ -1,24 +1,32 @@
-"""Pure-stdlib baseline JPEG (ITU-T T.81) decoder.
+"""Pure-stdlib JPEG (ITU-T T.81) decoder: baseline, extended
+sequential, and progressive huffman.
 
 Completes the reference's registered-format set without third-party
 libs: Go registers png+jpeg (``internal/embedders/clip/simple.go:7-9``);
 PNG lives in :mod:`same_same_spark.pipeline.imagecodec`, this module
-decodes **baseline and extended-sequential huffman** JPEG (SOF0/SOF1):
-marker parse, DQT/DHT tables, entropy-coded scan with byte-stuffing and
-restart markers, dequantize, zigzag, float IDCT, chroma upsample by
-pixel replication, JFIF YCbCr->RGB.
+decodes **huffman-coded DCT** JPEG (SOF0/SOF1/SOF2): marker parse,
+DQT/DHT tables, any number of entropy-coded scans — interleaved or
+per-component, sequential or progressive (spectral selection +
+successive approximation, EOB runs, refinement bits) — with
+byte-stuffing and restart markers, then one vectorized
+dequantize/IDCT/upsample/YCbCr->RGB reconstruction pass over the
+accumulated coefficients.
 
-Progressive (SOF2), hierarchical, and arithmetic-coded JPEGs raise
+Hierarchical, lossless, and arithmetic-coded JPEGs raise
 :class:`~same_same_spark.pipeline.imagecodec.UnsupportedImageError` —
-the honest gate, narrowed from "any JPEG" to these variants. Chroma
-upsampling is spec-conformant pixel replication (libjpeg's default
-"fancy" triangle filter differs by a few counts on subsampled chroma;
-this is a capability path, not a bit-pinned oracle path — the pinned
-paths stay on the deterministic stand-in decoders in ``clip.py``).
+the honest gate, narrowed from "any JPEG" to "any non-huffman-DCT
+JPEG". Chroma upsampling is spec-conformant pixel replication
+(libjpeg's default "fancy" triangle filter differs by a few counts on
+subsampled chroma; this is a capability path, not a bit-pinned oracle
+path — the pinned paths stay on the deterministic stand-in decoders in
+``clip.py``).
 
 Everything here derives from the public T.81 spec; the huffman/zigzag/
-DCT test vectors come from a spec-derived encoder in
-``tests/test_jpegcodec.py`` written independently of this file.
+DCT/progressive-scan test vectors come from spec-derived sequential
+AND progressive encoders in ``tests/test_jpegcodec.py`` written
+independently of this file (the differential: a progressive stream
+must decode pixel-identical to the sequential stream carrying the
+same coefficients).
 """
 
 from __future__ import annotations
@@ -41,6 +49,7 @@ def _zigzag() -> list[int]:
 
 
 ZIGZAG = _zigzag()
+_ZIGZAG_ARR = np.array(ZIGZAG)
 
 # Orthonormal 8-point DCT-II basis: A[u, x] = c(u)/2 * cos((2x+1)uπ/16)
 _A = np.array(
@@ -143,28 +152,274 @@ def _decode_huff(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
     raise ValueError("jpeg: invalid huffman code")
 
 
+# --- per-block scan decoders (T.81 F.2.2 sequential, G.2 progressive) ------
+
+
+def _block_sequential(reader, dc_tab, ac_tab, block, pred: int) -> int:
+    """Full DC+AC decode of one block (sequential scans)."""
+    s = _decode_huff(reader, dc_tab)
+    diff = _extend(reader.receive(s), s) if s else 0
+    pred += diff
+    block[0] = pred
+    k = 1
+    while k < 64:
+        rs = _decode_huff(reader, ac_tab)
+        r, sz = rs >> 4, rs & 15
+        if sz == 0:
+            if r == 15:
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("jpeg: AC index overflow")
+        block[ZIGZAG[k]] = _extend(reader.receive(sz), sz)
+        k += 1
+    return pred
+
+
+def _block_dc(reader, dc_tab, block, pred: int, ah: int, al: int) -> int:
+    """Progressive DC scan on one block: first pass (Ah=0) decodes the
+    point-transformed diff; refinement passes append one bit."""
+    if ah == 0:
+        s = _decode_huff(reader, dc_tab)
+        diff = _extend(reader.receive(s), s) if s else 0
+        pred += diff
+        block[0] = pred << al
+    else:
+        if reader.read_bit():
+            block[0] |= 1 << al
+    return pred
+
+
+def _block_ac_first(reader, ac_tab, block, ss, se, al, eobrun: int) -> int:
+    """Progressive AC first pass (Ah=0) on one block's [Ss, Se] band;
+    returns the remaining EOB run (count of further all-zero bands)."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _decode_huff(reader, ac_tab)
+        r, sz = rs >> 4, rs & 15
+        if sz == 0:
+            if r == 15:
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += reader.receive(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("jpeg: AC index overflow")
+        block[ZIGZAG[k]] = _extend(reader.receive(sz), sz) << al
+        k += 1
+    return eobrun
+
+
+def _refine_nonzero(reader, block, z: int, p1: int, m1: int) -> None:
+    """Correction bit for a coefficient that is already nonzero: if
+    set, nudge its magnitude up by one at this bit position (T.81
+    G.1.2.3: only when the bit isn't already present)."""
+    if reader.read_bit():
+        v = int(block[z])
+        if (v & p1) == 0:  # two's-complement bit test, sign-agnostic
+            block[z] = v + (p1 if v >= 0 else m1)
+
+
+def _block_ac_refine(
+    reader, ac_tab, block, ss, se, al, eobrun: int
+) -> int:
+    """Progressive AC refinement pass (Ah=Al+1) on one block's band:
+    newly-significant coefficients arrive as ±2^Al, previously-nonzero
+    ones get a correction bit each; EOB runs still carry correction
+    bits for the nonzero history they skip."""
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _decode_huff(reader, ac_tab)
+            r, sz = rs >> 4, rs & 15
+            if sz == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.receive(r)
+                    break
+                val = 0  # ZRL: skip 16 zero-history coefficients
+            else:
+                if sz != 1:
+                    raise ValueError("jpeg: bad refinement magnitude")
+                val = p1 if reader.read_bit() else m1
+            while k <= se:
+                z = ZIGZAG[k]
+                if block[z] != 0:
+                    _refine_nonzero(reader, block, z, p1, m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if sz and k <= se:
+                block[ZIGZAG[k]] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            z = ZIGZAG[k]
+            if block[z] != 0:
+                _refine_nonzero(reader, block, z, p1, m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_scan(
+    data: bytes,
+    pos: int,
+    comps: list[dict],
+    scan_sel: list[tuple[int, int, int]],
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    progressive: bool,
+    restart_interval: int,
+    huff: dict,
+    coefs: list[np.ndarray],
+    geom: dict,
+) -> int:
+    """Decode one scan's entropy-coded data into the per-component
+    coefficient arrays; returns the stream position of the next marker.
+
+    ``scan_sel`` is ``[(component_index, dc_table_id, ac_table_id)]``
+    in scan order. Multi-component scans interleave by MCU; a
+    single-component scan is non-interleaved (MCU = one block) over
+    that component's un-padded block grid, per T.81 A.2.2.
+    """
+    reader = _BitReader(data, pos)
+    pred = [0] * len(scan_sel)
+    eobrun = 0
+    rst_n = 0
+    unit_count = 0  # MCUs (interleaved) or blocks (non-interleaved)
+
+    def tables(dc_id: int, ac_id: int, need_dc: bool, need_ac: bool):
+        dc = huff.get((0, dc_id))
+        ac = huff.get((1, ac_id))
+        if (need_dc and dc is None) or (need_ac and ac is None):
+            raise ValueError("jpeg: missing huffman table")
+        return dc, ac
+
+    def maybe_restart():
+        nonlocal rst_n, pred, eobrun
+        if (
+            restart_interval
+            and unit_count
+            and unit_count % restart_interval == 0
+        ):
+            reader.sync_restart(rst_n)
+            rst_n = (rst_n + 1) & 7
+            pred = [0] * len(scan_sel)
+            eobrun = 0
+
+    if len(scan_sel) > 1:
+        # interleaved MCU order (sequential, or progressive DC)
+        if progressive and ss != 0:
+            raise ValueError("jpeg: interleaved AC scan is illegal")
+        for my in range(geom["mcus_y"]):
+            for mx in range(geom["mcus_x"]):
+                maybe_restart()
+                for si, (ci, dc_id, ac_id) in enumerate(scan_sel):
+                    c = comps[ci]
+                    dc_tab, ac_tab = tables(
+                        dc_id, ac_id,
+                        (not progressive) or ah == 0,  # DC refine: raw bits
+                        not progressive,
+                    )
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            block = coefs[ci][
+                                my * c["v"] + by, mx * c["h"] + bx
+                            ]
+                            if progressive:
+                                pred[si] = _block_dc(
+                                    reader, dc_tab, block, pred[si],
+                                    ah, al,
+                                )
+                            else:
+                                pred[si] = _block_sequential(
+                                    reader, dc_tab, ac_tab, block,
+                                    pred[si],
+                                )
+                unit_count += 1
+    else:
+        ci, dc_id, ac_id = scan_sel[0]
+        c = comps[ci]
+        bw, bh = geom["blocks"][ci]
+        is_dc = ss == 0
+        dc_tab, ac_tab = tables(
+            dc_id, ac_id,
+            need_dc=is_dc and ((not progressive) or ah == 0),
+            need_ac=(not progressive) or not is_dc,
+        )
+        for row in range(bh):
+            for col in range(bw):
+                maybe_restart()
+                block = coefs[ci][row, col]
+                if not progressive:
+                    pred[0] = _block_sequential(
+                        reader, dc_tab, ac_tab, block, pred[0]
+                    )
+                elif is_dc:
+                    pred[0] = _block_dc(
+                        reader, dc_tab, block, pred[0], ah, al
+                    )
+                elif ah == 0:
+                    eobrun = _block_ac_first(
+                        reader, ac_tab, block, ss, se, al, eobrun
+                    )
+                else:
+                    eobrun = _block_ac_refine(
+                        reader, ac_tab, block, ss, se, al, eobrun
+                    )
+                unit_count += 1
+
+    # land on the next marker (skip any pad bits / stray bytes)
+    p = reader.pos
+    while p < len(data) and data[p] != 0xFF:
+        p += 1
+    return p
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Decode a baseline/extended-sequential huffman JPEG to an
+    """Decode a huffman-coded DCT JPEG (baseline, extended sequential,
+    or progressive; interleaved or per-component scans) to an
     ``(H, W, 3)`` uint8 RGB array."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("jpeg: missing SOI")
     pos = 2
     n = len(data)
     qt: dict[int, np.ndarray] = {}
-    huff: dict[tuple[int, int], dict] = {}  # (class 0=DC/1=AC, id) -> table
-    frame = None  # (precision, H, W, components)
+    huff: dict[tuple[int, int], dict] = {}  # (class 0=DC/1=AC, id)
+    frame = None  # (H, W, components)
+    progressive = False
     restart_interval = 0
-    scan = None
+    coefs: list[np.ndarray] | None = None
+    geom: dict = {}
+    dc_seen: set[int] = set()
+    any_scan = False
 
-    while pos + 4 <= n:
+    while pos + 2 <= n:
         if data[pos] != 0xFF:
             raise ValueError("jpeg: marker expected")
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
             break
-        if 0xD0 <= marker <= 0xD7:  # stray RST
-            continue
+        if 0xD0 <= marker <= 0xD7 or marker in (0x01, 0xD8):
+            continue  # stray RST / TEM / SOI: no length field
+        if pos + 2 > n:
+            break
         (seglen,) = struct.unpack_from(">H", data, pos)
         body = data[pos + 2 : pos + seglen]
         if marker == 0xDB:  # DQT
@@ -179,7 +434,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     tbl = np.frombuffer(body[b : b + 128], dtype=">u2")
                     b += 128
                 qt[tq] = tbl.astype(np.int32)
-        elif marker in (0xC0, 0xC1):  # SOF0/SOF1
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1/SOF2
+            if frame is not None:
+                raise ValueError("jpeg: multiple frames")
+            progressive = marker == 0xC2
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise UnsupportedImageError("jpeg: only 8-bit precision")
@@ -190,9 +448,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     {"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq}
                 )
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
             raise UnsupportedImageError(
-                "jpeg: progressive/hierarchical/arithmetic coding unsupported"
+                "jpeg: hierarchical/lossless/arithmetic coding unsupported"
             )
         elif marker == 0xC4:  # DHT
             b = 0
@@ -206,100 +465,100 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("jpeg: SOS before SOF")
+            H, W, comps = frame
+            if H == 0 or W == 0:
+                raise ValueError("jpeg: zero-sized image")
+            if coefs is None:
+                hmax = max(c["h"] for c in comps)
+                vmax = max(c["v"] for c in comps)
+                geom = {
+                    "mcus_x": -(-W // (8 * hmax)),
+                    "mcus_y": -(-H // (8 * vmax)),
+                    "hmax": hmax,
+                    "vmax": vmax,
+                    "blocks": [],
+                }
+                coefs = []
+                for c in comps:
+                    cw = -(-W * c["h"] // hmax)
+                    ch = -(-H * c["v"] // vmax)
+                    geom["blocks"].append((-(-cw // 8), -(-ch // 8)))
+                    coefs.append(
+                        np.zeros(
+                            (
+                                geom["mcus_y"] * c["v"],
+                                geom["mcus_x"] * c["h"],
+                                64,
+                            ),
+                            dtype=np.int32,
+                        )
+                    )
             ns = body[0]
-            sel = {}
+            by_id = {c["id"]: i for i, c in enumerate(comps)}
+            sel = []
             for si in range(ns):
                 cid, tt = body[1 + 2 * si], body[2 + 2 * si]
-                sel[cid] = (tt >> 4, tt & 15)
-            scan = sel
-            pos += seglen
-            break  # entropy-coded data follows
+                if cid not in by_id:
+                    raise ValueError("jpeg: scan selects unknown component")
+                sel.append((by_id[cid], tt >> 4, tt & 15))
+            ss, se, ahal = (
+                body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
+            )
+            ah, al = ahal >> 4, ahal & 15
+            if not progressive:
+                ss, se, ah, al = 0, 63, 0, 0
+            elif ss == 0 and se != 0:
+                raise ValueError("jpeg: bad DC spectral band")
+            elif ss > 0 and len(sel) != 1:
+                raise ValueError("jpeg: interleaved AC scan is illegal")
+            if ss == 0:
+                dc_seen.update(ci for ci, _, _ in sel)
+            any_scan = True
+            pos = _decode_scan(
+                data, pos + seglen, comps, sel, ss, se, ah, al,
+                progressive, restart_interval, huff, coefs, geom,
+            )
+            continue
         pos += seglen
 
-    if frame is None or scan is None:
+    if frame is None or not any_scan:
         raise ValueError("jpeg: missing SOF/SOS")
     H, W, comps = frame
-    if H == 0 or W == 0:
-        raise ValueError("jpeg: zero-sized image")
-    missing = [c["id"] for c in comps if c["id"] not in scan]
-    if missing:
-        # spec-legal per-component (non-interleaved) scans select a
-        # subset of the frame's components; this baseline decoder only
-        # handles the single interleaved scan — gate honestly
-        raise UnsupportedImageError(
-            "jpeg: non-interleaved scan (components "
-            f"{missing} not in first SOS) unsupported"
-        )
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcus_x = -(-W // (8 * hmax))
-    mcus_y = -(-H // (8 * vmax))
+    if len(dc_seen) != len(comps):
+        raise ValueError("jpeg: component(s) never scanned")
 
-    planes = []
-    for c in comps:
-        planes.append(
-            np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8), dtype=np.float64)
-        )
-
-    reader = _BitReader(data, pos)
-    pred = [0] * len(comps)
-    rst_n = 0
-    mcu_count = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                reader.sync_restart(rst_n)
-                rst_n = (rst_n + 1) & 7
-                pred = [0] * len(comps)
-            for ci, c in enumerate(comps):
-                dc_tab = huff.get((0, scan[c["id"]][0]))
-                ac_tab = huff.get((1, scan[c["id"]][1]))
-                q = qt.get(c["tq"])
-                if dc_tab is None or ac_tab is None or q is None:
-                    raise ValueError("jpeg: missing huffman/quant table")
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        coef = np.zeros(64, dtype=np.float64)
-                        s = _decode_huff(reader, dc_tab)
-                        diff = _extend(reader.receive(s), s) if s else 0
-                        pred[ci] += diff
-                        coef[0] = pred[ci] * q[0]
-                        k = 1
-                        while k < 64:
-                            rs = _decode_huff(reader, ac_tab)
-                            r, sz = rs >> 4, rs & 15
-                            if sz == 0:
-                                if r == 15:
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("jpeg: AC index overflow")
-                            coef[ZIGZAG[k]] = (
-                                _extend(reader.receive(sz), sz) * q[k]
-                            )
-                            k += 1
-                        block = _idct2(coef.reshape(8, 8)) + 128.0
-                        y0 = (my * c["v"] + by) * 8
-                        x0 = (mx * c["h"] + bx) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
-            mcu_count += 1
-
-    # crop to component size, upsample to full resolution
+    # --- reconstruction: dequantize + vectorized IDCT per component ---
     full = []
     for ci, c in enumerate(comps):
-        cw = -(-W * c["h"] // hmax)
-        ch = -(-H * c["v"] // vmax)
-        p = planes[ci][:ch, :cw]
-        p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        q = qt.get(c["tq"])
+        if q is None:
+            raise ValueError("jpeg: missing quant table")
+        qnat = np.empty(64, dtype=np.int64)
+        qnat[_ZIGZAG_ARR] = q  # zigzag-order table -> natural order
+        bh, bw = coefs[ci].shape[:2]
+        deq = (coefs[ci].astype(np.int64) * qnat).astype(np.float64)
+        blocks = deq.reshape(bh, bw, 8, 8)
+        out = np.einsum("ab,ijbc,cd->ijad", _A.T, blocks, _A)
+        plane = out.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8) + 128.0
+        cw = -(-W * c["h"] // geom["hmax"])
+        ch = -(-H * c["v"] // geom["vmax"])
+        p = plane[:ch, :cw]
+        p = np.repeat(
+            np.repeat(p, geom["vmax"] // c["v"], axis=0),
+            geom["hmax"] // c["h"],
+            axis=1,
+        )
         full.append(p[:H, :W])
 
     if len(full) == 1:
         y = np.clip(np.rint(full[0]), 0, 255).astype(np.uint8)
         return np.repeat(y[..., None], 3, axis=2)
     if len(full) != 3:
-        raise UnsupportedImageError(f"jpeg: {len(full)}-component images unsupported")
+        raise UnsupportedImageError(
+            f"jpeg: {len(full)}-component images unsupported"
+        )
     y, cb, cr = full
     r = y + 1.402 * (cr - 128.0)
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)

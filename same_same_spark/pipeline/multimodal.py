@@ -8,10 +8,12 @@ structs) and its image ingestion path
 (``internal/ingestion/image.go:41-117``), re-expressed as Spark schema
 + Arrow batch processing.
 
-Image decode is REAL for PNG, BMP and baseline JPEG via the
-pure-stdlib codec (:mod:`same_same_spark.pipeline.imagecodec`; PIL is
-used instead when installed, covering progressive JPEG/GIF/WebP too —
-without it those formats raise ``UnsupportedImageError``). Audio/video
+Image decode is REAL for PNG, BMP, and huffman-DCT JPEG (baseline,
+extended sequential, and progressive, interleaved or per-component
+scans) via the pure-stdlib codecs
+(:mod:`same_same_spark.pipeline.imagecodec`; PIL is used instead when
+installed, covering GIF/WebP too — without it those formats raise
+``UnsupportedImageError``). Audio/video
 decode remains stubbed (no
 codecs in this container); :func:`fake_features` provides a
 deterministic md5-derived stand-in so the Spark-side plumbing — schema,
@@ -152,9 +154,9 @@ def decode_image_features(
     Decode order per blob: PIL when installed (every registered
     format), else the pure-stdlib codec
     (:mod:`same_same_spark.pipeline.imagecodec` — real PNG/BMP and
-    baseline-JPEG decode; progressive JPEG, non-interleaved scans, GIF
-    and WebP raise ``UnsupportedImageError``, a ``NotImplementedError``
-    subclass, the narrowed honest gate).
+    huffman-DCT JPEG decode incl. progressive; GIF, WebP and
+    lossless/arithmetic JPEG raise ``UnsupportedImageError``, a
+    ``NotImplementedError`` subclass, the narrowed honest gate).
     """
 
     schema = f"{id_col} LONG, features ARRAY<DOUBLE>"

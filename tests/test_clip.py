@@ -223,12 +223,13 @@ def test_real_decode_png_works_jpeg_gated():
     assert np.array_equal(decode_image_rgb(encode_png(img), (10, 12)), img)
     out = decode_image_rgb(encode_png(img))  # default 224x224
     assert out.shape == (224, 224, 3) and out.dtype == np.uint8
-    # the remaining honest gate: progressive JPEG (SOF2)
+    # the remaining honest gate: arithmetic-coded JPEG (SOF9) — the
+    # huffman variants (incl. progressive) now decode for real
     import struct
 
-    sof2 = struct.pack(">BHHB", 8, 1, 1, 1) + b"\x01\x11\x00"
+    sof9 = struct.pack(">BHHB", 8, 1, 1, 1) + b"\x01\x11\x00"
     payload = (
-        b"\xff\xd8\xff\xc2" + struct.pack(">H", len(sof2) + 2) + sof2
+        b"\xff\xd8\xff\xc9" + struct.pack(">H", len(sof9) + 2) + sof9
     )
     with pytest.raises(NotImplementedError):
         decode_image_rgb(payload)

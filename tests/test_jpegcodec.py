@@ -1,11 +1,18 @@
-"""Baseline JPEG decoder tests.
+"""JPEG decoder tests (baseline + progressive).
 
-The decoder is checked against a minimal baseline JPEG *encoder* written
-here from the T.81 spec, independently of the product module: its own
-bit writer (with byte stuffing and 1-padding), its own canonical
-huffman construction, its own forward DCT and zigzag. A near-lossless
-quant table (all 1s) makes round-trips tight enough to catch any
-huffman/bitstream/IDCT defect, not just gross failures.
+The decoder is checked against minimal JPEG *encoders* written here
+from the T.81 spec, independently of the product module: their own bit
+writer (with byte stuffing and 1-padding), canonical huffman
+construction, forward DCT and zigzag, and a progressive encoder
+implementing spectral selection + successive approximation (DC/AC
+first and refinement scans, EOB runs with buffered correction bits).
+A near-lossless quant table (all 1s) makes round-trips tight enough to
+catch any huffman/bitstream/IDCT defect, not just gross failures.
+
+The progressive differential is exact by construction: a progressive
+stream carries the SAME quantized coefficients as the sequential
+stream (shared coefficient pipeline below), so the decoded pixels must
+be array-identical, not merely close.
 """
 
 from __future__ import annotations
@@ -85,39 +92,14 @@ class _Writer:
         while self.n:
             self.put(1, 1)  # pad with 1s per spec
 
+    def restart(self, rst_n: int):
+        self.flush()
+        self.out += bytes([0xFF, 0xD0 + (rst_n & 7)])
+
 
 def _cat(v: int) -> tuple[int, int]:
     s = abs(v).bit_length()
     return s, (v if v >= 0 else v + (1 << s) - 1)
-
-
-def _encode_block(wr: _Writer, coefs: np.ndarray, pred: int) -> int:
-    zz = [int(coefs.flat[_ZZ[k]]) for k in range(64)]
-    s, bits = _cat(zz[0] - pred)
-    ln, code = _DC_CODE[s]
-    wr.put(code, ln)
-    if s:
-        wr.put(bits, s)
-    run = 0
-    last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
-    for k in range(1, 64):
-        if k > last_nz:
-            ln, code = _AC_CODE[0x00]  # EOB
-            wr.put(code, ln)
-            break
-        if zz[k] == 0:
-            run += 1
-            continue
-        while run > 15:
-            ln, code = _AC_CODE[0xF0]  # ZRL
-            wr.put(code, ln)
-            run -= 16
-        s, bits = _cat(zz[k])
-        ln, code = _AC_CODE[(run << 4) | s]
-        wr.put(code, ln)
-        wr.put(bits, s)
-        run = 0
-    return zz[0]
 
 
 def _rgb_to_ycbcr(img: np.ndarray) -> list[np.ndarray]:
@@ -133,13 +115,13 @@ def _seg(marker: int, body: bytes) -> bytes:
     return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
 
 
-def encode_jpeg(
-    img: np.ndarray, q: int = 1, subsample=False, restart: int = 0
-) -> bytes:
-    """Minimal baseline JFIF encoder: quality = uniform quant table
-    ``q``; 4:4:4 or (``subsample=True``) 4:2:0; optional restart
-    interval in MCUs. Grayscale input -> single-component stream."""
-    qt = np.full(64, q, dtype=np.int64)
+def _coef_blocks(img: np.ndarray, q: int, subsample: bool):
+    """Shared coefficient pipeline: color convert, (optionally)
+    box-subsample chroma, pad to MCU geometry, forward DCT + quantize.
+    Returns per-component zigzag-ordered int coefficient arrays of
+    shape (padded_block_rows, padded_block_cols, 64), the sampling
+    factors, image dims, MCU grid, and each component's TRUE
+    (un-padded) block grid — the grid non-interleaved scans cover."""
     gray = img.ndim == 2
     planes = [img.astype(np.float64)] if gray else _rgb_to_ycbcr(img)
     H, W = planes[0].shape
@@ -162,15 +144,111 @@ def encode_jpeg(
     hmax = max(f[0] for f in factors)
     vmax = max(f[1] for f in factors)
     mcus_x, mcus_y = -(-W // (8 * hmax)), -(-H // (8 * vmax))
-    padded = []
+    blocks, true_blocks = [], []
     for ci, (fh, fv) in enumerate(factors):
-        tw, th = mcus_x * fh * 8, mcus_y * fv * 8
         p = planes[ci]
-        padded.append(
-            np.pad(
-                p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge"
-            )
+        true_blocks.append((-(-p.shape[1] // 8), -(-p.shape[0] // 8)))
+        tw, th = mcus_x * fh * 8, mcus_y * fv * 8
+        p = np.pad(
+            p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge"
         )
+        bh, bw = th // 8, tw // 8
+        arr = np.zeros((bh, bw, 64), dtype=np.int64)
+        for by in range(bh):
+            for bx in range(bw):
+                blk = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                co = np.rint((_C @ blk @ _C.T) / float(q))
+                arr[by, bx] = co.flat[_ZZ]
+        blocks.append(arr)
+    return blocks, factors, H, W, mcus_x, mcus_y, true_blocks
+
+
+def _encode_block(wr: _Writer, zz, pred: int) -> int:
+    s, bits = _cat(int(zz[0]) - pred)
+    ln, code = _DC_CODE[s]
+    wr.put(code, ln)
+    if s:
+        wr.put(bits, s)
+    run = 0
+    last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+    for k in range(1, 64):
+        if k > last_nz:
+            ln, code = _AC_CODE[0x00]  # EOB
+            wr.put(code, ln)
+            break
+        if zz[k] == 0:
+            run += 1
+            continue
+        while run > 15:
+            ln, code = _AC_CODE[0xF0]  # ZRL
+            wr.put(code, ln)
+            run -= 16
+        s, bits = _cat(int(zz[k]))
+        ln, code = _AC_CODE[(run << 4) | s]
+        wr.put(code, ln)
+        wr.put(bits, s)
+        run = 0
+    return int(zz[0])
+
+
+def _headers(
+    sof_marker: int, factors, H, W, q: int, restart: int
+) -> bytes:
+    ncomp = len(factors)
+    sof = struct.pack(">BHHB", 8, H, W, ncomp) + b"".join(
+        struct.pack(">BBB", ci + 1, (fh << 4) | fv, 0)
+        for ci, (fh, fv) in enumerate(factors)
+    )
+    out = b"\xff\xd8"
+    out += _seg(0xDB, b"\x00" + bytes([q] * 64))
+    out += _seg(0xC4, b"\x00" + _DC_COUNTS + _DC_SYMS)
+    out += _seg(0xC4, b"\x10" + _AC_COUNTS + _AC_SYMS)
+    if restart:
+        out += _seg(0xDD, struct.pack(">H", restart))
+    out += _seg(sof_marker, sof)
+    return out
+
+
+def _sos(sel: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
+    body = bytes([len(sel)]) + b"".join(
+        bytes([cid, 0x00]) for cid in sel
+    ) + bytes([ss, se, (ah << 4) | al])
+    return _seg(0xDA, body)
+
+
+def encode_jpeg(
+    img: np.ndarray, q: int = 1, subsample=False, restart: int = 0,
+    interleaved: bool = True,
+) -> bytes:
+    """Minimal baseline JFIF encoder: quality = uniform quant table
+    ``q``; 4:4:4 or (``subsample=True``) 4:2:0; optional restart
+    interval in MCUs. Grayscale input -> single-component stream.
+    ``interleaved=False`` writes one sequential scan per component
+    (spec-legal non-interleaved baseline; 4:4:4 / gray only here)."""
+    blocks, factors, H, W, mcus_x, mcus_y, true_blocks = _coef_blocks(
+        img, q, subsample
+    )
+    out = _headers(0xC0, factors, H, W, q, restart)
+
+    if not interleaved:
+        assert all(f == (1, 1) for f in factors)
+        for ci in range(len(factors)):
+            wr = _Writer()
+            pred = 0
+            rst_n = 0
+            count = 0
+            bw, bh = true_blocks[ci]
+            for by in range(bh):
+                for bx in range(bw):
+                    if restart and count and count % restart == 0:
+                        wr.restart(rst_n)
+                        rst_n += 1
+                        pred = 0
+                    pred = _encode_block(wr, blocks[ci][by, bx], pred)
+                    count += 1
+            wr.flush()
+            out += _sos([ci + 1], 0, 63, 0, 0) + bytes(wr.out)
+        return out + b"\xff\xd9"
 
     wr = _Writer()
     pred = [0] * len(factors)
@@ -179,40 +257,248 @@ def encode_jpeg(
     for my in range(mcus_y):
         for mx in range(mcus_x):
             if restart and mcu_count and mcu_count % restart == 0:
-                wr.flush()
-                wr.out += bytes([0xFF, 0xD0 + (rst_n & 7)])
+                wr.restart(rst_n)
                 rst_n += 1
                 pred = [0] * len(factors)
             for ci, (fh, fv) in enumerate(factors):
                 for by in range(fv):
                     for bx in range(fh):
-                        y0, x0 = (my * fv + by) * 8, (mx * fh + bx) * 8
-                        blk = padded[ci][y0 : y0 + 8, x0 : x0 + 8] - 128.0
-                        coefs = np.rint((_C @ blk @ _C.T) / float(q))
-                        pred[ci] = _encode_block(wr, coefs, pred[ci])
+                        pred[ci] = _encode_block(
+                            wr, blocks[ci][my * fv + by, mx * fh + bx],
+                            pred[ci],
+                        )
             mcu_count += 1
     wr.flush()
-    scan_data = bytes(wr.out)
+    out += _sos(list(range(1, len(factors) + 1)), 0, 63, 0, 0)
+    out += bytes(wr.out)
+    return out + b"\xff\xd9"
 
-    ncomp = len(factors)
-    sof = struct.pack(">BHHB", 8, H, W, ncomp) + b"".join(
-        struct.pack(">BBB", ci + 1, (fh << 4) | fv, 0)
-        for ci, (fh, fv) in enumerate(factors)
+
+# --- progressive encoder (T.81 Annex G, re-derived) ------------------------
+
+
+class _EobState:
+    """Pending EOB run + the correction bits buffered with it (AC
+    refinement scans append history bits to the run)."""
+
+    def __init__(self):
+        self.run = 0
+        self.bits: list[int] = []
+
+    def flush(self, wr: _Writer):
+        if self.run:
+            r = self.run.bit_length() - 1
+            ln, code = _AC_CODE[r << 4]
+            wr.put(code, ln)
+            if r:
+                wr.put(self.run - (1 << r), r)
+            self.run = 0
+            for b in self.bits:
+                wr.put(b, 1)
+            self.bits = []
+
+
+def _enc_ac_first(wr, zz, ss, se, al, eob: _EobState):
+    scaled = []
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        t = abs(v) >> al  # AC point transform truncates toward zero
+        scaled.append(-t if v < 0 else t)
+    last = max((i for i, t in enumerate(scaled) if t), default=-1)
+    run = 0
+    for i in range(last + 1):
+        t = scaled[i]
+        if t == 0:
+            run += 1
+            continue
+        eob.flush(wr)
+        while run > 15:
+            ln, code = _AC_CODE[0xF0]
+            wr.put(code, ln)
+            run -= 16
+        s, bits = _cat(t)
+        ln, code = _AC_CODE[(run << 4) | s]
+        wr.put(code, ln)
+        wr.put(bits, s)
+        run = 0
+    if last < se - ss:  # trailing zeros -> this block joins an EOB run
+        eob.run += 1
+        if eob.run == 0x7FFF:
+            eob.flush(wr)
+
+
+def _enc_ac_refine(wr, zz, ss, se, al, eob: _EobState):
+    """libjpeg's encode_mcu_AC_refine re-derived: runs count only
+    zero-history coefficients; previously-nonzero ones contribute
+    buffered correction bits emitted after the next symbol (or with
+    the EOB run that swallows the block tail)."""
+    absv = []
+    last_new = -1
+    for i, k in enumerate(range(ss, se + 1)):
+        t = abs(int(zz[k])) >> al
+        absv.append(t)
+        if t == 1:
+            last_new = i
+    run = 0
+    br: list[int] = []
+    for i, k in enumerate(range(ss, se + 1)):
+        t = absv[i]
+        if t == 0:
+            run += 1
+            continue
+        while run > 15 and i <= last_new:
+            eob.flush(wr)
+            ln, code = _AC_CODE[0xF0]
+            wr.put(code, ln)
+            run -= 16
+            for b in br:
+                wr.put(b, 1)
+            br = []
+        if t > 1:  # previously significant: correction bit
+            br.append(t & 1)
+            continue
+        # newly significant (scaled magnitude exactly 1)
+        eob.flush(wr)
+        ln, code = _AC_CODE[(run << 4) | 1]
+        wr.put(code, ln)
+        wr.put(0 if int(zz[k]) < 0 else 1, 1)
+        for b in br:
+            wr.put(b, 1)
+        br = []
+        run = 0
+    if run > 0 or br:
+        eob.run += 1
+        eob.bits.extend(br)
+        if eob.run == 0x7FFF:
+            eob.flush(wr)
+
+
+DEFAULT_SCRIPT_NOTE = """scan script (libjpeg's simple progression,
+adapted): interleaved DC first at Al=1, per-component AC first in two
+spectral bands at Al=2, DC refinement, then two AC refinement passes
+down to Al=0."""
+
+
+def encode_progressive_jpeg(
+    img: np.ndarray, q: int = 1, subsample=False, restart: int = 0,
+    dc_split: bool = True,
+) -> bytes:
+    """Progressive (SOF2) encoder carrying the exact coefficients of
+    :func:`encode_jpeg` — decode of both must be pixel-identical."""
+    blocks, factors, H, W, mcus_x, mcus_y, true_blocks = _coef_blocks(
+        img, q, subsample
     )
-    sos = bytes([ncomp]) + b"".join(
-        bytes([ci + 1, 0x00]) for ci in range(ncomp)
-    ) + b"\x00\x3f\x00"
-    out = b"\xff\xd8"
-    out += _seg(0xDB, b"\x00" + bytes(int(qt[k]) for k in range(64)))
-    out += _seg(0xC4, b"\x00" + _DC_COUNTS + _DC_SYMS)
-    out += _seg(0xC4, b"\x10" + _AC_COUNTS + _AC_SYMS)
-    if restart:
-        out += _seg(0xDD, struct.pack(">H", restart))
-    out += _seg(0xC0, sof)
-    out += _seg(0xDA, sos)
-    out += scan_data
-    out += b"\xff\xd9"
-    return out
+    return _emit_progressive(
+        blocks, factors, H, W, mcus_x, mcus_y, true_blocks, q,
+        restart, dc_split,
+    )
+
+
+def _emit_progressive(
+    blocks, factors, H, W, mcus_x, mcus_y, true_blocks, q,
+    restart, dc_split,
+) -> bytes:
+    ncomp = len(factors)
+    out = _headers(0xC2, factors, H, W, q, restart)
+
+    dc_al = 1 if dc_split else 0
+
+    # --- DC first scan: interleaved over all components -----------------
+    wr = _Writer()
+    pred = [0] * ncomp
+    rst_n = 0
+    count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart and count and count % restart == 0:
+                wr.restart(rst_n)
+                rst_n += 1
+                pred = [0] * ncomp
+            for ci, (fh, fv) in enumerate(factors):
+                for by in range(fv):
+                    for bx in range(fh):
+                        v = int(
+                            blocks[ci][my * fv + by, mx * fh + bx][0]
+                        ) >> dc_al  # DC point transform: arithmetic shift
+                        s, bits = _cat(v - pred[ci])
+                        ln, code = _DC_CODE[s]
+                        wr.put(code, ln)
+                        if s:
+                            wr.put(bits, s)
+                        pred[ci] = v
+            count += 1
+    wr.flush()
+    out += _sos(list(range(1, ncomp + 1)), 0, 0, 0, dc_al) + bytes(wr.out)
+
+    # --- AC first scans: per component, two spectral bands, Al=2 --------
+    for ss, se in ((1, 5), (6, 63)):
+        for ci in range(ncomp):
+            wr = _Writer()
+            eob = _EobState()
+            rst_n = 0
+            count = 0
+            bw, bh = true_blocks[ci]
+            for by in range(bh):
+                for bx in range(bw):
+                    if restart and count and count % restart == 0:
+                        eob.flush(wr)
+                        wr.restart(rst_n)
+                        rst_n += 1
+                    _enc_ac_first(wr, blocks[ci][by, bx], ss, se, 2, eob)
+                    count += 1
+            eob.flush(wr)
+            wr.flush()
+            out += _sos([ci + 1], ss, se, 0, 2) + bytes(wr.out)
+
+    # --- DC refinement (Ah=1 -> Al=0): raw bit per block ----------------
+    if dc_split:
+        wr = _Writer()
+        rst_n = 0
+        count = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart and count and count % restart == 0:
+                    wr.restart(rst_n)
+                    rst_n += 1
+                for ci, (fh, fv) in enumerate(factors):
+                    for by in range(fv):
+                        for bx in range(fh):
+                            wr.put(
+                                int(
+                                    blocks[ci][
+                                        my * fv + by, mx * fh + bx
+                                    ][0]
+                                )
+                                & 1,
+                                1,
+                            )
+                count += 1
+        wr.flush()
+        out += _sos(list(range(1, ncomp + 1)), 0, 0, 1, 0) + bytes(wr.out)
+
+    # --- AC refinement: full band, Ah=2->1 then Ah=1->0 -----------------
+    for ah, al in ((2, 1), (1, 0)):
+        for ci in range(ncomp):
+            wr = _Writer()
+            eob = _EobState()
+            rst_n = 0
+            count = 0
+            bw, bh = true_blocks[ci]
+            for by in range(bh):
+                for bx in range(bw):
+                    if restart and count and count % restart == 0:
+                        eob.flush(wr)
+                        wr.restart(rst_n)
+                        rst_n += 1
+                    _enc_ac_refine(
+                        wr, blocks[ci][by, bx], 1, 63, al, eob
+                    )
+                    count += 1
+            eob.flush(wr)
+            wr.flush()
+            out += _sos([ci + 1], 1, 63, ah, al) + bytes(wr.out)
+
+    return out + b"\xff\xd9"
 
 
 # --- tests -----------------------------------------------------------------
@@ -319,26 +605,125 @@ def test_quantization_actually_lossy_but_stable():
     assert np.array_equal(out, decode_jpeg(encode_jpeg(img, q=16)))
 
 
-def test_progressive_gate():
-    body = struct.pack(">BHHB", 8, 1, 1, 1) + b"\x01\x11\x00"
-    data = b"\xff\xd8" + _seg(0xC2, body)
-    with pytest.raises(UnsupportedImageError):
-        decode_jpeg(data)
+# --- progressive / non-interleaved -----------------------------------------
 
 
-def test_non_interleaved_scan_gated():
-    # spec-legal baseline per-component scan (SOS selects 1 of the 3
-    # frame components): honest capability gate, not a KeyError
-    img = _smooth(16, 16, seed=9)
-    data = encode_jpeg(img, q=1)
-    i = data.find(b"\xff\xda")
-    seglen = struct.unpack_from(">H", data, i + 2)[0]
-    new_sos = (
-        struct.pack(">H", 8) + bytes([1, 1, 0x00]) + b"\x00\x3f\x00"
+@pytest.mark.parametrize(
+    "shape,seed,subsample",
+    [
+        ((32, 32), 1, False),   # 4:4:4 color
+        ((13, 19), 2, False),   # odd dims
+        ((32, 24), 5, True),    # 4:2:0 (padded luma blocks in DC scan
+                                # but not in AC scans)
+        ((40, 25), 11, True),   # 4:2:0 with odd width
+    ],
+)
+def test_progressive_equals_sequential(shape, seed, subsample):
+    """The progressive stream carries the same coefficients as the
+    sequential one, so decoding must be pixel-identical — this is the
+    exact differential, not a tolerance check."""
+    img = _smooth(*shape, seed=seed)
+    seq = decode_jpeg(encode_jpeg(img, q=1, subsample=subsample))
+    prog = decode_jpeg(
+        encode_progressive_jpeg(img, q=1, subsample=subsample)
     )
-    patched = data[: i + 2] + new_sos + data[i + 2 + seglen :]
-    with pytest.raises(UnsupportedImageError):
-        decode_jpeg(patched)
+    assert np.array_equal(seq, prog)
+
+
+def test_progressive_gray_and_coarse_quant():
+    img = _smooth(24, 17, seed=3)[..., 0]
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(img, q=1)),
+        decode_jpeg(encode_progressive_jpeg(img, q=1)),
+    )
+    color = _smooth(16, 16, seed=7)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(color, q=16)),
+        decode_jpeg(encode_progressive_jpeg(color, q=16)),
+    )
+
+
+def test_progressive_no_dc_refinement_script():
+    """A script whose DC scan transmits full precision (Al=0, no DC
+    refinement pass) is equally valid."""
+    img = _smooth(16, 24, seed=9)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(img, q=1)),
+        decode_jpeg(encode_progressive_jpeg(img, q=1, dc_split=False)),
+    )
+
+
+def test_progressive_with_restarts():
+    img = _smooth(32, 32, seed=6)
+    a = decode_jpeg(encode_progressive_jpeg(img, q=1))
+    b = decode_jpeg(encode_progressive_jpeg(img, q=1, restart=3))
+    assert np.array_equal(a, b)
+    assert np.array_equal(a, decode_jpeg(encode_jpeg(img, q=1)))
+
+
+def test_progressive_refinement_zrl_and_long_eob_runs():
+    """Crafted coefficients force the rare progressive paths: ZRL
+    inside an AC refinement pass (>15 zero-history run before a newly
+    significant coefficient), correction bits buffered across an EOB
+    run, a negative DC refined through the two's-complement bit-OR,
+    and an EOB run spanning several whole blocks. Truth is computed
+    independently by direct IDCT of the crafted coefficients."""
+    bh, bw = 1, 6
+    arr = np.zeros((bh, bw, 64), np.int64)
+    arr[0, 0, 0] = -37   # negative DC (split across first+refine scans)
+    arr[0, 0, 5] = 2     # history coef: correction bits in both refines
+    arr[0, 0, 36] = 1    # newly significant at Al=0 after 30 zeros -> ZRL
+    arr[0, 0, 63] = -1   # newly significant at the band's last slot
+    for b in range(1, 5):
+        arr[0, b, 0] = 7 - b  # AC-empty blocks -> multi-block EOB runs
+    arr[0, 5, 1] = -6
+    arr[0, 5, 2] = 5
+    H, W = bh * 8, bw * 8
+    data = _emit_progressive(
+        [arr], [(1, 1)], H, W, bw, bh, [(bw, bh)], q=1,
+        restart=0, dc_split=True,
+    )
+    out = decode_jpeg(data)
+    expect = np.zeros((H, W))
+    for b in range(bw):
+        nat = np.zeros(64)
+        nat[_ZZ] = arr[0, b]
+        expect[:, b * 8 : b * 8 + 8] = (
+            _A.T @ nat.reshape(8, 8) @ _A + 128.0
+        )
+    expect = np.clip(np.rint(expect), 0, 255).astype(np.uint8)
+    assert np.array_equal(out[..., 0], expect)
+
+
+def test_non_interleaved_sequential_scans():
+    """Baseline with one sequential scan per component (spec-legal
+    non-interleaved form) decodes identically to the interleaved
+    stream."""
+    img = _smooth(16, 16, seed=9)
+    a = decode_jpeg(encode_jpeg(img, q=1))
+    b = decode_jpeg(encode_jpeg(img, q=1, interleaved=False))
+    assert np.array_equal(a, b)
+
+
+def test_component_never_scanned_rejected():
+    """Dropping one component's scan from a non-interleaved stream is
+    detected instead of silently rendering a gray channel."""
+    img = _smooth(16, 16, seed=9)
+    data = encode_jpeg(img, q=1, interleaved=False)
+    # cut from the SECOND SOS to the THIRD (removes component 2's scan)
+    first = data.find(b"\xff\xda")
+    second = data.find(b"\xff\xda", first + 2)
+    third = data.find(b"\xff\xda", second + 2)
+    with pytest.raises(ValueError, match="never scanned"):
+        decode_jpeg(data[:second] + data[third:])
+
+
+def test_hierarchical_and_arithmetic_still_gated():
+    for marker in (0xC3, 0xC9, 0xCB):  # lossless / arith sequential
+        body = struct.pack(">BHHB", 8, 1, 1, 1) + b"\x01\x11\x00"
+        data = b"\xff\xd8" + _seg(marker, body)
+        with pytest.raises(UnsupportedImageError):
+            decode_jpeg(data)
 
 
 def test_malformed_rejected():
