@@ -46,6 +46,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from same_same_spark.index.build import IndexManifest
+from same_same_spark.metrics import MetricsWindow
 
 
 class IndexMergeError(ValueError):
@@ -287,12 +288,13 @@ def merge_indexes(
                 dest_dir, "shards", f"group-{gname}"
             )
             t_g = time.time()
-            (
-                spark.read.parquet(src_path)
-                .withColumn("grp", F.lit(next_grp).cast("int"))
-                .write.mode("overwrite")
-                .parquet(dst_path)
-            )
+            with MetricsWindow(spark) as mw:
+                (
+                    spark.read.parquet(src_path)
+                    .withColumn("grp", F.lit(next_grp).cast("int"))
+                    .write.mode("overwrite")
+                    .parquet(dst_path)
+                )
             g_docs = (
                 spark.read.parquet(dst_path)
                 .filter(F.col("kind") == "d")
@@ -307,6 +309,9 @@ def merge_indexes(
                 "source_token": tok,
                 "docs": int(g_docs or 0),
                 "wall_sec": time.time() - t_g,
+                # execution counters for the copy job (a healthy merge
+                # shuffles nothing — shuffle_write_bytes stays 0)
+                "exec": mw.totals(),
             }
             new_groups.append(gname)
             next_grp += 1

@@ -58,6 +58,19 @@ def test_merge_matches_fresh_union_build(spark, tmp_path):
         m = IndexManifest.load(d)
         assert m.groups and not m.has_tombstones
 
+    # merge lineage carries the copy job's execution counters, and a
+    # healthy merge shuffles nothing
+    import glob as _glob
+    import json as _json
+
+    recs = [
+        _json.load(open(p))
+        for p in _glob.glob(os.path.join(dirs[0], "_lineage", "group-*.json"))
+    ]
+    merged = [r for r in recs if r.get("kind") == "index-merge"]
+    assert merged
+    assert all(r["exec"]["shuffle_write_bytes"] == 0 for r in merged)
+
 
 def test_merge_retry_after_simulated_crash(spark, tmp_path):
     docs = _docs(spark)

@@ -160,3 +160,58 @@ def test_profile_store_crash_window_keeps_previous_generation(
         assert glob.glob(os.path.join(store, f"{t}-*")) == [
             _gen_dir(store, t, 2)
         ]
+
+
+def test_profile_store_maintained_by_stream(spark, tmp_path):
+    """The store composes with Structured Streaming: a foreachBatch
+    sink folds every micro-batch into the store, and the card after
+    the stream drains equals a one-shot batch profile of everything
+    ingested — live dataset-card maintenance."""
+    import json
+    import os
+
+    from same_same_spark.pipeline.profile import (
+        profile_store_card,
+        profile_store_init,
+        profile_store_update,
+    )
+
+    src = str(tmp_path / "docs")
+    os.makedirs(src)
+    batches = [
+        [(1, "alpha bravo charlie", "en"), (2, "alpha bravo charlie", "en")],
+        [(3, "delta echo", "de"), (4, "foxtrot golf hotel india", "en")],
+    ]
+    for i, rows in enumerate(batches):
+        with open(os.path.join(src, f"b{i}.json"), "w") as f:
+            for doc_id, text, lang in rows:
+                f.write(json.dumps(
+                    {"doc_id": doc_id, "text": text, "lang": lang}
+                ) + "\n")
+
+    store = str(tmp_path / "pstore")
+    profile_store_init(spark, store)
+    stream = (
+        spark.readStream.schema("doc_id LONG, text STRING, lang STRING")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda b, _: profile_store_update(
+                b.sparkSession, store, b, log=lambda *_: None
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    all_rows = spark.createDataFrame(
+        [r for b in batches for r in b],
+        "doc_id LONG, text STRING, lang STRING",
+    )
+    got = _canon_card(profile_store_card(spark, store).collect())
+    want = _canon_card(corpus_profile(all_rows).collect())
+    assert got == want
