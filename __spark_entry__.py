@@ -1833,6 +1833,7 @@ def _q_profile_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     rescan. The oracle recomputes the same card from scratch over the
     surviving documents, so a green hash proves the incremental path
     is value-identical to a full batch profile."""
+    import hashlib
     import shutil
     import tempfile
 
@@ -1843,8 +1844,12 @@ def _q_profile_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _docs(spark, sf_dir)
-    store = tempfile.mkdtemp(prefix="ss_entry_pstore_")
-    shutil.rmtree(store)
+    # fixed content-tagged path (like _entry_index_dir) so repeated
+    # runs REUSE one scratch dir instead of leaking one per run; the
+    # store is rebuilt from empty each call because updates mutate it
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    store = f"{tempfile.gettempdir()}/ss_entry_pstore_{tag}"
+    shutil.rmtree(store, ignore_errors=True)
     profile_store_init(spark, store)
     profile_store_update(
         spark, store, docs.filter(F.col("doc_id") % 2 == 0),

@@ -179,18 +179,9 @@ def main() -> None:
     }
     # execution counters from the build's own lineage records (one per
     # committed group; build.py captures them per encode job)
-    import glob as _glob
+    from same_same_spark.metrics import sum_lineage_exec
 
-    exec_totals = {"shuffle_write_bytes": 0, "shuffle_read_bytes": 0,
-                   "memory_spill_bytes": 0, "disk_spill_bytes": 0}
-    for rec_path in _glob.glob(
-        os.path.join(idx_dir, "_lineage", "group-*.json")
-    ):
-        with open(rec_path) as f:
-            rec = json.load(f)
-        for k in exec_totals:
-            exec_totals[k] += int(rec.get("exec", {}).get(k, 0))
-    out["build"]["exec"] = exec_totals
+    out["build"]["exec"] = sum_lineage_exec(idx_dir)
     out["queries"]["index_build"] = round(build_sec, 3)
 
     # ---- Phase 2: query latency over the index ---------------------------

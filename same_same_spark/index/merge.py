@@ -238,7 +238,8 @@ def merge_indexes(
     # manifest (a half-committed fold could otherwise allocate the
     # same grp ints this merge is about to take)
     dest = recover_delta_folds(spark, dest_dir, log=log)
-    if auto_compact and dest.has_tombstones:
+    if auto_compact:
+        # settles BOTH staged deltas and tombstones (no-op when clean)
         dest = _settle_index(spark, dest_dir, log)
     _require(
         not dest.has_tombstones,
@@ -262,15 +263,19 @@ def merge_indexes(
             f"{sdir}: source listed more than once",
         )
         seen_real.add(real)
-        if auto_compact:
-            sm = _settle_index(spark, sdir, log)
-        else:
-            sm = IndexManifest.load(sdir)
-        _check_compatible(dest, sm, sdir)
-        _no_pending_deltas(sdir)
+        # the already-merged check MUST precede any settling: staged
+        # deltas don't touch the manifest, so a blind retry of a
+        # committed merge still sees the committed token even if the
+        # source gained batches since — settling first would change the
+        # token and re-copy (= duplicate) every already-merged doc
+        sm = IndexManifest.load(sdir)
         if _already_merged(dest_dir, dest, _source_token(sm, sdir)):
             log(f"[merge] {sdir}: already merged (token match) — skipped")
             continue
+        if auto_compact:
+            sm = _settle_index(spark, sdir, log)
+        _check_compatible(dest, sm, sdir)
+        _no_pending_deltas(sdir)
         sources.append((sdir, sm))
 
     next_grp = dest.alloc_grp()

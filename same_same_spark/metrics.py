@@ -26,20 +26,41 @@ def _status_store(spark: SparkSession):
     return spark.sparkContext._jsc.sc().statusStore()
 
 
-def stage_metrics(spark: SparkSession) -> list[dict[str, Any]]:
-    """Snapshot of every stage Spark has run in this session: one dict
-    per stage with task counts, input/output bytes, and shuffle
-    read/write bytes. Newest first (store order)."""
+def _stage_seq(spark: SparkSession):
+    gw = spark.sparkContext._gateway
+    empty = gw.jvm.java.util.ArrayList()
+    darr = gw.new_array(gw.jvm.double, 0)
+    return _status_store(spark).stageList(empty, False, False, darr, empty)
+
+
+def _max_stage_id(spark: SparkSession) -> int:
+    """High-water stage id — one py4j getter per retained stage, the
+    cheap form ``MetricsWindow.__enter__`` needs (materializing full
+    stage rows costs ~13 getters each across up to 1000 stages)."""
     try:
-        gw = spark.sparkContext._gateway
-        empty = gw.jvm.java.util.ArrayList()
-        darr = gw.new_array(gw.jvm.double, 0)
-        stages = _status_store(spark).stageList(
-            empty, False, False, darr, empty
+        stages = _stage_seq(spark)
+        return max(
+            (stages.apply(i).stageId() for i in range(stages.size())),
+            default=-1,
         )
+    except Exception:
+        return -1
+
+
+def stage_metrics(
+    spark: SparkSession, min_stage_id: int = -1
+) -> list[dict[str, Any]]:
+    """Snapshot of every stage Spark has run in this session (or only
+    those with id above ``min_stage_id``): one dict per stage with
+    task counts, input/output bytes, and shuffle read/write bytes.
+    Newest first (store order)."""
+    try:
+        stages = _stage_seq(spark)
         out = []
         for i in range(stages.size()):
             st = stages.apply(i)
+            if st.stageId() <= min_stage_id:
+                continue
             out.append(
                 {
                     "stage_id": st.stageId(),
@@ -118,16 +139,33 @@ class MetricsWindow:
         self._stages: list[dict[str, Any]] = []
 
     def __enter__(self) -> "MetricsWindow":
-        before = stage_metrics(self.spark)
-        self._mark = max((s["stage_id"] for s in before), default=-1)
+        self._mark = _max_stage_id(self.spark)
         return self
 
     def __exit__(self, *exc) -> None:
-        self._stages = [
-            s
-            for s in stage_metrics(self.spark)
-            if s["stage_id"] > self._mark
-        ]
+        # the status store is fed from the async listener bus, so the
+        # job's final StageCompleted/TaskEnd events may land AFTER the
+        # action returns — poll (bounded) until the window's stages
+        # stop changing and none is still ACTIVE/PENDING, else accept
+        # the best snapshot rather than hang
+        import time
+
+        prev = None
+        deadline = time.time() + 2.0
+        while True:
+            cur = stage_metrics(self.spark, min_stage_id=self._mark)
+            settled = all(
+                s["status"] not in ("ACTIVE", "PENDING") for s in cur
+            )
+            key = [
+                (s["stage_id"], s["status"], s["num_complete_tasks"])
+                for s in cur
+            ]
+            if (settled and key == prev) or time.time() > deadline:
+                self._stages = cur
+                return
+            prev = key
+            time.sleep(0.05)
 
     def stages(self) -> list[dict[str, Any]]:
         return sorted(self._stages, key=lambda s: s["stage_id"])
@@ -156,3 +194,28 @@ class MetricsWindow:
             self._stages, key=lambda s: s["executor_run_time_ms"]
         )
         return task_metrics(self.spark, heaviest["stage_id"])
+
+
+def sum_lineage_exec(
+    index_dir: str,
+    keys: tuple[str, ...] = (
+        "shuffle_write_bytes",
+        "shuffle_read_bytes",
+        "memory_spill_bytes",
+        "disk_spill_bytes",
+    ),
+) -> dict[str, int]:
+    """Aggregate the ``exec`` counters across an index's committed
+    group lineage records — the single definition site bench.py and
+    scaling_bench share."""
+    import glob
+    import json
+    import os
+
+    totals = {k: 0 for k in keys}
+    for p in glob.glob(os.path.join(index_dir, "_lineage", "group-*.json")):
+        with open(p) as f:
+            rec = json.load(f)
+        for k in keys:
+            totals[k] += int(rec.get("exec", {}).get(k, 0))
+    return totals

@@ -414,6 +414,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             raise ValueError("jpeg: marker expected")
         marker = data[pos + 1]
         pos += 2
+        if marker == 0xFF:  # 0xFF fill bytes before a marker (B.1.1.2)
+            pos -= 1
+            continue
         if marker == 0xD9:  # EOI
             break
         if 0xD0 <= marker <= 0xD7 or marker in (0x01, 0xD8):

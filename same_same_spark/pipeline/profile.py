@@ -267,24 +267,31 @@ def profile_store_update(
             .agg(*[F.sum(c).alias(c) for c in vals])
         )
 
-    if delete:
-        # a delete of unseen docs drives some count negative — refuse
-        neg = (
-            merged["hashes"].filter(F.col("cnt") < 0).limit(1).count()
-            + merged["scalars"].filter(F.col("n_docs") < 0)
-            .limit(1).count()
-        )
-        if neg:
-            raise ValueError(
-                "profile_store_update(delete=True): batch contains "
-                "documents the store never counted"
-            )
-
     count_col = {"scalars": "n_docs", "lengths": "cnt", "hashes": "cnt"}
     for table, out in merged.items():
         out.filter(F.col(count_col[table]) != 0).write.mode(
             "overwrite"
         ).parquet(_gen_dir(store_dir, table, new_gen))
+
+    if delete:
+        # a delete of unseen docs drives some count negative — refuse.
+        # Validated from the just-written (unreferenced) new-gen
+        # parquet so the expensive batch aggregation runs exactly once;
+        # on failure the orphan dirs are swept and the manifest never
+        # flips, leaving the previous generation fully live.
+        neg = (
+            spark.read.parquet(_gen_dir(store_dir, "hashes", new_gen))
+            .filter(F.col("cnt") < 0).limit(1).count()
+            + spark.read.parquet(
+                _gen_dir(store_dir, "scalars", new_gen)
+            ).filter(F.col("n_docs") < 0).limit(1).count()
+        )
+        if neg:
+            _sweep_stale_gens(store_dir, gen)
+            raise ValueError(
+                "profile_store_update(delete=True): batch contains "
+                "documents the store never counted"
+            )
 
     m["generation"] = new_gen
     _profile_manifest_flip(store_dir, m)
@@ -293,6 +300,15 @@ def profile_store_update(
         f"[profile-store] gen {gen} -> {new_gen} "
         f"({'delete' if delete else 'append'})"
     )
+
+
+def _join_strata(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Inner join on ``stratum`` with NULL-safe equality: a NULL
+    stratum (docs with no language tag — common in real corpora) is a
+    stratum like any other in ``groupBy``, so the card joins must not
+    drop it the way plain ``join(..., "stratum")`` would."""
+    out = a.join(b, a["stratum"].eqNullSafe(b["stratum"]))
+    return out.drop(b["stratum"])
 
 
 def _hist_quantile_aggs(pos: Column, cum: Column, v: Column, tag: str):
@@ -346,10 +362,9 @@ def profile_store_card(
         .orderBy("n_tokens")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    h = (
-        lengths.join(scalars.select("stratum", "n_docs"), "stratum")
-        .withColumn("cum", F.sum("cnt").over(w))
-    )
+    h = _join_strata(
+        lengths, scalars.select("stratum", "n_docs")
+    ).withColumn("cum", F.sum("cnt").over(w))
     pos50 = F.lit(1) + (F.col("n_docs") - 1) * F.lit(0.5)
     pos90 = F.lit(1) + (F.col("n_docs") - 1) * F.lit(0.9)
     quant = (
@@ -368,7 +383,7 @@ def profile_store_card(
     )
 
     return (
-        scalars.join(quant, "stratum").join(distinct, "stratum")
+        _join_strata(_join_strata(scalars, quant), distinct)
         .select(
             "stratum",
             "n_docs",

@@ -87,13 +87,9 @@ query_wall = (time.time() - t0) / (reps * len(queries))
 # execution counters (shuffle bytes) from the build's lineage records —
 # identical bytes at both core counts proves the job, not the plan,
 # is what scaled
-import glob
-shuf_w = shuf_r = 0
-for p in glob.glob(os.path.join(out, "_lineage", "group-*.json")):
-    with open(p) as f:
-        rec = json.load(f)
-    shuf_w += int(rec.get("exec", {}).get("shuffle_write_bytes", 0))
-    shuf_r += int(rec.get("exec", {}).get("shuffle_read_bytes", 0))
+from same_same_spark.metrics import sum_lineage_exec
+ex = sum_lineage_exec(out)
+shuf_w, shuf_r = ex["shuffle_write_bytes"], ex["shuffle_read_bytes"]
 shutil.rmtree(out, ignore_errors=True)
 print("RESULT " + json.dumps({
     "cpus": cpus, "docs": m.n_docs, "postings": m.n_postings,
@@ -136,6 +132,7 @@ def _code_fingerprint() -> str:
         "same_same_spark/corpus.py",
         "same_same_spark/session.py",
         "same_same_spark/text/tokenizer.py",
+        "same_same_spark/metrics.py",  # runs inside the timed build
     ):
         with open(os.path.join(REPO, rel), "rb") as f:
             h.update(f.read())

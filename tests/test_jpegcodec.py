@@ -718,6 +718,17 @@ def test_component_never_scanned_rejected():
         decode_jpeg(data[:second] + data[third:])
 
 
+def test_ff_fill_bytes_before_markers_tolerated():
+    """T.81 B.1.1.2 allows any number of 0xFF fill bytes before a
+    marker; they must parse as padding, not as a marker named 0xFF
+    with a bogus length field."""
+    img = _smooth(16, 16, seed=4)
+    data = encode_jpeg(img, q=1)
+    i = data.find(b"\xff\xda")
+    padded = data[:i] + b"\xff\xff\xff" + data[i:]
+    assert np.array_equal(decode_jpeg(padded), decode_jpeg(data))
+
+
 def test_hierarchical_and_arithmetic_still_gated():
     for marker in (0xC3, 0xC9, 0xCB):  # lossless / arith sequential
         body = struct.pack(">BHHB", 8, 1, 1, 1) + b"\x01\x11\x00"

@@ -254,15 +254,25 @@ def test_merge_auto_compact_settles_sources(spark, tmp_path):
     )
     stage_delta_batch(extra, db, id_col="doc_id", text_col="text",
                       num_buckets=4)
+    # the DESTINATION also carries a staged batch (and tombstones):
+    # auto_compact settles both sides of the merge
+    extra_dest = spark.createDataFrame(
+        [(new_id + 1, "vector table staged into the destination")],
+        "doc_id LONG, text STRING",
+    )
+    stage_delta_batch(extra_dest, da, id_col="doc_id", text_col="text",
+                      num_buckets=4)
 
     with pytest.raises(IndexMergeError, match="tombstones"):
         merge_indexes(spark, da, [db], log=lambda *_: None)
 
     out = merge_indexes(spark, da, [db], log=lambda *_: None,
                         auto_compact=True)
-    final = docs.filter(
-        ~F.col("doc_id").isin([victim_a, victim_b])
-    ).unionByName(extra)
+    final = (
+        docs.filter(~F.col("doc_id").isin([victim_a, victim_b]))
+        .unionByName(extra)
+        .unionByName(extra_dest)
+    )
     assert out.n_docs == final.count()
 
     fresh = str(tmp_path / "fresh")
@@ -275,6 +285,48 @@ def test_merge_auto_compact_settles_sources(spark, tmp_path):
     assert not mb.has_tombstones
     assert not os.path.exists(os.path.join(db, "_stage", "deltas")) or \
         not os.listdir(os.path.join(db, "_stage", "deltas"))
+
+
+def test_merge_auto_compact_retry_after_source_grew_not_duplicated(
+    spark, tmp_path
+):
+    """A source gains staged deltas AFTER its merge committed; a blind
+    orchestrator retry with auto_compact=True must recognize the
+    committed token BEFORE settling (settling would change the token)
+    and skip the source — not compact it and re-copy (= duplicate)
+    every already-merged document."""
+    from same_same_spark.streaming.ingest import stage_delta_batch
+
+    docs = _docs(spark)
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    da, db = str(tmp_path / "a"), str(tmp_path / "b")
+    _build(a, da)
+    _build(b, db)
+
+    first = merge_indexes(spark, da, [db], log=lambda *_: None,
+                          auto_compact=True)
+    assert first.n_docs == docs.count()
+    before = _canon(search_batch(spark, da, QUERIES, k=10).collect())
+
+    # source grows: new batch staged (manifest untouched until compact)
+    new_id = int(docs.agg(F.max("doc_id")).collect()[0][0]) + 1
+    extra = spark.createDataFrame(
+        [(new_id, "fresh document staged after the merge")],
+        "doc_id LONG, text STRING",
+    )
+    stage_delta_batch(extra, db, id_col="doc_id", text_col="text",
+                      num_buckets=4)
+
+    retried = merge_indexes(spark, da, [db], log=lambda *_: None,
+                            auto_compact=True)
+    assert retried.n_docs == docs.count()  # NOT doubled
+    assert sorted(retried.groups) == sorted(first.groups)
+    after = _canon(search_batch(spark, da, QUERIES, k=10).collect())
+    assert after == before
+    # the skipped source was left untouched: its staged batch survives
+    pending = os.listdir(os.path.join(db, "_stage", "deltas"))
+    assert len(pending) == 1
 
 
 def test_merge_compatibility_gates(spark, tmp_path):

@@ -56,12 +56,15 @@ def test_corpus_profile_oracle_parity(spark):
 def _canon_card(rows):
     return sorted(
         (
-            r["stratum"], r["n_docs"], r["total_tokens"],
-            round(r["mean_tokens"], 9), round(r["p50_tokens"], 9),
-            round(r["p90_tokens"], 9), round(r["mean_quality"], 9),
-            r["n_distinct_texts"], round(r["dup_rate"], 9),
-        )
-        for r in rows
+            (
+                r["stratum"], r["n_docs"], r["total_tokens"],
+                round(r["mean_tokens"], 9), round(r["p50_tokens"], 9),
+                round(r["p90_tokens"], 9), round(r["mean_quality"], 9),
+                r["n_distinct_texts"], round(r["dup_rate"], 9),
+            )
+            for r in rows
+        ),
+        key=lambda t: (t[0] is None, t[0] or "", t[1:]),
     )
 
 
@@ -215,3 +218,41 @@ def test_profile_store_maintained_by_stream(spark, tmp_path):
     got = _canon_card(profile_store_card(spark, store).collect())
     want = _canon_card(corpus_profile(all_rows).collect())
     assert got == want
+
+
+def test_profile_store_keeps_null_stratum(spark, tmp_path):
+    """A NULL stratum (untagged documents) must survive the card's
+    joins — groupBy keeps NULL keys, so a null-unsafe join would
+    silently drop the row the batch profile emits."""
+    from same_same_spark.pipeline.profile import (
+        profile_store_card,
+        profile_store_init,
+        profile_store_update,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha bravo charlie", "en"),
+            (2, "delta echo foxtrot golf", None),
+            (3, "delta echo foxtrot golf", None),  # dup in NULL stratum
+            (4, "hotel india", None),
+        ],
+        "doc_id LONG, text STRING, lang STRING",
+    )
+    store = str(tmp_path / "pstore")
+    profile_store_init(spark, store)
+    profile_store_update(spark, store, docs, log=lambda *_: None)
+    got = _canon_card(profile_store_card(spark, store).collect())
+    want = _canon_card(corpus_profile(docs).collect())
+    assert got == want
+    assert any(t[0] is None for t in got)  # the NULL row is present
+    # and a delete touching the NULL stratum composes
+    profile_store_update(
+        spark, store, docs.filter("doc_id = 3"), delete=True,
+        log=lambda *_: None,
+    )
+    got2 = _canon_card(profile_store_card(spark, store).collect())
+    want2 = _canon_card(
+        corpus_profile(docs.filter("doc_id <> 3")).collect()
+    )
+    assert got2 == want2
