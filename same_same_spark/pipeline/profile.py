@@ -124,8 +124,16 @@ GROUP BY stratum
 #            size, so exact interpolated quantiles survive any scale
 #   hashes   (stratum, content_h60, cnt)                     — the big
 #            one, O(distinct contents): exact duplicate accounting
-#            (a sketch would drift from the batch profile; the state
-#            is ~9 bytes/distinct doc — index-sized, not corpus-sized)
+#            (the state is ~9 bytes/distinct doc — index-sized, not
+#            corpus-sized)
+#
+# ``distinct_mode='sketch'`` swaps the hashes table for ONE mergeable
+# HLL sketch per stratum (Spark's DataSketches hll_sketch_agg /
+# hll_union_agg): state drops from O(distinct docs) to O(strata) —
+# ~4 KB per stratum at ANY corpus size — at the cost of ~2% distinct
+# estimation error (exact while a stratum stays in the sketch's sparse
+# range) and no delete support (sketches aren't invertible; deletes
+# raise). Exact mode stays the default and the oracle-checked path.
 #
 # Appends ADD counts; deletes SUBTRACT them (counts, not sets, so
 # deleting one copy of a duplicated text keeps the other). Every state
@@ -141,7 +149,7 @@ GROUP BY stratum
 # ---------------------------------------------------------------------------
 
 _PROFILE_MANIFEST = "profile_manifest.json"
-_STATE_TABLES = ("scalars", "lengths", "hashes")
+_STATE_TABLES = ("scalars", "lengths", "hashes", "sketches")
 
 
 def _profile_manifest_load(store_dir: str) -> dict:
@@ -171,7 +179,8 @@ def _sweep_stale_gens(store_dir: str, live_gen: int) -> None:
 
 
 def _batch_state(
-    df: DataFrame, strata_col: str, text_col: str, sign: int
+    df: DataFrame, strata_col: str, text_col: str, sign: int,
+    distinct_mode: str = "exact",
 ) -> dict[str, DataFrame]:
     """The three partial-aggregate tables for one batch, with counts
     multiplied by ``sign`` (+1 append, −1 delete). Single derivation
@@ -184,7 +193,7 @@ def _batch_state(
         hash60_col(F.col(text_col)).alias("content_h60"),
     )
     s = F.lit(sign)
-    return {
+    out = {
         "scalars": rows.groupBy("stratum").agg(
             (s * F.count(F.lit(1))).alias("n_docs"),
             (s * F.sum("n_tokens")).alias("total_tokens"),
@@ -193,10 +202,16 @@ def _batch_state(
         "lengths": rows.groupBy("stratum", "n_tokens").agg(
             (s * F.count(F.lit(1))).alias("cnt")
         ),
-        "hashes": rows.groupBy("stratum", "content_h60").agg(
-            (s * F.count(F.lit(1))).alias("cnt")
-        ),
     }
+    if distinct_mode == "sketch":
+        out["sketches"] = rows.groupBy("stratum").agg(
+            F.hll_sketch_agg("content_h60").alias("sk")
+        )
+    else:
+        out["hashes"] = rows.groupBy("stratum", "content_h60").agg(
+            (s * F.count(F.lit(1))).alias("cnt")
+        )
+    return out
 
 
 def profile_store_init(
@@ -204,8 +219,15 @@ def profile_store_init(
     store_dir: str,
     strata_col: str = "lang",
     text_col: str = "text",
+    distinct_mode: str = "exact",
 ) -> None:
-    """Create an empty profile store (generation 0)."""
+    """Create an empty profile store (generation 0).
+
+    ``distinct_mode='sketch'`` keeps one HLL sketch per stratum
+    instead of the exact content-hash counts — O(strata) state at any
+    corpus size, ~2% distinct error, no deletes (see module notes)."""
+    if distinct_mode not in ("exact", "sketch"):
+        raise ValueError(f"unknown distinct_mode: {distinct_mode!r}")
     os.makedirs(store_dir, exist_ok=True)
     empty = spark.createDataFrame(
         [], "stratum STRING, n_docs LONG, total_tokens LONG, "
@@ -217,9 +239,16 @@ def profile_store_init(
     spark.createDataFrame(
         [], "stratum STRING, n_tokens LONG, cnt LONG"
     ).write.mode("overwrite").parquet(_gen_dir(store_dir, "lengths", 0))
-    spark.createDataFrame(
-        [], "stratum STRING, content_h60 LONG, cnt LONG"
-    ).write.mode("overwrite").parquet(_gen_dir(store_dir, "hashes", 0))
+    if distinct_mode == "sketch":
+        spark.createDataFrame(
+            [], "stratum STRING, sk BINARY"
+        ).write.mode("overwrite").parquet(
+            _gen_dir(store_dir, "sketches", 0)
+        )
+    else:
+        spark.createDataFrame(
+            [], "stratum STRING, content_h60 LONG, cnt LONG"
+        ).write.mode("overwrite").parquet(_gen_dir(store_dir, "hashes", 0))
     _profile_manifest_flip(
         store_dir,
         {
@@ -227,6 +256,7 @@ def profile_store_init(
             "generation": 0,
             "strata_col": strata_col,
             "text_col": text_col,
+            "distinct_mode": distinct_mode,
         },
     )
 
@@ -248,15 +278,31 @@ def profile_store_update(
     corrupting the card.
     """
     m = _profile_manifest_load(store_dir)
+    mode = m.get("distinct_mode", "exact")
+    if delete and mode == "sketch":
+        raise ValueError(
+            "profile_store_update(delete=True) is unsupported in "
+            "sketch mode — HLL sketches are not invertible; use "
+            "distinct_mode='exact' for corpora with deletes"
+        )
     gen, new_gen = m["generation"], m["generation"] + 1
     _sweep_stale_gens(store_dir, gen)
 
     batch = _batch_state(
-        df, m["strata_col"], m["text_col"], -1 if delete else 1
+        df, m["strata_col"], m["text_col"], -1 if delete else 1,
+        distinct_mode=mode,
     )
     merged: dict[str, DataFrame] = {}
     for table, delta in batch.items():
         old = spark.read.parquet(_gen_dir(store_dir, table, gen))
+        if table == "sketches":
+            # sketches merge by HLL union, not by count sums
+            merged[table] = (
+                old.unionByName(delta)
+                .groupBy("stratum")
+                .agg(F.hll_union_agg("sk").alias("sk"))
+            )
+            continue
         keys = [c for c in delta.columns
                 if c not in ("n_docs", "total_tokens", "sum_quality",
                              "cnt")]
@@ -269,9 +315,11 @@ def profile_store_update(
 
     count_col = {"scalars": "n_docs", "lengths": "cnt", "hashes": "cnt"}
     for table, out in merged.items():
-        out.filter(F.col(count_col[table]) != 0).write.mode(
-            "overwrite"
-        ).parquet(_gen_dir(store_dir, table, new_gen))
+        if table in count_col:
+            out = out.filter(F.col(count_col[table]) != 0)
+        out.write.mode("overwrite").parquet(
+            _gen_dir(store_dir, table, new_gen)
+        )
 
     if delete:
         # a delete of unseen docs drives some count negative — refuse.
@@ -351,11 +399,19 @@ def profile_store_card(
     gen = m["generation"]
     scalars = spark.read.parquet(_gen_dir(store_dir, "scalars", gen))
     lengths = spark.read.parquet(_gen_dir(store_dir, "lengths", gen))
-    hashes = spark.read.parquet(_gen_dir(store_dir, "hashes", gen))
-
-    distinct = hashes.groupBy("stratum").agg(
-        F.count(F.lit(1)).alias("n_distinct_texts")
-    )
+    if m.get("distinct_mode", "exact") == "sketch":
+        distinct = spark.read.parquet(
+            _gen_dir(store_dir, "sketches", gen)
+        ).select(
+            "stratum",
+            F.hll_sketch_estimate("sk").alias("n_distinct_texts"),
+        )
+    else:
+        distinct = (
+            spark.read.parquet(_gen_dir(store_dir, "hashes", gen))
+            .groupBy("stratum")
+            .agg(F.count(F.lit(1)).alias("n_distinct_texts"))
+        )
 
     w = (
         Window.partitionBy("stratum")

@@ -224,14 +224,16 @@ job (this host shows multi-minute ~4x slow windows; a level stuck in
 one yields impossible ratios — best-per-level across runs measures the
 engine, not the neighbors):
 
-| level | build sec | docs/sec | postings/sec | query sec/q |
-|---|---|---|---|---|
-| local[{LEVELS[0]}] (N) | {lo['build_sec']} | {lo['docs_per_sec']} | {lo['postings_per_sec']} | {lo['query_sec_per_query']} |
-| local[{LEVELS[1]}] (4N) | {hi['build_sec']} | {hi['docs_per_sec']} | {hi['postings_per_sec']} | {hi['query_sec_per_query']} |
+| level | build sec | docs/sec | postings/sec | query sec/q | shuffle MB (w/r) |
+|---|---|---|---|---|---|
+| local[{LEVELS[0]}] (N) | {lo['build_sec']} | {lo['docs_per_sec']} | {lo['postings_per_sec']} | {lo['query_sec_per_query']} | {lo.get('shuffle_write_bytes', 0) / 1e6:.1f} / {lo.get('shuffle_read_bytes', 0) / 1e6:.1f} |
+| local[{LEVELS[1]}] (4N) | {hi['build_sec']} | {hi['docs_per_sec']} | {hi['postings_per_sec']} | {hi['query_sec_per_query']} | {hi.get('shuffle_write_bytes', 0) / 1e6:.1f} / {hi.get('shuffle_read_bytes', 0) / 1e6:.1f} |
 
 **Build scaling efficiency = throughput(4N) / (4 x throughput(N)) =
 {eff:.3f}** ({'PASS' if eff >= 0.8 else 'FAIL'} vs the >=0.8 criterion).
-Query-side speedup at 4N: {q_speedup:.2f}x per query.
+Query-side speedup at 4N: {q_speedup:.2f}x per query. Shuffle bytes
+(from the build's per-group lineage exec counters) are the same job at
+both levels — parallelism changed the wall clock, not the data moved.
 
 ### Why N={LEVELS[0]} cores
 

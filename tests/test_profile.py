@@ -256,3 +256,36 @@ def test_profile_store_keeps_null_stratum(spark, tmp_path):
         corpus_profile(docs.filter("doc_id <> 3")).collect()
     )
     assert got2 == want2
+
+
+def test_profile_store_sketch_mode(spark, tmp_path):
+    """distinct_mode='sketch' keeps one HLL sketch per stratum
+    (O(strata) state at any corpus size). At small cardinality the
+    DataSketches estimate is exact, so the sketch card must equal the
+    batch profile here; deletes are refused (sketches aren't
+    invertible)."""
+    from same_same_spark.pipeline.profile import (
+        profile_store_card,
+        profile_store_init,
+        profile_store_update,
+    )
+
+    docs = _df(spark)
+    store = str(tmp_path / "pstore")
+    profile_store_init(spark, store, distinct_mode="sketch")
+    # two appends so sketches go through the union merge path
+    profile_store_update(spark, store, docs.filter("doc_id <= 2"),
+                         log=lambda *_: None)
+    profile_store_update(spark, store, docs.filter("doc_id > 2"),
+                         log=lambda *_: None)
+    got = _canon_card(profile_store_card(spark, store).collect())
+    want = _canon_card(corpus_profile(docs).collect())
+    assert got == want
+
+    with pytest.raises(ValueError, match="not invertible"):
+        profile_store_update(spark, store, docs.limit(1), delete=True,
+                             log=lambda *_: None)
+
+    with pytest.raises(ValueError, match="distinct_mode"):
+        profile_store_init(spark, str(tmp_path / "bad"),
+                           distinct_mode="nope")
