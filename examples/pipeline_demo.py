@@ -84,6 +84,32 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
             f"dup_rate={r['dup_rate']:.3f}"
         )
 
+    # 6. the same card maintained INCREMENTALLY: fold two batches and
+    # a delete into the persisted store, read the card from state alone
+    from pyspark.sql import functions as F
+
+    from same_same_spark.pipeline.profile import (
+        profile_store_card,
+        profile_store_init,
+        profile_store_update,
+    )
+
+    store = tempfile.mkdtemp(prefix="demo_pstore_")
+    profile_store_init(spark, store)
+    half = docs.select("doc_id", "text", "lang")
+    profile_store_update(spark, store, half.filter(F.col("doc_id") % 2 == 0),
+                         log=lambda *_: None)
+    profile_store_update(spark, store, half.filter(F.col("doc_id") % 2 == 1),
+                         log=lambda *_: None)
+    profile_store_update(spark, store, half.filter(F.col("doc_id") % 10 == 0),
+                         delete=True, log=lambda *_: None)
+    print("-- incremental card (2 appends + 1 delete, no rescan) --")
+    for r in profile_store_card(spark, store).orderBy("stratum").collect():
+        print(
+            f"  {r['stratum']}: {r['n_docs']} docs, "
+            f"{r['total_tokens']} tokens, p50={r['p50_tokens']:.0f}"
+        )
+
 
 if __name__ == "__main__":
     main(*sys.argv[1:])
