@@ -55,7 +55,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from same_same_spark.bm25 import B_DEFAULT, K1_DEFAULT
-from same_same_spark.metrics import MetricsWindow
+from same_same_spark.metrics import MetricsWindow, skew_summary
 from same_same_spark.index import codec
 from same_same_spark.text.tokenizer import (
     MIN_TOKEN_LEN,
@@ -589,6 +589,7 @@ def build_index(
         wall = time.time() - t0
         n_post_g = sum(v["postings"] for v in per_bucket.values())
         n_docs_g = sum(v["docs"] for v in per_bucket.values())
+        exec_parts = mw.task_detail()
         record = {
             "group": gname,
             "buckets": buckets,
@@ -603,7 +604,8 @@ def build_index(
             # bytes, spill) + per-partition task rows of its heaviest
             # stage — the skew evidence the north rule asks for
             "exec": mw.totals(),
-            "exec_partitions": mw.task_detail(),
+            "exec_partitions": exec_parts,
+            "skew": skew_summary(exec_parts),
         }
         tmpf = os.path.join(lineage_dir, f"group-{gname}.json.tmp")
         with open(tmpf, "w") as f:

@@ -219,3 +219,25 @@ def sum_lineage_exec(
         for k in keys:
             totals[k] += int(rec.get("exec", {}).get(k, 0))
     return totals
+
+
+def skew_summary(partitions: list[dict[str, Any]]) -> dict[str, Any]:
+    """Max/median ratios over per-partition task rows — the one-number
+    skew evidence: a ratio near 1 means the bucket/salting strategy
+    spread the work evenly; a hot partition shows up as a large ratio
+    long before it becomes a straggler at 1000 executors."""
+    def ratio(key: str) -> float:
+        vals = sorted(int(p[key]) for p in partitions)
+        if not vals or vals[-1] == 0:
+            return 1.0
+        med = vals[len(vals) // 2]
+        return round(vals[-1] / max(med, 1), 3)
+
+    if not partitions:
+        return {}
+    return {
+        "n_partitions": len(partitions),
+        "runtime_max_over_median": ratio("executor_run_time_ms"),
+        "shuffle_read_max_over_median": ratio("shuffle_read_bytes"),
+        "input_max_over_median": ratio("input_records"),
+    }

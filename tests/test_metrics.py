@@ -66,3 +66,25 @@ def test_build_lineage_carries_exec_metrics(spark, tmp_path):
     assert parts and {p["partition"] for p in parts} == set(
         range(len(parts))
     )
+
+
+def test_skew_summary_in_build_lineage(spark, tmp_path):
+    from same_same_spark.index.build import build_index
+    from same_same_spark.metrics import skew_summary
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    out = str(tmp_path / "idx")
+    build_index(docs, out, id_col="doc_id", text_col="text",
+                num_buckets=4, log=lambda *_: None)
+    rec = json.load(
+        open(sorted(glob.glob(os.path.join(out, "_lineage",
+                                           "group-*.json")))[0])
+    )
+    sk = rec["skew"]
+    assert sk["n_partitions"] == len(rec["exec_partitions"])
+    # xxhash64 bucketing spreads a uniform corpus evenly: the hot
+    # partition stays within a small factor of the median
+    assert 1.0 <= sk["input_max_over_median"] < 3.0
+    assert skew_summary([]) == {}
