@@ -1833,7 +1833,6 @@ def _q_profile_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     rescan. The oracle recomputes the same card from scratch over the
     surviving documents, so a green hash proves the incremental path
     is value-identical to a full batch profile."""
-    import hashlib
     import shutil
     import tempfile
 
@@ -1844,12 +1843,15 @@ def _q_profile_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _docs(spark, sf_dir)
-    # fixed content-tagged path (like _entry_index_dir) so repeated
-    # runs REUSE one scratch dir instead of leaking one per run; the
-    # store is rebuilt from empty each call because updates mutate it
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    store = f"{tempfile.gettempdir()}/ss_entry_pstore_{tag}"
-    shutil.rmtree(store, ignore_errors=True)
+    # unique scratch dir per call (a fixed shared path would let
+    # concurrent runs clobber each other's store mid-update), removed
+    # at process exit — AFTER the returned lazy DataFrame has been
+    # collected by whoever evaluates it
+    import atexit
+
+    store = tempfile.mkdtemp(prefix="ss_entry_pstore_")
+    shutil.rmtree(store)  # init re-creates; mkdtemp only claimed a name
+    atexit.register(shutil.rmtree, store, True)
     profile_store_init(spark, store)
     profile_store_update(
         spark, store, docs.filter(F.col("doc_id") % 2 == 0),

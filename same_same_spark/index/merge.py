@@ -218,7 +218,11 @@ def merge_indexes(
     participant that still has staged delta batches or live tombstones
     by running its own crash-safe compactions in place first (the
     exact ``compact_deltas`` / ``rewrite_touched_groups`` calls the
-    default contract asks the caller to run by hand).
+    default contract asks the caller to run by hand). Settling never
+    applies to an already-merged source: growth staged into a source
+    AFTER its merge committed is skipped with a warning — fold it into
+    the destination (or a fresh index) instead, because compacting and
+    re-merging the grown source would duplicate its original docs.
     Idempotent under retry at EVERY crash window:
     before the manifest flip a rerun simply re-copies into the same
     group names; after it, the committed lineage records carry each
@@ -270,7 +274,29 @@ def merge_indexes(
         # token and re-copy (= duplicate) every already-merged doc
         sm = IndexManifest.load(sdir)
         if _already_merged(dest_dir, dest, _source_token(sm, sdir)):
-            log(f"[merge] {sdir}: already merged (token match) — skipped")
+            import glob as _glob
+
+            pending = _glob.glob(
+                os.path.join(sdir, "_stage", "deltas", "batch-*")
+            )
+            if pending:
+                # skip is still right (a blind retry must stay
+                # idempotent), but say loudly that the growth was NOT
+                # merged: post-merge growth belongs in its own index
+                # (or staged into the destination) — compacting and
+                # re-merging this source would duplicate its original
+                # documents (doc_ids are no longer disjoint with dest)
+                log(
+                    f"[merge] WARNING {sdir}: already merged — skipped, "
+                    f"but it carries {len(pending)} staged delta "
+                    "batch(es) that were NOT merged; stage post-merge "
+                    "growth into the destination or a fresh index"
+                )
+            else:
+                log(
+                    f"[merge] {sdir}: already merged (token match) — "
+                    "skipped"
+                )
             continue
         if auto_compact:
             sm = _settle_index(spark, sdir, log)

@@ -165,7 +165,12 @@ class MetricsWindow:
                 self._stages = cur
                 return
             prev = key
-            time.sleep(0.05)
+            # settled snapshots re-read immediately (accept on the
+            # second equal read — a couple of py4j ms, no sleep inside
+            # the caller's timed window); only an actively-changing
+            # store waits
+            if not settled:
+                time.sleep(0.05)
 
     def stages(self) -> list[dict[str, Any]]:
         return sorted(self._stages, key=lambda s: s["stage_id"])
@@ -230,7 +235,10 @@ def skew_summary(partitions: list[dict[str, Any]]) -> dict[str, Any]:
         vals = sorted(int(p[key]) for p in partitions)
         if not vals or vals[-1] == 0:
             return 1.0
-        med = vals[len(vals) // 2]
+        # LOWER middle: the upper-middle element IS the max at n=2,
+        # which would report ratio 1.0 for a fully skewed 2-partition
+        # stage — the exact case the metric exists to expose
+        med = vals[(len(vals) - 1) // 2]
         return round(vals[-1] / max(med, 1), 3)
 
     if not partitions:

@@ -438,6 +438,11 @@ def profile_store_card(
         )
     )
 
+    # clamp: an HLL estimate can overshoot by its error band, and a
+    # distinct count above n_docs (or a negative dup_rate) is nonsense
+    # on a published card; the exact path never exceeds n_docs, so the
+    # clamp is a no-op there
+    n_distinct = F.least(F.col("n_distinct_texts"), F.col("n_docs"))
     return (
         _join_strata(_join_strata(scalars, quant), distinct)
         .select(
@@ -452,10 +457,9 @@ def profile_store_card(
             (F.col("sum_quality") / F.col("n_docs")).alias(
                 "mean_quality"
             ),
-            "n_distinct_texts",
-            (
-                F.lit(1.0)
-                - F.col("n_distinct_texts") / F.col("n_docs")
-            ).alias("dup_rate"),
+            n_distinct.alias("n_distinct_texts"),
+            (F.lit(1.0) - n_distinct / F.col("n_docs")).alias(
+                "dup_rate"
+            ),
         )
     )

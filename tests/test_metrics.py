@@ -88,3 +88,18 @@ def test_skew_summary_in_build_lineage(spark, tmp_path):
     # partition stays within a small factor of the median
     assert 1.0 <= sk["input_max_over_median"] < 3.0
     assert skew_summary([]) == {}
+
+
+def test_skew_summary_uses_lower_median():
+    from same_same_spark.metrics import skew_summary
+
+    rows = [
+        {"partition": 0, "executor_run_time_ms": 1,
+         "shuffle_read_bytes": 0, "input_records": 1},
+        {"partition": 1, "executor_run_time_ms": 100,
+         "shuffle_read_bytes": 0, "input_records": 100},
+    ]
+    sk = skew_summary(rows)
+    # upper-middle would pick the max and report 1.0 — fully blind
+    assert sk["runtime_max_over_median"] == 100.0
+    assert sk["shuffle_read_max_over_median"] == 1.0  # all-zero guard
