@@ -80,6 +80,7 @@ ENTRY_QUERY_NAMES = [
     "shared_spans",
     "contamination",
     "training_mix",
+    "profile_incremental",
     "ann_ivf_persisted",
 ]
 
