@@ -2173,6 +2173,35 @@ FROM documents GROUP BY source
 # ---------------------------------------------------------------------------
 
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    # ------------------------------------------------------------------
+    # Declaration order is the driver's verification order (the r3 run
+    # consumed exactly the first 50 entries).  VERDICT_r3 #1: the 15
+    # entries that never got a driver CORRECTNESS row come FIRST, new
+    # round-4 entries next, then the long-green rest — redundant SQL
+    # twins last so a hard cap of 50 rotates coverage across rounds
+    # (everything below position 50 was green in CORRECTNESS_r03).
+    # ------------------------------------------------------------------
+    "training_mix": (_q_training_mix, _sql_training_mix()),
+    "contamination": (_q_contamination, _SQL_CONTAMINATION),
+    "corpus_profile": (_q_corpus_profile, _sql_corpus_profile()),
+    "profile_incremental": (
+        _q_profile_incremental, _sql_profile_incremental(),
+    ),
+    "c4_filter": (_q_c4_filter, _sql_c4_filter()),
+    "pii_redact": (_q_pii_redact, _sql_pii_redact()),
+    "sample_quota": (_q_sample_quota, _SQL_SAMPLE_QUOTA),
+    "sample_stratified": (_q_sample_stratified, _SQL_SAMPLE_STRATIFIED),
+    "split_assign": (_q_split_assign, _SQL_SPLIT_ASSIGN),
+    "repetition_metrics": (_q_repetition, _sql_repetition()),
+    "top_ngram": (_q_top_ngram, _sql_top_ngram()),
+    "token_counts": (_q_token_counts, _sql_token_counts()),
+    "fingerprints": (
+        _q_fingerprints,
+        textqc_ops.winnow_sql("doc_id", "text", "documents", k=8, w=4),
+    ),
+    "multimodal_features": (_q_multimodal_features, _SQL_MULTIMODAL),
+    "ingest_stats": (_q_ingest_stats, _sql_ingest_stats()),
+    # --- r3-green entries (CORRECTNESS_r03 all-green) -----------------
     "bm25_topk": (_q_bm25_topk, _SQL_BM25_TOPK),
     "term_df_top100": (_q_term_df, _SQL_TERM_DF),
     "vocab_prune": (_q_vocab_prune, _SQL_VOCAB_PRUNE),
@@ -2195,7 +2224,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         _SQL_INDEX_BM25_AFTER_DELETE,
     ),
     "tfidf_topk": (_q_tfidf_topk, _SQL_TFIDF_TOPK),
-    "tfidf_topk_indexed": (_q_tfidf_topk_indexed, _SQL_TFIDF_TOPK),
     "clip_text_topk": (_q_clip_text_topk, _SQL_CLIP_TEXT_TOPK),
     "clip_image_features": (_q_clip_image_features, _SQL_CLIP_IMAGE),
     "search_by_text": (_q_search_by_text, _SQL_SEARCH_BY_TEXT),
@@ -2225,16 +2253,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "dedup_exact": (_q_dedup_exact, _SQL_DEDUP_EXACT),
     "shared_spans": (_q_shared_spans, _SQL_SHARED_SPANS),
     "dedup_minhash": (_q_dedup_minhash, _exact_jaccard_sql(0.9)),
-    "dedup_prefix": (_q_dedup_prefix, _exact_jaccard_sql(0.9)),
     "dedup_clusters": (_q_dedup_clusters, _SQL_DEDUP_CLUSTERS),
-    "dedup_ngram_jaccard": (_q_dedup_ngram, _exact_jaccard_sql(0.8)),
     "simhash_docs": (_q_simhash, _SQL_SIMHASH),
     "dedup_embedding": (_q_dedup_embedding, _SQL_DEDUP_EMBEDDING),
     "ann_brute_topk": (_q_ann_brute, _SQL_ANN_BRUTE),
     "ann_ivf_topk": (_q_ann_ivf, _SQL_ANN_IVF),
     "ann_lsh_topk": (_q_ann_lsh, _SQL_ANN_LSH),
-    "ann_lsh_persisted": (_q_ann_lsh_persisted, _SQL_ANN_LSH),
-    "ann_ivf_persisted": (_q_ann_ivf_persisted, _SQL_ANN_IVF),
     "euclidean_topk": (_q_euclidean_topk, _SQL_EUCLIDEAN_TOPK),
     "simhash_pairs": (_q_simhash_pairs, _SQL_SIMHASH_PAIRS),
     "source_quotes": (_q_source_quotes, _SQL_SOURCE_QUOTES),
@@ -2243,26 +2267,15 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "source_hf": (_q_source_hf, _SQL_SOURCE_HF),
     "lang_id": (_q_lang_id, _SQL_LANG_ID),
     "quality_scores": (_q_quality, _sql_quality()),
-    "token_counts": (_q_token_counts, _sql_token_counts()),
-    "fingerprints": (
-        _q_fingerprints,
-        textqc_ops.winnow_sql("doc_id", "text", "documents", k=8, w=4),
-    ),
-    "c4_filter": (_q_c4_filter, _sql_c4_filter()),
-    "pii_redact": (_q_pii_redact, _sql_pii_redact()),
-    "training_mix": (_q_training_mix, _sql_training_mix()),
-    "contamination": (_q_contamination, _SQL_CONTAMINATION),
-    "corpus_profile": (_q_corpus_profile, _sql_corpus_profile()),
-    "profile_incremental": (
-        _q_profile_incremental, _sql_profile_incremental(),
-    ),
-    "sample_quota": (_q_sample_quota, _SQL_SAMPLE_QUOTA),
-    "sample_stratified": (_q_sample_stratified, _SQL_SAMPLE_STRATIFIED),
-    "split_assign": (_q_split_assign, _SQL_SPLIT_ASSIGN),
-    "repetition_metrics": (_q_repetition, _sql_repetition()),
-    "top_ngram": (_q_top_ngram, _sql_top_ngram()),
-    "multimodal_features": (_q_multimodal_features, _SQL_MULTIMODAL),
-    "ingest_stats": (_q_ingest_stats, _sql_ingest_stats()),
+    # --- redundant-SQL twins: same oracle as an entry above, different
+    # Spark implementation.  Kept last so a hard driver cap of 50 drops
+    # these first (their oracle identity is still covered by the twin;
+    # their Spark-side divergence is pinned by tests/test_entry.py).
+    "dedup_prefix": (_q_dedup_prefix, _exact_jaccard_sql(0.9)),
+    "dedup_ngram_jaccard": (_q_dedup_ngram, _exact_jaccard_sql(0.8)),
+    "ann_lsh_persisted": (_q_ann_lsh_persisted, _SQL_ANN_LSH),
+    "ann_ivf_persisted": (_q_ann_ivf_persisted, _SQL_ANN_IVF),
+    "tfidf_topk_indexed": (_q_tfidf_topk_indexed, _SQL_TFIDF_TOPK),
 }
 
 
