@@ -88,8 +88,31 @@ class SameSameSpark:
         :meth:`upsert` to keep the index attached (tombstone + staged
         delta + compaction), or re-attach after a rebuild.
         """
+        self._reject_intra_batch_dup_ids(new_docs)
         merged = self._merge_frames(new_docs)
         return SameSameSpark(merged, self.id_col, self.text_col)
+
+    def _reject_intra_batch_dup_ids(self, new_docs: DataFrame) -> None:
+        """PUT semantics are per-id (``handlers/vector.go:110-146``) —
+        a batch carrying the same id twice has no reference-defined
+        winner, and staging both would double the doc in N/avgdl and
+        serve it twice. Raise rather than pick one nondeterministically
+        (DataFrames are unordered, so "keep last" isn't well-defined).
+        One bounded aggregation over the PUT-sized batch."""
+        dups = (
+            new_docs.groupBy(self.id_col)
+            .count()
+            .filter(F.col("count") > 1)
+            .select(self.id_col)
+            .limit(5)
+            .collect()
+        )
+        if dups:
+            raise ValueError(
+                "store/upsert batch contains duplicate ids "
+                f"(e.g. {[r[0] for r in dups]}); PUT semantics are "
+                "per-id — deduplicate the batch first"
+            )
 
     def _merge_frames(self, new_docs: DataFrame) -> DataFrame:
         return self.docs.join(
@@ -146,6 +169,15 @@ class SameSameSpark:
         )
         if ids is None:
             return self.store(new_docs)
+        if len(set(ids)) != len(ids):
+            # under CANONICAL identity (" 12 " and "12" are the same
+            # doc) — raw-form duplicates collide here too
+            seen: set[int] = set()
+            dup = [i for i in ids if i in seen or seen.add(i)][:5]
+            raise ValueError(
+                f"upsert batch contains duplicate ids (e.g. {dup}); "
+                "PUT semantics are per-id — deduplicate the batch first"
+            )
         if not ids:
             # nothing to overwrite — and staging an empty batch would
             # commit a permanent zero-doc shard group to the index

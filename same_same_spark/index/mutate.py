@@ -732,25 +732,43 @@ def recover_delta_folds(spark: SparkSession, index_dir: str, log=print):
         if rec.get("kind") != "delta-compaction":
             continue
         tokens = rec.get("batch_tokens", {})
+        g = rec["group"]
+        committed = g in manifest.groups
         covered = []
         for b in rec.get("source_batches", []):
             p = pending.get(b)
             if p is None:
                 continue
             tok_rec, tok_now = tokens.get(b), _read_batch_token(p)
-            if tok_rec is None or tok_now is None or tok_rec != tok_now:
-                # Only a POSITIVE content-token match covers a batch.
-                # A token-less lineage record (written before the token
-                # protocol) must not claim same-named batches: after a
-                # checkpoint reset those are NEW data, and archiving
-                # them unfolded would silently lose documents. Legacy
-                # interrupted folds simply refold — idempotent, the new
-                # group gets a fresh name.
+            if tok_rec is not None and tok_rec == tok_now:
+                covered.append(b)  # positive content-token match
                 continue
-            covered.append(b)
+            if tok_rec is None and tok_now is None and committed:
+                # Legacy pre-token-protocol record whose fold COMMITTED
+                # (group live in the manifest) and a token-less pending
+                # batch of the same name: the old archive behavior is
+                # the only one that can't DUPLICATE documents (leaving
+                # it pending would refold a committed batch). The
+                # residual risk — a checkpoint reset reusing the name
+                # for NEW legacy-format data — is unprovable either
+                # way, so claim it LOUDLY. A token-CARRYING pending
+                # batch was written by token-era code and is never
+                # claimed by a legacy record.
+                log(
+                    f"[recover] WARNING: archiving token-less batch {b}"
+                    f" claimed by legacy lineage record of committed"
+                    f" group {g}; if this batch is NEW data that reused"
+                    f" the name after a checkpoint reset, re-stage it"
+                )
+                covered.append(b)
+                continue
+            # Otherwise only a POSITIVE content-token match covers a
+            # batch: after a checkpoint reset, same-named batches are
+            # NEW data, and archiving them unfolded would silently lose
+            # documents. Uncommitted legacy folds simply refold —
+            # idempotent, the new group gets a fresh name.
         if not covered:
             continue
-        g = rec["group"]
         on_disk = os.path.exists(
             os.path.join(index_dir, "shards", f"group-{g}")
         )

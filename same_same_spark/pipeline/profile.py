@@ -199,16 +199,22 @@ def _batch_state(
             (s * F.sum("n_tokens")).alias("total_tokens"),
             (s.cast("double") * F.sum("q")).alias("sum_quality"),
         ),
-        "lengths": rows.groupBy("stratum", "n_tokens").agg(
-            (s * F.count(F.lit(1))).alias("cnt")
-        ),
+        # NULL-text docs have NULL n_tokens / content_h60; Spark's
+        # percentile and countDistinct (the corpus_profile side of the
+        # card==batch identity) ignore NULL inputs, so NULL rows must
+        # never enter the histogram or the distinct state — the card
+        # re-derives the non-null doc count as sum(cnt) of this table.
+        "lengths": rows.filter(F.col("n_tokens").isNotNull())
+        .groupBy("stratum", "n_tokens")
+        .agg((s * F.count(F.lit(1))).alias("cnt")),
     }
+    hashed = rows.filter(F.col("content_h60").isNotNull())
     if distinct_mode == "sketch":
-        out["sketches"] = rows.groupBy("stratum").agg(
+        out["sketches"] = hashed.groupBy("stratum").agg(
             F.hll_sketch_agg("content_h60").alias("sk")
         )
     else:
-        out["hashes"] = rows.groupBy("stratum", "content_h60").agg(
+        out["hashes"] = hashed.groupBy("stratum", "content_h60").agg(
             (s * F.count(F.lit(1))).alias("cnt")
         )
     return out
@@ -350,12 +356,14 @@ def profile_store_update(
     )
 
 
-def _join_strata(a: DataFrame, b: DataFrame) -> DataFrame:
-    """Inner join on ``stratum`` with NULL-safe equality: a NULL
-    stratum (docs with no language tag — common in real corpora) is a
-    stratum like any other in ``groupBy``, so the card joins must not
-    drop it the way plain ``join(..., "stratum")`` would."""
-    out = a.join(b, a["stratum"].eqNullSafe(b["stratum"]))
+def _join_strata(a: DataFrame, b: DataFrame, how: str = "inner") -> DataFrame:
+    """Join on ``stratum`` with NULL-safe equality: a NULL stratum
+    (docs with no language tag — common in real corpora) is a stratum
+    like any other in ``groupBy``, so the card joins must not drop it
+    the way plain ``join(..., "stratum")`` would. ``how='left'`` keeps
+    strata absent from ``b`` (e.g. all-NULL-text strata, which have no
+    histogram or hash rows)."""
+    out = a.join(b, a["stratum"].eqNullSafe(b["stratum"]), how)
     return out.drop(b["stratum"])
 
 
@@ -413,16 +421,28 @@ def profile_store_card(
             .agg(F.count(F.lit(1)).alias("n_distinct_texts"))
         )
 
+    # NULL-text docs contribute to n_docs (and sum_quality — quality
+    # of NULL text is a defined constant) but have NULL n_tokens /
+    # content_h60, which Spark's percentile / avg / countDistinct all
+    # ignore. The card mirrors that exactly: the non-null doc count is
+    # sum(cnt) of the histogram itself (NULL rows never enter state;
+    # the defensive filters also cover pre-fix stores), quantile
+    # positions and mean_tokens divide by it, and strata with no
+    # histogram/hash rows at all survive via left joins.
+    lengths = lengths.filter(F.col("n_tokens").isNotNull())
     w = (
         Window.partitionBy("stratum")
         .orderBy("n_tokens")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    h = _join_strata(
-        lengths, scalars.select("stratum", "n_docs")
-    ).withColumn("cum", F.sum("cnt").over(w))
-    pos50 = F.lit(1) + (F.col("n_docs") - 1) * F.lit(0.5)
-    pos90 = F.lit(1) + (F.col("n_docs") - 1) * F.lit(0.9)
+    w_all = Window.partitionBy("stratum").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    h = lengths.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "n_len", F.sum("cnt").over(w_all)
+    )
+    pos50 = F.lit(1) + (F.col("n_len") - 1) * F.lit(0.5)
+    pos90 = F.lit(1) + (F.col("n_len") - 1) * F.lit(0.9)
     quant = (
         h.groupBy("stratum")
         .agg(
@@ -430,11 +450,13 @@ def profile_store_card(
                                  F.col("n_tokens"), "p50"),
             *_hist_quantile_aggs(pos90, F.col("cum"),
                                  F.col("n_tokens"), "p90"),
+            F.sum("cnt").alias("n_len"),
         )
         .select(
             "stratum",
             _hist_quantile_value("p50", "p50_tokens"),
             _hist_quantile_value("p90", "p90_tokens"),
+            "n_len",
         )
     )
 
@@ -442,16 +464,21 @@ def profile_store_card(
     # distinct count above n_docs (or a negative dup_rate) is nonsense
     # on a published card; the exact path never exceeds n_docs, so the
     # clamp is a no-op there
-    n_distinct = F.least(F.col("n_distinct_texts"), F.col("n_docs"))
+    n_distinct = F.least(
+        F.coalesce(F.col("n_distinct_texts"), F.lit(0)), F.col("n_docs")
+    )
+    n_len = F.coalesce(F.col("n_len"), F.lit(0))
     return (
-        _join_strata(_join_strata(scalars, quant), distinct)
+        _join_strata(
+            _join_strata(scalars, quant, "left"), distinct, "left"
+        )
         .select(
             "stratum",
             "n_docs",
             "total_tokens",
-            (F.col("total_tokens") / F.col("n_docs")).alias(
-                "mean_tokens"
-            ),
+            F.when(
+                n_len > 0, F.col("total_tokens") / n_len
+            ).alias("mean_tokens"),
             "p50_tokens",
             "p90_tokens",
             (F.col("sum_quality") / F.col("n_docs")).alias(

@@ -376,6 +376,44 @@ def test_upsert_padded_string_id_replaces_not_duplicates(spark, tmp_path):
     assert api2.count() == 8
 
 
+def test_upsert_rejects_intra_batch_duplicate_ids(spark, tmp_path):
+    """ADVICE r3: two rows with the same id in one batch would BOTH be
+    staged (stage_delta_batch assumes new ids) and both survive the
+    frame merge — the doc counted twice in N/avgdl and served twice.
+    PUT semantics are per-id, so the batch is rejected; canonical-id
+    collisions (" 2 " vs "2") count as duplicates too, and the naive
+    store() fallback enforces the same rule."""
+    import pytest
+
+    from same_same_spark.api import SameSameSpark
+    from same_same_spark.index.build import build_index
+
+    docs = spark.createDataFrame(
+        [(str(i), f"document number {i} body") for i in range(1, 6)],
+        "doc_id STRING, text STRING",
+    )
+    idx = str(tmp_path / "idx")
+    build_index(docs, idx, id_col="doc_id", text_col="text",
+                num_buckets=2, log=lambda *_: None)
+    api = SameSameSpark(docs, id_col="doc_id", text_col="text",
+                        index_dir=idx)
+    dup = spark.createDataFrame(
+        [("2", "first version"), (" 2 ", "second version")],
+        "doc_id STRING, text STRING",
+    )
+    with pytest.raises(ValueError, match="duplicate ids"):
+        api.upsert(dup)
+    raw_dup = spark.createDataFrame(
+        [("3", "first"), ("3", "second")], "doc_id STRING, text STRING",
+    )
+    with pytest.raises(ValueError, match="duplicate ids"):
+        api.upsert(raw_dup)
+    with pytest.raises(ValueError, match="duplicate ids"):
+        SameSameSpark(docs, id_col="doc_id", text_col="text").store(raw_dup)
+    # the index and frame are untouched by the rejected batches
+    assert api.count() == 5
+
+
 def test_upsert_empty_batch_is_noop(spark, tmp_path):
     """An empty upsert must not run the delete/stage/compact pipeline —
     staging an empty batch would commit a permanent zero-doc group."""

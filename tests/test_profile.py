@@ -53,18 +53,25 @@ def test_corpus_profile_oracle_parity(spark):
     assert got == oracle
 
 
+def _r9(v):
+    return None if v is None else round(v, 9)
+
+
 def _canon_card(rows):
     return sorted(
         (
             (
                 r["stratum"], r["n_docs"], r["total_tokens"],
-                round(r["mean_tokens"], 9), round(r["p50_tokens"], 9),
-                round(r["p90_tokens"], 9), round(r["mean_quality"], 9),
-                r["n_distinct_texts"], round(r["dup_rate"], 9),
+                _r9(r["mean_tokens"]), _r9(r["p50_tokens"]),
+                _r9(r["p90_tokens"]), _r9(r["mean_quality"]),
+                r["n_distinct_texts"], _r9(r["dup_rate"]),
             )
             for r in rows
         ),
-        key=lambda t: (t[0] is None, t[0] or "", t[1:]),
+        key=lambda t: (
+            t[0] is None, t[0] or "",
+            tuple((v is None, v if v is not None else 0) for v in t[1:]),
+        ),
     )
 
 
@@ -255,6 +262,52 @@ def test_profile_store_keeps_null_stratum(spark, tmp_path):
     want2 = _canon_card(
         corpus_profile(docs.filter("doc_id <> 3")).collect()
     )
+    assert got2 == want2
+
+
+def test_profile_store_null_text_matches_batch_profile(spark, tmp_path):
+    """ADVICE r3: NULL-text docs have NULL n_tokens / content_h60,
+    which Spark's percentile / avg / countDistinct (the corpus_profile
+    side) ignore — the store card must ignore them identically: no
+    NULL rows in histogram or distinct state, quantile positions and
+    mean_tokens over the NON-null doc count, and an all-NULL-text
+    stratum still emits a card row (with NULL quantiles, distinct 0)."""
+    from same_same_spark.pipeline.profile import (
+        profile_store_card,
+        profile_store_init,
+        profile_store_update,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha bravo charlie", "en"),
+            (2, None, "en"),                    # NULL text in a mixed stratum
+            (3, "delta echo", "en"),
+            (4, "delta echo", "en"),            # dup
+            (5, None, "xx"),                    # stratum of ONLY NULL text
+            (6, None, "xx"),
+        ],
+        "doc_id LONG, text STRING, lang STRING",
+    )
+    store = str(tmp_path / "pstore")
+    profile_store_init(spark, store)
+    profile_store_update(spark, store, docs.filter("doc_id <= 4"),
+                         log=lambda *_: None)
+    profile_store_update(spark, store, docs.filter("doc_id > 4"),
+                         log=lambda *_: None)
+    got = _canon_card(profile_store_card(spark, store).collect())
+    want = _canon_card(corpus_profile(docs).collect())
+    assert got == want
+    xx = [t for t in got if t[0] == "xx"]
+    assert xx and xx[0][1] == 2          # n_docs counts NULL-text docs
+    assert xx[0][4] is None              # p50 over zero non-null lengths
+    assert xx[0][7] == 0                 # countDistinct of all-NULL = 0
+
+    # deleting a NULL-text doc composes (only scalar state changes)
+    profile_store_update(spark, store, docs.filter("doc_id = 2"),
+                         delete=True, log=lambda *_: None)
+    got2 = _canon_card(profile_store_card(spark, store).collect())
+    want2 = _canon_card(corpus_profile(docs.filter("doc_id <> 2")).collect())
     assert got2 == want2
 
 

@@ -502,3 +502,51 @@ def test_tokenless_lineage_never_covers_pending_batches(spark, tmp_path):
     assert glob.glob(os.path.join(idx, "_stage", "deltas", "batch-000000"))
     m = compact_deltas(spark, idx, log=lambda *_: None)
     assert m.n_docs == n0 + 2  # refolded as new data, not archived away
+
+
+def test_legacy_committed_fold_with_tokenless_batch_archives(
+    spark, tmp_path
+):
+    """ADVICE r3: a pre-token-protocol lineage record whose fold
+    COMMITTED (group live in the manifest) but whose archive step
+    crashed leaves a token-less pending batch. The strict
+    positive-token rule would leave it unclaimed and a later
+    compact_deltas would refold it, DUPLICATING its documents — for
+    the legacy×legacy case the old archive behavior must survive
+    (with a loud warning). A token-CARRYING pending batch is still
+    never claimed by a legacy record
+    (test_tokenless_lineage_never_covers_pending_batches)."""
+    import glob
+    import json as _json
+    import shutil
+
+    from same_same_spark.index.build import IndexManifest, compact_deltas
+
+    idx = _mini_streamed_index(spark, tmp_path, "legarch")
+    compact_deltas(spark, idx, log=lambda *_: None)
+    n0 = IndexManifest.load(idx).n_docs
+    # age the lineage record to the pre-token era
+    for rec_path in glob.glob(os.path.join(idx, "_lineage", "group-*.json")):
+        with open(rec_path) as f:
+            rec = _json.load(f)
+        if rec.get("kind") == "delta-compaction":
+            rec.pop("batch_tokens", None)
+            with open(rec_path, "w") as f:
+                _json.dump(rec, f)
+    # simulate the archive-step crash: the folded batch is back in
+    # pending, and as a legacy-era batch it carries no content token
+    done = glob.glob(
+        os.path.join(idx, "_stage", "deltas_compacted", "batch-*")
+    )
+    assert done
+    for d in done:
+        dst = os.path.join(idx, "_stage", "deltas", os.path.basename(d))
+        shutil.move(d, dst)
+        tok = os.path.join(dst, "_batch_token")
+        if os.path.exists(tok):
+            os.remove(tok)
+    warnings: list[str] = []
+    m = compact_deltas(spark, idx, log=lambda *s: warnings.append(" ".join(map(str, s))))
+    assert m.n_docs == n0  # archived, NOT refolded into duplicates
+    assert not glob.glob(os.path.join(idx, "_stage", "deltas", "batch-*"))
+    assert any("WARNING" in w and "token-less" in w for w in warnings)
