@@ -998,6 +998,66 @@ _SQL_SHARED_SPANS = dedup_ops.shared_span_sql(
 )
 
 
+_SPAN_HDR = (
+    "// Copyright Example Corp. All rights reserved.\\n"
+    "// Licensed under the Apache License, Version 2.0\\n"
+)
+
+
+def _hdr_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with a deterministic license header planted on every
+    3rd doc — shared-span removal has real boilerplate to strip."""
+    hdr = _SPAN_HDR.replace("\\n", "\n")
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return d.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.lit(hdr), "text"))
+        .otherwise(F.col("text")),
+    )
+
+
+_SQL_HDR_DOCS = (
+    "SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN "
+    f"replace('{_SPAN_HDR}', '\\n', chr(10)) || text "
+    "ELSE text END AS text FROM documents"
+)
+
+
+def _q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level dedup ACTION (pipeline/spans.remove_shared_spans):
+    byte-identical shared spans (the planted license headers) stripped
+    from every doc except each span group's min-id canonical keeper —
+    remainders byte-exact. The df-based run-signature formulation, NOT
+    the pairwise diagonals: linear in corpus size regardless of how
+    many docs share a span."""
+    from same_same_spark.pipeline.spans import remove_shared_spans
+
+    out = remove_shared_spans(
+        _hdr_docs(spark, sf_dir), min_df=3, min_span_chars=20,
+        with_stats=True,
+    )
+    return out.select(
+        "doc_id",
+        F.length("text").alias("clean_len"),
+        dedup_ops.hash60_col(F.col("text")).alias("clean_h60"),
+        "n_spans_removed",
+        "removed_chars",
+    )
+
+
+def _sql_span_dedup() -> str:
+    from same_same_spark.pipeline.spans import remove_shared_spans_sql
+
+    return f"""
+WITH {remove_shared_spans_sql(f"({_SQL_HDR_DOCS})", "doc_id", "text",
+                              min_df=3, min_span_chars=20)}
+SELECT doc_id, length(text) AS clean_len,
+       {dedup_ops.hash60_sql("text")} AS clean_h60,
+       n_spans_removed, removed_chars
+FROM clean
+"""
+
+
 _SQL_DEDUP_EXACT = f"""
 WITH base AS ({_SQL_DUP_DOCS})
 SELECT sha256(text) AS content_sha, min(doc_id) AS keep_id,
@@ -2201,6 +2261,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     ),
     "multimodal_features": (_q_multimodal_features, _SQL_MULTIMODAL),
     "ingest_stats": (_q_ingest_stats, _sql_ingest_stats()),
+    # --- new round-4 entries -------------------------------------------
+    "span_dedup": (_q_span_dedup, _sql_span_dedup()),
     # --- r3-green entries (CORRECTNESS_r03 all-green) -----------------
     "bm25_topk": (_q_bm25_topk, _SQL_BM25_TOPK),
     "term_df_top100": (_q_term_df, _SQL_TERM_DF),

@@ -553,6 +553,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 30,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components over an undirected pair list: ``(id,
     cluster_id)`` where ``cluster_id`` is the minimum id in the
@@ -575,7 +576,16 @@ def connected_components(
     existence probe, not a full count. All shuffles are keyed by node
     id — uniformly distributed, no hot key; dup clusters in web corpora
     are overwhelmingly small, and the giant-component worst case costs
-    rounds (log n), not skew.
+    rounds (log n), not skew. The one data-shaped key left is the
+    pointer-jump join itself: once a giant component converges, most
+    rows carry the same label, so ``l == ju`` concentrates on one key —
+    a many-to-ONE join (the jump side is unique per key) that AQE's
+    skew-join splitting handles by replicating the single matching row
+    (pinned by the pathological-cluster tests in ``test_dedup``).
+
+    ``stats`` (optional dict) receives ``{"rounds": n}`` — the observed
+    iteration count, so callers and benchmarks can assert the O(log n)
+    bound instead of trusting it.
     """
     e = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
     edges = (
@@ -583,9 +593,10 @@ def connected_components(
         .distinct()
         .persist()
     )
+    rounds = 0
     try:
         labels = edges.select("u").distinct().withColumn("l", F.col("u"))
-        for _ in range(max_iter):
+        for rounds in range(1, max_iter + 1):
             nbr = edges.join(
                 labels.select(F.col("u").alias("v"), F.col("l").alias("lv")),
                 "v",
@@ -615,6 +626,8 @@ def connected_components(
             )
     finally:
         edges.unpersist()
+        if stats is not None:
+            stats["rounds"] = rounds
     return labels.select(F.col("u").alias("id"), F.col("l").alias("cluster_id"))
 
 

@@ -7,17 +7,20 @@ Stage order (each optional, each a module this package already ships):
    composite score threshold (pure column math),
 2. C4 doc gate    — :func:`~same_same_spark.pipeline.textqc.c4_doc_flags`
    keep decision,
-3. exact dedup    — :func:`~same_same_spark.pipeline.dedup.exact_dedup`
+3. span strip     — :func:`~same_same_spark.pipeline.spans.remove_shared_spans`
+   byte-identical boilerplate removal, one canonical copy kept (so
+   docs differing only by headers collapse into exact dups below),
+4. exact dedup    — :func:`~same_same_spark.pipeline.dedup.exact_dedup`
    (one shuffle on sha256),
-4. fuzzy dedup    — MinHash-LSH pairs →
+5. fuzzy dedup    — MinHash-LSH pairs →
    :func:`~same_same_spark.pipeline.dedup.connected_components` →
    keep each cluster's minimum id,
-5. decontamination — :func:`~same_same_spark.pipeline.decontam.decontaminate`
+6. decontamination — :func:`~same_same_spark.pipeline.decontam.decontaminate`
    against an eval set (broadcast shingle hashes; only when the caller
    passes ``eval_df``),
-6. mix sampling   — :func:`~same_same_spark.pipeline.sampling.sample_stratified`
+7. mix sampling   — :func:`~same_same_spark.pipeline.sampling.sample_stratified`
    per-stratum rates (zero-shuffle hash filter),
-7. split columns  — :func:`~same_same_spark.pipeline.sampling.assign_splits`.
+8. split columns  — :func:`~same_same_spark.pipeline.sampling.assign_splits`.
 
 Everything stays one lazy DataFrame plan until the caller acts, so
 Catalyst sees the whole pipeline at once: the quality/C4 gates are
@@ -65,6 +68,15 @@ class MixConfig:
     # an eval_df; these tune its shingle width and drop threshold
     decontam_n: int = 8
     decontam_max_hit_frac: float = 0.0
+    # span-level dedup ACTION (pipeline/spans.py): strip byte-identical
+    # shared spans (license headers, boilerplate) keeping one canonical
+    # copy. Runs after the cheap gates and BEFORE exact dedup, so docs
+    # that differed only by boilerplate collapse into exact duplicates
+    # the next stage removes.
+    strip_spans: bool = False
+    span_unit: str = "line"
+    span_min_df: int = 3
+    span_min_chars: int = 20
 
     def stages(self, with_decontam: bool = False) -> list[str]:
         out = []
@@ -72,6 +84,8 @@ class MixConfig:
             out.append("quality")
         if self.c4_gate:
             out.append("c4")
+        if self.strip_spans:
+            out.append("span_strip")
         if self.exact:
             out.append("exact_dedup")
         if self.fuzzy_threshold is not None:
@@ -101,6 +115,13 @@ def prepare_training_corpus(
             cfg.text_col, min_sentences=cfg.c4_min_sentences
         )["c4_keep"]
         out = out.filter(keep)
+    if cfg.strip_spans:
+        from same_same_spark.pipeline.spans import remove_shared_spans
+
+        out = remove_shared_spans(
+            out, cfg.id_col, cfg.text_col, unit=cfg.span_unit,
+            min_df=cfg.span_min_df, min_span_chars=cfg.span_min_chars,
+        )
     if cfg.exact:
         out = dedup_ops.exact_dedup(out, cfg.id_col, cfg.text_col)
     if cfg.fuzzy_threshold is not None:
@@ -179,6 +200,7 @@ def _truncated(cfg: MixConfig, keep: set[str]) -> MixConfig:
         cfg,
         min_quality=cfg.min_quality if "quality" in keep else None,
         c4_gate=cfg.c4_gate and "c4" in keep,
+        strip_spans=cfg.strip_spans and "span_strip" in keep,
         exact=cfg.exact and "exact_dedup" in keep,
         fuzzy_threshold=cfg.fuzzy_threshold if "fuzzy_dedup" in keep else None,
         fractions=cfg.fractions if "sample" in keep else None,

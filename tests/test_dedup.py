@@ -316,6 +316,48 @@ def test_dedup_clusters_foreign_pair_ids(spark):
     assert survivors == [6]
 
 
+def test_connected_components_giant_cluster_olog_rounds(spark):
+    """VERDICT r3 #4: the pathological shape — ONE component containing
+    ~all docs. Two variants: a 4096-node chain (diameter worst case:
+    plain propagation would need 4096 rounds) and a 5000-node
+    banding-bucket giant (what an everything-is-a-near-dup corpus
+    actually produces through minhash buckets). Pointer jumping must
+    converge in O(log n) rounds — observed via the stats hook, not
+    trusted — and the skewed pointer-jump key (every row converging to
+    label 0) must not stall the join."""
+    n = 4096
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a LONG, id_b LONG"
+    )
+    stats: dict = {}
+    cc = dedup.connected_components(chain, max_iter=30, stats=stats)
+    got = cc.groupBy("cluster_id").count().collect()
+    assert len(got) == 1 and got[0]["count"] == n
+    assert got[0]["cluster_id"] == 0
+    # pointer jumping better than halves chain length per round:
+    # log2(4096) = 12 label-propagation rounds would be the plain
+    # bound; jumping compresses on top. Assert the O(log n) bound with
+    # headroom — and record the observed count for the notes.
+    assert 1 <= stats["rounds"] <= 14, stats
+
+    # dense giant: overlapping buckets of 50 consecutive ids (stride
+    # 25), the shape LSH banding emits when everything collides
+    m, b, s = 5000, 50, 25
+    dense = spark.createDataFrame(
+        [
+            (start + 0, start + j)
+            for start in range(0, m - b + 1, s)
+            for j in range(1, b)
+        ],
+        "id_a LONG, id_b LONG",
+    )
+    stats2: dict = {}
+    cc2 = dedup.connected_components(dense, max_iter=30, stats=stats2)
+    got2 = cc2.groupBy("cluster_id").count().collect()
+    assert len(got2) == 1 and got2[0]["count"] == m
+    assert stats2["rounds"] <= 8, stats2
+
+
 def test_connected_components_empty_pairs(spark):
     empty = spark.createDataFrame([], "id_a LONG, id_b LONG")
     assert dedup.connected_components(empty).count() == 0
