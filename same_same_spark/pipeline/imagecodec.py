@@ -28,9 +28,13 @@ Contracts:
   stand-in decoders in ``clip.py``).
 - :func:`encode_png` writes a minimal valid PNG (filter 0, color type
   0/2) — enough for round-trip tests and thumbnail sinks.
-- :func:`decode_image` sniffs magic bytes and dispatches; JPEG/GIF/WebP
-  raise ``NotImplementedError`` (decoder genuinely absent), garbage
-  raises ``ValueError``.
+- :func:`decode_gif` handles GIF87a/GIF89a first frames: LZW, global
+  and local color tables, interlacing, GIF89a transparency (composited
+  to black, same premultiply convention as PNG alpha).
+- :func:`decode_image` sniffs magic bytes and dispatches; PNG/BMP/GIF
+  decode here, huffman JPEG in ``jpegcodec``; WebP raises
+  ``UnsupportedImageError`` (VP8 genuinely absent), garbage raises
+  ``ValueError``.
 """
 
 from __future__ import annotations
@@ -405,6 +409,158 @@ def resize_lanczos3(img: np.ndarray, size: tuple[int, int]) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# GIF decode (GIF87a/GIF89a, CompuServe spec + RFC-referenced LZW)
+# ---------------------------------------------------------------------------
+
+
+def _gif_lzw(data: bytes, min_code: int, max_pixels: int) -> bytearray:
+    """GIF-variant LZW: variable-width codes 3..12 bits packed
+    LSB-first, CLEAR resets the table, table frozen at 4096 entries
+    (deferred-clear behavior). Plain-Python loop — the decode runs
+    inside mapInPandas workers on bounded thumbnails, not on a Spark
+    hot path."""
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    width = min_code + 1
+    out = bytearray()
+    val = int.from_bytes(data, "little")
+    bitpos, total = 0, len(data) * 8
+    prev: bytes | None = None
+    while bitpos + width <= total and len(out) < max_pixels:
+        code = (val >> bitpos) & ((1 << width) - 1)
+        bitpos += width
+        if code == clear:
+            table = list(base)
+            width = min_code + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("gif: corrupt LZW stream (bad first code)")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+        elif code == len(table) and len(table) < 4096:
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("gif: corrupt LZW stream (code out of range)")
+        out += entry
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+    return out[:max_pixels]
+
+
+def _gif_subblocks(data: bytes, pos: int) -> tuple[bytes, int]:
+    """Concatenate length-prefixed sub-blocks starting at ``pos``;
+    returns (payload, position after the 0 terminator)."""
+    parts = []
+    while True:
+        if pos >= len(data):
+            raise ValueError("gif: truncated sub-block stream")
+        ln = data[pos]
+        pos += 1
+        if ln == 0:
+            return b"".join(parts), pos
+        parts.append(data[pos : pos + ln])
+        if len(parts[-1]) != ln:
+            raise ValueError("gif: truncated sub-block")
+        pos += ln
+
+
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))  # (first row, step) passes
+
+
+def decode_gif(data: bytes) -> np.ndarray:
+    """First frame of a GIF87a/GIF89a to ``(H, W, 3)`` uint8 RGB:
+    global/local color tables, interlacing, and GIF89a transparency
+    (transparent pixels composite to black, matching this module's
+    premultiply-on-black convention for PNG alpha). Animations yield
+    their FIRST frame, composited at its offset onto a black logical
+    screen. Reference parity: the reference's image scan accepts
+    ``.gif`` (``internal/ingestion/image.go:45-52``) via Go's
+    ``image/gif``; WebP stays gated (VP8 is not a stdlib codec)."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("gif: bad signature")
+    try:
+        return _decode_gif_inner(data)
+    except (IndexError, struct.error) as exc:  # truncated stream
+        raise ValueError(f"gif: truncated or corrupt stream ({exc})")
+
+
+def _decode_gif_inner(data: bytes) -> np.ndarray:
+    sw, sh = struct.unpack("<HH", data[6:10])
+    packed = data[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        gct = np.frombuffer(data[pos : pos + 3 * n], np.uint8).reshape(n, 3)
+        pos += 3 * n
+    transparent: int | None = None
+    while pos < len(data):
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension
+            label = data[pos]
+            payload, pos = _gif_subblocks(data, pos + 1)
+            if label == 0xF9 and len(payload) >= 4 and payload[0] & 1:
+                transparent = payload[3]
+            continue
+        if block != 0x2C:
+            raise ValueError(f"gif: unexpected block 0x{block:02x}")
+        left, top, w, h = struct.unpack("<HHHH", data[pos : pos + 8])
+        ipacked = data[pos + 8]
+        pos += 9
+        pal = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 7)
+            pal = np.frombuffer(
+                data[pos : pos + 3 * n], np.uint8
+            ).reshape(n, 3)
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("gif: image without any color table")
+        min_code = data[pos]
+        if not 2 <= min_code <= 11:
+            raise ValueError(f"gif: bad LZW min code size {min_code}")
+        payload, pos = _gif_subblocks(data, pos + 1)
+        idx = np.frombuffer(
+            bytes(_gif_lzw(payload, min_code, w * h)), np.uint8
+        )
+        if idx.size < w * h:
+            raise ValueError("gif: truncated pixel data")
+        idx = idx.reshape(h, w)
+        if ipacked & 0x40:  # interlaced: rows arrive in 4 passes
+            order = np.concatenate(
+                [np.arange(first, h, step) for first, step in _GIF_INTERLACE]
+            )
+            deinterlaced = np.empty_like(idx)
+            deinterlaced[order] = idx
+            idx = deinterlaced
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("gif: pixel index outside color table")
+        frame = pal[idx]
+        if transparent is not None and transparent < len(pal):
+            frame = frame.copy()
+            frame[idx == transparent] = 0  # premultiply-on-black
+        canvas = np.zeros((sh, sw, 3), np.uint8)
+        canvas[top : top + h, left : left + w] = frame[
+            : max(0, sh - top), : max(0, sw - left)
+        ]
+        return canvas
+    raise ValueError("gif: no image data before trailer")
+
+
+# ---------------------------------------------------------------------------
 # dispatch
 # ---------------------------------------------------------------------------
 
@@ -424,10 +580,10 @@ def sniff_format(data: bytes) -> str:
 
 
 def decode_image(data: bytes) -> np.ndarray:
-    """Sniff + decode to ``(H, W, 3)`` uint8 RGB. PNG/BMP decode here,
-    huffman-DCT JPEG (baseline, extended sequential, progressive) in
-    :mod:`same_same_spark.pipeline.jpegcodec`;
-    GIF/WebP (and lossless/hierarchical/arithmetic JPEG) raise
+    """Sniff + decode to ``(H, W, 3)`` uint8 RGB. PNG/BMP/GIF decode
+    here, huffman-DCT JPEG (baseline, extended sequential, progressive)
+    in :mod:`same_same_spark.pipeline.jpegcodec`;
+    WebP (and lossless/hierarchical/arithmetic JPEG) raise
     :class:`UnsupportedImageError` — the narrowed honest gate; anything
     else raises ``ValueError``."""
     fmt = sniff_format(data)
@@ -439,9 +595,11 @@ def decode_image(data: bytes) -> np.ndarray:
         from same_same_spark.pipeline.jpegcodec import decode_jpeg
 
         return decode_jpeg(data)
-    if fmt in ("gif", "webp"):
+    if fmt == "gif":
+        return decode_gif(data)
+    if fmt == "webp":
         raise UnsupportedImageError(
-            f"{fmt}: no stdlib decoder (LZW/VP8 out of scope); "
-            "install pillow for these formats"
+            "webp: no stdlib decoder (VP8 out of scope); "
+            "install pillow for this format"
         )
     raise ValueError("unrecognized image payload")

@@ -8,11 +8,11 @@ structs) and its image ingestion path
 (``internal/ingestion/image.go:41-117``), re-expressed as Spark schema
 + Arrow batch processing.
 
-Image decode is REAL for PNG, BMP, and huffman-DCT JPEG (baseline,
-extended sequential, and progressive, interleaved or per-component
-scans) via the pure-stdlib codecs
+Image decode is REAL for PNG, BMP, GIF (first frame) and
+huffman-DCT JPEG (baseline, extended sequential, and progressive,
+interleaved or per-component scans) via the pure-stdlib codecs
 (:mod:`same_same_spark.pipeline.imagecodec`; PIL is used instead when
-installed, covering GIF/WebP too — without it those formats raise
+installed, covering WebP too — without it that format raises
 ``UnsupportedImageError``). Audio/video
 decode remains stubbed (no
 codecs in this container); :func:`fake_features` provides a
@@ -153,8 +153,8 @@ def decode_image_features(
 
     Decode order per blob: PIL when installed (every registered
     format), else the pure-stdlib codec
-    (:mod:`same_same_spark.pipeline.imagecodec` — real PNG/BMP and
-    huffman-DCT JPEG decode incl. progressive; GIF, WebP and
+    (:mod:`same_same_spark.pipeline.imagecodec` — real PNG/BMP/GIF and
+    huffman-DCT JPEG decode incl. progressive; WebP and
     lossless/arithmetic JPEG raise ``UnsupportedImageError``, a
     ``NotImplementedError`` subclass, the narrowed honest gate).
     """

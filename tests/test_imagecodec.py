@@ -242,7 +242,8 @@ def test_dispatch_gates():
     # malformed jpeg is a data error (real decoder), not a capability gap
     with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0hello")
-    with pytest.raises(UnsupportedImageError):
+    # gif decodes for real now — malformed gif is a data error
+    with pytest.raises(ValueError):
         decode_image(b"GIF89a" + b"\x00" * 20)
     with pytest.raises(UnsupportedImageError):
         decode_image(b"RIFF\x00\x00\x00\x00WEBP")
@@ -336,3 +337,209 @@ def test_resize_matches_mean_on_exact_2x_boxlike():
     ramp = np.tile(np.arange(0, 256, 8, dtype=np.uint8), (4, 1))
     out = resize_lanczos3(ramp, (32, 4))
     assert np.array_equal(out, ramp)
+
+
+# ---------------------------------------------------------------------------
+# GIF (independent spec-derived encoder -> decode_gif differential)
+# ---------------------------------------------------------------------------
+
+from same_same_spark.pipeline.imagecodec import decode_gif  # noqa: E402
+
+
+def _pack_codes(codes, widths) -> bytes:
+    val, nbits = 0, 0
+    for c, w in zip(codes, widths):
+        val |= c << nbits
+        nbits += w
+    return val.to_bytes((nbits + 7) // 8, "little")
+
+
+def _lzw_encode(indices, min_code: int) -> bytes:
+    """Real GIF LZW encoder (dictionary path), written from the spec
+    independently of the decoder: emits CLEAR, then codes at the width
+    the decoder derives from ITS table (which lags the encoder's by
+    exactly one entry), growing width when next_code == 2**width + 1."""
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    width = min_code + 1
+    codes, widths = [clear], [width]
+    buf = b""
+    for i in indices:
+        nxt = buf + bytes([i])
+        if nxt in table:
+            buf = nxt
+            continue
+        codes.append(table[buf])
+        widths.append(width)
+        if next_code < 4096:
+            table[nxt] = next_code
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        buf = bytes([i])
+    if buf:
+        codes.append(table[buf])
+        widths.append(width)
+    codes.append(eoi)
+    widths.append(width)
+    return _pack_codes(codes, widths)
+
+
+def _gif_bytes(
+    idx: "np.ndarray",
+    palette: "np.ndarray",
+    min_code: int = 8,
+    interlace: bool = False,
+    transparent: int | None = None,
+    local_palette: bool = False,
+    frame_offset: tuple[int, int] = (0, 0),
+    screen: tuple[int, int] | None = None,
+    version: bytes = b"GIF89a",
+    extra_frame: bool = False,
+) -> bytes:
+    h, w = idx.shape
+    left, top = frame_offset
+    sw, sh = screen or (w + left, h + top)
+    pal = palette.astype(np.uint8)
+    npal = len(pal)
+    assert npal & (npal - 1) == 0 and npal >= 2
+    pbits = npal.bit_length() - 2  # field stores size-1 exponent
+    out = bytearray(version)
+    out += struct.pack("<HH", sw, sh)
+    if local_palette:
+        out += bytes([0x00, 0, 0])  # no GCT
+    else:
+        out += bytes([0x80 | pbits, 0, 0])
+        out += pal.tobytes()
+    if transparent is not None:
+        out += bytes([0x21, 0xF9, 4, 0x01, 0, 0, transparent, 0])
+    # a comment extension exercises the sub-block skipper
+    out += bytes([0x21, 0xFE, 5]) + b"hello" + bytes([0])
+    rows = idx
+    if interlace:
+        order = np.concatenate(
+            [np.arange(f, h, s) for f, s in ((0, 8), (4, 8), (2, 4), (1, 2))]
+        )
+        rows = idx[order]
+    out += bytes([0x2C]) + struct.pack("<HHHH", left, top, w, h)
+    out += bytes([(0x80 | pbits if local_palette else 0) | (0x40 if interlace else 0)])
+    if local_palette:
+        out += pal.tobytes()
+    out += bytes([min_code])
+    payload = _lzw_encode(rows.reshape(-1).tolist(), min_code)
+    for i in range(0, len(payload), 255):
+        chunk = payload[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += bytes([0])
+    if extra_frame:
+        # second frame with a DIFFERENT constant color: decode must
+        # return the FIRST frame only
+        out += bytes([0x2C]) + struct.pack("<HHHH", 0, 0, w, h)
+        out += bytes([0x00, min_code])
+        p2 = _lzw_encode([1] * (w * h), min_code)
+        for i in range(0, len(p2), 255):
+            c2 = p2[i : i + 255]
+            out += bytes([len(c2)]) + c2
+        out += bytes([0])
+    out += bytes([0x3B])
+    return bytes(out)
+
+
+def _pal256() -> "np.ndarray":
+    r = np.arange(256, dtype=np.uint8)
+    return np.stack([r, (r * 3) % 256, (r * 7) % 256], axis=1)
+
+
+def test_gif_roundtrip_256_colors():
+    rng = np.random.RandomState(7)
+    idx = rng.randint(0, 256, size=(23, 31), dtype=np.uint8)
+    pal = _pal256()
+    got = decode_gif(_gif_bytes(idx, pal))
+    assert got.shape == (23, 31, 3)
+    assert np.array_equal(got, pal[idx])
+
+
+def test_gif_small_palette_width_growth():
+    # 4-color palette, long repetitive data: forces LZW width to grow
+    # through 3->4->5... bits and exercises the KwKwK (code==len) path
+    rng = np.random.RandomState(3)
+    idx = np.repeat(rng.randint(0, 4, size=(9, 400), dtype=np.uint8), 2, axis=1)
+    pal = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8)
+    got = decode_gif(_gif_bytes(idx, pal, min_code=2))
+    assert np.array_equal(got, pal[idx])
+
+
+def test_gif_kwkwk_sequence():
+    # 'aaaa...' is the classic code==next_code stress
+    idx = np.zeros((1, 64), dtype=np.uint8)
+    pal = np.array([[9, 8, 7], [1, 2, 3]], np.uint8)
+    got = decode_gif(_gif_bytes(idx, pal, min_code=2))
+    assert np.array_equal(got, pal[idx])
+
+
+def test_gif_interlaced():
+    rng = np.random.RandomState(11)
+    idx = rng.randint(0, 256, size=(17, 9), dtype=np.uint8)
+    pal = _pal256()
+    got = decode_gif(_gif_bytes(idx, pal, interlace=True))
+    assert np.array_equal(got, pal[idx])
+
+
+def test_gif_transparency_composites_to_black():
+    idx = np.array([[0, 1], [2, 0]], dtype=np.uint8)
+    pal = np.array([[10, 20, 30], [200, 0, 0], [0, 200, 0], [9, 9, 9]], np.uint8)
+    got = decode_gif(_gif_bytes(idx, pal, min_code=2, transparent=0))
+    want = pal[idx].copy()
+    want[idx == 0] = 0
+    assert np.array_equal(got, want)
+
+
+def test_gif_local_palette_and_87a():
+    idx = np.array([[0, 1, 2]], dtype=np.uint8)
+    pal = np.array([[1, 2, 3], [4, 5, 6], [7, 8, 9], [0, 0, 0]], np.uint8)
+    got = decode_gif(
+        _gif_bytes(idx, pal, min_code=2, local_palette=True, version=b"GIF87a")
+    )
+    assert np.array_equal(got, pal[idx])
+
+
+def test_gif_frame_offset_composites_on_black_screen():
+    idx = np.full((2, 3), 1, dtype=np.uint8)
+    pal = np.array([[0, 0, 0], [255, 255, 255]], np.uint8)
+    got = decode_gif(
+        _gif_bytes(idx, pal, min_code=2, frame_offset=(2, 1), screen=(6, 4))
+    )
+    assert got.shape == (4, 6, 3)
+    assert np.array_equal(got[1:3, 2:5], np.full((2, 3, 3), 255, np.uint8))
+    assert got.sum() == 255 * 3 * 6  # everything else black
+
+
+def test_gif_animation_returns_first_frame():
+    idx = np.full((3, 3), 2, dtype=np.uint8)
+    pal = np.array([[0, 0, 0], [255, 0, 0], [0, 0, 255], [1, 1, 1]], np.uint8)
+    got = decode_gif(_gif_bytes(idx, pal, min_code=2, extra_frame=True))
+    assert np.array_equal(got, pal[idx])  # blue frame, not the red 2nd
+
+
+def test_gif_truncated_and_corrupt_rejected():
+    idx = np.zeros((4, 4), dtype=np.uint8)
+    pal = np.array([[0, 0, 0], [255, 255, 255]], np.uint8)
+    good = _gif_bytes(idx, pal, min_code=2)
+    with pytest.raises(ValueError):
+        decode_gif(good[:20])
+    with pytest.raises(ValueError):
+        decode_gif(b"GIF89a" + good[6:30])  # truncated mid-stream
+    # via dispatch: gif now decodes (no UnsupportedImageError)
+    from same_same_spark.pipeline.imagecodec import decode_image
+
+    assert np.array_equal(decode_image(good), pal[idx])
+
+
+def test_gif_index_outside_palette_rejected():
+    # handcraft: palette of 2, pixel index 3
+    idx = np.full((1, 4), 3, dtype=np.uint8)
+    pal = np.array([[0, 0, 0], [1, 1, 1]], np.uint8)
+    data = _gif_bytes(idx, pal, min_code=2)
+    with pytest.raises(ValueError, match="outside color table"):
+        decode_gif(data)
