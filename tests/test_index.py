@@ -50,6 +50,45 @@ def test_lineage_records(built):
     assert set(rec["per_bucket"]) == {"0", "1", "2"}
 
 
+def test_merge_modes_rank_identical_and_plan_shapes(spark, built):
+    """VERDICT r3 #7: the distributed topk_per_query merge is
+    rank-identical to the driver broker merge, 'auto' routes by the
+    k × buckets × queries bound, and the distributed plan contains
+    neither a driver-side LocalTableScan result nor any WindowExec —
+    nothing driver-proportional at large batch sizes."""
+    from same_same_spark.index import query as qmod
+
+    out, m = built
+    want = sorted(
+        map(tuple, search_batch(spark, out, QUERIES, k=10, merge="driver")
+            .collect())
+    )
+    dist_df = search_batch(spark, out, QUERIES, k=10, merge="distributed")
+    plan = dist_df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowExec" not in plan and "Window" not in plan
+    assert "ExistingRDD" not in plan and "LocalTableScan" not in plan
+    assert sorted(map(tuple, dist_df.collect())) == want
+
+    # auto: small batch stays driver-side (plan IS a local result)...
+    auto_small = search_batch(spark, out, QUERIES, k=10, merge="auto")
+    small_plan = auto_small._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in small_plan or "LocalTableScan" in small_plan
+    assert sorted(map(tuple, auto_small.collect())) == want
+    # ...and a batch pushed over the threshold routes distributed
+    try:
+        orig = qmod.DRIVER_MERGE_MAX_ROWS
+        qmod.DRIVER_MERGE_MAX_ROWS = m.num_buckets * len(QUERIES) * 10 - 1
+        auto_big = search_batch(spark, out, QUERIES, k=10, merge="auto")
+        big_plan = auto_big._jdf.queryExecution().executedPlan().toString()
+        assert "ExistingRDD" not in big_plan
+        assert "LocalTableScan" not in big_plan
+        assert sorted(map(tuple, auto_big.collect())) == want
+    finally:
+        qmod.DRIVER_MERGE_MAX_ROWS = orig
+    with pytest.raises(ValueError, match="unknown merge mode"):
+        search_batch(spark, out, QUERIES, k=10, merge="bogus")
+
+
 def test_index_matches_naive_scorer(spark, documents, built):
     out, _ = built
     naive = {
