@@ -1885,6 +1885,50 @@ FROM ({corpus_profile_sql('documents')})
 """
 
 
+def _q_profile_index_fed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-fed dataset card (pipeline/profile_index.py, VERDICT r3
+    #6): token-length stats decoded from the tombstoned entry index's
+    OWN doclen tables — one sync folds the committed groups and the
+    tombstone adjustment; the card never re-tokenizes the corpus. The
+    oracle recomputes the same stats from scratch (DuckDB tokenizer
+    twin over the surviving docs), so a green hash proves the index's
+    view of the corpus equals a full recomputation — including the
+    delete adjustment and the exact percentile interpolation."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from same_same_spark.pipeline.profile_index import (
+        index_profile_card,
+        index_profile_init,
+        index_profile_sync,
+    )
+
+    idx = _entry_deleted_index_dir(spark, sf_dir)
+    store = tempfile.mkdtemp(prefix="ss_entry_pidx_")
+    shutil.rmtree(store)
+    atexit.register(shutil.rmtree, store, True)
+    index_profile_init(spark, store, idx)
+    index_profile_sync(spark, store, log=lambda *_: None)
+    return _round6(
+        index_profile_card(spark, store), "mean_dl", "p50_dl", "p90_dl"
+    )
+
+
+def _sql_profile_index_fed() -> str:
+    return f"""
+WITH dl AS (
+  SELECT coalesce(len({duckdb_tokens_sql('text')}), 0)::BIGINT AS dl
+  FROM documents WHERE doc_id % {_DELETE_MOD} <> {_DELETE_RESIDUE}
+)
+SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS total_dl,
+       round(avg(dl), 6) AS mean_dl,
+       round(quantile_cont(dl, 0.5), 6) AS p50_dl,
+       round(quantile_cont(dl, 0.9), 6) AS p90_dl
+FROM dl
+"""
+
+
 def _q_profile_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incrementally-maintained dataset card (pipeline/profile.py
     store): two appends + one delete folded into persisted mergeable
@@ -2263,6 +2307,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "ingest_stats": (_q_ingest_stats, _sql_ingest_stats()),
     # --- new round-4 entries -------------------------------------------
     "span_dedup": (_q_span_dedup, _sql_span_dedup()),
+    "profile_index_fed": (_q_profile_index_fed, _sql_profile_index_fed()),
     # --- r3-green entries (CORRECTNESS_r03 all-green) -----------------
     "bm25_topk": (_q_bm25_topk, _SQL_BM25_TOPK),
     "term_df_top100": (_q_term_df, _SQL_TERM_DF),
