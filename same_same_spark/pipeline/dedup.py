@@ -147,7 +147,14 @@ def lsh_band_buckets(
     bands: int = 4,
 ) -> DataFrame:
     """``(id, band INT, bucket LONG)`` — one bucket key per band
-    (md5 over the band's signature rows)."""
+    (md5 over the band's signature rows).
+
+    One explode over an array of per-band structs, NOT a union of
+    ``bands`` projections: Spark physically re-runs a unioned
+    subtree once per branch, so the union form recomputed the whole
+    signature aggregation ``bands`` times (× 2 when self-joined) —
+    measured 5-6× slower at 100k docs. Bucket values are identical
+    either way."""
     rows = n_hashes // bands
     per_band = []
     for b in range(bands):
@@ -157,14 +164,12 @@ def lsh_band_buckets(
             )
         )
         per_band.append(
-            sig_df.select(
-                F.col(id_col), F.lit(b).alias("band"), key.alias("bucket")
-            )
+            F.struct(F.lit(b).alias("band"), key.alias("bucket"))
         )
-    out = per_band[0]
-    for p in per_band[1:]:
-        out = out.unionByName(p)
-    return out
+    return sig_df.select(
+        F.col(id_col), F.explode(F.array(*per_band)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"),
+             F.col("bb.bucket").alias("bucket"))
 
 
 def minhash_candidate_pairs(
@@ -638,6 +643,7 @@ def dedup_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 30,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Cluster assignment for EVERY document: ``(id, cluster_id,
     cluster_size)``. Docs in no pair are singleton clusters of
@@ -653,9 +659,9 @@ def dedup_clusters(
     silently drops a whole cluster whose graph-minimum was filtered
     away. One extra groupBy on cluster labels — same key distribution
     as the size count below."""
-    cc = connected_components(pairs, id_a, id_b, max_iter).withColumnRenamed(
-        "id", id_col
-    )
+    cc = connected_components(
+        pairs, id_a, id_b, max_iter, stats=stats
+    ).withColumnRenamed("id", id_col)
     asg = (
         df.select(id_col)
         .join(cc, id_col, "left")

@@ -100,12 +100,18 @@ class MixConfig:
 
 
 def prepare_training_corpus(
-    df: DataFrame, cfg: MixConfig, eval_df: DataFrame | None = None
+    df: DataFrame,
+    cfg: MixConfig,
+    eval_df: DataFrame | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Run the configured stages; returns the surviving rows with all
     input columns (+ ``split`` when splits are configured).
     ``eval_df`` (columns incl. ``text``) switches on the
-    decontamination stage after dedup."""
+    decontamination stage after dedup. ``stats`` (optional dict)
+    receives the fuzzy-dedup connected-components round count
+    (``{"cc_rounds": n}``) — observability for scale benchmarks, no
+    extra Spark actions."""
     out = df
     if cfg.min_quality is not None:
         score = textqc_ops.quality_cols(cfg.text_col)["quality_score"]
@@ -134,13 +140,17 @@ def prepare_training_corpus(
             bands=cfg.minhash_bands,
             shingle_n=cfg.shingle_n,
         )
+        cc_stats: dict | None = {} if stats is not None else None
         clusters = dedup_ops.dedup_clusters(
-            out, pairs, cfg.id_col, max_iter=cfg.max_cc_iter
+            out, pairs, cfg.id_col, max_iter=cfg.max_cc_iter,
+            stats=cc_stats,
         )
         survivors = clusters.filter(
             F.col("cluster_id") == F.col(cfg.id_col)
         ).select(cfg.id_col)
         out = out.join(survivors, cfg.id_col, "left_semi")
+        if stats is not None and cc_stats is not None:
+            stats["cc_rounds"] = cc_stats.get("rounds")
     if eval_df is not None:
         from same_same_spark.pipeline.decontam import decontaminate
 
