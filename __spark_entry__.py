@@ -1885,6 +1885,27 @@ FROM ({corpus_profile_sql('documents')})
 """
 
 
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing (pipeline/pack.py): each doc's
+    deterministic (shard, pack_id, pack_offset) in the GPT-style
+    concat-and-split token stream — per-shard cumulative sums, no
+    global window. The oracle recomputes the identical arithmetic in
+    DuckDB (same md5-60bit shard/order hash, same whitespace token
+    count), so a green hash pins the full packing layout."""
+    from same_same_spark.pipeline.pack import pack_sequences
+
+    return pack_sequences(
+        _docs(spark, sf_dir).select("doc_id", "text"),
+        seq_len=512, n_shards=8,
+    )
+
+
+def _sql_pack_sequences() -> str:
+    from same_same_spark.pipeline.pack import pack_sequences_sql
+
+    return pack_sequences_sql("documents", seq_len=512, n_shards=8)
+
+
 def _q_profile_index_fed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index-fed dataset card (pipeline/profile_index.py, VERDICT r3
     #6): token-length stats decoded from the tombstoned entry index's
@@ -2308,6 +2329,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # --- new round-4 entries -------------------------------------------
     "span_dedup": (_q_span_dedup, _sql_span_dedup()),
     "profile_index_fed": (_q_profile_index_fed, _sql_profile_index_fed()),
+    "pack_sequences": (_q_pack_sequences, _sql_pack_sequences()),
     # --- r3-green entries (CORRECTNESS_r03 all-green) -----------------
     "bm25_topk": (_q_bm25_topk, _SQL_BM25_TOPK),
     "term_df_top100": (_q_term_df, _SQL_TERM_DF),
