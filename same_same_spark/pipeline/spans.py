@@ -205,13 +205,18 @@ def remove_shared_spans(
             "_rs"
         ),
         F.count(F.lit(1)).alias("n_spans_removed"),
-        F.sum("span_len").alias("removed_chars"),
     )
     out = df.join(strips, id_col, "left")
     text = F.col(text_col)
     zero = F.struct(
         F.lit("").alias("o"), F.lit(0).cast("long").alias("c")
     )
+    # Stitch with a running-max cursor: in gram mode two qualifying
+    # runs separated by < k-1 unique chars have OVERLAPPING char
+    # ranges (each run claims [first, last+k)), so the kept piece is
+    # clamped to length ≥ 0 and the cursor never moves backwards —
+    # the union of the spans is removed exactly once. Line-mode
+    # ranges cannot overlap (each ends before the next line start).
     rebuilt = F.aggregate(
         "_rs",
         zero,
@@ -220,35 +225,47 @@ def remove_shared_spans(
                 acc["o"],
                 text.substr(
                     (acc["c"] + 1).cast("int"),
-                    (r["start"] - acc["c"]).cast("int"),
+                    F.greatest(
+                        r["start"] - acc["c"], F.lit(0).cast("long")
+                    ).cast("int"),
                 ),
             ).alias("o"),
-            (r["start"] + r["span_len"]).alias("c"),
+            F.greatest(r["start"] + r["span_len"], acc["c"]).alias("c"),
         ),
         lambda acc: F.concat(
             acc["o"],
             text.substr(
                 (acc["c"] + 1).cast("int"),
-                (F.length(text).cast("long") - acc["c"]).cast("int"),
+                F.greatest(
+                    F.length(text).cast("long") - acc["c"],
+                    F.lit(0).cast("long"),
+                ).cast("int"),
             ),
         ),
     )
     out = out.withColumn(
-        text_col, F.when(F.col("_rs").isNull(), text).otherwise(rebuilt)
+        "_new_text",
+        F.when(F.col("_rs").isNull(), text).otherwise(rebuilt),
     )
-    stats = (
-        [
-            F.coalesce("n_spans_removed", F.lit(0).cast("long")).alias(
-                "n_spans_removed"
-            ),
-            F.coalesce("removed_chars", F.lit(0).cast("long")).alias(
-                "removed_chars"
-            ),
-        ]
-        if with_stats
-        else []
-    )
-    return out.select(*[F.col(c) for c in df.columns], *stats)
+    if with_stats:
+        out = out.withColumn(
+            "n_spans_removed",
+            F.coalesce("n_spans_removed", F.lit(0).cast("long")),
+        ).withColumn(
+            # union length — exact even when gram-mode ranges overlap
+            "removed_chars",
+            (
+                F.coalesce(F.length(text), F.lit(0))
+                - F.coalesce(F.length("_new_text"), F.lit(0))
+            ).cast("long"),
+        )
+    keep = [
+        F.col("_new_text").alias(text_col) if c == text_col else F.col(c)
+        for c in df.columns
+    ]
+    if with_stats:
+        keep += [F.col("n_spans_removed"), F.col("removed_chars")]
+    return out.select(*keep)
 
 
 def remove_shared_spans_sql(
@@ -320,19 +337,24 @@ strips AS (
   WHERE s.doc_id <> g.canon
 ),
 pieces AS (
+  -- running-max cursor: gram-mode ranges can overlap (two runs closer
+  -- than k-1 chars), so each kept piece is clamped to length >= 0 and
+  -- the cursor never moves backwards — union removed exactly once
   SELECT doc_id, start, span_len,
-         lag(start + span_len, 1, 0) OVER (
-           PARTITION BY doc_id ORDER BY start) AS prev_end
+         coalesce(max(start + span_len) OVER (
+           PARTITION BY doc_id ORDER BY start
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS prev_end
   FROM strips
 ),
 rebuilt AS (
   SELECT p.doc_id,
          string_agg(
            substr(d.text, (p.prev_end + 1)::INT,
-                  (p.start - p.prev_end)::INT), '' ORDER BY p.start)
+                  greatest(p.start - p.prev_end, 0)::INT),
+           '' ORDER BY p.start)
            || substr(d.text, (max(p.start + p.span_len) + 1)::INT) AS text,
-         count(*) AS n_spans_removed,
-         sum(p.span_len) AS removed_chars
+         count(*) AS n_spans_removed
   FROM pieces p JOIN docs d USING (doc_id)
   GROUP BY p.doc_id, d.text
 ),
@@ -340,6 +362,6 @@ clean AS (
   SELECT d.doc_id,
          coalesce(r.text, d.text) AS text,
          coalesce(r.n_spans_removed, 0) AS n_spans_removed,
-         coalesce(r.removed_chars, 0) AS removed_chars
+         coalesce(length(d.text) - length(r.text), 0) AS removed_chars
   FROM docs d LEFT JOIN rebuilt r USING (doc_id)
 )"""

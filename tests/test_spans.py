@@ -113,6 +113,65 @@ def test_linear_in_sharers_not_pairwise(spark):
     assert all(r["span_docs"] == 200 for r in rows)
 
 
+def test_gram_mode_maximal_shared_context(spark):
+    """Gram mode finds the MAXIMAL byte-identical context: with docs
+    `s1 + '#<i>#' + s2 + ' tail <word>'`, the shared bytes are
+    `s1 + '#'` and `'#' + s2 + ' tail '` (only the digit and the tail
+    word differ) — the strip removes exactly those, leaving the
+    doc-unique bytes, with removed_chars = the length difference."""
+    s1 = "alpha shared sentence one with enough words"
+    s2 = "beta shared sentence two also long enough here"
+    docs = [
+        (1, f"{s1}#1#{s2} tail one"),
+        (2, f"{s1}#2#{s2} tail two"),
+        (3, f"{s1}#3#{s2} tail three"),
+        (4, "completely unrelated document body"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    out = {
+        r["doc_id"]: (r["text"], r["removed_chars"])
+        for r in remove_shared_spans(
+            df, unit="gram", k=8, min_df=3, min_span_chars=20,
+            with_stats=True,
+        ).collect()
+    }
+    assert out[2][0] == "2two" and out[3][0] == "3three"
+    for i in (2, 3):
+        assert len(out[i][0]) + out[i][1] == len(docs[i - 1][1])
+    assert out[1][0] == docs[0][1]  # canonical untouched
+    assert out[4] == (docs[3][1], 0)
+
+
+def test_gram_mode_repetitive_text_stitch_invariants(spark):
+    """Highly repetitive text (periodic grams recur at many positions
+    in many docs) is where gram-mode strip ranges can overlap; the
+    running-max stitch must never duplicate or drop remainder bytes:
+    output length + removed_chars == input length, the doc-unique
+    marker survives, and the output is composed of input bytes only."""
+    period = "spam ham eggs "
+    # marker = one repeated doc-unique letter: every 8-gram touching it
+    # is doc-unique, so no marker byte can be part of a shared span
+    docs = [
+        (i, period * 6 + chr(ord("a") + i) * 10 + period * 6
+            + f" end{i}")
+        for i in range(1, 7)
+    ]
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    out = {
+        r["doc_id"]: (r["text"], r["removed_chars"])
+        for r in remove_shared_spans(
+            df, unit="gram", k=8, min_df=3, min_span_chars=20,
+            with_stats=True,
+        ).collect()
+    }
+    originals = dict(docs)
+    assert any(v[1] > 0 for v in out.values())  # something stripped
+    for i, (txt, removed) in out.items():
+        assert len(txt) + removed == len(originals[i])
+        assert chr(ord("a") + i) * 10 in txt  # unique bytes survive
+        assert removed >= 0
+
+
 def test_repeated_span_within_one_doc(spark):
     """A non-canonical doc containing the shared span TWICE loses both
     occurrences; ranges are disjoint so stitching is unambiguous."""
