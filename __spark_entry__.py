@@ -2300,11 +2300,17 @@ FROM documents GROUP BY source
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # ------------------------------------------------------------------
     # Declaration order is the driver's verification order (the r3 run
-    # consumed exactly the first 50 entries).  VERDICT_r3 #1: the 15
-    # entries that never got a driver CORRECTNESS row come FIRST, new
-    # round-4 entries next, then the long-green rest — redundant SQL
-    # twins last so a hard cap of 50 rotates coverage across rounds
-    # (everything below position 50 was green in CORRECTNESS_r03).
+    # consumed exactly the first 50 entries).  VERDICT_r3 #1 priority:
+    # 1-15  entries that never got a driver CORRECTNESS row,
+    # 16-18 new round-4 entries,
+    # 19-50 every entry that is the SOLE evidence for a SURVEY §2
+    #       MAIN-table row (sources S1-S4 and euclidean X6 included),
+    # 51+   rotation overflow, all green in CORRECTNESS_r03: secondary
+    #       (LLM-pipeline)-table entries whose rows read pass(r3) +
+    #       redundant SQL twins of in-top-50 entries (same oracle,
+    #       Spark-side divergence pinned by tests/test_entry.py over
+    #       ALL 68). If the cap stays 50, rotate these to the top next
+    #       round.
     # ------------------------------------------------------------------
     "training_mix": (_q_training_mix, _sql_training_mix()),
     "contamination": (_q_contamination, _SQL_CONTAMINATION),
@@ -2341,7 +2347,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "legacy_metadata_eq": (_q_legacy_metadata_eq, _SQL_LEGACY_METADATA_EQ),
     "list_projection": (_q_list_projection, _SQL_LIST_PROJECTION),
     "metadata_score": (_q_metadata_score, _SQL_METADATA_SCORE),
-    "temporal_decay": (_q_temporal_decay, _SQL_TEMPORAL_DECAY),
     "temporal_topk": (_q_temporal_topk, _SQL_TEMPORAL_TOPK),
     "vector_topk": (_q_vector_topk, _SQL_VECTOR_TOPK),
     "vector_dim_mismatch": (_q_vector_dim_mismatch, _SQL_VECTOR_DIM_MISMATCH),
@@ -2368,7 +2373,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         _q_filter_search_indexed,
         _SQL_FILTER_SEARCH_INDEXED,
     ),
-    "temporal_search": (_q_temporal_search, _SQL_TEMPORAL_SEARCH),
     "tags_split": (
         _q_tags_split,
         # synthesize the same messy tags string in SQL, then split
@@ -2378,6 +2382,11 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         "t -> length(t) > 0)) AS tag FROM documents",
     ),
     "event_age_buckets": (_q_event_age_buckets, _SQL_EVENT_AGE_BUCKETS),
+    "source_quotes": (_q_source_quotes, _SQL_SOURCE_QUOTES),
+    "source_csv": (_q_source_csv, _SQL_SOURCE_CSV),
+    "source_jsonl": (_q_source_jsonl, _SQL_SOURCE_JSONL),
+    "source_hf": (_q_source_hf, _SQL_SOURCE_HF),
+    "euclidean_topk": (_q_euclidean_topk, _SQL_EUCLIDEAN_TOPK),
     # training-pipeline operators
     "dedup_exact": (_q_dedup_exact, _SQL_DEDUP_EXACT),
     "shared_spans": (_q_shared_spans, _SQL_SHARED_SPANS),
@@ -2388,14 +2397,11 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "ann_brute_topk": (_q_ann_brute, _SQL_ANN_BRUTE),
     "ann_ivf_topk": (_q_ann_ivf, _SQL_ANN_IVF),
     "ann_lsh_topk": (_q_ann_lsh, _SQL_ANN_LSH),
-    "euclidean_topk": (_q_euclidean_topk, _SQL_EUCLIDEAN_TOPK),
     "simhash_pairs": (_q_simhash_pairs, _SQL_SIMHASH_PAIRS),
-    "source_quotes": (_q_source_quotes, _SQL_SOURCE_QUOTES),
-    "source_csv": (_q_source_csv, _SQL_SOURCE_CSV),
-    "source_jsonl": (_q_source_jsonl, _SQL_SOURCE_JSONL),
-    "source_hf": (_q_source_hf, _SQL_SOURCE_HF),
     "lang_id": (_q_lang_id, _SQL_LANG_ID),
     "quality_scores": (_q_quality, _sql_quality()),
+    "temporal_decay": (_q_temporal_decay, _SQL_TEMPORAL_DECAY),
+    "temporal_search": (_q_temporal_search, _SQL_TEMPORAL_SEARCH),
     # --- redundant-SQL twins: same oracle as an entry above, different
     # Spark implementation.  Kept last so a hard driver cap of 50 drops
     # these first (their oracle identity is still covered by the twin;
