@@ -81,7 +81,9 @@ ENTRY_QUERY_NAMES = [
     "contamination",
     "training_mix",
     "profile_incremental",
+    "profile_index_fed",
     "span_dedup",
+    "pack_sequences",
     "ann_ivf_persisted",
 ]
 

@@ -20,7 +20,10 @@ Stage order (each optional, each a module this package already ships):
    passes ``eval_df``),
 7. mix sampling   — :func:`~same_same_spark.pipeline.sampling.sample_stratified`
    per-stratum rates (zero-shuffle hash filter),
-8. split columns  — :func:`~same_same_spark.pipeline.sampling.assign_splits`.
+8. split columns  — :func:`~same_same_spark.pipeline.sampling.assign_splits`,
+9. packing        — :func:`~same_same_spark.pipeline.pack.pack_sequences`
+   layout columns (shard, pack_id, pack_offset, crosses_boundary)
+   for the surviving docs.
 
 Everything stays one lazy DataFrame plan until the caller acts, so
 Catalyst sees the whole pipeline at once: the quality/C4 gates are
@@ -77,6 +80,12 @@ class MixConfig:
     span_unit: str = "line"
     span_min_df: int = 3
     span_min_chars: int = 20
+    # sequence packing (pipeline/pack.py): attach each surviving doc's
+    # deterministic (shard, pack_id, pack_offset) training-window
+    # position as the LAST stage (layout over exactly the docs that
+    # made the cut)
+    pack_seq_len: int | None = None
+    pack_shards: int = 256
 
     def stages(self, with_decontam: bool = False) -> list[str]:
         out = []
@@ -96,6 +105,8 @@ class MixConfig:
             out.append("sample")
         if self.test_frac or self.val_frac:
             out.append("split")
+        if self.pack_seq_len is not None:
+            out.append("pack")
         return out
 
 
@@ -176,6 +187,15 @@ def prepare_training_corpus(
             val_frac=cfg.val_frac,
             seed=cfg.seed + ":split",
         )
+    if cfg.pack_seq_len is not None:
+        from same_same_spark.pipeline.pack import pack_sequences
+
+        layout = pack_sequences(
+            out, cfg.pack_seq_len, id_col=cfg.id_col,
+            text_col=cfg.text_col, n_shards=cfg.pack_shards,
+            seed=cfg.seed + ":pack",
+        ).drop("n_tokens")
+        out = out.join(layout, cfg.id_col)
     return out
 
 
@@ -216,4 +236,5 @@ def _truncated(cfg: MixConfig, keep: set[str]) -> MixConfig:
         fractions=cfg.fractions if "sample" in keep else None,
         test_frac=cfg.test_frac if "split" in keep else 0.0,
         val_frac=cfg.val_frac if "split" in keep else 0.0,
+        pack_seq_len=cfg.pack_seq_len if "pack" in keep else None,
     )

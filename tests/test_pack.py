@@ -86,3 +86,21 @@ def test_pack_window_is_shard_partitioned(spark):
     # window operator as part of the spec — an empty spec would mean a
     # single-task window
     assert "shard" in plan
+
+def test_pack_as_mix_stage(spark):
+    """pack_seq_len in MixConfig attaches the layout columns for
+    exactly the surviving docs, after dedup."""
+    from same_same_spark.pipeline.mix import MixConfig, prepare_training_corpus
+
+    rows = [(i, f"document body {i} with words") for i in range(20)]
+    rows += [(100 + i, rows[i][1]) for i in range(5)]  # exact dups
+    df = _docs(spark, rows)
+    cfg = MixConfig(exact=True, pack_seq_len=16, pack_shards=4)
+    out = prepare_training_corpus(df, cfg)
+    got = out.collect()
+    assert len(got) == 20  # dups removed before packing
+    cols = set(out.columns)
+    assert {"shard", "pack_id", "pack_offset", "crosses_boundary"} <= cols
+    assert "pack" in cfg.stages()
+    # layout is over survivors only: every doc has a position
+    assert all(r["pack_offset"] is not None for r in got)
