@@ -1265,6 +1265,22 @@ FROM r WHERE rank <= 5
 """
 
 
+def _q_ann_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HNSW graph ANN top-5 for three query vectors. Candidates from 4
+    hash-partitioned graphs (ef_search=128) are exact-cosine re-ranked,
+    and at this scale they cover the true top-k, so the result is
+    rank- and score-identical to brute force — the oracle IS the brute
+    SQL (recall pinned in tests/test_hnsw.py, same contract as
+    dedup_minhash)."""
+    from same_same_spark.pipeline.hnsw import hnsw_topk
+
+    out = hnsw_topk(
+        _emb(spark, sf_dir), _ann_queries(spark, sf_dir), k=5,
+        m=8, ef_construction=64, ef_search=128, n_graphs=4,
+    )
+    return _round6(out, "score")
+
+
 def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-5, nprobe=3, centroids = per-label means."""
     emb = _emb(spark, sf_dir)
@@ -2302,8 +2318,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # Declaration order is the driver's verification order (the r3 run
     # consumed exactly the first 50 entries).  VERDICT_r3 #1 priority:
     # 1-15  entries that never got a driver CORRECTNESS row,
-    # 16-18 new round-4 entries,
-    # 19-50 every entry that is the SOLE evidence for a SURVEY §2
+    # 16-19 new round-4 entries,
+    # 20-50 every entry that is the SOLE evidence for a SURVEY §2
     #       MAIN-table row (sources S1-S4 and euclidean X6 included),
     # 51+   rotation overflow, all green in CORRECTNESS_r03: secondary
     #       (LLM-pipeline)-table entries whose rows read pass(r3) +
@@ -2336,6 +2352,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "span_dedup": (_q_span_dedup, _sql_span_dedup()),
     "profile_index_fed": (_q_profile_index_fed, _sql_profile_index_fed()),
     "pack_sequences": (_q_pack_sequences, _sql_pack_sequences()),
+    "ann_hnsw_topk": (_q_ann_hnsw, _SQL_ANN_BRUTE),
     # --- r3-green entries (CORRECTNESS_r03 all-green) -----------------
     "bm25_topk": (_q_bm25_topk, _SQL_BM25_TOPK),
     "term_df_top100": (_q_term_df, _SQL_TERM_DF),

@@ -1,0 +1,297 @@
+"""HNSW approximate nearest-neighbor search (Malkov & Yashunin,
+arXiv:1603.09320) — the graph-based ANN family, alongside
+:mod:`~same_same_spark.pipeline.ann`'s LSH and IVF.
+
+Spark-first shape:
+
+- vectors are hashed into ``n_graphs`` disjoint groups (one shuffle,
+  the same ingest-time partitioning :mod:`ann_store` persists), and
+  each group builds an independent in-memory HNSW graph inside ONE
+  ``applyInPandas`` call — numpy only, no per-row Python;
+- every graph answers every query with ``ef_search`` candidates; the
+  union of per-graph candidates (``n_queries × n_graphs × ef_search``
+  rows — tiny) is broadcast-joined back to the vectors and re-ranked
+  with the exact JVM-side :func:`cosine_col`, so the output is
+  **rank-identical to** :func:`~same_same_spark.pipeline.ann.brute_topk`
+  whenever the candidate union covers the true top-k (pinned
+  empirically in tests, the same contract as the minhash recall pin);
+- at scale the graphs parallelize across executors (each partition
+  holds one graph), queries batch (one job answers the whole batch),
+  and the exact re-rank touches only candidates — never the corpus.
+
+Everything is deterministic: level assignment draws its uniform from
+``md5("hnsw:<id>")`` (no RNG state), insertion order is id-ascending
+within a graph, and every heap/selection tie breaks on node id. Two
+builds of the same group produce byte-identical graphs, so results
+are reproducible across runs and cluster layouts.
+
+Reference parity: the reference scores every vector for every query
+(``internal/storage/search/search.go:16-29``); HNSW is the sub-linear
+scale path with the exact scan as its correctness oracle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import heapq
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from same_same_spark.operators.vector import cosine_col
+from same_same_spark.pipeline.ann import _ranked
+
+__all__ = ["HnswGraph", "hnsw_candidates", "hnsw_topk"]
+
+_U_SCALE = 1 << 48
+
+
+def _level_unit(vec_id: int) -> float:
+    """Deterministic uniform in (0, 1] for level assignment —
+    ``md5("hnsw:<id>")`` reduced mod 2^48 (no RNG state, same value on
+    every build)."""
+    h = int(hashlib.md5(f"hnsw:{vec_id}".encode()).hexdigest()[:12], 16)
+    return (h % _U_SCALE + 1) / _U_SCALE
+
+
+class HnswGraph:
+    """In-memory HNSW over one vector group. Cosine similarity space
+    (vectors L2-normalized once at build; zero vectors keep cosine 0,
+    matching :func:`cosine_col`).
+
+    ``ids`` must be sorted ascending — insertion order IS id order, so
+    the graph (and therefore search) is deterministic.
+    """
+
+    def __init__(
+        self,
+        ids: np.ndarray,
+        vecs: np.ndarray,
+        m: int = 8,
+        ef_construction: int = 64,
+    ):
+        if len(ids) != len(vecs):
+            raise ValueError("ids and vecs length mismatch")
+        if len(ids) > 1 and not (np.diff(ids) > 0).all():
+            raise ValueError("ids must be sorted ascending and unique")
+        self.ids = np.asarray(ids, dtype=np.int64)
+        vecs = np.asarray(vecs, dtype=np.float64)
+        norms = np.linalg.norm(vecs, axis=1) if len(vecs) else np.empty(0)
+        self.unit = vecs / np.where(norms == 0.0, 1.0, norms)[:, None] if len(vecs) else vecs
+        self.m = int(m)
+        self.m0 = 2 * self.m
+        self.ml = 1.0 / math.log(self.m) if self.m > 1 else 1.0
+        # adjacency: _links[node][layer] -> list[int] (node indexes)
+        self._links: list[list[list[int]]] = []
+        self._entry = -1
+        self._max_level = -1
+        for i in range(len(self.ids)):
+            self._insert(i)
+
+    # -- internals ----------------------------------------------------
+
+    def _node_level(self, i: int) -> int:
+        return int(-math.log(_level_unit(int(self.ids[i]))) * self.ml)
+
+    def _sim(self, q: np.ndarray, node: int) -> float:
+        return float(self.unit[node] @ q)
+
+    def _greedy(self, q: np.ndarray, ep: int, layer: int) -> int:
+        """ef=1 descent: hop to the best neighbor until local optimum.
+        Ties keep the current node (stable under id-ordered lists)."""
+        best, best_sim = ep, self._sim(q, ep)
+        improved = True
+        while improved:
+            improved = False
+            for nb in self._links[best][layer]:
+                s = self._sim(q, nb)
+                if s > best_sim:
+                    best, best_sim, improved = nb, s, True
+        return best
+
+    def _search_layer(
+        self, q: np.ndarray, eps: list[int], ef: int, layer: int
+    ) -> list[tuple[float, int]]:
+        """Classic ef-search: returns up to ``ef`` (sim, node) pairs,
+        unsorted. Heap ties break on node index (== id order)."""
+        visited = set(eps)
+        # candidates: max-heap by sim → store (-sim, node)
+        cand = [(-self._sim(q, e), e) for e in eps]
+        heapq.heapify(cand)
+        # results: min-heap by sim so the worst pops first
+        res = [(self._sim(q, e), e) for e in eps]
+        heapq.heapify(res)
+        while len(res) > ef:
+            heapq.heappop(res)
+        while cand:
+            neg_s, node = heapq.heappop(cand)
+            if res and -neg_s < res[0][0] and len(res) >= ef:
+                break
+            for nb in self._links[node][layer]:
+                if nb in visited:
+                    continue
+                visited.add(nb)
+                s = self._sim(q, nb)
+                if len(res) < ef or s > res[0][0]:
+                    heapq.heappush(cand, (-s, nb))
+                    heapq.heappush(res, (s, nb))
+                    if len(res) > ef:
+                        heapq.heappop(res)
+        return res
+
+    def _select(self, q: np.ndarray, cands: list[tuple[float, int]], m: int) -> list[int]:
+        """Top-``m`` by (sim DESC, node ASC) — simple selection (the
+        paper's Algorithm 3); deterministic."""
+        return [n for _, n in sorted(cands, key=lambda t: (-t[0], t[1]))[:m]]
+
+    def _shrink(self, node: int, layer: int) -> None:
+        cap = self.m0 if layer == 0 else self.m
+        links = self._links[node][layer]
+        if len(links) <= cap:
+            return
+        q = self.unit[node]
+        self._links[node][layer] = self._select(
+            q, [(self._sim(q, nb), nb) for nb in links], cap
+        )
+
+    def _insert(self, i: int) -> None:
+        level = self._node_level(i)
+        self._links.append([[] for _ in range(level + 1)])
+        if self._entry < 0:
+            self._entry, self._max_level = i, level
+            return
+        q = self.unit[i]
+        ep = self._entry
+        for layer in range(self._max_level, level, -1):
+            ep = self._greedy(q, ep, layer)
+        for layer in range(min(level, self._max_level), -1, -1):
+            found = self._search_layer(q, [ep], max(self.m, 16), layer)
+            cap = self.m0 if layer == 0 else self.m
+            neighbors = self._select(q, found, cap)
+            self._links[i][layer] = list(neighbors)
+            for nb in neighbors:
+                self._links[nb][layer].append(i)
+                self._shrink(nb, layer)
+            if found:
+                ep = max(found, key=lambda t: (t[0], -t[1]))[1]
+        if level > self._max_level:
+            self._entry, self._max_level = i, level
+
+    # -- public -------------------------------------------------------
+
+    def search(self, qvec: np.ndarray, ef: int, k: int | None = None) -> np.ndarray:
+        """Top-``k`` (default ``ef``) vec_ids by cosine, approximate.
+        Zero-norm queries score 0 against everything (cosine_col
+        semantics) — they return the ``k`` smallest ids, matching the
+        exact scorer's (score DESC, id ASC) order under all-ties."""
+        k = ef if k is None else k
+        n = len(self.ids)
+        if n == 0:
+            return np.empty(0, dtype=np.int64)
+        qvec = np.asarray(qvec, dtype=np.float64)
+        qn = np.linalg.norm(qvec)
+        if qn == 0.0:
+            return self.ids[: min(k, n)]
+        q = qvec / qn
+        ep = self._entry
+        for layer in range(self._max_level, 0, -1):
+            ep = self._greedy(q, ep, layer)
+        found = self._search_layer(q, [ep], max(ef, k), 0)
+        picked = self._select(q, found, k)
+        return self.ids[np.asarray(picked, dtype=np.int64)]
+
+
+def hnsw_candidates(
+    df: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    embedding_col: str = "embedding",
+    m: int = 8,
+    ef_construction: int = 64,
+    ef_search: int = 64,
+    n_graphs: int = 4,
+) -> DataFrame:
+    """``(query_id, <id_col>)`` candidate pairs: each of the
+    ``n_graphs`` hash-partitioned HNSW graphs contributes its
+    ``ef_search`` best ids per query. One shuffle (group by graph),
+    one ``applyInPandas`` — the graph build and search never leave
+    numpy. Mixed-dimension corpora build one sub-graph per dimension
+    and queries only probe their own dimension (the scan-time dim
+    filter of ``search.go:17-19``)."""
+    e = df.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(embedding_col).cast("array<double>").alias("emb"),
+    ).withColumn("graph_id", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_graphs)))
+    qlist = [(int(qid), np.asarray(v, dtype=np.float64)) for qid, v in queries]
+
+    schema = f"query_id INT, {id_col} LONG"
+
+    def _per_graph(pdf: pd.DataFrame) -> pd.DataFrame:
+        out_q: list[int] = []
+        out_id: list[int] = []
+        for dim, grp in pdf.groupby(pdf["emb"].map(len)):
+            ids = grp[id_col].to_numpy(dtype=np.int64)
+            order = np.argsort(ids)
+            ids = ids[order]
+            vecs = np.array(
+                [np.asarray(v, dtype=np.float64) for v in grp["emb"].to_numpy()[order]]
+            )
+            g = HnswGraph(ids, vecs, m=m, ef_construction=ef_construction)
+            for qid, qv in qlist:
+                if len(qv) != dim:
+                    continue
+                got = g.search(qv, ef_search)
+                out_q.extend([qid] * len(got))
+                out_id.extend(int(x) for x in got)
+        return pd.DataFrame({"query_id": out_q, id_col: out_id})
+
+    return e.groupBy("graph_id").applyInPandas(_per_graph, schema)
+
+
+def hnsw_topk(
+    df: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    embedding_col: str = "embedding",
+    m: int = 8,
+    ef_construction: int = 64,
+    ef_search: int = 64,
+    n_graphs: int = 4,
+) -> DataFrame:
+    """Approximate top-k under the pinned contract
+    ``(query_id, <id_col>, score, rank)``, order
+    (round(score,9) DESC, id ASC). Scores are EXACT cosine (JVM
+    :func:`cosine_col` on the candidate union), so whenever the
+    candidates cover the true top-k the result is rank- and
+    score-identical to :func:`brute_topk` — the approximation can only
+    lose rows, never mis-score one."""
+    cand = hnsw_candidates(
+        df, queries, id_col=id_col, embedding_col=embedding_col, m=m,
+        ef_construction=ef_construction, ef_search=max(ef_search, k),
+        n_graphs=n_graphs,
+    )
+    e = df.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(embedding_col).cast("array<double>").alias("emb"),
+    )
+    spark = df.sparkSession
+    qdf = spark.createDataFrame(
+        [(int(qid), [float(x) for x in vec]) for qid, vec in queries],
+        "query_id INT, qvec ARRAY<DOUBLE>",
+    )
+    # candidates are tiny (n_queries × n_graphs × ef) → broadcast both
+    # small sides; the corpus is probed once by the candidate join.
+    scored = (
+        e.join(F.broadcast(cand), id_col)
+        .join(F.broadcast(qdf), "query_id")
+        .select(
+            "query_id",
+            id_col,
+            cosine_col(F.col("emb"), F.col("qvec")).alias("score"),
+        )
+    )
+    return _ranked(scored, k, id_col)

@@ -1,0 +1,144 @@
+"""HNSW graph-based ANN: graph invariants, determinism, and
+rank-identity to the exact brute-force scorer (the same recall-pinning
+contract as dedup_minhash in test_dedup)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from same_same_spark.pipeline import ann
+from same_same_spark.pipeline.hnsw import HnswGraph, hnsw_candidates, hnsw_topk
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+def _qvecs(emb, ids=(0, 1, 2)):
+    rows = (
+        emb.filter(F.col("vec_id").isin(*ids))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    by_id = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in rows}
+    return [(int(i), by_id[i]) for i in ids]
+
+
+# -- graph unit invariants ---------------------------------------------
+
+
+def _toy_graph(n=400, d=24, m=8, seed=11):
+    rng = np.random.default_rng(seed)
+    vecs = rng.normal(size=(n, d))
+    ids = np.arange(n, dtype=np.int64) * 7 + 3
+    return ids, vecs, HnswGraph(ids, vecs, m=m, ef_construction=48)
+
+
+def test_graph_degree_caps():
+    _, _, g = _toy_graph()
+    for node, layers in enumerate(g._links):
+        for layer, links in enumerate(layers):
+            cap = g.m0 if layer == 0 else g.m
+            assert len(links) <= cap, (node, layer)
+            assert len(set(links)) == len(links)  # no duplicate edges
+            assert node not in links  # no self-loop
+
+
+def test_graph_build_deterministic():
+    ids, vecs, g1 = _toy_graph(seed=5)
+    g2 = HnswGraph(ids, vecs, m=8, ef_construction=48)
+    assert g1._entry == g2._entry
+    assert all(a == b for a, b in zip(g1._links, g2._links))
+
+
+def test_graph_exhaustive_ef_is_exact():
+    """ef == n forces the layer-0 search to visit the whole connected
+    graph → result equals the exact top-k (connectivity invariant)."""
+    ids, vecs, g = _toy_graph(n=300)
+    unit = vecs / np.linalg.norm(vecs, axis=1)[:, None]
+    rng = np.random.default_rng(99)
+    for _ in range(5):
+        q = rng.normal(size=vecs.shape[1])
+        sims = unit @ (q / np.linalg.norm(q))
+        order = np.lexsort((ids, -np.round(sims, 12)))
+        expect = list(ids[order[:10]])
+        got = list(g.search(q, ef=len(ids), k=10))
+        assert got == expect
+
+
+def test_graph_zero_query_returns_smallest_ids():
+    ids, vecs, g = _toy_graph(n=50)
+    got = list(g.search(np.zeros(vecs.shape[1]), ef=8, k=5))
+    assert got == list(ids[:5])  # all-ties → id ASC, like cosine_col
+
+
+def test_graph_recall_high_at_moderate_ef():
+    ids, vecs, g = _toy_graph(n=800, d=32, seed=7)
+    unit = vecs / np.linalg.norm(vecs, axis=1)[:, None]
+    rng = np.random.default_rng(3)
+    total = 0.0
+    for _ in range(20):
+        q = rng.normal(size=32)
+        true10 = set(ids[np.argsort(-(unit @ (q / np.linalg.norm(q))))[:10]])
+        got = set(int(x) for x in g.search(q, ef=64, k=10))
+        total += len(true10 & got) / 10
+    assert total / 20 >= 0.95
+
+
+# -- Spark path ---------------------------------------------------------
+
+
+def test_hnsw_rank_identical_to_brute(spark, emb):
+    """Entry configuration: candidates cover the true top-k at this
+    scale, so the output is rank- AND score-identical to brute_topk."""
+    queries = _qvecs(emb)
+    brute = ann.brute_topk(emb, queries, k=5).collect()
+    got = hnsw_topk(
+        emb, queries, k=5, m=8, ef_construction=64, ef_search=128, n_graphs=4
+    ).collect()
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    brute_rows = {(r["query_id"], r["rank"]): r for r in brute}
+    assert sorted(key(r) for r in got) == sorted(brute_rows)
+    for r in got:
+        b = brute_rows[key(r)]
+        assert r["vec_id"] == b["vec_id"]
+        assert abs(r["score"] - b["score"]) < 1e-12
+
+
+def test_hnsw_deterministic_across_runs(spark, emb):
+    queries = _qvecs(emb, ids=(3, 4))
+    a = hnsw_topk(emb, queries, k=7, n_graphs=3).collect()
+    b = hnsw_topk(emb, queries, k=7, n_graphs=3).collect()
+    norm = lambda rows: sorted(  # noqa: E731
+        (r["query_id"], r["rank"], r["vec_id"], round(r["score"], 12))
+        for r in rows
+    )
+    assert norm(a) == norm(b)
+
+
+def test_hnsw_candidates_partition_by_graph(spark, emb):
+    """Each vec_id lands in exactly one graph → no duplicate
+    (query_id, vec_id) candidate pairs."""
+    queries = _qvecs(emb, ids=(0,))
+    cand = hnsw_candidates(emb, queries, ef_search=32, n_graphs=4).collect()
+    pairs = [(r["query_id"], r["vec_id"]) for r in cand]
+    assert len(pairs) == len(set(pairs))
+
+
+def test_hnsw_mixed_dims_probe_own_dimension(spark, emb):
+    """A foreign-dimension vector can never become a candidate for a
+    64-dim query (search.go:17-19 scan-time dim filter)."""
+    extra = emb.sparkSession.createDataFrame(
+        [(10_000, [1.0, 2.0, 3.0], 0)],
+        "vec_id LONG, embedding ARRAY<FLOAT>, label INT",
+    )
+    mixed = emb.unionByName(extra)
+    queries = _qvecs(emb, ids=(0, 1))
+    got = hnsw_topk(mixed, queries, k=5, ef_search=128, n_graphs=2).collect()
+    assert all(r["vec_id"] != 10_000 for r in got)
+    # and a 3-dim query only ever sees the 3-dim vector
+    got3 = hnsw_topk(mixed, [(7, [1.0, 2.0, 3.0])], k=5, n_graphs=2).collect()
+    assert [r["vec_id"] for r in got3] == [10_000]
