@@ -78,6 +78,7 @@ class MixConfig:
     # the next stage removes.
     strip_spans: bool = False
     span_unit: str = "line"
+    span_k: int = 8  # gram width when span_unit="gram" (char-exact mode)
     span_min_df: int = 3
     span_min_chars: int = 20
     # sequence packing (pipeline/pack.py): attach each surviving doc's
@@ -137,7 +138,8 @@ def prepare_training_corpus(
 
         out = remove_shared_spans(
             out, cfg.id_col, cfg.text_col, unit=cfg.span_unit,
-            min_df=cfg.span_min_df, min_span_chars=cfg.span_min_chars,
+            k=cfg.span_k, min_df=cfg.span_min_df,
+            min_span_chars=cfg.span_min_chars,
         )
     if cfg.exact:
         out = dedup_ops.exact_dedup(out, cfg.id_col, cfg.text_col)

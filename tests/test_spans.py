@@ -249,6 +249,44 @@ def test_mix_stage_composes_header_dups_collapse(spark):
     assert "span_strip" in cfg.stages()
 
 
+def test_mix_stage_gram_mode_strips_midline_boilerplate(spark):
+    """span_unit='gram' + span_k route through prepare_training_corpus:
+    a shared substring EMBEDDED mid-line (invisible to line mode) is
+    stripped at gram granularity from every non-canonical doc."""
+    from same_same_spark.pipeline.mix import MixConfig, prepare_training_corpus
+
+    boiler = "COPYRIGHT-NOTICE-SHARED-EXACTLY-ACROSS-DOCS"
+    docs = [
+        (1, f"alpha {boiler} omega one"),
+        (2, f"beta {boiler} omega two"),
+        (3, f"gamma {boiler} omega three"),
+        (4, "independent fourth document"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    line_cfg = MixConfig(
+        strip_spans=True, span_unit="line", span_min_df=3,
+        span_min_chars=20, exact=False,
+    )
+    line_rows = {
+        r["doc_id"]: r["text"]
+        for r in prepare_training_corpus(df, line_cfg).collect()
+    }
+    assert all(boiler in line_rows[i] for i in (1, 2, 3))  # lines differ
+
+    gram_cfg = MixConfig(
+        strip_spans=True, span_unit="gram", span_k=6, span_min_df=3,
+        span_min_chars=20, exact=False,
+    )
+    gram_rows = {
+        r["doc_id"]: r["text"]
+        for r in prepare_training_corpus(df, gram_cfg).collect()
+    }
+    assert boiler in gram_rows[1]                      # canonical keeps it
+    assert boiler not in gram_rows[2]
+    assert boiler not in gram_rows[3]
+    assert gram_rows[4] == "independent fourth document"
+
+
 def test_bad_unit_raises(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id LONG, text STRING")
     with pytest.raises(ValueError, match="unknown unit"):
