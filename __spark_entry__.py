@@ -1125,6 +1125,31 @@ def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round6(out, "jaccard")
 
 
+def _q_lcs_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact longest-common-substring per near-dup candidate pair
+    (suffix automaton, pipeline/lcs.py). Pairs come from the same
+    recall-pinned 8×2 minhash banding as dedup_minhash, whose output
+    equals the oracle's exact-Jaccard-≥0.9 pair set on this corpus."""
+    from same_same_spark.pipeline.lcs import lcs_pairs
+
+    docs = _dup_docs(spark, sf_dir)
+    pairs = dedup_ops.minhash_dedup_pairs(
+        docs, threshold=0.9, n_hashes=16, bands=8
+    ).select("id_a", "id_b")
+    return lcs_pairs(docs, pairs)
+
+
+def _sql_lcs_pairs() -> str:
+    from same_same_spark.pipeline.lcs import lcs_sql_tail
+
+    return f"""
+WITH base AS ({_SQL_DUP_DOCS}),
+{_jaccard_pairs_ctes(3)},
+pairs AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.9),
+{lcs_sql_tail(docs="base", pairs="pairs")}
+"""
+
+
 def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive duplicate clusters: minhash pairs (same parameters as
     the dedup_minhash entry, whose recall vs exact Jaccard is pinned at
@@ -2318,8 +2343,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # Declaration order is the driver's verification order (the r3 run
     # consumed exactly the first 50 entries).  VERDICT_r3 #1 priority:
     # 1-15  entries that never got a driver CORRECTNESS row,
-    # 16-19 new round-4 entries,
-    # 20-50 every entry that is the SOLE evidence for a SURVEY §2
+    # 16-20 new round-4 entries,
+    # 21-50 every entry that is the SOLE evidence for a SURVEY §2
     #       MAIN-table row (sources S1-S4 and euclidean X6 included),
     # 51+   rotation overflow, all green in CORRECTNESS_r03: secondary
     #       (LLM-pipeline)-table entries whose rows read pass(r3) +
@@ -2353,6 +2378,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "profile_index_fed": (_q_profile_index_fed, _sql_profile_index_fed()),
     "pack_sequences": (_q_pack_sequences, _sql_pack_sequences()),
     "ann_hnsw_topk": (_q_ann_hnsw, _SQL_ANN_BRUTE),
+    "lcs_pairs": (_q_lcs_pairs, _sql_lcs_pairs()),
     # --- r3-green entries (CORRECTNESS_r03 all-green) -----------------
     "bm25_topk": (_q_bm25_topk, _SQL_BM25_TOPK),
     "term_df_top100": (_q_term_df, _SQL_TERM_DF),
@@ -2367,7 +2393,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "temporal_topk": (_q_temporal_topk, _SQL_TEMPORAL_TOPK),
     "vector_topk": (_q_vector_topk, _SQL_VECTOR_TOPK),
     "vector_dim_mismatch": (_q_vector_dim_mismatch, _SQL_VECTOR_DIM_MISMATCH),
-    "hybrid_search": (_q_hybrid_search, _SQL_HYBRID_SEARCH),
     "events_hourly": (_q_events_hourly, _SQL_EVENTS_HOURLY),
     "index_bm25_topk": (_q_index_bm25_topk, _SQL_BM25_TOPK),
     "index_bm25_topk_after_delete": (
@@ -2377,7 +2402,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "tfidf_topk": (_q_tfidf_topk, _SQL_TFIDF_TOPK),
     "clip_text_topk": (_q_clip_text_topk, _SQL_CLIP_TEXT_TOPK),
     "clip_image_features": (_q_clip_image_features, _SQL_CLIP_IMAGE),
-    "search_by_text": (_q_search_by_text, _SQL_SEARCH_BY_TEXT),
     "search_by_text_indexed": (
         _q_search_by_text_indexed,
         _SQL_SEARCH_BY_TEXT_INDEXED,
@@ -2423,6 +2447,13 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # Spark implementation.  Kept last so a hard driver cap of 50 drops
     # these first (their oracle identity is still covered by the twin;
     # their Spark-side divergence is pinned by tests/test_entry.py).
+    # search_by_text + hybrid_search rotated here round 4 (r3-green):
+    # their SURVEY rows keep in-top-50 evidence via the indexed twins
+    # (§2.9: search_by_text_indexed, hybrid_search_indexed,
+    # filter_search_indexed; A7: hybrid_search_indexed); the naive
+    # paths' Spark-vs-oracle identity stays pinned by tests/test_entry.
+    "search_by_text": (_q_search_by_text, _SQL_SEARCH_BY_TEXT),
+    "hybrid_search": (_q_hybrid_search, _SQL_HYBRID_SEARCH),
     "dedup_prefix": (_q_dedup_prefix, _exact_jaccard_sql(0.9)),
     "dedup_ngram_jaccard": (_q_dedup_ngram, _exact_jaccard_sql(0.8)),
     "ann_lsh_persisted": (_q_ann_lsh_persisted, _SQL_ANN_LSH),

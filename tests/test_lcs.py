@@ -1,0 +1,128 @@
+"""Suffix-automaton LCS: differential vs an O(n³) brute scorer, the
+DuckDB diagonal-runs twin, and the Spark pair path."""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pandas as pd
+import pytest
+
+from same_same_spark.pipeline.lcs import lcs_of, lcs_pairs, lcs_sql_tail
+
+
+def _brute(a: str, b: str):
+    """Reference scorer under the pinned contract: leftmost maximal
+    occurrence in b, leftmost occurrence of that substring in a."""
+    best, bs = 0, None
+    for j in range(len(b)):
+        for ln in range(best + 1, len(b) - j + 1):
+            if b[j : j + ln] in a:
+                if ln > best:
+                    best, bs = ln, j
+            else:
+                break
+    if best == 0:
+        return 0, None, None
+    return best, a.find(b[bs : bs + best]), bs
+
+
+def _random_cases(n=300, seed=42):
+    rng = random.Random(seed)
+    out = []
+    for _ in range(n):
+        sigma = rng.choice(["ab", "abc", "abcd"])
+        a = "".join(rng.choice(sigma) for _ in range(rng.randint(0, 30)))
+        b = "".join(rng.choice(sigma) for _ in range(rng.randint(0, 30)))
+        out.append((a, b))
+    return out
+
+
+def test_lcs_differential_random():
+    for a, b in _random_cases():
+        assert lcs_of(a, b) == _brute(a, b), (a, b)
+
+
+@pytest.mark.parametrize(
+    "a,b",
+    [
+        ("abcbc", "cbcab"),  # forces the clone path
+        ("", "x"),
+        ("x", ""),
+        (None, None),
+        ("aaaa", "aa"),
+        ("xyz", "qrs"),  # disjoint alphabets → lcs 0
+        ("banana", "anan"),
+        ("mississippi", "issip"),
+        ("abab", "baba"),  # two maximal substrings, leftmost wins
+    ],
+)
+def test_lcs_edges(a, b):
+    assert lcs_of(a, b) == _brute(a or "", b or "")
+
+
+def test_lcs_sql_twin_matches_python():
+    cases = _random_cases(n=150, seed=7)
+    con = duckdb.connect()
+    docs = [(2 * t, a) for t, (a, _) in enumerate(cases)]
+    docs += [(2 * t + 1, b) for t, (_, b) in enumerate(cases)]
+    con.register("d", pd.DataFrame(docs, columns=["doc_id", "text"]))
+    con.register(
+        "p",
+        pd.DataFrame(
+            [(2 * t, 2 * t + 1) for t in range(len(cases))],
+            columns=["id_a", "id_b"],
+        ),
+    )
+    sql = (
+        "WITH dup AS (SELECT * FROM d), pairs AS (SELECT * FROM p), "
+        + lcs_sql_tail()
+    )
+    got = {
+        (r[0], r[1]): (
+            r[2],
+            None if r[3] is None else int(r[3]),
+            None if r[4] is None else int(r[4]),
+        )
+        for r in con.sql(sql).fetchall()
+    }
+    assert len(got) == len(cases)  # no-match pairs still emit lcs_len 0
+    for t, (a, b) in enumerate(cases):
+        assert got[(2 * t, 2 * t + 1)] == lcs_of(a, b), (a, b)
+
+
+def test_lcs_pairs_spark(spark):
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "a quick brown fox jumped high"),
+        (3, "entirely different content here"),
+        (4, None),
+        (5, "xyz the lazy dog sleeps"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (1, 5), (3, 4)], "id_a LONG, id_b LONG"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): (r["lcs_len"], r["a_start"], r["b_start"])
+        for r in lcs_pairs(df, pairs).collect()
+    }
+    txt = dict(docs)
+    for (ia, ib), v in got.items():
+        assert v == lcs_of(txt[ia], txt[ib])
+    assert got[(1, 2)][0] == len(" quick brown fox jump")
+    assert got[(1, 4)] == (0, None, None)  # NULL text → empty
+    assert got[(3, 4)] == (0, None, None)
+    # substring positions are real: the claimed ranges are identical
+    la, sa, sb = got[(1, 5)]
+    assert txt[1][sa : sa + la] == txt[5][sb : sb + la]
+
+
+def test_lcs_pairs_whole_doc_duplicate(spark):
+    df = spark.createDataFrame(
+        [(10, "same text"), (11, "same text")], "doc_id LONG, text STRING"
+    )
+    pairs = spark.createDataFrame([(10, 11)], "id_a LONG, id_b LONG")
+    [r] = lcs_pairs(df, pairs).collect()
+    assert (r["lcs_len"], r["a_start"], r["b_start"]) == (9, 0, 0)
