@@ -1468,6 +1468,45 @@ def _ann_store_dir(spark: SparkSession, sf_dir: str) -> str:
     return out
 
 
+def _hnsw_store_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per content fingerprint) the persisted HNSW graph
+    store for the sf_dir's embeddings — entry params match
+    ann_hnsw_topk so persisted results are identical."""
+    import hashlib
+    import os
+    import tempfile
+
+    from same_same_spark.pipeline.hnsw import build_hnsw_store
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f"{src}|{st.st_size}|{st.st_mtime_ns}|hnsw-v1".encode()
+    ).hexdigest()[:10]
+    out = f"{tempfile.gettempdir()}/ss_entry_hnsw_{tag}"
+    if not os.path.exists(os.path.join(out, "manifest.json")):
+        build_hnsw_store(
+            _emb(spark, sf_dir), out, m=8, ef_construction=64, n_graphs=4
+        )
+    return out
+
+
+def _q_ann_hnsw_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HNSW probe against the PERSISTED graph store (adjacency reloaded,
+    construction skipped) — result-identical to ann_hnsw_topk (build
+    determinism), so it shares the brute oracle."""
+    from same_same_spark.pipeline.hnsw import hnsw_topk_persisted
+
+    out = hnsw_topk_persisted(
+        spark,
+        _hnsw_store_dir(spark, sf_dir),
+        _ann_queries(spark, sf_dir),
+        k=5,
+        ef_search=128,
+    )
+    return _round6(out, "score")
+
+
 def _q_ann_lsh_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH probe against the PERSISTED store (partition-pruned read) —
     result-identical to the query-time path, so it shares its oracle."""
@@ -2458,6 +2497,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "dedup_ngram_jaccard": (_q_dedup_ngram, _exact_jaccard_sql(0.8)),
     "ann_lsh_persisted": (_q_ann_lsh_persisted, _SQL_ANN_LSH),
     "ann_ivf_persisted": (_q_ann_ivf_persisted, _SQL_ANN_IVF),
+    "ann_hnsw_persisted": (_q_ann_hnsw_persisted, _SQL_ANN_BRUTE),
     "tfidf_topk_indexed": (_q_tfidf_topk_indexed, _SQL_TFIDF_TOPK),
 }
 

@@ -34,17 +34,25 @@ from __future__ import annotations
 
 import hashlib
 import heapq
+import json
 import math
+import os
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from same_same_spark.operators.vector import cosine_col
 from same_same_spark.pipeline.ann import _ranked
 
-__all__ = ["HnswGraph", "hnsw_candidates", "hnsw_topk"]
+__all__ = [
+    "HnswGraph",
+    "hnsw_candidates",
+    "hnsw_topk",
+    "build_hnsw_store",
+    "hnsw_topk_persisted",
+]
 
 _U_SCALE = 1 << 48
 
@@ -287,6 +295,209 @@ def hnsw_topk(
     # small sides; the corpus is probed once by the candidate join.
     scored = (
         e.join(F.broadcast(cand), id_col)
+        .join(F.broadcast(qdf), "query_id")
+        .select(
+            "query_id",
+            id_col,
+            cosine_col(F.col("emb"), F.col("qvec")).alias("score"),
+        )
+    )
+    return _ranked(scored, k, id_col)
+
+
+# -- persisted graphs ---------------------------------------------------
+#
+# hnsw_topk rebuilds every graph per batch — the honest baseline, but
+# construction dominates (O(n · ef_construction) distance evaluations
+# vs O(ef_search) per query). The store writes each graph's adjacency
+# ONCE at ingest; queries reload state (no rebuild) and search. Same
+# pattern as build_ann_index's persisted LSH/IVF cells — except HNSW
+# has no partition pruning story (every graph is probed per query), so
+# the win is skipped construction + graphs already partition-aligned
+# for parallel probing.
+
+
+def graph_state(g: HnswGraph) -> dict:
+    """Serializable graph state (adjacency + entry); vectors travel in
+    their own column so parquet keeps them typed."""
+    return {
+        "entry": g._entry,
+        "max_level": g._max_level,
+        "links": [[list(nb) for nb in layers] for layers in g._links],
+    }
+
+
+def graph_from_state(
+    ids: np.ndarray,
+    vecs: np.ndarray,
+    links: list[list[list[int]]],
+    entry: int,
+    max_level: int,
+    m: int = 8,
+) -> HnswGraph:
+    """Reconstruct without rebuilding: bypass ``__init__``'s insert
+    loop, restore adjacency verbatim. Determinism of the build makes
+    reload-vs-rebuild byte-identical (pinned in tests)."""
+    g = HnswGraph.__new__(HnswGraph)
+    g.ids = np.asarray(ids, dtype=np.int64)
+    vecs = np.asarray(vecs, dtype=np.float64)
+    norms = np.linalg.norm(vecs, axis=1) if len(vecs) else np.empty(0)
+    g.unit = (
+        vecs / np.where(norms == 0.0, 1.0, norms)[:, None] if len(vecs) else vecs
+    )
+    g.m = int(m)
+    g.m0 = 2 * g.m
+    g.ml = 1.0 / math.log(g.m) if g.m > 1 else 1.0
+    g._links = [[list(nb) for nb in layers] for layers in links]
+    g._entry = int(entry)
+    g._max_level = int(max_level)
+    return g
+
+
+def build_hnsw_store(
+    df: DataFrame,
+    out_dir: str,
+    id_col: str = "vec_id",
+    embedding_col: str = "embedding",
+    m: int = 8,
+    ef_construction: int = 64,
+    n_graphs: int = 4,
+) -> dict:
+    """Build all graphs once and persist them.
+
+    Layout::
+
+        <out>/graphs/graph_id=<G>/...   one row per node:
+            (dim, node, <id_col>, emb, links ARRAY<ARRAY<INT>>,
+             entry_node, max_level)     — entry/max_level constant per
+                                          (graph, dim) subgraph
+        <out>/manifest.json
+
+    ``node`` is the id-sorted insertion index within its (graph, dim)
+    subgraph — ``links`` refer to these. One shuffle (group by graph),
+    graphs never leave numpy, the write is partitioned by graph so
+    query-time probing parallelizes one task per graph.
+    """
+    e = df.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(embedding_col).cast("array<double>").alias("emb"),
+    ).withColumn("graph_id", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_graphs)))
+
+    schema = (
+        f"graph_id INT, dim INT, node INT, {id_col} LONG, "
+        "emb ARRAY<DOUBLE>, links ARRAY<ARRAY<INT>>, "
+        "entry_node INT, max_level INT"
+    )
+
+    def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+        out: list[pd.DataFrame] = []
+        gid = int(pdf["graph_id"].iloc[0]) if len(pdf) else -1
+        for dim, grp in pdf.groupby(pdf["emb"].map(len)):
+            ids = grp[id_col].to_numpy(dtype=np.int64)
+            order = np.argsort(ids)
+            ids = ids[order]
+            vecs = np.array(
+                [np.asarray(v, dtype=np.float64) for v in grp["emb"].to_numpy()[order]]
+            )
+            g = HnswGraph(ids, vecs, m=m, ef_construction=ef_construction)
+            st = graph_state(g)
+            out.append(
+                pd.DataFrame(
+                    {
+                        "graph_id": gid,
+                        "dim": int(dim),
+                        "node": np.arange(len(ids), dtype=np.int32),
+                        id_col: ids,
+                        "emb": [list(map(float, v)) for v in vecs],
+                        "links": st["links"],
+                        "entry_node": st["entry"],
+                        "max_level": st["max_level"],
+                    }
+                )
+            )
+        if not out:
+            return pd.DataFrame(
+                columns=[
+                    "graph_id", "dim", "node", id_col, "emb", "links",
+                    "entry_node", "max_level",
+                ]
+            )
+        return pd.concat(out, ignore_index=True)
+
+    rows = e.groupBy("graph_id").applyInPandas(_build, schema)
+    rows.write.mode("overwrite").partitionBy("graph_id").parquet(
+        f"{out_dir}/graphs"
+    )
+
+    manifest = {
+        "m": m,
+        "ef_construction": ef_construction,
+        "n_graphs": n_graphs,
+        "n_vectors": e.count(),
+        "id_col": id_col,
+    }
+    tmp = os.path.join(out_dir, "manifest.json.tmp")
+    os.makedirs(out_dir, exist_ok=True)
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=2)
+    os.replace(tmp, os.path.join(out_dir, "manifest.json"))
+    return manifest
+
+
+def hnsw_topk_persisted(
+    spark: SparkSession,
+    ann_dir: str,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    ef_search: int = 64,
+) -> DataFrame:
+    """Top-k from a persisted store: reload each graph's adjacency
+    (NO rebuild — the construction cost was paid at ingest), search,
+    exact-cosine re-rank. Result-identical to :func:`hnsw_topk` with
+    the store's build parameters (build determinism + verbatim state)."""
+    with open(os.path.join(ann_dir, "manifest.json")) as f:
+        manifest = json.load(f)
+    id_col = manifest["id_col"]
+    m = manifest["m"]
+    store = spark.read.parquet(f"{ann_dir}/graphs")
+    qlist = [(int(qid), np.asarray(v, dtype=np.float64)) for qid, v in queries]
+    ef = max(ef_search, k)
+
+    schema = f"query_id INT, {id_col} LONG"
+
+    def _probe(pdf: pd.DataFrame) -> pd.DataFrame:
+        out_q: list[int] = []
+        out_id: list[int] = []
+        for _, grp in pdf.groupby("dim"):
+            grp = grp.sort_values("node")
+            ids = grp[id_col].to_numpy(dtype=np.int64)
+            vecs = np.array([np.asarray(v, dtype=np.float64) for v in grp["emb"]])
+            links = [
+                [list(nb) for nb in layers] for layers in grp["links"]
+            ]
+            g = graph_from_state(
+                ids, vecs, links,
+                entry=int(grp["entry_node"].iloc[0]),
+                max_level=int(grp["max_level"].iloc[0]),
+                m=m,
+            )
+            dim = vecs.shape[1] if len(vecs) else 0
+            for qid, qv in qlist:
+                if len(qv) != dim:
+                    continue
+                got = g.search(qv, ef)
+                out_q.extend([qid] * len(got))
+                out_id.extend(int(x) for x in got)
+        return pd.DataFrame({"query_id": out_q, id_col: out_id})
+
+    cand = store.groupBy("graph_id").applyInPandas(_probe, schema)
+    qdf = spark.createDataFrame(
+        [(int(qid), [float(x) for x in vec]) for qid, vec in queries],
+        "query_id INT, qvec ARRAY<DOUBLE>",
+    )
+    scored = (
+        store.select(id_col, "emb")
+        .join(F.broadcast(cand), id_col)
         .join(F.broadcast(qdf), "query_id")
         .select(
             "query_id",

@@ -128,6 +128,46 @@ def test_hnsw_candidates_partition_by_graph(spark, emb):
     assert len(pairs) == len(set(pairs))
 
 
+def test_persisted_store_identical_to_querytime(spark, emb, tmp_path):
+    """Reload-vs-rebuild: the persisted probe must be rank- AND
+    score-identical to hnsw_topk with the same parameters (build
+    determinism + verbatim adjacency state)."""
+    from same_same_spark.pipeline.hnsw import (
+        build_hnsw_store,
+        hnsw_topk_persisted,
+    )
+
+    out = str(tmp_path / "hnsw_store")
+    manifest = build_hnsw_store(emb, out, m=8, ef_construction=64, n_graphs=3)
+    assert manifest["n_vectors"] == emb.count()
+    queries = _qvecs(emb)
+    live = hnsw_topk(
+        emb, queries, k=5, m=8, ef_construction=64, ef_search=96, n_graphs=3
+    ).collect()
+    persisted = hnsw_topk_persisted(
+        spark, out, queries, k=5, ef_search=96
+    ).collect()
+    norm = lambda rows: sorted(  # noqa: E731
+        (r["query_id"], r["rank"], r["vec_id"], round(r["score"], 12))
+        for r in rows
+    )
+    assert norm(live) == norm(persisted)
+
+
+def test_graph_state_roundtrip():
+    from same_same_spark.pipeline.hnsw import graph_from_state, graph_state
+
+    ids, vecs, g = _toy_graph(n=120, seed=21)
+    st = graph_state(g)
+    g2 = graph_from_state(
+        ids, vecs, st["links"], st["entry"], st["max_level"], m=g.m
+    )
+    rng = np.random.default_rng(4)
+    for _ in range(5):
+        q = rng.normal(size=vecs.shape[1])
+        assert list(g.search(q, 32, 10)) == list(g2.search(q, 32, 10))
+
+
 def test_hnsw_mixed_dims_probe_own_dimension(spark, emb):
     """A foreign-dimension vector can never become a candidate for a
     64-dim query (search.go:17-19 scan-time dim filter)."""
