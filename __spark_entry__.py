@@ -1481,7 +1481,9 @@ def _hnsw_store_dir(spark: SparkSession, sf_dir: str) -> str:
     src = os.path.join(sf_dir, "embeddings.parquet")
     st = os.stat(src)
     tag = hashlib.md5(
-        f"{src}|{st.st_size}|{st.st_mtime_ns}|hnsw-v1".encode()
+        # bump the version suffix whenever HnswGraph construction
+        # changes — the graphs are part of the content identity
+        f"{src}|{st.st_size}|{st.st_mtime_ns}|hnsw-v2".encode()
     ).hexdigest()[:10]
     out = f"{tempfile.gettempdir()}/ss_entry_hnsw_{tag}"
     if not os.path.exists(os.path.join(out, "manifest.json")):
@@ -2486,6 +2488,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # Spark implementation.  Kept last so a hard driver cap of 50 drops
     # these first (their oracle identity is still covered by the twin;
     # their Spark-side divergence is pinned by tests/test_entry.py).
+    # ann_hnsw_persisted (round 4) is here BY DESIGN, not overflow
+    # accident: it is result-identical to in-top-50 ann_hnsw_topk
+    # (build determinism, pinned in test_hnsw) and shares its brute
+    # oracle, exactly this block's contract.
     # search_by_text + hybrid_search rotated here round 4 (r3-green):
     # their SURVEY rows keep in-top-50 evidence via the indexed twins
     # (§2.9: search_by_text_indexed, hybrid_search_indexed,

@@ -92,6 +92,7 @@ class HnswGraph:
         self.m = int(m)
         self.m0 = 2 * self.m
         self.ml = 1.0 / math.log(self.m) if self.m > 1 else 1.0
+        self.efc = max(int(ef_construction), self.m)
         # adjacency: _links[node][layer] -> list[int] (node indexes)
         self._links: list[list[list[int]]] = []
         self._entry = -1
@@ -176,7 +177,7 @@ class HnswGraph:
         for layer in range(self._max_level, level, -1):
             ep = self._greedy(q, ep, layer)
         for layer in range(min(level, self._max_level), -1, -1):
-            found = self._search_layer(q, [ep], max(self.m, 16), layer)
+            found = self._search_layer(q, [ep], self.efc, layer)
             cap = self.m0 if layer == 0 else self.m
             neighbors = self._select(q, found, cap)
             self._links[i][layer] = list(neighbors)
@@ -348,6 +349,7 @@ def graph_from_state(
     g.m = int(m)
     g.m0 = 2 * g.m
     g.ml = 1.0 / math.log(g.m) if g.m > 1 else 1.0
+    g.efc = g.m  # search-only reload; efc only matters for inserts
     g._links = [[list(nb) for nb in layers] for layers in links]
     g._entry = int(entry)
     g._max_level = int(max_level)
@@ -429,11 +431,14 @@ def build_hnsw_store(
         f"{out_dir}/graphs"
     )
 
+    spark = df.sparkSession
     manifest = {
         "m": m,
         "ef_construction": ef_construction,
         "n_graphs": n_graphs,
-        "n_vectors": e.count(),
+        # count the WRITTEN node rows (parquet footer metadata), not a
+        # second scan of the source projection/hash pipeline
+        "n_vectors": spark.read.parquet(f"{out_dir}/graphs").count(),
         "id_col": id_col,
     }
     tmp = os.path.join(out_dir, "manifest.json.tmp")

@@ -512,8 +512,11 @@ def _decode_gif_inner(data: bytes) -> np.ndarray:
         if block == 0x21:  # extension
             label = data[pos]
             payload, pos = _gif_subblocks(data, pos + 1)
-            if label == 0xF9 and len(payload) >= 4 and payload[0] & 1:
-                transparent = payload[3]
+            if label == 0xF9 and len(payload) >= 4:
+                # a GCE scopes ONLY the next rendering block and
+                # REPLACES any earlier GCE — a clear transparency flag
+                # must drop a previously-seen transparent index
+                transparent = payload[3] if payload[0] & 1 else None
             continue
         if block != 0x2C:
             raise ValueError(f"gif: unexpected block 0x{block:02x}")

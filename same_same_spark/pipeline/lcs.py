@@ -147,7 +147,13 @@ def lcs_pairs(
         .select("id_a", "id_b", "_ta", "_tb")
     )
 
-    schema = "id_a LONG, id_b LONG, lcs_len LONG, a_start LONG, b_start LONG"
+    # id columns keep the corpus id type (string ids are first-class —
+    # api.SameSameSpark serves them); only the measures are LONG
+    id_dt = df.schema[id_col].dataType.simpleString()
+    schema = (
+        f"id_a {id_dt}, id_b {id_dt}, "
+        "lcs_len LONG, a_start LONG, b_start LONG"
+    )
 
     def _run(batches):
         for pdf in batches:

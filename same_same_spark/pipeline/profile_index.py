@@ -99,17 +99,23 @@ def _group_hist(
     schema = "group STRING, dl LONG, cnt LONG"
     if not groups:
         return spark.createDataFrame([], schema)
-    frames = [
-        spark.read.parquet(os.path.join(index_dir, "shards", f"group-{g}"))
-        .filter(F.col("kind") == "d")
-        .select(
-            F.lit(g).alias("group"), "n", "doc_bytes", "tf_bytes"
-        )
-        for g in groups
+    # ONE multi-path relation, group recovered from the file path — a
+    # hundred-group sync stays a flat scan, not a hundred-relation
+    # union tree (the O(changed groups) claim includes plan size)
+    paths = [
+        os.path.join(index_dir, "shards", f"group-{g}") for g in groups
     ]
-    rows = frames[0]
-    for fr in frames[1:]:
-        rows = rows.unionByName(fr)
+    rows = (
+        spark.read.parquet(*paths)
+        .withColumn(
+            "group",
+            F.regexp_extract(
+                F.input_file_name(), r"group-([^/]+)/[^/]*$", 1
+            ),
+        )
+        .filter(F.col("kind") == "d")
+        .select("group", "n", "doc_bytes", "tf_bytes")
+    )
 
     def hist(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -115,6 +115,42 @@ def main() -> None:
         wall = time.time() - t0
     totals = mw.totals()
 
+    # dup_recall measured on the PLANTED pairs only (untimed recompute):
+    # a pair counts as recalled iff it collapsed — i.e. NOT both members
+    # survive. Restricted to pairs whose BOTH members pass the quality
+    # gate, so gate drops (and any natural base-corpus dedup) can't
+    # inflate the number past what fuzzy/exact dedup actually did.
+    from same_same_spark.pipeline import textqc as textqc_ops
+
+    surv_ids = prepare_training_corpus(docs, cfg).select("doc_id")
+    pair_map = (
+        base.filter(F.pmod(F.col("doc_id"), F.lit(8)) == 0)
+        .select(
+            F.col("doc_id").alias("orig_id"),
+            F.xxhash64("doc_id", F.lit("exact-dup")).alias("dup_id"),
+        )
+        .unionByName(
+            base.filter(F.pmod(F.col("doc_id"), F.lit(8)) == 1).select(
+                F.col("doc_id").alias("orig_id"),
+                F.xxhash64("doc_id", F.lit("near-dup")).alias("dup_id"),
+            )
+        )
+    )
+    passed = docs.filter(
+        textqc_ops.quality_cols("text")["quality_score"] >= cfg.min_quality
+    ).select("doc_id")
+    eligible = pair_map.join(
+        passed.select(F.col("doc_id").alias("orig_id")), "orig_id"
+    ).join(passed.select(F.col("doc_id").alias("dup_id")), "dup_id")
+    n_eligible = eligible.count()
+    both_survive = (
+        eligible.join(
+            surv_ids.select(F.col("doc_id").alias("orig_id")), "orig_id"
+        )
+        .join(surv_ids.select(F.col("doc_id").alias("dup_id")), "dup_id")
+        .count()
+    )
+
     n_planted = n_docs - n_base
     out = {
         "n_docs": n_docs,
@@ -122,7 +158,9 @@ def main() -> None:
         "n_planted_dups": n_planted,
         "survivors": survivors,
         "removed": n_docs - survivors,
-        "dup_recall": round((n_docs - survivors) / n_planted, 6),
+        "planted_pairs_gate_eligible": n_eligible,
+        "planted_pairs_missed": both_survive,
+        "dup_recall": round(1.0 - both_survive / max(n_eligible, 1), 6),
         "wall_sec": round(wall, 2),
         "docs_per_sec": round(n_docs / wall, 1),
         "cc_rounds": stats.get("cc_rounds"),

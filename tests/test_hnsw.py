@@ -54,6 +54,17 @@ def test_graph_build_deterministic():
     assert all(a == b for a, b in zip(g1._links, g2._links))
 
 
+def test_ef_construction_is_wired():
+    """The construction beam must actually respond to the knob: a
+    wider beam reshapes the adjacency."""
+    rng = np.random.default_rng(13)
+    vecs = rng.normal(size=(300, 24))
+    ids = np.arange(300, dtype=np.int64)
+    g_small = HnswGraph(ids, vecs, m=4, ef_construction=4)
+    g_big = HnswGraph(ids, vecs, m=4, ef_construction=128)
+    assert g_small._links != g_big._links
+
+
 def test_graph_exhaustive_ef_is_exact():
     """ef == n forces the layer-0 search to visit the whole connected
     graph → result equals the exact top-k (connectivity invariant)."""

@@ -495,6 +495,21 @@ def test_gif_transparency_composites_to_black():
     assert np.array_equal(got, want)
 
 
+def test_gif_later_gce_clears_transparency():
+    """A GCE scopes only the next rendering block and REPLACES any
+    earlier one: transparency=0 followed by a flag-clear GCE must
+    render index 0 opaque."""
+    idx = np.array([[0, 1], [2, 0]], dtype=np.uint8)
+    pal = np.array([[10, 20, 30], [200, 0, 0], [0, 200, 0], [9, 9, 9]], np.uint8)
+    data = bytearray(_gif_bytes(idx, pal, min_code=2, transparent=0))
+    # inject a second GCE (flags=0 → no transparency) right before the
+    # image descriptor
+    at = data.index(0x2C, 13)
+    data[at:at] = bytes([0x21, 0xF9, 4, 0x00, 0, 0, 0, 0])
+    got = decode_gif(bytes(data))
+    assert np.array_equal(got, pal[idx])  # index 0 kept opaque
+
+
 def test_gif_local_palette_and_87a():
     idx = np.array([[0, 1, 2]], dtype=np.uint8)
     pal = np.array([[1, 2, 3], [4, 5, 6], [7, 8, 9], [0, 0, 0]], np.uint8)

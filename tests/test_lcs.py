@@ -119,6 +119,19 @@ def test_lcs_pairs_spark(spark):
     assert txt[1][sa : sa + la] == txt[5][sb : sb + la]
 
 
+def test_lcs_pairs_string_ids(spark):
+    """String-id corpora are first-class (api.SameSameSpark serves
+    them) — the output id columns keep the corpus id type."""
+    df = spark.createDataFrame(
+        [("a", "hello shared world"), ("b", "shared world again")],
+        "doc_id STRING, text STRING",
+    )
+    pairs = spark.createDataFrame([("a", "b")], "id_a STRING, id_b STRING")
+    [r] = lcs_pairs(df, pairs).collect()
+    assert (r["id_a"], r["id_b"]) == ("a", "b")
+    assert r["lcs_len"] == len("shared world")
+
+
 def test_lcs_pairs_whole_doc_duplicate(spark):
     df = spark.createDataFrame(
         [(10, "same text"), (11, "same text")], "doc_id LONG, text STRING"
