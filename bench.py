@@ -85,6 +85,9 @@ ENTRY_QUERY_NAMES = [
     "span_dedup",
     "pack_sequences",
     "ann_ivf_persisted",
+    "ann_hnsw_topk",
+    "ann_hnsw_persisted",
+    "lcs_pairs",
 ]
 
 # VERDICT r3 #8: round-over-round totals stopped being comparable as
@@ -229,6 +232,7 @@ def main() -> None:
 
     entry_idx = entry._entry_index_dir(spark, SF_DIR)
     entry._ann_store_dir(spark, SF_DIR)
+    entry._hnsw_store_dir(spark, SF_DIR)
     entry._entry_deleted_index_dir(spark, SF_DIR)
     ensure_tfidf_aux(spark, entry_idx, log=lambda *_: None)
     qs = entry.queries()

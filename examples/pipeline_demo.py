@@ -110,6 +110,36 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
             f"{r['total_tokens']} tokens, p50={r['p50_tokens']:.0f}"
         )
 
+    # 7. graph ANN: HNSW top-3 for one query vector — candidates from
+    # per-partition graphs, exact cosine re-rank (rank-identical to the
+    # brute scan whenever candidates cover the true top-k)
+    from same_same_spark.pipeline.hnsw import hnsw_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    print("-- HNSW top-3 (query = vec 0) --")
+    for r in hnsw_topk(emb, [(0, qvec)], k=3).orderBy("rank").collect():
+        print(f"  #{r['rank']} vec {r['vec_id']}  cos={r['score']:.4f}")
+
+    # 8. exact substring overlap: longest common substring per near-dup
+    # candidate pair (suffix automaton)
+    from same_same_spark.pipeline.dedup import minhash_dedup_pairs
+    from same_same_spark.pipeline.lcs import lcs_pairs
+
+    cand = minhash_dedup_pairs(docs, threshold=0.9).select("id_a", "id_b")
+    top = (
+        lcs_pairs(docs, cand)
+        .orderBy(F.desc("lcs_len"), "id_a", "id_b")
+        .limit(3)
+        .collect()
+    )
+    print("-- longest shared substrings among near-dup pairs --")
+    for r in top:
+        print(
+            f"  docs {r['id_a']}/{r['id_b']}: {r['lcs_len']} chars "
+            f"(a@{r['a_start']}, b@{r['b_start']})"
+        )
+
 
 if __name__ == "__main__":
     main(*sys.argv[1:])
