@@ -1457,7 +1457,8 @@ def _ann_store_dir(spark: SparkSession, sf_dir: str) -> str:
     src = os.path.join(sf_dir, "embeddings.parquet")
     st = os.stat(src)
     tag = hashlib.md5(
-        f"{src}|{st.st_size}|{st.st_mtime_ns}|v1".encode()
+        # v2 = batch-partitioned layout with manifest-gated liveness
+        f"{src}|{st.st_size}|{st.st_mtime_ns}|v2".encode()
     ).hexdigest()[:10]
     out = f"{tempfile.gettempdir()}/ss_entry_ann_{tag}"
     if not os.path.exists(os.path.join(out, "manifest.json")):

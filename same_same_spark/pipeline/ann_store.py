@@ -20,6 +20,16 @@ default; any ``(centroid_id, vector)`` list can be supplied instead —
 the oracle-checked entries feed deterministic per-label means so the
 DuckDB twin can reproduce them exactly, while KMeans quality is
 asserted separately via recall-vs-brute in ``tests/test_ann.py``.
+
+The store is MUTABLE under the index's manifest-gated liveness
+discipline: :func:`append_ann_index` writes a batch as new
+``batch=<name>`` partition dirs then flips the manifest (crash before
+the flip → probes never see it; blind retries are idempotent), and
+:func:`delete_from_ann_index` tombstones ids that every probe
+anti-joins out (exact — scoring never sees a deleted vector).
+Re-appending live or tombstoned ids is refused loudly. Centroids are
+never recomputed by append — rebuild when the data distribution
+drifts, the standard IVF contract.
 """
 
 from __future__ import annotations
@@ -104,13 +114,18 @@ def build_ann_index(
             e, n_centroids=n_centroids, embedding_col="emb", seed=seed
         )
 
+    # batch is the OUTER partition level: append batches land as new
+    # batch=<token> dirs, visible only once the manifest lists them —
+    # the same manifest-gated liveness discipline as the index's groups
     lsh = e.withColumn("sig", signature_col(F.col("emb"), n_planes))
-    lsh.write.mode("overwrite").partitionBy("sig").parquet(f"{out_dir}/lsh")
+    lsh.withColumn("batch", F.lit("base")).write.mode("overwrite").partitionBy(
+        "batch", "sig"
+    ).parquet(f"{out_dir}/lsh")
 
     assigned = assign_centroids(e, centroids, id_col=id_col, embedding_col="emb")
-    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(
-        f"{out_dir}/ivf"
-    )
+    assigned.withColumn("batch", F.lit("base")).write.mode(
+        "overwrite"
+    ).partitionBy("batch", "centroid_id").parquet(f"{out_dir}/ivf")
 
     cdf = spark.createDataFrame(
         [(cid, [float(x) for x in vec]) for cid, vec in centroids],
@@ -123,12 +138,152 @@ def build_ann_index(
         "n_centroids": len(centroids),
         "n_vectors": e.count(),
         "id_col": id_col,
+        "batches": ["base"],
+        "tomb_gen": 0,
     }
-    tmp = os.path.join(out_dir, "manifest.json.tmp")
+    _write_manifest(out_dir, manifest)
+    return manifest
+
+
+def _write_manifest(ann_dir: str, manifest: dict) -> None:
+    tmp = os.path.join(ann_dir, "manifest.json.tmp")
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=2)
-    os.replace(tmp, os.path.join(out_dir, "manifest.json"))
-    return manifest
+    os.replace(tmp, os.path.join(ann_dir, "manifest.json"))
+
+
+def append_ann_index(
+    df: DataFrame,
+    ann_dir: str,
+    batch: str,
+    embedding_col: str = "embedding",
+) -> dict:
+    """Append a vector batch to a persisted store — crash-safe.
+
+    The batch writes as new ``batch=<name>`` partition dirs under both
+    structures, THEN the manifest flips to list it: a crash before the
+    flip leaves dirs no probe reads (probes filter to the manifest's
+    batch list), and a blind retry of the same batch name first removes
+    the uncommitted leftovers, then rewrites. Retrying an
+    already-committed batch is a no-op (idempotent orchestrators).
+
+    Ids must be new: appending an id that is live or tombstoned would
+    serve it twice / resurrect it — both refused loudly (one broadcast
+    anti-join each, batch-sized). Centroids are NOT recomputed (cells
+    drift only if the data distribution does — rebuild when recall
+    drops; same contract as any IVF system).
+    """
+    import shutil
+
+    m = _load_manifest(ann_dir)
+    if "batches" not in m:
+        raise ValueError(
+            "store predates the batch layout — rebuild with build_ann_index"
+        )
+    if batch in m["batches"]:
+        return m  # committed already — idempotent retry
+    if not batch or "/" in batch or batch.startswith("."):
+        raise ValueError(f"bad batch name {batch!r}")
+    spark = df.sparkSession
+    id_col = m["id_col"]
+    for sub in ("lsh", "ivf"):
+        shutil.rmtree(
+            os.path.join(ann_dir, sub, f"batch={batch}"), ignore_errors=True
+        )
+
+    e = df.select(
+        F.col(id_col),
+        F.col(embedding_col).cast("array<double>").alias("emb"),
+    )
+    live_ids = _live_vectors(spark, ann_dir, m, "lsh").select(id_col)
+    tomb = _tomb_ids(spark, ann_dir, m)
+    n_live = live_ids.join(F.broadcast(e.select(id_col)), id_col).count()
+    if n_live:
+        raise ValueError(f"append batch contains {n_live} id(s) already live")
+    if tomb is not None:
+        n_dead = tomb.join(F.broadcast(e.select(id_col)), id_col).count()
+        if n_dead:
+            raise ValueError(
+                f"append batch contains {n_dead} tombstoned id(s) — "
+                "deleted ids stay deleted until the store is rebuilt"
+            )
+
+    lsh = e.withColumn(
+        "sig", signature_col(F.col("emb"), m["n_planes"])
+    ).withColumn("batch", F.lit(batch))
+    lsh.write.mode("append").partitionBy("batch", "sig").parquet(
+        f"{ann_dir}/lsh"
+    )
+    assigned = assign_centroids(
+        e, _load_centroids(spark, ann_dir), id_col=id_col, embedding_col="emb"
+    ).withColumn("batch", F.lit(batch))
+    assigned.write.mode("append").partitionBy("batch", "centroid_id").parquet(
+        f"{ann_dir}/ivf"
+    )
+
+    n_new = spark.read.parquet(f"{ann_dir}/lsh/batch={batch}").count()
+    m = dict(m)
+    m["batches"] = list(m["batches"]) + [batch]
+    m["n_vectors"] = int(m["n_vectors"]) + int(n_new)
+    _write_manifest(ann_dir, m)
+    return m
+
+
+def delete_from_ann_index(
+    spark: SparkSession, ann_dir: str, ids: list
+) -> dict:
+    """Tombstone ids — probes anti-join them out (exact: scoring never
+    sees a deleted vector). One tiny parquet per generation; the
+    manifest flip makes the new generation live atomically, and stale
+    generations are swept after. Deletes are terminal: re-appending a
+    tombstoned id is refused until a rebuild."""
+    m = _load_manifest(ann_dir)
+    if "batches" not in m:
+        raise ValueError(
+            "store predates the batch layout — rebuild with build_ann_index"
+        )
+    gen = int(m.get("tomb_gen") or 0) + 1
+    id_col = m["id_col"]
+    prev = _tomb_ids(spark, ann_dir, m)
+    id_dt = spark.read.parquet(f"{ann_dir}/lsh").schema[
+        id_col
+    ].dataType.simpleString()
+    new = spark.createDataFrame([(i,) for i in ids], f"{id_col} {id_dt}")
+    allt = prev.unionByName(new).distinct() if prev is not None else new.distinct()
+    allt.coalesce(1).write.mode("overwrite").parquet(
+        f"{ann_dir}/tomb-{gen}"
+    )
+    m = dict(m)
+    m["tomb_gen"] = gen
+    _write_manifest(ann_dir, m)
+    import shutil
+
+    for d in os.listdir(ann_dir):  # sweep superseded generations
+        if d.startswith("tomb-") and d != f"tomb-{gen}":
+            shutil.rmtree(os.path.join(ann_dir, d), ignore_errors=True)
+    return m
+
+
+def _tomb_ids(spark: SparkSession, ann_dir: str, m: dict) -> DataFrame | None:
+    gen = int(m.get("tomb_gen") or 0)
+    if not gen:
+        return None
+    return spark.read.parquet(f"{ann_dir}/tomb-{gen}")
+
+
+def _live_vectors(
+    spark: SparkSession, ann_dir: str, m: dict, sub: str
+) -> DataFrame:
+    """The structure's rows restricted to committed batches and live
+    (non-tombstoned) ids. Batch + probe filters are both partition
+    columns, so the scan stays partition-pruned."""
+    v = spark.read.parquet(f"{ann_dir}/{sub}")
+    if "batches" in m:
+        v = v.filter(F.col("batch").isin(list(m["batches"])))
+    tomb = _tomb_ids(spark, ann_dir, m)
+    if tomb is not None:
+        v = v.join(F.broadcast(tomb), m["id_col"], "left_anti")
+    return v
 
 
 # centroid tables are tiny (n_centroids × dim) and probed on every IVF
@@ -210,7 +365,7 @@ def lsh_topk_persisted(
     ]
     probes = spark.createDataFrame(probe_pairs, "query_id INT, sig BIGINT")
 
-    vectors = spark.read.parquet(f"{ann_dir}/lsh").filter(
+    vectors = _live_vectors(spark, ann_dir, m, "lsh").filter(
         F.col("sig").isin(probe_cells)  # partition pruning
     )
     scored = (
@@ -259,7 +414,7 @@ def ivf_topk_persisted(
         probe_pairs.extend((qid, -negcid) for _, negcid in sims[:nprobe])
     probes = spark.createDataFrame(probe_pairs, "query_id INT, centroid_id INT")
 
-    vectors = spark.read.parquet(f"{ann_dir}/ivf").filter(
+    vectors = _live_vectors(spark, ann_dir, m, "ivf").filter(
         F.col("centroid_id").isin(sorted({c for _, c in probe_pairs}))
     )
     scored = (

@@ -51,6 +51,7 @@ __all__ = [
     "hnsw_candidates",
     "hnsw_topk",
     "build_hnsw_store",
+    "hnsw_store_append",
     "hnsw_topk_persisted",
 ]
 
@@ -191,6 +192,32 @@ class HnswGraph:
 
     # -- public -------------------------------------------------------
 
+    def extend(self, new_ids: np.ndarray, new_vecs: np.ndarray) -> None:
+        """Insert a batch (HNSW is an online structure). ``new_ids``
+        must be sorted ascending, unique, and disjoint from the graph —
+        insertion order stays deterministic (existing nodes keep their
+        indexes; the batch appends in id order), so the same batch
+        sequence always yields the same graph. Note an extended graph
+        is NOT byte-identical to a fresh build over the union (global
+        id order differs); only recall contracts carry over."""
+        new_ids = np.asarray(new_ids, dtype=np.int64)
+        new_vecs = np.asarray(new_vecs, dtype=np.float64)
+        if len(new_ids) != len(new_vecs):
+            raise ValueError("ids and vecs length mismatch")
+        if len(new_ids) == 0:
+            return
+        if len(new_ids) > 1 and not (np.diff(new_ids) > 0).all():
+            raise ValueError("batch ids must be sorted ascending and unique")
+        if np.intersect1d(new_ids, self.ids).size:
+            raise ValueError("batch contains ids already in the graph")
+        norms = np.linalg.norm(new_vecs, axis=1)
+        unit_new = new_vecs / np.where(norms == 0.0, 1.0, norms)[:, None]
+        start = len(self.ids)
+        self.ids = np.concatenate([self.ids, new_ids])
+        self.unit = np.vstack([self.unit, unit_new]) if start else unit_new
+        for i in range(start, len(self.ids)):
+            self._insert(i)
+
     def search(self, qvec: np.ndarray, ef: int, k: int | None = None) -> np.ndarray:
         """Top-``k`` (default ``ef``) vec_ids by cosine, approximate.
         Zero-norm queries score 0 against everything (cosine_col
@@ -203,7 +230,9 @@ class HnswGraph:
         qvec = np.asarray(qvec, dtype=np.float64)
         qn = np.linalg.norm(qvec)
         if qn == 0.0:
-            return self.ids[: min(k, n)]
+            # ids are insertion-ordered, not globally sorted after
+            # extend() — sort so the all-ties contract (id ASC) holds
+            return np.sort(self.ids)[: min(k, n)]
         q = qvec / qn
         ep = self._entry
         for layer in range(self._max_level, 0, -1):
@@ -335,10 +364,12 @@ def graph_from_state(
     entry: int,
     max_level: int,
     m: int = 8,
+    ef_construction: int | None = None,
 ) -> HnswGraph:
     """Reconstruct without rebuilding: bypass ``__init__``'s insert
     loop, restore adjacency verbatim. Determinism of the build makes
-    reload-vs-rebuild byte-identical (pinned in tests)."""
+    reload-vs-rebuild byte-identical (pinned in tests). Pass
+    ``ef_construction`` when the reloaded graph will :meth:`extend`."""
     g = HnswGraph.__new__(HnswGraph)
     g.ids = np.asarray(ids, dtype=np.int64)
     vecs = np.asarray(vecs, dtype=np.float64)
@@ -349,7 +380,7 @@ def graph_from_state(
     g.m = int(m)
     g.m0 = 2 * g.m
     g.ml = 1.0 / math.log(g.m) if g.m > 1 else 1.0
-    g.efc = g.m  # search-only reload; efc only matters for inserts
+    g.efc = max(int(ef_construction), g.m) if ef_construction else g.m
     g._links = [[list(nb) for nb in layers] for layers in links]
     g._entry = int(entry)
     g._max_level = int(max_level)
@@ -440,13 +471,161 @@ def build_hnsw_store(
         # second scan of the source projection/hash pipeline
         "n_vectors": spark.read.parquet(f"{out_dir}/graphs").count(),
         "id_col": id_col,
+        "gen": 0,
+        "graphs_dir": "graphs",
+        "batches": ["base"],
     }
-    tmp = os.path.join(out_dir, "manifest.json.tmp")
     os.makedirs(out_dir, exist_ok=True)
+    _flip_hnsw_manifest(out_dir, manifest)
+    return manifest
+
+
+def _flip_hnsw_manifest(out_dir: str, manifest: dict) -> None:
+    tmp = os.path.join(out_dir, "manifest.json.tmp")
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=2)
     os.replace(tmp, os.path.join(out_dir, "manifest.json"))
-    return manifest
+
+
+def hnsw_store_append(
+    spark: SparkSession,
+    ann_dir: str,
+    df: DataFrame,
+    batch: str,
+    embedding_col: str = "embedding",
+) -> dict:
+    """Insert a vector batch into a persisted store (HNSW is an online
+    structure — no rebuild of existing nodes; each graph
+    :meth:`HnswGraph.extend`\\ s with its hash-routed share).
+
+    Commit protocol: the merged graphs write to a fresh
+    ``graphs-<gen>`` directory, THEN the manifest flips ``graphs_dir``
+    to it — a crash mid-write leaves probes on the old generation, and
+    a blind retry of the same batch name overwrites the orphan dir
+    (already-committed batch names are an idempotent no-op). Stale
+    generation dirs are swept after the flip. Duplicate ids (live in
+    the store or within the batch) are refused inside the merge.
+
+    An extended graph is deterministic given the batch sequence but NOT
+    byte-identical to a fresh build over the union — the recall
+    contract (exact re-rank over covering candidates) is what carries,
+    pinned in tests."""
+    import shutil
+
+    with open(os.path.join(ann_dir, "manifest.json")) as f:
+        m = json.load(f)
+    if batch in m.get("batches", []):
+        return m  # committed already — idempotent retry
+    if not batch or "/" in batch or batch.startswith("."):
+        raise ValueError(f"bad batch name {batch!r}")
+    id_col = m["id_col"]
+    mm, efc, n_graphs = m["m"], m["ef_construction"], m["n_graphs"]
+    old_dir = m.get("graphs_dir", "graphs")
+    gen = int(m.get("gen", 0)) + 1
+
+    store = spark.read.parquet(f"{ann_dir}/{old_dir}")
+    new = df.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(embedding_col).cast("array<double>").alias("emb"),
+    ).withColumn("graph_id", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_graphs)))
+
+    schema = (
+        f"graph_id INT, dim INT, node INT, {id_col} LONG, "
+        "emb ARRAY<DOUBLE>, links ARRAY<ARRAY<INT>>, "
+        "entry_node INT, max_level INT"
+    )
+
+    def _merge(key, old_pdf: pd.DataFrame, new_pdf: pd.DataFrame) -> pd.DataFrame:
+        gid = int(key[0])
+        out: list[pd.DataFrame] = []
+        old_by_dim = dict(tuple(old_pdf.groupby("dim"))) if len(old_pdf) else {}
+        new_by_dim = (
+            dict(tuple(new_pdf.groupby(new_pdf["emb"].map(len))))
+            if len(new_pdf)
+            else {}
+        )
+        for dim in sorted(set(old_by_dim) | set(new_by_dim)):
+            # originals travel beside the graph (the graph keeps only
+            # unit vectors; the exact re-rank needs the raw embs)
+            orig_embs: list[list[float]] = []
+            if dim in old_by_dim:
+                grp = old_by_dim[dim].sort_values("node")
+                ids = grp[id_col].to_numpy(dtype=np.int64)
+                vecs = np.array(
+                    [np.asarray(v, dtype=np.float64) for v in grp["emb"]]
+                )
+                links = [[list(nb) for nb in layers] for layers in grp["links"]]
+                g = graph_from_state(
+                    ids, vecs, links,
+                    entry=int(grp["entry_node"].iloc[0]),
+                    max_level=int(grp["max_level"].iloc[0]),
+                    m=mm, ef_construction=efc,
+                )
+                orig_embs.extend(list(map(float, v)) for v in vecs)
+            else:
+                g = HnswGraph(
+                    np.empty(0, dtype=np.int64),
+                    np.empty((0, int(dim))),
+                    m=mm, ef_construction=efc,
+                )
+            if dim in new_by_dim:
+                ngrp = new_by_dim[dim]
+                nids = ngrp[id_col].to_numpy(dtype=np.int64)
+                order = np.argsort(nids)
+                nids = nids[order]
+                if len(nids) > 1 and not (np.diff(nids) > 0).all():
+                    raise ValueError("duplicate ids within the append batch")
+                nvecs = np.array(
+                    [
+                        np.asarray(v, dtype=np.float64)
+                        for v in ngrp["emb"].to_numpy()[order]
+                    ]
+                )
+                g.extend(nids, nvecs)  # refuses ids already in the graph
+                orig_embs.extend(list(map(float, v)) for v in nvecs)
+            st = graph_state(g)
+            out.append(
+                pd.DataFrame(
+                    {
+                        "graph_id": gid,
+                        "dim": int(dim),
+                        "node": np.arange(len(g.ids), dtype=np.int32),
+                        id_col: g.ids,
+                        "emb": orig_embs,
+                        "links": st["links"],
+                        "entry_node": st["entry"],
+                        "max_level": st["max_level"],
+                    }
+                )
+            )
+        if not out:
+            return pd.DataFrame(
+                columns=[
+                    "graph_id", "dim", "node", id_col, "emb", "links",
+                    "entry_node", "max_level",
+                ]
+            )
+        return pd.concat(out, ignore_index=True)
+
+    merged = (
+        store.groupBy("graph_id")
+        .cogroup(new.groupBy("graph_id"))
+        .applyInPandas(_merge, schema)
+    )
+    new_dir = f"graphs-{gen}"
+    merged.write.mode("overwrite").partitionBy("graph_id").parquet(
+        f"{ann_dir}/{new_dir}"
+    )
+    m = dict(m)
+    m["gen"] = gen
+    m["graphs_dir"] = new_dir
+    m["batches"] = list(m.get("batches", ["base"])) + [batch]
+    m["n_vectors"] = spark.read.parquet(f"{ann_dir}/{new_dir}").count()
+    _flip_hnsw_manifest(ann_dir, m)
+    for d in os.listdir(ann_dir):  # sweep superseded generations
+        if (d == "graphs" or d.startswith("graphs-")) and d != new_dir:
+            shutil.rmtree(os.path.join(ann_dir, d), ignore_errors=True)
+    return m
 
 
 def hnsw_topk_persisted(
@@ -464,7 +643,9 @@ def hnsw_topk_persisted(
         manifest = json.load(f)
     id_col = manifest["id_col"]
     m = manifest["m"]
-    store = spark.read.parquet(f"{ann_dir}/graphs")
+    store = spark.read.parquet(
+        f"{ann_dir}/{manifest.get('graphs_dir', 'graphs')}"
+    )
     qlist = [(int(qid), np.asarray(v, dtype=np.float64)) for qid, v in queries]
     ef = max(ef_search, k)
 

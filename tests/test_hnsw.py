@@ -179,6 +179,144 @@ def test_graph_state_roundtrip():
         assert list(g.search(q, 32, 10)) == list(g2.search(q, 32, 10))
 
 
+def test_store_append_recall_and_commit_protocol(spark, emb, tmp_path):
+    """Append half the corpus to a store built on the other half:
+    probe must equal brute force over the union (candidates cover —
+    same recall contract), a crash-window orphan dir is invisible until
+    the manifest flips, and a committed batch retries as a no-op."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from same_same_spark.pipeline import ann
+    from same_same_spark.pipeline.hnsw import (
+        build_hnsw_store,
+        hnsw_store_append,
+        hnsw_topk_persisted,
+    )
+
+    out = str(tmp_path / "store")
+    first = emb.filter(F.col("vec_id") % 2 == 0)
+    rest = emb.filter(F.col("vec_id") % 2 == 1)
+    build_hnsw_store(first, out, m=8, ef_construction=64, n_graphs=3)
+    m0 = json.load(open(os.path.join(out, "manifest.json")))
+    m1 = hnsw_store_append(spark, out, rest, batch="b1")
+    assert m1["gen"] == m0["gen"] + 1 and "b1" in m1["batches"]
+    assert m1["n_vectors"] == emb.count()
+    assert not os.path.exists(os.path.join(out, "graphs"))  # swept
+
+    queries = _qvecs(emb)
+    got = hnsw_topk_persisted(spark, out, queries, k=5, ef_search=128).collect()
+    brute = ann.brute_topk(emb, queries, k=5).collect()
+    norm = lambda rows: sorted(  # noqa: E731
+        (r["query_id"], r["rank"], r["vec_id"], round(r["score"], 9))
+        for r in rows
+    )
+    assert norm(got) == norm(brute)
+
+    # idempotent retry of a committed batch: manifest untouched
+    m2 = hnsw_store_append(spark, out, rest, batch="b1")
+    assert m2 == m1
+
+    # duplicate live ids in a NEW batch are refused
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="ids already in the graph"):
+        hnsw_store_append(spark, out, rest.limit(3), batch="b2")
+
+
+def test_store_append_orphan_generation_is_invisible(spark, emb, tmp_path):
+    """Crash window: a graphs-<gen> dir written WITHOUT the manifest
+    flip — probes keep answering from the old generation."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from same_same_spark.pipeline.hnsw import (
+        build_hnsw_store,
+        hnsw_topk_persisted,
+    )
+
+    out = str(tmp_path / "store")
+    first = emb.filter(F.col("vec_id") < 100)
+    build_hnsw_store(first, out, n_graphs=2)
+    queries = _qvecs(emb, ids=(0, 1))
+    before = hnsw_topk_persisted(spark, out, queries, k=5).collect()
+    # simulate the crash: orphan generation dir, no manifest flip
+    shutil.copytree(f"{out}/graphs", f"{out}/graphs-1")
+    after = hnsw_topk_persisted(spark, out, queries, k=5).collect()
+    assert sorted(map(str, before)) == sorted(map(str, after))
+
+
+def test_ann_store_append_delete_lifecycle(spark, emb, tmp_path):
+    """LSH/IVF stores: append equals fresh-build-over-union exactly
+    (row-wise deterministic structures); deletes tombstone; uncommitted
+    batch dirs are invisible; re-appending a tombstoned id is refused."""
+    import os
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from same_same_spark.pipeline import ann as ann_ops
+    from same_same_spark.pipeline import ann_store
+
+    cents = ann_ops.centroids_by_label(emb)
+    first = emb.filter(F.col("vec_id") % 2 == 0)
+    rest = emb.filter(F.col("vec_id") % 2 == 1)
+    inc = str(tmp_path / "inc")
+    full = str(tmp_path / "full")
+    ann_store.build_ann_index(first, inc, n_planes=8, centroids=cents)
+    ann_store.build_ann_index(emb, full, n_planes=8, centroids=cents)
+    ann_store.append_ann_index(rest, inc, batch="b1")
+
+    queries = _qvecs(emb)
+    norm = lambda rows: sorted(  # noqa: E731
+        (r["query_id"], r["rank"], r["vec_id"], round(r["score"], 9))
+        for r in rows
+    )
+    for fn, kw in (
+        (ann_store.lsh_topk_persisted, {"max_hamming": 1}),
+        (ann_store.ivf_topk_persisted, {"nprobe": 3}),
+    ):
+        assert norm(fn(spark, inc, queries, k=5, **kw).collect()) == norm(
+            fn(spark, full, queries, k=5, **kw).collect()
+        )
+
+    # idempotent retry
+    m = ann_store.append_ann_index(rest, inc, batch="b1")
+    assert m["batches"] == ["base", "b1"]
+    # live-id clash refused
+    with _pytest.raises(Exception, match="already live"):
+        ann_store.append_ann_index(rest.limit(2), inc, batch="b2")
+
+    # delete = anti-joined out of every probe, exactly
+    top_id = norm(
+        ann_store.lsh_topk_persisted(spark, inc, queries[:1], k=1).collect()
+    )[0][2]
+    ann_store.delete_from_ann_index(spark, inc, [top_id])
+    got = ann_store.lsh_topk_persisted(spark, inc, queries[:1], k=5).collect()
+    assert all(r["vec_id"] != top_id for r in got)
+    # survivors match a fresh build without the deleted id
+    clean = str(tmp_path / "clean")
+    ann_store.build_ann_index(
+        emb.filter(F.col("vec_id") != top_id), clean, n_planes=8,
+        centroids=cents,
+    )
+    want = ann_store.lsh_topk_persisted(spark, clean, queries[:1], k=5).collect()
+    assert norm(got) == norm(want)
+    # tombstoned id cannot come back
+    with _pytest.raises(Exception, match="tombstoned"):
+        ann_store.append_ann_index(
+            emb.filter(F.col("vec_id") == top_id), inc, batch="b3"
+        )
+    # uncommitted batch dirs (crash window) are invisible to probes
+    os.makedirs(os.path.join(inc, "lsh", "batch=zz", "sig=0"), exist_ok=True)
+    before = norm(
+        ann_store.lsh_topk_persisted(spark, inc, queries[:1], k=5).collect()
+    )
+    assert before == norm(got)
+
+
 def test_hnsw_mixed_dims_probe_own_dimension(spark, emb):
     """A foreign-dimension vector can never become a candidate for a
     64-dim query (search.go:17-19 scan-time dim filter)."""
