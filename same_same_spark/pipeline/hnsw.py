@@ -52,6 +52,7 @@ __all__ = [
     "hnsw_topk",
     "build_hnsw_store",
     "hnsw_store_append",
+    "delete_from_hnsw_store",
     "hnsw_topk_persisted",
 ]
 
@@ -528,6 +529,14 @@ def hnsw_store_append(
         F.col(id_col).cast("long").alias(id_col),
         F.col(embedding_col).cast("array<double>").alias("emb"),
     ).withColumn("graph_id", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_graphs)))
+    if m.get("tomb_gen"):
+        tomb = spark.read.parquet(f"{ann_dir}/tomb-{m['tomb_gen']}")
+        n_dead = new.join(F.broadcast(tomb), id_col).count()
+        if n_dead:
+            raise ValueError(
+                f"append batch contains {n_dead} tombstoned id(s) — "
+                "deleted ids stay deleted until the store is rebuilt"
+            )
 
     schema = (
         f"graph_id INT, dim INT, node INT, {id_col} LONG, "
@@ -628,6 +637,39 @@ def hnsw_store_append(
     return m
 
 
+def delete_from_hnsw_store(
+    spark: SparkSession, ann_dir: str, ids: list[int]
+) -> dict:
+    """Tombstone ids. The graph keeps its nodes (edge repair would
+    reshape neighborhoods nondeterministically); probes search with the
+    beam widened by each graph's tombstone count and drop tombstoned
+    candidates — scoring never sees a deleted vector. Deletes are
+    terminal until a rebuild; they're meant for the modest churn an
+    ANN corpus actually sees (heavy churn → rebuild, like compaction).
+    Same generation-flip commit as every other mutation here."""
+    import shutil
+
+    with open(os.path.join(ann_dir, "manifest.json")) as f:
+        m = json.load(f)
+    gen = int(m.get("tomb_gen") or 0) + 1
+    id_col = m["id_col"]
+    prev = (
+        spark.read.parquet(f"{ann_dir}/tomb-{m['tomb_gen']}")
+        if m.get("tomb_gen")
+        else None
+    )
+    new = spark.createDataFrame([(int(i),) for i in ids], f"{id_col} LONG")
+    allt = prev.unionByName(new).distinct() if prev is not None else new.distinct()
+    allt.coalesce(1).write.mode("overwrite").parquet(f"{ann_dir}/tomb-{gen}")
+    m = dict(m)
+    m["tomb_gen"] = gen
+    _flip_hnsw_manifest(ann_dir, m)
+    for d in os.listdir(ann_dir):  # sweep superseded generations
+        if d.startswith("tomb-") and d != f"tomb-{gen}":
+            shutil.rmtree(os.path.join(ann_dir, d), ignore_errors=True)
+    return m
+
+
 def hnsw_topk_persisted(
     spark: SparkSession,
     ann_dir: str,
@@ -646,6 +688,17 @@ def hnsw_topk_persisted(
     store = spark.read.parquet(
         f"{ann_dir}/{manifest.get('graphs_dir', 'graphs')}"
     )
+    # tombstones: a tiny driver-side set (modest-churn contract of
+    # delete_from_hnsw_store); each graph widens its beam by its own
+    # dead count and drops dead candidates, the re-rank side anti-joins
+    tomb: frozenset[int] = frozenset()
+    if manifest.get("tomb_gen"):
+        tomb = frozenset(
+            int(r[id_col])
+            for r in spark.read.parquet(
+                f"{ann_dir}/tomb-{manifest['tomb_gen']}"
+            ).collect()
+        )
     qlist = [(int(qid), np.asarray(v, dtype=np.float64)) for qid, v in queries]
     ef = max(ef_search, k)
 
@@ -667,13 +720,16 @@ def hnsw_topk_persisted(
                 max_level=int(grp["max_level"].iloc[0]),
                 m=m,
             )
+            n_dead = len(tomb.intersection(ids.tolist())) if tomb else 0
             dim = vecs.shape[1] if len(vecs) else 0
             for qid, qv in qlist:
                 if len(qv) != dim:
                     continue
-                got = g.search(qv, ef)
-                out_q.extend([qid] * len(got))
-                out_id.extend(int(x) for x in got)
+                got = g.search(qv, ef + n_dead)
+                for x in got:
+                    if int(x) not in tomb:
+                        out_q.append(qid)
+                        out_id.append(int(x))
         return pd.DataFrame({"query_id": out_q, id_col: out_id})
 
     cand = store.groupBy("graph_id").applyInPandas(_probe, schema)

@@ -317,6 +317,94 @@ def test_ann_store_append_delete_lifecycle(spark, emb, tmp_path):
     assert before == norm(got)
 
 
+def test_hnsw_store_delete_matches_survivor_brute(spark, emb, tmp_path):
+    """Delete the top hit: probe equals brute over the survivors (beam
+    widened per graph, dead candidates dropped before scoring) — and a
+    tombstoned id cannot be re-appended."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from same_same_spark.pipeline import ann
+    from same_same_spark.pipeline.hnsw import (
+        build_hnsw_store,
+        delete_from_hnsw_store,
+        hnsw_store_append,
+        hnsw_topk_persisted,
+    )
+
+    out = str(tmp_path / "store")
+    build_hnsw_store(emb, out, n_graphs=3)
+    queries = _qvecs(emb, ids=(0, 1))
+    norm = lambda rows: sorted(  # noqa: E731
+        (r["query_id"], r["rank"], r["vec_id"], round(r["score"], 9))
+        for r in rows
+    )
+    # vec 0 is query 0's self-hit; delete it (and one more)
+    delete_from_hnsw_store(spark, out, [0, 7])
+    got = hnsw_topk_persisted(spark, out, queries, k=5, ef_search=128).collect()
+    assert all(r["vec_id"] not in (0, 7) for r in got)
+    survivors = emb.filter(~F.col("vec_id").isin(0, 7))
+    want = ann.brute_topk(survivors, queries, k=5).collect()
+    assert norm(got) == norm(want)
+    with _pytest.raises(Exception, match="tombstoned"):
+        hnsw_store_append(
+            spark, out, emb.filter(F.col("vec_id") == 0), batch="back"
+        )
+
+
+def test_stores_compose_with_streaming_ingest(spark, emb, tmp_path):
+    """foreachBatch-shaped ingest: each micro-batch appends into the
+    persisted LSH/IVF store AND the HNSW store with the batch id as the
+    (idempotent) commit token — the same retry contract Structured
+    Streaming gives foreachBatch."""
+    from pyspark.sql import functions as F
+
+    from same_same_spark.pipeline import ann as ann_ops
+    from same_same_spark.pipeline import ann_store
+    from same_same_spark.pipeline.hnsw import (
+        build_hnsw_store,
+        hnsw_store_append,
+        hnsw_topk_persisted,
+    )
+
+    cents = ann_ops.centroids_by_label(emb)
+    inc = str(tmp_path / "inc")
+    hdir = str(tmp_path / "hnsw")
+    seed = emb.filter(F.col("vec_id") % 3 == 0)
+    ann_store.build_ann_index(seed, inc, n_planes=8, centroids=cents)
+    build_hnsw_store(seed, hdir, n_graphs=2)
+
+    def sink(batch_df, batch_id: int) -> None:
+        ann_store.append_ann_index(batch_df, inc, batch=f"b{batch_id}")
+        hnsw_store_append(spark, hdir, batch_df, batch=f"b{batch_id}")
+
+    # two micro-batches + a duplicate delivery of the second (retries
+    # must be no-ops)
+    sink(emb.filter(F.col("vec_id") % 3 == 1), 0)
+    sink(emb.filter(F.col("vec_id") % 3 == 2), 1)
+    sink(emb.filter(F.col("vec_id") % 3 == 2), 1)
+
+    queries = _qvecs(emb)
+    norm = lambda rows: sorted(  # noqa: E731
+        (r["query_id"], r["rank"], r["vec_id"], round(r["score"], 9))
+        for r in rows
+    )
+    brute = norm(ann_ops.brute_topk(emb, queries, k=5).collect())
+    assert (
+        norm(
+            hnsw_topk_persisted(
+                spark, hdir, queries, k=5, ef_search=128
+            ).collect()
+        )
+        == brute
+    )
+    full = str(tmp_path / "full")
+    ann_store.build_ann_index(emb, full, n_planes=8, centroids=cents)
+    assert norm(
+        ann_store.lsh_topk_persisted(spark, inc, queries, k=5).collect()
+    ) == norm(ann_store.lsh_topk_persisted(spark, full, queries, k=5).collect())
+
+
 def test_hnsw_mixed_dims_probe_own_dimension(spark, emb):
     """A foreign-dimension vector can never become a candidate for a
     64-dim query (search.go:17-19 scan-time dim filter)."""
