@@ -1150,6 +1150,31 @@ pairs AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.9),
 """
 
 
+def _q_lcs_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LCS-based overlap removal: each near-dup pair's measured shared
+    substring stripped from the larger-id doc (union per doc,
+    byte-exact remainder). Same pair generator as lcs_pairs."""
+    from same_same_spark.pipeline.lcs import lcs_strip
+
+    docs = _dup_docs(spark, sf_dir)
+    pairs = dedup_ops.minhash_dedup_pairs(
+        docs, threshold=0.9, n_hashes=16, bands=8
+    ).select("id_a", "id_b")
+    return lcs_strip(docs, pairs, min_chars=20, with_stats=True)
+
+
+def _sql_lcs_strip() -> str:
+    from same_same_spark.pipeline.lcs import lcs_strip_sql_ctes
+
+    return f"""
+WITH base AS ({_SQL_DUP_DOCS}),
+{_jaccard_pairs_ctes(3)},
+pairs AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.9),
+{lcs_strip_sql_ctes(docs="base", min_chars=20)}
+SELECT doc_id, text, n_spans_removed, removed_chars FROM clean
+"""
+
+
 def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive duplicate clusters: minhash pairs (same parameters as
     the dedup_minhash entry, whose recall vs exact Jaccard is pinned at
@@ -2505,6 +2530,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "ann_lsh_persisted": (_q_ann_lsh_persisted, _SQL_ANN_LSH),
     "ann_ivf_persisted": (_q_ann_ivf_persisted, _SQL_ANN_IVF),
     "ann_hnsw_persisted": (_q_ann_hnsw_persisted, _SQL_ANN_BRUTE),
+    # lcs_strip (round 4) sits in the tail because the top-50 is full
+    # of sole-evidence rows: its composition (lcs_pairs measurement ∘
+    # strip_char_ranges stitcher) is covered in-top-50 by lcs_pairs +
+    # span_dedup, and its own SQL twin is full-value-compared in
+    # tests/test_lcs.py + tests/test_entry.py.
+    "lcs_strip": (_q_lcs_strip, _sql_lcs_strip()),
     "tfidf_topk_indexed": (_q_tfidf_topk_indexed, _SQL_TFIDF_TOPK),
 }
 

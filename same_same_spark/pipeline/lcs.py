@@ -46,7 +46,14 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["lcs_of", "lcs_pairs", "lcs_sql_tail"]
+__all__ = [
+    "lcs_of",
+    "lcs_pairs",
+    "lcs_strip",
+    "lcs_strip_sql_ctes",
+    "lcs_sql_ctes",
+    "lcs_sql_tail",
+]
 
 
 class _SAM:
@@ -171,6 +178,60 @@ def lcs_pairs(
     return joined.mapInPandas(_run, schema)
 
 
+def lcs_strip(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_chars: int = 20,
+    with_stats: bool = False,
+) -> DataFrame:
+    """Strip the MEASURED pairwise overlap: for each candidate pair
+    whose exact LCS is ≥ ``min_chars``, the min-id doc keeps its text
+    and the other loses its occurrence of the shared substring (the
+    leftmost maximal one the measurement pinned). A doc that is the
+    larger id in several pairs strips the UNION of its ranges exactly
+    once (the shared :func:`strip_char_ranges` stitcher). Compared to
+    :func:`remove_shared_spans` this removes overlap that is NOT
+    hash-identical as a whole span across ≥ min_df docs — e.g. a long
+    quote two docs share with different surroundings."""
+    from same_same_spark.pipeline.spans import strip_char_ranges
+
+    measured = lcs_pairs(df, pairs, id_col=id_col, text_col=text_col).filter(
+        F.col("lcs_len") >= min_chars
+    )
+    a_is_canon = F.col("id_a") < F.col("id_b")
+    ranges = measured.select(
+        F.when(a_is_canon, F.col("id_b")).otherwise(F.col("id_a")).alias(id_col),
+        F.when(a_is_canon, F.col("b_start"))
+        .otherwise(F.col("a_start"))
+        .alias("start"),
+        F.col("lcs_len").alias("span_len"),
+    )
+    return strip_char_ranges(
+        df, ranges, id_col=id_col, text_col=text_col, with_stats=with_stats
+    )
+
+
+def lcs_strip_sql_ctes(
+    docs: str = "dup", pairs: str = "pairs", min_chars: int = 20
+) -> str:
+    """DuckDB twin of :func:`lcs_strip` as a CTE fragment ending in
+    ``clean`` = ``(doc_id, text, n_spans_removed, removed_chars)``."""
+    from same_same_spark.pipeline.spans import strip_ranges_sql_ctes
+
+    return f"""{lcs_sql_ctes(docs=docs, pairs=pairs)},
+lcs_docs AS (SELECT doc_id, text FROM {docs}),
+strips AS (
+  SELECT CASE WHEN id_a < id_b THEN id_b ELSE id_a END AS doc_id,
+         CASE WHEN id_a < id_b THEN b_start ELSE a_start END AS start,
+         lcs_len AS span_len
+  FROM lcs_out
+  WHERE lcs_len >= {min_chars}
+),
+{strip_ranges_sql_ctes(docs="lcs_docs", strips="strips")}"""
+
+
 def lcs_sql_tail(docs: str = "dup", pairs: str = "pairs") -> str:
     """DuckDB twin, as a CTE tail: given ``<docs>(doc_id, text)`` and
     ``<pairs>(id_a, id_b)`` CTEs, yields the final
@@ -178,6 +239,15 @@ def lcs_sql_tail(docs: str = "dup", pairs: str = "pairs") -> str:
     gaps-and-islands over character matches; tie-break
     (len DESC, b_start ASC) == the automaton's first-max rule;
     ``a_start`` via strpos == leftmost, exactly :func:`lcs_of`."""
+    return f"""{lcs_sql_ctes(docs=docs, pairs=pairs)}
+SELECT id_a, id_b, lcs_len, a_start, b_start FROM lcs_out
+"""
+
+
+def lcs_sql_ctes(docs: str = "dup", pairs: str = "pairs") -> str:
+    """The CTE chain behind :func:`lcs_sql_tail`, ending at CTE
+    ``lcs_out`` so composers (``lcs_strip_sql_ctes``) can keep
+    building. Claims the ``lcs_*`` CTE names."""
     return f"""
 lcs_pt AS (
   SELECT p.id_a, p.id_b,
@@ -228,6 +298,4 @@ lcs_out AS (
   FROM lcs_pt pt
   LEFT JOIN (SELECT * FROM lcs_best WHERE rn = 1) s
     ON s.id_a = pt.id_a AND s.id_b = pt.id_b
-)
-SELECT id_a, id_b, lcs_len, a_start, b_start FROM lcs_out
-"""
+)"""

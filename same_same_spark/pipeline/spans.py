@@ -57,6 +57,8 @@ __all__ = [
     "shared_span_ranges",
     "remove_shared_spans",
     "remove_shared_spans_sql",
+    "strip_char_ranges",
+    "strip_ranges_sql_ctes",
 ]
 
 
@@ -200,6 +202,25 @@ def remove_shared_spans(
         df, id_col, text_col, unit=unit, k=k, min_df=min_df,
         min_span_chars=min_span_chars,
     ).filter(F.col(id_col) != F.col("canon"))
+    return strip_char_ranges(
+        df, ranges, id_col=id_col, text_col=text_col, with_stats=with_stats
+    )
+
+
+def strip_char_ranges(
+    df: DataFrame,
+    ranges: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    with_stats: bool = False,
+) -> DataFrame:
+    """Remove char ranges ``(id, start, span_len)`` from their docs,
+    byte-exactly — the shared stitcher behind every span-removal
+    ACTION (hash-equal spans, LCS overlap). Overlapping ranges strip
+    their UNION exactly once (running-max cursor); docs with no range
+    pass through untouched. ``with_stats`` adds ``n_spans_removed``
+    (range rows, pre-union) and ``removed_chars`` (exact union
+    length)."""
     strips = ranges.groupBy(id_col).agg(
         F.sort_array(F.collect_list(F.struct("start", "span_len"))).alias(
             "_rs"
@@ -211,12 +232,12 @@ def remove_shared_spans(
     zero = F.struct(
         F.lit("").alias("o"), F.lit(0).cast("long").alias("c")
     )
-    # Stitch with a running-max cursor: in gram mode two qualifying
-    # runs separated by < k-1 unique chars have OVERLAPPING char
-    # ranges (each run claims [first, last+k)), so the kept piece is
-    # clamped to length ≥ 0 and the cursor never moves backwards —
-    # the union of the spans is removed exactly once. Line-mode
-    # ranges cannot overlap (each ends before the next line start).
+    # Stitch with a running-max cursor: qualifying ranges may OVERLAP
+    # (gram-mode runs closer than k-1 chars; LCS ranges from different
+    # pairs), so the kept piece is clamped to length ≥ 0 and the
+    # cursor never moves backwards — the union of the ranges is
+    # removed exactly once. Line-mode ranges cannot overlap (each ends
+    # before the next line start).
     rebuilt = F.aggregate(
         "_rs",
         zero,
@@ -252,7 +273,7 @@ def remove_shared_spans(
             "n_spans_removed",
             F.coalesce("n_spans_removed", F.lit(0).cast("long")),
         ).withColumn(
-            # union length — exact even when gram-mode ranges overlap
+            # union length — exact even when ranges overlap
             "removed_chars",
             (
                 F.coalesce(F.length(text), F.lit(0))
@@ -336,16 +357,25 @@ strips AS (
   FROM spans s JOIN groups g USING (span_h60, span_len)
   WHERE s.doc_id <> g.canon
 ),
-pieces AS (
-  -- running-max cursor: gram-mode ranges can overlap (two runs closer
-  -- than k-1 chars), so each kept piece is clamped to length >= 0 and
-  -- the cursor never moves backwards — union removed exactly once
+{strip_ranges_sql_ctes()}"""
+
+
+def strip_ranges_sql_ctes(docs: str = "docs", strips: str = "strips") -> str:
+    """DuckDB twin of :func:`strip_char_ranges`, as a CTE fragment:
+    given ``<docs>(doc_id, text)`` and ``<strips>(doc_id, start,
+    span_len)``, defines ``pieces``/``rebuilt`` and the final
+    ``clean`` = ``(doc_id, text, n_spans_removed, removed_chars)``."""
+    return f"""pieces AS (
+  -- running-max cursor: ranges can overlap (gram-mode runs closer
+  -- than k-1 chars; LCS ranges from different pairs), so each kept
+  -- piece is clamped to length >= 0 and the cursor never moves
+  -- backwards — union removed exactly once
   SELECT doc_id, start, span_len,
          coalesce(max(start + span_len) OVER (
            PARTITION BY doc_id ORDER BY start
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
            AS prev_end
-  FROM strips
+  FROM {strips}
 ),
 rebuilt AS (
   SELECT p.doc_id,
@@ -355,7 +385,7 @@ rebuilt AS (
            '' ORDER BY p.start)
            || substr(d.text, (max(p.start + p.span_len) + 1)::INT) AS text,
          count(*) AS n_spans_removed
-  FROM pieces p JOIN docs d USING (doc_id)
+  FROM pieces p JOIN {docs} d USING (doc_id)
   GROUP BY p.doc_id, d.text
 ),
 clean AS (
@@ -363,5 +393,5 @@ clean AS (
          coalesce(r.text, d.text) AS text,
          coalesce(r.n_spans_removed, 0) AS n_spans_removed,
          coalesce(length(d.text) - length(r.text), 0) AS removed_chars
-  FROM docs d LEFT JOIN rebuilt r USING (doc_id)
+  FROM {docs} d LEFT JOIN rebuilt r USING (doc_id)
 )"""

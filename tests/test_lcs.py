@@ -139,3 +139,70 @@ def test_lcs_pairs_whole_doc_duplicate(spark):
     pairs = spark.createDataFrame([(10, 11)], "id_a LONG, id_b LONG")
     [r] = lcs_pairs(df, pairs).collect()
     assert (r["lcs_len"], r["a_start"], r["b_start"]) == (9, 0, 0)
+
+
+def test_lcs_strip_removes_measured_overlap(spark):
+    """The min-id doc of each pair keeps its text; the other loses the
+    pinned occurrence; a doc in several pairs strips the union; the
+    remainder is byte-exact."""
+    from same_same_spark.pipeline.lcs import lcs_strip
+
+    quote = "TO BE OR NOT TO BE THAT IS THE QUESTION"
+    docs = [
+        (1, f"intro one {quote} outro one"),
+        (2, f"different lead {quote} and different tail"),
+        (3, f"{quote} standing nearly alone"),
+        (4, "no overlap with anything here at all"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "id_a LONG, id_b LONG"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in lcs_strip(df, pairs, min_chars=20, with_stats=True).collect()
+    }
+    assert rows[1]["text"] == docs[0][1]          # canonical untouched
+    assert quote not in rows[2]["text"]
+    assert quote not in rows[3]["text"]
+    assert rows[4]["text"] == docs[3][1]          # lcs < min_chars
+    # byte-exactness: remainder = original minus the claimed range —
+    # the LCS includes the flanking spaces both docs share
+    assert rows[2]["text"] == "different leadand different tail"
+    assert rows[2]["removed_chars"] == len(quote) + 2
+    assert rows[3]["n_spans_removed"] == 1
+
+
+def test_lcs_strip_sql_twin_full_value(spark):
+    """Spark vs DuckDB twin, full value compare, on pairs that overlap
+    within one doc (union stitch) + NULL text + no-match pairs."""
+    import duckdb
+    import pandas as pd
+
+    from same_same_spark.pipeline.lcs import lcs_strip, lcs_strip_sql_ctes
+
+    docs = [
+        (1, "AAAA common-head BBBB common-tail CCCC"),
+        (2, "xxxx common-head yyyy"),
+        (3, "zzzz common-tail wwww"),
+        (4, "AAAA common-head BBBB"),  # overlaps doc 1 twice via 2,3? no — pairs below
+        (5, None),
+        (6, "totally unrelated content"),
+    ]
+    pair_rows = [(1, 2), (1, 3), (1, 4), (1, 6), (5, 6)]
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    pairs = spark.createDataFrame(pair_rows, "id_a LONG, id_b LONG")
+    got = sorted(
+        (r["doc_id"], r["text"], r["n_spans_removed"], r["removed_chars"])
+        for r in lcs_strip(df, pairs, min_chars=8, with_stats=True).collect()
+    )
+    con = duckdb.connect()
+    con.register("d", pd.DataFrame(docs, columns=["doc_id", "text"]))
+    con.register("p", pd.DataFrame(pair_rows, columns=["id_a", "id_b"]))
+    sql = (
+        "WITH dup AS (SELECT * FROM d), pairs AS (SELECT * FROM p), "
+        + lcs_strip_sql_ctes(min_chars=8)
+        + " SELECT doc_id, text, n_spans_removed, removed_chars FROM clean"
+    )
+    want = sorted(tuple(r) for r in con.execute(sql).fetchall())
+    assert got == want
