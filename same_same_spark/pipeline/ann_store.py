@@ -188,7 +188,8 @@ def append_ann_index(
     id_col = m["id_col"]
     for sub in ("lsh", "ivf"):
         shutil.rmtree(
-            os.path.join(ann_dir, sub, f"batch={batch}"), ignore_errors=True
+            os.path.join(ann_dir, _sub_dir(m, sub), f"batch={batch}"),
+            ignore_errors=True,
         )
 
     e = df.select(
@@ -218,7 +219,7 @@ def append_ann_index(
         e, _load_centroids(spark, ann_dir), id_col=id_col, embedding_col="emb"
     ).withColumn("batch", F.lit(batch))
     assigned.write.mode("append").partitionBy("batch", "centroid_id").parquet(
-        f"{ann_dir}/ivf"
+        f"{ann_dir}/{_sub_dir(m, 'ivf')}"
     )
 
     n_new = spark.read.parquet(f"{ann_dir}/lsh/batch={batch}").count()
@@ -271,19 +272,89 @@ def _tomb_ids(spark: SparkSession, ann_dir: str, m: dict) -> DataFrame | None:
     return spark.read.parquet(f"{ann_dir}/tomb-{gen}")
 
 
+def _sub_dir(m: dict, sub: str) -> str:
+    """Current directory for a structure — ``ivf`` moves generations on
+    centroid refresh; ``lsh`` is signature-stable."""
+    return m.get("ivf_dir", "ivf") if sub == "ivf" else sub
+
+
 def _live_vectors(
     spark: SparkSession, ann_dir: str, m: dict, sub: str
 ) -> DataFrame:
     """The structure's rows restricted to committed batches and live
     (non-tombstoned) ids. Batch + probe filters are both partition
     columns, so the scan stays partition-pruned."""
-    v = spark.read.parquet(f"{ann_dir}/{sub}")
+    v = spark.read.parquet(f"{ann_dir}/{_sub_dir(m, sub)}")
     if "batches" in m:
         v = v.filter(F.col("batch").isin(list(m["batches"])))
     tomb = _tomb_ids(spark, ann_dir, m)
     if tomb is not None:
         v = v.join(F.broadcast(tomb), m["id_col"], "left_anti")
     return v
+
+
+def refresh_centroids(
+    spark: SparkSession,
+    ann_dir: str,
+    centroids: list[tuple[int, list[float]]] | None = None,
+    n_centroids: int = 16,
+    seed: int = 13,
+) -> dict:
+    """Re-cluster and re-assign the IVF structure — the answer to
+    centroid drift after many appends/deletes. New centroids (MLlib
+    KMeans over the LIVE vectors by default, or caller-supplied) and
+    the full re-assignment write to fresh ``ivf-<gen>`` /
+    ``centroids-<gen>`` dirs, THEN the manifest flips both pointers
+    atomically; stale generations are swept after. A crash mid-write
+    leaves probes on the old generation. Rows keep their original
+    ``batch`` value (the append log stays meaningful); tombstoned rows
+    are dropped here — deletes are terminal, so the rewrite is the
+    natural place to compact them out. LSH is signature-stable and
+    untouched."""
+    import shutil
+
+    m = _load_manifest(ann_dir)
+    if "batches" not in m:
+        raise ValueError(
+            "store predates the batch layout — rebuild with build_ann_index"
+        )
+    gen = int(m.get("ivf_gen", 0)) + 1
+    id_col = m["id_col"]
+    live = _live_vectors(spark, ann_dir, m, "ivf").select(
+        id_col, "emb", "batch"
+    )
+    if centroids is None:
+        centroids = kmeans_centroids(
+            live, n_centroids=n_centroids, embedding_col="emb", seed=seed
+        )
+    assigned = assign_centroids(
+        live.select(id_col, "emb"), centroids, id_col=id_col,
+        embedding_col="emb",
+    ).join(live.select(id_col, "batch"), id_col)
+    new_ivf = f"ivf-{gen}"
+    new_cent = f"centroids-{gen}"
+    assigned.write.mode("overwrite").partitionBy("batch", "centroid_id").parquet(
+        f"{ann_dir}/{new_ivf}"
+    )
+    cdf = spark.createDataFrame(
+        [(cid, [float(x) for x in vec]) for cid, vec in centroids],
+        "centroid_id INT, cvec ARRAY<DOUBLE>",
+    )
+    cdf.coalesce(1).write.mode("overwrite").parquet(f"{ann_dir}/{new_cent}")
+    m = dict(m)
+    m["ivf_gen"] = gen
+    m["ivf_dir"] = new_ivf
+    m["centroids_dir"] = new_cent
+    m["n_centroids"] = len(centroids)
+    _write_manifest(ann_dir, m)
+    for d in os.listdir(ann_dir):  # sweep superseded generations
+        if (
+            (d == "ivf" or d.startswith("ivf-")) and d != new_ivf
+        ) or (
+            (d == "centroids" or d.startswith("centroids-")) and d != new_cent
+        ):
+            shutil.rmtree(os.path.join(ann_dir, d), ignore_errors=True)
+    return m
 
 
 # centroid tables are tiny (n_centroids × dim) and probed on every IVF
@@ -304,9 +375,10 @@ def _load_centroids(
     for stale in [k for k in _CENTROID_CACHE if k[0] == ann_dir and k != key]:
         del _CENTROID_CACHE[stale]
     if key not in _CENTROID_CACHE:
+        cdir = _load_manifest(ann_dir).get("centroids_dir", "centroids")
         _CENTROID_CACHE[key] = [
             (int(r["centroid_id"]), list(r["cvec"]))
-            for r in spark.read.parquet(f"{ann_dir}/centroids").collect()
+            for r in spark.read.parquet(f"{ann_dir}/{cdir}").collect()
         ]
     return _CENTROID_CACHE[key]
 

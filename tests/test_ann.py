@@ -221,3 +221,64 @@ def test_persisted_ivf_probe_is_partition_pruned(spark, emb, ann_dir):
 
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "centroid_id" in m.group(1)
+
+
+def test_refresh_centroids_after_churn(spark, emb, tmp_path):
+    """Append + delete, then re-cluster: the refreshed store's IVF
+    probe equals a fresh build over the survivors with the same
+    centroids (generation flip, tombstones compacted out, batch log
+    preserved); a crash-window orphan generation stays invisible."""
+    import json
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from same_same_spark.pipeline import ann as ann_ops
+    from same_same_spark.pipeline import ann_store
+
+    first = emb.filter(F.col("vec_id") % 2 == 0)
+    rest = emb.filter(F.col("vec_id") % 2 == 1)
+    survivors = emb.filter(~F.col("vec_id").isin(2, 4))
+    inc = str(tmp_path / "inc")
+    ann_store.build_ann_index(
+        first, inc, n_planes=8, centroids=ann_ops.centroids_by_label(first)
+    )
+    ann_store.append_ann_index(rest, inc, batch="b1")
+    ann_store.delete_from_ann_index(spark, inc, [2, 4])
+
+    new_cents = ann_ops.centroids_by_label(survivors)
+    m = ann_store.refresh_centroids(spark, inc, centroids=new_cents)
+    assert m["ivf_dir"] == "ivf-1" and m["centroids_dir"] == "centroids-1"
+    assert not os.path.exists(os.path.join(inc, "ivf"))  # swept
+    # tombstoned rows compacted out of the rewritten structure
+    raw = spark.read.parquet(os.path.join(inc, "ivf-1"))
+    assert raw.filter(F.col("vec_id").isin(2, 4)).count() == 0
+    assert set(
+        r["batch"] for r in raw.select("batch").distinct().collect()
+    ) == {"base", "b1"}
+
+    fresh = str(tmp_path / "fresh")
+    ann_store.build_ann_index(
+        survivors, fresh, n_planes=8, centroids=new_cents
+    )
+    queries = _qvecs(emb)
+    norm = lambda rows: sorted(  # noqa: E731
+        (r["query_id"], r["rank"], r["vec_id"], round(r["score"], 9))
+        for r in rows
+    )
+    got = ann_store.ivf_topk_persisted(spark, inc, queries, k=5, nprobe=3)
+    want = ann_store.ivf_topk_persisted(spark, fresh, queries, k=5, nprobe=3)
+    assert norm(got.collect()) == norm(want.collect())
+
+    # crash window: an orphan generation without the manifest flip
+    before = norm(
+        ann_store.ivf_topk_persisted(spark, inc, queries, k=5).collect()
+    )
+    shutil.copytree(os.path.join(inc, "ivf-1"), os.path.join(inc, "ivf-2"))
+    manifest = json.load(open(os.path.join(inc, "manifest.json")))
+    assert manifest["ivf_dir"] == "ivf-1"
+    after = norm(
+        ann_store.ivf_topk_persisted(spark, inc, queries, k=5).collect()
+    )
+    assert before == after
