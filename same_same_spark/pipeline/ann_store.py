@@ -145,6 +145,20 @@ def build_ann_index(
     return manifest
 
 
+def _check_batch_name(batch: str) -> None:
+    """Spark percent-escapes '=', ':', '%', … in partition VALUES, so
+    any such name would desync the written dir from the cleanup/read
+    paths — restrict to a charset that round-trips verbatim."""
+    import re
+
+    if not batch or batch.startswith(".") or not re.fullmatch(
+        r"[A-Za-z0-9_\-.]+", batch
+    ):
+        raise ValueError(
+            f"bad batch name {batch!r} — use [A-Za-z0-9_-.], no leading dot"
+        )
+
+
 def _write_manifest(ann_dir: str, manifest: dict) -> None:
     tmp = os.path.join(ann_dir, "manifest.json.tmp")
     with open(tmp, "w") as f:
@@ -182,8 +196,7 @@ def append_ann_index(
         )
     if batch in m["batches"]:
         return m  # committed already — idempotent retry
-    if not batch or "/" in batch or batch.startswith("."):
-        raise ValueError(f"bad batch name {batch!r}")
+    _check_batch_name(batch)
     spark = df.sparkSession
     id_col = m["id_col"]
     for sub in ("lsh", "ivf"):
@@ -196,6 +209,24 @@ def append_ann_index(
         F.col(id_col),
         F.col(embedding_col).cast("array<double>").alias("emb"),
     )
+    n_rows, n_ids, n_distinct = e.agg(
+        F.count(F.lit(1)), F.count(id_col), F.count_distinct(id_col)
+    ).first()
+    if n_ids < n_rows:
+        raise ValueError(f"append batch contains {n_rows - n_ids} NULL id(s)")
+    if n_distinct < n_rows:
+        raise ValueError(
+            f"append batch contains duplicate ids "
+            f"({n_rows - n_distinct} extra row(s)) — a committed duplicate "
+            "would be served twice forever"
+        )
+    if n_rows == 0:
+        # empty micro-batch (routine under foreachBatch): commit the
+        # token so retries are no-ops, write nothing
+        m = dict(m)
+        m["batches"] = list(m["batches"]) + [batch]
+        _write_manifest(ann_dir, m)
+        return m
     live_ids = _live_vectors(spark, ann_dir, m, "lsh").select(id_col)
     tomb = _tomb_ids(spark, ann_dir, m)
     n_live = live_ids.join(F.broadcast(e.select(id_col)), id_col).count()

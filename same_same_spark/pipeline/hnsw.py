@@ -327,6 +327,7 @@ def hnsw_topk(
     scored = (
         e.join(F.broadcast(cand), id_col)
         .join(F.broadcast(qdf), "query_id")
+        .filter(F.size("emb") == F.size("qvec"))  # scan-time dim filter
         .select(
             "query_id",
             id_col,
@@ -513,12 +514,13 @@ def hnsw_store_append(
     pinned in tests."""
     import shutil
 
+    from same_same_spark.pipeline.ann_store import _check_batch_name
+
     with open(os.path.join(ann_dir, "manifest.json")) as f:
         m = json.load(f)
     if batch in m.get("batches", []):
         return m  # committed already — idempotent retry
-    if not batch or "/" in batch or batch.startswith("."):
-        raise ValueError(f"bad batch name {batch!r}")
+    _check_batch_name(batch)
     id_col = m["id_col"]
     mm, efc, n_graphs = m["m"], m["ef_construction"], m["n_graphs"]
     old_dir = m.get("graphs_dir", "graphs")
@@ -529,6 +531,23 @@ def hnsw_store_append(
         F.col(id_col).cast("long").alias(id_col),
         F.col(embedding_col).cast("array<double>").alias("emb"),
     ).withColumn("graph_id", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_graphs)))
+    n_rows, n_ids, n_distinct = new.agg(
+        F.count(F.lit(1)), F.count(id_col), F.count_distinct(id_col)
+    ).first()
+    if n_ids < n_rows:
+        raise ValueError(f"append batch contains {n_rows - n_ids} NULL id(s)")
+    if n_distinct < n_rows:
+        raise ValueError(
+            "append batch contains duplicate ids "
+            f"({n_rows - n_distinct} extra row(s))"
+        )
+    if n_rows == 0:
+        # empty micro-batch: commit the token, skip the generation
+        # rewrite entirely
+        m = dict(m)
+        m["batches"] = list(m.get("batches", ["base"])) + [batch]
+        _flip_hnsw_manifest(ann_dir, m)
+        return m
     if m.get("tomb_gen"):
         tomb = spark.read.parquet(f"{ann_dir}/tomb-{m['tomb_gen']}")
         n_dead = new.join(F.broadcast(tomb), id_col).count()
@@ -544,6 +563,11 @@ def hnsw_store_append(
         "entry_node INT, max_level INT"
     )
 
+    out_cols = [
+        "graph_id", "dim", "node", id_col, "emb", "links",
+        "entry_node", "max_level",
+    ]
+
     def _merge(key, old_pdf: pd.DataFrame, new_pdf: pd.DataFrame) -> pd.DataFrame:
         gid = int(key[0])
         out: list[pd.DataFrame] = []
@@ -553,7 +577,26 @@ def hnsw_store_append(
             if len(new_pdf)
             else {}
         )
+        # live-id refusal must span dimensions: an id re-appended at a
+        # DIFFERENT dim would otherwise dodge extend()'s same-dim check
+        # and be served twice
+        if len(old_pdf) and len(new_pdf):
+            clash = set(map(int, new_pdf[id_col])) & set(
+                map(int, old_pdf[id_col])
+            )
+            if clash:
+                raise ValueError(
+                    f"batch contains {len(clash)} ids already in the graph "
+                    f"(e.g. {sorted(clash)[:3]})"
+                )
         for dim in sorted(set(old_by_dim) | set(new_by_dim)):
+            if dim not in new_by_dim:
+                # untouched subgraph: pass the stored rows through
+                # verbatim (byte-identical by determinism) — no
+                # reconstruction round-trip
+                grp = old_by_dim[dim].sort_values("node")
+                out.append(grp.assign(graph_id=gid)[out_cols])
+                continue
             # originals travel beside the graph (the graph keeps only
             # unit vectors; the exact re-rank needs the raw embs)
             orig_embs: list[list[float]] = []
@@ -741,6 +784,7 @@ def hnsw_topk_persisted(
         store.select(id_col, "emb")
         .join(F.broadcast(cand), id_col)
         .join(F.broadcast(qdf), "query_id")
+        .filter(F.size("emb") == F.size("qvec"))  # scan-time dim filter
         .select(
             "query_id",
             id_col,

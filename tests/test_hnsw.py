@@ -405,6 +405,65 @@ def test_stores_compose_with_streaming_ingest(spark, emb, tmp_path):
     ) == norm(ann_store.lsh_topk_persisted(spark, full, queries, k=5).collect())
 
 
+def test_append_refusals_and_empty_batches(spark, emb, tmp_path):
+    """Both store families refuse intra-batch duplicate ids, NULL ids,
+    cross-dim live-id re-appends, and unsafe batch names; empty
+    micro-batches commit their token without writing."""
+    import json
+    import os
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from same_same_spark.pipeline import ann as ann_ops
+    from same_same_spark.pipeline import ann_store
+    from same_same_spark.pipeline.hnsw import build_hnsw_store, hnsw_store_append
+
+    cents = ann_ops.centroids_by_label(emb)
+    first = emb.filter(F.col("vec_id") < 200)
+    inc = str(tmp_path / "inc")
+    hdir = str(tmp_path / "hnsw")
+    ann_store.build_ann_index(first, inc, n_planes=8, centroids=cents)
+    build_hnsw_store(first, hdir, n_graphs=2)
+
+    dup_batch = emb.filter(F.col("vec_id").isin(300, 301)).unionByName(
+        emb.filter(F.col("vec_id") == 300)
+    )
+    null_batch = spark.createDataFrame(
+        [(None, [0.0] * 64, 0)], "vec_id LONG, embedding ARRAY<FLOAT>, label INT"
+    )
+    cross_dim = spark.createDataFrame(
+        [(5, [1.0, 2.0], 0)], "vec_id LONG, embedding ARRAY<FLOAT>, label INT"
+    )
+    empty = emb.filter(F.lit(False))
+
+    for name, bad, match in [
+        ("d1", dup_batch, "duplicate ids"),
+        ("n1", null_batch, "NULL id"),
+    ]:
+        with _pytest.raises(Exception, match=match):
+            ann_store.append_ann_index(bad, inc, batch=name)
+        with _pytest.raises(Exception, match=match):
+            hnsw_store_append(spark, hdir, bad, batch=name)
+    with _pytest.raises(Exception, match="bad batch name"):
+        ann_store.append_ann_index(empty, inc, batch="v=2")
+    with _pytest.raises(Exception, match="bad batch name"):
+        hnsw_store_append(spark, hdir, empty, batch="a/b")
+    # id 5 is live at dim 64; re-append at dim 2 must be refused too
+    with _pytest.raises(Exception, match="already in the graph"):
+        hnsw_store_append(spark, hdir, cross_dim, batch="x1")
+
+    # empty batches commit their token, write nothing, and retry no-op
+    m1 = ann_store.append_ann_index(empty, inc, batch="e1")
+    assert "e1" in m1["batches"]
+    assert not os.path.exists(os.path.join(inc, "lsh", "batch=e1"))
+    assert ann_store.append_ann_index(empty, inc, batch="e1") == m1
+    h1 = hnsw_store_append(spark, hdir, empty, batch="e1")
+    assert "e1" in h1["batches"]
+    assert h1["gen"] == 0  # no generation rewrite for an empty batch
+    hm = json.load(open(os.path.join(hdir, "manifest.json")))
+    assert hm["graphs_dir"] == "graphs"
+
+
 def test_hnsw_mixed_dims_probe_own_dimension(spark, emb):
     """A foreign-dimension vector can never become a candidate for a
     64-dim query (search.go:17-19 scan-time dim filter)."""
