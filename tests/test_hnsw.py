@@ -139,6 +139,16 @@ def test_hnsw_candidates_partition_by_graph(spark, emb):
     assert len(pairs) == len(set(pairs))
 
 
+def test_hnsw_plan_shape(spark, emb):
+    """One hash-partition exchange feeds the graphs; the exact re-rank
+    joins are BROADCASTs (candidates and queries are tiny) — never a
+    sort-merge join over the corpus."""
+    df = hnsw_topk(emb, _qvecs(emb, ids=(0,)), k=5, n_graphs=4)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_persisted_store_identical_to_querytime(spark, emb, tmp_path):
     """Reload-vs-rebuild: the persisted probe must be rank- AND
     score-identical to hnsw_topk with the same parameters (build
