@@ -1150,6 +1150,47 @@ pairs AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.9),
 """
 
 
+def _q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size overlapping windows per doc (pure-column chunking,
+    operators/chunk.py) — the passage-retrieval foundation."""
+    from same_same_spark.operators.chunk import chunk_documents
+
+    return chunk_documents(
+        _docs(spark, sf_dir).select("doc_id", "text"), size=120, overlap=30
+    )
+
+
+def _sql_chunk_docs() -> str:
+    from same_same_spark.operators.chunk import chunk_sql
+
+    return chunk_sql("documents", size=120, overlap=30)
+
+
+def _q_passage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k passages for the reference query set: chunk windows score
+    through the verified BM25 path (chunk-level stats), cuids decode
+    back to (doc_id, chunk_id)."""
+    from same_same_spark.operators.chunk import passage_topk
+
+    out = passage_topk(
+        _docs(spark, sf_dir), REF_QUERIES, k=REF_K, size=120, overlap=30
+    )
+    return _round6(out, "score").withColumn("rank", F.col("rank").cast("int"))
+
+
+def _sql_passage_topk() -> str:
+    from same_same_spark.operators.chunk import passage_topk_sql
+
+    return (
+        "SELECT query_id, doc_id, chunk_id, score, rank::INTEGER AS rank "
+        "FROM ("
+        + passage_topk_sql(
+            "documents", REF_QUERIES, k=REF_K, size=120, overlap=30
+        )
+        + ")"
+    )
+
+
 def _q_lcs_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LCS-based overlap removal: each near-dup pair's measured shared
     substring stripped from the larger-id doc (union per doc,
@@ -2446,6 +2487,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "pack_sequences": (_q_pack_sequences, _sql_pack_sequences()),
     "ann_hnsw_topk": (_q_ann_hnsw, _SQL_ANN_BRUTE),
     "lcs_pairs": (_q_lcs_pairs, _sql_lcs_pairs()),
+    "chunk_docs": (_q_chunk_docs, _sql_chunk_docs()),
     # --- r3-green entries (CORRECTNESS_r03 all-green) -----------------
     "bm25_topk": (_q_bm25_topk, _SQL_BM25_TOPK),
     "term_df_top100": (_q_term_df, _SQL_TERM_DF),
@@ -2453,7 +2495,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "corpus_overview": (_q_corpus_overview, _SQL_CORPUS_OVERVIEW),
     "doc_token_stats": (_q_doc_token_stats, _SQL_DOC_TOKEN_STATS),
     "filter_expr": (_q_filter_expr, _SQL_FILTER_EXPR),
-    "filter_metadata_map": (_q_filter_metadata_map, _SQL_FILTER_METADATA_MAP),
     "legacy_metadata_eq": (_q_legacy_metadata_eq, _SQL_LEGACY_METADATA_EQ),
     "list_projection": (_q_list_projection, _SQL_LIST_PROJECTION),
     "metadata_score": (_q_metadata_score, _SQL_METADATA_SCORE),
@@ -2518,13 +2559,19 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # accident: it is result-identical to in-top-50 ann_hnsw_topk
     # (build determinism, pinned in test_hnsw) and shares its brute
     # oracle, exactly this block's contract.
-    # search_by_text + hybrid_search rotated here round 4 (r3-green):
-    # their SURVEY rows keep in-top-50 evidence via the indexed twins
+    # search_by_text + hybrid_search + filter_metadata_map rotated here
+    # round 4 (r3-green): their SURVEY rows keep in-top-50 evidence
     # (§2.9: search_by_text_indexed, hybrid_search_indexed,
-    # filter_search_indexed; A7: hybrid_search_indexed); the naive
-    # paths' Spark-vs-oracle identity stays pinned by tests/test_entry.
+    # filter_search_indexed; A7: hybrid_search_indexed; F2/F3:
+    # filter_expr); the rotated paths' Spark-vs-oracle identity stays
+    # pinned by tests/test_entry.
     "search_by_text": (_q_search_by_text, _SQL_SEARCH_BY_TEXT),
     "hybrid_search": (_q_hybrid_search, _SQL_HYBRID_SEARCH),
+    "filter_metadata_map": (_q_filter_metadata_map, _SQL_FILTER_METADATA_MAP),
+    # passage_topk (round 4) = chunk_documents ∘ score_queries — both
+    # pieces top-50-verified (chunk_docs, bm25_topk); codified twin-
+    # tail exception, full-value SQL twin in tests/test_entry.py.
+    "passage_topk": (_q_passage_topk, _sql_passage_topk()),
     "dedup_prefix": (_q_dedup_prefix, _exact_jaccard_sql(0.9)),
     "dedup_ngram_jaccard": (_q_dedup_ngram, _exact_jaccard_sql(0.8)),
     "ann_lsh_persisted": (_q_ann_lsh_persisted, _SQL_ANN_LSH),
