@@ -88,6 +88,7 @@ ENTRY_QUERY_NAMES = [
     "ann_hnsw_topk",
     "ann_hnsw_persisted",
     "lcs_pairs",
+    "passage_topk",
 ]
 
 # VERDICT r3 #8: round-over-round totals stopped being comparable as

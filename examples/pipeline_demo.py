@@ -140,6 +140,20 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
             f"(a@{r['a_start']}, b@{r['b_start']})"
         )
 
+    # 9. passage retrieval: fixed-size overlapping windows scored with
+    # chunk-level BM25 — finds the concentrated match inside a doc
+    from same_same_spark.operators.chunk import passage_topk
+
+    print("-- top passages for 'fast merge join sort' --")
+    hits = passage_topk(
+        docs, [(0, "fast merge join sort")], k=3, size=120, overlap=30
+    )
+    for r in hits.orderBy("rank").collect():
+        print(
+            f"  #{r['rank']} doc {r['doc_id']} chunk {r['chunk_id']}"
+            f"  score={r['score']:.4f}"
+        )
+
 
 if __name__ == "__main__":
     main(*sys.argv[1:])
