@@ -1576,6 +1576,93 @@ def _q_ann_hnsw_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round6(out, "score")
 
 
+_HNSW_REPAIR_DEAD = (0, 7, 21)
+
+
+def _hnsw_repaired_store_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per content fingerprint) an HNSW store that went
+    through the full delete-heavy maintenance lifecycle: build →
+    tombstone ids → edge-repair (tombstones compacted out of the
+    adjacency). The end state is deterministic given the sequence, so
+    it caches like the other scratch stores; completion = manifest
+    present with the tombstones gone and a repair generation committed
+    (a crash mid-sequence fails that predicate and rebuilds)."""
+    import hashlib
+    import json
+    import os
+    import tempfile
+
+    from same_same_spark.pipeline.hnsw import (
+        build_hnsw_store,
+        delete_from_hnsw_store,
+        repair_hnsw_store,
+    )
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f"{src}|{st.st_size}|{st.st_mtime_ns}|hnsw-repair-v1".encode()
+    ).hexdigest()[:10]
+    out = f"{tempfile.gettempdir()}/ss_entry_hnswrep_{tag}"
+    mf = os.path.join(out, "manifest.json")
+    done = False
+    if os.path.exists(mf):
+        with open(mf) as f:
+            m = json.load(f)
+        done = "tomb_gen" not in m and int(m.get("gen", 0)) >= 1
+    if not done:
+        build_hnsw_store(
+            _emb(spark, sf_dir), out, m=8, ef_construction=64, n_graphs=4
+        )
+        delete_from_hnsw_store(spark, out, list(_HNSW_REPAIR_DEAD))
+        repair_hnsw_store(spark, out, mode="repair")
+    return out
+
+
+def _q_ann_hnsw_after_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HNSW probe after delete + EDGE REPAIR (pipeline/hnsw.py
+    repair_hnsw_store): dead nodes are compacted out of the persisted
+    adjacency — survivor neighborhoods bridge through the deleted
+    nodes, orphans re-link, tombstones disappear so probes run at the
+    plain beam width again. Candidates cover the true top-k (pinned in
+    tests/test_hnsw.py), so the oracle is brute-force cosine over the
+    SURVIVING vectors."""
+    from same_same_spark.pipeline.hnsw import hnsw_topk_persisted
+
+    out = hnsw_topk_persisted(
+        spark,
+        _hnsw_repaired_store_dir(spark, sf_dir),
+        _ann_queries(spark, sf_dir),
+        k=5,
+        ef_search=128,
+    )
+    return _round6(out, "score")
+
+
+_SQL_ANN_BRUTE_AFTER_REPAIR = """
+WITH q AS (
+  SELECT vec_id::INTEGER AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id IN (0, 1, 2)
+),
+s AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS score
+  FROM embeddings e, q
+  WHERE len(e.embedding) = len(q.qv)
+    AND e.vec_id NOT IN (0, 7, 21)  -- the deleted-then-repaired ids
+),
+r AS (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY round(score, 9) DESC, vec_id ASC
+         ) AS rank
+  FROM s
+)
+SELECT query_id, vec_id, round(score, 6) AS score, rank::INTEGER AS rank
+FROM r WHERE rank <= 5
+"""
+
+
 def _q_ann_lsh_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH probe against the PERSISTED store (partition-pruned read) —
     result-identical to the query-time path, so it shares its oracle."""
@@ -1905,6 +1992,29 @@ def _sql_token_counts() -> str:
         f"SELECT doc_id, ({tc['ws_tokens']})::BIGINT AS ws_tokens, "
         f"({tc['bpe_tokens']})::BIGINT AS bpe_tokens FROM documents"
     )
+
+
+def _q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality scoring: a bigram LM (add-0.5 smoothing)
+    trained on the doc_id%10==0 reference slice scores every document
+    with its mean bigram log-prob (pipeline/lm.py). The oracle pins
+    (n_bigrams, avg_logp); perplexity = exp(-avg_logp) is derived and
+    last-ulp-amplifying, so it stays out of the hash."""
+    from same_same_spark.pipeline import lm as lm_ops
+
+    docs = _docs(spark, sf_dir)
+    model = lm_ops.train_bigram_lm(
+        docs.filter(F.col("doc_id") % 10 == 0), alpha=0.5
+    )
+    return lm_ops.lm_perplexity(docs, model).select(
+        "doc_id", "n_bigrams", "avg_logp"
+    )
+
+
+def _sql_lm_perplexity() -> str:
+    from same_same_spark.pipeline import lm as lm_ops
+
+    return lm_ops.lm_perplexity_sql(alpha=0.5)
 
 
 def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2458,7 +2568,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     #       (LLM-pipeline)-table entries whose rows read pass(r3) +
     #       redundant SQL twins of in-top-50 entries (same oracle,
     #       Spark-side divergence pinned by tests/test_entry.py over
-    #       ALL 68). If the cap stays 50, rotate these to the top next
+    #       ALL 76). If the cap stays 50, rotate these to the top next
     #       round.
     # ------------------------------------------------------------------
     "training_mix": (_q_training_mix, _sql_training_mix()),
@@ -2488,8 +2598,20 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "ann_hnsw_topk": (_q_ann_hnsw, _SQL_ANN_BRUTE),
     "lcs_pairs": (_q_lcs_pairs, _sql_lcs_pairs()),
     "chunk_docs": (_q_chunk_docs, _sql_chunk_docs()),
+    # sole evidence for the delete-heavy HNSW maintenance path
+    # (HnswGraph.repair + repair_hnsw_store); its insertion pushed
+    # r3-green dedup_exact past 50 into the rotation overflow.
+    "ann_hnsw_after_repair": (
+        _q_ann_hnsw_after_repair, _SQL_ANN_BRUTE_AFTER_REPAIR,
+    ),
+    # sole evidence for bigram-LM perplexity scoring (pipeline/lm.py)
+    "lm_perplexity": (_q_lm_perplexity, _sql_lm_perplexity()),
     # --- r3-green entries (CORRECTNESS_r03 all-green) -----------------
-    "bm25_topk": (_q_bm25_topk, _SQL_BM25_TOPK),
+    # (bm25_topk moved to the twin tail this round: it shares
+    # _SQL_BM25_TOPK with in-top-50 index_bm25_topk and the two are
+    # rank-identical by construction — the codified twin exception —
+    # which keeps sole-evidence euclidean_topk inside the top-50 after
+    # the two new round-4 insertions above.)
     "term_df_top100": (_q_term_df, _SQL_TERM_DF),
     "vocab_prune": (_q_vocab_prune, _SQL_VOCAB_PRUNE),
     "corpus_overview": (_q_corpus_overview, _SQL_CORPUS_OVERVIEW),
@@ -2565,6 +2687,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # filter_search_indexed; A7: hybrid_search_indexed; F2/F3:
     # filter_expr); the rotated paths' Spark-vs-oracle identity stays
     # pinned by tests/test_entry.
+    # bm25_topk (rotated round 4): the naive differential baseline —
+    # same oracle SQL and rank-identical results as in-top-50
+    # index_bm25_topk (pinned in test_index + test_entry).
+    "bm25_topk": (_q_bm25_topk, _SQL_BM25_TOPK),
     "search_by_text": (_q_search_by_text, _SQL_SEARCH_BY_TEXT),
     "hybrid_search": (_q_hybrid_search, _SQL_HYBRID_SEARCH),
     "filter_metadata_map": (_q_filter_metadata_map, _SQL_FILTER_METADATA_MAP),

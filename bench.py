@@ -87,6 +87,8 @@ ENTRY_QUERY_NAMES = [
     "ann_ivf_persisted",
     "ann_hnsw_topk",
     "ann_hnsw_persisted",
+    "ann_hnsw_after_repair",
+    "lm_perplexity",
     "lcs_pairs",
     "passage_topk",
 ]
@@ -234,6 +236,7 @@ def main() -> None:
     entry_idx = entry._entry_index_dir(spark, SF_DIR)
     entry._ann_store_dir(spark, SF_DIR)
     entry._hnsw_store_dir(spark, SF_DIR)
+    entry._hnsw_repaired_store_dir(spark, SF_DIR)
     entry._entry_deleted_index_dir(spark, SF_DIR)
     ensure_tfidf_aux(spark, entry_idx, log=lambda *_: None)
     qs = entry.queries()

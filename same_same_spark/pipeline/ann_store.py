@@ -244,7 +244,7 @@ def append_ann_index(
         "sig", signature_col(F.col("emb"), m["n_planes"])
     ).withColumn("batch", F.lit(batch))
     lsh.write.mode("append").partitionBy("batch", "sig").parquet(
-        f"{ann_dir}/lsh"
+        f"{ann_dir}/{_sub_dir(m, 'lsh')}"
     )
     assigned = assign_centroids(
         e, _load_centroids(spark, ann_dir), id_col=id_col, embedding_col="emb"
@@ -253,7 +253,9 @@ def append_ann_index(
         f"{ann_dir}/{_sub_dir(m, 'ivf')}"
     )
 
-    n_new = spark.read.parquet(f"{ann_dir}/lsh/batch={batch}").count()
+    n_new = spark.read.parquet(
+        f"{ann_dir}/{_sub_dir(m, 'lsh')}/batch={batch}"
+    ).count()
     m = dict(m)
     m["batches"] = list(m["batches"]) + [batch]
     m["n_vectors"] = int(m["n_vectors"]) + int(n_new)
@@ -267,8 +269,9 @@ def delete_from_ann_index(
     """Tombstone ids — probes anti-join them out (exact: scoring never
     sees a deleted vector). One tiny parquet per generation; the
     manifest flip makes the new generation live atomically, and stale
-    generations are swept after. Deletes are terminal: re-appending a
-    tombstoned id is refused until a rebuild."""
+    generations are swept after. Re-appending a tombstoned id is
+    refused until :func:`compact_ann_index` folds the tombstones out
+    (or the store is rebuilt)."""
     m = _load_manifest(ann_dir)
     if "batches" not in m:
         raise ValueError(
@@ -277,7 +280,7 @@ def delete_from_ann_index(
     gen = int(m.get("tomb_gen") or 0) + 1
     id_col = m["id_col"]
     prev = _tomb_ids(spark, ann_dir, m)
-    id_dt = spark.read.parquet(f"{ann_dir}/lsh").schema[
+    id_dt = spark.read.parquet(f"{ann_dir}/{_sub_dir(m, 'lsh')}").schema[
         id_col
     ].dataType.simpleString()
     new = spark.createDataFrame([(i,) for i in ids], f"{id_col} {id_dt}")
@@ -305,8 +308,11 @@ def _tomb_ids(spark: SparkSession, ann_dir: str, m: dict) -> DataFrame | None:
 
 def _sub_dir(m: dict, sub: str) -> str:
     """Current directory for a structure — ``ivf`` moves generations on
-    centroid refresh; ``lsh`` is signature-stable."""
-    return m.get("ivf_dir", "ivf") if sub == "ivf" else sub
+    centroid refresh or compaction, ``lsh`` (signature-stable) only on
+    compaction."""
+    if sub == "ivf":
+        return m.get("ivf_dir", "ivf")
+    return m.get("lsh_dir", "lsh")
 
 
 def _live_vectors(
@@ -383,6 +389,65 @@ def refresh_centroids(
             (d == "ivf" or d.startswith("ivf-")) and d != new_ivf
         ) or (
             (d == "centroids" or d.startswith("centroids-")) and d != new_cent
+        ):
+            shutil.rmtree(os.path.join(ann_dir, d), ignore_errors=True)
+    return m
+
+
+def compact_ann_index(spark: SparkSession, ann_dir: str) -> dict:
+    """Compact tombstones out of BOTH structures — the delete-heavy
+    maintenance path (the LSH/IVF counterpart to
+    :func:`~same_same_spark.pipeline.hnsw.repair_hnsw_store`).
+
+    Live rows rewrite to fresh ``lsh-<gen>`` / ``ivf-<gen>`` dirs
+    (rows keep their original ``batch`` and ``sig``/``centroid_id``
+    partition values — the append log and probe pruning survive
+    unchanged; centroids are NOT recomputed, that's
+    :func:`refresh_centroids`), THEN one manifest flip moves both
+    pointers and clears the tombstones atomically. After compaction
+    probes skip the anti-join entirely and previously-deleted ids may
+    be re-appended. A crash mid-write leaves probes on the old
+    generation; a retry compacts again and the flip's sweep collects
+    any orphan dirs. No tombstones → idempotent no-op. Compacting a
+    store down to zero live vectors is refused (an empty structure dir
+    is unreadable — rebuild instead)."""
+    import shutil
+
+    m = _load_manifest(ann_dir)
+    if "batches" not in m:
+        raise ValueError(
+            "store predates the batch layout — rebuild with build_ann_index"
+        )
+    if not int(m.get("tomb_gen") or 0):
+        return m  # nothing tombstoned — idempotent no-op
+    lsh_gen = int(m.get("lsh_gen", 0)) + 1
+    ivf_gen = int(m.get("ivf_gen", 0)) + 1
+    new_lsh, new_ivf = f"lsh-{lsh_gen}", f"ivf-{ivf_gen}"
+
+    live_lsh = _live_vectors(spark, ann_dir, m, "lsh")
+    n_live = live_lsh.count()
+    if n_live == 0:
+        raise ValueError(
+            "compaction would leave the store empty — rebuild instead"
+        )
+    live_lsh.write.mode("overwrite").partitionBy("batch", "sig").parquet(
+        f"{ann_dir}/{new_lsh}"
+    )
+    _live_vectors(spark, ann_dir, m, "ivf").write.mode(
+        "overwrite"
+    ).partitionBy("batch", "centroid_id").parquet(f"{ann_dir}/{new_ivf}")
+
+    m = dict(m)
+    m["lsh_gen"], m["lsh_dir"] = lsh_gen, new_lsh
+    m["ivf_gen"], m["ivf_dir"] = ivf_gen, new_ivf
+    m["tomb_gen"] = 0
+    m["n_vectors"] = int(n_live)
+    _write_manifest(ann_dir, m)
+    for d in os.listdir(ann_dir):  # sweep superseded generations
+        if (
+            ((d == "lsh" or d.startswith("lsh-")) and d != new_lsh)
+            or ((d == "ivf" or d.startswith("ivf-")) and d != new_ivf)
+            or d.startswith("tomb-")
         ):
             shutil.rmtree(os.path.join(ann_dir, d), ignore_errors=True)
     return m

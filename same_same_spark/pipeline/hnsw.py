@@ -53,6 +53,7 @@ __all__ = [
     "build_hnsw_store",
     "hnsw_store_append",
     "delete_from_hnsw_store",
+    "repair_hnsw_store",
     "hnsw_topk_persisted",
 ]
 
@@ -218,6 +219,121 @@ class HnswGraph:
         self.unit = np.vstack([self.unit, unit_new]) if start else unit_new
         for i in range(start, len(self.ids)):
             self._insert(i)
+
+    def repair(self, dead_nodes: np.ndarray | list[int]) -> None:
+        """Remove nodes from the graph, re-linking the survivors — the
+        edge-repair counterpart to tombstoning (which leaves dead nodes
+        in place and widens beams).
+
+        Per (live node, layer): the new neighborhood is selected (same
+        deterministic ``_select``) from the old live out-neighbors plus
+        every live node reachable through dead-only paths from the old
+        dead out-neighbors — so a chain of deletions bridges instead of
+        severing. Afterwards any survivor left unreachable from the
+        entry point over layer-0 out-links is re-linked with an
+        insert-style search (lowest node index first), so every live
+        vector stays discoverable. Entry point: kept if live, else the
+        earliest-inserted survivor at the new max level. Deterministic
+        given (graph state, dead set); node levels are id-derived so
+        they never change.
+
+        A repaired graph is NOT byte-identical to a fresh build over
+        the survivors (use a rebuild for that); the recall contract
+        (exact re-rank over covering candidates) is what carries,
+        pinned in tests.
+        """
+        dead = {int(d) for d in np.asarray(dead_nodes, dtype=np.int64)}
+        if not dead:
+            return
+        n = len(self.ids)
+        if not dead.issubset(range(n)):
+            raise ValueError("dead node index out of range")
+        live = [i for i in range(n) if i not in dead]
+        if not live:
+            dim = self.unit.shape[1] if self.unit.ndim == 2 else 0
+            self.ids = np.empty(0, dtype=np.int64)
+            self.unit = np.empty((0, dim))
+            self._links = []
+            self._entry, self._max_level = -1, -1
+            return
+        remap = {old: new for new, old in enumerate(live)}
+        levels = {u: len(self._links[u]) - 1 for u in live}
+        new_links: list[list[list[int]]] = []
+        for u in live:
+            qu = self.unit[u]
+            layers_out: list[list[int]] = []
+            for layer, nbs in enumerate(self._links[u]):
+                cand: set[int] = set()
+                frontier: list[int] = []
+                seen_dead: set[int] = set()
+                for nb in nbs:
+                    if nb in dead:
+                        if nb not in seen_dead:
+                            seen_dead.add(nb)
+                            frontier.append(nb)
+                    elif nb != u:
+                        cand.add(nb)
+                while frontier:  # live frontier through dead-only paths
+                    d = frontier.pop()
+                    if layer >= len(self._links[d]):
+                        continue
+                    for nb in self._links[d][layer]:
+                        if nb in dead:
+                            if nb not in seen_dead:
+                                seen_dead.add(nb)
+                                frontier.append(nb)
+                        elif nb != u:
+                            cand.add(nb)
+                cap = self.m0 if layer == 0 else self.m
+                picked = self._select(
+                    qu, [(self._sim(qu, nb), nb) for nb in cand], cap
+                )
+                layers_out.append([remap[nb] for nb in picked])
+            new_links.append(layers_out)
+        old_entry = self._entry
+        self.ids = self.ids[live]
+        self.unit = self.unit[live]
+        self._links = new_links
+        self._max_level = max(levels[u] for u in live)
+        if old_entry in remap and levels[old_entry] == self._max_level:
+            self._entry = remap[old_entry]
+        else:
+            self._entry = next(
+                remap[u] for u in live if levels[u] == self._max_level
+            )
+        # reconnect survivors the repair left unreachable (entry-rooted
+        # BFS over layer-0 out-links; re-link lowest index first)
+        n_live = len(self.ids)
+        for _ in range(n_live):  # each pass reconnects ≥1 node; bounded
+            seen = {self._entry}
+            stack = [self._entry]
+            while stack:
+                node = stack.pop()
+                for nb in self._links[node][0]:
+                    if nb not in seen:
+                        seen.add(nb)
+                        stack.append(nb)
+            if len(seen) == n_live:
+                break
+            i = min(set(range(n_live)) - seen)
+            q = self.unit[i]
+            level = len(self._links[i]) - 1
+            ep = self._entry
+            for layer in range(self._max_level, level, -1):
+                ep = self._greedy(q, ep, layer)
+            for layer in range(min(level, self._max_level), -1, -1):
+                found = self._search_layer(q, [ep], self.efc, layer)
+                cap = self.m0 if layer == 0 else self.m
+                neighbors = self._select(
+                    q, [(s, nb) for s, nb in found if nb != i], cap
+                )
+                self._links[i][layer] = list(neighbors)
+                for nb in neighbors:
+                    if i not in self._links[nb][layer]:
+                        self._links[nb][layer].append(i)
+                        self._shrink(nb, layer)
+                if found:
+                    ep = max(found, key=lambda t: (t[0], -t[1]))[1]
 
     def search(self, qvec: np.ndarray, ef: int, k: int | None = None) -> np.ndarray:
         """Top-``k`` (default ``ef``) vec_ids by cosine, approximate.
@@ -709,6 +825,131 @@ def delete_from_hnsw_store(
     _flip_hnsw_manifest(ann_dir, m)
     for d in os.listdir(ann_dir):  # sweep superseded generations
         if d.startswith("tomb-") and d != f"tomb-{gen}":
+            shutil.rmtree(os.path.join(ann_dir, d), ignore_errors=True)
+    return m
+
+
+def repair_hnsw_store(
+    spark: SparkSession, ann_dir: str, mode: str = "repair"
+) -> dict:
+    """Compact tombstones out of a persisted store — the maintenance
+    counterpart to :func:`delete_from_hnsw_store` for delete-heavy
+    stores (tombstoning widens every probe's beam by the dead count;
+    repair restores dead-free graphs so beams shrink back and
+    previously-deleted ids may be re-appended).
+
+    ``mode='repair'``: each touched (graph, dim) subgraph drops its
+    dead nodes via :meth:`HnswGraph.repair` — survivors keep their
+    neighborhoods except where they bridged through the dead; cost is
+    proportional to the dead neighborhoods, not the graph.
+    ``mode='rebuild'``: touched subgraphs rebuild from scratch over the
+    live vectors (id-ascending insertion) — byte-identical to a fresh
+    :func:`build_hnsw_store` over the survivors, at full build cost.
+
+    Untouched subgraphs pass through verbatim either way. Same commit
+    protocol as appends: write ``graphs-<gen>``, flip the manifest
+    (dropping ``tomb_gen``), sweep superseded graph and tombstone
+    generations. A crash before the flip leaves probes on the old
+    generation; retrying completes the repair. No tombstones → no-op.
+    """
+    import shutil
+
+    if mode not in ("repair", "rebuild"):
+        raise ValueError(f"unknown repair mode {mode!r}")
+    with open(os.path.join(ann_dir, "manifest.json")) as f:
+        m = json.load(f)
+    if not m.get("tomb_gen"):
+        return m  # nothing tombstoned — idempotent no-op
+    id_col = m["id_col"]
+    mm, efc = m["m"], m["ef_construction"]
+    old_dir = m.get("graphs_dir", "graphs")
+    gen = int(m.get("gen", 0)) + 1
+    tomb = frozenset(
+        int(r[id_col])
+        for r in spark.read.parquet(f"{ann_dir}/tomb-{m['tomb_gen']}").collect()
+    )
+    store = spark.read.parquet(f"{ann_dir}/{old_dir}")
+
+    schema = (
+        f"graph_id INT, dim INT, node INT, {id_col} LONG, "
+        "emb ARRAY<DOUBLE>, links ARRAY<ARRAY<INT>>, "
+        "entry_node INT, max_level INT"
+    )
+    out_cols = [
+        "graph_id", "dim", "node", id_col, "emb", "links",
+        "entry_node", "max_level",
+    ]
+
+    def _fix(pdf: pd.DataFrame) -> pd.DataFrame:
+        out: list[pd.DataFrame] = []
+        gid = int(pdf["graph_id"].iloc[0]) if len(pdf) else -1
+        for dim, grp in pdf.groupby("dim"):
+            grp = grp.sort_values("node")
+            ids = grp[id_col].to_numpy(dtype=np.int64)
+            dead_mask = np.isin(ids, np.fromiter(tomb, dtype=np.int64))
+            if not dead_mask.any():
+                # untouched subgraph: verbatim pass-through
+                out.append(grp.assign(graph_id=gid)[out_cols])
+                continue
+            embs = [list(map(float, v)) for v in grp["emb"]]
+            if mode == "rebuild":
+                lids = ids[~dead_mask]
+                order = np.argsort(lids)
+                lvecs = np.array(
+                    [
+                        np.asarray(embs[i], dtype=np.float64)
+                        for i in np.nonzero(~dead_mask)[0]
+                    ]
+                )[order] if len(lids) else np.empty((0, int(dim)))
+                g = HnswGraph(lids[order], lvecs, m=mm, ef_construction=efc)
+                live_embs = [embs[i] for i in np.nonzero(~dead_mask)[0][order]]
+            else:
+                vecs = np.array([np.asarray(v, dtype=np.float64) for v in embs])
+                links = [[list(nb) for nb in layers] for layers in grp["links"]]
+                g = graph_from_state(
+                    ids, vecs, links,
+                    entry=int(grp["entry_node"].iloc[0]),
+                    max_level=int(grp["max_level"].iloc[0]),
+                    m=mm, ef_construction=efc,
+                )
+                g.repair(np.nonzero(dead_mask)[0])
+                live_embs = [embs[i] for i in np.nonzero(~dead_mask)[0]]
+            if not len(g.ids):
+                continue  # subgraph fully deleted
+            st = graph_state(g)
+            out.append(
+                pd.DataFrame(
+                    {
+                        "graph_id": gid,
+                        "dim": int(dim),
+                        "node": np.arange(len(g.ids), dtype=np.int32),
+                        id_col: g.ids,
+                        "emb": live_embs,
+                        "links": st["links"],
+                        "entry_node": st["entry"],
+                        "max_level": st["max_level"],
+                    }
+                )
+            )
+        if not out:
+            return pd.DataFrame(columns=out_cols)
+        return pd.concat(out, ignore_index=True)
+
+    fixed = store.groupBy("graph_id").applyInPandas(_fix, schema)
+    new_dir = f"graphs-{gen}"
+    fixed.write.mode("overwrite").partitionBy("graph_id").parquet(
+        f"{ann_dir}/{new_dir}"
+    )
+    m = dict(m)
+    m["gen"] = gen
+    m["graphs_dir"] = new_dir
+    m["n_vectors"] = spark.read.parquet(f"{ann_dir}/{new_dir}").count()
+    m.pop("tomb_gen", None)
+    _flip_hnsw_manifest(ann_dir, m)
+    for d in os.listdir(ann_dir):  # sweep superseded generations
+        if (d == "graphs" or d.startswith("graphs-")) and d != new_dir:
+            shutil.rmtree(os.path.join(ann_dir, d), ignore_errors=True)
+        if d.startswith("tomb-"):
             shutil.rmtree(os.path.join(ann_dir, d), ignore_errors=True)
     return m
 

@@ -1,0 +1,211 @@
+"""Token-bigram language-model perplexity scoring — CCNet-style
+quality filtering (Wenzek et al. 2020: score every document with a
+small LM trained on a curated reference corpus; keep/bucket by
+perplexity). The reference engine has no LM surface; this extends the
+training-data pipeline the same way dedup/textqc do.
+
+Model: add-alpha-smoothed token bigrams over X1 tokens (the frozen
+tokenizer — so LM scores, BM25, and the index all see one token
+stream):
+
+    logp(w2 | w1) = ln((c(w1,w2) + alpha) / (c(w1) + alpha * V))
+
+with V = distinct unigrams in the training slice. Out-of-vocabulary
+events fall out naturally (missing counts coalesce to 0 — the
+classic add-alpha floor), so scoring needs no UNK rewrite pass.
+
+Spark-first shape / 100-TB notes:
+
+- Training counts come from ONE pass over the (small, curated)
+  reference slice: tokens stay JVM-side (`tokens_col`), bigrams are
+  ``arrays_zip(slice, slice)`` — no UDF, no Python.
+- Scoring is two joins (bigram, unigram) + one groupBy(doc).  The LM
+  is reference-corpus-sized — CCNet's point is that it is SMALL — so
+  both joins broadcast and the only shuffle is the per-doc mean.
+  With a huge LM the same plan degrades gracefully to shuffle joins.
+- The per-doc mean log-prob is the score; ``avg_logp`` is the
+  cross-engine-stable quantity (|lp| ≤ ln-scale, identical to 6dp in
+  DuckDB).  ``perplexity = exp(-avg_logp)`` is derived and carried
+  for humans — exp amplifies last-ulp noise, so oracle comparisons
+  pin avg_logp, not perplexity.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from same_same_spark.text.tokenizer import duckdb_tokens_sql, tokens_col
+
+__all__ = ["BigramLM", "train_bigram_lm", "lm_perplexity", "lm_perplexity_sql"]
+
+ALPHA_DEFAULT = 0.5
+
+
+@dataclass
+class BigramLM:
+    """Counts of a trained bigram LM. ``unigrams``: (w1, c1);
+    ``bigrams``: (w1, w2, c2); ``vocab_size``: distinct w1 count.
+    ``broadcast=True`` (the CCNet small-reference contract) hints both
+    joins to broadcast."""
+
+    unigrams: DataFrame
+    bigrams: DataFrame
+    vocab_size: int
+    alpha: float = ALPHA_DEFAULT
+    broadcast: bool = True
+
+
+def _bigram_pairs(tok_arr: Column) -> Column:
+    """(w1, w2) structs for consecutive token pairs — pure column
+    math: zip the array against itself shifted by one."""
+    n = F.size(tok_arr)
+    return F.arrays_zip(
+        F.slice(tok_arr, 1, n - 1).alias("w1"),
+        F.slice(tok_arr, 2, n - 1).alias("w2"),
+    )
+
+
+def train_bigram_lm(
+    train_df: DataFrame,
+    text_col: str = "text",
+    alpha: float = ALPHA_DEFAULT,
+    broadcast: bool = True,
+) -> BigramLM:
+    """One pass over the reference slice → unigram + bigram counts.
+    Deterministic: counts are exact, no sampling, no RNG."""
+    toks = train_df.select(tokens_col(text_col).alias("t")).filter(
+        F.size("t") > 0
+    )
+    uni = (
+        toks.select(F.explode("t").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).cast("double").alias("c1"))
+    )
+    bi = (
+        toks.filter(F.size("t") > 1)
+        .select(F.explode(_bigram_pairs(F.col("t"))).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("double").alias("c2"))
+    )
+    return BigramLM(
+        unigrams=uni,
+        bigrams=bi,
+        vocab_size=int(uni.count()),
+        alpha=float(alpha),
+        broadcast=broadcast,
+    )
+
+
+def lm_perplexity(
+    df: DataFrame,
+    lm: BigramLM,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score every document: (id, n_bigrams, avg_logp, perplexity).
+
+    Docs with fewer than two tokens have no bigram events —
+    ``n_bigrams = 0`` and NULL scores (they carry no LM evidence; gate
+    them on length, not perplexity). avg_logp is rounded to 6dp (the
+    cross-engine contract); perplexity derives from the UNrounded mean
+    and is informational.
+    """
+    uni, bi = lm.unigrams, lm.bigrams
+    if lm.broadcast:
+        uni, bi = F.broadcast(uni), F.broadcast(bi)
+    pairs = (
+        df.select(F.col(id_col), tokens_col(text_col).alias("t"))
+        .filter(F.size("t") > 1)
+        .select(id_col, F.explode(_bigram_pairs(F.col("t"))).alias("p"))
+        .select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    lp = (
+        F.log(
+            (F.coalesce(F.col("c2"), F.lit(0.0)) + F.lit(lm.alpha))
+            / (
+                F.coalesce(F.col("c1"), F.lit(0.0))
+                + F.lit(lm.alpha * lm.vocab_size)
+            )
+        )
+    ).alias("lp")
+    scored = (
+        pairs.join(bi, ["w1", "w2"], "left")
+        .join(uni, ["w1"], "left")
+        .select(id_col, lp)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.avg("lp").alias("_avg_lp"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .distinct()
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+            F.round(F.col("_avg_lp"), 6).alias("avg_logp"),
+            F.round(F.exp(-F.col("_avg_lp")), 6).alias("perplexity"),
+        )
+    )
+
+
+def lm_perplexity_sql(
+    table: str = "documents",
+    id_expr: str = "doc_id",
+    text_expr: str = "text",
+    train_where: str = "doc_id % 10 = 0",
+    alpha: float = ALPHA_DEFAULT,
+) -> str:
+    """DuckDB twin — trains the same counts relationally and scores
+    every doc; selects the cross-engine-stable columns only
+    (perplexity = exp of the mean is last-ulp-amplifying, so the
+    oracle pins avg_logp)."""
+    t = duckdb_tokens_sql(text_expr)
+    return f"""
+WITH tr AS (
+  SELECT {t} AS t FROM {table} WHERE {train_where}
+),
+uni AS (
+  SELECT w1, count(*)::DOUBLE AS c1
+  FROM (SELECT unnest(t) AS w1 FROM tr WHERE len(t) > 0)
+  GROUP BY 1
+),
+v AS (SELECT count(*)::DOUBLE AS vs FROM uni),
+bi AS (
+  SELECT w1, w2, count(*)::DOUBLE AS c2
+  FROM (
+    SELECT t[i] AS w1, t[i + 1] AS w2
+    FROM tr, unnest(range(1, len(t))) AS u(i)
+  )
+  GROUP BY 1, 2
+),
+docs AS (
+  SELECT {id_expr} AS doc_id, {t} AS t FROM {table}
+),
+pairs AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM docs, unnest(range(1, len(t))) AS u(i)
+),
+scored AS (
+  SELECT p.doc_id,
+         ln((coalesce(b.c2, 0) + {alpha})
+            / (coalesce(u.c1, 0) + {alpha} * (SELECT vs FROM v))) AS lp
+  FROM pairs p
+  LEFT JOIN bi b ON b.w1 = p.w1 AND b.w2 = p.w2
+  LEFT JOIN uni u ON u.w1 = p.w1
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_bigrams, avg(lp) AS avg_lp
+  FROM scored GROUP BY 1
+)
+SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams,
+       round(a.avg_lp, 6) AS avg_logp
+FROM (SELECT DISTINCT {id_expr} AS doc_id FROM {table}) d
+LEFT JOIN agg a ON a.doc_id = d.doc_id
+"""

@@ -7,6 +7,9 @@ Stage order (each optional, each a module this package already ships):
    composite score threshold (pure column math),
 2. C4 doc gate    — :func:`~same_same_spark.pipeline.textqc.c4_doc_flags`
    keep decision,
+2b. LM gate       — :func:`~same_same_spark.pipeline.lm.lm_perplexity`
+   CCNet-style perplexity threshold against a bigram LM trained on a
+   caller-supplied curated reference slice (``lm_ref_df``),
 3. span strip     — :func:`~same_same_spark.pipeline.spans.remove_shared_spans`
    byte-identical boilerplate removal, one canonical copy kept (so
    docs differing only by headers collapse into exact dups below),
@@ -76,6 +79,13 @@ class MixConfig:
     # copy. Runs after the cheap gates and BEFORE exact dedup, so docs
     # that differed only by boilerplate collapse into exact duplicates
     # the next stage removes.
+    # CCNet-style LM quality gate: runs only when
+    # prepare_training_corpus receives lm_ref_df (the curated reference
+    # slice the bigram LM trains on); keeps docs with
+    # perplexity <= lm_max_perplexity. Docs with <2 tokens carry no LM
+    # evidence and pass through — gate those on length/quality instead.
+    lm_max_perplexity: float | None = None
+    lm_alpha: float = 0.5
     strip_spans: bool = False
     span_unit: str = "line"
     span_k: int = 8  # gram width when span_unit="gram" (char-exact mode)
@@ -88,12 +98,16 @@ class MixConfig:
     pack_seq_len: int | None = None
     pack_shards: int = 256
 
-    def stages(self, with_decontam: bool = False) -> list[str]:
+    def stages(
+        self, with_decontam: bool = False, with_lm: bool = False
+    ) -> list[str]:
         out = []
         if self.min_quality is not None:
             out.append("quality")
         if self.c4_gate:
             out.append("c4")
+        if with_lm and self.lm_max_perplexity is not None:
+            out.append("lm")
         if self.strip_spans:
             out.append("span_strip")
         if self.exact:
@@ -116,11 +130,14 @@ def prepare_training_corpus(
     cfg: MixConfig,
     eval_df: DataFrame | None = None,
     stats: dict | None = None,
+    lm_ref_df: DataFrame | None = None,
 ) -> DataFrame:
     """Run the configured stages; returns the surviving rows with all
     input columns (+ ``split`` when splits are configured).
     ``eval_df`` (columns incl. ``text``) switches on the
-    decontamination stage after dedup. ``stats`` (optional dict)
+    decontamination stage after dedup; ``lm_ref_df`` (the curated
+    reference slice) switches on the CCNet perplexity gate when
+    ``cfg.lm_max_perplexity`` is set. ``stats`` (optional dict)
     receives the fuzzy-dedup connected-components round count
     (``{"cc_rounds": n}``) — observability for scale benchmarks, no
     extra Spark actions."""
@@ -133,6 +150,21 @@ def prepare_training_corpus(
             cfg.text_col, min_sentences=cfg.c4_min_sentences
         )["c4_keep"]
         out = out.filter(keep)
+    if lm_ref_df is not None and cfg.lm_max_perplexity is not None:
+        from same_same_spark.pipeline.lm import lm_perplexity, train_bigram_lm
+
+        model = train_bigram_lm(
+            lm_ref_df, text_col=cfg.text_col, alpha=cfg.lm_alpha
+        )
+        keep_ids = (
+            lm_perplexity(out, model, id_col=cfg.id_col, text_col=cfg.text_col)
+            .filter(
+                F.col("perplexity").isNull()
+                | (F.col("perplexity") <= F.lit(cfg.lm_max_perplexity))
+            )
+            .select(cfg.id_col)
+        )
+        out = out.join(keep_ids, cfg.id_col, "left_semi")
     if cfg.strip_spans:
         from same_same_spark.pipeline.spans import remove_shared_spans
 
@@ -202,19 +234,26 @@ def prepare_training_corpus(
 
 
 def mix_report(
-    df: DataFrame, cfg: MixConfig, eval_df: DataFrame | None = None
+    df: DataFrame,
+    cfg: MixConfig,
+    eval_df: DataFrame | None = None,
+    lm_ref_df: DataFrame | None = None,
 ) -> dict[str, int]:
     """Row counts after each configured stage (one Spark action per
     stage — a diagnostic for notebooks and tests, NOT part of the lazy
     production plan; run it on a sample at scale)."""
     with_d = eval_df is not None
-    order = cfg.stages(with_decontam=with_d)
+    with_lm = lm_ref_df is not None
+    order = cfg.stages(with_decontam=with_d, with_lm=with_lm)
     counts: dict[str, int] = {"input": df.count()}
     for i, stage in enumerate(order):
         keep = set(order[: i + 1])
         partial = _truncated(cfg, keep)
         ev = eval_df if "decontam" in keep else None
-        counts[stage] = prepare_training_corpus(df, partial, ev).count()
+        lref = lm_ref_df if "lm" in keep else None
+        counts[stage] = prepare_training_corpus(
+            df, partial, ev, lm_ref_df=lref
+        ).count()
     return counts
 
 

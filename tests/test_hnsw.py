@@ -488,3 +488,248 @@ def test_hnsw_mixed_dims_probe_own_dimension(spark, emb):
     # and a 3-dim query only ever sees the 3-dim vector
     got3 = hnsw_topk(mixed, [(7, [1.0, 2.0, 3.0])], k=5, n_graphs=2).collect()
     assert [r["vec_id"] for r in got3] == [10_000]
+
+
+# -- edge repair (delete-heavy store maintenance) ------------------------
+
+
+def test_graph_repair_invariants():
+    """Repair drops the dead set, keeps survivor insertion order,
+    preserves degree caps / no-dup / no-self-loop / no-dead-ref
+    invariants, stays deterministic, and keeps the exhaustive-ef
+    search exact (connectivity survives the removal)."""
+    ids, vecs, g = _toy_graph(n=400, d=24, seed=21)
+    rng = np.random.default_rng(4)
+    dead = np.sort(rng.choice(400, size=120, replace=False))
+    g.repair(dead)
+    live = np.setdiff1d(np.arange(400), dead)
+    assert list(g.ids) == list(ids[live])
+    for node, layers in enumerate(g._links):
+        for layer, links in enumerate(layers):
+            cap = g.m0 if layer == 0 else g.m
+            assert len(links) <= cap, (node, layer)
+            assert len(set(links)) == len(links)
+            assert node not in links
+            assert all(0 <= nb < len(g.ids) for nb in links)
+    assert len(g._links[g._entry]) - 1 == g._max_level
+    # determinism: independent repair of an identical graph
+    g2 = HnswGraph(ids, vecs, m=8, ef_construction=48)
+    g2.repair(dead)
+    assert g._entry == g2._entry and g._links == g2._links
+    # exhaustive ef == exact over the survivors (connectivity)
+    unit = vecs[live] / np.linalg.norm(vecs[live], axis=1)[:, None]
+    for _ in range(5):
+        q = rng.normal(size=24)
+        sims = unit @ (q / np.linalg.norm(q))
+        order = np.lexsort((ids[live], -np.round(sims, 12)))
+        assert list(g.search(q, ef=len(live), k=10)) == list(ids[live][order[:10]])
+
+
+def test_graph_repair_delete_heavy_bridges_chains():
+    """Deleting 70% (including the entry point) must not sever the
+    survivors: dead-only paths bridge, orphans re-link, recall at
+    moderate ef stays high."""
+    ids, vecs, g = _toy_graph(n=600, d=16, seed=8)
+    rng = np.random.default_rng(17)
+    dead = set(map(int, rng.choice(600, size=420, replace=False)))
+    dead.add(g._entry)  # force an entry-point replacement
+    dead_arr = np.sort(np.fromiter(dead, dtype=np.int64))
+    g.repair(dead_arr)
+    live = np.setdiff1d(np.arange(600), dead_arr)
+    unit = vecs[live] / np.linalg.norm(vecs[live], axis=1)[:, None]
+    total = 0.0
+    for _ in range(20):
+        q = rng.normal(size=16)
+        true10 = set(ids[live][np.argsort(-(unit @ (q / np.linalg.norm(q))))[:10]])
+        got = set(int(x) for x in g.search(q, ef=64, k=10))
+        total += len(true10 & got) / 10
+    assert total / 20 >= 0.95
+    # exhaustive ef still exact: nothing became unreachable
+    q = rng.normal(size=16)
+    sims = unit @ (q / np.linalg.norm(q))
+    order = np.lexsort((ids[live], -np.round(sims, 12)))
+    assert list(g.search(q, ef=len(live), k=10)) == list(ids[live][order[:10]])
+
+
+def test_graph_repair_all_dead_and_empty():
+    ids, vecs, g = _toy_graph(n=40, seed=3)
+    g.repair(np.arange(40))
+    assert len(g.ids) == 0 and g._entry == -1
+    assert list(g.search(vecs[0], ef=8)) == []
+    g.repair(np.empty(0, dtype=np.int64))  # no-op on an empty graph
+
+
+def test_repair_store_rebuild_byte_identical_to_fresh(spark, emb, tmp_path):
+    """mode='rebuild': the repaired store's graph rows (links, entry,
+    node order — everything) equal a fresh build over the survivors."""
+    from same_same_spark.pipeline.hnsw import (
+        build_hnsw_store,
+        delete_from_hnsw_store,
+        hnsw_topk_persisted,
+        repair_hnsw_store,
+    )
+
+    out = str(tmp_path / "store")
+    build_hnsw_store(emb, out, n_graphs=3)
+    dead = [0, 7, 21, 36]
+    delete_from_hnsw_store(spark, out, dead)
+    m = repair_hnsw_store(spark, out, mode="rebuild")
+    assert "tomb_gen" not in m
+    fresh = str(tmp_path / "fresh")
+    build_hnsw_store(emb.filter(~F.col("vec_id").isin(dead)), fresh, n_graphs=3)
+    canon = lambda df: sorted(  # noqa: E731
+        (r["graph_id"], r["dim"], r["node"], r["vec_id"],
+         tuple(map(tuple, r["links"])), r["entry_node"], r["max_level"],
+         tuple(round(x, 12) for x in r["emb"]))
+        for r in df.collect()
+    )
+    got = spark.read.parquet(f"{out}/{m['graphs_dir']}")
+    want = spark.read.parquet(f"{fresh}/graphs")
+    assert canon(got) == canon(want)
+    # and the probe agrees with the fresh store exactly
+    queries = _qvecs(emb, ids=(1, 2))
+    norm = lambda rows: sorted(  # noqa: E731
+        (r["query_id"], r["rank"], r["vec_id"], round(r["score"], 9))
+        for r in rows
+    )
+    assert norm(hnsw_topk_persisted(spark, out, queries, k=5).collect()) == norm(
+        hnsw_topk_persisted(spark, fresh, queries, k=5).collect()
+    )
+
+
+def test_repair_store_lifecycle(spark, emb, tmp_path):
+    """mode='repair': post-repair probes (no beam widening left) match
+    brute over the survivors; untouched subgraphs pass through
+    verbatim; tombstone dirs are swept; a previously-deleted id can be
+    re-appended; repairing a clean store is a no-op."""
+    import os
+
+    from same_same_spark.pipeline import ann
+    from same_same_spark.pipeline.hnsw import (
+        build_hnsw_store,
+        delete_from_hnsw_store,
+        hnsw_store_append,
+        hnsw_topk_persisted,
+        repair_hnsw_store,
+    )
+
+    out = str(tmp_path / "store")
+    build_hnsw_store(emb, out, n_graphs=3)
+    before = {
+        r["graph_id"]: None
+        for r in spark.read.parquet(f"{out}/graphs").select("graph_id").collect()
+    }
+    assert len(before) == 3
+    # all dead ids route to one graph so the other two must pass through
+    n_graphs = 3
+    import pyspark.sql.functions as _F
+    gid_rows = (
+        emb.select("vec_id", _F.pmod(_F.xxhash64("vec_id"), _F.lit(n_graphs)).alias("g"))
+        .filter(_F.col("g") == 0)
+        .limit(6)
+        .collect()
+    )
+    dead = [int(r["vec_id"]) for r in gid_rows]
+    assert dead
+    pre = spark.read.parquet(f"{out}/graphs").filter(~F.col("graph_id").isin(0))
+    pre_rows = sorted(map(str, pre.collect()))
+    delete_from_hnsw_store(spark, out, dead)
+    m = repair_hnsw_store(spark, out)  # default mode='repair'
+    assert "tomb_gen" not in m
+    assert not [d for d in os.listdir(out) if d.startswith("tomb-")]
+    post = spark.read.parquet(f"{out}/{m['graphs_dir']}").filter(
+        ~F.col("graph_id").isin(0)
+    )
+    assert sorted(map(str, post.collect())) == pre_rows  # verbatim
+    queries = _qvecs(emb, ids=(1, 2))
+    norm = lambda rows: sorted(  # noqa: E731
+        (r["query_id"], r["rank"], r["vec_id"], round(r["score"], 9))
+        for r in rows
+    )
+    survivors = emb.filter(~F.col("vec_id").isin(dead))
+    assert norm(
+        hnsw_topk_persisted(spark, out, queries, k=5, ef_search=128).collect()
+    ) == norm(ann.brute_topk(survivors, queries, k=5).collect())
+    # deleted ids may come back after the repair (tombstones compacted)
+    m2 = hnsw_store_append(
+        spark, out, emb.filter(F.col("vec_id") == dead[0]), batch="back"
+    )
+    assert "back" in m2["batches"]
+    got = hnsw_topk_persisted(spark, out, queries, k=5, ef_search=128).collect()
+    want = ann.brute_topk(
+        emb.filter(~F.col("vec_id").isin(dead[1:])), queries, k=5
+    ).collect()
+    assert norm(got) == norm(want)
+    # clean store → idempotent no-op (manifest untouched)
+    assert repair_hnsw_store(spark, out) == m2
+
+
+def test_compact_ann_index_lifecycle(spark, emb, tmp_path):
+    """LSH/IVF tombstone compaction: live rows rewrite to fresh
+    generation dirs, probes match a fresh build over the survivors
+    WITHOUT the anti-join, tombstone dirs disappear, deleted ids may
+    re-append, refresh_centroids still composes, and a clean store is
+    a no-op."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from same_same_spark.pipeline import ann as ann_ops
+    from same_same_spark.pipeline import ann_store
+
+    cents = ann_ops.centroids_by_label(emb)
+    inc = str(tmp_path / "inc")
+    ann_store.build_ann_index(emb, inc, n_planes=8, centroids=cents)
+    dead = [0, 7, 21]
+    ann_store.delete_from_ann_index(spark, inc, dead)
+    m = ann_store.compact_ann_index(spark, inc)
+    assert m["tomb_gen"] == 0
+    assert m["lsh_dir"] == "lsh-1" and m["ivf_dir"] == "ivf-1"
+    assert not [d for d in os.listdir(inc) if d.startswith("tomb-")]
+    assert not os.path.exists(os.path.join(inc, "lsh"))
+    assert not os.path.exists(os.path.join(inc, "ivf"))
+
+    clean = str(tmp_path / "clean")
+    survivors = emb.filter(~F.col("vec_id").isin(dead))
+    ann_store.build_ann_index(survivors, clean, n_planes=8, centroids=cents)
+    queries = _qvecs(emb, ids=(0, 1, 2))
+    norm = lambda rows: sorted(  # noqa: E731
+        (r["query_id"], r["rank"], r["vec_id"], round(r["score"], 9))
+        for r in rows
+    )
+    for fn, kw in (
+        (ann_store.lsh_topk_persisted, {"max_hamming": 1}),
+        (ann_store.ivf_topk_persisted, {"nprobe": 3}),
+    ):
+        assert norm(fn(spark, inc, queries, k=5, **kw).collect()) == norm(
+            fn(spark, clean, queries, k=5, **kw).collect()
+        )
+
+    # a previously-deleted id may come back after compaction
+    m2 = ann_store.append_ann_index(
+        emb.filter(F.col("vec_id") == dead[0]), inc, batch="back"
+    )
+    assert "back" in m2["batches"]
+    got = ann_store.lsh_topk_persisted(spark, inc, queries, k=5).collect()
+    want_src = emb.filter(~F.col("vec_id").isin(dead[1:]))
+    full2 = str(tmp_path / "full2")
+    ann_store.build_ann_index(want_src, full2, n_planes=8, centroids=cents)
+    assert norm(got) == norm(
+        ann_store.lsh_topk_persisted(spark, full2, queries, k=5).collect()
+    )
+
+    # compaction composes with a later centroid refresh
+    ann_store.delete_from_ann_index(spark, inc, [dead[0]])
+    ann_store.refresh_centroids(spark, inc, centroids=cents)
+    mr = ann_store.compact_ann_index(spark, inc)
+    assert mr["tomb_gen"] == 0 and mr["ivf_dir"] == "ivf-3"
+    # clean store → idempotent no-op
+    assert ann_store.compact_ann_index(spark, inc) == mr
+    # compacting to empty is refused
+    empty_store = str(tmp_path / "tiny")
+    two = emb.filter(F.col("vec_id").isin(0, 1))
+    ann_store.build_ann_index(two, empty_store, n_planes=8, centroids=cents)
+    ann_store.delete_from_ann_index(spark, empty_store, [0, 1])
+    with _pytest.raises(Exception, match="empty"):
+        ann_store.compact_ann_index(spark, empty_store)

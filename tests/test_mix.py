@@ -104,3 +104,37 @@ def test_all_stages_disabled_is_identity(spark):
     out = prepare_training_corpus(_df(spark), cfg)
     assert out.count() == len(_DOCS)
     assert out.columns == ["doc_id", "text", "lang"]
+
+
+def test_lm_gate_stage(spark):
+    """CCNet-style LM gate: a bigram LM trained on the in-domain docs
+    drops the out-of-domain (different-language) doc; docs without LM
+    evidence pass through; withholding lm_ref_df disables the stage."""
+    import math
+
+    from same_same_spark.pipeline.lm import lm_perplexity, train_bigram_lm
+
+    df = _df(spark)
+    ref = df.filter(F.col("doc_id").isin(1, 2))  # English reference
+    # pick a threshold between the in-domain and out-of-domain ppls
+    model = train_bigram_lm(ref)
+    ppl = {
+        r["doc_id"]: r["perplexity"]
+        for r in lm_perplexity(df, model).collect()
+    }
+    assert ppl[3] > ppl[1] and ppl[3] > ppl[2]  # German scores worse
+    cut = math.sqrt(ppl[2] * ppl[3])  # geometric midpoint
+    cfg = MixConfig(lm_max_perplexity=cut, exact=False)
+    got = {
+        r["doc_id"]
+        for r in prepare_training_corpus(df, cfg, lm_ref_df=ref).collect()
+    }
+    assert 3 not in got
+    assert {1, 2, 11, 12, 13}.issubset(got)
+    assert 99 in got  # "@@@ ###" has <2 tokens → no LM evidence → passes
+    # no lm_ref_df → stage off, identity
+    assert prepare_training_corpus(df, cfg).count() == df.count()
+    # report shows the lm stage between the gates and dedup
+    rep = mix_report(df, MixConfig(lm_max_perplexity=cut), lm_ref_df=ref)
+    assert list(rep) == ["input", "lm", "exact_dedup"]
+    assert rep["lm"] == 6 and rep["exact_dedup"] == 4
