@@ -154,6 +154,43 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
             f"  score={r['score']:.4f}"
         )
 
+    # 10. LM quality scoring: CCNet-style bigram perplexity against a
+    # reference slice — the score the mix pipeline's lm gate thresholds
+    from same_same_spark.pipeline.lm import lm_perplexity, train_bigram_lm
+
+    model = train_bigram_lm(docs.filter(F.col("doc_id") % 10 == 0))
+    print("-- highest/lowest-perplexity docs (bigram LM) --")
+    scored = lm_perplexity(docs, model).filter("avg_logp IS NOT NULL")
+    for r in scored.orderBy(F.desc("perplexity")).limit(2).collect():
+        print(f"  doc {r['doc_id']}  ppl={r['perplexity']:.1f}  (worst)")
+    for r in scored.orderBy("perplexity").limit(2).collect():
+        print(f"  doc {r['doc_id']}  ppl={r['perplexity']:.1f}  (best)")
+
+    # 11. delete-heavy ANN maintenance: tombstone two vectors, then
+    # edge-repair the persisted graph store — dead nodes leave the
+    # adjacency, beams shrink back, deleted ids may re-append
+    from same_same_spark.pipeline.hnsw import (
+        build_hnsw_store,
+        delete_from_hnsw_store,
+        hnsw_topk_persisted,
+        repair_hnsw_store,
+    )
+
+    store_dir = tempfile.mkdtemp() + "/hnsw"
+    build_hnsw_store(emb, store_dir, n_graphs=2)
+    delete_from_hnsw_store(spark, store_dir, [0, 7])
+    m = repair_hnsw_store(spark, store_dir)
+    print(
+        f"-- HNSW store after delete+repair: {m['n_vectors']} live "
+        f"vectors, tombstones cleared --"
+    )
+    for r in (
+        hnsw_topk_persisted(spark, store_dir, [(0, qvec)], k=3)
+        .orderBy("rank")
+        .collect()
+    ):
+        print(f"  #{r['rank']} vec {r['vec_id']}  cos={r['score']:.4f}")
+
 
 if __name__ == "__main__":
     main(*sys.argv[1:])

@@ -110,16 +110,19 @@ def lm_perplexity(
 
     Docs with fewer than two tokens have no bigram events —
     ``n_bigrams = 0`` and NULL scores (they carry no LM evidence; gate
-    them on length, not perplexity). avg_logp is rounded to 6dp (the
-    cross-engine contract); perplexity derives from the UNrounded mean
-    and is informational.
+    them on length, not perplexity). They arrive via a UNION of the
+    short-doc branch, not a corpus-wide join back — ids are assumed
+    unique per row (the corpus contract everywhere in this package),
+    so the only shuffle in the whole plan is the per-doc mean.
+    avg_logp is rounded to 6dp (the cross-engine contract); perplexity
+    derives from the UNrounded mean and is informational.
     """
     uni, bi = lm.unigrams, lm.bigrams
     if lm.broadcast:
         uni, bi = F.broadcast(uni), F.broadcast(bi)
+    toks = df.select(F.col(id_col), tokens_col(text_col).alias("t"))
     pairs = (
-        df.select(F.col(id_col), tokens_col(text_col).alias("t"))
-        .filter(F.size("t") > 1)
+        toks.filter(F.size("t") > 1)
         .select(id_col, F.explode(_bigram_pairs(F.col("t"))).alias("p"))
         .select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
     )
@@ -141,18 +144,22 @@ def lm_perplexity(
             F.count(F.lit(1)).alias("n_bigrams"),
             F.avg("lp").alias("_avg_lp"),
         )
-    )
-    return (
-        df.select(id_col)
-        .distinct()
-        .join(scored, id_col, "left")
         .select(
             id_col,
-            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+            F.col("n_bigrams"),
             F.round(F.col("_avg_lp"), 6).alias("avg_logp"),
             F.round(F.exp(-F.col("_avg_lp")), 6).alias("perplexity"),
         )
     )
+    no_evidence = toks.filter(
+        F.size("t") < 2  # size(NULL array) = -1 lands here too
+    ).select(
+        id_col,
+        F.lit(0).cast("long").alias("n_bigrams"),
+        F.lit(None).cast("double").alias("avg_logp"),
+        F.lit(None).cast("double").alias("perplexity"),
+    )
+    return scored.unionByName(no_evidence)
 
 
 def lm_perplexity_sql(

@@ -163,3 +163,17 @@ def test_clip_topk_is_take_ordered(spark, documents):
     plan = _plan(clip_text_topk(documents.limit(50), "fast merge", k=5,
                                 dim=8, text_col="text"))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_lm_scoring_joins_broadcast(spark, documents):
+    """The CCNet LM scorer's bigram/unigram joins must broadcast the
+    (reference-corpus-sized) count tables — never sort-merge the
+    exploded corpus bigrams — and the only exchange left is the
+    per-doc mean."""
+    from same_same_spark.pipeline.lm import lm_perplexity, train_bigram_lm
+
+    lm = train_bigram_lm(documents.filter(F.col("doc_id") % 10 == 0))
+    plan = _plan(lm_perplexity(documents, lm))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "WindowExec" not in plan
