@@ -2017,6 +2017,26 @@ def _sql_lm_perplexity() -> str:
     return lm_ops.lm_perplexity_sql(alpha=0.5)
 
 
+def _q_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail buckets per lang stratum: exact
+    interpolated tercile cuts of avg_logp (Spark percentile ≡ DuckDB
+    quantile_cont, the corpus_profile contract), head = the
+    least-perplexed third; no-evidence docs get a NULL bucket."""
+    from same_same_spark.pipeline import lm as lm_ops
+
+    docs = _docs(spark, sf_dir)
+    model = lm_ops.train_bigram_lm(
+        docs.filter(F.col("doc_id") % 10 == 0), alpha=0.5
+    )
+    return lm_ops.lm_buckets(docs, model, strata_col="lang")
+
+
+def _sql_lm_buckets() -> str:
+    from same_same_spark.pipeline import lm as lm_ops
+
+    return lm_ops.lm_buckets_sql(alpha=0.5, strata_expr="lang")
+
+
 def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (k=8, w=4) per document."""
     return textqc_ops.winnow_fingerprints(
@@ -2568,7 +2588,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     #       (LLM-pipeline)-table entries whose rows read pass(r3) +
     #       redundant SQL twins of in-top-50 entries (same oracle,
     #       Spark-side divergence pinned by tests/test_entry.py over
-    #       ALL 76). If the cap stays 50, rotate these to the top next
+    #       ALL 77). If the cap stays 50, rotate these to the top next
     #       round.
     # ------------------------------------------------------------------
     "training_mix": (_q_training_mix, _sql_training_mix()),
@@ -2606,6 +2626,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     ),
     # sole evidence for bigram-LM perplexity scoring (pipeline/lm.py)
     "lm_perplexity": (_q_lm_perplexity, _sql_lm_perplexity()),
+    # sole evidence for CCNet head/middle/tail bucketing (exact
+    # per-stratum tercile cuts); its insertion slips r3-green
+    # euclidean_topk to overflow position 51 — every remaining top-50
+    # row is sole evidence, so new never-verified logic outranks a
+    # third re-verification of a one-expression operator.
+    "lm_buckets": (_q_lm_buckets, _sql_lm_buckets()),
     # --- r3-green entries (CORRECTNESS_r03 all-green) -----------------
     # (bm25_topk moved to the twin tail this round: it shares
     # _SQL_BM25_TOPK with in-top-50 index_bm25_topk and the two are

@@ -39,7 +39,14 @@ from pyspark.sql import functions as F
 
 from same_same_spark.text.tokenizer import duckdb_tokens_sql, tokens_col
 
-__all__ = ["BigramLM", "train_bigram_lm", "lm_perplexity", "lm_perplexity_sql"]
+__all__ = [
+    "BigramLM",
+    "train_bigram_lm",
+    "lm_perplexity",
+    "lm_perplexity_sql",
+    "lm_buckets",
+    "lm_buckets_sql",
+]
 
 ALPHA_DEFAULT = 0.5
 
@@ -105,8 +112,11 @@ def lm_perplexity(
     lm: BigramLM,
     id_col: str = "doc_id",
     text_col: str = "text",
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Score every document: (id, n_bigrams, avg_logp, perplexity).
+    """Score every document: (id, *keep_cols, n_bigrams, avg_logp,
+    perplexity). ``keep_cols`` are per-doc-constant columns (e.g. a
+    stratum) carried through the aggregation.
 
     Docs with fewer than two tokens have no bigram events —
     ``n_bigrams = 0`` and NULL scores (they carry no LM evidence; gate
@@ -117,14 +127,23 @@ def lm_perplexity(
     avg_logp is rounded to 6dp (the cross-engine contract); perplexity
     derives from the UNrounded mean and is informational.
     """
+    keep = list(keep_cols or [])
     uni, bi = lm.unigrams, lm.bigrams
     if lm.broadcast:
         uni, bi = F.broadcast(uni), F.broadcast(bi)
-    toks = df.select(F.col(id_col), tokens_col(text_col).alias("t"))
+    toks = df.select(
+        F.col(id_col), *[F.col(c) for c in keep],
+        tokens_col(text_col).alias("t"),
+    )
     pairs = (
         toks.filter(F.size("t") > 1)
-        .select(id_col, F.explode(_bigram_pairs(F.col("t"))).alias("p"))
-        .select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .select(
+            id_col, *keep, F.explode(_bigram_pairs(F.col("t"))).alias("p")
+        )
+        .select(
+            id_col, *keep,
+            F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"),
+        )
     )
     lp = (
         F.log(
@@ -138,14 +157,15 @@ def lm_perplexity(
     scored = (
         pairs.join(bi, ["w1", "w2"], "left")
         .join(uni, ["w1"], "left")
-        .select(id_col, lp)
+        .select(id_col, *keep, lp)
         .groupBy(id_col)
         .agg(
+            *[F.first(c).alias(c) for c in keep],  # per-doc constants
             F.count(F.lit(1)).alias("n_bigrams"),
             F.avg("lp").alias("_avg_lp"),
         )
         .select(
-            id_col,
+            id_col, *keep,
             F.col("n_bigrams"),
             F.round(F.col("_avg_lp"), 6).alias("avg_logp"),
             F.round(F.exp(-F.col("_avg_lp")), 6).alias("perplexity"),
@@ -154,7 +174,7 @@ def lm_perplexity(
     no_evidence = toks.filter(
         F.size("t") < 2  # size(NULL array) = -1 lands here too
     ).select(
-        id_col,
+        id_col, *keep,
         F.lit(0).cast("long").alias("n_bigrams"),
         F.lit(None).cast("double").alias("avg_logp"),
         F.lit(None).cast("double").alias("perplexity"),
@@ -162,17 +182,63 @@ def lm_perplexity(
     return scored.unionByName(no_evidence)
 
 
-def lm_perplexity_sql(
-    table: str = "documents",
-    id_expr: str = "doc_id",
-    text_expr: str = "text",
-    train_where: str = "doc_id % 10 = 0",
-    alpha: float = ALPHA_DEFAULT,
+def lm_buckets(
+    df: DataFrame,
+    lm: BigramLM,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    strata_col: str | None = None,
+) -> DataFrame:
+    """CCNet head/middle/tail: per-stratum (or global) perplexity
+    terciles. ``head`` = the least-perplexed third (avg_logp at or
+    above the 2/3 cut), ``tail`` = the most perplexed; docs without LM
+    evidence get a NULL bucket. Cut points are EXACT interpolated
+    percentiles (Spark ``percentile`` ≡ DuckDB ``quantile_cont``, the
+    corpus_profile contract) of the 6dp-rounded avg_logp, so both
+    engines derive identical cuts and identical buckets. One extra
+    tiny aggregation (#strata rows, broadcast back) on top of the
+    scoring plan."""
+    keep = [strata_col] if strata_col else []
+    scored = lm_perplexity(
+        df, lm, id_col=id_col, text_col=text_col, keep_cols=keep
+    )
+    key = F.col(strata_col) if strata_col else F.lit(1)
+    cuts = (
+        scored.filter(F.col("avg_logp").isNotNull())
+        .groupBy(key.alias("_k"))
+        .agg(
+            F.percentile(F.col("avg_logp"), F.lit(1.0 / 3)).alias("_c1"),
+            F.percentile(F.col("avg_logp"), F.lit(2.0 / 3)).alias("_c2"),
+        )
+    )
+    left = scored.withColumn("_k", key)
+    bc = F.broadcast(cuts)
+    joined = left.join(
+        bc,
+        left["_k"].eqNullSafe(bc["_k"]),  # NULL strata are strata too
+        "left",
+    )
+    bucket = (
+        F.when(F.col("avg_logp").isNull(), F.lit(None).cast("string"))
+        .when(F.col("avg_logp") >= F.col("_c2"), F.lit("head"))
+        .when(F.col("avg_logp") >= F.col("_c1"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return joined.select(
+        id_col, *keep, "n_bigrams", "avg_logp", bucket.alias("bucket")
+    )
+
+
+def _lm_score_ctes(
+    table: str,
+    id_expr: str,
+    text_expr: str,
+    train_where: str,
+    alpha: float,
 ) -> str:
-    """DuckDB twin — trains the same counts relationally and scores
-    every doc; selects the cross-engine-stable columns only
-    (perplexity = exp of the mean is last-ulp-amplifying, so the
-    oracle pins avg_logp)."""
+    """Shared CTE chain: train the counts relationally and score every
+    doc — ends with ``sc(doc_id, n_bigrams, avg_logp)`` (one row per
+    doc, NULL scores for <2-token docs)."""
     t = duckdb_tokens_sql(text_expr)
     return f"""
 WITH tr AS (
@@ -210,9 +276,63 @@ scored AS (
 agg AS (
   SELECT doc_id, count(*) AS n_bigrams, avg(lp) AS avg_lp
   FROM scored GROUP BY 1
+),
+sc AS (
+  SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams,
+         round(a.avg_lp, 6) AS avg_logp
+  FROM (SELECT DISTINCT {id_expr} AS doc_id FROM {table}) d
+  LEFT JOIN agg a ON a.doc_id = d.doc_id
+)"""
+
+
+def lm_perplexity_sql(
+    table: str = "documents",
+    id_expr: str = "doc_id",
+    text_expr: str = "text",
+    train_where: str = "doc_id % 10 = 0",
+    alpha: float = ALPHA_DEFAULT,
+) -> str:
+    """DuckDB twin of :func:`lm_perplexity` — selects the
+    cross-engine-stable columns only (perplexity = exp of the mean is
+    last-ulp-amplifying, so the oracle pins avg_logp)."""
+    ctes = _lm_score_ctes(table, id_expr, text_expr, train_where, alpha)
+    return f"{ctes}\nSELECT doc_id, n_bigrams, avg_logp FROM sc"
+
+
+def lm_buckets_sql(
+    table: str = "documents",
+    id_expr: str = "doc_id",
+    text_expr: str = "text",
+    train_where: str = "doc_id % 10 = 0",
+    alpha: float = ALPHA_DEFAULT,
+    strata_expr: str | None = None,
+) -> str:
+    """DuckDB twin of :func:`lm_buckets` — same scoring CTEs, then
+    per-stratum (or global) exact tercile cuts over the rounded
+    avg_logp and the identical >=-boundary bucket CASE."""
+    ctes = _lm_score_ctes(table, id_expr, text_expr, train_where, alpha)
+    strat = strata_expr if strata_expr else "1"
+    # name the output stratum column like the Spark side (bare column
+    # identifiers only — the entry contract)
+    strat_out = f"st.stratum AS {strata_expr}, " if strata_expr else ""
+    return f"""{ctes},
+strat AS (
+  SELECT sc.doc_id, sc.n_bigrams, sc.avg_logp, s.stratum
+  FROM sc JOIN (
+    SELECT DISTINCT {id_expr} AS doc_id, {strat} AS stratum FROM {table}
+  ) s ON s.doc_id = sc.doc_id
+),
+cuts AS (
+  SELECT stratum,
+         quantile_cont(avg_logp, {1.0 / 3!r}) AS c1,
+         quantile_cont(avg_logp, {2.0 / 3!r}) AS c2
+  FROM strat WHERE avg_logp IS NOT NULL GROUP BY 1
 )
-SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams,
-       round(a.avg_lp, 6) AS avg_logp
-FROM (SELECT DISTINCT {id_expr} AS doc_id FROM {table}) d
-LEFT JOIN agg a ON a.doc_id = d.doc_id
+SELECT st.doc_id, {strat_out}st.n_bigrams, st.avg_logp,
+       CASE WHEN st.avg_logp IS NULL THEN NULL
+            WHEN st.avg_logp >= c.c2 THEN 'head'
+            WHEN st.avg_logp >= c.c1 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM strat st
+LEFT JOIN cuts c ON c.stratum IS NOT DISTINCT FROM st.stratum
 """

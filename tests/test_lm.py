@@ -131,3 +131,51 @@ def test_lm_duckdb_twin_parity(spark, docs):
             assert ga is None
         else:
             assert ga == pytest.approx(wa, abs=2e-6)
+
+
+def test_lm_buckets_terciles_and_twin(spark, docs):
+    """head/middle/tail: bucket sizes near n/3 per stratum, boundary
+    semantics pinned against the DuckDB twin value-for-value, NULL
+    bucket for no-evidence docs."""
+    from same_same_spark.pipeline.lm import lm_buckets, lm_buckets_sql
+
+    sample = docs.filter(F.col("doc_id") < 200)
+    lm = train_bigram_lm(
+        sample.filter(F.col("doc_id") % 10 == 0), alpha=ALPHA
+    )
+    got_df = lm_buckets(sample, lm, strata_col="lang")
+    got = sorted(
+        (r["doc_id"], r["lang"], r["n_bigrams"], r["avg_logp"], r["bucket"])
+        for r in got_df.collect()
+    )
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet') "
+        "WHERE doc_id < 200"
+    )
+    want = sorted(
+        (int(a), b, int(c), None if d is None else float(d), e)
+        for a, b, c, d, e in con.sql(
+            lm_buckets_sql(alpha=ALPHA, strata_expr="lang")
+        ).fetchall()
+    )
+    assert len(got) == len(want) == 200
+    for g, w in zip(got, want):
+        assert g[0] == w[0] and g[1] == w[1] and g[2] == w[2] and g[4] == w[4]
+        if w[3] is None:
+            assert g[3] is None
+        else:
+            assert g[3] == pytest.approx(w[3], abs=2e-6)
+    # per-stratum tercile balance: each bucket within 2 of n/3
+    from collections import Counter
+
+    per = Counter((lang, b) for _, lang, _, a, b in got if a is not None)
+    n_lang = Counter(lang for _, lang, _, a, _ in got if a is not None)
+    for (lang, b), c in per.items():
+        assert abs(c - n_lang[lang] / 3) <= 2, (lang, b, c, n_lang[lang])
+    # global variant has no stratum column and still buckets everything
+    g2 = lm_buckets(sample, lm).collect()
+    assert {r["bucket"] for r in g2 if r["avg_logp"] is not None} == {
+        "head", "middle", "tail"
+    }
