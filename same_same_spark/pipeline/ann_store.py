@@ -41,6 +41,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from same_same_spark.metrics import MetricsWindow
 from same_same_spark.operators.vector import cosine_col
 from same_same_spark.pipeline.ann import (
     _ranked,
@@ -118,14 +119,14 @@ def build_ann_index(
     # batch=<token> dirs, visible only once the manifest lists them —
     # the same manifest-gated liveness discipline as the index's groups
     lsh = e.withColumn("sig", signature_col(F.col("emb"), n_planes))
-    lsh.withColumn("batch", F.lit("base")).write.mode("overwrite").partitionBy(
-        "batch", "sig"
-    ).parquet(f"{out_dir}/lsh")
-
     assigned = assign_centroids(e, centroids, id_col=id_col, embedding_col="emb")
-    assigned.withColumn("batch", F.lit("base")).write.mode(
-        "overwrite"
-    ).partitionBy("batch", "centroid_id").parquet(f"{out_dir}/ivf")
+    with MetricsWindow(spark) as mw:
+        lsh.withColumn("batch", F.lit("base")).write.mode(
+            "overwrite"
+        ).partitionBy("batch", "sig").parquet(f"{out_dir}/lsh")
+        assigned.withColumn("batch", F.lit("base")).write.mode(
+            "overwrite"
+        ).partitionBy("batch", "centroid_id").parquet(f"{out_dir}/ivf")
 
     cdf = spark.createDataFrame(
         [(cid, [float(x) for x in vec]) for cid, vec in centroids],
@@ -141,6 +142,10 @@ def build_ann_index(
         "batches": ["base"],
         "tomb_gen": 0,
     }
+    write_store_lineage(
+        out_dir, "build-base",
+        {"op": "build", "rows": manifest["n_vectors"], "exec": mw.totals()},
+    )
     _write_manifest(out_dir, manifest)
     return manifest
 
@@ -164,6 +169,23 @@ def _write_manifest(ann_dir: str, manifest: dict) -> None:
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=2)
     os.replace(tmp, os.path.join(ann_dir, "manifest.json"))
+
+
+def write_store_lineage(store_dir: str, name: str, record: dict) -> None:
+    """Per-mutation lineage record (the stores' counterpart to the
+    index's per-group records): ``<store>/_lineage/<name>.json``,
+    written atomically BEFORE the manifest flip like every other
+    commit artifact — keyed by the mutation's token/generation so a
+    blind retry overwrites rather than duplicates."""
+    import time
+
+    d = os.path.join(store_dir, "_lineage")
+    os.makedirs(d, exist_ok=True)
+    record = dict(record, ts=time.time())
+    tmp = os.path.join(d, f"{name}.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(record, f, indent=2)
+    os.replace(tmp, os.path.join(d, f"{name}.json"))
 
 
 def append_ann_index(
@@ -243,19 +265,25 @@ def append_ann_index(
     lsh = e.withColumn(
         "sig", signature_col(F.col("emb"), m["n_planes"])
     ).withColumn("batch", F.lit(batch))
-    lsh.write.mode("append").partitionBy("batch", "sig").parquet(
-        f"{ann_dir}/{_sub_dir(m, 'lsh')}"
-    )
     assigned = assign_centroids(
         e, _load_centroids(spark, ann_dir), id_col=id_col, embedding_col="emb"
     ).withColumn("batch", F.lit(batch))
-    assigned.write.mode("append").partitionBy("batch", "centroid_id").parquet(
-        f"{ann_dir}/{_sub_dir(m, 'ivf')}"
-    )
+    with MetricsWindow(spark) as mw:
+        lsh.write.mode("append").partitionBy("batch", "sig").parquet(
+            f"{ann_dir}/{_sub_dir(m, 'lsh')}"
+        )
+        assigned.write.mode("append").partitionBy(
+            "batch", "centroid_id"
+        ).parquet(f"{ann_dir}/{_sub_dir(m, 'ivf')}")
 
     n_new = spark.read.parquet(
         f"{ann_dir}/{_sub_dir(m, 'lsh')}/batch={batch}"
     ).count()
+    write_store_lineage(
+        ann_dir, f"append-{batch}",
+        {"op": "append", "batch": batch, "rows": int(n_new),
+         "exec": mw.totals()},
+    )
     m = dict(m)
     m["batches"] = list(m["batches"]) + [batch]
     m["n_vectors"] = int(m["n_vectors"]) + int(n_new)
@@ -370,14 +398,20 @@ def refresh_centroids(
     ).join(live.select(id_col, "batch"), id_col)
     new_ivf = f"ivf-{gen}"
     new_cent = f"centroids-{gen}"
-    assigned.write.mode("overwrite").partitionBy("batch", "centroid_id").parquet(
-        f"{ann_dir}/{new_ivf}"
-    )
+    with MetricsWindow(spark) as mw:
+        assigned.write.mode("overwrite").partitionBy(
+            "batch", "centroid_id"
+        ).parquet(f"{ann_dir}/{new_ivf}")
     cdf = spark.createDataFrame(
         [(cid, [float(x) for x in vec]) for cid, vec in centroids],
         "centroid_id INT, cvec ARRAY<DOUBLE>",
     )
     cdf.coalesce(1).write.mode("overwrite").parquet(f"{ann_dir}/{new_cent}")
+    write_store_lineage(
+        ann_dir, f"refresh-{gen}",
+        {"op": "refresh_centroids", "n_centroids": len(centroids),
+         "exec": mw.totals()},
+    )
     m = dict(m)
     m["ivf_gen"] = gen
     m["ivf_dir"] = new_ivf
@@ -430,12 +464,19 @@ def compact_ann_index(spark: SparkSession, ann_dir: str) -> dict:
         raise ValueError(
             "compaction would leave the store empty — rebuild instead"
         )
-    live_lsh.write.mode("overwrite").partitionBy("batch", "sig").parquet(
-        f"{ann_dir}/{new_lsh}"
+    n_dead = _tomb_ids(spark, ann_dir, m).count()
+    with MetricsWindow(spark) as mw:
+        live_lsh.write.mode("overwrite").partitionBy("batch", "sig").parquet(
+            f"{ann_dir}/{new_lsh}"
+        )
+        _live_vectors(spark, ann_dir, m, "ivf").write.mode(
+            "overwrite"
+        ).partitionBy("batch", "centroid_id").parquet(f"{ann_dir}/{new_ivf}")
+    write_store_lineage(
+        ann_dir, f"compact-{lsh_gen}",
+        {"op": "compact", "live_rows": int(n_live),
+         "tombstones_cleared": int(n_dead), "exec": mw.totals()},
     )
-    _live_vectors(spark, ann_dir, m, "ivf").write.mode(
-        "overwrite"
-    ).partitionBy("batch", "centroid_id").parquet(f"{ann_dir}/{new_ivf}")
 
     m = dict(m)
     m["lsh_gen"], m["lsh_dir"] = lsh_gen, new_lsh

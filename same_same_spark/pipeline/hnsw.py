@@ -575,12 +575,16 @@ def build_hnsw_store(
             )
         return pd.concat(out, ignore_index=True)
 
-    rows = e.groupBy("graph_id").applyInPandas(_build, schema)
-    rows.write.mode("overwrite").partitionBy("graph_id").parquet(
-        f"{out_dir}/graphs"
-    )
+    from same_same_spark.metrics import MetricsWindow
+    from same_same_spark.pipeline.ann_store import write_store_lineage
 
     spark = df.sparkSession
+    rows = e.groupBy("graph_id").applyInPandas(_build, schema)
+    with MetricsWindow(spark) as mw:
+        rows.write.mode("overwrite").partitionBy("graph_id").parquet(
+            f"{out_dir}/graphs"
+        )
+
     manifest = {
         "m": m,
         "ef_construction": ef_construction,
@@ -594,6 +598,10 @@ def build_hnsw_store(
         "batches": ["base"],
     }
     os.makedirs(out_dir, exist_ok=True)
+    write_store_lineage(
+        out_dir, "build-base",
+        {"op": "build", "rows": manifest["n_vectors"], "exec": mw.totals()},
+    )
     _flip_hnsw_manifest(out_dir, manifest)
     return manifest
 
@@ -775,20 +783,29 @@ def hnsw_store_append(
             )
         return pd.concat(out, ignore_index=True)
 
+    from same_same_spark.metrics import MetricsWindow
+    from same_same_spark.pipeline.ann_store import write_store_lineage
+
     merged = (
         store.groupBy("graph_id")
         .cogroup(new.groupBy("graph_id"))
         .applyInPandas(_merge, schema)
     )
     new_dir = f"graphs-{gen}"
-    merged.write.mode("overwrite").partitionBy("graph_id").parquet(
-        f"{ann_dir}/{new_dir}"
-    )
+    with MetricsWindow(spark) as mw:
+        merged.write.mode("overwrite").partitionBy("graph_id").parquet(
+            f"{ann_dir}/{new_dir}"
+        )
     m = dict(m)
     m["gen"] = gen
     m["graphs_dir"] = new_dir
     m["batches"] = list(m.get("batches", ["base"])) + [batch]
     m["n_vectors"] = spark.read.parquet(f"{ann_dir}/{new_dir}").count()
+    write_store_lineage(
+        ann_dir, f"append-{batch}",
+        {"op": "append", "batch": batch, "rows": int(n_rows),
+         "gen": gen, "exec": mw.totals()},
+    )
     _flip_hnsw_manifest(ann_dir, m)
     for d in os.listdir(ann_dir):  # sweep superseded generations
         if (d == "graphs" or d.startswith("graphs-")) and d != new_dir:
@@ -935,16 +952,25 @@ def repair_hnsw_store(
             return pd.DataFrame(columns=out_cols)
         return pd.concat(out, ignore_index=True)
 
+    from same_same_spark.metrics import MetricsWindow
+    from same_same_spark.pipeline.ann_store import write_store_lineage
+
     fixed = store.groupBy("graph_id").applyInPandas(_fix, schema)
     new_dir = f"graphs-{gen}"
-    fixed.write.mode("overwrite").partitionBy("graph_id").parquet(
-        f"{ann_dir}/{new_dir}"
-    )
+    with MetricsWindow(spark) as mw:
+        fixed.write.mode("overwrite").partitionBy("graph_id").parquet(
+            f"{ann_dir}/{new_dir}"
+        )
     m = dict(m)
     m["gen"] = gen
     m["graphs_dir"] = new_dir
     m["n_vectors"] = spark.read.parquet(f"{ann_dir}/{new_dir}").count()
     m.pop("tomb_gen", None)
+    write_store_lineage(
+        ann_dir, f"repair-{gen}",
+        {"op": "repair", "mode": mode, "live_rows": int(m["n_vectors"]),
+         "tombstones_cleared": len(tomb), "exec": mw.totals()},
+    )
     _flip_hnsw_manifest(ann_dir, m)
     for d in os.listdir(ann_dir):  # sweep superseded generations
         if (d == "graphs" or d.startswith("graphs-")) and d != new_dir:

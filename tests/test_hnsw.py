@@ -733,3 +733,60 @@ def test_compact_ann_index_lifecycle(spark, emb, tmp_path):
     ann_store.delete_from_ann_index(spark, empty_store, [0, 1])
     with _pytest.raises(Exception, match="empty"):
         ann_store.compact_ann_index(spark, empty_store)
+
+
+def test_store_mutation_lineage_records(spark, emb, tmp_path):
+    """Every store mutation commits a _lineage record with executor
+    totals — the stores' counterpart to the index's per-group lineage;
+    blind retries overwrite by token instead of duplicating."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from same_same_spark.pipeline import ann as ann_ops
+    from same_same_spark.pipeline import ann_store
+    from same_same_spark.pipeline.hnsw import (
+        build_hnsw_store,
+        delete_from_hnsw_store,
+        hnsw_store_append,
+        repair_hnsw_store,
+    )
+
+    def rec(store, name):
+        p = os.path.join(store, "_lineage", f"{name}.json")
+        assert os.path.exists(p), name
+        with open(p) as f:
+            r = json.load(f)
+        assert "shuffle_write_bytes" in r["exec"], name
+        return r
+
+    cents = ann_ops.centroids_by_label(emb)
+    first = emb.filter(F.col("vec_id") < 300)
+    rest = emb.filter(F.col("vec_id") >= 300)
+    inc = str(tmp_path / "inc")
+    ann_store.build_ann_index(first, inc, n_planes=8, centroids=cents)
+    ann_store.append_ann_index(rest, inc, batch="b1")
+    ann_store.delete_from_ann_index(spark, inc, [0])
+    ann_store.compact_ann_index(spark, inc)
+    assert rec(inc, "build-base")["op"] == "build"
+    a = rec(inc, "append-b1")
+    assert a["op"] == "append" and a["rows"] == rest.count()
+    c = rec(inc, "compact-1")
+    assert c["tombstones_cleared"] == 1
+    assert c["live_rows"] == emb.count() - 1
+    # blind retry of the committed append: no-op, lineage unchanged
+    before = rec(inc, "append-b1")
+    ann_store.append_ann_index(rest, inc, batch="b1")
+    assert rec(inc, "append-b1") == before
+
+    hdir = str(tmp_path / "hnsw")
+    build_hnsw_store(first, hdir, n_graphs=2)
+    hnsw_store_append(spark, hdir, rest, batch="b1")
+    delete_from_hnsw_store(spark, hdir, [0, 7])
+    repair_hnsw_store(spark, hdir)
+    assert rec(hdir, "build-base")["rows"] == first.count()
+    assert rec(hdir, "append-b1")["rows"] == rest.count()
+    r = rec(hdir, "repair-2")  # gen 1 was the append, 2 the repair
+    assert r["mode"] == "repair" and r["tombstones_cleared"] == 2
+    assert r["live_rows"] == emb.count() - 2
