@@ -1601,7 +1601,12 @@ def _hnsw_repaired_store_dir(spark: SparkSession, sf_dir: str) -> str:
     src = os.path.join(sf_dir, "embeddings.parquet")
     st = os.stat(src)
     tag = hashlib.md5(
-        f"{src}|{st.st_size}|{st.st_mtime_ns}|hnsw-repair-v1".encode()
+        # the dead-id set and build params are part of the content
+        # identity — changing _HNSW_REPAIR_DEAD or the build call must
+        # invalidate the cached store, AND the oracle SQL's NOT IN
+        # list must be kept in sync by hand
+        f"{src}|{st.st_size}|{st.st_mtime_ns}|hnsw-repair-v2"
+        f"|dead={_HNSW_REPAIR_DEAD}|m=8|efc=64|g=4".encode()
     ).hexdigest()[:10]
     out = f"{tempfile.gettempdir()}/ss_entry_hnswrep_{tag}"
     mf = os.path.join(out, "manifest.json")
@@ -2627,10 +2632,14 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # sole evidence for bigram-LM perplexity scoring (pipeline/lm.py)
     "lm_perplexity": (_q_lm_perplexity, _sql_lm_perplexity()),
     # sole evidence for CCNet head/middle/tail bucketing (exact
-    # per-stratum tercile cuts); its insertion slips r3-green
-    # euclidean_topk to overflow position 51 — every remaining top-50
-    # row is sole evidence, so new never-verified logic outranks a
-    # third re-verification of a one-expression operator.
+    # per-stratum tercile cuts). Net effect of this round's three
+    # top-50 insertions (ann_hnsw_after_repair, lm_perplexity,
+    # lm_buckets) + the bm25_topk twin rotation: the top-50 now ends
+    # at source_hf and r3-green euclidean_topk sits FIRST IN OVERFLOW
+    # (position 51, no r4 row) — every remaining top-50 row is sole
+    # evidence, so new never-verified logic outranks a third
+    # re-verification of a one-expression operator. Rotate
+    # euclidean_topk back up next round.
     "lm_buckets": (_q_lm_buckets, _sql_lm_buckets()),
     # --- r3-green entries (CORRECTNESS_r03 all-green) -----------------
     # (bm25_topk moved to the twin tail this round: it shares

@@ -259,7 +259,8 @@ def append_ann_index(
         if n_dead:
             raise ValueError(
                 f"append batch contains {n_dead} tombstoned id(s) — "
-                "deleted ids stay deleted until the store is rebuilt"
+                "deleted ids stay deleted until compact_ann_index "
+                "folds the tombstones out (or the store is rebuilt)"
             )
 
     lsh = e.withColumn(
@@ -319,11 +320,7 @@ def delete_from_ann_index(
     m = dict(m)
     m["tomb_gen"] = gen
     _write_manifest(ann_dir, m)
-    import shutil
-
-    for d in os.listdir(ann_dir):  # sweep superseded generations
-        if d.startswith("tomb-") and d != f"tomb-{gen}":
-            shutil.rmtree(os.path.join(ann_dir, d), ignore_errors=True)
+    _sweep_ann_dirs(ann_dir, m)
     return m
 
 
@@ -376,8 +373,6 @@ def refresh_centroids(
     are dropped here — deletes are terminal, so the rewrite is the
     natural place to compact them out. LSH is signature-stable and
     untouched."""
-    import shutil
-
     m = _load_manifest(ann_dir)
     if "batches" not in m:
         raise ValueError(
@@ -418,13 +413,7 @@ def refresh_centroids(
     m["centroids_dir"] = new_cent
     m["n_centroids"] = len(centroids)
     _write_manifest(ann_dir, m)
-    for d in os.listdir(ann_dir):  # sweep superseded generations
-        if (
-            (d == "ivf" or d.startswith("ivf-")) and d != new_ivf
-        ) or (
-            (d == "centroids" or d.startswith("centroids-")) and d != new_cent
-        ):
-            shutil.rmtree(os.path.join(ann_dir, d), ignore_errors=True)
+    _sweep_ann_dirs(ann_dir, m)
     return m
 
 
@@ -438,13 +427,17 @@ def compact_ann_index(spark: SparkSession, ann_dir: str) -> dict:
     partition values — the append log and probe pruning survive
     unchanged; centroids are NOT recomputed, that's
     :func:`refresh_centroids`), THEN one manifest flip moves both
-    pointers and clears the tombstones atomically. After compaction
-    probes skip the anti-join entirely and previously-deleted ids may
-    be re-appended. A crash mid-write leaves probes on the old
-    generation; a retry compacts again and the flip's sweep collects
-    any orphan dirs. No tombstones → idempotent no-op. Compacting a
-    store down to zero live vectors is refused (an empty structure dir
-    is unreadable — rebuild instead)."""
+    pointers and clears the tombstones atomically. One scan per
+    structure: ``n_vectors`` counts the WRITTEN parquet (the repo's
+    count-the-written-rows rule), not a second live scan. After
+    compaction probes skip the anti-join entirely and
+    previously-deleted ids may be re-appended. A crash mid-write
+    leaves probes on the old generation and a retry compacts again; a
+    crash between the flip and the sweep is collected by the next
+    call's no-op path. Compacting a store down to zero live vectors
+    is refused (an empty structure dir is unreadable — rebuild
+    instead) and the empty generation dirs are removed before the
+    refusal."""
     import shutil
 
     m = _load_manifest(ann_dir)
@@ -453,17 +446,15 @@ def compact_ann_index(spark: SparkSession, ann_dir: str) -> dict:
             "store predates the batch layout — rebuild with build_ann_index"
         )
     if not int(m.get("tomb_gen") or 0):
-        return m  # nothing tombstoned — idempotent no-op
+        # nothing tombstoned — idempotent no-op; still collect orphan
+        # dirs a crash between a prior flip and its sweep left behind
+        _sweep_ann_dirs(ann_dir, m)
+        return m
     lsh_gen = int(m.get("lsh_gen", 0)) + 1
     ivf_gen = int(m.get("ivf_gen", 0)) + 1
     new_lsh, new_ivf = f"lsh-{lsh_gen}", f"ivf-{ivf_gen}"
 
     live_lsh = _live_vectors(spark, ann_dir, m, "lsh")
-    n_live = live_lsh.count()
-    if n_live == 0:
-        raise ValueError(
-            "compaction would leave the store empty — rebuild instead"
-        )
     n_dead = _tomb_ids(spark, ann_dir, m).count()
     with MetricsWindow(spark) as mw:
         live_lsh.write.mode("overwrite").partitionBy("batch", "sig").parquet(
@@ -472,6 +463,20 @@ def compact_ann_index(spark: SparkSession, ann_dir: str) -> dict:
         _live_vectors(spark, ann_dir, m, "ivf").write.mode(
             "overwrite"
         ).partitionBy("batch", "centroid_id").parquet(f"{ann_dir}/{new_ivf}")
+    # explicit schema: an all-deleted store writes zero part files and
+    # a schemaless read of the empty dir would crash instead of
+    # counting 0
+    n_live = (
+        spark.read.schema(live_lsh.schema)
+        .parquet(f"{ann_dir}/{new_lsh}")
+        .count()
+    )
+    if n_live == 0:
+        for d in (new_lsh, new_ivf):
+            shutil.rmtree(os.path.join(ann_dir, d), ignore_errors=True)
+        raise ValueError(
+            "compaction would leave the store empty — rebuild instead"
+        )
     write_store_lineage(
         ann_dir, f"compact-{lsh_gen}",
         {"op": "compact", "live_rows": int(n_live),
@@ -484,14 +489,34 @@ def compact_ann_index(spark: SparkSession, ann_dir: str) -> dict:
     m["tomb_gen"] = 0
     m["n_vectors"] = int(n_live)
     _write_manifest(ann_dir, m)
-    for d in os.listdir(ann_dir):  # sweep superseded generations
+    _sweep_ann_dirs(ann_dir, m)
+    return m
+
+
+def _sweep_ann_dirs(ann_dir: str, m: dict) -> None:
+    """Remove structure/tombstone generation dirs the manifest no
+    longer references — shared by every mutation's post-flip cleanup
+    AND the no-op retry paths, so a crash between a flip and its sweep
+    can't leak superseded dirs forever."""
+    import shutil
+
+    keep = {
+        _sub_dir(m, "lsh"),
+        _sub_dir(m, "ivf"),
+        m.get("centroids_dir", "centroids"),
+    }
+    if int(m.get("tomb_gen") or 0):
+        keep.add(f"tomb-{m['tomb_gen']}")
+    for d in os.listdir(ann_dir):
+        if d in keep:
+            continue
         if (
-            ((d == "lsh" or d.startswith("lsh-")) and d != new_lsh)
-            or ((d == "ivf" or d.startswith("ivf-")) and d != new_ivf)
+            d == "lsh" or d.startswith("lsh-")
+            or d == "ivf" or d.startswith("ivf-")
+            or d == "centroids" or d.startswith("centroids-")
             or d.startswith("tomb-")
         ):
             shutil.rmtree(os.path.join(ann_dir, d), ignore_errors=True)
-    return m
 
 
 # centroid tables are tiny (n_centroids × dim) and probed on every IVF

@@ -301,10 +301,24 @@ class HnswGraph:
             self._entry = next(
                 remap[u] for u in live if levels[u] == self._max_level
             )
-        # reconnect survivors the repair left unreachable (entry-rooted
-        # BFS over layer-0 out-links; re-link lowest index first)
+        # Reconnect survivors the repair left unreachable (entry-rooted
+        # BFS over layer-0 out-links; lowest index first). The in-link
+        # that makes a node reachable is PINNED — later reconnections
+        # may evict only non-pinned links — so a fixed node can never
+        # be orphaned again by a later fix. (A plain _shrink backlink
+        # is evictable: on clustered data the heuristic immediately
+        # dropped it and survivors stayed unreachable at any ef.) If an
+        # iteration makes no progress (an eviction disconnected someone
+        # else), the next fix pins straight into the entry point, which
+        # is reachable by definition — every stalled iteration then
+        # permanently fixes one node, so the loop terminates within
+        # 2·n_live+1 passes. Pins may exceed the degree cap only when
+        # every slot of the target is already pinned (reachability
+        # outranks the degree heuristic).
         n_live = len(self.ids)
-        for _ in range(n_live):  # each pass reconnects ≥1 node; bounded
+        pinned: dict[int, set[int]] = {}
+        prev_unreachable = n_live + 1
+        for _ in range(2 * n_live + 2):
             seen = {self._entry}
             stack = [self._entry]
             while stack:
@@ -313,27 +327,74 @@ class HnswGraph:
                     if nb not in seen:
                         seen.add(nb)
                         stack.append(nb)
-            if len(seen) == n_live:
+            unreach = set(range(n_live)) - seen
+            if not unreach:
                 break
-            i = min(set(range(n_live)) - seen)
+            stalled = len(unreach) >= prev_unreachable
+            prev_unreachable = len(unreach)
+            i = min(unreach)
             q = self.unit[i]
             level = len(self._links[i]) - 1
             ep = self._entry
             for layer in range(self._max_level, level, -1):
                 ep = self._greedy(q, ep, layer)
+            found0: list[tuple[float, int]] = []
             for layer in range(min(level, self._max_level), -1, -1):
                 found = self._search_layer(q, [ep], self.efc, layer)
                 cap = self.m0 if layer == 0 else self.m
                 neighbors = self._select(
                     q, [(s, nb) for s, nb in found if nb != i], cap
                 )
-                self._links[i][layer] = list(neighbors)
-                for nb in neighbors:
-                    if i not in self._links[nb][layer]:
-                        self._links[nb][layer].append(i)
-                        self._shrink(nb, layer)
+                if layer == 0:
+                    # re-linking must not drop links pinned INTO i's list
+                    keep = [
+                        nb for nb in pinned.get(i, ()) if nb not in neighbors
+                    ]
+                    self._links[i][0] = list(neighbors) + keep
+                    found0 = [
+                        (s, nb) for s, nb in found if nb != i and nb in seen
+                    ]
+                else:
+                    self._links[i][layer] = list(neighbors)
                 if found:
                     ep = max(found, key=lambda t: (t[0], -t[1]))[1]
+            # pin an in-link from the reachable side: nearest reachable
+            # node the search surfaced, or the entry on a stall / when
+            # the beam only surfaced other orphans
+            r = self._entry
+            if found0 and not stalled:
+                r = max(found0, key=lambda t: (t[0], -t[1]))[1]
+            self._pin_link(r, i, pinned)
+        else:
+            raise RuntimeError(
+                "repair reconnect did not converge — unreachable "
+                f"survivors remain out of {n_live}"
+            )
+
+    def _pin_link(
+        self, r: int, i: int, pinned: dict[int, set[int]]
+    ) -> None:
+        """Force ``i`` into ``r``'s layer-0 out-links and mark the edge
+        un-evictable for the rest of this repair. Deterministic: the
+        evicted slot is the lowest-similarity non-pinned link (ties →
+        the higher node index)."""
+        links = self._links[r][0]
+        if i not in links:
+            if len(links) < self.m0:
+                links.append(i)
+            else:
+                qr = self.unit[r]
+                evictable = [
+                    nb for nb in links if nb not in pinned.get(r, ())
+                ]
+                if evictable:
+                    worst = min(
+                        evictable, key=lambda nb: (self._sim(qr, nb), -nb)
+                    )
+                    links[links.index(worst)] = i
+                else:
+                    links.append(i)  # all slots pinned: exceed the cap
+        pinned.setdefault(r, set()).add(i)
 
     def search(self, qvec: np.ndarray, ef: int, k: int | None = None) -> np.ndarray:
         """Top-``k`` (default ``ef``) vec_ids by cosine, approximate.
@@ -354,7 +415,13 @@ class HnswGraph:
         ep = self._entry
         for layer in range(self._max_level, 0, -1):
             ep = self._greedy(q, ep, layer)
-        found = self._search_layer(q, [ep], max(ef, k), 0)
+        # seed layer 0 with the entry too: repair guarantees every
+        # survivor is reachable FROM THE ENTRY over layer-0 out-links,
+        # while the greedy-descent endpoint may sit in a smaller
+        # directed component — the extra seed costs one node and makes
+        # exhaustive ef actually exhaustive (it can only add coverage)
+        eps = [ep] if ep == self._entry else [ep, self._entry]
+        found = self._search_layer(q, eps, max(ef, k), 0)
         picked = self._select(q, found, k)
         return self.ids[np.asarray(picked, dtype=np.int64)]
 
@@ -613,6 +680,23 @@ def _flip_hnsw_manifest(out_dir: str, manifest: dict) -> None:
     os.replace(tmp, os.path.join(out_dir, "manifest.json"))
 
 
+def _sweep_hnsw_dirs(ann_dir: str, m: dict) -> None:
+    """Remove generation dirs the manifest no longer references —
+    shared by every mutation's post-flip cleanup AND the no-op retry
+    paths, so a crash between a flip and its sweep can't leak
+    superseded graph/tombstone dirs forever."""
+    import shutil
+
+    keep = {m.get("graphs_dir", "graphs")}
+    if m.get("tomb_gen"):
+        keep.add(f"tomb-{m['tomb_gen']}")
+    for d in os.listdir(ann_dir):
+        if d in keep:
+            continue
+        if d == "graphs" or d.startswith("graphs-") or d.startswith("tomb-"):
+            shutil.rmtree(os.path.join(ann_dir, d), ignore_errors=True)
+
+
 def hnsw_store_append(
     spark: SparkSession,
     ann_dir: str,
@@ -636,8 +720,6 @@ def hnsw_store_append(
     byte-identical to a fresh build over the union — the recall
     contract (exact re-rank over covering candidates) is what carries,
     pinned in tests."""
-    import shutil
-
     from same_same_spark.pipeline.ann_store import _check_batch_name
 
     with open(os.path.join(ann_dir, "manifest.json")) as f:
@@ -678,7 +760,8 @@ def hnsw_store_append(
         if n_dead:
             raise ValueError(
                 f"append batch contains {n_dead} tombstoned id(s) — "
-                "deleted ids stay deleted until the store is rebuilt"
+                "deleted ids stay deleted until repair_hnsw_store "
+                "compacts the tombstones out (or the store is rebuilt)"
             )
 
     schema = (
@@ -807,9 +890,7 @@ def hnsw_store_append(
          "gen": gen, "exec": mw.totals()},
     )
     _flip_hnsw_manifest(ann_dir, m)
-    for d in os.listdir(ann_dir):  # sweep superseded generations
-        if (d == "graphs" or d.startswith("graphs-")) and d != new_dir:
-            shutil.rmtree(os.path.join(ann_dir, d), ignore_errors=True)
+    _sweep_hnsw_dirs(ann_dir, m)
     return m
 
 
@@ -819,12 +900,12 @@ def delete_from_hnsw_store(
     """Tombstone ids. The graph keeps its nodes (edge repair would
     reshape neighborhoods nondeterministically); probes search with the
     beam widened by each graph's tombstone count and drop tombstoned
-    candidates — scoring never sees a deleted vector. Deletes are
-    terminal until a rebuild; they're meant for the modest churn an
-    ANN corpus actually sees (heavy churn → rebuild, like compaction).
-    Same generation-flip commit as every other mutation here."""
-    import shutil
-
+    candidates — scoring never sees a deleted vector. Deletes stay
+    tombstoned until :func:`repair_hnsw_store` compacts them out of
+    the adjacency (or the store is rebuilt); tombstoning alone suits
+    the modest churn an ANN corpus usually sees, repair is the
+    delete-heavy path. Same generation-flip commit as every other
+    mutation here."""
     with open(os.path.join(ann_dir, "manifest.json")) as f:
         m = json.load(f)
     gen = int(m.get("tomb_gen") or 0) + 1
@@ -840,9 +921,7 @@ def delete_from_hnsw_store(
     m = dict(m)
     m["tomb_gen"] = gen
     _flip_hnsw_manifest(ann_dir, m)
-    for d in os.listdir(ann_dir):  # sweep superseded generations
-        if d.startswith("tomb-") and d != f"tomb-{gen}":
-            shutil.rmtree(os.path.join(ann_dir, d), ignore_errors=True)
+    _sweep_hnsw_dirs(ann_dir, m)
     return m
 
 
@@ -867,16 +946,20 @@ def repair_hnsw_store(
     protocol as appends: write ``graphs-<gen>``, flip the manifest
     (dropping ``tomb_gen``), sweep superseded graph and tombstone
     generations. A crash before the flip leaves probes on the old
-    generation; retrying completes the repair. No tombstones → no-op.
+    generation; retrying completes the repair. No tombstones → no-op
+    (which still sweeps any dirs a crash-interrupted sweep left).
+    Repairing everything away is refused like compact_ann_index —
+    rebuild instead.
     """
-    import shutil
-
     if mode not in ("repair", "rebuild"):
         raise ValueError(f"unknown repair mode {mode!r}")
     with open(os.path.join(ann_dir, "manifest.json")) as f:
         m = json.load(f)
     if not m.get("tomb_gen"):
-        return m  # nothing tombstoned — idempotent no-op
+        # nothing tombstoned — idempotent no-op; still collect orphan
+        # dirs a crash between a prior flip and its sweep left behind
+        _sweep_hnsw_dirs(ann_dir, m)
+        return m
     id_col = m["id_col"]
     mm, efc = m["m"], m["ef_construction"]
     old_dir = m.get("graphs_dir", "graphs")
@@ -886,6 +969,13 @@ def repair_hnsw_store(
         for r in spark.read.parquet(f"{ann_dir}/tomb-{m['tomb_gen']}").collect()
     )
     store = spark.read.parquet(f"{ann_dir}/{old_dir}")
+    n_dead_present = store.filter(
+        F.col(id_col).isin(*[int(t) for t in tomb])
+    ).count()
+    if int(m.get("n_vectors", 0)) - n_dead_present <= 0:
+        raise ValueError(
+            "repair would leave the store empty — rebuild instead"
+        )
 
     schema = (
         f"graph_id INT, dim INT, node INT, {id_col} LONG, "
@@ -972,11 +1062,7 @@ def repair_hnsw_store(
          "tombstones_cleared": len(tomb), "exec": mw.totals()},
     )
     _flip_hnsw_manifest(ann_dir, m)
-    for d in os.listdir(ann_dir):  # sweep superseded generations
-        if (d == "graphs" or d.startswith("graphs-")) and d != new_dir:
-            shutil.rmtree(os.path.join(ann_dir, d), ignore_errors=True)
-        if d.startswith("tomb-"):
-            shutil.rmtree(os.path.join(ann_dir, d), ignore_errors=True)
+    _sweep_hnsw_dirs(ann_dir, m)
     return m
 
 

@@ -195,21 +195,27 @@ def lm_buckets(
     evidence get a NULL bucket. Cut points are EXACT interpolated
     percentiles (Spark ``percentile`` ≡ DuckDB ``quantile_cont``, the
     corpus_profile contract) of the 6dp-rounded avg_logp, so both
-    engines derive identical cuts and identical buckets. One extra
-    tiny aggregation (#strata rows, broadcast back) on top of the
-    scoring plan."""
+    engines derive identical cuts and identical buckets. The cuts are
+    derived EAGERLY — one scoring pass collapsed to #strata rows and
+    collected at call time (the same driver-side pattern as the IVF
+    probe's centroid sims) — so the returned plan re-scores exactly
+    once when consumed: two corpus passes total, never a
+    double-branched lazy plan with duplicated exchanges."""
     keep = [strata_col] if strata_col else []
     scored = lm_perplexity(
         df, lm, id_col=id_col, text_col=text_col, keep_cols=keep
     )
     key = F.col(strata_col) if strata_col else F.lit(1)
-    cuts = (
+    cuts_agg = (
         scored.filter(F.col("avg_logp").isNotNull())
         .groupBy(key.alias("_k"))
         .agg(
             F.percentile(F.col("avg_logp"), F.lit(1.0 / 3)).alias("_c1"),
             F.percentile(F.col("avg_logp"), F.lit(2.0 / 3)).alias("_c2"),
         )
+    )
+    cuts = df.sparkSession.createDataFrame(
+        cuts_agg.collect(), cuts_agg.schema
     )
     left = scored.withColumn("_k", key)
     bc = F.broadcast(cuts)

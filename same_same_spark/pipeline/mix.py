@@ -28,7 +28,10 @@ Stage order (each optional, each a module this package already ships):
    layout columns (shard, pack_id, pack_offset, crosses_boundary)
    for the surviving docs.
 
-Everything stays one lazy DataFrame plan until the caller acts, so
+Everything stays one lazy DataFrame plan until the caller acts (one
+exception: handing the LM gate a raw reference DataFrame trains its
+counts eagerly at plan-construction time — pass a pre-trained
+``BigramLM`` to stay fully lazy), so
 Catalyst sees the whole pipeline at once: the quality/C4 gates are
 plain filters that push into the scan, dedup joins happen on already
 gated (smaller) data, and the sampling filter costs nothing extra.
@@ -135,9 +138,13 @@ def prepare_training_corpus(
     """Run the configured stages; returns the surviving rows with all
     input columns (+ ``split`` when splits are configured).
     ``eval_df`` (columns incl. ``text``) switches on the
-    decontamination stage after dedup; ``lm_ref_df`` (the curated
-    reference slice) switches on the CCNet perplexity gate when
-    ``cfg.lm_max_perplexity`` is set. ``stats`` (optional dict)
+    decontamination stage after dedup; ``lm_ref_df`` switches on the
+    CCNet perplexity gate when ``cfg.lm_max_perplexity`` is set —
+    pass either the curated reference slice (a DataFrame; training its
+    counts is ONE eager aggregation at plan-construction time) or an
+    already-trained :class:`~same_same_spark.pipeline.lm.BigramLM` to
+    keep plan construction fully lazy and reuse one model across
+    calls. ``stats`` (optional dict)
     receives the fuzzy-dedup connected-components round count
     (``{"cc_rounds": n}``) — observability for scale benchmarks, no
     extra Spark actions."""
@@ -151,10 +158,18 @@ def prepare_training_corpus(
         )["c4_keep"]
         out = out.filter(keep)
     if lm_ref_df is not None and cfg.lm_max_perplexity is not None:
-        from same_same_spark.pipeline.lm import lm_perplexity, train_bigram_lm
+        from same_same_spark.pipeline.lm import (
+            BigramLM,
+            lm_perplexity,
+            train_bigram_lm,
+        )
 
-        model = train_bigram_lm(
-            lm_ref_df, text_col=cfg.text_col, alpha=cfg.lm_alpha
+        model = (
+            lm_ref_df
+            if isinstance(lm_ref_df, BigramLM)
+            else train_bigram_lm(
+                lm_ref_df, text_col=cfg.text_col, alpha=cfg.lm_alpha
+            )
         )
         keep_ids = (
             lm_perplexity(out, model, id_col=cfg.id_col, text_col=cfg.text_col)
@@ -244,6 +259,15 @@ def mix_report(
     production plan; run it on a sample at scale)."""
     with_d = eval_df is not None
     with_lm = lm_ref_df is not None
+    if with_lm and cfg.lm_max_perplexity is not None:
+        # train ONCE up front — otherwise every stage count at or
+        # after "lm" would re-run the training aggregation
+        from same_same_spark.pipeline.lm import BigramLM, train_bigram_lm
+
+        if not isinstance(lm_ref_df, BigramLM):
+            lm_ref_df = train_bigram_lm(
+                lm_ref_df, text_col=cfg.text_col, alpha=cfg.lm_alpha
+            )
     order = cfg.stages(with_decontam=with_d, with_lm=with_lm)
     counts: dict[str, int] = {"input": df.count()}
     for i, stage in enumerate(order):

@@ -790,3 +790,86 @@ def test_store_mutation_lineage_records(spark, emb, tmp_path):
     r = rec(hdir, "repair-2")  # gen 1 was the append, 2 the repair
     assert r["mode"] == "repair" and r["tombstones_cleared"] == 2
     assert r["live_rows"] == emb.count() - 2
+
+
+def test_graph_repair_clustered_survivors_stay_reachable():
+    """Adversarial reconnect case: a tight cluster plus
+    opposite-direction outliers at m=2 — the degree heuristic loves the
+    cluster and (without pinned in-links) evicted every reconnect
+    backlink, leaving survivors unreachable at ANY ef. Post-fix the
+    exhaustive-ef search must find exactly the live set, and repair
+    must stay deterministic."""
+    for seed in (0, 1, 2, 3, 4):
+        rng = np.random.default_rng(seed)
+        base = rng.normal(size=16)
+        base /= np.linalg.norm(base)
+        cluster = base + 0.01 * rng.normal(size=(100, 16))
+        outliers = -base + 0.05 * rng.normal(size=(20, 16))
+        vecs = np.vstack([cluster, outliers])
+        ids = np.arange(120, dtype=np.int64)
+        g = HnswGraph(ids, vecs, m=2, ef_construction=8)
+        dead = np.sort(rng.choice(120, size=70, replace=False))
+        g.repair(dead)
+        g2 = HnswGraph(ids, vecs, m=2, ef_construction=8)
+        g2.repair(dead)
+        assert g._links == g2._links and g._entry == g2._entry
+        live = np.setdiff1d(np.arange(120), dead)
+        n_live = len(live)
+        # exhaustive search from a cluster-side AND an outlier-side
+        # query must surface every survivor
+        for q in (base, -base):
+            got = set(int(x) for x in g.search(q, ef=n_live, k=n_live))
+            assert got == set(int(x) for x in ids[live]), seed
+
+
+def test_repair_store_empty_and_sweep_on_retry(spark, emb, tmp_path):
+    """Repairing/compacting everything away is refused cleanly (no
+    half-written generation left), and the no-op retry paths collect
+    orphan dirs a crash between a flip and its sweep left behind."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from same_same_spark.pipeline import ann as ann_ops
+    from same_same_spark.pipeline import ann_store
+    from same_same_spark.pipeline.hnsw import (
+        build_hnsw_store,
+        delete_from_hnsw_store,
+        repair_hnsw_store,
+    )
+
+    two = emb.filter(F.col("vec_id").isin(0, 1))
+    hdir = str(tmp_path / "hnsw")
+    build_hnsw_store(two, hdir, n_graphs=2)
+    delete_from_hnsw_store(spark, hdir, [0, 1])
+    with _pytest.raises(Exception, match="empty"):
+        repair_hnsw_store(spark, hdir)
+    # no orphan generation dir was left behind by the refusal
+    assert not [d for d in os.listdir(hdir) if d.startswith("graphs-")]
+
+    cents = ann_ops.centroids_by_label(emb)
+    inc = str(tmp_path / "inc")
+    ann_store.build_ann_index(two, inc, n_planes=8, centroids=cents)
+    ann_store.delete_from_ann_index(spark, inc, [0, 1])
+    with _pytest.raises(Exception, match="empty"):
+        ann_store.compact_ann_index(spark, inc)
+    assert not [d for d in os.listdir(inc) if d.startswith("lsh-")]
+
+    # crash-between-flip-and-sweep simulation: orphan dirs that the
+    # manifest no longer references must disappear on the next no-op
+    full = str(tmp_path / "full")
+    ann_store.build_ann_index(emb, full, n_planes=8, centroids=cents)
+    for orphan in ("lsh-9", "ivf-9", "tomb-9"):
+        os.makedirs(os.path.join(full, orphan), exist_ok=True)
+    ann_store.compact_ann_index(spark, full)  # tomb_gen=0 → no-op
+    for orphan in ("lsh-9", "ivf-9", "tomb-9"):
+        assert not os.path.exists(os.path.join(full, orphan)), orphan
+
+    hfull = str(tmp_path / "hfull")
+    build_hnsw_store(emb, hfull, n_graphs=2)
+    for orphan in ("graphs-9", "tomb-9"):
+        os.makedirs(os.path.join(hfull, orphan), exist_ok=True)
+    repair_hnsw_store(spark, hfull)  # no tombstones → no-op
+    for orphan in ("graphs-9", "tomb-9"):
+        assert not os.path.exists(os.path.join(hfull, orphan)), orphan
