@@ -584,9 +584,9 @@ def sniff_format(data: bytes) -> str:
 
 def decode_image(data: bytes) -> np.ndarray:
     """Sniff + decode to ``(H, W, 3)`` uint8 RGB. PNG/BMP/GIF decode
-    here, huffman-DCT JPEG (baseline, extended sequential, progressive)
-    in :mod:`same_same_spark.pipeline.jpegcodec`;
-    WebP (and lossless/hierarchical/arithmetic JPEG) raise
+    here, huffman JPEG (baseline, extended sequential, progressive,
+    and lossless) in :mod:`same_same_spark.pipeline.jpegcodec`;
+    WebP (and hierarchical/arithmetic JPEG) raise
     :class:`UnsupportedImageError` — the narrowed honest gate; anything
     else raises ``ValueError``."""
     fmt = sniff_format(data)

@@ -4,17 +4,19 @@ sequential, and progressive huffman.
 Completes the reference's registered-format set without third-party
 libs: Go registers png+jpeg (``internal/embedders/clip/simple.go:7-9``);
 PNG lives in :mod:`same_same_spark.pipeline.imagecodec`, this module
-decodes **huffman-coded DCT** JPEG (SOF0/SOF1/SOF2): marker parse,
-DQT/DHT tables, any number of entropy-coded scans — interleaved or
-per-component, sequential or progressive (spectral selection +
-successive approximation, EOB runs, refinement bits) — with
+decodes **huffman-coded** JPEG: the DCT processes (SOF0/SOF1/SOF2 —
+marker parse, DQT/DHT tables, any number of entropy-coded scans,
+interleaved or per-component, sequential or progressive with spectral
+selection + successive approximation, EOB runs, refinement bits,
 byte-stuffing and restart markers, then one vectorized
-dequantize/IDCT/upsample/YCbCr->RGB reconstruction pass over the
-accumulated coefficients.
+dequantize/IDCT/upsample/YCbCr->RGB reconstruction pass) AND the
+**lossless process** (SOF3, T.81 annex H: predictors 1-7, point
+transform, 2-16 bit precision, modulo-2^16 differences, restart
+intervals; 1×1 sampling — subsampled lossless stays gated).
 
-Hierarchical, lossless, and arithmetic-coded JPEGs raise
+Hierarchical/differential and arithmetic-coded JPEGs raise
 :class:`~same_same_spark.pipeline.imagecodec.UnsupportedImageError` —
-the honest gate, narrowed from "any JPEG" to "any non-huffman-DCT
+the honest gate, narrowed again (round 4) from "any non-huffman-DCT
 JPEG". Chroma upsampling is spec-conformant pixel replication
 (libjpeg's default "fancy" triangle filter differs by a few counts on
 subsampled chroma; this is a capability path, not a bit-pinned oracle
@@ -22,11 +24,12 @@ path — the pinned paths stay on the deterministic stand-in decoders in
 ``clip.py``).
 
 Everything here derives from the public T.81 spec; the huffman/zigzag/
-DCT/progressive-scan test vectors come from spec-derived sequential
-AND progressive encoders in ``tests/test_jpegcodec.py`` written
-independently of this file (the differential: a progressive stream
-must decode pixel-identical to the sequential stream carrying the
-same coefficients).
+DCT/progressive-scan test vectors come from spec-derived sequential,
+progressive, AND lossless encoders in ``tests/test_jpegcodec.py``
+written independently of this file (the differentials: a progressive
+stream must decode pixel-identical to the sequential stream carrying
+the same coefficients; a lossless stream must decode bit-exact to its
+source samples under every predictor).
 """
 
 from __future__ import annotations
@@ -391,10 +394,106 @@ def _decode_scan(
     return p
 
 
+def _decode_lossless_scan(
+    data: bytes,
+    pos: int,
+    scan_sel: list[tuple[int, int, int]],
+    predictor: int,
+    pt: int,
+    prec: int,
+    restart_interval: int,
+    huff: dict,
+    samples: list[np.ndarray],
+) -> int:
+    """Decode one lossless-process scan (T.81 annex H) into the
+    per-component sample arrays; returns the position of the next
+    marker. All components are 1×1 sampled (gated at SOF3), so an
+    interleaved MCU is one sample per component in scan order and a
+    single-component scan is a plain raster.
+
+    Prediction (H.1.2): the first decoded sample of the scan — and the
+    first sample after every restart marker — predicts from the
+    point-transformed midpoint ``2^(P-Pt-1)``; the rest of the first
+    line predicts from the left neighbour, the first column from the
+    row above, everything else from the selected predictor 1-7.
+    Differences are DC-style huffman categories; SSSS=16 means +32768
+    with no appended bits. Reconstruction wraps modulo 2^16.
+    """
+    reader = _BitReader(data, pos)
+    tabs = []
+    for _, dc_id, _ in scan_sel:
+        t = huff.get((0, dc_id))
+        if t is None:
+            raise ValueError("jpeg: missing huffman table")
+        tabs.append(t)
+    h, w = samples[scan_sel[0][0]].shape
+    default = 1 << (prec - pt - 1)
+    force_default = [True] * len(scan_sel)
+    rst_n = 0
+    unit = 0
+
+    def diff(si: int) -> int:
+        s = _decode_huff(reader, tabs[si])
+        if s == 0:
+            return 0
+        if s == 16:
+            return 32768
+        return _extend(reader.receive(s), s)
+
+    for y in range(h):
+        for x in range(w):
+            if (
+                restart_interval
+                and unit
+                and unit % restart_interval == 0
+            ):
+                reader.sync_restart(rst_n)
+                rst_n = (rst_n + 1) & 7
+                force_default = [True] * len(scan_sel)
+            for si, (ci, _, _) in enumerate(scan_sel):
+                plane = samples[ci]
+                if force_default[si]:
+                    px = default
+                    force_default[si] = False
+                elif y == 0:
+                    px = int(plane[y, x - 1])  # first line: left
+                elif x == 0:
+                    px = int(plane[y - 1, x])  # first column: above
+                else:
+                    ra = int(plane[y, x - 1])
+                    rb = int(plane[y - 1, x])
+                    rc = int(plane[y - 1, x - 1])
+                    if predictor == 1:
+                        px = ra
+                    elif predictor == 2:
+                        px = rb
+                    elif predictor == 3:
+                        px = rc
+                    elif predictor == 4:
+                        px = ra + rb - rc
+                    elif predictor == 5:
+                        px = ra + ((rb - rc) >> 1)
+                    elif predictor == 6:
+                        px = rb + ((ra - rc) >> 1)
+                    else:  # 7
+                        px = (ra + rb) >> 1
+                plane[y, x] = (px + diff(si)) & 0xFFFF
+            unit += 1
+
+    p = reader.pos
+    while p < len(data) and data[p] != 0xFF:
+        p += 1
+    return p
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
     """Decode a huffman-coded DCT JPEG (baseline, extended sequential,
-    or progressive; interleaved or per-component scans) to an
-    ``(H, W, 3)`` uint8 RGB array."""
+    or progressive; interleaved or per-component scans) or a
+    huffman-coded LOSSLESS JPEG (SOF3, predictors 1-7, point
+    transform, 2-16 bit precision, 1×1 sampling) to an ``(H, W, 3)``
+    uint8 RGB array. Lossless samples deeper than 8 bits scale down by
+    a right shift (shallower ones scale up); 3-component lossless data
+    is RGB unless a JFIF APP0 header declares the stream YCbCr."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("jpeg: missing SOI")
     pos = 2
@@ -403,8 +502,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     huff: dict[tuple[int, int], dict] = {}  # (class 0=DC/1=AC, id)
     frame = None  # (H, W, components)
     progressive = False
+    lossless = False
+    prec_bits = 8
+    jfif = False
+    pt_last = 0
     restart_interval = 0
     coefs: list[np.ndarray] | None = None
+    samples: list[np.ndarray] | None = None
     geom: dict = {}
     dc_seen: set[int] = set()
     any_scan = False
@@ -437,12 +541,17 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     tbl = np.frombuffer(body[b : b + 128], dtype=">u2")
                     b += 128
                 qt[tq] = tbl.astype(np.int32)
-        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1/SOF2
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):  # SOF0/1/2/3
             if frame is not None:
                 raise ValueError("jpeg: multiple frames")
             progressive = marker == 0xC2
+            lossless = marker == 0xC3
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
-            if prec != 8:
+            if lossless:
+                if not 2 <= prec <= 16:
+                    raise ValueError("jpeg: bad lossless precision")
+                prec_bits = prec
+            elif prec != 8:
                 raise UnsupportedImageError("jpeg: only 8-bit precision")
             comps = []
             for ci in range(nc):
@@ -450,12 +559,21 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq}
                 )
+            if lossless and any(
+                c["h"] != 1 or c["v"] != 1 for c in comps
+            ):
+                raise UnsupportedImageError(
+                    "jpeg: subsampled lossless unsupported"
+                )
             frame = (h, w, comps)
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise UnsupportedImageError(
-                "jpeg: hierarchical/lossless/arithmetic coding unsupported"
+                "jpeg: hierarchical/differential/arithmetic coding "
+                "unsupported"
             )
+        elif marker == 0xE0:  # APP0: JFIF declares YCbCr for 3-comp
+            jfif = jfif or body[:5] == b"JFIF\x00"
         elif marker == 0xC4:  # DHT
             b = 0
             while b < len(body):
@@ -473,6 +591,34 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             H, W, comps = frame
             if H == 0 or W == 0:
                 raise ValueError("jpeg: zero-sized image")
+            if lossless:
+                if samples is None:
+                    samples = [
+                        np.zeros((H, W), dtype=np.int32) for _ in comps
+                    ]
+                ns = body[0]
+                by_id = {c["id"]: i for i, c in enumerate(comps)}
+                sel = []
+                for si in range(ns):
+                    cid, tt = body[1 + 2 * si], body[2 + 2 * si]
+                    if cid not in by_id:
+                        raise ValueError(
+                            "jpeg: scan selects unknown component"
+                        )
+                    sel.append((by_id[cid], tt >> 4, tt & 15))
+                pred_sel = body[1 + 2 * ns]  # Ss = predictor selector
+                pt_last = body[3 + 2 * ns] & 15  # Al = point transform
+                if not 1 <= pred_sel <= 7:
+                    raise ValueError("jpeg: bad lossless predictor")
+                if pt_last >= prec_bits:
+                    raise ValueError("jpeg: bad point transform")
+                dc_seen.update(ci for ci, _, _ in sel)
+                any_scan = True
+                pos = _decode_lossless_scan(
+                    data, pos + seglen, sel, pred_sel, pt_last,
+                    prec_bits, restart_interval, huff, samples,
+                )
+                continue
             if coefs is None:
                 hmax = max(c["h"] for c in comps)
                 vmax = max(c["v"] for c in comps)
@@ -532,28 +678,47 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     if len(dc_seen) != len(comps):
         raise ValueError("jpeg: component(s) never scanned")
 
+    if lossless:
+        # --- reconstruction: inverse point transform + bit-depth scale
+        full = []
+        for arr in samples:
+            v = arr.astype(np.int64) << pt_last
+            v = (
+                v >> (prec_bits - 8)
+                if prec_bits > 8
+                else v << (8 - prec_bits)
+            )
+            full.append(np.clip(v, 0, 255).astype(np.float64))
+        if len(full) == 3 and not jfif:
+            # 3-component lossless without a JFIF header is RGB
+            return np.stack(full, axis=2).astype(np.uint8)
+        # 1 component (or JFIF-declared YCbCr) falls through to the
+        # shared grayscale / YCbCr tail below
+        H2 = H  # noqa: F841  (documentation: planes are full-res)
+
     # --- reconstruction: dequantize + vectorized IDCT per component ---
-    full = []
-    for ci, c in enumerate(comps):
-        q = qt.get(c["tq"])
-        if q is None:
-            raise ValueError("jpeg: missing quant table")
-        qnat = np.empty(64, dtype=np.int64)
-        qnat[_ZIGZAG_ARR] = q  # zigzag-order table -> natural order
-        bh, bw = coefs[ci].shape[:2]
-        deq = (coefs[ci].astype(np.int64) * qnat).astype(np.float64)
-        blocks = deq.reshape(bh, bw, 8, 8)
-        out = np.einsum("ab,ijbc,cd->ijad", _A.T, blocks, _A)
-        plane = out.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8) + 128.0
-        cw = -(-W * c["h"] // geom["hmax"])
-        ch = -(-H * c["v"] // geom["vmax"])
-        p = plane[:ch, :cw]
-        p = np.repeat(
-            np.repeat(p, geom["vmax"] // c["v"], axis=0),
-            geom["hmax"] // c["h"],
-            axis=1,
-        )
-        full.append(p[:H, :W])
+    if not lossless:
+        full = []
+        for ci, c in enumerate(comps):
+            q = qt.get(c["tq"])
+            if q is None:
+                raise ValueError("jpeg: missing quant table")
+            qnat = np.empty(64, dtype=np.int64)
+            qnat[_ZIGZAG_ARR] = q  # zigzag-order table -> natural order
+            bh, bw = coefs[ci].shape[:2]
+            deq = (coefs[ci].astype(np.int64) * qnat).astype(np.float64)
+            blocks = deq.reshape(bh, bw, 8, 8)
+            out = np.einsum("ab,ijbc,cd->ijad", _A.T, blocks, _A)
+            plane = out.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8) + 128.0
+            cw = -(-W * c["h"] // geom["hmax"])
+            ch = -(-H * c["v"] // geom["vmax"])
+            p = plane[:ch, :cw]
+            p = np.repeat(
+                np.repeat(p, geom["vmax"] // c["v"], axis=0),
+                geom["hmax"] // c["h"],
+                axis=1,
+            )
+            full.append(p[:H, :W])
 
     if len(full) == 1:
         y = np.clip(np.rint(full[0]), 0, 255).astype(np.uint8)

@@ -154,8 +154,8 @@ def decode_image_features(
     Decode order per blob: PIL when installed (every registered
     format), else the pure-stdlib codec
     (:mod:`same_same_spark.pipeline.imagecodec` — real PNG/BMP/GIF and
-    huffman-DCT JPEG decode incl. progressive; WebP and
-    lossless/arithmetic JPEG raise ``UnsupportedImageError``, a
+    huffman JPEG decode incl. progressive and lossless; WebP and
+    hierarchical/arithmetic JPEG raise ``UnsupportedImageError``, a
     ``NotImplementedError`` subclass, the narrowed honest gate).
     """
 

@@ -730,11 +730,16 @@ def test_ff_fill_bytes_before_markers_tolerated():
 
 
 def test_hierarchical_and_arithmetic_still_gated():
-    for marker in (0xC3, 0xC9, 0xCB):  # lossless / arith sequential
+    for marker in (0xC5, 0xC9, 0xCB):  # differential / arithmetic
         body = struct.pack(">BHHB", 8, 1, 1, 1) + b"\x01\x11\x00"
         data = b"\xff\xd8" + _seg(marker, body)
         with pytest.raises(UnsupportedImageError):
             decode_jpeg(data)
+    # SOF3 is no longer gated — a frame without any scan is a plain
+    # malformed-stream error now, not a capability refusal
+    body = struct.pack(">BHHB", 8, 1, 1, 1) + b"\x01\x11\x00"
+    with pytest.raises(ValueError, match="SOF/SOS"):
+        decode_jpeg(b"\xff\xd8" + _seg(0xC3, body) + b"\xff\xd9")
 
 
 def test_malformed_rejected():
@@ -748,3 +753,171 @@ def test_decode_image_dispatches_jpeg():
     img = _smooth(8, 8, seed=8)
     out = decode_image(encode_jpeg(img, q=1))
     assert out.shape == (8, 8, 3)
+
+
+# --- lossless process (SOF3, T.81 annex H) ------------------------------
+
+_LL_COUNTS = bytes([0, 0, 0, 0, 17] + [0] * 11)  # 17 codes, length 5
+_LL_SYMS = bytes(range(17))
+_LL_CODE = _codes(_LL_COUNTS, _LL_SYMS)
+
+
+def encode_lossless_jpeg(
+    img: np.ndarray,
+    predictor: int = 1,
+    pt: int = 0,
+    precision: int = 8,
+    restart: int = 0,
+    interleaved: bool = True,
+    jfif: bool = False,
+) -> bytes:
+    """Spec-derived LOSSLESS (SOF3) encoder written independently of
+    the decoder: T.81 H.1 predictors, DC-category-coded modulo-2^16
+    differences (SSSS=16 ⇔ +32768 with no appended bits), default
+    prediction 2^(P-Pt-1) at scan start and after every restart,
+    optional point transform and non-interleaved per-component
+    scans."""
+    arr = np.asarray(img).astype(np.int64)
+    planes = [arr] if arr.ndim == 2 else [arr[..., i] for i in range(arr.shape[2])]
+    planes = [p >> pt for p in planes]
+    H, W = planes[0].shape
+    ncomp = len(planes)
+    sof = struct.pack(">BHHB", precision, H, W, ncomp) + b"".join(
+        struct.pack(">BBB", ci + 1, 0x11, 0) for ci in range(ncomp)
+    )
+    out = b"\xff\xd8"
+    if jfif:
+        out += _seg(0xE0, b"JFIF\x00" + bytes(9))
+    out += _seg(0xC4, b"\x00" + _LL_COUNTS + _LL_SYMS)
+    if restart:
+        out += _seg(0xDD, struct.pack(">H", restart))
+    out += _seg(0xC3, sof)
+    default = 1 << (precision - pt - 1)
+
+    def scan(sel_planes, sel_ids):
+        wr = _Writer()
+        force = [True] * len(sel_planes)
+        rst_n = 0
+        unit = 0
+        for y in range(H):
+            for x in range(W):
+                if restart and unit and unit % restart == 0:
+                    wr.restart(rst_n)
+                    rst_n = (rst_n + 1) & 7
+                    force = [True] * len(sel_planes)
+                for si, p in enumerate(sel_planes):
+                    if force[si]:
+                        px = default
+                        force[si] = False
+                    elif y == 0:
+                        px = int(p[y, x - 1])
+                    elif x == 0:
+                        px = int(p[y - 1, x])
+                    else:
+                        ra = int(p[y, x - 1])
+                        rb = int(p[y - 1, x])
+                        rc = int(p[y - 1, x - 1])
+                        px = [
+                            None, ra, rb, rc, ra + rb - rc,
+                            ra + ((rb - rc) >> 1),
+                            rb + ((ra - rc) >> 1), (ra + rb) >> 1,
+                        ][predictor]
+                    d = (int(p[y, x]) - px) & 0xFFFF
+                    if d == 0:
+                        ln, code = _LL_CODE[0]
+                        wr.put(code, ln)
+                    elif d == 32768:
+                        ln, code = _LL_CODE[16]
+                        wr.put(code, ln)
+                    else:
+                        ds = d - 65536 if d > 32768 else d
+                        s, bits = _cat(ds)
+                        ln, code = _LL_CODE[s]
+                        wr.put(code, ln)
+                        wr.put(bits, s)
+                unit += 1
+        wr.flush()
+        body = (
+            bytes([len(sel_ids)])
+            + b"".join(bytes([cid, 0x00]) for cid in sel_ids)
+            + bytes([predictor, 0, pt])
+        )
+        return _seg(0xDA, body) + bytes(wr.out)
+
+    if interleaved or ncomp == 1:
+        out += scan(planes, list(range(1, ncomp + 1)))
+    else:
+        for ci, p in enumerate(planes):
+            out += scan([p], [ci + 1])
+    return out + b"\xff\xd9"
+
+
+def test_lossless_roundtrip_gray_all_predictors():
+    rng = np.random.default_rng(31)
+    img = rng.integers(0, 256, size=(24, 17), dtype=np.uint8)
+    want = np.repeat(img[..., None], 3, axis=2)
+    for pred in range(1, 8):
+        got = decode_jpeg(encode_lossless_jpeg(img, predictor=pred))
+        assert (got == want).all(), pred
+
+
+def test_lossless_rgb_interleaved_and_separate_scans():
+    rng = np.random.default_rng(32)
+    img = rng.integers(0, 256, size=(19, 23, 3), dtype=np.uint8)
+    for inter in (True, False):
+        got = decode_jpeg(
+            encode_lossless_jpeg(img, predictor=4, interleaved=inter)
+        )
+        assert (got == img).all(), inter
+
+
+def test_lossless_restarts_and_point_transform():
+    rng = np.random.default_rng(33)
+    img = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+    got = decode_jpeg(encode_lossless_jpeg(img, predictor=5, restart=37))
+    assert (got[..., 0] == img).all()
+    # Pt=3: encoder drops 3 bits, decoder re-shifts — output quantized
+    got = decode_jpeg(encode_lossless_jpeg(img, predictor=1, pt=3))
+    assert (got[..., 0] == (img >> 3) << 3).all()
+
+
+def test_lossless_16bit_scales_to_8():
+    rng = np.random.default_rng(34)
+    img = rng.integers(0, 1 << 16, size=(9, 11)).astype(np.int64)
+    got = decode_jpeg(
+        encode_lossless_jpeg(img, predictor=2, precision=16)
+    )
+    assert (got[..., 0] == (img >> 8)).all()
+
+
+def test_lossless_jfif_three_component_goes_through_ycbcr():
+    rng = np.random.default_rng(35)
+    img = rng.integers(0, 256, size=(12, 10, 3), dtype=np.uint8)
+    ycc = np.stack(
+        [np.clip(np.rint(p), 0, 255) for p in _rgb_to_ycbcr(img)], axis=2
+    ).astype(np.uint8)
+    got = decode_jpeg(encode_lossless_jpeg(ycc, predictor=7, jfif=True))
+    # YCbCr integer round-trip is near-exact, not exact
+    assert np.abs(got.astype(int) - img.astype(int)).max() <= 3
+
+
+def test_lossless_gates():
+    import pytest as _pytest
+
+    from same_same_spark.pipeline.imagecodec import UnsupportedImageError
+
+    rng = np.random.default_rng(36)
+    img = rng.integers(0, 256, size=(8, 8), dtype=np.uint8)
+    good = encode_lossless_jpeg(img, predictor=1)
+    # predictor 0 (hierarchical-only) refused
+    bad = bytearray(good)
+    sos_at = bad.find(b"\xff\xda")
+    bad[sos_at + 2 + 2 + 1 + 2] = 0  # Ss byte of the scan header
+    with _pytest.raises(ValueError, match="predictor"):
+        decode_jpeg(bytes(bad))
+    # subsampled SOF3 refused
+    bad = bytearray(good)
+    sof_at = bad.find(b"\xff\xc3")
+    bad[sof_at + 2 + 2 + 6 + 1] = 0x22  # h=v=2 for component 1
+    with _pytest.raises(UnsupportedImageError, match="subsampled"):
+        decode_jpeg(bytes(bad))
