@@ -58,6 +58,10 @@ class MixConfig:
 
     id_col: str = "doc_id"
     text_col: str = "text"
+    # intra-document repeated-line removal (textqc.dedup_lines_cols):
+    # runs FIRST so quality / C4 / LM metrics and every dedup hash see
+    # the cleaned text. Pure column math, no shuffle.
+    dedup_lines: bool = False
     min_quality: float | None = None
     c4_gate: bool = False
     c4_min_sentences: int = 3
@@ -105,6 +109,8 @@ class MixConfig:
         self, with_decontam: bool = False, with_lm: bool = False
     ) -> list[str]:
         out = []
+        if self.dedup_lines:
+            out.append("line_dedup")
         if self.min_quality is not None:
             out.append("quality")
         if self.c4_gate:
@@ -149,6 +155,11 @@ def prepare_training_corpus(
     (``{"cc_rounds": n}``) — observability for scale benchmarks, no
     extra Spark actions."""
     out = df
+    if cfg.dedup_lines:
+        out = out.withColumn(
+            cfg.text_col,
+            textqc_ops.dedup_lines_cols(cfg.text_col)["text_line_deduped"],
+        )
     if cfg.min_quality is not None:
         score = textqc_ops.quality_cols(cfg.text_col)["quality_score"]
         out = out.filter(score >= F.lit(cfg.min_quality))
@@ -293,6 +304,7 @@ def _truncated(cfg: MixConfig, keep: set[str]) -> MixConfig:
     stage-order computation.)"""
     return replace(
         cfg,
+        dedup_lines=cfg.dedup_lines and "line_dedup" in keep,
         min_quality=cfg.min_quality if "quality" in keep else None,
         c4_gate=cfg.c4_gate and "c4" in keep,
         strip_spans=cfg.strip_spans and "span_strip" in keep,

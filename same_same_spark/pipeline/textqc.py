@@ -302,6 +302,54 @@ def repetition_sql(col_expr: str) -> dict[str, str]:
     }
 
 
+def dedup_lines_cols(text: Column | str) -> dict[str, Column]:
+    """Intra-document repeated-line REMOVAL — the action companion to
+    :func:`repetition_cols` (which only measures). Keeps the FIRST
+    occurrence of each line, comparing lines by their
+    whitespace-trimmed form (`` foo `` is a repeat of ``foo``); blank /
+    whitespace-only lines always survive so paragraph structure is
+    preserved. Lines rejoin with ``\\n``.
+
+    Pure JVM column math per row — no explode, no shuffle, runs inside
+    whole-stage codegen at any corpus size. The per-row cost is
+    O(lines²) via ``array_position`` first-occurrence lookups, bounded
+    by document line counts (never corpus-proportional).
+
+    Returns ``{"text_line_deduped", "n_lines_removed"}``.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    raw = F.split(c, r"\n")
+    trimmed = F.transform(raw, ws_trim)
+    kept = F.filter(
+        raw,
+        lambda x, i: (F.length(ws_trim(x)) == 0)
+        | (F.array_position(trimmed, ws_trim(x)) == i + 1),
+    )
+    return {
+        "text_line_deduped": F.array_join(kept, "\n"),
+        "n_lines_removed": (F.size(raw) - F.size(kept)).cast("bigint"),
+    }
+
+
+def dedup_lines_sql(col_expr: str) -> dict[str, str]:
+    """DuckDB twins of :func:`dedup_lines_cols` (same names, same
+    semantics; DuckDB list lambdas index 1-based where Spark's are
+    0-based — both compare against their engine's first-occurrence
+    position)."""
+    trim_ws = "E' \\t\\n\\f\\r'"
+    lines = f"string_split({col_expr}, chr(10))"
+    trimmed = f"list_transform({lines}, y -> trim(y, {trim_ws}))"
+    kept = (
+        f"list_filter({lines}, (x, i) -> "
+        f"length(trim(x, {trim_ws})) = 0 OR "
+        f"list_position({trimmed}, trim(x, {trim_ws})) = i)"
+    )
+    return {
+        "text_line_deduped": f"array_to_string({kept}, chr(10))",
+        "n_lines_removed": f"(len({lines}) - len({kept}))::BIGINT",
+    }
+
+
 def top_ngram_stats(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -138,3 +138,30 @@ def test_lm_gate_stage(spark):
     rep = mix_report(df, MixConfig(lm_max_perplexity=cut), lm_ref_df=ref)
     assert list(rep) == ["input", "lm", "exact_dedup"]
     assert rep["lm"] == 6 and rep["exact_dedup"] == 4
+
+
+def test_line_dedup_stage(spark):
+    docs = [
+        (1, "license header\nbody one\nlicense header\nbody two", "en"),
+        (2, "clean\nlines\nonly", "en"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING, lang STRING")
+    cfg = MixConfig(dedup_lines=True, exact=False)
+    assert cfg.stages() == ["line_dedup"]
+    out = {
+        r["doc_id"]: r["text"]
+        for r in prepare_training_corpus(df, cfg).collect()
+    }
+    assert out[1] == "license header\nbody one\nbody two"
+    assert out[2] == "clean\nlines\nonly"
+    # transforms text, drops no rows — mix_report stays monotone
+    counts = mix_report(df, cfg)
+    assert counts["input"] == counts["line_dedup"] == 2
+    # composes: line dedup can expose exact duplicates downstream
+    pair = spark.createDataFrame(
+        [(1, "same\nsame\nbody", "en"), (2, "same\nbody", "en")],
+        "doc_id LONG, text STRING, lang STRING",
+    )
+    cfg2 = MixConfig(dedup_lines=True, exact=True)
+    survivors = prepare_training_corpus(pair, cfg2).collect()
+    assert len(survivors) == 1

@@ -384,3 +384,65 @@ def test_c4_oracle_parity(spark):
             a["doc_id"], a["kept"], a["n_sentences"],
             a["blocklisted"], a["c4_keep"],
         ) == tuple(b)
+
+
+def test_dedup_lines(spark):
+    cols = textqc.dedup_lines_cols("text")
+    [r] = _one(
+        spark, "MIT License\nreal one\nMIT License\n  MIT License \nreal two"
+    ).select(*[v.alias(k) for k, v in cols.items()]).collect()
+    # first occurrence kept; later raw AND trimmed-form repeats removed
+    assert r["text_line_deduped"] == "MIT License\nreal one\nreal two"
+    assert r["n_lines_removed"] == 2
+
+    # blank lines always survive (paragraph structure preserved)
+    [b] = _one(spark, "a\n\n\nb\n\na").select(
+        *[v.alias(k) for k, v in cols.items()]
+    ).collect()
+    assert b["text_line_deduped"] == "a\n\n\nb\n"
+    assert b["n_lines_removed"] == 1
+
+    # idempotence: dedup(dedup(x)) == dedup(x)
+    once = _one(spark, "x\ny\nx\nz\ny").select(
+        cols["text_line_deduped"].alias("text")
+    )
+    [twice] = once.select(
+        textqc.dedup_lines_cols("text")["text_line_deduped"].alias("t"),
+        textqc.dedup_lines_cols("text")["n_lines_removed"].alias("n"),
+    ).collect()
+    assert twice["t"] == "x\ny\nz" and twice["n"] == 0
+
+    # dup-free text is untouched byte-for-byte
+    [c] = _one(spark, "alpha\n beta\ngamma\n").select(
+        *[v.alias(k) for k, v in cols.items()]
+    ).collect()
+    assert c["text_line_deduped"] == "alpha\n beta\ngamma\n"
+    assert c["n_lines_removed"] == 0
+
+
+def test_dedup_lines_oracle_parity(spark):
+    texts = [
+        (1, "dup\nkeep\ndup\n  dup  \nend"),
+        (2, "a\n\n\na\n\nb"),
+        (3, "no dups\nat all\n"),
+        (4, ""),
+        (5, None),  # NULL text → NULL out in BOTH engines
+        (6, "only\n"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id LONG, text STRING")
+    cols = textqc.dedup_lines_cols("text")
+    got = df.select(
+        "doc_id", *[v.alias(k) for k, v in cols.items()]
+    ).orderBy("doc_id").collect()
+    con = duckdb.connect()
+    con.register("d", df.toPandas())
+    fs = textqc.dedup_lines_sql("text")
+    oracle = con.execute(
+        "SELECT doc_id, "
+        + ", ".join(f"{e} AS {k}" for k, e in fs.items())
+        + " FROM d ORDER BY doc_id"
+    ).fetchall()
+    for a, b in zip(got, oracle):
+        assert (
+            a["doc_id"], a["text_line_deduped"], a["n_lines_removed"]
+        ) == tuple(b)
