@@ -2403,6 +2403,43 @@ def _sql_pii_redact() -> str:
     )
 
 
+def _q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE trainer statistics (pipeline/bpe.py): adjacent-symbol pair
+    frequencies over the word-frequency table — the SQL-expressible
+    foundation the iterative merge loop selects its argmax from.
+    Word counting is the only corpus-proportional pass; pairs explode
+    over the vocabulary-sized word table."""
+    from same_same_spark.pipeline import bpe as bpe_ops
+
+    return bpe_ops.initial_pair_counts(_docs(spark, sf_dir), top=100)
+
+
+def _sql_bpe_pair_counts() -> str:
+    from same_same_spark.pipeline import bpe as bpe_ops
+
+    return bpe_ops.initial_pair_counts_sql("documents", "text", 100)
+
+
+def _q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE train + encode end to end (pipeline/bpe.py): learn 40
+    merges over the corpus (deterministic: argmax by count DESC, pair
+    ASC), then encode every document with them. The merge loop is
+    iterative (not SQL-expressible — no oracle_sql entry; the driver
+    records the rows-only check); merge determinism, local==
+    distributed trainer identity, and encoder==trainer symbol tables
+    are pinned in tests/test_bpe.py."""
+    from same_same_spark.pipeline import bpe as bpe_ops
+
+    docs = _docs(spark, sf_dir)
+    model = bpe_ops.train_bpe(docs, n_merges=40, mode="local")
+    enc = bpe_ops.bpe_encode(docs, model)
+    return enc.select(
+        "doc_id",
+        "n_subwords",
+        F.array_join(F.slice("bpe_tokens", 1, 8), " ").alias("head_subwords"),
+    ).orderBy("doc_id")
+
+
 # Intra-doc line-dedup fixture: the synthetic corpus is single-line
 # text, so the entry exercises the removal rules on handcrafted rows
 # covering every edge (trimmed-form repeats, blank-line preservation,
@@ -2691,6 +2728,16 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # tests/test_sources + test_entry; rotate it back when top-50
     # pressure eases).
     "line_dedup": (_q_line_dedup, _sql_line_dedup()),
+    # sole evidence for BPE tokenizer training (pipeline/bpe.py):
+    # bpe_pair_counts pins the trainer's statistics cross-engine;
+    # bpe_encode runs the full train+encode path (iterative — no SQL
+    # twin possible; rows-only driver check by design, local==
+    # distributed trainer identity pinned in tests/test_bpe.py).
+    # Their insertion pushed r3-green source_csv + source_jsonl to the
+    # overflow head alongside source_hf (S2/S3 semantics stay pinned
+    # locally by tests/test_sources + test_entry).
+    "bpe_pair_counts": (_q_bpe_pair_counts, _sql_bpe_pair_counts()),
+    "bpe_encode": (_q_bpe_encode, None),
     # --- r3-green entries (CORRECTNESS_r03 all-green) -----------------
     # (bm25_topk moved to the twin tail this round: it shares
     # _SQL_BM25_TOPK with in-top-50 index_bm25_topk and the two are
@@ -2739,10 +2786,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     ),
     "event_age_buckets": (_q_event_age_buckets, _SQL_EVENT_AGE_BUCKETS),
     "source_quotes": (_q_source_quotes, _SQL_SOURCE_QUOTES),
+    # source_csv / source_jsonl / source_hf rotated to overflow head
+    # (round-4 seventh session) to keep new sole-evidence line_dedup +
+    # bpe_pair_counts + bpe_encode inside the top-50; all r2+r3 green,
+    # semantics stay pinned locally by tests/test_sources + test_entry.
     "source_csv": (_q_source_csv, _SQL_SOURCE_CSV),
     "source_jsonl": (_q_source_jsonl, _SQL_SOURCE_JSONL),
-    # source_hf rotated to overflow head (round-4 seventh session) to
-    # keep new sole-evidence line_dedup inside the top-50; r2+r3 green.
     "source_hf": (_q_source_hf, _SQL_SOURCE_HF),
     "euclidean_topk": (_q_euclidean_topk, _SQL_EUCLIDEAN_TOPK),
     # training-pipeline operators

@@ -91,6 +91,8 @@ ENTRY_QUERY_NAMES = [
     "lm_perplexity",
     "lcs_pairs",
     "passage_topk",
+    "bpe_encode",
+    "line_dedup",
 ]
 
 # VERDICT r3 #8: round-over-round totals stopped being comparable as

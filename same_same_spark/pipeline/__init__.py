@@ -13,7 +13,11 @@ DataFrame-first:
   partitioned parquet, probes are partition-pruned reads; MLlib
   KMeans centroids,
 - :mod:`~same_same_spark.pipeline.textqc` — language id, quality
-  scoring, token counting, winnowing fingerprints,
+  scoring, token counting, winnowing fingerprints, intra-doc line
+  dedup,
+- :mod:`~same_same_spark.pipeline.bpe` — BPE tokenizer training
+  (local / distributed merge loops over one word-count pass) and
+  subword encoding,
 - :mod:`~same_same_spark.pipeline.multimodal` — binary-column
   plumbing for image/audio/video payloads (decode stubbed; schema,
   partitioning and Arrow batch shape real).
