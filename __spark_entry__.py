@@ -2440,6 +2440,74 @@ def _q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# Audio fixture: deterministic int16 mono clips (no RNG) covering a
+# square wave, a modular ramp, an alternating-sign series, a single
+# sample and silence. The Spark side ENCODES each to WAV bytes, decodes
+# with the stdlib codec and computes features; the oracle recomputes
+# the features straight from the same literal sample arrays — pinning
+# encode→decode round-trip AND feature math cross-engine.
+def _audio_fixture() -> list[tuple[int, int, list[int]]]:
+    sq = [12000 if (i % 8) < 4 else -12000 for i in range(64)]
+    ramp = [(i * 997) % 24001 - 12000 for i in range(80)]
+    alt = [(-1) ** i * (100 + 7 * i) for i in range(33)]
+    return [
+        (1, 8000, sq),
+        (2, 16000, ramp),
+        (3, 11025, alt),
+        (4, 22050, [4242]),
+        (5, 8000, [0] * 16),
+    ]
+
+
+def _q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio pipeline end to end (pipeline/audiocodec + multimodal):
+    int16 samples → PCM16 WAV bytes → stdlib decode → per-clip scalar
+    features (duration, RMS, peak, zero-crossing rate) through the
+    mapInPandas Arrow path. The oracle recomputes the features from
+    the same literal samples — a mismatch anywhere in the header
+    writer, chunk parser, normalization or feature math fails the
+    hash."""
+    import numpy as np
+
+    from same_same_spark.pipeline import audiocodec
+    from same_same_spark.pipeline.multimodal import decode_audio_features
+    from pyspark.sql.types import BinaryType
+
+    df = spark.createDataFrame(
+        _audio_fixture(), "doc_id LONG, sr INT, samples ARRAY<INT>"
+    )
+    enc = F.udf(
+        lambda sr, s: audiocodec.encode_wav(
+            np.array(s, dtype="<i2"), sr
+        ),
+        BinaryType(),
+    )
+    wav = df.select("doc_id", enc("sr", "samples").alias("content"))
+    return decode_audio_features(wav).orderBy("doc_id")
+
+
+def _sql_audio_features() -> str:
+    values = ", ".join(
+        f"({i}, {sr}, {list(s)})" for i, sr, s in _audio_fixture()
+    )
+    return f"""
+WITH d(doc_id, sr, samples) AS (VALUES {values})
+SELECT doc_id,
+  sr::INTEGER AS sample_rate,
+  1::INTEGER AS n_channels,
+  len(samples)::BIGINT AS n_frames,
+  round(len(samples) / sr::DOUBLE, 6) AS duration_sec,
+  round(sqrt(list_sum(list_transform(samples,
+        x -> (x/32768.0)*(x/32768.0))) / len(samples)), 6) AS rms,
+  round(list_max(list_transform(samples, x -> abs(x)/32768.0)), 6) AS peak,
+  round(CASE WHEN len(samples) > 1 THEN
+      len(list_filter(range(2, len(samples)+1),
+          i -> samples[i-1]*samples[i] < 0)) / (len(samples)-1)::DOUBLE
+    ELSE 0.0 END, 6) AS zcr
+FROM d
+"""
+
+
 # Intra-doc line-dedup fixture: the synthetic corpus is single-line
 # text, so the entry exercises the removal rules on handcrafted rows
 # covering every edge (trimmed-form repeats, blank-line preservation,
@@ -2738,6 +2806,13 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # locally by tests/test_sources + test_entry).
     "bpe_pair_counts": (_q_bpe_pair_counts, _sql_bpe_pair_counts()),
     "bpe_encode": (_q_bpe_encode, None),
+    # sole evidence for the REAL audio decode path (audiocodec WAV/PCM
+    # + multimodal.decode_audio_features): encode→decode→features vs
+    # an oracle recomputing from the same literal samples. Its
+    # insertion rotated r3-green clip_image_features to the overflow
+    # head — X11/U2's SURVEY rows keep in-top-50 evidence via
+    # clip_text_topk + multimodal_features.
+    "audio_features": (_q_audio_features, _sql_audio_features()),
     # --- r3-green entries (CORRECTNESS_r03 all-green) -----------------
     # (bm25_topk moved to the twin tail this round: it shares
     # _SQL_BM25_TOPK with in-top-50 index_bm25_topk and the two are
@@ -2763,7 +2838,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     ),
     "tfidf_topk": (_q_tfidf_topk, _SQL_TFIDF_TOPK),
     "clip_text_topk": (_q_clip_text_topk, _SQL_CLIP_TEXT_TOPK),
-    "clip_image_features": (_q_clip_image_features, _SQL_CLIP_IMAGE),
     "search_by_text_indexed": (
         _q_search_by_text_indexed,
         _SQL_SEARCH_BY_TEXT_INDEXED,
@@ -2786,10 +2860,13 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     ),
     "event_age_buckets": (_q_event_age_buckets, _SQL_EVENT_AGE_BUCKETS),
     "source_quotes": (_q_source_quotes, _SQL_SOURCE_QUOTES),
-    # source_csv / source_jsonl / source_hf rotated to overflow head
-    # (round-4 seventh session) to keep new sole-evidence line_dedup +
-    # bpe_pair_counts + bpe_encode inside the top-50; all r2+r3 green,
-    # semantics stay pinned locally by tests/test_sources + test_entry.
+    # clip_image_features + source_csv / source_jsonl / source_hf
+    # rotated to overflow head (round-4 seventh session) to keep new
+    # sole-evidence line_dedup + bpe_pair_counts + bpe_encode +
+    # audio_features inside the top-50; all r3 green, semantics stay
+    # pinned locally by tests (test_clip/test_sources) + test_entry,
+    # and X11/U2/S-row SURVEY evidence keeps in-top-50 twins.
+    "clip_image_features": (_q_clip_image_features, _SQL_CLIP_IMAGE),
     "source_csv": (_q_source_csv, _SQL_SOURCE_CSV),
     "source_jsonl": (_q_source_jsonl, _SQL_SOURCE_JSONL),
     "source_hf": (_q_source_hf, _SQL_SOURCE_HF),

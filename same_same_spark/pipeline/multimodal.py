@@ -13,12 +13,14 @@ huffman-DCT JPEG (baseline, extended sequential, and progressive,
 interleaved or per-component scans) via the pure-stdlib codecs
 (:mod:`same_same_spark.pipeline.imagecodec`; PIL is used instead when
 installed, covering WebP too — without it that format raises
-``UnsupportedImageError``). Audio/video
-decode remains stubbed (no
-codecs in this container); :func:`fake_features` provides a
-deterministic md5-derived stand-in so the Spark-side plumbing — schema,
-partitioning, mapInPandas batch shape, feature-column contract — is
-oracle-checkable end to end regardless of media libs.
+``UnsupportedImageError``). Audio decode is REAL for WAV/PCM
+(:mod:`same_same_spark.pipeline.audiocodec` — 8/16/24/32-bit PCM,
+float32/64, extensible headers); compressed audio (MP3/OGG/FLAC) and
+video decode remain stubbed (no codecs in this container);
+:func:`fake_features` provides a deterministic md5-derived stand-in so
+the Spark-side plumbing — schema, partitioning, mapInPandas batch
+shape, feature-column contract — is oracle-checkable end to end
+regardless of media libs.
 """
 
 from __future__ import annotations
@@ -47,6 +49,7 @@ MEDIA_META_TYPE = T.StructType(
 )
 
 IMAGE_EXTS = (".jpg", ".jpeg", ".png", ".gif", ".bmp", ".webp")  # image.go:45-52
+AUDIO_EXTS = (".wav",)  # real stdlib decode; mp3/ogg/flac stay gated
 
 FEATURE_DIM = 8
 
@@ -141,6 +144,48 @@ def frame_sample_plan(
         "time_frac",
         (F.col("frame_idx") + 0.5) / F.lit(float(n_frames)),
     )
+
+
+def decode_audio_features(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Real audio decode → deterministic per-clip scalar features.
+
+    WAV/PCM decodes via the pure-stdlib codec
+    (:mod:`same_same_spark.pipeline.audiocodec`); compressed audio
+    raises ``UnsupportedAudioError`` (a ``NotImplementedError``
+    subclass — the honest gate). One feature row per clip, Arrow
+    batches in/out, exactly the image-path shape.
+    """
+    schema = (
+        f"{id_col} LONG, sample_rate INT, n_channels INT, "
+        "n_frames LONG, duration_sec DOUBLE, rms DOUBLE, "
+        "peak DOUBLE, zcr DOUBLE"
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from same_same_spark.pipeline.audiocodec import (
+            audio_features,
+            decode_wav,
+        )
+
+        for pdf in batches:
+            rows = []
+            for blob in pdf[content_col]:
+                samples, rate = decode_wav(bytes(blob))
+                rows.append(audio_features(samples, rate))
+            out = pd.DataFrame(rows)
+            out.insert(0, id_col, pdf[id_col].values)
+            yield out[
+                [
+                    id_col, "sample_rate", "n_channels", "n_frames",
+                    "duration_sec", "rms", "peak", "zcr",
+                ]
+            ]
+
+    return df.select(id_col, content_col).mapInPandas(extract, schema)
 
 
 def decode_image_features(

@@ -1,0 +1,186 @@
+"""WAV codec + audio features (pipeline/audiocodec + multimodal).
+
+Differential strategy mirrors the image codecs: decode bytes written
+by an INDEPENDENT writer (Python's stdlib ``wave`` module) plus
+hand-built headers for the variants ``wave`` can't write (float,
+extensible), and pin features to closed forms.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+
+import numpy as np
+import pytest
+
+from same_same_spark.pipeline.audiocodec import (
+    UnsupportedAudioError,
+    audio_features,
+    decode_wav,
+    encode_wav,
+    sniff_audio,
+)
+
+
+def _wave_write(frames: bytes, n_ch: int, sampwidth: int, rate: int) -> bytes:
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(n_ch)
+        w.setsampwidth(sampwidth)
+        w.setframerate(rate)
+        w.writeframes(frames)
+    return buf.getvalue()
+
+
+def test_roundtrip_mono_and_stereo():
+    mono = np.array([0, 100, -100, 32767, -32768, 7], dtype="<i2")
+    s, r = decode_wav(encode_wav(mono, 8000))
+    assert r == 8000 and s.shape == (6, 1)
+    assert np.array_equal(s[:, 0] * 32768.0, mono.astype(np.float64))
+
+    st = np.array([[1, -1], [1000, -1000], [32767, -32768]], dtype="<i2")
+    s2, r2 = decode_wav(encode_wav(st, 44100))
+    assert r2 == 44100 and s2.shape == (3, 2)
+    assert np.array_equal(s2 * 32768.0, st.astype(np.float64))
+
+
+def test_decode_matches_stdlib_wave_writer():
+    # 16-bit stereo via the independent stdlib writer
+    st = np.array([[0, 5], [-7, 9], [100, -100], [2, 2]], dtype="<i2")
+    data = _wave_write(st.reshape(-1).tobytes(), 2, 2, 16000)
+    s, r = decode_wav(data)
+    assert r == 16000
+    assert np.array_equal(s * 32768.0, st.astype(np.float64))
+
+    # 8-bit unsigned PCM
+    u8 = np.array([0, 128, 255, 64], dtype=np.uint8)
+    s8, _ = decode_wav(_wave_write(u8.tobytes(), 1, 1, 8000))
+    assert np.array_equal(
+        s8[:, 0], (u8.astype(np.float64) - 128.0) / 128.0
+    )
+
+    # 24-bit PCM (wave writes raw little-endian 3-byte frames)
+    vals = [0, 1, -1, (1 << 23) - 1, -(1 << 23), 123456]
+    frames = b"".join(
+        (v & 0xFFFFFF).to_bytes(3, "little") for v in vals
+    )
+    s24, _ = decode_wav(_wave_write(frames, 1, 3, 48000))
+    assert np.array_equal(
+        s24[:, 0] * float(1 << 23), np.array(vals, dtype=np.float64)
+    )
+
+
+def _fmt_chunk(tag: int, n_ch: int, rate: int, bits: int, extra: bytes = b"") -> bytes:
+    block = n_ch * bits // 8
+    body = struct.pack(
+        "<HHIIHH", tag, n_ch, rate, rate * block, block, bits
+    ) + extra
+    return b"fmt " + struct.pack("<I", len(body)) + body
+
+
+def _riff(*chunks: bytes) -> bytes:
+    body = b"WAVE" + b"".join(chunks)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _data_chunk(payload: bytes) -> bytes:
+    out = b"data" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        out += b"\x00"
+    return out
+
+
+def test_float32_float64_and_extensible():
+    f32 = np.array([0.5, -0.25, 1.0, -1.0], dtype="<f4")
+    data = _riff(_fmt_chunk(3, 1, 8000, 32), _data_chunk(f32.tobytes()))
+    s, _ = decode_wav(data)
+    assert np.array_equal(s[:, 0], f32.astype(np.float64))
+
+    f64 = np.array([0.125, -0.0625], dtype="<f8")
+    data = _riff(_fmt_chunk(3, 1, 8000, 64), _data_chunk(f64.tobytes()))
+    s, _ = decode_wav(data)
+    assert np.array_equal(s[:, 0], f64)
+
+    # WAVE_FORMAT_EXTENSIBLE wrapping PCM16: cbSize + valid bits +
+    # channel mask + GUID whose first two bytes are the format tag
+    guid = struct.pack("<H", 1) + b"\x00\x00" + bytes(12)
+    extra = struct.pack("<HHI", 22, 16, 0x3) + guid
+    pcm = np.array([100, -100], dtype="<i2")
+    data = _riff(
+        _fmt_chunk(0xFFFE, 1, 8000, 16, extra), _data_chunk(pcm.tobytes())
+    )
+    s, _ = decode_wav(data)
+    assert np.array_equal(s[:, 0] * 32768.0, pcm.astype(np.float64))
+
+
+def test_unknown_chunks_and_odd_padding():
+    pcm = np.array([7, -7, 7], dtype="<i2")
+    odd = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # padded
+    data = _riff(
+        odd, _fmt_chunk(1, 1, 8000, 16), _data_chunk(pcm.tobytes())
+    )
+    s, r = decode_wav(data)
+    assert r == 8000 and np.array_equal(
+        s[:, 0] * 32768.0, pcm.astype(np.float64)
+    )
+
+
+def test_gates_and_sniff():
+    assert sniff_audio(b"ID3\x04" + bytes(10)) == "mp3"
+    assert sniff_audio(b"OggS" + bytes(10)) == "ogg"
+    assert sniff_audio(b"fLaC" + bytes(10)) == "flac"
+    assert sniff_audio(b"garbage") == "unknown"
+    with pytest.raises(ValueError):
+        decode_wav(b"not audio at all")
+    # ADPCM (format tag 2) is honestly gated
+    pcm = bytes(8)
+    data = _riff(_fmt_chunk(2, 1, 8000, 16), _data_chunk(pcm))
+    with pytest.raises(UnsupportedAudioError):
+        decode_wav(data)
+    # truncated chunk raises, not garbage output
+    with pytest.raises(ValueError):
+        decode_wav(_riff(b"fmt " + struct.pack("<I", 99) + b"\x00"))
+
+
+def test_features_closed_forms():
+    # square wave at amplitude a: rms == peak == a
+    sq = np.array(([12000] * 4 + [-12000] * 4) * 8, dtype="<i2")
+    s, _ = decode_wav(encode_wav(sq, 8000))
+    f = audio_features(s, 8000)
+    assert f["rms"] == f["peak"] == round(12000 / 32768.0, 6)
+    assert f["n_frames"] == 64 and f["duration_sec"] == round(64 / 8000, 6)
+    # 16 runs of 4 samples → 15 run boundaries, each a sign change
+    assert f["zcr"] == round(15 / 63, 6)
+
+    # silence: everything zero
+    z = audio_features(np.zeros((10, 1)), 8000)
+    assert z["rms"] == z["peak"] == z["zcr"] == 0.0
+
+    # single sample: zcr degenerate 0
+    one = audio_features(np.array([[0.5]]), 8000)
+    assert one["zcr"] == 0.0 and one["peak"] == 0.5
+
+    # stereo mixes to mono mean before features
+    st = np.array([[1.0, -1.0], [0.5, 0.5]])
+    f2 = audio_features(st, 8000)
+    assert f2["n_channels"] == 2 and f2["peak"] == 0.5 and f2["rms"] == round(
+        np.sqrt((0.0 + 0.25) / 2), 6
+    )
+
+
+def test_decode_audio_features_dataframe(spark):
+    from same_same_spark.pipeline.multimodal import decode_audio_features
+
+    clips = [
+        (1, encode_wav(np.array([100, -100, 100], dtype="<i2"), 8000)),
+        (2, encode_wav(np.zeros(5, dtype="<i2"), 16000)),
+    ]
+    df = spark.createDataFrame(clips, "doc_id LONG, content BINARY")
+    rows = {r["doc_id"]: r for r in decode_audio_features(df).collect()}
+    assert rows[1]["sample_rate"] == 8000 and rows[1]["n_frames"] == 3
+    assert rows[1]["zcr"] == 1.0  # every adjacent pair flips sign
+    assert rows[2]["rms"] == 0.0 and rows[2]["duration_sec"] == round(
+        5 / 16000, 6
+    )

@@ -214,3 +214,45 @@ def test_entry_bpe_encode_deterministic(spark):
     ).count()
     assert len(a) == n_docs
     assert all(r["n_subwords"] > 0 and r["head_subwords"] for r in a)
+
+
+def test_bpe_counts_drive_packing_and_quota(spark):
+    # subword counts are a first-class budget unit: feed n_subwords
+    # into sequence packing and quota sampling
+    from same_same_spark.pipeline.pack import pack_sequences
+    from same_same_spark.pipeline.sampling import sample_quota
+
+    docs = spark.createDataFrame(
+        [(i, "lower newest " * (i + 1), "en") for i in range(6)],
+        "doc_id LONG, text STRING, lang STRING",
+    )
+    model = BpeModel([("l", "o"), ("lo", "w"), ("n", "e")])
+    enc = bpe.bpe_encode(docs, model)
+    packed = pack_sequences(
+        enc, seq_len=16, token_count=F.col("n_subwords"), n_shards=1
+    )
+    collected = packed.collect()
+    rows = {r["doc_id"]: r for r in collected}
+    # doc i has (i+1) * ("low","e","r" + "ne","w","e","s","t") = 8
+    # subwords per repeat; the packer must see those counts
+    assert rows[0]["n_tokens"] == 8 and rows[2]["n_tokens"] == 24
+    # layout invariant regardless of the packer's hash order: start
+    # positions (pack_id*seq_len + offset) are the cumulative subword
+    # sums in layout order
+    in_order = sorted(
+        collected, key=lambda r: r["pack_id"] * 16 + r["pack_offset"]
+    )
+    pos, want = 0, []
+    for r in in_order:
+        want.append(pos)
+        pos += r["n_tokens"]
+    got = [r["pack_id"] * 16 + r["pack_offset"] for r in in_order]
+    assert got == want
+
+    kept = sample_quota(
+        enc, {"en": 20.0}, weight_col="n_subwords", seed="s"
+    )
+    total = sum(r["n_subwords"] for r in kept.collect())
+    # quota is an expected budget, not an exact cap — but it must bind
+    full = sum(r["n_subwords"] for r in enc.collect())
+    assert total < full
