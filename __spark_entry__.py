@@ -2508,6 +2508,86 @@ FROM d
 """
 
 
+# Video fixture: (doc_id, frame_count) clips whose frame pixels follow
+# a shared modular formula — the Spark side BUILDS real AVI bytes
+# (uncompressed DIB), container-parses + frame-samples + decodes them,
+# and the oracle recomputes the sampled frames' mean-RGB straight from
+# the formula. A mismatch anywhere in the RIFF writer, parser, DIB
+# row/stride/orientation math or the mid-bucket sampler fails the hash.
+_VIDEO_CLIPS = [(1, 5), (2, 9), (3, 2)]
+_VID_H, _VID_W, _VID_FPS, _VID_N = 6, 8, 4, 2
+
+
+def _q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video pipeline end to end (pipeline/videocodec + multimodal):
+    formula frames → AVI (DIB) bytes → parse → deterministic
+    mid-bucket frame sampling → decode → per-frame mean-RGB features
+    through the mapInPandas Arrow path."""
+    import numpy as np
+
+    from same_same_spark.pipeline.multimodal import decode_video_frames
+    from same_same_spark.pipeline.videocodec import dib_frame, encode_avi
+
+    def frame(t: int) -> np.ndarray:
+        yy, xx = np.mgrid[0 : _VID_H, 0 : _VID_W]
+        r = (17 * t + 3 * xx + 5 * yy) % 256
+        g = (29 * t + 7 * xx + 2 * yy) % 256
+        b = (11 * t + xx + yy) % 256
+        return np.stack([r, g, b], axis=-1).astype(np.uint8)
+
+    rows = [
+        (
+            doc_id,
+            encode_avi(
+                [dib_frame(frame(t)) for t in range(total)],
+                _VID_W,
+                _VID_H,
+                fps=_VID_FPS,
+            ),
+        )
+        for doc_id, total in _VIDEO_CLIPS
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, content BINARY")
+    out = decode_video_frames(df, n_frames=_VID_N)
+    return out.select(
+        "doc_id",
+        "frame_idx",
+        "time_sec",
+        "height",
+        "width",
+        F.round(F.element_at("features", 1), 6).alias("r_mean"),
+        F.round(F.element_at("features", 2), 6).alias("g_mean"),
+        F.round(F.element_at("features", 3), 6).alias("b_mean"),
+    )
+
+
+def _sql_video_frames() -> str:
+    values = ", ".join(f"({i}, {t})" for i, t in _VIDEO_CLIPS)
+    return f"""
+WITH clips(doc_id, total) AS (VALUES {values}),
+sel AS (
+  SELECT doc_id,
+         unnest([floor(total * 0.25)::INT,
+                 floor(total * 0.75)::INT]) AS frame_idx
+  FROM clips
+),
+pix AS (
+  SELECT x.range::INT AS x, y.range::INT AS y
+  FROM range(0, {_VID_W}) x, range(0, {_VID_H}) y
+)
+SELECT doc_id,
+  frame_idx,
+  frame_idx / {_VID_FPS}.0 AS time_sec,
+  {_VID_H}::INTEGER AS height,
+  {_VID_W}::INTEGER AS width,
+  round(avg(((17*frame_idx + 3*x + 5*y) % 256) / 255.0), 6) AS r_mean,
+  round(avg(((29*frame_idx + 7*x + 2*y) % 256) / 255.0), 6) AS g_mean,
+  round(avg(((11*frame_idx + x + y) % 256) / 255.0), 6) AS b_mean
+FROM sel, pix
+GROUP BY doc_id, frame_idx
+"""
+
+
 # Intra-doc line-dedup fixture: the synthetic corpus is single-line
 # text, so the entry exercises the removal rules on handcrafted rows
 # covering every edge (trimmed-form repeats, blank-line preservation,
@@ -2813,6 +2893,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # head — X11/U2's SURVEY rows keep in-top-50 evidence via
     # clip_text_topk + multimodal_features.
     "audio_features": (_q_audio_features, _sql_audio_features()),
+    # sole evidence for the REAL video decode path (videocodec AVI
+    # parse + DIB decode + mid-bucket frame sampling +
+    # multimodal.decode_video_frames); rotated source_csv to overflow.
+    "video_frames": (_q_video_frames, _sql_video_frames()),
     # --- r3-green entries (CORRECTNESS_r03 all-green) -----------------
     # (bm25_topk moved to the twin tail this round: it shares
     # _SQL_BM25_TOPK with in-top-50 index_bm25_topk and the two are
@@ -2859,13 +2943,16 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         "t -> length(t) > 0)) AS tag FROM documents",
     ),
     "event_age_buckets": (_q_event_age_buckets, _SQL_EVENT_AGE_BUCKETS),
+    # --- rotation overflow starts here (position 51) ---------------
+    # The five new sole-evidence round-4 entries (line_dedup,
+    # bpe_pair_counts, bpe_encode, audio_features, video_frames)
+    # pushed clip_image_features + all four sources past 50. All are
+    # r2+r3 green one-expression scans whose semantics stay pinned
+    # locally by tests (test_clip/test_sources) + test_entry, and
+    # X11/U2's SURVEY rows keep in-top-50 twins (clip_text_topk,
+    # multimodal_features). Rotate them back as the never-verified
+    # block shrinks next round.
     "source_quotes": (_q_source_quotes, _SQL_SOURCE_QUOTES),
-    # clip_image_features + source_csv / source_jsonl / source_hf
-    # rotated to overflow head (round-4 seventh session) to keep new
-    # sole-evidence line_dedup + bpe_pair_counts + bpe_encode +
-    # audio_features inside the top-50; all r3 green, semantics stay
-    # pinned locally by tests (test_clip/test_sources) + test_entry,
-    # and X11/U2/S-row SURVEY evidence keeps in-top-50 twins.
     "clip_image_features": (_q_clip_image_features, _SQL_CLIP_IMAGE),
     "source_csv": (_q_source_csv, _SQL_SOURCE_CSV),
     "source_jsonl": (_q_source_jsonl, _SQL_SOURCE_JSONL),

@@ -15,8 +15,10 @@ interleaved or per-component scans) via the pure-stdlib codecs
 installed, covering WebP too — without it that format raises
 ``UnsupportedImageError``). Audio decode is REAL for WAV/PCM
 (:mod:`same_same_spark.pipeline.audiocodec` — 8/16/24/32-bit PCM,
-float32/64, extensible headers); compressed audio (MP3/OGG/FLAC) and
-video decode remain stubbed (no codecs in this container);
+float32/64, extensible headers). Video decode is REAL for AVI
+containers carrying MJPEG or uncompressed-DIB streams
+(:mod:`same_same_spark.pipeline.videocodec`); compressed audio
+(MP3/OGG/FLAC) and modern video codecs (H.264 & co.) stay gated;
 :func:`fake_features` provides a deterministic md5-derived stand-in so
 the Spark-side plumbing — schema, partitioning, mapInPandas batch
 shape, feature-column contract — is oracle-checkable end to end
@@ -133,9 +135,11 @@ def frame_sample_plan(
     n_frames: int = 4,
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Video frame-sampling plumbing: one output row per (video, frame
-    index) with a deterministic time offset — the decode itself is the
-    stubbed part; the explode/partition shape is the real contract."""
+    """Video frame-sampling PLAN: one output row per (video, frame
+    index) with a deterministic time offset — the explode/partition
+    shape, no decode. :func:`decode_video_frames` runs the same
+    mid-bucket rule WITH real decode for AVI (MJPEG / DIB) payloads;
+    this plan-only variant remains for codecs the container gates."""
     return df.select(
         F.col(id_col),
         F.col("media_meta"),
@@ -184,6 +188,58 @@ def decode_audio_features(
                     "duration_sec", "rms", "peak", "zcr",
                 ]
             ]
+
+    return df.select(id_col, content_col).mapInPandas(extract, schema)
+
+
+def decode_video_frames(
+    df: DataFrame,
+    n_frames: int = 4,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Real video decode: AVI container parse → deterministic
+    mid-bucket frame sampling → per-frame mean-RGB features, one
+    output row per (video, sampled frame).
+
+    MJPEG and uncompressed-DIB streams decode for real
+    (:mod:`same_same_spark.pipeline.videocodec`); H.264 & co. raise
+    ``UnsupportedVideoError`` (the honest gate). Same mid-bucket
+    sampling rule as :func:`frame_sample_plan`, so the planned and
+    decoded frame sets line up."""
+    schema = (
+        f"{id_col} LONG, frame_idx INT, time_sec DOUBLE, "
+        "height INT, width INT, features ARRAY<DOUBLE>"
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from same_same_spark.pipeline.videocodec import sample_frames
+
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf[id_col], pdf[content_col]):
+                meta, frames = sample_frames(bytes(blob), n_frames)
+                for idx, t, rgb in frames:
+                    feats = (
+                        rgb.astype(np.float64).mean(axis=(0, 1)) / 255.0
+                    ).tolist()
+                    rows.append(
+                        {
+                            id_col: doc_id,
+                            "frame_idx": int(idx),
+                            "time_sec": float(t),
+                            "height": int(rgb.shape[0]),
+                            "width": int(rgb.shape[1]),
+                            "features": feats,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "frame_idx", "time_sec", "height", "width",
+                    "features",
+                ],
+            )
 
     return df.select(id_col, content_col).mapInPandas(extract, schema)
 
