@@ -2805,6 +2805,91 @@ FROM documents GROUP BY source
 """
 
 
+def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time as-of join (operators/events.asof_join): every click
+    event picks up the most recent purchase of the same user at or
+    before its timestamp (left-outer; unmatched clicks keep NULLs).
+    The right side is pre-deduped to one row per (user, ts) so the
+    no-tiebreak semantics are well-defined in both engines. Plan: one
+    union + ONE per-key shuffle + a running last() — no join node."""
+    from same_same_spark.operators.events import asof_join
+
+    ev = _events(spark, sf_dir)
+    left = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    right = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("rid"),
+            F.max("value").alias("rvalue"),
+        )
+    )
+    out = asof_join(
+        left, right, on="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["rid", "rvalue"],
+    )
+    return out.select(
+        "event_id", "user_id", "matched_ts", "matched_rid",
+        F.round("matched_rvalue", 6).alias("matched_rvalue"),
+    )
+
+
+_SQL_ASOF_JOIN = """
+WITH l AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+r AS (
+  SELECT user_id, ts, max(event_id) AS rid, max(value) AS rvalue
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT l.event_id, l.user_id, r.ts AS matched_ts, r.rid AS matched_rid,
+       round(r.rvalue, 6) AS matched_rvalue
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+def _q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (operators/events.sessionize): a new
+    session after a >6h silence per user; ties broken by event_id.
+    Per-session summary keeps the output bounded. Gap math is integer
+    microseconds, so both engines cut sessions identically."""
+    from same_same_spark.operators.events import sessionize
+
+    ev = _events(spark, sf_dir)
+    s = sessionize(
+        ev, "user_id", "ts", gap_seconds=21600, order_cols=["event_id"]
+    )
+    return s.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+
+
+_SQL_EVENTS_SESSIONIZE = """
+WITH m AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 21600000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *, sum(is_new) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
+  ) AS session_idx FROM m
+)
+SELECT user_id, session_idx::BIGINT AS session_idx,
+       count(*) AS n_events, min(ts) AS session_start,
+       max(ts) AS session_end, round(sum(value), 6) AS sum_value
+FROM s GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2897,6 +2982,14 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # parse + DIB decode + mid-bucket frame sampling +
     # multimodal.decode_video_frames); rotated source_csv to overflow.
     "video_frames": (_q_video_frames, _sql_video_frames()),
+    # sole evidence for the event-time layer (operators/events.py):
+    # asof_join against DuckDB's native ASOF LEFT JOIN, sessionize
+    # against an identical window recurrence. Their insertion rotated
+    # r2+r3-green one-expression temporal_topk (X7 keeps r3-green
+    # temporal_decay + temporal_search twins in overflow) and
+    # tags_split (X10, trivial split) to the overflow head.
+    "asof_join": (_q_asof_join, _SQL_ASOF_JOIN),
+    "events_sessionize": (_q_events_sessionize, _SQL_EVENTS_SESSIONIZE),
     # --- r3-green entries (CORRECTNESS_r03 all-green) -----------------
     # (bm25_topk moved to the twin tail this round: it shares
     # _SQL_BM25_TOPK with in-top-50 index_bm25_topk and the two are
@@ -2911,7 +3004,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "legacy_metadata_eq": (_q_legacy_metadata_eq, _SQL_LEGACY_METADATA_EQ),
     "list_projection": (_q_list_projection, _SQL_LIST_PROJECTION),
     "metadata_score": (_q_metadata_score, _SQL_METADATA_SCORE),
-    "temporal_topk": (_q_temporal_topk, _SQL_TEMPORAL_TOPK),
     "vector_topk": (_q_vector_topk, _SQL_VECTOR_TOPK),
     "vector_dim_mismatch": (_q_vector_dim_mismatch, _SQL_VECTOR_DIM_MISMATCH),
     "events_hourly": (_q_events_hourly, _SQL_EVENTS_HOURLY),
@@ -2934,6 +3026,14 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         _q_filter_search_indexed,
         _SQL_FILTER_SEARCH_INDEXED,
     ),
+    "event_age_buckets": (_q_event_age_buckets, _SQL_EVENT_AGE_BUCKETS),
+    # --- rotation overflow starts here (position 51) ---------------
+    # temporal_topk + tags_split rotated here this session (r2+r3
+    # green one-expression ops) to make room for asof_join +
+    # events_sessionize above; X7 keeps temporal_decay/temporal_search
+    # twins in this block, X10's split semantics stay pinned by
+    # tests/test_operators + test_entry.
+    "temporal_topk": (_q_temporal_topk, _SQL_TEMPORAL_TOPK),
     "tags_split": (
         _q_tags_split,
         # synthesize the same messy tags string in SQL, then split
@@ -2942,8 +3042,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         "' ' || lang || ' , ' || source || ', ,', ','), t -> trim(t)), "
         "t -> length(t) > 0)) AS tag FROM documents",
     ),
-    "event_age_buckets": (_q_event_age_buckets, _SQL_EVENT_AGE_BUCKETS),
-    # --- rotation overflow starts here (position 51) ---------------
     # The five new sole-evidence round-4 entries (line_dedup,
     # bpe_pair_counts, bpe_encode, audio_features, video_frames)
     # pushed clip_image_features + all four sources past 50. All are

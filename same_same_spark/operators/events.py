@@ -1,0 +1,186 @@
+"""Event-time operators: as-of join and gap sessionization.
+
+The reference engine has no event-time layer (its temporal support is
+the decay scorer, `internal/search/temporal.go`); these are the two
+standard event-table operators a Spark-side analytics engine needs on
+top of it (`events` table: SURVEY §1 / TESTDATA.md):
+
+- :func:`asof_join` — for each left row, the single most recent right
+  row with the same key and ``right_ts <= left_ts`` (``backward``; or
+  the earliest ``right_ts >= left_ts`` for ``forward``). Implemented
+  as ONE union + ONE per-key shuffle: both sides are tagged and
+  unioned, and a per-key running ``last(payload, ignorenulls=True)``
+  over a rows frame carries the latest right payload onto every left
+  row. No join explosion, no range-condition sort-merge: the cost is
+  a single sort within each key partition, the same plan at 10^2 or
+  10^12 rows (a genuinely hot key is the caller's salting problem —
+  as-of semantics need per-key total order, so salting must split on
+  time ranges, not hash).
+- :func:`sessionize` — classic gap-based sessions: a new session
+  starts when the gap to the previous event of the same key exceeds
+  ``gap_seconds``. One per-key shuffle; ``lag`` + running sum over a
+  rows frame, both streaming within the sorted partition.
+
+Both use *partitioned* windows only (never the unpartitioned rank
+windows banned by VERDICT r2 #3): each window key is the natural
+parallelism unit, so the plan scales horizontally with keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["asof_join", "sessionize"]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    *,
+    right_cols: list[str] | None = None,
+    direction: str = "backward",
+    tolerance_seconds: float | None = None,
+    right_tiebreak: str | None = None,
+    prefix: str = "matched_",
+) -> DataFrame:
+    """As-of join ``left`` to ``right`` on ``on`` within event time.
+
+    Returns every ``left`` row (left-outer semantics) plus
+    ``{prefix}{right_ts}`` and ``{prefix}{c}`` for each payload column
+    ``c`` in ``right_cols`` (default: every right column except ``on``
+    and ``right_ts``), NULL where no right row qualifies.
+
+    - ``direction='backward'`` — latest right row with
+      ``right_ts <= left_ts`` (DuckDB/pandas ``merge_asof`` default).
+    - ``direction='forward'`` — earliest right row with
+      ``right_ts >= left_ts``.
+    - ``tolerance_seconds`` — additionally require
+      ``|left_ts - right_ts| <= tolerance``; misses become NULL.
+    - ``right_tiebreak`` — column ordering right rows that share an
+      exact ``(key, ts)``; backward picks the greatest, forward the
+      smallest, so the result is deterministic. Without it, callers
+      must guarantee right-side ``(key, ts)`` uniqueness.
+
+    Plan: unionByName → one Exchange on ``on`` → one sort per key →
+    running first/last over a rows frame. Nothing quadratic, nothing
+    driver-side.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in (on, right_ts)]
+    overlap = [f"{prefix}{c}" for c in [right_ts, *right_cols]]
+    clash = set(overlap) & set(left.columns)
+    if clash:
+        raise ValueError(f"prefixed right columns clash with left: {clash}")
+
+    payload = F.struct(
+        F.col(right_ts).alias("__ts"),
+        *[F.col(c).alias(c) for c in right_cols],
+    )
+    if right_tiebreak is not None:
+        tb: Column = F.col(right_tiebreak)
+        # Left rows never compete on the tiebreak (side differs), but
+        # the union needs a type-compatible column.
+        left_tb = F.lit(None).cast(right.schema[right_tiebreak].dataType)
+    else:
+        tb = F.lit(0)
+        left_tb = F.lit(0)
+    r = right.select(
+        F.col(on).alias("__key"),
+        F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__side"),
+        tb.alias("__tb"),
+        payload.alias("__p"),
+    )
+    l = left.select(
+        *left.columns,
+        F.col(on).alias("__key"),
+        F.col(left_ts).alias("__t"),
+        F.lit(1).alias("__side"),
+        left_tb.alias("__tb"),
+    )
+    u = l.unionByName(r, allowMissingColumns=True)
+
+    if direction == "backward":
+        # Right rows sort BEFORE the left row at an equal ts (side 0<1)
+        # so `right_ts <= left_ts` is inclusive; among equal right ts
+        # the running last() keeps the greatest tiebreak.
+        w = (
+            Window.partitionBy("__key")
+            .orderBy(F.asc("__t"), F.asc("__side"), F.asc("__tb"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        matched = F.last("__p", ignorenulls=True).over(w)
+    else:
+        # Mirror image: at an equal ts the left row sorts first
+        # (side 1 mapped below 0 via descending), right rows follow;
+        # first() over the following frame takes the smallest
+        # (ts, tiebreak) right row.
+        w = (
+            Window.partitionBy("__key")
+            .orderBy(F.asc("__t"), F.desc("__side"), F.asc("__tb"))
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        matched = F.first("__p", ignorenulls=True).over(w)
+
+    out = u.withColumn("__m", matched).filter(F.col("__side") == 1)
+    if tolerance_seconds is not None:
+        gap_us = F.abs(
+            F.unix_micros(F.col("__t"))
+            - F.unix_micros(F.col("__m.__ts"))
+        )
+        out = out.withColumn(
+            "__m",
+            F.when(
+                gap_us <= F.lit(int(round(tolerance_seconds * 1_000_000))),
+                F.col("__m"),
+            ),
+        )
+    proj = [F.col(c) for c in left.columns]
+    proj.append(F.col("__m.__ts").alias(f"{prefix}{right_ts}"))
+    proj.extend(F.col(f"__m.{c}").alias(f"{prefix}{c}") for c in right_cols)
+    return out.select(*proj)
+
+
+def sessionize(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    gap_seconds: float = 1800.0,
+    *,
+    order_cols: list[str] | None = None,
+    session_col: str = "session_idx",
+) -> DataFrame:
+    """Assign gap-based session indexes per key.
+
+    A new session starts at the first event of a key and whenever the
+    gap to the previous event of the same key STRICTLY exceeds
+    ``gap_seconds`` (an exactly-``gap`` pause continues the session).
+    Sessions are numbered 1..n per key in event order; ``order_cols``
+    break exact-timestamp ties deterministically (pass the event id).
+
+    One per-key shuffle; ``lag`` + running sum stream through the
+    sorted partition (rows frames, bounded state). Gap math is in
+    integer microseconds so Spark and any SQL twin agree bit-exactly.
+    """
+    order = [F.asc(ts_col)] + [F.asc(c) for c in (order_cols or [])]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    us = F.unix_micros(F.col(ts_col))
+    prev = F.lag(us).over(w)
+    gap_us = int(round(gap_seconds * 1_000_000))
+    is_new = F.when(
+        prev.isNull() | ((us - prev) > F.lit(gap_us)), F.lit(1)
+    ).otherwise(F.lit(0))
+    running = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(
+        session_col, F.sum(is_new).over(running).cast("bigint")
+    )

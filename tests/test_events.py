@@ -1,0 +1,225 @@
+"""Event-time operators: as-of join + sessionization.
+
+asof_join is differential-tested against pandas.merge_asof (an
+independent, widely-trusted implementation) on randomized data, plus
+hand-built edge cases for ties, tolerance, forward direction, and
+keys with no right rows. sessionize is checked against a pure-Python
+reference fold.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from same_same_spark.operators.events import asof_join, sessionize
+
+T0 = datetime(2024, 1, 1)
+
+
+def _ts(minutes: float) -> datetime:
+    return T0 + timedelta(minutes=minutes)
+
+
+@pytest.fixture(scope="module")
+def left_right(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "u", _ts(10)),
+            (2, "u", _ts(20)),
+            (3, "u", _ts(5)),
+            (4, "v", _ts(15)),
+            (5, "w", _ts(30)),  # key with no right rows
+        ],
+        "event_id LONG, user STRING, ts TIMESTAMP",
+    )
+    right = spark.createDataFrame(
+        [
+            (100, "u", _ts(8), 1.0),
+            (101, "u", _ts(20), 2.0),  # exact tie with left event 2
+            (102, "u", _ts(25), 3.0),
+            (103, "v", _ts(1), 4.0),
+        ],
+        "rid LONG, user STRING, ts TIMESTAMP, amount DOUBLE",
+    )
+    return left, right
+
+
+def test_asof_backward_basic(left_right):
+    left, right = left_right
+    out = asof_join(
+        left, right, on="user", right_cols=["rid", "amount"],
+        right_tiebreak="rid",
+    )
+    got = {r["event_id"]: (r["matched_rid"], r["matched_amount"])
+           for r in out.collect()}
+    assert got == {
+        1: (100, 1.0),   # 8 <= 10
+        2: (101, 2.0),   # inclusive: right at exactly 20 matches
+        3: (None, None),  # nothing at or before 5
+        4: (103, 4.0),
+        5: (None, None),  # key w has no right rows
+    }
+    assert out.count() == left.count()  # left-outer: every left row once
+
+
+def test_asof_forward(left_right):
+    left, right = left_right
+    out = asof_join(
+        left, right, on="user", right_cols=["rid"], direction="forward",
+        right_tiebreak="rid",
+    )
+    got = {r["event_id"]: r["matched_rid"] for r in out.collect()}
+    assert got == {1: 101, 2: 101, 3: 100, 4: None, 5: None}
+
+
+def test_asof_tolerance(left_right):
+    left, right = left_right
+    out = asof_join(
+        left, right, on="user", right_cols=["rid"],
+        tolerance_seconds=3 * 60, right_tiebreak="rid",
+    )
+    got = {r["event_id"]: r["matched_rid"] for r in out.collect()}
+    # event 1 at t=10 matches right at t=8 (2 min <= 3 min); the rest
+    # either match exactly (0 min) or had no match at all.
+    assert got == {1: 100, 2: 101, 3: None, 4: None, 5: None}
+    tight = asof_join(
+        left, right, on="user", right_cols=["rid"],
+        tolerance_seconds=60, right_tiebreak="rid",
+    )
+    got2 = {r["event_id"]: r["matched_rid"] for r in tight.collect()}
+    assert got2[1] is None and got2[2] == 101
+
+
+def test_asof_equal_ts_tiebreak(spark):
+    left = spark.createDataFrame(
+        [(1, "k", _ts(10))], "event_id LONG, k STRING, ts TIMESTAMP"
+    )
+    right = spark.createDataFrame(
+        [(7, "k", _ts(10)), (9, "k", _ts(10)), (8, "k", _ts(10))],
+        "rid LONG, k STRING, ts TIMESTAMP",
+    )
+    back = asof_join(left, right, on="k", right_cols=["rid"],
+                     right_tiebreak="rid")
+    assert back.collect()[0]["matched_rid"] == 9  # greatest tiebreak
+    fwd = asof_join(left, right, on="k", right_cols=["rid"],
+                    direction="forward", right_tiebreak="rid")
+    assert fwd.collect()[0]["matched_rid"] == 7  # smallest tiebreak
+
+
+def test_asof_differential_vs_pandas(spark):
+    """Randomized differential vs pandas.merge_asof, both directions."""
+    import random
+
+    rng = random.Random(42)
+    lrows = [
+        (i, f"k{rng.randrange(5)}", _ts(rng.randrange(10_000) / 10))
+        for i in range(300)
+    ]
+    # distinct (key, ts) per right row so no-tiebreak semantics are
+    # well-defined in both engines
+    seen = set()
+    rrows = []
+    for j in range(200):
+        k, m = f"k{rng.randrange(5)}", rng.randrange(10_000)
+        if (k, m) in seen:
+            continue
+        seen.add((k, m))
+        rrows.append((1000 + j, k, _ts(m / 10), float(j)))
+    left = spark.createDataFrame(
+        lrows, "event_id LONG, k STRING, ts TIMESTAMP"
+    )
+    right = spark.createDataFrame(
+        rrows, "rid LONG, k STRING, ts TIMESTAMP, amount DOUBLE"
+    )
+    lpd = pd.DataFrame(lrows, columns=["event_id", "k", "ts"])
+    rpd = pd.DataFrame(rrows, columns=["rid", "k", "ts", "amount"])
+    for direction in ("backward", "forward"):
+        got = asof_join(
+            left, right, on="k", right_cols=["rid", "amount"],
+            direction=direction,
+        ).toPandas().sort_values("event_id").reset_index(drop=True)
+        exp = pd.merge_asof(
+            lpd.sort_values("ts"), rpd.sort_values("ts"),
+            on="ts", by="k", direction=direction, suffixes=("", "_r"),
+        ).sort_values("event_id").reset_index(drop=True)
+        assert list(got["matched_rid"].fillna(-1).astype(int)) == list(
+            exp["rid"].fillna(-1).astype(int)
+        ), direction
+
+
+def test_asof_rejects_bad_args(left_right):
+    left, right = left_right
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(left, right, on="user", direction="nearest")
+    with pytest.raises(ValueError, match="clash"):
+        asof_join(left, right, on="user", right_cols=["rid"], prefix="")
+
+
+def test_asof_plan_single_exchange(left_right):
+    """The whole as-of is ONE shuffle: exactly one Exchange on the key
+    (plus AQE reads), no Join node at all."""
+    left, right = left_right
+    out = asof_join(left, right, on="user", right_cols=["rid"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def _sessions_py(rows, gap_s):
+    """Reference fold: rows = [(key, ts, id)] -> {id: session_idx}."""
+    out = {}
+    bykey: dict[str, list] = {}
+    for k, ts, i in rows:
+        bykey.setdefault(k, []).append((ts, i))
+    for k, evs in bykey.items():
+        evs.sort()
+        idx, prev = 0, None
+        for ts, i in evs:
+            if prev is None or (ts - prev).total_seconds() > gap_s:
+                idx += 1
+            out[i] = idx
+            prev = ts
+    return out
+
+
+def test_sessionize_gaps_and_boundary(spark):
+    rows = [
+        ("u", _ts(0), 1),
+        ("u", _ts(30), 2),    # exactly the 30-min gap → SAME session
+        ("u", _ts(61), 3),    # 31 min → new session
+        ("u", _ts(62), 4),
+        ("v", _ts(0), 5),
+    ]
+    df = spark.createDataFrame(rows, "k STRING, ts TIMESTAMP, id LONG")
+    out = sessionize(df, "k", "ts", gap_seconds=1800, order_cols=["id"])
+    got = {r["id"]: r["session_idx"] for r in out.collect()}
+    assert got == _sessions_py(rows, 1800) == {1: 1, 2: 1, 3: 2, 4: 2, 5: 1}
+
+
+def test_sessionize_random_differential(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (f"k{rng.randrange(8)}", _ts(rng.randrange(5000)), i)
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "k STRING, ts TIMESTAMP, id LONG")
+    out = sessionize(df, "k", "ts", gap_seconds=600, order_cols=["id"])
+    got = {r["id"]: r["session_idx"] for r in out.collect()}
+    # ts collisions within a key are possible; the reference sorts by
+    # (ts, id) exactly like order_cols=["id"]
+    assert got == _sessions_py(rows, 600)
+    # session indexes are dense 1..n per key
+    per_key = (
+        out.groupBy("k")
+        .agg(F.max("session_idx").alias("mx"),
+             F.countDistinct("session_idx").alias("n"))
+        .collect()
+    )
+    for r in per_key:
+        assert r["mx"] == r["n"]
