@@ -2805,6 +2805,66 @@ FROM documents GROUP BY source
 """
 
 
+_GLOBAL_LINE_FIXTURE = [
+    (1, "MIT License\nCopyright (c) 2020\n\nalpha body text"),
+    (2, "MIT License\nCopyright (c) 2020\n\nbeta body text"),
+    (3, "  MIT License \ngamma body text\nalpha body text"),
+    (4, "alpha body text"),  # fully emptied: its only line is doc 1's
+    (5, "delta café line\ndelta café line\n\n"),  # intra-doc repeat
+    (6, ""),
+    (7, "epsilon\n}\n}\nepsilon"),
+]
+
+
+def _q_global_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-document line dedup (textqc.dedup_lines_global): each
+    distinct trimmed line keeps only its corpus-wide first occurrence
+    in (doc_id, pos) order; blank lines always survive; emptied docs
+    keep their row. Spark groups candidates by the 60-bit line hash;
+    the oracle partitions by the trimmed line itself — identical
+    modulo hash collisions (none on this fixture, 2^-60 at scale)."""
+    df = spark.createDataFrame(
+        _GLOBAL_LINE_FIXTURE, "doc_id LONG, text STRING"
+    )
+    return textqc_ops.dedup_lines_global(df)
+
+
+def _sql_global_line_dedup() -> str:
+    def esc(t: str) -> str:
+        return t.replace("\\", "\\\\").replace("'", "''").replace("\n", "\\n")
+
+    values = ", ".join(
+        f"({i}, E'{esc(t)}')" for i, t in _GLOBAL_LINE_FIXTURE
+    )
+    return f"""
+WITH d(doc_id, text) AS (VALUES {values}),
+ls AS (
+  SELECT doc_id, pos, string_split(text, chr(10))[pos] AS line,
+         trim(string_split(text, chr(10))[pos], E' \\t\\n\\f\\r') AS tr
+  FROM d, unnest(range(1, len(string_split(text, chr(10))) + 1)) AS u(pos)
+),
+cand AS (
+  SELECT doc_id, pos, line,
+         row_number() OVER (PARTITION BY tr ORDER BY doc_id, pos) AS rn
+  FROM ls WHERE length(tr) > 0
+),
+kept AS (
+  SELECT doc_id, pos, line FROM cand WHERE rn = 1
+  UNION ALL
+  SELECT doc_id, pos, line FROM ls WHERE length(tr) = 0
+),
+reb AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS txt,
+         count(*) AS kept_n
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(reb.txt, '') AS text_global_deduped,
+       (len(string_split(d.text, chr(10))) - coalesce(reb.kept_n, 0))::BIGINT
+         AS n_lines_removed
+FROM d LEFT JOIN reb ON reb.doc_id = d.doc_id
+"""
+
+
 def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time as-of join (operators/events.asof_join): every click
     event picks up the most recent purchase of the same user at or
@@ -2990,6 +3050,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # tags_split (X10, trivial split) to the overflow head.
     "asof_join": (_q_asof_join, _SQL_ASOF_JOIN),
     "events_sessionize": (_q_events_sessionize, _SQL_EVENTS_SESSIONIZE),
+    # sole evidence for cross-document line dedup
+    # (textqc.dedup_lines_global + MixConfig.dedup_lines_global); its
+    # insertion rotated r2+r3-green one-expression vector_dim_mismatch
+    # (F4) to the overflow head — F4's dim-mismatch contract stays
+    # pinned locally by tests/test_operators + test_entry.
+    "global_line_dedup": (_q_global_line_dedup, _sql_global_line_dedup()),
     # --- r3-green entries (CORRECTNESS_r03 all-green) -----------------
     # (bm25_topk moved to the twin tail this round: it shares
     # _SQL_BM25_TOPK with in-top-50 index_bm25_topk and the two are
@@ -3005,7 +3071,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "list_projection": (_q_list_projection, _SQL_LIST_PROJECTION),
     "metadata_score": (_q_metadata_score, _SQL_METADATA_SCORE),
     "vector_topk": (_q_vector_topk, _SQL_VECTOR_TOPK),
-    "vector_dim_mismatch": (_q_vector_dim_mismatch, _SQL_VECTOR_DIM_MISMATCH),
     "events_hourly": (_q_events_hourly, _SQL_EVENTS_HOURLY),
     "index_bm25_topk": (_q_index_bm25_topk, _SQL_BM25_TOPK),
     "index_bm25_topk_after_delete": (
@@ -3034,6 +3099,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # twins in this block, X10's split semantics stay pinned by
     # tests/test_operators + test_entry.
     "temporal_topk": (_q_temporal_topk, _SQL_TEMPORAL_TOPK),
+    "vector_dim_mismatch": (_q_vector_dim_mismatch, _SQL_VECTOR_DIM_MISMATCH),
     "tags_split": (
         _q_tags_split,
         # synthesize the same messy tags string in SQL, then split

@@ -62,6 +62,14 @@ class MixConfig:
     # runs FIRST so quality / C4 / LM metrics and every dedup hash see
     # the cleaned text. Pure column math, no shuffle.
     dedup_lines: bool = False
+    # CROSS-document repeated-line removal (textqc.dedup_lines_global,
+    # C4's global line rule): each distinct trimmed line keeps only its
+    # corpus-wide first occurrence. Runs right after the intra-doc pass
+    # (which it subsumes semantically but costs two shuffles, so both
+    # stay independent opt-ins); lines shorter than
+    # global_line_min_chars are exempt (code braces are structure).
+    dedup_lines_global: bool = False
+    global_line_min_chars: int = 0
     min_quality: float | None = None
     c4_gate: bool = False
     c4_min_sentences: int = 3
@@ -111,6 +119,8 @@ class MixConfig:
         out = []
         if self.dedup_lines:
             out.append("line_dedup")
+        if self.dedup_lines_global:
+            out.append("global_line_dedup")
         if self.min_quality is not None:
             out.append("quality")
         if self.c4_gate:
@@ -159,6 +169,18 @@ def prepare_training_corpus(
         out = out.withColumn(
             cfg.text_col,
             textqc_ops.dedup_lines_cols(cfg.text_col)["text_line_deduped"],
+        )
+    if cfg.dedup_lines_global:
+        cleaned = textqc_ops.dedup_lines_global(
+            out, cfg.id_col, cfg.text_col,
+            min_line_chars=cfg.global_line_min_chars,
+        ).select(
+            cfg.id_col, F.col("text_global_deduped").alias("__gtext")
+        )
+        out = (
+            out.join(cleaned, cfg.id_col)
+            .withColumn(cfg.text_col, F.col("__gtext"))
+            .drop("__gtext")
         )
     if cfg.min_quality is not None:
         score = textqc_ops.quality_cols(cfg.text_col)["quality_score"]

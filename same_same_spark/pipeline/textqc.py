@@ -350,6 +350,91 @@ def dedup_lines_sql(col_expr: str) -> dict[str, str]:
     }
 
 
+def dedup_lines_global(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_line_chars: int = 0,
+    out_col: str = "text_global_deduped",
+) -> DataFrame:
+    """CROSS-document repeated-line removal (C4's global dedup rule at
+    line granularity): across the whole corpus, each distinct line —
+    compared by its whitespace-trimmed form — keeps only its FIRST
+    occurrence in ``(id, line_position)`` order; every later copy in
+    any document is dropped. Blank / whitespace-only lines always
+    survive (paragraph structure), as do lines with fewer than
+    ``min_line_chars`` trimmed characters (``}``-style code braces and
+    other short tokens are structure, not boilerplate).
+
+    This is the corpus-level companion to :func:`dedup_lines_cols`
+    (intra-document) and the line-granularity sibling of the span
+    stripper (`pipeline/spans.py`, which needs ``min_df`` repetition
+    evidence and keeps one copy per *span run*); the global rule here
+    is what kills corpus-wide boilerplate (license lines, nav chrome)
+    that appears once per document.
+
+    Returns ``(id_col, out_col, n_lines_removed)`` with one row per
+    input document (documents whose every line was a later duplicate
+    come back with empty text, not dropped rows).
+
+    Scale: candidate lines (non-blank, long enough) shuffle once keyed
+    by a 60-bit line hash (`hash60` — the repo's cross-engine scheme;
+    a 2^-60 collision merges two line groups, the same accepted risk
+    as every other hash60 consumer) for the first-occurrence groupBy,
+    whose exchange Catalyst reuses for the keep join; reassembly is
+    one groupBy on the doc id. Exempt lines NEVER enter the hash join
+    — blank lines all share one hash value and would be the classic
+    hot key. Nothing driver-side, nothing corpus-quadratic.
+    """
+    from same_same_spark.pipeline.dedup import hash60_col
+
+    base = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), r"\n")).alias("pos", "line"),
+    ).withColumn("t", ws_trim(F.col("line")))
+    exempt = (F.length("t") == 0) | (F.length("t") < min_line_chars)
+    cand = base.filter(~exempt).withColumn("h", hash60_col(F.col("t")))
+    firsts = cand.groupBy("h").agg(
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("first")
+    )
+    kept_cand = (
+        cand.join(firsts, "h")
+        .filter(
+            (F.col(f"first.{id_col}") == F.col(id_col))
+            & (F.col("first.pos") == F.col("pos"))
+        )
+        .select(id_col, "pos", "line")
+    )
+    kept = kept_cand.unionByName(
+        base.filter(exempt).select(id_col, "pos", "line")
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias(out_col),
+        F.count(F.lit(1)).alias("__kept"),
+    )
+    totals = df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), r"\n")).alias("__total"),
+    )
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col(out_col), F.lit("")).alias(out_col),
+            (F.col("__total") - F.coalesce(F.col("__kept"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_lines_removed"),
+        )
+    )
+
+
 def top_ngram_stats(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -446,3 +446,112 @@ def test_dedup_lines_oracle_parity(spark):
         assert (
             a["doc_id"], a["text_line_deduped"], a["n_lines_removed"]
         ) == tuple(b)
+
+
+# ---------------------------------------------------------------------------
+# cross-document line dedup (dedup_lines_global)
+# ---------------------------------------------------------------------------
+
+
+def _global_dedup_py(rows, min_line_chars=0):
+    """Pure-Python reference: rows = [(id, text)] sorted by id; each
+    distinct trimmed non-exempt line keeps only its first (id, pos)."""
+    seen = {}
+    for i, text in sorted(rows):
+        for p, line in enumerate(text.split("\n")):
+            t = line.strip(" \t\n\f\r")
+            if len(t) == 0 or len(t) < min_line_chars:
+                continue
+            seen.setdefault(t, (i, p))
+    out = {}
+    for i, text in rows:
+        kept = []
+        removed = 0
+        for p, line in enumerate(text.split("\n")):
+            t = line.strip(" \t\n\f\r")
+            if len(t) == 0 or len(t) < min_line_chars or seen[t] == (i, p):
+                kept.append(line)
+            else:
+                removed += 1
+        out[i] = ("\n".join(kept), removed)
+    return out
+
+
+def test_dedup_lines_global_headers(spark):
+    rows = [
+        (1, "MIT License\nCopyright Foo\n\nreal content one"),
+        (2, "MIT License\nCopyright Foo\n\nreal content two"),
+        (3, "MIT License\n\nreal content three\nreal content one"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {
+        r["doc_id"]: (r["text_global_deduped"], r["n_lines_removed"])
+        for r in textqc.dedup_lines_global(df).collect()
+    }
+    # doc 1 keeps everything (first occurrences); docs 2/3 lose the
+    # shared header lines but keep blanks and their own content;
+    # doc 3 also loses doc 1's content line that it repeated.
+    assert out[1] == ("MIT License\nCopyright Foo\n\nreal content one", 0)
+    assert out[2] == ("\nreal content two", 2)
+    assert out[3] == ("\nreal content three", 2)
+    assert out == _global_dedup_py(rows)
+
+
+def test_dedup_lines_global_fully_emptied_doc_survives(spark):
+    rows = [(1, "only line"), (2, "only line")]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {
+        r["doc_id"]: (r["text_global_deduped"], r["n_lines_removed"])
+        for r in textqc.dedup_lines_global(df).collect()
+    }
+    assert out == {1: ("only line", 0), 2: ("", 1)}
+
+
+def test_dedup_lines_global_min_chars_exemption(spark):
+    rows = [(1, "}\nlong shared line here"), (2, "}\nlong shared line here")]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {
+        r["doc_id"]: r["text_global_deduped"]
+        for r in textqc.dedup_lines_global(df, min_line_chars=4).collect()
+    }
+    # "}" is exempt (structure) in BOTH docs; the long line dedupes
+    assert out == {1: "}\nlong shared line here", 2: "}"}
+
+
+def test_dedup_lines_global_random_differential(spark):
+    import random
+
+    rng = random.Random(11)
+    vocab = [f"line {i} body" for i in range(30)] + ["", "   ", "\t"]
+    rows = [
+        (i, "\n".join(rng.choice(vocab) for _ in range(rng.randrange(12))))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {
+        r["doc_id"]: (r["text_global_deduped"], r["n_lines_removed"])
+        for r in textqc.dedup_lines_global(df).collect()
+    }
+    assert got == _global_dedup_py(rows)
+
+
+def test_mix_global_line_dedup_stage(spark):
+    from same_same_spark.pipeline.mix import MixConfig, prepare_training_corpus
+
+    rows = [
+        (1, "SHARED BOILERPLATE HEADER\nunique body one", "en"),
+        (2, "SHARED BOILERPLATE HEADER\nunique body two", "en"),
+        (3, "SHARED BOILERPLATE HEADER\nunique body one", "en"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING, lang STRING")
+    cfg = MixConfig(dedup_lines_global=True, exact=True)
+    assert cfg.stages() == ["global_line_dedup", "exact_dedup"]
+    out = {r["doc_id"]: r["text"] for r in
+           prepare_training_corpus(df, cfg).collect()}
+    # after global line dedup, doc 3's remaining text equals doc 1's
+    # remainder minus the header... doc 3 loses BOTH lines (header and
+    # body are later duplicates) and survives as an empty doc unless
+    # exact dedup collapses it with other empties (it is unique here).
+    assert out[1] == "SHARED BOILERPLATE HEADER\nunique body one"
+    assert out[2] == "unique body two"
+    assert out[3] == ""
