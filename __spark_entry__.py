@@ -1382,8 +1382,10 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round6(out, "score")
 
 
-_SQL_ANN_IVF = """
-WITH e AS (
+# Label-mean centroids + cosine-argmax assignment — the ONE SQL
+# definition of `ann.centroids_by_label` + `ann.assign_centroids`,
+# shared by the IVF and SemDeDup oracles so the twins cannot drift.
+_IVF_ASSIGN_CTES = """e AS (
   SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
 ),
 long AS (
@@ -1413,7 +1415,9 @@ assign AS (
            ) AS rn
     FROM vc
   ) WHERE rn = 1
-),
+)"""
+
+_SQL_ANN_IVF = "WITH " + _IVF_ASSIGN_CTES + """,
 q AS (
   SELECT vec_id::INTEGER AS query_id, emb AS qv FROM e WHERE vec_id IN (0, 1, 2)
 ),
@@ -2805,6 +2809,35 @@ FROM documents GROUP BY source
 """
 
 
+def _q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (pipeline/dedup.semdedup_keep): assign every embedding
+    to its nearest label-mean centroid (the proven IVF coarse
+    quantizer), then drop vectors with cosine >= 0.3 to a lower-id
+    member of the SAME cluster (min-id keep). The 0.3 threshold is
+    fixture-tuned — the synthetic embeddings are near-orthogonal, so a
+    real-corpus 0.95 would drop nothing; production callers feed
+    seeded MLlib KMeans centroids (test_dedup pins that composition).
+    Oracle reuses the shared _IVF_ASSIGN_CTES assignment fragment."""
+    emb = _emb(spark, sf_dir)
+    cents = ann_ops.centroids_by_label(emb)
+    return dedup_ops.semdedup_keep(emb, cents, threshold=0.3)
+
+
+_SQL_SEMDEDUP = "WITH " + _IVF_ASSIGN_CTES + """,
+drops AS (
+  SELECT DISTINCT ab.vec_id
+  FROM assign aa
+  JOIN assign ab
+    ON aa.centroid_id = ab.centroid_id AND aa.vec_id < ab.vec_id
+  JOIN e ea ON ea.vec_id = aa.vec_id
+  JOIN e eb ON eb.vec_id = ab.vec_id
+  WHERE list_cosine_similarity(ea.emb, eb.emb) >= 0.3
+)
+SELECT a.vec_id, a.centroid_id, (d.vec_id IS NULL) AS keep
+FROM assign a LEFT JOIN drops d ON d.vec_id = a.vec_id
+"""
+
+
 _GLOBAL_LINE_FIXTURE = [
     (1, "MIT License\nCopyright (c) 2020\n\nalpha body text"),
     (2, "MIT License\nCopyright (c) 2020\n\nbeta body text"),
@@ -3056,6 +3089,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # (F4) to the overflow head — F4's dim-mismatch contract stays
     # pinned locally by tests/test_operators + test_entry.
     "global_line_dedup": (_q_global_line_dedup, _sql_global_line_dedup()),
+    # sole evidence for SemDeDup (dedup.semdedup_keep — cluster-bounded
+    # semantic dedup); its insertion rotated r2+r3-green one-expression
+    # legacy_metadata_eq (F1/F6) to the overflow head — the filter
+    # family keeps in-top-50 evidence via filter_expr (F2/F3 subsumes
+    # the equality semantics) and test_filters' truth tables.
+    "semdedup": (_q_semdedup, _SQL_SEMDEDUP),
     # --- r3-green entries (CORRECTNESS_r03 all-green) -----------------
     # (bm25_topk moved to the twin tail this round: it shares
     # _SQL_BM25_TOPK with in-top-50 index_bm25_topk and the two are
@@ -3067,7 +3106,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "corpus_overview": (_q_corpus_overview, _SQL_CORPUS_OVERVIEW),
     "doc_token_stats": (_q_doc_token_stats, _SQL_DOC_TOKEN_STATS),
     "filter_expr": (_q_filter_expr, _SQL_FILTER_EXPR),
-    "legacy_metadata_eq": (_q_legacy_metadata_eq, _SQL_LEGACY_METADATA_EQ),
     "list_projection": (_q_list_projection, _SQL_LIST_PROJECTION),
     "metadata_score": (_q_metadata_score, _SQL_METADATA_SCORE),
     "vector_topk": (_q_vector_topk, _SQL_VECTOR_TOPK),
@@ -3100,6 +3138,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # tests/test_operators + test_entry.
     "temporal_topk": (_q_temporal_topk, _SQL_TEMPORAL_TOPK),
     "vector_dim_mismatch": (_q_vector_dim_mismatch, _SQL_VECTOR_DIM_MISMATCH),
+    "legacy_metadata_eq": (_q_legacy_metadata_eq, _SQL_LEGACY_METADATA_EQ),
     "tags_split": (
         _q_tags_split,
         # synthesize the same messy tags string in SQL, then split

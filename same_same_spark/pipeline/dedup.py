@@ -795,3 +795,63 @@ FROM matched
 GROUP BY id_a, id_b, diag
 HAVING count(*) >= {min_fps}
 """
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic dedup via cluster-bounded pairwise cosine
+# ---------------------------------------------------------------------------
+
+
+def semdedup_keep(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    embedding_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication over an embedding column. Assign every vector to its
+    nearest centroid (cosine, the IVF coarse quantizer —
+    :func:`~same_same_spark.pipeline.ann.assign_centroids`), then
+    within each cluster drop any vector whose cosine to a LOWER-id
+    member of the same cluster reaches ``threshold`` (min-id keep, the
+    same deterministic rule as the other dedup families here; the
+    rule is applied against all smaller-id members, dropped or not, so
+    it needs no iteration and both engines agree).
+
+    Returns ``(id_col, centroid_id, keep)`` — one row per input vector.
+
+    Scale: clustering is exactly what makes SemDeDup tractable — the
+    pairwise cosine join is keyed by ``centroid_id``, so its cost is
+    sum(cluster_size²) instead of corpus². Pick
+    ``k ≈ n_vectors / target_cluster_size`` (the paper uses ~100
+    clusters per million; feed seeded MLlib KMeans centers from
+    :func:`~same_same_spark.pipeline.ann_store.kmeans_centroids`).
+    Cross-cluster near-dups are invisible by design — that recall/cost
+    trade IS the algorithm. Centroids broadcast; nothing driver-side.
+    """
+    from same_same_spark.pipeline.ann import assign_centroids
+
+    asg = assign_centroids(
+        df, centroids, id_col=id_col, embedding_col=embedding_col
+    )
+    a, b = asg.alias("a"), asg.alias("b")
+    drops = (
+        a.join(
+            b,
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .filter(_cos(F.col("a.emb"), F.col("b.emb")) >= F.lit(threshold))
+        .select(F.col(f"b.{id_col}").alias(id_col))
+        .distinct()
+        .withColumn("__dropped", F.lit(True))
+    )
+    return (
+        asg.join(drops, id_col, "left")
+        .select(
+            id_col,
+            "centroid_id",
+            F.col("__dropped").isNull().alias("keep"),
+        )
+    )

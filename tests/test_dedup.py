@@ -364,3 +364,115 @@ def test_connected_components_empty_pairs(spark):
     docs = spark.createDataFrame([(7,)], "doc_id LONG")
     [r] = dedup.dedup_clusters(docs, empty).collect()
     assert (r["cluster_id"], r["cluster_size"]) == (7, 1)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup
+# ---------------------------------------------------------------------------
+
+
+def test_semdedup_hand_case(spark):
+    """Two obvious clusters; near-dups within a cluster drop (min-id
+    keep), a cross-cluster near-dup pair survives BY DESIGN."""
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.99, 0.01, 0.0]),   # ~dup of 1, same cluster -> dropped
+        (3, [0.0, 1.0, 0.0]),
+        (4, [0.0, 0.99, 0.01]),   # ~dup of 3, same cluster -> dropped
+        (5, [-1.0, 0.2, 0.0]),    # cluster 0's space but far -> kept
+    ]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    cents = [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])]
+    out = {
+        r["vec_id"]: (r["centroid_id"], r["keep"])
+        for r in dedup.semdedup_keep(df, cents, threshold=0.95).collect()
+    }
+    assert out[1] == (0, True)
+    assert out[2] == (0, False)
+    assert out[3] == (1, True)
+    assert out[4] == (1, False)
+    assert out[5][1] is True
+    assert len(out) == 5  # one row per vector
+
+
+def test_semdedup_cross_cluster_blindness(spark):
+    """Identical vectors assigned to different clusters are NOT
+    compared — the documented recall/cost trade."""
+    rows = [
+        (1, [1.0, 0.05, 0.0]),
+        (2, [1.0, -0.05, 0.0]),  # cosine(1,2) ~ 0.995 but clusters differ
+    ]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    cents = [(0, [1.0, 0.1, 0.0]), (1, [1.0, -0.1, 0.0])]
+    out = {r["vec_id"]: r["keep"]
+           for r in dedup.semdedup_keep(df, cents, threshold=0.9).collect()}
+    assert out == {1: True, 2: True}
+
+
+def _semdedup_py(vecs, cents, tau):
+    """Pure-Python reference: vecs = {id: list}, cents = [(cid, vec)]."""
+    import math
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return 0.0 if na == 0 or nb == 0 else d / (na * nb)
+
+    asg = {}
+    for i, v in vecs.items():
+        best = max(cents, key=lambda c: (round(cos(v, c[1]), 9), -c[0]))
+        asg[i] = best[0]
+    keep = {}
+    ids = sorted(vecs)
+    for i in ids:
+        dropped = any(
+            asg[j] == asg[i] and j < i and cos(vecs[j], vecs[i]) >= tau
+            for j in ids
+        )
+        keep[i] = (asg[i], not dropped)
+    return keep
+
+
+def test_semdedup_differential_vs_python(spark, embeddings):
+    from same_same_spark.pipeline.ann import centroids_by_label
+
+    cents = centroids_by_label(embeddings)
+    got = {
+        r["vec_id"]: (r["centroid_id"], r["keep"])
+        for r in dedup.semdedup_keep(
+            embeddings, cents, threshold=0.25
+        ).collect()
+    }
+    rows = embeddings.select("vec_id", "embedding").collect()
+    vecs = {int(r["vec_id"]): [float(x) for x in r["embedding"]]
+            for r in rows}
+    exp = _semdedup_py(vecs, cents, 0.25)
+    assert got == exp
+    assert any(not k for _, k in got.values())   # some drops happened
+    assert any(k for _, k in got.values())
+
+
+def test_semdedup_with_kmeans_is_deterministic(spark, embeddings):
+    from same_same_spark.pipeline.ann_store import kmeans_centroids
+
+    cents1 = kmeans_centroids(
+        embeddings.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+        ),
+        n_centroids=4, embedding_col="emb", seed=13,
+    )
+    cents2 = kmeans_centroids(
+        embeddings.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+        ),
+        n_centroids=4, embedding_col="emb", seed=13,
+    )
+    assert cents1 == cents2  # seeded KMeans is bit-deterministic
+    out1 = sorted(
+        map(tuple, dedup.semdedup_keep(embeddings, cents1, 0.3).collect())
+    )
+    out2 = sorted(
+        map(tuple, dedup.semdedup_keep(embeddings, cents2, 0.3).collect())
+    )
+    assert out1 == out2
