@@ -2838,6 +2838,43 @@ FROM assign a LEFT JOIN drops d ON d.vec_id = a.vec_id
 """
 
 
+def _q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window aggregation (streaming/sessions.py) over
+    the same 6h gap as events_sessionize — the incremental/streaming
+    twin of the lag/sum sessionizer (session cuts proven identical in
+    tests/test_sessions.py; this entry pins the native operator's
+    values against the same SQL recurrence)."""
+    from same_same_spark.streaming.sessions import session_window_agg
+
+    ev = _events(spark, sf_dir)
+    out = session_window_agg(
+        ev, "user_id", "ts", 21600, value_col="value", watermark=None
+    )
+    return out.withColumn("sum_value", F.round("sum_value", 6))
+
+
+_SQL_SESSION_WINDOWS = """
+WITH m AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 21600000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *, sum(is_new) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
+  ) AS session_idx FROM m
+)
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL 21600 SECOND AS session_end,
+       max(ts) AS last_event_ts, count(*) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM s GROUP BY user_id, session_idx
+"""
+
+
 _GLOBAL_LINE_FIXTURE = [
     (1, "MIT License\nCopyright (c) 2020\n\nalpha body text"),
     (2, "MIT License\nCopyright (c) 2020\n\nbeta body text"),
@@ -3213,6 +3250,11 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # tests/test_lcs.py + tests/test_entry.py.
     "lcs_strip": (_q_lcs_strip, _sql_lcs_strip()),
     "tfidf_topk_indexed": (_q_tfidf_topk_indexed, _SQL_TFIDF_TOPK),
+    # session_windows = the native F.session_window operator over the
+    # SAME 6h-gap sessions as in-top-50 events_sessionize (cuts proven
+    # identical in tests/test_sessions.py, values full-compared by
+    # test_entry) — the codified twin-tail contract.
+    "session_windows": (_q_session_windows, _SQL_SESSION_WINDOWS),
 }
 
 

@@ -11,9 +11,15 @@ its streaming story:
   incremental index ingestion: each micro-batch appends a staged
   posting delta + a lineage record (the streaming continuation of the
   batch build's checkpoint scheme).
+- :func:`~same_same_spark.streaming.sessions.session_window_agg` —
+  native ``session_window`` aggregation (batch + streaming), the
+  incremental twin of ``operators/events.sessionize``.
 """
 
 from same_same_spark.streaming.ingest import (  # noqa: F401
     stream_doc_ingest,
     stream_events_hourly,
+)
+from same_same_spark.streaming.sessions import (  # noqa: F401
+    session_window_agg,
 )
