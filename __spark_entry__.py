@@ -2838,6 +2838,80 @@ FROM assign a LEFT JOIN drops d ON d.vec_id = a.vec_id
 """
 
 
+def _q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-5 (pipeline/pq.py): codebooks =
+    label-mean centroids sliced into 8 subspaces (slice-of-mean ==
+    mean-of-slice, so the oracle derives the identical codebooks in
+    SQL), encode = per-subspace round-9 argmin, score = LUT sums.
+    The seeded-KMeans production trainer is pinned in tests/test_pq."""
+    from same_same_spark.pipeline import pq as pq_ops
+
+    emb = _emb(spark, sf_dir)
+    books = pq_ops.slice_codebooks(ann_ops.centroids_by_label(emb), m=8)
+    codes = pq_ops.pq_encode(emb, books)
+    out = pq_ops.pq_adc_topk(
+        codes, books, _ann_queries(spark, sf_dir), k=5
+    )
+    return _round6(out, "dist")
+
+
+_SQL_PQ_ADC_TOPK = """
+WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
+),
+long AS (
+  SELECT vec_id, label, pos, emb[pos] AS v
+  FROM e, unnest(range(1, len(emb) + 1)) AS u(pos)
+),
+cent AS (
+  SELECT label::INTEGER AS centroid_id, pos, avg(v) AS m
+  FROM long GROUP BY 1, 2
+),
+sub AS (SELECT vec_id, ((pos - 1) // 8)::INT AS s, pos, v FROM long),
+csub AS (
+  SELECT centroid_id AS c, ((pos - 1) // 8)::INT AS s, pos, m FROM cent
+),
+d AS (  -- squared distance per (vector, subspace, code)
+  SELECT sub.vec_id, sub.s, csub.c,
+         sum((sub.v - csub.m) * (sub.v - csub.m)) AS dist
+  FROM sub JOIN csub ON csub.pos = sub.pos AND csub.s = sub.s
+  GROUP BY 1, 2, 3
+),
+enc AS (  -- per-subspace argmin code (round-9, smaller code id wins)
+  SELECT vec_id, s, c FROM (
+    SELECT vec_id, s, c,
+           row_number() OVER (
+             PARTITION BY vec_id, s ORDER BY round(dist, 9), c
+           ) AS rn
+    FROM d
+  ) WHERE rn = 1
+),
+q AS (
+  SELECT vec_id::INTEGER AS query_id, emb FROM e WHERE vec_id IN (0, 1, 2)
+),
+qlut AS (  -- ADC lookup table: query subvector -> each code
+  SELECT q.query_id, csub.s, csub.c,
+         sum((q.emb[csub.pos] - csub.m) * (q.emb[csub.pos] - csub.m)) AS d
+  FROM q CROSS JOIN csub
+  GROUP BY 1, 2, 3
+),
+score AS (
+  SELECT qlut.query_id, enc.vec_id, sum(qlut.d) AS dist
+  FROM enc JOIN qlut ON qlut.s = enc.s AND qlut.c = enc.c
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT query_id, vec_id, dist,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY round(dist, 9), vec_id
+         ) AS rank
+  FROM score
+)
+SELECT query_id, vec_id, round(dist, 6) AS dist, rank::INTEGER AS rank
+FROM r WHERE rank <= 5
+"""
+
+
 def _q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native session_window aggregation (streaming/sessions.py) over
     the same 6h gap as events_sessionize — the incremental/streaming
@@ -3132,6 +3206,13 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # family keeps in-top-50 evidence via filter_expr (F2/F3 subsumes
     # the equality semantics) and test_filters' truth tables.
     "semdedup": (_q_semdedup, _SQL_SEMDEDUP),
+    # sole evidence for product quantization (pipeline/pq.py — encode
+    # argmin + ADC LUT scoring; the 100-TB embedding-compression path).
+    # Its insertion rotated r2+r3-green metadata_score (A6) to the
+    # overflow head — A6's scoring stays exercised end-to-end inside
+    # in-top-50 hybrid_search_indexed (A7 advanced_search combines the
+    # metadata score) and pinned by tests/test_operators.
+    "pq_adc_topk": (_q_pq_adc_topk, _SQL_PQ_ADC_TOPK),
     # --- r3-green entries (CORRECTNESS_r03 all-green) -----------------
     # (bm25_topk moved to the twin tail this round: it shares
     # _SQL_BM25_TOPK with in-top-50 index_bm25_topk and the two are
@@ -3144,7 +3225,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "doc_token_stats": (_q_doc_token_stats, _SQL_DOC_TOKEN_STATS),
     "filter_expr": (_q_filter_expr, _SQL_FILTER_EXPR),
     "list_projection": (_q_list_projection, _SQL_LIST_PROJECTION),
-    "metadata_score": (_q_metadata_score, _SQL_METADATA_SCORE),
     "vector_topk": (_q_vector_topk, _SQL_VECTOR_TOPK),
     "events_hourly": (_q_events_hourly, _SQL_EVENTS_HOURLY),
     "index_bm25_topk": (_q_index_bm25_topk, _SQL_BM25_TOPK),
@@ -3176,6 +3256,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "temporal_topk": (_q_temporal_topk, _SQL_TEMPORAL_TOPK),
     "vector_dim_mismatch": (_q_vector_dim_mismatch, _SQL_VECTOR_DIM_MISMATCH),
     "legacy_metadata_eq": (_q_legacy_metadata_eq, _SQL_LEGACY_METADATA_EQ),
+    "metadata_score": (_q_metadata_score, _SQL_METADATA_SCORE),
     "tags_split": (
         _q_tags_split,
         # synthesize the same messy tags string in SQL, then split

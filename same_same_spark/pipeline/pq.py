@@ -1,0 +1,316 @@
+"""Product quantization (IVF-PQ's compression half, Jégou et al. 2011,
+"Product Quantization for Nearest Neighbor Search").
+
+At 100 TB the embedding column IS the storage problem: a 1024-dim
+float32 vector is 4 KB; its PQ code at m=64 subspaces × 256 codes is
+64 BYTES — a 64× compression that also makes scoring a table lookup.
+This module gives the three pieces:
+
+- :func:`train_pq_codebooks` — per-subspace codebooks from seeded
+  MLlib KMeans over the subvector slices (the production trainer;
+  m sequential fits, each over an n×(d/m) projection).
+- :func:`slice_codebooks` — derive subspace codebooks by slicing
+  full-dimension centroids (mean-of-slice == slice-of-mean, so
+  label-mean centroids give an oracle-reproducible codebook; used by
+  the driver entry, and handy when an IVF coarse quantizer's centers
+  should double as code seeds).
+- :func:`pq_encode` — nearest code per subspace, pure JVM column math
+  (literal codebooks, left-to-right ``F.aggregate`` distance sums,
+  round-9 + code-id tiebreak so any SQL twin agrees). Codegen size is
+  O(n_codes × dim) multiply-adds per row — right for codebooks up to
+  a few thousand floats; beyond that use :func:`pq_encode_pandas`
+  (Arrow-batched numpy, bit-equal results pinned by test).
+- :func:`pq_adc_topk` — asymmetric-distance top-k: per query build the
+  m × n_codes lookup table of squared subvector distances in Python
+  (bounded, tiny), broadcast it as a literal, and score every code
+  row with ``sum_s LUT[s][code_s]`` — a pure column aggregate over
+  the codes array. No decode, no per-row Python, no full-dim math on
+  the corpus side.
+
+Scale: encode is a map-only pass; ADC scoring is a map-only pass +
+the shared top-k reduction. Nothing shuffles on the corpus until the
+bounded top-k. Compose with the IVF stores in ``ann_store.py`` for
+partition-pruned probes over compressed cells.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "train_pq_codebooks",
+    "slice_codebooks",
+    "pq_encode",
+    "pq_encode_pandas",
+    "pq_decode",
+    "pq_adc_topk",
+]
+
+# codebooks type: list over subspaces; each entry is the ordered list
+# of code vectors for that subspace: list[list[list[float]]]
+
+
+def _check_codebooks(codebooks: list[list[list[float]]]) -> tuple[int, int]:
+    if not codebooks:
+        raise ValueError("codebooks must be non-empty")
+    n_codes = len(codebooks[0])
+    if n_codes == 0 or any(len(cb) != n_codes for cb in codebooks):
+        raise ValueError("every subspace needs the same non-zero code count")
+    return len(codebooks), n_codes
+
+
+def _subspace_bounds(dim: int, m: int) -> list[tuple[int, int]]:
+    """Contiguous [start, end) slices; dim must divide evenly so the
+    encode/ADC layouts are unambiguous."""
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    w = dim // m
+    return [(s * w, (s + 1) * w) for s in range(m)]
+
+
+def train_pq_codebooks(
+    df: DataFrame,
+    m: int,
+    n_codes: int,
+    embedding_col: str = "embedding",
+    seed: int = 13,
+    max_iter: int = 20,
+) -> list[list[list[float]]]:
+    """Seeded per-subspace KMeans codebooks (the production trainer).
+
+    m sequential MLlib fits, each over the n×(d/m) slice — the loop is
+    over SUBSPACES (bounded, typically 8-64), not data; each fit is a
+    distributed job. Deterministic for a fixed (input, seed)."""
+    from same_same_spark.pipeline.ann_store import kmeans_centroids
+
+    dim = len(
+        df.select(F.col(embedding_col).cast("array<double>")).first()[0]
+    )
+    out = []
+    for s, (lo, hi) in enumerate(_subspace_bounds(dim, m)):
+        sub = df.select(
+            F.slice(
+                F.col(embedding_col).cast("array<double>"), lo + 1, hi - lo
+            ).alias("emb")
+        )
+        cents = kmeans_centroids(
+            sub, n_centroids=n_codes, embedding_col="emb", seed=seed + s,
+            max_iter=max_iter,
+        )
+        # kmeans_centroids returns [(cid, vec)] with cid 0..k-1 ordered
+        out.append([vec for _, vec in sorted(cents)])
+    return out
+
+
+def slice_codebooks(
+    centroids: list[tuple[int, list[float]]], m: int
+) -> list[list[list[float]]]:
+    """Codebooks = full-dim centroids sliced per subspace, ordered by
+    centroid id. mean(slice) == slice(mean), so label-mean centroids
+    stay exactly reproducible in SQL."""
+    cents = [vec for _, vec in sorted(centroids)]
+    dim = len(cents[0])
+    return [
+        [[float(x) for x in c[lo:hi]] for c in cents]
+        for lo, hi in _subspace_bounds(dim, m)
+    ]
+
+
+def _sqdist_expr(emb: Column, lo: int, code: list[float]) -> Column:
+    """Left-to-right sum of squared diffs of emb[lo:lo+len(code)] vs a
+    literal code vector — same association order as cosine_col."""
+    acc = F.lit(0.0)
+    for j, v in enumerate(code):
+        d = emb[lo + j] - F.lit(float(v))
+        acc = acc + d * d
+    return acc
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    embedding_col: str = "embedding",
+    max_literal_floats: int = 512,
+) -> DataFrame:
+    """``(id, codes ARRAY<INT>)`` — per subspace, the code minimizing
+    the squared distance (round-9, ties to the smaller code id).
+
+    Two bit-equal physical strategies (pinned in test_pq), chosen by
+    codebook size: small codebooks inline as literal column
+    expressions (map-only whole-stage codegen); above
+    ``max_literal_floats`` total codebook floats the expression tree
+    exceeds janino's method-size limits (measured: 10 codes × 64 dims
+    already trips the codegen fallback), so encoding dispatches to the
+    Arrow-batched numpy path — same distances, same round-9 argmin."""
+    m, n_codes = _check_codebooks(codebooks)
+    if n_codes * sum(len(cb[0]) for cb in codebooks) > max_literal_floats:
+        return pq_encode_pandas(
+            df, codebooks, id_col=id_col, embedding_col=embedding_col
+        )
+    emb = F.col(embedding_col).cast("array<double>")
+    dim = sum(len(cb[0]) for cb in codebooks)
+    bounds = _subspace_bounds(dim, len(codebooks))
+    code_cols = []
+    for s, (lo, _hi) in enumerate(bounds):
+        # array of (round9(dist), code_id) structs; array_min picks the
+        # smallest dist then smallest code id — the pinned order
+        cand = F.array(
+            *[
+                F.struct(
+                    F.round(_sqdist_expr(emb, lo, codebooks[s][c]), 9)
+                    .alias("d"),
+                    F.lit(c).alias("c"),
+                )
+                for c in range(n_codes)
+            ]
+        )
+        code_cols.append(F.array_min(cand)["c"])
+    return df.select(F.col(id_col), F.array(*code_cols).alias("codes"))
+
+
+def pq_encode_pandas(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    embedding_col: str = "embedding",
+) -> DataFrame:
+    """Arrow-batched numpy encoder — the scale path for large
+    codebooks where the literal-expression encoder's codegen would
+    bloat. Bit-equal to :func:`pq_encode`: distances are computed
+    with the SAME left-to-right accumulation (explicit loop over the
+    subspace dims, float64), then round-9 + smaller-code tiebreak."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
+
+    m, n_codes = _check_codebooks(codebooks)
+    dim = sum(len(cb[0]) for cb in codebooks)
+    bounds = _subspace_bounds(dim, m)
+    cbs = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+
+    out_schema = StructType(
+        [df.schema[id_col], StructField("codes", ArrayType(IntegerType()))]
+    )
+
+    def encode_iter(pdfs):
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            embs = np.asarray(
+                [list(map(float, e)) for e in pdf[embedding_col]],
+                dtype=np.float64,
+            )
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for s, (lo, hi) in enumerate(bounds):
+                sub = embs[:, lo:hi]  # (n, w)
+                # left-to-right accumulation per dim (matches the
+                # column expression's association order exactly)
+                acc = np.zeros((len(pdf), n_codes), dtype=np.float64)
+                for j in range(hi - lo):
+                    d = sub[:, j : j + 1] - cbs[s][None, :, j]
+                    acc = acc + d * d
+                codes[:, s] = np.argmin(np.round(acc, 9), axis=1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "codes": list(map(list, codes))}
+            )
+
+    return df.select(id_col, embedding_col).mapInPandas(
+        encode_iter, schema=out_schema
+    )
+
+
+def pq_decode(
+    codes_df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    codes_col: str = "codes",
+) -> DataFrame:
+    """``(id, embedding_approx)`` — concatenate each subspace's code
+    vector (the reconstruction ADC avoids; provided for error
+    analysis and re-ranking pipelines)."""
+    _check_codebooks(codebooks)
+    lut = F.array(
+        *[
+            F.array(*[
+                F.array(*[F.lit(float(x)) for x in code])
+                for code in cb
+            ])
+            for cb in codebooks
+        ]
+    )
+    m = len(codebooks)
+    return codes_df.select(
+        F.col(id_col),
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: lut[s][F.col(codes_col)[s]],
+            )
+        ).alias("embedding_approx"),
+    )
+
+
+def pq_adc_topk(
+    codes_df: DataFrame,
+    codebooks: list[list[list[float]]],
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    codes_col: str = "codes",
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes.
+
+    Per query the m × n_codes LUT of squared subvector distances is
+    computed driver-side (bounded: m·n_codes floats), embedded as a
+    literal, and every row scores as ``sum_s LUT[s][code_s]`` — one
+    aggregate over an int array, no decode. Output
+    ``(query_id, id, dist, rank)``, rank 1..k by (round-9 dist ASC,
+    id ASC) — approximate distances, exact given the codes."""
+    m, n_codes = _check_codebooks(codebooks)
+    dim = sum(len(cb[0]) for cb in codebooks)
+    bounds = _subspace_bounds(dim, m)
+    spark = codes_df.sparkSession
+    rows = []
+    for qid, qv in queries:
+        if len(qv) != dim:
+            raise ValueError(f"query {qid}: dim {len(qv)} != {dim}")
+        lut = []
+        for s, (lo, hi) in enumerate(bounds):
+            sub = [float(x) for x in qv[lo:hi]]
+            dists = []
+            for code in codebooks[s]:
+                acc = 0.0
+                for a, b in zip(sub, code):
+                    d = a - b
+                    acc = acc + d * d
+                dists.append(acc)
+            lut.append(dists)
+        rows.append((int(qid), lut))
+    qdf = spark.createDataFrame(
+        rows, "query_id INT, lut ARRAY<ARRAY<DOUBLE>>"
+    )
+    scored = (
+        codes_df.select(id_col, codes_col)
+        .crossJoin(F.broadcast(qdf))
+        .select(
+            "query_id",
+            id_col,
+            F.aggregate(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                F.lit(0.0),
+                lambda acc, s: acc + F.col("lut")[s][F.col(codes_col)[s]],
+            ).alias("dist"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc(F.round(F.col("dist"), 9)), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "dist", "rank")
+    )

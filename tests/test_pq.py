@@ -1,0 +1,193 @@
+"""Product quantization: encode determinism (column expr == numpy ==
+pure Python), reconstruction sanity, ADC vs exact-L2 recall, KMeans
+trainer composition."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from same_same_spark.pipeline import pq
+from same_same_spark.pipeline.ann import centroids_by_label
+
+
+@pytest.fixture(scope="module")
+def emb(spark, embeddings):
+    return embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+
+
+@pytest.fixture(scope="module")
+def books(emb, embeddings):
+    return pq.slice_codebooks(centroids_by_label(embeddings), m=8)
+
+
+def _encode_py(vecs, codebooks):
+    """Pure-Python reference encoder (left-to-right sums, round-9,
+    min-code tiebreak)."""
+    m = len(codebooks)
+    dim = sum(len(cb[0]) for cb in codebooks)
+    w = dim // m
+    out = {}
+    for i, v in vecs.items():
+        codes = []
+        for s in range(m):
+            sub = v[s * w:(s + 1) * w]
+            best = None
+            for c, code in enumerate(codebooks[s]):
+                acc = 0.0
+                for a, b in zip(sub, code):
+                    d = a - b
+                    acc = acc + d * d
+                key = (round(acc, 9), c)
+                if best is None or key < best:
+                    best = key
+            codes.append(best[1])
+        out[i] = codes
+    return out
+
+
+def test_pq_encode_matches_python_and_pandas(spark, emb, books):
+    got_col = {
+        r["vec_id"]: list(r["codes"])
+        for r in pq.pq_encode(
+            emb, books, max_literal_floats=10**9  # force the literal path
+        ).collect()
+    }
+    got_np = {
+        r["vec_id"]: list(r["codes"])
+        for r in pq.pq_encode_pandas(emb, books).collect()
+    }
+    vecs = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in emb.collect()
+    }
+    exp = _encode_py(vecs, books)
+    assert got_col == exp
+    assert got_np == exp  # numpy path bit-equal to the column expr
+    # codes actually vary (not a degenerate codebook)
+    assert len({tuple(c) for c in got_col.values()}) > 10
+
+
+def test_pq_reconstruction_beats_random_codes(spark, emb, books):
+    codes = pq.pq_encode(emb, books)
+    dec = pq.pq_decode(codes, books)
+    err = (
+        emb.join(dec, "vec_id")
+        .select(
+            F.aggregate(
+                F.zip_with(
+                    "embedding", "embedding_approx", lambda a, b: (a - b) ** 2
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("se")
+        )
+        .agg(F.avg("se"))
+        .first()[0]
+    )
+    # worst-code baseline: assign every vector code 0 everywhere
+    bad = codes.select("vec_id", F.expr(
+        f"array({','.join(['0'] * len(books))})"
+    ).alias("codes"))
+    err_bad = (
+        emb.join(pq.pq_decode(bad, books), "vec_id")
+        .select(
+            F.aggregate(
+                F.zip_with(
+                    "embedding", "embedding_approx", lambda a, b: (a - b) ** 2
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("se")
+        )
+        .agg(F.avg("se"))
+        .first()[0]
+    )
+    assert err < err_bad
+
+
+def test_pq_adc_is_exactly_decoded_l2(spark, emb, books):
+    """ADC distance IS ||q - decode(x)||² (the subspace decomposition
+    is exact, not approximate) — pin the full ranked output against a
+    pure-Python reference using the same summation order."""
+    qrows = emb.filter(F.col("vec_id").isin(0, 1, 2)).collect()
+    queries = [(int(r["vec_id"]), [float(x) for x in r["embedding"]])
+               for r in qrows]
+    codes_df = pq.pq_encode(emb, books)
+    got = {
+        (r["query_id"], r["rank"]): (r["vec_id"], round(r["dist"], 9))
+        for r in pq.pq_adc_topk(codes_df, books, queries, k=10).collect()
+    }
+    codes = {r["vec_id"]: list(r["codes"]) for r in codes_df.collect()}
+    m = len(books)
+    dim = sum(len(cb[0]) for cb in books)
+    w = dim // m
+    exp = {}
+    for qid, qv in queries:
+        scored = []
+        for i, cs in codes.items():
+            total = 0.0
+            for s in range(m):
+                sub, code = qv[s * w:(s + 1) * w], books[s][cs[s]]
+                acc = 0.0
+                for a, b in zip(sub, code):
+                    d = a - b
+                    acc = acc + d * d
+                total = total + acc
+            scored.append((round(total, 9), i))
+        for rank, (dist, i) in enumerate(sorted(scored)[:10], start=1):
+            exp[(qid, rank)] = (i, dist)
+    assert got == exp
+
+
+def test_pq_adc_recall_sanity(spark, emb, books):
+    """Recall floor: random 64-d embeddings + a 10-code label-mean
+    codebook quantize coarsely, but top-10 overlap with exact L2 must
+    still sit far above the 10/500 = 2% chance rate."""
+    qrows = emb.filter(F.col("vec_id").isin(0, 1, 2)).collect()
+    queries = [(int(r["vec_id"]), [float(x) for x in r["embedding"]])
+               for r in qrows]
+    codes = pq.pq_encode(emb, books)
+    got = pq.pq_adc_topk(codes, books, queries, k=10)
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r["query_id"], set()).add(r["vec_id"])
+    vecs = {int(r["vec_id"]): [float(x) for x in r["embedding"]]
+            for r in emb.collect()}
+    hits = total = 0
+    for qid, qv in queries:
+        exact = sorted(
+            vecs, key=lambda i: (round(math.dist(vecs[i], qv), 9), i)
+        )[:10]
+        hits += len(set(exact) & by_q[qid])
+        total += 10
+    assert hits / total >= 0.1
+
+
+def test_pq_kmeans_trainer_composes(spark, emb):
+    books = pq.train_pq_codebooks(emb, m=4, n_codes=8, seed=13)
+    books2 = pq.train_pq_codebooks(emb, m=4, n_codes=8, seed=13)
+    assert books == books2  # deterministic
+    assert len(books) == 4 and all(len(cb) == 8 for cb in books)
+    codes = pq.pq_encode_pandas(emb, books)
+    assert codes.count() == emb.count()
+    # trained codebooks reconstruct better than label-slice ones with
+    # the same total code budget? not guaranteed — just sanity: all
+    # subspace code ids in range
+    mx = codes.select(F.max(F.array_max("codes"))).first()[0]
+    assert 0 <= mx <= 7
+
+
+def test_pq_validation_errors(spark, emb, books):
+    with pytest.raises(ValueError, match="divisible"):
+        pq.train_pq_codebooks(emb, m=7, n_codes=4)
+    with pytest.raises(ValueError, match="dim"):
+        pq.pq_adc_topk(
+            pq.pq_encode(emb, books), books, [(0, [1.0, 2.0])], k=3
+        )
+    with pytest.raises(ValueError, match="non-empty"):
+        pq.pq_encode(emb, [])
