@@ -296,7 +296,7 @@ def pq_adc_topk(
         .crossJoin(F.broadcast(qdf))
         .select(
             "query_id",
-            id_col,
+            F.col(id_col).alias("doc_id"),
             F.aggregate(
                 F.sequence(F.lit(0), F.lit(m - 1)),
                 F.lit(0.0),
@@ -304,13 +304,22 @@ def pq_adc_topk(
             ).alias("dist"),
         )
     )
-    from pyspark.sql import Window
+    # ADC scores EVERY code row, so the candidate set is
+    # corpus-proportional — rank through the bounded tournament
+    # (operators/topk.py), never a per-query window whose single task
+    # would hold the whole corpus. topk_per_query's pinned order is
+    # (round(score,9) DESC, id ASC); negating the distance maps it to
+    # (round(dist,9) ASC, id ASC) exactly (IEEE half-even rounding is
+    # symmetric under negation).
+    from same_same_spark.operators.topk import topk_per_query
 
-    w = Window.partitionBy("query_id").orderBy(
-        F.asc(F.round(F.col("dist"), 9)), F.asc(id_col)
+    ranked = topk_per_query(
+        scored.select("query_id", "doc_id", (-F.col("dist")).alias("score")),
+        k,
     )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", id_col, "dist", "rank")
+    return ranked.select(
+        "query_id",
+        F.col("doc_id").alias(id_col),
+        (-F.col("score")).alias("dist"),
+        "rank",
     )
