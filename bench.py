@@ -93,6 +93,11 @@ ENTRY_QUERY_NAMES = [
     "passage_topk",
     "bpe_encode",
     "line_dedup",
+    "asof_join",
+    "events_sessionize",
+    "global_line_dedup",
+    "semdedup",
+    "pq_adc_topk",
 ]
 
 # VERDICT r3 #8: round-over-round totals stopped being comparable as

@@ -398,14 +398,21 @@ def dedup_lines_global(
     firsts = cand.groupBy("h").agg(
         F.min(F.struct(F.col(id_col), F.col("pos"))).alias("first")
     )
-    kept_cand = (
-        cand.join(firsts, "h")
-        .filter(
-            (F.col(f"first.{id_col}") == F.col(id_col))
-            & (F.col("first.pos") == F.col("pos"))
-        )
-        .select(id_col, "pos", "line")
-    )
+    # Keep = semi-join on the FULL (h, id, pos) composite, not on h
+    # alone: a corpus-frequent boilerplate line ("MIT License" a
+    # billion times) would make h a hot join key with every copy in
+    # one partition; keyed by the composite, the copies spread across
+    # partitions and the non-first rows simply find no match. The
+    # groupBy side stays cheap on the hot key via partial aggregation.
+    kept_cand = cand.join(
+        firsts.select(
+            "h",
+            F.col(f"first.{id_col}").alias(id_col),
+            F.col("first.pos").alias("pos"),
+        ),
+        ["h", id_col, "pos"],
+        "left_semi",
+    ).select(id_col, "pos", "line")
     kept = kept_cand.unionByName(
         base.filter(exempt).select(id_col, "pos", "line")
     )
