@@ -2912,6 +2912,114 @@ FROM r WHERE rank <= 5
 """
 
 
+def _pq_store_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per content fingerprint) the persisted IVF-PQ store
+    the pq_ivf_topk entry probes: label-mean coarse centroids + m=8
+    label-mean-slice codebooks, so the oracle can re-derive every
+    stored artifact from the embeddings view alone. Completion =
+    pq_manifest.json present (written atomically last)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from same_same_spark.pipeline import pq as pq_ops
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f"{src}|{st.st_size}|{st.st_mtime_ns}|pqstore-v1|m=8".encode()
+    ).hexdigest()[:10]
+    out = f"{tempfile.gettempdir()}/ss_entry_pqstore_{tag}"
+    if not os.path.exists(os.path.join(out, "pq_manifest.json")):
+        emb = _emb(spark, sf_dir)
+        cents = ann_ops.centroids_by_label(emb)
+        pq_ops.build_pq_store(
+            emb, out, codebooks=pq_ops.slice_codebooks(cents, m=8),
+            centroids=cents,
+        )
+    return out
+
+
+def _q_pq_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted IVF-PQ probe (pq.pq_topk_persisted): nprobe=3 coarse
+    cells by query→centroid cosine (the ann_ivf probe rule), then ADC
+    over the probed cells' codes only — partition-pruned scan,
+    plan-asserted in tests/test_pq."""
+    from same_same_spark.pipeline import pq as pq_ops
+
+    out = pq_ops.pq_topk_persisted(
+        spark,
+        _pq_store_dir(spark, sf_dir),
+        _ann_queries(spark, sf_dir),
+        k=5,
+        nprobe=3,
+    )
+    return _round6(out, "dist")
+
+
+_SQL_PQ_IVF_TOPK = "WITH " + _IVF_ASSIGN_CTES + """,
+q AS (
+  SELECT vec_id::INTEGER AS query_id, emb FROM e WHERE vec_id IN (0, 1, 2)
+),
+qc AS (  -- probe top-3 centroids per query (cosine, the IVF rule)
+  SELECT query_id, centroid_id FROM (
+    SELECT q.query_id, vc.centroid_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round(vc.csim, 9) DESC, vc.centroid_id ASC
+           ) AS rn
+    FROM q JOIN vc ON vc.vec_id = q.query_id
+  ) WHERE rn <= 3
+),
+sub AS (SELECT vec_id, ((pos - 1) // 8)::INT AS s, pos, v FROM long),
+csub AS (
+  SELECT centroid_id AS c, ((pos - 1) // 8)::INT AS s, pos, m FROM cent
+),
+d AS (
+  SELECT sub.vec_id, sub.s, csub.c,
+         sum((sub.v - csub.m) * (sub.v - csub.m)) AS dist
+  FROM sub JOIN csub ON csub.pos = sub.pos AND csub.s = sub.s
+  GROUP BY 1, 2, 3
+),
+enc AS (
+  SELECT vec_id, s, c FROM (
+    SELECT vec_id, s, c,
+           row_number() OVER (
+             PARTITION BY vec_id, s ORDER BY round(dist, 9), c
+           ) AS rn
+    FROM d
+  ) WHERE rn = 1
+),
+qlut AS (
+  SELECT q.query_id, csub.s, csub.c,
+         sum((q.emb[csub.pos] - csub.m) * (q.emb[csub.pos] - csub.m)) AS d
+  FROM q CROSS JOIN csub
+  GROUP BY 1, 2, 3
+),
+cand AS (  -- vectors inside each query's probed cells only
+  SELECT qc.query_id, a.vec_id
+  FROM qc JOIN assign a ON a.centroid_id = qc.centroid_id
+),
+score AS (
+  SELECT c.query_id, c.vec_id, sum(qlut.d) AS dist
+  FROM cand c
+  JOIN enc ON enc.vec_id = c.vec_id
+  JOIN qlut ON qlut.query_id = c.query_id
+           AND qlut.s = enc.s AND qlut.c = enc.c
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT query_id, vec_id, dist,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY round(dist, 9), vec_id
+         ) AS rank
+  FROM score
+)
+SELECT query_id, vec_id, round(dist, 6) AS dist, rank::INTEGER AS rank
+FROM r WHERE rank <= 5
+"""
+
+
 def _q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native session_window aggregation (streaming/sessions.py) over
     the same 6h gap as events_sessionize — the incremental/streaming
@@ -3336,6 +3444,13 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # identical in tests/test_sessions.py, values full-compared by
     # test_entry) — the codified twin-tail contract.
     "session_windows": (_q_session_windows, _SQL_SESSION_WINDOWS),
+    # pq_ivf_topk = persisted IVF-PQ probe: the composition of the
+    # in-top-50-verified pieces (pq_adc_topk's encode/ADC math +
+    # ann_ivf_topk's probe rule) over a store whose artifacts the
+    # oracle re-derives from the embeddings view; twin-tail per the
+    # codified exception, full-value-compared in tests/test_entry.py,
+    # pruning plan-asserted in tests/test_pq.py.
+    "pq_ivf_topk": (_q_pq_ivf_topk, _SQL_PQ_IVF_TOPK),
 }
 
 

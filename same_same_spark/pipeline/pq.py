@@ -45,6 +45,8 @@ __all__ = [
     "pq_encode_pandas",
     "pq_decode",
     "pq_adc_topk",
+    "build_pq_store",
+    "pq_topk_persisted",
 ]
 
 # codebooks type: list over subspaces; each entry is the ordered list
@@ -252,6 +254,33 @@ def pq_decode(
     )
 
 
+def _lut_rows(
+    codebooks: list[list[list[float]]],
+    queries: list[tuple[int, list[float]]],
+) -> list[tuple[int, list[list[float]]]]:
+    """Per-query ADC lookup tables (m × n_codes squared subvector
+    distances), computed driver-side with left-to-right sums."""
+    dim = sum(len(cb[0]) for cb in codebooks)
+    bounds = _subspace_bounds(dim, len(codebooks))
+    rows = []
+    for qid, qv in queries:
+        if len(qv) != dim:
+            raise ValueError(f"query {qid}: dim {len(qv)} != {dim}")
+        lut = []
+        for s, (lo, hi) in enumerate(bounds):
+            sub = [float(x) for x in qv[lo:hi]]
+            dists = []
+            for code in codebooks[s]:
+                acc = 0.0
+                for a, b in zip(sub, code):
+                    d = a - b
+                    acc = acc + d * d
+                dists.append(acc)
+            lut.append(dists)
+        rows.append((int(qid), lut))
+    return rows
+
+
 def pq_adc_topk(
     codes_df: DataFrame,
     codebooks: list[list[list[float]]],
@@ -269,27 +298,9 @@ def pq_adc_topk(
     ``(query_id, id, dist, rank)``, rank 1..k by (round-9 dist ASC,
     id ASC) — approximate distances, exact given the codes."""
     m, n_codes = _check_codebooks(codebooks)
-    dim = sum(len(cb[0]) for cb in codebooks)
-    bounds = _subspace_bounds(dim, m)
     spark = codes_df.sparkSession
-    rows = []
-    for qid, qv in queries:
-        if len(qv) != dim:
-            raise ValueError(f"query {qid}: dim {len(qv)} != {dim}")
-        lut = []
-        for s, (lo, hi) in enumerate(bounds):
-            sub = [float(x) for x in qv[lo:hi]]
-            dists = []
-            for code in codebooks[s]:
-                acc = 0.0
-                for a, b in zip(sub, code):
-                    d = a - b
-                    acc = acc + d * d
-                dists.append(acc)
-            lut.append(dists)
-        rows.append((int(qid), lut))
     qdf = spark.createDataFrame(
-        rows, "query_id INT, lut ARRAY<ARRAY<DOUBLE>>"
+        _lut_rows(codebooks, queries), "query_id INT, lut ARRAY<ARRAY<DOUBLE>>"
     )
     scored = (
         codes_df.select(id_col, codes_col)
@@ -322,4 +333,238 @@ def pq_adc_topk(
         F.col("doc_id").alias(id_col),
         (-F.col("score")).alias("dist"),
         "rank",
+    )
+
+
+# ---------------------------------------------------------------------------
+# persisted IVF-PQ store — compressed codes behind the IVF coarse quantizer
+# ---------------------------------------------------------------------------
+
+
+def build_pq_store(
+    df: DataFrame,
+    out_dir: str,
+    *,
+    codebooks: list[list[list[float]]] | None = None,
+    centroids: list[tuple[int, list[float]]] | None = None,
+    m: int = 8,
+    n_codes: int = 16,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    embedding_col: str = "embedding",
+    seed: int = 13,
+) -> dict:
+    """Persist an IVF-PQ structure: PQ codes partitioned by the IVF
+    coarse centroid, so probes prune partitions AND score compressed.
+
+    Layout::
+
+        <out>/pq/centroid_id=<C>/...   (id, codes ARRAY<INT>)
+        <out>/centroids/               (centroid_id, cvec)
+        <out>/codebooks/               (s, c, code ARRAY<DOUBLE>)
+        <out>/pq_manifest.json
+
+    The cells store CODES ONLY (that is the point — an m-byte row, not
+    a 4 KB vector); exact re-ranking reads the full-precision vectors
+    from wherever the caller keeps them (``refine_df`` on the probe).
+    Mutations are out of scope here by design: the full-precision IVF
+    store (``ann_store.py``) owns the append/delete/compact/refresh
+    matrix, and a PQ mirror re-derives from it with one
+    :func:`pq_encode` pass over the changed cells.
+    """
+    import json
+    import os
+
+    from same_same_spark.pipeline.ann import assign_centroids
+    from same_same_spark.pipeline.ann_store import (
+        kmeans_centroids,
+        write_store_lineage,
+    )
+    from same_same_spark.metrics import MetricsWindow
+
+    spark = df.sparkSession
+    e = df.select(
+        F.col(id_col),
+        F.col(embedding_col).cast("array<double>").alias("emb"),
+    )
+    if centroids is None:
+        centroids = kmeans_centroids(
+            e, n_centroids=n_centroids, embedding_col="emb", seed=seed
+        )
+    if codebooks is None:
+        codebooks = train_pq_codebooks(
+            e, m=m, n_codes=n_codes, embedding_col="emb", seed=seed + 1000
+        )
+    _check_codebooks(codebooks)
+
+    assigned = assign_centroids(e, centroids, id_col=id_col, embedding_col="emb")
+    codes = pq_encode(
+        assigned.select(id_col, "emb", "centroid_id"),
+        codebooks,
+        id_col=id_col,
+        embedding_col="emb",
+    ).join(assigned.select(id_col, "centroid_id"), id_col)
+    with MetricsWindow(spark) as mw:
+        codes.write.mode("overwrite").partitionBy("centroid_id").parquet(
+            f"{out_dir}/pq"
+        )
+    spark.createDataFrame(
+        [(cid, [float(x) for x in vec]) for cid, vec in centroids],
+        "centroid_id INT, cvec ARRAY<DOUBLE>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/centroids")
+    spark.createDataFrame(
+        [
+            (s, c, [float(x) for x in code])
+            for s, cb in enumerate(codebooks)
+            for c, code in enumerate(cb)
+        ],
+        "s INT, c INT, code ARRAY<DOUBLE>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/codebooks")
+    manifest = {
+        "id_col": id_col,
+        "m": len(codebooks),
+        "n_codes": len(codebooks[0]),
+        "n_centroids": len(centroids),
+        "n_vectors": e.count(),
+    }
+    write_store_lineage(
+        out_dir, "build-pq",
+        {"op": "build_pq", "rows": manifest["n_vectors"],
+         "exec": mw.totals()},
+    )
+    tmp = f"{out_dir}/pq_manifest.json.tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, f"{out_dir}/pq_manifest.json")
+    return manifest
+
+
+def _load_pq_store(spark, pq_dir: str):
+    import json
+
+    with open(f"{pq_dir}/pq_manifest.json") as f:
+        manifest = json.load(f)
+    cents = [
+        (int(r["centroid_id"]), [float(x) for x in r["cvec"]])
+        for r in spark.read.parquet(f"{pq_dir}/centroids").collect()
+    ]
+    books_rows = spark.read.parquet(f"{pq_dir}/codebooks").collect()
+    books: list[dict[int, list[float]]] = [
+        {} for _ in range(manifest["m"])
+    ]
+    for r in books_rows:
+        books[int(r["s"])][int(r["c"])] = [float(x) for x in r["code"]]
+    codebooks = [
+        [sub[c] for c in range(manifest["n_codes"])] for sub in books
+    ]
+    return manifest, sorted(cents), codebooks
+
+
+def pq_topk_persisted(
+    spark,
+    pq_dir: str,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    nprobe: int = 3,
+    *,
+    refine_df: DataFrame | None = None,
+    refine_factor: int = 4,
+    id_col_refine: str = "vec_id",
+    embedding_col_refine: str = "embedding",
+) -> DataFrame:
+    """Probe the persisted IVF-PQ store.
+
+    Query→centroid cosines pick ``nprobe`` cells driver-side (the
+    centroid table is tiny); the code scan reads ONLY those
+    ``centroid_id=`` partitions (plan-asserted partition pruning in
+    test_pq); rows score by ADC. Without ``refine_df`` the ADC ranking
+    is returned (``(query_id, id, dist, rank)``, round-9 ASC order).
+    With ``refine_df`` (the full-precision vectors), the top
+    ``refine_factor × k`` ADC candidates — a bounded set — are
+    re-ranked by exact cosine via one broadcast semi-join against the
+    vector table: ``(query_id, id, score, rank)``, the standard
+    IVF-PQ + re-rank serving stack."""
+    import numpy as np
+
+    manifest, cents, codebooks = _load_pq_store(spark, pq_dir)
+    id_col = manifest["id_col"]
+    probe_pairs: list[tuple[int, int]] = []
+    for qid, qvec in queries:
+        q = np.asarray(qvec, dtype=np.float64)
+        qn = np.linalg.norm(q)
+        sims = []
+        for cid, cvec in cents:
+            c = np.asarray(cvec, dtype=np.float64)
+            denom = qn * np.linalg.norm(c)
+            sims.append(
+                (round(float(q @ c / denom) if denom else 0.0, 9), -cid)
+            )
+        sims.sort(reverse=True)
+        probe_pairs.extend((qid, -negcid) for _, negcid in sims[:nprobe])
+    probes = spark.createDataFrame(
+        probe_pairs, "query_id INT, centroid_id INT"
+    )
+    codes = spark.read.parquet(f"{pq_dir}/pq").filter(
+        F.col("centroid_id").isin(sorted({c for _, c in probe_pairs}))
+    )
+    # ONE plan for the whole query batch: the (query, cell) probe join
+    # restricts each query to its own cells, the LUT join attaches the
+    # per-query lookup table, and the tournament ranks — no per-query
+    # driver loop, no unions proportional to the batch.
+    adc_k = k if refine_df is None else max(k, refine_factor * k)
+    m = manifest["m"]
+    qlut = spark.createDataFrame(
+        _lut_rows(codebooks, queries), "query_id INT, lut ARRAY<ARRAY<DOUBLE>>"
+    )
+    scored = (
+        codes.join(F.broadcast(probes), "centroid_id")
+        .join(F.broadcast(qlut), "query_id")
+        .select(
+            "query_id",
+            F.col(id_col).alias("doc_id"),
+            F.aggregate(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                F.lit(0.0),
+                lambda acc, s: acc + F.col("lut")[s][F.col("codes")[s]],
+            ).alias("dist"),
+        )
+    )
+    from same_same_spark.operators.topk import topk_per_query
+
+    adc_ranked = topk_per_query(
+        scored.select("query_id", "doc_id", (-F.col("dist")).alias("score")),
+        adc_k,
+    )
+    out = adc_ranked.select(
+        "query_id",
+        F.col("doc_id").alias(id_col),
+        (-F.col("score")).alias("dist"),
+        "rank",
+    )
+    if refine_df is None:
+        return out.filter(F.col("rank") <= k)
+    from same_same_spark.operators.vector import cosine_col
+    from same_same_spark.operators.topk import topk_per_query
+
+    cids = out.select("query_id", F.col(id_col).alias("doc_id"))
+    vecs = refine_df.select(
+        F.col(id_col_refine).alias("doc_id"),
+        F.col(embedding_col_refine).cast("array<double>").alias("emb"),
+    )
+    qdf = spark.createDataFrame(
+        [(qid, [float(x) for x in qv]) for qid, qv in queries],
+        "query_id INT, qvec ARRAY<DOUBLE>",
+    )
+    exact = (
+        vecs.join(F.broadcast(cids), "doc_id")
+        .join(F.broadcast(qdf), "query_id")
+        .filter(F.size("emb") == F.size("qvec"))
+        .select(
+            "query_id", "doc_id",
+            cosine_col(F.col("emb"), F.col("qvec")).alias("score"),
+        )
+    )
+    ranked = topk_per_query(exact, k)
+    return ranked.select(
+        "query_id", F.col("doc_id").alias(id_col), "score", "rank"
     )

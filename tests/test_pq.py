@@ -191,3 +191,132 @@ def test_pq_validation_errors(spark, emb, books):
         )
     with pytest.raises(ValueError, match="non-empty"):
         pq.pq_encode(emb, [])
+
+
+# ---------------------------------------------------------------------------
+# persisted IVF-PQ store
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def pq_store(spark, emb, embeddings, books, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("pqstore") / "pq")
+    manifest = pq.build_pq_store(
+        emb, out,
+        codebooks=books,
+        centroids=centroids_by_label(embeddings),
+    )
+    return out, manifest
+
+
+def test_pq_store_roundtrip(spark, pq_store, books, embeddings):
+    out, manifest = pq_store
+    m2, cents2, books2 = pq._load_pq_store(spark, out)
+    assert m2 == manifest
+    assert books2 == books
+    assert cents2 == sorted(centroids_by_label(embeddings))
+    assert manifest["n_vectors"] == 500
+
+
+def test_pq_store_probe_matches_manual_adc(spark, pq_store, emb, books,
+                                           embeddings):
+    """Persisted probe (ADC-only) == encode + ADC restricted to the
+    SAME probed cells, computed from the in-memory pieces."""
+    out, _ = pq_store
+    qrows = emb.filter(F.col("vec_id").isin(0, 1, 2)).collect()
+    queries = [(int(r["vec_id"]), [float(x) for x in r["embedding"]])
+               for r in qrows]
+    got = {
+        (r["query_id"], r["rank"]): (r["vec_id"], round(r["dist"], 9))
+        for r in pq.pq_topk_persisted(
+            spark, out, queries, k=5, nprobe=3
+        ).collect()
+    }
+    # manual: same coarse probe rule as ivf_topk_persisted
+    import numpy as np
+
+    from same_same_spark.pipeline.ann import assign_centroids
+
+    cents = centroids_by_label(embeddings)
+    asg = {
+        r["vec_id"]: r["centroid_id"]
+        for r in assign_centroids(emb, cents).collect()
+    }
+    exp = {}
+    for qid, qv in queries:
+        q = np.asarray(qv)
+        sims = []
+        for cid, cvec in cents:
+            c = np.asarray(cvec)
+            sims.append((round(float(q @ c / (np.linalg.norm(q) *
+                        np.linalg.norm(c))), 9), -cid))
+        sims.sort(reverse=True)
+        cells = {-nc for _, nc in sims[:3]}
+        sub = emb.filter(
+            F.col("vec_id").isin([i for i, c in asg.items() if c in cells])
+        )
+        ranked = pq.pq_adc_topk(
+            pq.pq_encode(sub, books), books, [(qid, qv)], k=5
+        )
+        for r in ranked.collect():
+            exp[(qid, r["rank"])] = (r["vec_id"], round(r["dist"], 9))
+    assert got == exp
+
+
+def test_pq_store_probe_is_partition_pruned(spark, pq_store, emb):
+    import re
+
+    out, _ = pq_store
+    qrows = emb.filter(F.col("vec_id") == 0).collect()
+    queries = [(0, [float(x) for x in qrows[0]["embedding"]])]
+    df = pq.pq_topk_persisted(spark, out, queries, k=5, nprobe=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    mt = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert mt and "centroid_id" in mt.group(1)
+
+
+def test_pq_store_refine_reranks_exactly(spark, pq_store, emb):
+    """With refine_df, the top refine_factor*k ADC candidates re-rank
+    by exact cosine — verify against a python recomputation over the
+    ADC candidate set."""
+    import math
+
+    out, _ = pq_store
+    qrows = emb.filter(F.col("vec_id").isin(0, 1)).collect()
+    queries = [(int(r["vec_id"]), [float(x) for x in r["embedding"]])
+               for r in qrows]
+    adc = pq.pq_topk_persisted(spark, out, queries, k=5, nprobe=3,
+                               refine_factor=4)
+    # ADC-only with k=20 gives the candidate pool the refine step sees
+    pool = pq.pq_topk_persisted(spark, out, queries, k=20, nprobe=3)
+    refined = pq.pq_topk_persisted(
+        spark, out, queries, k=5, nprobe=3,
+        refine_df=emb, refine_factor=4,
+    )
+    vecs = {int(r["vec_id"]): [float(x) for x in r["embedding"]]
+            for r in emb.collect()}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return 0.0 if na == 0 or nb == 0 else d / (na * nb)
+
+    cand_by_q = {}
+    for r in pool.collect():
+        cand_by_q.setdefault(r["query_id"], []).append(r["vec_id"])
+    got = {}
+    for r in refined.collect():
+        got[(r["query_id"], r["rank"])] = (r["vec_id"], round(r["score"], 9))
+    exp = {}
+    qv_by_id = dict(queries)
+    for qid, cands in cand_by_q.items():
+        scored = sorted(
+            ((round(cos(vecs[i], qv_by_id[qid]), 9), i) for i in cands),
+            key=lambda t: (-t[0], t[1]),
+        )[:5]
+        for rank, (s, i) in enumerate(scored, start=1):
+            exp[(qid, rank)] = (i, s)
+    assert got == exp
+    assert adc.columns == ["query_id", "vec_id", "dist", "rank"]
+    assert refined.columns == ["query_id", "vec_id", "score", "rank"]
