@@ -2912,6 +2912,56 @@ FROM r WHERE rank <= 5
 """
 
 
+def _q_rrf_fuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (operators/hybrid.rrf_fuse) of the two
+    verified lexical rankings — BM25 and the reference's TF-IDF model —
+    over the reference query set: fused score = sum 1/(60 + rank),
+    docs ranked by one list only still compete. Rank-only fusion, so
+    the oracle composes the two entries' own SQL as CTEs."""
+    from same_same_spark.operators.hybrid import rrf_fuse
+    from same_same_spark.operators.tfidf import tfidf_topk
+
+    docs = _docs(spark, sf_dir)
+    a = score_queries(
+        docs, REF_QUERIES, k=REF_K, id_col="doc_id", text_col="text"
+    )
+    b = tfidf_topk(
+        docs, REF_QUERIES, k=REF_K, id_col="doc_id", text_col="text"
+    )
+    out = rrf_fuse(
+        [a.select("query_id", "doc_id", "rank"),
+         b.select("query_id", "doc_id", "rank")],
+        k=REF_K,
+    )
+    return _round6(out, "score").withColumn(
+        "rank", F.col("rank").cast("int")
+    )
+
+
+def _sql_rrf_fuse() -> str:
+    return f"""
+WITH bm AS ({duckdb_bm25_sql("documents", "doc_id", "text", REF_QUERIES, k=REF_K)}),
+tf AS ({_SQL_TFIDF_TOPK}),
+u AS (
+  SELECT query_id, doc_id, 1.0 / (60 + rank) AS contrib FROM bm
+  UNION ALL
+  SELECT query_id, doc_id, 1.0 / (60 + rank) AS contrib FROM tf
+),
+s AS (
+  SELECT query_id, doc_id, sum(contrib) AS score FROM u GROUP BY 1, 2
+),
+r AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY round(score, 9) DESC, doc_id ASC
+         ) AS rank
+  FROM s
+)
+SELECT query_id, doc_id, round(score, 6) AS score, rank::INTEGER AS rank
+FROM r WHERE rank <= {REF_K}
+"""
+
+
 def _pq_store_dir(spark: SparkSession, sf_dir: str) -> str:
     """Build (once per content fingerprint) the persisted IVF-PQ store
     the pq_ivf_topk entry probes: label-mean coarse centroids + m=8
@@ -3321,6 +3371,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # in-top-50 hybrid_search_indexed (A7 advanced_search combines the
     # metadata score) and pinned by tests/test_operators.
     "pq_adc_topk": (_q_pq_adc_topk, _SQL_PQ_ADC_TOPK),
+    # sole evidence for reciprocal-rank fusion (hybrid.rrf_fuse); its
+    # insertion rotated r2+r3-green doc_token_stats (X2) to the
+    # overflow head — TF's arithmetic stays exercised inside every
+    # in-top-50 BM25/TF-IDF entry (their scores are TF functions) and
+    # pinned by tests/test_bm25 + the rotated entry's local gate.
+    "rrf_fuse": (_q_rrf_fuse, _sql_rrf_fuse()),
     # --- r3-green entries (CORRECTNESS_r03 all-green) -----------------
     # (bm25_topk moved to the twin tail this round: it shares
     # _SQL_BM25_TOPK with in-top-50 index_bm25_topk and the two are
@@ -3330,7 +3386,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "term_df_top100": (_q_term_df, _SQL_TERM_DF),
     "vocab_prune": (_q_vocab_prune, _SQL_VOCAB_PRUNE),
     "corpus_overview": (_q_corpus_overview, _SQL_CORPUS_OVERVIEW),
-    "doc_token_stats": (_q_doc_token_stats, _SQL_DOC_TOKEN_STATS),
     "filter_expr": (_q_filter_expr, _SQL_FILTER_EXPR),
     "list_projection": (_q_list_projection, _SQL_LIST_PROJECTION),
     "vector_topk": (_q_vector_topk, _SQL_VECTOR_TOPK),
@@ -3365,6 +3420,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "vector_dim_mismatch": (_q_vector_dim_mismatch, _SQL_VECTOR_DIM_MISMATCH),
     "legacy_metadata_eq": (_q_legacy_metadata_eq, _SQL_LEGACY_METADATA_EQ),
     "metadata_score": (_q_metadata_score, _SQL_METADATA_SCORE),
+    "doc_token_stats": (_q_doc_token_stats, _SQL_DOC_TOKEN_STATS),
     "tags_split": (
         _q_tags_split,
         # synthesize the same messy tags string in SQL, then split

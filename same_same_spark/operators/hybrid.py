@@ -115,3 +115,57 @@ def rank_topk(scored: DataFrame, k: int, id_col: str = "doc_id") -> DataFrame:
         .select(F.posexplode("arr").alias("pos", "s"))
         .select("s.row.*", (F.col("pos") + 1).cast("int").alias("rank"))
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 10,
+    rrf_k: int = 60,
+    weights: list[float] | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of per-query
+    rankings — the standard score-free way to combine retrieval
+    systems (BM25 + TF-IDF, lexical + ANN, ...).
+
+    Each input frame carries ``(query_id, id_col, rank)``; a document's
+    fused score is ``sum_i weight_i / (rrf_k + rank_i)`` over the lists
+    that ranked it (absent lists contribute nothing — no rank
+    imputation). Output ``(query_id, id_col, score, rank)``, rank 1..k
+    under the pinned ``(round(score, 9) DESC, id ASC)`` order.
+
+    Scale: inputs are ALREADY bounded top-k lists (k·queries·lists
+    rows), so the union + groupBy is a shuffle over kilobytes no
+    matter the corpus size; ranking rides the bounded tournament.
+    """
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
+    if weights is None:
+        weights = [1.0] * len(rankings)
+    if len(weights) != len(rankings):
+        raise ValueError("one weight per ranking")
+    u = None
+    for r, w in zip(rankings, weights):
+        part = r.select(
+            "query_id",
+            F.col(id_col),
+            (F.lit(float(w)) / (F.lit(rrf_k) + F.col("rank")))
+            .alias("contrib"),
+        )
+        u = part if u is None else u.unionByName(part)
+    scored = u.groupBy("query_id", id_col).agg(
+        F.sum("contrib").alias("score")
+    )
+    from same_same_spark.operators.topk import topk_per_query
+
+    ranked = topk_per_query(
+        scored.select(
+            "query_id", F.col(id_col).alias("doc_id"), "score"
+        ),
+        k,
+    )
+    if id_col == "doc_id":
+        return ranked
+    return ranked.select(
+        "query_id", F.col("doc_id").alias(id_col), "score", "rank"
+    )

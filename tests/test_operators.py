@@ -192,3 +192,83 @@ def test_advanced_search_hybrid_blend_adds_constant(spark, documents):
 def test_advanced_search_empty_query_raises(spark, documents):
     with pytest.raises(ValueError):
         advanced_search(documents, "", k=5, id_col="doc_id", text_col="text")
+
+
+# ---------------------------------------------------------------------------
+# reciprocal-rank fusion
+# ---------------------------------------------------------------------------
+
+
+def test_rrf_fuse_hand_case(spark):
+    from same_same_spark.operators.hybrid import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3)],
+        "query_id INT, doc_id LONG, rank INT",
+    )
+    b = spark.createDataFrame(
+        [(0, 11, 1), (0, 13, 2)],
+        "query_id INT, doc_id LONG, rank INT",
+    )
+    out = {r["doc_id"]: (r["rank"], r["score"])
+           for r in rrf_fuse([a, b], k=4, rrf_k=60).collect()}
+    # doc 11 appears in both lists -> highest fused score
+    assert out[11][0] == 1
+    assert abs(out[11][1] - (1 / 62 + 1 / 61)) < 1e-12
+    assert out[10][0] == 2          # 1/61 beats 1/62 (doc 13) and 1/63
+    assert out[13][0] == 3
+    assert out[12][0] == 4
+    # weights flip the order: downweight list a
+    w = {r["doc_id"]: r["rank"]
+         for r in rrf_fuse([a, b], k=4, weights=[0.1, 1.0]).collect()}
+    assert w[13] < w[10]
+
+
+def test_rrf_fuse_differential(spark):
+    import random
+
+    from same_same_spark.operators.hybrid import rrf_fuse
+
+    rng = random.Random(3)
+    lists = []
+    pylists = []
+    for _ in range(3):
+        rows = []
+        for q in range(4):
+            docs = rng.sample(range(50), 10)
+            rows += [(q, d, i + 1) for i, d in enumerate(docs)]
+        lists.append(spark.createDataFrame(
+            rows, "query_id INT, doc_id LONG, rank INT"
+        ))
+        pylists.append(rows)
+    got = {
+        (r["query_id"], r["rank"]): (r["doc_id"], round(r["score"], 9))
+        for r in rrf_fuse(lists, k=5, rrf_k=60).collect()
+    }
+    scores: dict[tuple[int, int], float] = {}
+    for rows in pylists:
+        for q, d, rk in rows:
+            scores[(q, d)] = scores.get((q, d), 0.0) + 1.0 / (60 + rk)
+    exp = {}
+    for q in range(4):
+        ranked = sorted(
+            ((round(s, 9), d) for (qq, d), s in scores.items() if qq == q),
+            key=lambda t: (-t[0], t[1]),
+        )[:5]
+        for i, (s, d) in enumerate(ranked, start=1):
+            exp[(q, i)] = (d, s)
+    assert got == exp
+
+
+def test_rrf_fuse_validation(spark):
+    import pytest as _pytest
+
+    from same_same_spark.operators.hybrid import rrf_fuse
+
+    with _pytest.raises(ValueError, match="non-empty"):
+        rrf_fuse([])
+    a = spark.createDataFrame(
+        [(0, 1, 1)], "query_id INT, doc_id LONG, rank INT"
+    )
+    with _pytest.raises(ValueError, match="one weight"):
+        rrf_fuse([a, a], weights=[1.0])
