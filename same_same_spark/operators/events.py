@@ -73,6 +73,11 @@ def asof_join(
         raise ValueError("direction must be 'backward' or 'forward'")
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (on, right_ts)]
+    if right_ts in right_cols or len(set(right_cols)) != len(right_cols):
+        raise ValueError(
+            "right_cols must be distinct and must not repeat right_ts "
+            f"(it is always returned as {prefix}{right_ts})"
+        )
     overlap = [f"{prefix}{c}" for c in [right_ts, *right_cols]]
     clash = set(overlap) & set(left.columns)
     if clash:
@@ -90,7 +95,13 @@ def asof_join(
     else:
         tb = F.lit(0)
         left_tb = F.lit(0)
-    r = right.select(
+    # NULL keys never match (standard join semantics — DuckDB's ASOF
+    # agrees); dropping null-key right rows up front also keeps them
+    # out of the window's null partition, so null-key left rows come
+    # back with a NULL match instead of pairing with each other.
+    r = right.filter(
+        F.col(on).isNotNull() & F.col(right_ts).isNotNull()
+    ).select(
         F.col(on).alias("__key"),
         F.col(right_ts).alias("__t"),
         F.lit(0).alias("__side"),
@@ -128,7 +139,13 @@ def asof_join(
         )
         matched = F.first("__p", ignorenulls=True).over(w)
 
-    out = u.withColumn("__m", matched).filter(F.col("__side") == 1)
+    # A NULL left timestamp compares NULL against every right_ts in
+    # SQL semantics → never a match (it would otherwise sort
+    # nulls-first and, in forward mode, see every right row in its
+    # following frame).
+    out = u.withColumn(
+        "__m", F.when(F.col("__t").isNotNull(), matched)
+    ).filter(F.col("__side") == 1)
     if tolerance_seconds is not None:
         gap_us = F.abs(
             F.unix_micros(F.col("__t"))

@@ -223,3 +223,32 @@ def test_sessionize_random_differential(spark):
     )
     for r in per_key:
         assert r["mx"] == r["n"]
+
+
+def test_asof_null_keys_and_timestamps(spark):
+    """SQL semantics: NULL keys and NULL timestamps never match, in
+    either direction (DuckDB ASOF / pandas drop them the same way)."""
+    left = spark.createDataFrame(
+        [(1, None, _ts(10)), (2, "k", None), (3, "k", _ts(10))],
+        "event_id LONG, k STRING, ts TIMESTAMP",
+    )
+    right = spark.createDataFrame(
+        [(7, "k", _ts(5)), (8, None, _ts(1)), (9, "k", None)],
+        "rid LONG, k STRING, ts TIMESTAMP",
+    )
+    for direction in ("backward", "forward"):
+        out = {r["event_id"]: r["matched_rid"]
+               for r in asof_join(left, right, on="k", right_cols=["rid"],
+                                  direction=direction,
+                                  right_tiebreak="rid").collect()}
+        assert out[1] is None   # null left key
+        assert out[2] is None   # null left ts
+        # the only legal match: left 3 at t=10 vs right 7 at t=5
+        assert out[3] == (7 if direction == "backward" else None)
+        assert len(out) == 3    # left-outer: nothing dropped
+
+
+def test_asof_rejects_right_ts_in_right_cols(left_right):
+    left, right = left_right
+    with pytest.raises(ValueError, match="right_ts"):
+        asof_join(left, right, on="user", right_cols=["ts", "rid"])
