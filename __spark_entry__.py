@@ -2912,6 +2912,58 @@ FROM r WHERE rank <= 5
 """
 
 
+_URL_FIXTURE = [
+    (1, "HTTP://WWW.Example.COM:80/Path/?utm_source=x"),
+    (2, "http://example.com/Path"),  # dup of 1 after canonicalization
+    (3, "https://example.com:443/a/?x=1&utm_medium=m&y=2#frag"),
+    (4, "https://example.com/a?x=1&y=2"),  # dup of 3
+    (5, "https://example.com/?utm_a=1&utm_b=2&keep=3"),
+    (6, "https://example.com/?keep=3"),  # dup of 5
+    (7, "http://example.com:8080/x"),  # real port survives
+    (8, "example.com/path/"),
+    (9, "ftp://Files.Example.com/A"),
+    (10, None),  # NULL url: never deduped
+    (11, None),
+]
+
+
+def _q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + URL-keyed dedup (pipeline/urls.py —
+    RefinedWeb's pre-content dedup): lowercased scheme+authority,
+    fragments / default ports / www. / tracking params / trailing
+    slashes stripped by ONE ordered RE2-safe rule table rendered for
+    both engines; min-id keep per canonical URL, NULLs never drop."""
+    from same_same_spark.pipeline.urls import dedup_by_url
+
+    df = spark.createDataFrame(_URL_FIXTURE, "doc_id LONG, url STRING")
+    return dedup_by_url(df).select("doc_id", "url_canonical")
+
+
+def _sql_url_dedup() -> str:
+    from same_same_spark.pipeline.urls import canonicalize_url_sql
+
+    values = ", ".join(
+        f"({i}, " + ("NULL" if u is None else "'" + u + "'") + ")"
+        for i, u in _URL_FIXTURE
+    )
+    return f"""
+WITH d(doc_id, url) AS (VALUES {values}),
+c AS (SELECT doc_id, {canonicalize_url_sql('url')} AS url_canonical FROM d),
+k AS (
+  SELECT doc_id, url_canonical FROM (
+    SELECT doc_id, url_canonical,
+           row_number() OVER (
+             PARTITION BY url_canonical ORDER BY doc_id
+           ) AS rn
+    FROM c WHERE url_canonical IS NOT NULL
+  ) WHERE rn = 1
+)
+SELECT doc_id, url_canonical FROM k
+UNION ALL
+SELECT doc_id, url_canonical FROM c WHERE url_canonical IS NULL
+"""
+
+
 def _q_rrf_fuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reciprocal-rank fusion (operators/hybrid.rrf_fuse) of the two
     verified lexical rankings — BM25 and the reference's TF-IDF model —
@@ -3377,6 +3429,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # in-top-50 BM25/TF-IDF entry (their scores are TF functions) and
     # pinned by tests/test_bm25 + the rotated entry's local gate.
     "rrf_fuse": (_q_rrf_fuse, _sql_rrf_fuse()),
+    # sole evidence for URL canonicalization + URL-keyed dedup
+    # (pipeline/urls.py); its insertion rotated r2+r3-green
+    # one-expression event_age_buckets (X9) to the overflow head —
+    # X9's bucket math stays pinned by tests/test_operators + the
+    # rotated entry's local gate.
+    "url_dedup": (_q_url_dedup, _sql_url_dedup()),
     # --- r3-green entries (CORRECTNESS_r03 all-green) -----------------
     # (bm25_topk moved to the twin tail this round: it shares
     # _SQL_BM25_TOPK with in-top-50 index_bm25_topk and the two are
@@ -3409,8 +3467,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         _q_filter_search_indexed,
         _SQL_FILTER_SEARCH_INDEXED,
     ),
-    "event_age_buckets": (_q_event_age_buckets, _SQL_EVENT_AGE_BUCKETS),
     # --- rotation overflow starts here (position 51) ---------------
+    "event_age_buckets": (_q_event_age_buckets, _SQL_EVENT_AGE_BUCKETS),
     # temporal_topk + tags_split rotated here this session (r2+r3
     # green one-expression ops) to make room for asof_join +
     # events_sessionize above; X7 keeps temporal_decay/temporal_search

@@ -1,0 +1,105 @@
+"""URL canonicalization: hand-pinned forms, idempotence, direct
+Spark↔DuckDB parity over the rule table, URL-keyed dedup."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from same_same_spark.pipeline.urls import (
+    canonicalize_url_col,
+    canonicalize_url_sql,
+    dedup_by_url,
+)
+
+CASES = [
+    # (raw, canonical)
+    ("HTTP://WWW.Example.COM:80/Path/?utm_source=x",
+     "http://example.com/Path"),
+    ("https://example.com:443/a/b/?x=1&utm_medium=m&y=2#frag",
+     "https://example.com/a/b/?x=1&y=2"),
+    ("https://example.com/?fbclid=abc", "https://example.com"),
+    ("https://example.com/?gclid=1&msclkid=2&mc_eid=3",
+     "https://example.com"),
+    ("https://example.com/?utm_a=1&utm_b=2&keep=3",
+     "https://example.com/?keep=3"),
+    ("https://example.com/?keep=1&utm_a=2", "https://example.com/?keep=1"),
+    ("  http://example.com/x  ", "http://example.com/x"),
+    ("http://example.com:8080/x", "http://example.com:8080/x"),  # real port
+    ("https://example.com:80/x", "https://example.com:80/x"),  # wrong scheme
+    ("example.com/path/", "example.com/path"),  # schemeless passthrough
+    ("ftp://Files.Example.com/A", "ftp://files.example.com/A"),
+    ("http://example.com/CaseSensitive/Path",
+     "http://example.com/CaseSensitive/Path"),  # path case preserved
+    ("http://example.com/", "http://example.com"),
+    ("http://www.example.com", "http://example.com"),
+]
+
+
+def test_canonicalize_hand_cases(spark):
+    df = spark.createDataFrame(
+        [(i, raw) for i, (raw, _) in enumerate(CASES)], "i LONG, url STRING"
+    )
+    got = {
+        r["i"]: r["c"]
+        for r in df.select(
+            "i", canonicalize_url_col("url").alias("c")
+        ).collect()
+    }
+    for i, (_, want) in enumerate(CASES):
+        assert got[i] == want, (CASES[i][0], got[i], want)
+
+
+def test_canonicalize_idempotent(spark):
+    df = spark.createDataFrame(
+        [(i, raw) for i, (raw, _) in enumerate(CASES)], "i LONG, url STRING"
+    )
+    once = df.select("i", canonicalize_url_col("url").alias("c"))
+    twice = once.select("i", canonicalize_url_col("c").alias("c2"))
+    rows = once.join(twice, "i").collect()
+    for r in rows:
+        assert r["c"] == r["c2"]
+
+
+def test_canonicalize_sql_parity(spark):
+    """The DuckDB rendering of the SAME rule table must agree with the
+    Spark Column chain on every fixture URL (plus NULL)."""
+    raws = [raw for raw, _ in CASES]
+    df = spark.createDataFrame(
+        [(i, r) for i, r in enumerate(raws)] + [(len(raws), None)],
+        "i LONG, url STRING",
+    )
+    got_spark = {
+        r["i"]: r["c"]
+        for r in df.select(
+            "i", canonicalize_url_col("url").alias("c")
+        ).collect()
+    }
+    con = duckdb.connect()
+    values = ", ".join(
+        f"({i}, '{r}')" for i, r in enumerate(raws)
+    ) + f", ({len(raws)}, NULL)"
+    sql = (
+        f"WITH d(i, url) AS (VALUES {values}) "
+        f"SELECT i, {canonicalize_url_sql('url')} AS c FROM d"
+    )
+    got_duck = {int(i): c for i, c in con.sql(sql).fetchall()}
+    assert got_spark == got_duck
+
+
+def test_dedup_by_url(spark):
+    rows = [
+        (1, "http://www.example.com/a?utm_source=x", "first"),
+        (2, "HTTP://EXAMPLE.COM:80/a", "dup of 1"),
+        (3, "http://example.com/b", "unique"),
+        (4, None, "null kept"),
+        (5, None, "null kept too"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, url STRING, note STRING")
+    out = dedup_by_url(df)
+    kept = {r["doc_id"]: r["url_canonical"] for r in out.collect()}
+    assert set(kept) == {1, 3, 4, 5}  # 2 deduped; NULLs never dropped
+    assert kept[1] == "http://example.com/a"
+    assert kept[4] is None
+    assert "note" in out.columns  # payload columns survive
