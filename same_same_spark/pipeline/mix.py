@@ -58,6 +58,10 @@ class MixConfig:
 
     id_col: str = "doc_id"
     text_col: str = "text"
+    # URL-keyed dedup (pipeline/urls.dedup_by_url): when the corpus
+    # carries a URL column, this is the FIRST stage — RefinedWeb's
+    # pre-content dedup drops recrawls before any text math runs.
+    url_col: str | None = None
     # intra-document repeated-line removal (textqc.dedup_lines_cols):
     # runs FIRST so quality / C4 / LM metrics and every dedup hash see
     # the cleaned text. Pure column math, no shuffle.
@@ -117,6 +121,8 @@ class MixConfig:
         self, with_decontam: bool = False, with_lm: bool = False
     ) -> list[str]:
         out = []
+        if self.url_col is not None:
+            out.append("url_dedup")
         if self.dedup_lines:
             out.append("line_dedup")
         if self.dedup_lines_global:
@@ -165,6 +171,12 @@ def prepare_training_corpus(
     (``{"cc_rounds": n}``) — observability for scale benchmarks, no
     extra Spark actions."""
     out = df
+    if cfg.url_col is not None:
+        from same_same_spark.pipeline.urls import dedup_by_url
+
+        out = dedup_by_url(
+            out, url_col=cfg.url_col, id_col=cfg.id_col
+        ).drop("url_canonical")
     if cfg.dedup_lines:
         out = out.withColumn(
             cfg.text_col,

@@ -103,3 +103,20 @@ def test_dedup_by_url(spark):
     assert kept[1] == "http://example.com/a"
     assert kept[4] is None
     assert "note" in out.columns  # payload columns survive
+
+
+def test_mix_url_dedup_stage(spark):
+    from same_same_spark.pipeline.mix import MixConfig, prepare_training_corpus
+
+    rows = [
+        (1, "http://www.example.com/a?utm_source=x", "body one"),
+        (2, "http://example.com/a", "body two"),          # url dup of 1
+        (3, "http://example.com/b", "body one"),          # text dup of 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, url STRING, text STRING")
+    cfg = MixConfig(url_col="url", exact=True)
+    assert cfg.stages() == ["url_dedup", "exact_dedup"]
+    out = sorted(r["doc_id"] for r in prepare_training_corpus(df, cfg).collect())
+    # url dedup drops 2; exact text dedup then drops 3 (same body as 1)
+    assert out == [1]
+    assert "url_canonical" not in prepare_training_corpus(df, cfg).columns
