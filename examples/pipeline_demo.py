@@ -191,6 +191,64 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     ):
         print(f"  #{r['rank']} vec {r['vec_id']}  cos={r['score']:.4f}")
 
+    # 12. compressed vectors: IVF-PQ store, ADC probe + exact re-rank
+    from same_same_spark.pipeline.ann import centroids_by_label
+    from same_same_spark.pipeline.pq import build_pq_store, pq_topk_persisted
+
+    pq_dir = tempfile.mkdtemp() + "/pq"
+    cents = centroids_by_label(emb)
+    build_pq_store(emb, pq_dir, centroids=cents, m=8, n_codes=8)
+    print("-- IVF-PQ probe (compressed codes) + exact re-rank --")
+    for r in (
+        pq_topk_persisted(
+            spark, pq_dir, [(0, qvec)], k=3, nprobe=3,
+            refine_df=emb, refine_factor=4,
+        )
+        .orderBy("rank")
+        .collect()
+    ):
+        print(f"  #{r['rank']} vec {r['vec_id']}  cos={r['score']:.4f}")
+
+    # 13. event-time: sessionize + as-of join + RRF fusion
+    from same_same_spark.operators.events import asof_join, sessionize
+    from same_same_spark.operators.hybrid import rrf_fuse
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    sess = sessionize(ev, "user_id", "ts", 21600, order_cols=["event_id"])
+    n_sessions = sess.select("user_id", "session_idx").distinct().count()
+    clicks = ev.filter("event_type = 'click'")
+    purch = (
+        ev.filter("event_type = 'purchase'")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("rid"))
+    )
+    joined = asof_join(clicks, purch, on="user_id", right_cols=["rid"])
+    matched = joined.filter("matched_rid IS NOT NULL").count()
+    print(
+        f"-- event time: {n_sessions} sessions (6h gap); "
+        f"{matched}/{clicks.count()} clicks matched a prior purchase --"
+    )
+    from same_same_spark.bm25 import score_queries
+    from same_same_spark.operators.tfidf import tfidf_topk
+
+    q = [(0, "fast merge join sort")]
+    fused = rrf_fuse(
+        [
+            score_queries(
+                docs, q, k=10, id_col="doc_id", text_col="text"
+            ).select("query_id", "doc_id", "rank"),
+            tfidf_topk(
+                docs, q, k=10, id_col="doc_id", text_col="text"
+            ).select("query_id", "doc_id", "rank"),
+        ],
+        k=3,
+    )
+    print("-- RRF fusion of BM25 + TF-IDF --")
+    for r in fused.orderBy("rank").collect():
+        print(f"  #{r['rank']} doc {r['doc_id']}  rrf={r['score']:.5f}")
+
 
 if __name__ == "__main__":
     main(*sys.argv[1:])
