@@ -22,7 +22,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["canonicalize_url_col", "canonicalize_url_sql", "dedup_by_url"]
+__all__ = [
+    "canonicalize_url_col",
+    "canonicalize_url_sql",
+    "dedup_by_url",
+    "url_host_col",
+]
 
 _TRACK = "utm_[a-zA-Z0-9_]*|fbclid|gclid|msclkid|mc_eid"
 _AUTH = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*"
@@ -105,3 +110,18 @@ def dedup_by_url(
         firsts, ["__h", id_col], "left_semi"
     ).drop("__h")
     return kept.unionByName(base.filter(F.col("url_canonical").isNull()))
+
+
+def url_host_col(url: Column | str, *, canonical: bool = False) -> Column:
+    """Registrable host of ``url`` ('' when no authority): canonicalize
+    first (unless the input already is canonical), then take the
+    authority's host part, dropping userinfo and port. Feed this as
+    ``strata_col`` to ``sampling.sample_quota`` /
+    ``sample_stratified`` for per-domain crawl budgets — the
+    RefinedWeb/C4 companion policy to URL dedup."""
+    c = F.col(url) if isinstance(url, str) else url
+    if not canonical:
+        c = canonicalize_url_col(c)
+    auth = F.regexp_extract(c, r"^[a-z][a-z0-9+.\-]*://([^/?#]*)", 1)
+    no_user = F.regexp_replace(auth, r"^[^@]*@", "")
+    return F.regexp_replace(no_user, r":[0-9]+$", "")

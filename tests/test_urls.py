@@ -120,3 +120,34 @@ def test_mix_url_dedup_stage(spark):
     # url dedup drops 2; exact text dedup then drops 3 (same body as 1)
     assert out == [1]
     assert "url_canonical" not in prepare_training_corpus(df, cfg).columns
+
+
+def test_url_host_and_per_domain_quota(spark):
+    from same_same_spark.pipeline.sampling import sample_quota
+    from same_same_spark.pipeline.urls import url_host_col
+
+    rows = [(i, f"http://WWW.site{i % 3}.com:80/p{i}?utm_s=x", f"t{i}")
+            for i in range(60)] + [(60, "no-scheme", "t"), (61, None, "t")]
+    df = spark.createDataFrame(rows, "doc_id LONG, url STRING, text STRING")
+    hosts = df.withColumn("host", url_host_col("url"))
+    got = {r["doc_id"]: r["host"] for r in hosts.collect()}
+    assert got[0] == "site0.com" and got[1] == "site1.com"
+    assert got[60] == "" and got[61] is None
+    # per-domain doc budget (expected-rate cap, deterministic hash
+    # filter): each site has 20 docs, quota 5 -> keep rate 0.25
+    quotas = {f"site{i}.com": 5.0 for i in range(3)}
+    capped = sample_quota(
+        hosts, quotas, strata_col="host", id_col="doc_id", seed="domain",
+    )
+    per = {r["host"]: r["n"] for r in
+           capped.groupBy("host").agg(F.count("*").alias("n")).collect()}
+    for i in range(3):
+        assert 0 < per[f"site{i}.com"] < 20  # reduced, not emptied
+    assert per[""] == 1 and per[None] == 1  # no quota -> kept
+    # deterministic: same seed, same survivors
+    again = sample_quota(
+        hosts, quotas, strata_col="host", id_col="doc_id", seed="domain",
+    )
+    assert sorted(r["doc_id"] for r in capped.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
