@@ -3264,6 +3264,44 @@ FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
 """
 
 
+def _q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time interval join (operators/events.interval_join): all
+    (click, purchase) pairs of the same user with the purchase in the
+    6h window before the click, bounds inclusive. The same operator
+    runs watermarked stream-stream (test_events pins streaming ==
+    batch); asof_join is this join's max-right_ts row per left."""
+    from same_same_spark.operators.events import interval_join
+
+    ev = _events(spark, sf_dir)
+    left = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("rid"), F.col("user_id"), F.col("ts"),
+        F.col("value"),
+    )
+    out = interval_join(
+        left, right, on="user_id", lookback_seconds=21600,
+        right_cols=["rid", "value"],
+    )
+    return out.select(
+        "event_id", "user_id", "r_ts", "r_rid",
+        F.round("r_value", 6).alias("r_value"),
+    )
+
+
+_SQL_INTERVAL_JOIN = """
+SELECT l.event_id, l.user_id, r.ts AS r_ts, r.event_id AS r_rid,
+       round(r.value, 6) AS r_value
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
+JOIN (SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase') r
+  ON l.user_id = r.user_id
+ AND r.ts >= l.ts - INTERVAL 21600 SECOND
+ AND r.ts <= l.ts
+"""
+
+
 def _q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (operators/events.sessionize): a new
     session after a >6h silence per user; ties broken by event_id.
@@ -3435,6 +3473,15 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # X9's bucket math stays pinned by tests/test_operators + the
     # rotated entry's local gate.
     "url_dedup": (_q_url_dedup, _sql_url_dedup()),
+    # sole evidence for the event-time interval join
+    # (operators/events.interval_join — the batch face of the
+    # watermarked stream-stream join; streaming==batch pinned in
+    # tests/test_events.py). Its insertion rotated r2+r3-green
+    # events_hourly to the overflow head — §2.7's joins/windows
+    # evidence stays in-top-50 via asof_join + events_sessionize +
+    # this entry, and events_hourly's window-agg semantics stay
+    # pinned locally by tests/test_entry.
+    "interval_join": (_q_interval_join, _SQL_INTERVAL_JOIN),
     # --- r3-green entries (CORRECTNESS_r03 all-green) -----------------
     # (bm25_topk moved to the twin tail this round: it shares
     # _SQL_BM25_TOPK with in-top-50 index_bm25_topk and the two are
@@ -3447,7 +3494,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "filter_expr": (_q_filter_expr, _SQL_FILTER_EXPR),
     "list_projection": (_q_list_projection, _SQL_LIST_PROJECTION),
     "vector_topk": (_q_vector_topk, _SQL_VECTOR_TOPK),
-    "events_hourly": (_q_events_hourly, _SQL_EVENTS_HOURLY),
     "index_bm25_topk": (_q_index_bm25_topk, _SQL_BM25_TOPK),
     "index_bm25_topk_after_delete": (
         _q_index_bm25_after_delete,
@@ -3468,6 +3514,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         _SQL_FILTER_SEARCH_INDEXED,
     ),
     # --- rotation overflow starts here (position 51) ---------------
+    # events_hourly rotated here when interval_join landed (r2+r3
+    # green window agg; §2.7 keeps three event-time entries in-top-50).
+    "events_hourly": (_q_events_hourly, _SQL_EVENTS_HOURLY),
     "event_age_buckets": (_q_event_age_buckets, _SQL_EVENT_AGE_BUCKETS),
     # temporal_topk + tags_split rotated here this session (r2+r3
     # green one-expression ops) to make room for asof_join +

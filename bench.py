@@ -94,6 +94,7 @@ ENTRY_QUERY_NAMES = [
     "bpe_encode",
     "line_dedup",
     "asof_join",
+    "interval_join",
     "events_sessionize",
     "global_line_dedup",
     "semdedup",

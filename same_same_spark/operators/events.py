@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "sessionize"]
+__all__ = ["asof_join", "interval_join", "sessionize"]
 
 
 def asof_join(
@@ -162,6 +162,70 @@ def asof_join(
     proj.append(F.col("__m.__ts").alias(f"{prefix}{right_ts}"))
     proj.extend(F.col(f"__m.{c}").alias(f"{prefix}{c}") for c in right_cols)
     return out.select(*proj)
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    *,
+    lookback_seconds: float,
+    lookahead_seconds: float = 0.0,
+    right_cols: list[str] | None = None,
+    prefix: str = "r_",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Event-time interval join: every (left, right) pair with the same
+    key and ``left_ts - lookback <= right_ts <= left_ts + lookahead``
+    (bounds inclusive). Inner semantics — ALL qualifying pairs, where
+    :func:`asof_join` keeps only the latest one (the as-of match is
+    always the max-``right_ts`` row of this join's backward window; a
+    test pins that relationship).
+
+    Works on batch AND streaming inputs: with two streams this is
+    Spark's watermarked stream-stream join — the time-range condition
+    is what lets the state store evict rows once the watermark passes
+    ``lookback + watermark``, so state stays bounded (the reason
+    streams get an interval join rather than an unbounded as-of).
+
+    Right columns come back ``prefix``-renamed; the right timestamp is
+    always included as ``{prefix}{right_ts}``.
+    """
+    if lookback_seconds < 0 or lookahead_seconds < 0:
+        raise ValueError("lookback/lookahead must be >= 0")
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in (on, right_ts)]
+    if right_ts in right_cols or len(set(right_cols)) != len(right_cols):
+        raise ValueError(
+            "right_cols must be distinct and must not repeat right_ts"
+        )
+    clash = {f"{prefix}{c}" for c in [right_ts, *right_cols]} & set(
+        left.columns
+    )
+    if clash:
+        raise ValueError(f"prefixed right columns clash with left: {clash}")
+
+    l = left.withWatermark(left_ts, watermark) if left.isStreaming else left
+    r_src = (
+        right.withWatermark(right_ts, watermark)
+        if right.isStreaming
+        else right
+    )
+    r = r_src.select(
+        F.col(on).alias("__rk"),
+        F.col(right_ts).alias(f"{prefix}{right_ts}"),
+        *[F.col(c).alias(f"{prefix}{c}") for c in right_cols],
+    )
+    rt = F.col(f"{prefix}{right_ts}")
+    lt = F.col(left_ts)
+    cond = (
+        (F.col(on) == F.col("__rk"))
+        & (rt >= lt - F.expr(f"INTERVAL {float(lookback_seconds)} SECONDS"))
+        & (rt <= lt + F.expr(f"INTERVAL {float(lookahead_seconds)} SECONDS"))
+    )
+    return l.join(r, cond, "inner").drop("__rk")
 
 
 def sessionize(

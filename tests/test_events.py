@@ -252,3 +252,139 @@ def test_asof_rejects_right_ts_in_right_cols(left_right):
     left, right = left_right
     with pytest.raises(ValueError, match="right_ts"):
         asof_join(left, right, on="user", right_cols=["ts", "rid"])
+
+
+# ---------------------------------------------------------------------------
+# interval join (batch + stream-stream)
+# ---------------------------------------------------------------------------
+
+
+def test_interval_join_batch_semantics(spark, left_right):
+    from same_same_spark.operators.events import interval_join
+
+    left, right = left_right
+    out = interval_join(
+        left, right, on="user", lookback_seconds=10 * 60,
+        right_cols=["rid"],
+    )
+    pairs = {(r["event_id"], r["r_rid"]) for r in out.collect()}
+    # event 1 @10: right @8 (2min back) qualifies; @20/@25 are future
+    # event 2 @20: right @20 (0) and NOT @8 (12min back > 10min)
+    # event 3 @5: nothing at/before within 10min
+    # event 4 @15 (v): right @1 is 14min back -> out of window
+    assert pairs == {(1, 100), (2, 101)}
+    # inclusive lower bound: exactly-lookback matches
+    edge = interval_join(
+        left, right, on="user", lookback_seconds=2 * 60, right_cols=["rid"],
+    )
+    assert (1, 100) in {(r["event_id"], r["r_rid"]) for r in edge.collect()}
+
+
+def test_interval_join_contains_asof_match(spark, left_right):
+    """asof_join's backward match is always the max-right_ts row of the
+    interval join's backward window."""
+    from same_same_spark.operators.events import asof_join, interval_join
+
+    left, right = left_right
+    window_s = 30 * 60
+    iv = interval_join(
+        left, right, on="user", lookback_seconds=window_s,
+        right_cols=["rid"],
+    )
+    by_event = {}
+    for r in iv.collect():
+        by_event.setdefault(r["event_id"], []).append(
+            (r["r_ts"], r["r_rid"])
+        )
+    asof = asof_join(
+        left, right, on="user", right_cols=["rid"],
+        tolerance_seconds=window_s, right_tiebreak="rid",
+    )
+    for r in asof.collect():
+        if r["matched_rid"] is None:
+            assert r["event_id"] not in by_event
+        else:
+            assert max(by_event[r["event_id"]])[1] == r["matched_rid"]
+
+
+def test_interval_join_stream_stream(spark, tmp_path):
+    """Real watermarked stream-stream join across micro-batches equals
+    the batch interval join over the union."""
+    import json
+    import os
+
+    from same_same_spark.operators.events import interval_join
+
+    lsrc, rsrc = str(tmp_path / "l"), str(tmp_path / "r")
+    os.makedirs(lsrc)
+    os.makedirs(rsrc)
+    lrows = [
+        {"eid": 1, "k": "u", "s": "2024-01-01T01:00:00"},
+        {"eid": 2, "k": "u", "s": "2024-01-01T02:00:00"},
+        {"eid": 3, "k": "v", "s": "2024-01-01T03:00:00"},
+    ]
+    rrows = [
+        {"rid": 7, "k": "u", "s": "2024-01-01T00:55:00"},
+        {"rid": 8, "k": "u", "s": "2024-01-01T01:58:00"},
+        {"rid": 9, "k": "v", "s": "2024-01-01T02:00:00"},  # 1h before eid 3
+    ]
+    with open(os.path.join(lsrc, "a.json"), "w") as f:
+        for e in lrows:
+            f.write(json.dumps(e) + "\n")
+    for i, e in enumerate(rrows):
+        with open(os.path.join(rsrc, f"b{i}.json"), "w") as f:
+            f.write(json.dumps(e) + "\n")
+
+    def prep(df, idc):
+        return df.select(
+            idc, "k", F.col("s").cast("timestamp").alias("ts")
+        )
+
+    lstream = prep(
+        spark.readStream.schema("eid LONG, k STRING, s STRING")
+        .option("maxFilesPerTrigger", 1).json(lsrc),
+        "eid",
+    )
+    rstream = prep(
+        spark.readStream.schema("rid LONG, k STRING, s STRING")
+        .option("maxFilesPerTrigger", 1).json(rsrc),
+        "rid",
+    )
+    joined = interval_join(
+        lstream, rstream, on="k", lookback_seconds=600, right_cols=["rid"],
+        watermark="2 hours",
+    )
+    q = (
+        joined.writeStream.format("memory").queryName("ivj")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {(r["eid"], r["r_rid"])
+           for r in spark.sql("SELECT * FROM ivj").collect()}
+    lbatch = prep(
+        spark.read.schema("eid LONG, k STRING, s STRING").json(lsrc), "eid"
+    )
+    rbatch = prep(
+        spark.read.schema("rid LONG, k STRING, s STRING").json(rsrc), "rid"
+    )
+    exp = {
+        (r["eid"], r["r_rid"])
+        for r in interval_join(
+            lbatch, rbatch, on="k", lookback_seconds=600,
+            right_cols=["rid"],
+        ).collect()
+    }
+    assert got == exp == {(1, 7), (2, 8)}
+
+
+def test_interval_join_validation(spark, left_right):
+    from same_same_spark.operators.events import interval_join
+
+    left, right = left_right
+    with pytest.raises(ValueError, match=">= 0"):
+        interval_join(left, right, on="user", lookback_seconds=-1)
+    with pytest.raises(ValueError, match="right_ts"):
+        interval_join(
+            left, right, on="user", lookback_seconds=1,
+            right_cols=["ts"],
+        )
