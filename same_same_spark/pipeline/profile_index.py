@@ -267,12 +267,19 @@ def index_profile_card(spark: SparkSession, store_dir: str) -> DataFrame:
     tomb = spark.read.parquet(_gen_dir(store_dir, "tomb", gen)).select(
         "dl", (-F.col("cnt")).alias("cnt")
     )
+    # The single-stratum key must be NON-foldable: Spark 4's
+    # EliminateWindowPartitions strips a literal partition key, turning
+    # the (bounded, O(distinct lengths)-row) windows below into
+    # flagged unpartitioned windows. dl is never NULL (decoded int64),
+    # so this is constant 'all' — but Catalyst can't fold it.
     eff = (
         hist.unionByName(tomb)
         .groupBy("dl")
         .agg(F.sum("cnt").alias("cnt"))
         .filter(F.col("cnt") != 0)
-        .withColumn("stratum", F.lit("all"))
+        .withColumn(
+            "stratum", F.when(F.col("dl").isNotNull(), F.lit("all"))
+        )
     )
     w = (
         Window.partitionBy("stratum")
