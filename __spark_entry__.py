@@ -2964,6 +2964,75 @@ SELECT doc_id, url_canonical FROM c WHERE url_canonical IS NULL
 """
 
 
+# Deterministic synthetic URLs over documents for the per-domain cap:
+# one giant host (every doc_id % 3 == 0), a 37-host long tail, scheme/
+# www./tracking noise exercising canonicalization, NULL urls (% 41)
+# exercising the unknown-host pass-through. Both engines build the
+# SAME string from doc_id, so the oracle is a full twin.
+def _host_cap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = F.col("doc_id")
+    url = F.when(d % 41 == 0, F.lit(None).cast("string")).otherwise(
+        F.concat(
+            F.when(d % 2 == 0, F.lit("HTTPS://WWW.")).otherwise(
+                F.lit("https://")
+            ),
+            F.when(d % 3 == 0, F.lit("hub.example.com")).otherwise(
+                F.concat(
+                    F.lit("site"),
+                    (d % 37).cast("string"),
+                    F.lit(".example.org"),
+                )
+            ),
+            F.lit("/p/"),
+            d.cast("string"),
+            F.when(d % 5 == 0, F.lit("?utm_source=x")).otherwise(F.lit("")),
+        )
+    )
+    return _docs(spark, sf_dir).select("doc_id", "n_chars").withColumn(
+        "url", url
+    )
+
+
+_HOST_CAP_URL_SQL = """
+CASE WHEN doc_id % 41 = 0 THEN NULL ELSE
+  (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.' ELSE 'https://' END)
+  || (CASE WHEN doc_id % 3 = 0 THEN 'hub.example.com'
+      ELSE 'site' || (doc_id % 37)::VARCHAR || '.example.org' END)
+  || '/p/' || doc_id::VARCHAR
+  || (CASE WHEN doc_id % 5 = 0 THEN '?utm_source=x' ELSE '' END)
+END
+"""
+
+
+def _q_host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform per-domain token budget (pipeline/sampling.
+    sample_host_cap over pipeline/urls.url_host_col): every canonical
+    host capped at 5000 chars of weight — the RefinedWeb "no domain
+    dominates the mix" policy. The giant hub host gets rate
+    cap/total < 1, the long-tail hosts keep everything, NULL-url rows
+    pass through unattributed."""
+    from same_same_spark.pipeline.sampling import sample_host_cap
+
+    out = sample_host_cap(
+        _host_cap_docs(spark, sf_dir), 5000.0,
+        weight_col="n_chars", seed="hostcap",
+    )
+    return out.select("doc_id", "url_host")
+
+
+def _sql_host_cap() -> str:
+    from same_same_spark.pipeline.sampling import sample_host_cap_sql
+
+    rel = (
+        f"(SELECT doc_id, n_chars, {_HOST_CAP_URL_SQL} AS url "
+        f"FROM documents)"
+    )
+    inner = sample_host_cap_sql(
+        rel, 5000.0, weight_expr="n_chars", seed="hostcap"
+    )
+    return f"SELECT doc_id, url_host FROM ({inner})"
+
+
 def _q_rrf_fuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reciprocal-rank fusion (operators/hybrid.rrf_fuse) of the two
     verified lexical rankings — BM25 and the reference's TF-IDF model —
@@ -3482,6 +3551,13 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # this entry, and events_hourly's window-agg semantics stay
     # pinned locally by tests/test_entry.
     "interval_join": (_q_interval_join, _SQL_INTERVAL_JOIN),
+    # sole evidence for the uniform per-domain budget
+    # (sampling.sample_host_cap + MixConfig.host_cap). Its insertion
+    # rotated r3-green vocab_prune (A2) to the overflow head — A2's
+    # prune rule stays exercised inside in-top-50 tfidf_topk (its
+    # scoring runs stats.prune_vocabulary) and pinned by tests/
+    # test_stats + the rotated entry's local gate.
+    "host_cap": (_q_host_cap, _sql_host_cap()),
     # --- r3-green entries (CORRECTNESS_r03 all-green) -----------------
     # (bm25_topk moved to the twin tail this round: it shares
     # _SQL_BM25_TOPK with in-top-50 index_bm25_topk and the two are
@@ -3489,7 +3565,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # which keeps sole-evidence euclidean_topk inside the top-50 after
     # the two new round-4 insertions above.)
     "term_df_top100": (_q_term_df, _SQL_TERM_DF),
-    "vocab_prune": (_q_vocab_prune, _SQL_VOCAB_PRUNE),
     "corpus_overview": (_q_corpus_overview, _SQL_CORPUS_OVERVIEW),
     "filter_expr": (_q_filter_expr, _SQL_FILTER_EXPR),
     "list_projection": (_q_list_projection, _SQL_LIST_PROJECTION),
@@ -3517,6 +3592,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # events_hourly rotated here when interval_join landed (r2+r3
     # green window agg; §2.7 keeps three event-time entries in-top-50).
     "events_hourly": (_q_events_hourly, _SQL_EVENTS_HOURLY),
+    # vocab_prune rotated here when host_cap landed (see that entry's
+    # comment; A2 keeps in-top-50 evidence via tfidf_topk).
+    "vocab_prune": (_q_vocab_prune, _SQL_VOCAB_PRUNE),
     "event_age_buckets": (_q_event_age_buckets, _SQL_EVENT_AGE_BUCKETS),
     # temporal_topk + tags_split rotated here this session (r2+r3
     # green one-expression ops) to make room for asof_join +

@@ -97,6 +97,7 @@ ENTRY_QUERY_NAMES = [
     "interval_join",
     "events_sessionize",
     "global_line_dedup",
+    "host_cap",
     "semdedup",
     "pq_adc_topk",
 ]

@@ -82,6 +82,13 @@ class MixConfig:
     minhash_n_hashes: int = 16
     minhash_bands: int = 8
     shingle_n: int = 3
+    # uniform per-domain budget (sampling.sample_host_cap): cap every
+    # canonical URL host at this many docs (host_cap_weight_col=None)
+    # or this much additive weight (e.g. "n_tokens"). Requires
+    # url_col; runs right before the stratified mix sampling — domain
+    # budgets are sampling policy, applied to the deduped survivors.
+    host_cap: float | None = None
+    host_cap_weight_col: str | None = None
     fractions: dict[str, float] | None = None
     strata_col: str = "lang"
     default_fraction: float = 0.0
@@ -141,6 +148,8 @@ class MixConfig:
             out.append("fuzzy_dedup")
         if with_decontam:
             out.append("decontam")
+        if self.host_cap is not None:
+            out.append("host_cap")
         if self.fractions is not None:
             out.append("sample")
         if self.test_frac or self.val_frac:
@@ -264,6 +273,17 @@ def prepare_training_corpus(
             text_col=cfg.text_col,
             max_hit_frac=cfg.decontam_max_hit_frac,
         )
+    if cfg.host_cap is not None:
+        if cfg.url_col is None:
+            raise ValueError("MixConfig.host_cap requires url_col")
+        out = sampling_ops.sample_host_cap(
+            out,
+            cfg.host_cap,
+            url_col=cfg.url_col,
+            id_col=cfg.id_col,
+            seed=cfg.seed + ":host",
+            weight_col=cfg.host_cap_weight_col,
+        ).drop("url_host")
     if cfg.fractions is not None:
         out = sampling_ops.sample_stratified(
             out,
@@ -344,6 +364,7 @@ def _truncated(cfg: MixConfig, keep: set[str]) -> MixConfig:
         strip_spans=cfg.strip_spans and "span_strip" in keep,
         exact=cfg.exact and "exact_dedup" in keep,
         fuzzy_threshold=cfg.fuzzy_threshold if "fuzzy_dedup" in keep else None,
+        host_cap=cfg.host_cap if "host_cap" in keep else None,
         fractions=cfg.fractions if "sample" in keep else None,
         test_frac=cfg.test_frac if "split" in keep else 0.0,
         val_frac=cfg.val_frac if "split" in keep else 0.0,

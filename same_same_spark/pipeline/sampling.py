@@ -228,6 +228,117 @@ WHERE {hash_uniform_sql('d.' + id_col, seed)} < coalesce(r._rate, 0.0)
 """
 
 
+def sample_host_cap(
+    df: DataFrame,
+    cap: float,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    seed: str = "",
+    weight_col: str | None = None,
+    keep_unknown: bool = True,
+) -> DataFrame:
+    """Uniform per-domain budget over canonical URL hosts — the
+    RefinedWeb/C4 crawl policy "no single domain may exceed N docs /
+    N tokens", applied to EVERY host (unlike :func:`sample_quota`,
+    which caps only the strata named in its dict).
+
+    Two passes: (1) one groupBy(host) totals pass — cardinality =
+    #registrable hosts, millions at crawl scale, so the rate table is
+    JOINED (not broadcast; AQE picks broadcast when it happens to be
+    small and handles the hot-host skew the join key inherits), and
+    (2) the same zero-state hash filter as the other samplers with
+    per-host rate ``min(1, cap / total)``. Expected kept weight per
+    host ≈ ``cap``. A host whose total weight is NULL or ≤ 0 keeps
+    nothing (an unverifiable budget must not bypass the cap — the
+    :func:`sample_quota` rule). Rows whose URL yields no host (NULL
+    url, no authority) can't be attributed to a domain: kept whole by
+    default, dropped with ``keep_unknown=False``. Deterministic in
+    (seed, id): growth in OTHER hosts never un-keeps a kept doc.
+
+    Returns the surviving rows with an added ``url_host`` column (feed
+    it onward as a stratum). ``url_col``/``id_col`` are bare column
+    names, as in the SQL twin :func:`sample_host_cap_sql`.
+    """
+    if cap < 0:
+        raise ValueError(f"cap must be >= 0, got {cap}")
+    from same_same_spark.pipeline.urls import url_host_col
+
+    w = (
+        F.lit(1.0)
+        if weight_col is None
+        else F.col(weight_col).cast("double")
+    )
+    base = df.withColumn("url_host", url_host_col(url_col))
+    unknown = F.col("url_host").isNull() | (F.col("url_host") == "")
+    known = base.filter(~unknown)
+    totals = known.groupBy(F.col("url_host").alias("_host")).agg(
+        F.sum(w).alias("_total")
+    )
+    rates = totals.select(
+        "_host",
+        F.when(
+            F.col("_total").isNull() | (F.col("_total") <= 0), F.lit(0.0)
+        )
+        .otherwise(
+            F.least(F.lit(1.0), F.lit(float(cap)) / F.col("_total"))
+        )
+        .alias("_rate"),
+    )
+    kept = (
+        known.join(rates, known["url_host"] == rates["_host"])
+        .filter(hash_uniform_col(F.col(id_col), seed) < F.col("_rate"))
+        .drop("_host", "_rate")
+    )
+    if keep_unknown:
+        return kept.unionByName(base.filter(unknown))
+    return kept
+
+
+def sample_host_cap_sql(
+    rel: str,
+    cap: float,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    seed: str = "",
+    weight_expr: str | None = None,
+    keep_unknown: bool = True,
+) -> str:
+    """DuckDB twin of :func:`sample_host_cap` (full SELECT over
+    ``rel``, which may be a parenthesized subquery). Emits ``rel``'s
+    columns plus ``url_host``."""
+    for name, val in (("url_col", url_col), ("id_col", id_col)):
+        if not val.isidentifier():
+            raise ValueError(
+                f"{name} must be a bare column name, got {val!r}"
+            )
+    from same_same_spark.pipeline.urls import url_host_sql
+
+    w = "1.0" if weight_expr is None else f"({weight_expr})::DOUBLE"
+    unknown = (
+        f"UNION ALL SELECT * FROM b WHERE url_host IS NULL "
+        f"OR url_host = ''"
+        if keep_unknown
+        else ""
+    )
+    return f"""
+WITH b AS (
+  SELECT *, {url_host_sql(url_col)} AS url_host FROM {rel}
+),
+known AS (
+  SELECT * FROM b WHERE url_host IS NOT NULL AND url_host <> ''
+),
+rates AS (
+  SELECT url_host AS _host,
+         CASE WHEN sum({w}) IS NULL OR sum({w}) <= 0 THEN 0.0
+              ELSE least(1.0, {float(cap)!r} / sum({w})) END AS _rate
+  FROM known GROUP BY 1
+)
+SELECT k.* FROM known k JOIN rates r ON k.url_host = r._host
+WHERE {hash_uniform_sql('k.' + id_col, seed)} < r._rate
+{unknown}
+"""
+
+
 def assign_splits(
     df: DataFrame,
     id_col: str = "doc_id",

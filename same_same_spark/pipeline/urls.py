@@ -27,6 +27,7 @@ __all__ = [
     "canonicalize_url_sql",
     "dedup_by_url",
     "url_host_col",
+    "url_host_sql",
 ]
 
 _TRACK = "utm_[a-zA-Z0-9_]*|fbclid|gclid|msclkid|mc_eid"
@@ -125,3 +126,16 @@ def url_host_col(url: Column | str, *, canonical: bool = False) -> Column:
     auth = F.regexp_extract(c, r"^[a-z][a-z0-9+.\-]*://([^/?#]*)", 1)
     no_user = F.regexp_replace(auth, r"^[^@]*@", "")
     return F.regexp_replace(no_user, r":[0-9]+$", "")
+
+
+def url_host_sql(col_expr: str, *, canonical: bool = False) -> str:
+    """DuckDB twin of :func:`url_host_col` (same three patterns; all
+    RE2 ∩ Java-regex safe, so both engines extract the same host)."""
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    c = col_expr if canonical else canonicalize_url_sql(col_expr)
+    auth_pat = q(r"^[a-z][a-z0-9+.\-]*://([^/?#]*)")
+    auth = f"regexp_extract({c}, {auth_pat}, 1)"
+    no_user = f"regexp_replace({auth}, {q('^[^@]*@')}, '', 'g')"
+    return f"regexp_replace({no_user}, {q(':[0-9]+$')}, '', 'g')"

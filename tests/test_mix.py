@@ -165,3 +165,35 @@ def test_line_dedup_stage(spark):
     cfg2 = MixConfig(dedup_lines=True, exact=True)
     survivors = prepare_training_corpus(pair, cfg2).collect()
     assert len(survivors) == 1
+
+
+def test_host_cap_stage(spark):
+    import pytest
+
+    # 40 docs on one giant host + 3 on a small one; cap at 5 docs/host
+    rows = [
+        (i, f"doc number {i} with some text", "en",
+         f"https://big.example.com/p/{i}")
+        for i in range(40)
+    ] + [
+        (100 + i, f"small doc {i}", "en",
+         f"https://tiny.example.org/{i}")
+        for i in range(3)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, lang STRING, url STRING"
+    )
+    cfg = MixConfig(url_col="url", exact=False, host_cap=5, seed="hc")
+    assert cfg.stages() == ["url_dedup", "host_cap"]
+    out = prepare_training_corpus(df, cfg)
+    assert out.columns == df.columns  # url_host dropped again
+    kept = [r["doc_id"] for r in out.collect()]
+    n_big = sum(1 for i in kept if i < 100)
+    assert sum(1 for i in kept if i >= 100) == 3  # small host whole
+    assert 0 < n_big < 40  # giant host sampled down toward the cap
+    # report path carries the stage
+    counts = mix_report(df, cfg)
+    assert counts["host_cap"] == len(kept) <= counts["url_dedup"]
+    # host_cap without a URL column is a config error
+    with pytest.raises(ValueError, match="url_col"):
+        prepare_training_corpus(df, MixConfig(host_cap=5))

@@ -205,3 +205,118 @@ def test_sampling_validation(spark):
         sampling.sample_stratified(df, {"en": -0.1})
     with pytest.raises(ValueError):
         sampling.assign_splits(df, test_frac=0.7, val_frac=0.6)
+
+
+# ---------------------------------------------------------------------------
+# per-domain cap over canonical URL hosts
+# ---------------------------------------------------------------------------
+
+
+def _host_df(spark, n_big=200, n_small=10):
+    """One giant host, two small hosts (with canonicalization noise),
+    plus rows no domain can be attributed to."""
+    rows = []
+    for i in range(n_big):
+        rows.append((i, f"https://big.example.com/p/{i}"))
+    for i in range(n_small):
+        rows.append((1000 + i, f"HTTPS://WWW.small-a.example.org/x/{i}"))
+        rows.append((2000 + i, f"https://small-b.example.org:443/y/{i}"))
+    rows.append((9001, None))
+    rows.append((9002, "no-scheme.example.com/path"))
+    return spark.createDataFrame(rows, "doc_id LONG, url STRING")
+
+
+def test_sample_host_cap_semantics(spark):
+    df = _host_df(spark)
+    out = sampling.sample_host_cap(df, 20, seed="hc").collect()
+    by_host: dict = {}
+    for r in out:
+        by_host.setdefault(r["url_host"], set()).add(r["doc_id"])
+    # small hosts under the cap keep EVERYTHING (rate clamps at 1),
+    # canonicalization noise (WWW./:443) collapsed into the bare host
+    assert len(by_host["small-a.example.org"]) == 10
+    assert len(by_host["small-b.example.org"]) == 10
+    # the giant host is sampled down to ~cap docs (binomial around 20)
+    big = by_host["big.example.com"]
+    assert 5 <= len(big) <= 45 and len(big) < 200
+    # unattributable rows pass through whole: NULL url and no-authority
+    assert 9001 in by_host.get(None, set())
+    assert 9002 in by_host.get("", set())
+    # ... and are dropped when asked
+    strict = sampling.sample_host_cap(
+        df, 20, seed="hc", keep_unknown=False
+    ).collect()
+    ids = {r["doc_id"] for r in strict}
+    assert 9001 not in ids and 9002 not in ids
+    # deterministic: the same call keeps literally the same rows
+    again = {
+        r["doc_id"]
+        for r in sampling.sample_host_cap(df, 20, seed="hc").collect()
+    }
+    assert again == {r["doc_id"] for r in out}
+
+
+def test_sample_host_cap_token_budget(spark):
+    df = _host_df(spark).withColumn(
+        "w", F.when(F.col("doc_id") < 1000, 100.0).otherwise(1.0)
+    )
+    out = sampling.sample_host_cap(df, 2000.0, seed="tb", weight_col="w")
+    big = out.filter(F.col("url_host") == "big.example.com")
+    kept_w = big.agg(F.sum("w")).collect()[0][0] or 0.0
+    # big host totals 20_000 weight -> rate 0.1, expected kept ~2000
+    assert 500 <= kept_w <= 4500
+    # small hosts total 10 weight each -> kept whole
+    assert out.filter(F.col("url_host") == "small-a.example.org").count() == 10
+
+
+def test_sample_host_cap_growth_stability(spark):
+    # growing OTHER hosts never changes an unchanged host's kept set
+    small = _host_df(spark, n_big=120, n_small=5)
+    big = _host_df(spark, n_big=120, n_small=40)
+    kept_small = {
+        r["doc_id"]
+        for r in sampling.sample_host_cap(small, 15, seed="g").collect()
+        if r["url_host"] == "big.example.com"
+    }
+    kept_big = {
+        r["doc_id"]
+        for r in sampling.sample_host_cap(big, 15, seed="g").collect()
+        if r["url_host"] == "big.example.com"
+    }
+    assert kept_small == kept_big
+
+
+def test_sample_host_cap_null_weights_do_not_bypass_cap(spark):
+    df = _host_df(spark, n_big=30, n_small=2).withColumn(
+        "w", F.lit(None).cast("double")
+    )
+    out = sampling.sample_host_cap(df, 1e9, seed="nw", weight_col="w")
+    # every attributed host has a NULL total -> keeps nothing; the
+    # unattributable rows still pass through
+    assert {r["doc_id"] for r in out.collect()} == {9001, 9002}
+
+
+def test_sample_host_cap_oracle_parity(spark):
+    df = _host_df(spark)
+    got = sorted(
+        (r["doc_id"], r["url_host"])
+        for r in sampling.sample_host_cap(df, 20, seed="op").collect()
+    )
+    con = duckdb.connect()
+    con.register("d", df.toPandas())
+    sql = sampling.sample_host_cap_sql("d", 20, seed="op")
+    oracle = sorted(
+        (r[0], r[1])
+        for r in con.execute(
+            f"SELECT doc_id, url_host FROM ({sql})"
+        ).fetchall()
+    )
+    assert got == oracle and got
+
+
+def test_sample_host_cap_validation(spark):
+    df = _host_df(spark, n_big=3, n_small=1)
+    with pytest.raises(ValueError, match=">= 0"):
+        sampling.sample_host_cap(df, -1)
+    with pytest.raises(ValueError, match="bare column"):
+        sampling.sample_host_cap_sql("d", 1, id_col="upper(doc_id)")
