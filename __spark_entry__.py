@@ -2912,6 +2912,127 @@ FROM r WHERE rank <= 5
 """
 
 
+def _opq_params() -> tuple[list[list[float]], list[list[list[float]]]]:
+    """Fixture-trained OPQ parameters (pipeline/opq.train_opq over a
+    deterministic anisotropic sample, the bounded-sample protocol the
+    module documents). Training runs ONCE at import in this process,
+    so the Spark entry and the SQL twin share literally the same
+    R/codebook doubles — the oracle pins the rotate → encode → ADC →
+    rank math, while training determinism/quality is pinned in
+    tests/test_opq.py (SQL cannot re-derive an SVD)."""
+    import numpy as np
+
+    from same_same_spark.pipeline.opq import train_opq
+
+    rng = np.random.RandomState(7)
+    latent = rng.randn(192, 4)
+    mix = rng.randn(4, 16)
+    sample = latent @ mix + 0.05 * rng.randn(192, 16)
+    return train_opq(sample, m=4, n_codes=8, n_iter=5, seed=11)
+
+
+_OPQ_R, _OPQ_BOOKS = _opq_params()
+
+
+def _q_opq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ ADC top-5 (pipeline/opq.py): one learned orthogonal
+    rotation ahead of product quantization — rotate is literal column
+    math (left-to-right sums), then pq_encode's round-9 argmin and LUT
+    scoring in the rotated space, over the embeddings' first 16 dims
+    (d²=256 literals keeps both engines' expressions comfortable; the
+    64-dim corpus path dispatches to the bit-equal Arrow rotation,
+    pinned in test_opq)."""
+    from same_same_spark.pipeline import opq as opq_ops
+
+    emb16 = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.slice(F.col("embedding").cast("array<double>"), 1, 16).alias(
+            "emb"
+        ),
+    )
+    codes = opq_ops.opq_encode(
+        emb16, _OPQ_R, _OPQ_BOOKS, embedding_col="emb"
+    )
+    queries = [(qid, qv[:16]) for qid, qv in _ann_queries(spark, sf_dir)]
+    out = opq_ops.opq_adc_topk(codes, _OPQ_R, _OPQ_BOOKS, queries, k=5)
+    return _round6(out, "dist")
+
+
+def _sql_opq_adc_topk() -> str:
+    d = len(_OPQ_R)
+    w = d // len(_OPQ_BOOKS)
+    rvals = ", ".join(
+        f"({i + 1}, {j + 1}, {_OPQ_R[i][j]!r})"
+        for i in range(d)
+        for j in range(d)
+    )
+    cbvals = ", ".join(
+        f"({s}, {c}, {s * w + p + 1}, {code[p]!r})"
+        for s, cb in enumerate(_OPQ_BOOKS)
+        for c, code in enumerate(cb)
+        for p in range(w)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, (embedding::DOUBLE[])[1:{d}] AS emb FROM embeddings
+),
+rmat(i, j, rv) AS (VALUES {rvals}),
+cb(s, c, pos, m) AS (VALUES {cbvals}),
+long AS (
+  SELECT vec_id, pos, emb[pos] AS v
+  FROM e, unnest(range(1, {d} + 1)) AS u(pos)
+),
+rot AS (  -- y = R x (sum-order noise absorbed by the round-9/6 gates)
+  SELECT long.vec_id, rmat.i AS pos, sum(rmat.rv * long.v) AS v
+  FROM long JOIN rmat ON rmat.j = long.pos GROUP BY 1, 2
+),
+dists AS (
+  SELECT rot.vec_id, cb.s, cb.c,
+         sum((rot.v - cb.m) * (rot.v - cb.m)) AS dist
+  FROM rot JOIN cb ON cb.pos = rot.pos GROUP BY 1, 2, 3
+),
+enc AS (  -- per-subspace argmin code (round-9, smaller code id wins)
+  SELECT vec_id, s, c FROM (
+    SELECT vec_id, s, c,
+           row_number() OVER (
+             PARTITION BY vec_id, s ORDER BY round(dist, 9), c
+           ) AS rn
+    FROM dists
+  ) WHERE rn = 1
+),
+q AS (
+  SELECT vec_id::INTEGER AS query_id, emb FROM e WHERE vec_id IN (0, 1, 2)
+),
+qlong AS (
+  SELECT query_id, pos, emb[pos] AS v
+  FROM q, unnest(range(1, {d} + 1)) AS u(pos)
+),
+qrot AS (
+  SELECT qlong.query_id, rmat.i AS pos, sum(rmat.rv * qlong.v) AS v
+  FROM qlong JOIN rmat ON rmat.j = qlong.pos GROUP BY 1, 2
+),
+qlut AS (
+  SELECT qrot.query_id, cb.s, cb.c,
+         sum((qrot.v - cb.m) * (qrot.v - cb.m)) AS d
+  FROM qrot JOIN cb ON cb.pos = qrot.pos GROUP BY 1, 2, 3
+),
+score AS (
+  SELECT qlut.query_id, enc.vec_id, sum(qlut.d) AS dist
+  FROM enc JOIN qlut ON qlut.s = enc.s AND qlut.c = enc.c
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT query_id, vec_id, dist,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY round(dist, 9), vec_id
+         ) AS rank
+  FROM score
+)
+SELECT query_id, vec_id, round(dist, 6) AS dist, rank::INTEGER AS rank
+FROM r WHERE rank <= 5
+"""
+
+
 _URL_FIXTURE = [
     (1, "HTTP://WWW.Example.COM:80/Path/?utm_source=x"),
     (2, "http://example.com/Path"),  # dup of 1 after canonicalization
@@ -3558,6 +3679,13 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # scoring runs stats.prune_vocabulary) and pinned by tests/
     # test_stats + the rotated entry's local gate.
     "host_cap": (_q_host_cap, _sql_host_cap()),
+    # sole evidence for OPQ (pipeline/opq.py — learned orthogonal
+    # rotation ahead of PQ). Its insertion rotated r3-green
+    # search_by_text_indexed to the overflow head — §2.9 keeps
+    # hybrid_search_indexed + filter_search_indexed in-top-50, the
+    # indexed BM25 read path keeps index_bm25_topk, and the rotated
+    # entry stays pinned by tests/test_api + test_entry.
+    "opq_adc_topk": (_q_opq_adc_topk, _sql_opq_adc_topk()),
     # --- r3-green entries (CORRECTNESS_r03 all-green) -----------------
     # (bm25_topk moved to the twin tail this round: it shares
     # _SQL_BM25_TOPK with in-top-50 index_bm25_topk and the two are
@@ -3576,10 +3704,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     ),
     "tfidf_topk": (_q_tfidf_topk, _SQL_TFIDF_TOPK),
     "clip_text_topk": (_q_clip_text_topk, _SQL_CLIP_TEXT_TOPK),
-    "search_by_text_indexed": (
-        _q_search_by_text_indexed,
-        _SQL_SEARCH_BY_TEXT_INDEXED,
-    ),
     "hybrid_search_indexed": (
         _q_hybrid_search_indexed,
         _SQL_HYBRID_SEARCH_INDEXED,
@@ -3595,6 +3719,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # vocab_prune rotated here when host_cap landed (see that entry's
     # comment; A2 keeps in-top-50 evidence via tfidf_topk).
     "vocab_prune": (_q_vocab_prune, _SQL_VOCAB_PRUNE),
+    # search_by_text_indexed rotated here when opq_adc_topk landed
+    # (see that entry's comment).
+    "search_by_text_indexed": (
+        _q_search_by_text_indexed,
+        _SQL_SEARCH_BY_TEXT_INDEXED,
+    ),
     "event_age_buckets": (_q_event_age_buckets, _SQL_EVENT_AGE_BUCKETS),
     # temporal_topk + tags_split rotated here this session (r2+r3
     # green one-expression ops) to make room for asof_join +

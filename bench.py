@@ -100,6 +100,7 @@ ENTRY_QUERY_NAMES = [
     "host_cap",
     "semdedup",
     "pq_adc_topk",
+    "opq_adc_topk",
 ]
 
 # VERDICT r3 #8: round-over-round totals stopped being comparable as
