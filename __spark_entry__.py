@@ -3312,6 +3312,58 @@ FROM r WHERE rank <= 5
 """
 
 
+def _pq_mirror_dir(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Entry scratch: a mutable ANN store over the embeddings (label
+    centroids — the _IVF_ASSIGN_CTES assignment) plus a synced PQ
+    mirror with slice codebooks, content-tagged like the other entry
+    stores."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from same_same_spark.pipeline import ann_store
+    from same_same_spark.pipeline import pq as pq_ops
+    from same_same_spark.pipeline import pq_mirror as pqm
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f"{src}|{st.st_size}|{st.st_mtime_ns}|pqmirror-v1|m=8".encode()
+    ).hexdigest()[:10]
+    ann = f"{tempfile.gettempdir()}/ss_entry_pqmirror_ann_{tag}"
+    pq = f"{tempfile.gettempdir()}/ss_entry_pqmirror_pq_{tag}"
+    if not os.path.exists(os.path.join(pq, "pq_mirror.json")):
+        shutil.rmtree(ann, ignore_errors=True)
+        shutil.rmtree(pq, ignore_errors=True)
+        emb = _emb(spark, sf_dir)
+        cents = ann_ops.centroids_by_label(emb)
+        ann_store.build_ann_index(emb, ann, centroids=cents)
+        pqm.init_pq_mirror(
+            spark, ann, pq, codebooks=pq_ops.slice_codebooks(cents, m=8)
+        )
+        pqm.sync_pq_mirror(spark, ann, pq, log=lambda *_: None)
+    return ann, pq
+
+
+def _q_pq_mirror_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental PQ mirror probe (pipeline/pq_mirror.py): the codes
+    were landed by init→sync against the mutable store's manifest, and
+    the probe prunes to nprobe=3 cells of committed batches with the
+    source's tombstones honored at read time. Same centroids/codebooks
+    /probe rule as pq_ivf_topk, so the shared oracle re-derives every
+    artifact from the embeddings view; the mirror's mutation matrix
+    (append folds, probe-time deletes, rebuild-on-compact, crash
+    windows) is pinned in tests/test_pq_mirror.py."""
+    from same_same_spark.pipeline import pq_mirror as pqm
+
+    ann, pq = _pq_mirror_dir(spark, sf_dir)
+    out = pqm.pq_mirror_topk(
+        spark, ann, pq, _ann_queries(spark, sf_dir), k=5, nprobe=3
+    )
+    return _round6(out, "dist")
+
+
 def _q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native session_window aggregation (streaming/sessions.py) over
     the same 6h gap as events_sessionize — the incremental/streaming
@@ -3822,6 +3874,11 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # codified exception, full-value-compared in tests/test_entry.py,
     # pruning plan-asserted in tests/test_pq.py.
     "pq_ivf_topk": (_q_pq_ivf_topk, _SQL_PQ_IVF_TOPK),
+    # pq_mirror_topk = the incremental mirror's init→sync→probe path
+    # over the SAME centroids/codebooks/probe rule as pq_ivf_topk —
+    # shared oracle, twin-tail per the codified exception; the mirror's
+    # own mutation matrix is pinned in tests/test_pq_mirror.py.
+    "pq_mirror_topk": (_q_pq_mirror_topk, _SQL_PQ_IVF_TOPK),
 }
 
 

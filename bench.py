@@ -101,6 +101,7 @@ ENTRY_QUERY_NAMES = [
     "semdedup",
     "pq_adc_topk",
     "opq_adc_topk",
+    "pq_mirror_topk",
 ]
 
 # VERDICT r3 #8: round-over-round totals stopped being comparable as
@@ -248,6 +249,7 @@ def main() -> None:
     entry._hnsw_store_dir(spark, SF_DIR)
     entry._hnsw_repaired_store_dir(spark, SF_DIR)
     entry._entry_deleted_index_dir(spark, SF_DIR)
+    entry._pq_mirror_dir(spark, SF_DIR)
     ensure_tfidf_aux(spark, entry_idx, log=lambda *_: None)
     qs = entry.queries()
     samples_out: dict[str, list[float]] = {}

@@ -512,41 +512,75 @@ def pq_topk_persisted(
     # per-query lookup table, and the tournament ranks — no per-query
     # driver loop, no unions proportional to the batch.
     adc_k = k if refine_df is None else max(k, refine_factor * k)
-    m = manifest["m"]
+    out = _adc_rank(
+        codes.join(F.broadcast(probes), "centroid_id"),
+        codebooks, queries, adc_k, id_col,
+    )
+    if refine_df is None:
+        return out.filter(F.col("rank") <= k)
+    return _exact_rerank(
+        spark, out, queries, refine_df, k, id_col,
+        id_col_refine=id_col_refine,
+        embedding_col_refine=embedding_col_refine,
+    )
+
+
+def _adc_rank(
+    codes: DataFrame,
+    codebooks: list[list[list[float]]],
+    queries: list[tuple[int, list[float]]],
+    k: int,
+    id_col: str,
+) -> DataFrame:
+    """ADC-score ``codes`` (already restricted per query — e.g. by a
+    probe join that attached ``query_id``, or a crossJoin upstream)
+    against broadcast per-query LUTs and rank through the bounded
+    tournament. ``(query_id, id, dist, rank)``, round-9 ASC order."""
+    from same_same_spark.operators.topk import topk_per_query
+
+    spark = codes.sparkSession
+    m = len(codebooks)
     qlut = spark.createDataFrame(
         _lut_rows(codebooks, queries), "query_id INT, lut ARRAY<ARRAY<DOUBLE>>"
     )
-    scored = (
-        codes.join(F.broadcast(probes), "centroid_id")
-        .join(F.broadcast(qlut), "query_id")
-        .select(
-            "query_id",
-            F.col(id_col).alias("doc_id"),
-            F.aggregate(
-                F.sequence(F.lit(0), F.lit(m - 1)),
-                F.lit(0.0),
-                lambda acc, s: acc + F.col("lut")[s][F.col("codes")[s]],
-            ).alias("dist"),
-        )
+    scored = codes.join(F.broadcast(qlut), "query_id").select(
+        "query_id",
+        F.col(id_col).alias("doc_id"),
+        F.aggregate(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            F.lit(0.0),
+            lambda acc, s: acc + F.col("lut")[s][F.col("codes")[s]],
+        ).alias("dist"),
     )
-    from same_same_spark.operators.topk import topk_per_query
-
-    adc_ranked = topk_per_query(
+    ranked = topk_per_query(
         scored.select("query_id", "doc_id", (-F.col("dist")).alias("score")),
-        adc_k,
+        k,
     )
-    out = adc_ranked.select(
+    return ranked.select(
         "query_id",
         F.col("doc_id").alias(id_col),
         (-F.col("score")).alias("dist"),
         "rank",
     )
-    if refine_df is None:
-        return out.filter(F.col("rank") <= k)
-    from same_same_spark.operators.vector import cosine_col
-    from same_same_spark.operators.topk import topk_per_query
 
-    cids = out.select("query_id", F.col(id_col).alias("doc_id"))
+
+def _exact_rerank(
+    spark,
+    adc_out: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    refine_df: DataFrame,
+    k: int,
+    id_col: str,
+    *,
+    id_col_refine: str = "vec_id",
+    embedding_col_refine: str = "embedding",
+) -> DataFrame:
+    """Re-rank the bounded ADC candidate set by exact cosine against
+    the full-precision vectors: ``(query_id, id, score, rank)``."""
+    from same_same_spark.operators.topk import topk_per_query
+    from same_same_spark.operators.vector import cosine_col
+
+    cids = adc_out.select("query_id", F.col(id_col).alias("doc_id"))
     vecs = refine_df.select(
         F.col(id_col_refine).alias("doc_id"),
         F.col(embedding_col_refine).cast("array<double>").alias("emb"),
