@@ -182,6 +182,9 @@ def sync_pq_mirror(
     ) <= set(src_batches)
     added = [b for b in src_batches if b not in pm["batches"]]
     if not rebuilt and not added:
+        # a rebuild that crashed between flip and sweep leaves a stale
+        # generation; no-op retries finish the sweep (the stores' rule)
+        _sweep_mirror(pq_dir, int(pm["gen"]))
         log("[pq-mirror] up to date")
         return {"mode": "noop", "batches": []}
 

@@ -261,6 +261,10 @@ def sample_host_cap(
     """
     if cap < 0:
         raise ValueError(f"cap must be >= 0, got {cap}")
+    if "url_host" in df.columns:
+        # the SQL twin's `SELECT *, ... AS url_host` would error here;
+        # silently replacing a caller's column must not diverge from it
+        raise ValueError("input already has a url_host column")
     from same_same_spark.pipeline.urls import url_host_col
 
     w = (

@@ -219,3 +219,20 @@ def test_init_requires_batch_layout(spark, emb, tmp_path):
     ann_store._write_manifest(legacy, m)
     with pytest.raises(ValueError, match="batch layout"):
         pq_mirror.init_pq_mirror(spark, legacy, str(tmp_path / "pq"))
+
+
+def test_noop_sync_sweeps_stale_generation(spark, emb, tmp_path):
+    """A rebuild that crashed between flip and sweep leaves the old
+    codes-<gen>; the next (no-op) sync must finish the sweep."""
+    ann_dir, pq_dir, _ = _mk(spark, emb, tmp_path)
+    pq_mirror.sync_pq_mirror(spark, ann_dir, pq_dir, log=lambda *_: None)
+    ann_store.delete_from_ann_index(spark, ann_dir, [0])
+    ann_store.compact_ann_index(spark, ann_dir)
+    pq_mirror.sync_pq_mirror(spark, ann_dir, pq_dir, log=lambda *_: None)
+    stale = pq_mirror._codes_dir(pq_dir, 0)
+    os.makedirs(stale, exist_ok=True)  # resurrect: "sweep never ran"
+    rep = pq_mirror.sync_pq_mirror(
+        spark, ann_dir, pq_dir, log=lambda *_: None
+    )
+    assert rep["mode"] == "noop"
+    assert not os.path.exists(stale)

@@ -320,3 +320,11 @@ def test_sample_host_cap_validation(spark):
         sampling.sample_host_cap(df, -1)
     with pytest.raises(ValueError, match="bare column"):
         sampling.sample_host_cap_sql("d", 1, id_col="upper(doc_id)")
+
+
+def test_sample_host_cap_rejects_existing_url_host(spark):
+    df = _host_df(spark, n_big=2, n_small=1).withColumn(
+        "url_host", F.lit("x")
+    )
+    with pytest.raises(ValueError, match="url_host"):
+        sampling.sample_host_cap(df, 5)
