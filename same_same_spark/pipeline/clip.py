@@ -497,8 +497,9 @@ def decode_image_rgb(payload: bytes, size: tuple[int, int] = (224, 224)):
 
     PIL handles every registered format when present; without it the
     stdlib codec (:mod:`same_same_spark.pipeline.imagecodec`) decodes
-    PNG/BMP and huffman-DCT JPEG (incl. progressive) for real — only
-    GIF, WebP and lossless/arithmetic JPEG remain gated
+    PNG/BMP/GIF, lossless WebP and huffman-DCT JPEG (incl.
+    progressive and lossless) for real — only lossy/animated WebP and
+    hierarchical/arithmetic JPEG remain gated
     (``UnsupportedImageError``, a ``NotImplementedError`` subclass)."""
     try:
         import PIL.Image as Image

@@ -32,8 +32,9 @@ Contracts:
   and local color tables, interlacing, GIF89a transparency (composited
   to black, same premultiply convention as PNG alpha).
 - :func:`decode_image` sniffs magic bytes and dispatches; PNG/BMP/GIF
-  decode here, huffman JPEG in ``jpegcodec``; WebP raises
-  ``UnsupportedImageError`` (VP8 genuinely absent), garbage raises
+  decode here, huffman JPEG in ``jpegcodec``, lossless WebP (VP8L) in
+  ``webpcodec``; lossy/animated WebP raises ``UnsupportedImageError``
+  (VP8 is a video codec, genuinely absent), garbage raises
   ``ValueError``.
 """
 
@@ -485,7 +486,8 @@ def decode_gif(data: bytes) -> np.ndarray:
     their FIRST frame, composited at its offset onto a black logical
     screen. Reference parity: the reference's image scan accepts
     ``.gif`` (``internal/ingestion/image.go:45-52``) via Go's
-    ``image/gif``; WebP stays gated (VP8 is not a stdlib codec)."""
+    ``image/gif``; lossless WebP decodes in ``webpcodec``, lossy VP8
+    stays gated."""
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("gif: bad signature")
     try:
@@ -585,8 +587,9 @@ def sniff_format(data: bytes) -> str:
 def decode_image(data: bytes) -> np.ndarray:
     """Sniff + decode to ``(H, W, 3)`` uint8 RGB. PNG/BMP/GIF decode
     here, huffman JPEG (baseline, extended sequential, progressive,
-    and lossless) in :mod:`same_same_spark.pipeline.jpegcodec`;
-    WebP (and hierarchical/arithmetic JPEG) raise
+    and lossless) in :mod:`same_same_spark.pipeline.jpegcodec`,
+    lossless WebP (VP8L) in :mod:`same_same_spark.pipeline.webpcodec`;
+    lossy/animated WebP and hierarchical/arithmetic JPEG raise
     :class:`UnsupportedImageError` — the narrowed honest gate; anything
     else raises ``ValueError``."""
     fmt = sniff_format(data)
@@ -601,8 +604,7 @@ def decode_image(data: bytes) -> np.ndarray:
     if fmt == "gif":
         return decode_gif(data)
     if fmt == "webp":
-        raise UnsupportedImageError(
-            "webp: no stdlib decoder (VP8 out of scope); "
-            "install pillow for this format"
-        )
+        from same_same_spark.pipeline.webpcodec import decode_webp
+
+        return decode_webp(data)
     raise ValueError("unrecognized image payload")

@@ -8,11 +8,12 @@ structs) and its image ingestion path
 (``internal/ingestion/image.go:41-117``), re-expressed as Spark schema
 + Arrow batch processing.
 
-Image decode is REAL for PNG, BMP, GIF (first frame) and
-huffman-DCT JPEG (baseline, extended sequential, and progressive,
-interleaved or per-component scans) via the pure-stdlib codecs
+Image decode is REAL for PNG, BMP, GIF (first frame), lossless WebP
+(VP8L, :mod:`same_same_spark.pipeline.webpcodec`) and huffman-DCT
+JPEG (baseline, extended sequential, and progressive, interleaved or
+per-component scans) via the pure-stdlib codecs
 (:mod:`same_same_spark.pipeline.imagecodec`; PIL is used instead when
-installed, covering WebP too — without it that format raises
+installed, covering lossy WebP too — without it that variant raises
 ``UnsupportedImageError``). Audio decode is REAL for WAV/PCM
 (:mod:`same_same_spark.pipeline.audiocodec` — 8/16/24/32-bit PCM,
 float32/64, extensible headers). Video decode is REAL for AVI
@@ -254,10 +255,11 @@ def decode_image_features(
 
     Decode order per blob: PIL when installed (every registered
     format), else the pure-stdlib codec
-    (:mod:`same_same_spark.pipeline.imagecodec` — real PNG/BMP/GIF and
-    huffman JPEG decode incl. progressive and lossless; WebP and
-    hierarchical/arithmetic JPEG raise ``UnsupportedImageError``, a
-    ``NotImplementedError`` subclass, the narrowed honest gate).
+    (:mod:`same_same_spark.pipeline.imagecodec` — real PNG/BMP/GIF,
+    lossless-WebP and huffman JPEG decode incl. progressive and
+    lossless; lossy/animated WebP and hierarchical/arithmetic JPEG
+    raise ``UnsupportedImageError``, a ``NotImplementedError``
+    subclass, the narrowed honest gate).
     """
 
     schema = f"{id_col} LONG, features ARRAY<DOUBLE>"

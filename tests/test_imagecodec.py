@@ -245,8 +245,14 @@ def test_dispatch_gates():
     # gif decodes for real now — malformed gif is a data error
     with pytest.raises(ValueError):
         decode_image(b"GIF89a" + b"\x00" * 20)
-    with pytest.raises(UnsupportedImageError):
+    # lossless webp decodes for real now (webpcodec) — an empty
+    # container is a data error, a lossy VP8 payload stays gated
+    with pytest.raises(ValueError):
         decode_image(b"RIFF\x00\x00\x00\x00WEBP")
+    with pytest.raises(UnsupportedImageError):
+        decode_image(
+            b"RIFF\x14\x00\x00\x00WEBPVP8 \x04\x00\x00\x00\x00\x00\x00\x00"
+        )
     with pytest.raises(ValueError):
         decode_image(b"not an image at all")
     # NotImplementedError compatibility: callers that gated on PIL used it

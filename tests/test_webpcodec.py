@@ -1,0 +1,757 @@
+"""WebP lossless decode (pipeline/webpcodec.py), differential-tested
+against an INDEPENDENT spec-derived VP8L ENCODER defined here — its own
+bit writer, canonical-code builder and code-length serializer, LZ77
+matcher, and forward transforms (the jpegcodec test strategy: the
+decoder must reproduce pixels bit-exactly from streams it never saw
+while being written)."""
+
+from __future__ import annotations
+
+import heapq
+import struct
+
+import numpy as np
+import pytest
+
+from same_same_spark.pipeline.imagecodec import (
+    UnsupportedImageError,
+    _premultiply,
+    decode_image,
+    sniff_format,
+)
+from same_same_spark.pipeline.webpcodec import (
+    K_CODE_LENGTH_ORDER,
+    K_DIST_MAP,
+    decode_webp,
+)
+
+# ---------------------------------------------------------------------------
+# encoder: bit writer + canonical prefix codes
+# ---------------------------------------------------------------------------
+
+
+class _W:
+    def __init__(self):
+        self.bits: list[int] = []
+
+    def write(self, val: int, n: int) -> None:  # LSB-first
+        for i in range(n):
+            self.bits.append((val >> i) & 1)
+
+    def write_code(self, code: int, length: int) -> None:  # MSB-first
+        for i in range(length - 1, -1, -1):
+            self.bits.append((code >> i) & 1)
+
+    def payload(self) -> bytes:
+        out = bytearray((len(self.bits) + 7) // 8)
+        for i, b in enumerate(self.bits):
+            out[i >> 3] |= b << (i & 7)
+        return bytes(out)
+
+
+def _huff_lengths(freqs: dict[int, int], max_len: int) -> dict[int, int]:
+    """Code lengths via plain Huffman (tiny inputs; asserts the cap)."""
+    items = [(f, s) for s, f in freqs.items() if f > 0]
+    if not items:
+        raise ValueError("no symbols")
+    if len(items) == 1:
+        return {items[0][1]: 1}
+    heap = [(f, s, (s,)) for f, s in items]
+    heapq.heapify(heap)
+    depth: dict[int, int] = {s: 0 for _, s in items}
+    while len(heap) > 1:
+        f1, t1, m1 = heapq.heappop(heap)
+        f2, t2, m2 = heapq.heappop(heap)
+        for s in m1 + m2:
+            depth[s] += 1
+        heapq.heappush(heap, (f1 + f2, min(t1, t2), m1 + m2))
+    assert max(depth.values()) <= max_len, "test distribution too deep"
+    return depth
+
+
+def _canonical(lengths: dict[int, int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length), the same assignment the decoder makes."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    for ln in range(1, max(lengths.values()) + 1):
+        for sym in sorted(s for s, sl in lengths.items() if sl == ln):
+            out[sym] = (code, ln)
+            code += 1
+        code <<= 1
+    return out
+
+
+class _Code:
+    """Writable prefix code + its header serialization."""
+
+    def __init__(self, freqs: dict[int, int], alphabet: int,
+                 use_max_symbol: bool = False):
+        self.alphabet = alphabet
+        used = sorted(s for s, f in freqs.items() if f > 0)
+        assert used, "a written code needs at least one symbol"
+        self.single = used[0] if len(used) == 1 else None
+        self.simple = (
+            len(used) <= 2 and all(s <= 255 for s in used)
+        )
+        self.use_max_symbol = use_max_symbol
+        if self.simple:
+            self.syms = used
+            self.table = {s: (i, 1) for i, s in enumerate(used)}
+            if len(used) == 1:
+                self.table = {used[0]: (0, 0)}
+        else:
+            lens = _huff_lengths(freqs, 15)
+            self.lengths = [lens.get(s, 0) for s in range(alphabet)]
+            self.table = (
+                {self.single: (0, 0)}
+                if self.single is not None
+                else _canonical(lens)
+            )
+
+    def emit(self, w: _W, sym: int) -> None:
+        code, ln = self.table[sym]
+        if ln:
+            w.write_code(code, ln)
+
+    def write_header(self, w: _W) -> None:
+        if self.simple:
+            w.write(1, 1)
+            w.write(len(self.syms) - 1, 1)
+            first = self.syms[0]
+            if first <= 1 and len(self.syms) == 1:
+                w.write(0, 1)  # 1-bit first symbol
+                w.write(first, 1)
+            else:
+                w.write(1, 1)
+                w.write(first, 8)
+            if len(self.syms) == 2:
+                w.write(self.syms[1], 8)
+            return
+        w.write(0, 1)
+        tokens = self._tokens()
+        if self.use_max_symbol and len(tokens) < 2:
+            tokens = tokens + [(0, 0)]  # max_symbol floor is 2 reads
+        clfreq: dict[int, int] = {}
+        for t, _ in tokens:
+            clfreq[t] = clfreq.get(t, 0) + 1
+        cl_lens = _huff_lengths(clfreq, 7)
+        used_positions = [
+            K_CODE_LENGTH_ORDER.index(s) for s in cl_lens
+        ]
+        num_cl = max(4, max(used_positions) + 1)
+        w.write(num_cl - 4, 4)
+        for i in range(num_cl):
+            w.write(cl_lens.get(K_CODE_LENGTH_ORDER[i], 0), 3)
+        cl_code = (
+            {next(iter(cl_lens)): (0, 0)}
+            if len(cl_lens) == 1
+            else _canonical(cl_lens)
+        )
+        if self.use_max_symbol:
+            # max_symbol counts code-length TOKEN READS, not alphabet
+            # slots (the decoder decrements once per read symbol)
+            w.write(1, 1)
+            length_nbits_sel = 7  # nbits = 2 + 2*7 = 16
+            w.write(length_nbits_sel, 3)
+            assert len(tokens) >= 2
+            w.write(len(tokens) - 2, 2 + 2 * length_nbits_sel)
+        else:
+            w.write(0, 1)
+        for t, extra in tokens:
+            code, ln = cl_code[t]
+            if ln:
+                w.write_code(code, ln)
+            if t == 16:
+                w.write(extra, 2)
+            elif t == 17:
+                w.write(extra, 3)
+            elif t == 18:
+                w.write(extra, 7)
+
+    def _tokens(self) -> list[tuple[int, int]]:
+        """(cl_symbol, extra) run-length tokens covering the whole
+        alphabet (or a prefix of it when use_max_symbol trims the
+        trailing zeros)."""
+        lens = self.lengths
+        end = len(lens)
+        if self.use_max_symbol:
+            while end > 1 and lens[end - 1] == 0:
+                end -= 1
+        toks: list[tuple[int, int]] = []
+        i = 0
+        while i < end:
+            v = lens[i]
+            run = 1
+            while i + run < end and lens[i + run] == v:
+                run += 1
+            if v == 0:
+                left = run
+                while left >= 11:
+                    n = min(left, 138)
+                    toks.append((18, n - 11))
+                    left -= n
+                if left >= 3:
+                    toks.append((17, left - 3))
+                    left = 0
+                toks.extend((0, 0) for _ in range(left))
+            else:
+                toks.append((v, 0))
+                left = run - 1
+                while left >= 3:
+                    n = min(left, 6)
+                    toks.append((16, n - 3))
+                    left -= n
+                toks.extend((v, 0) for _ in range(left))
+            i += run
+        return toks
+
+
+# ---------------------------------------------------------------------------
+# encoder: LZ77 tokens + entropy image
+# ---------------------------------------------------------------------------
+
+
+def _to_prefix(v: int) -> tuple[int, int, int]:
+    """value -> (prefix code, n_extra_bits, extra)."""
+    if v <= 4:
+        return v - 1, 0, 0
+    for code in range(4, 40):
+        extra = (code - 2) >> 1
+        offset = (2 + (code & 1)) << extra
+        if offset + 1 <= v <= offset + (1 << extra):
+            return code, extra, v - offset - 1
+    raise ValueError(v)
+
+
+def _dist_to_code(dist: int, w: int) -> int:
+    """Prefer the 2-D mapping (real encoders do) else linear."""
+    for i, (dx, dy) in enumerate(K_DIST_MAP):
+        if max(1, dy * w + dx) == dist:
+            return i + 1
+    return dist + 120
+
+
+def _tokenize(
+    pixels: np.ndarray, cache_bits: int, lz77: bool
+) -> list[tuple]:
+    """ops: ('lit', px) | ('copy', length, dist) | ('cache', idx)."""
+    flat = [int(p) for p in pixels.ravel()]
+    n = len(flat)
+    cache = [None] * (1 << cache_bits) if cache_bits else None
+    shift = 32 - cache_bits if cache_bits else 0
+    ops: list[tuple] = []
+    pos = 0
+    while pos < n:
+        if lz77 and pos:
+            best_len, best_dist = 0, 0
+            for dist in range(1, min(pos, 64) + 1):
+                length = 0
+                while (
+                    pos + length < n
+                    and length < 128
+                    and flat[pos + length - dist] == flat[pos + length]
+                ):
+                    length += 1
+                if length > best_len:
+                    best_len, best_dist = length, dist
+            if best_len >= 3:
+                ops.append(("copy", best_len, best_dist))
+                if cache is not None:
+                    for i in range(best_len):
+                        px = flat[pos + i]
+                        cache[((0x1E35A7BD * px) & 0xFFFFFFFF) >> shift] = px
+                pos += best_len
+                continue
+        px = flat[pos]
+        if cache is not None:
+            idx = ((0x1E35A7BD * px) & 0xFFFFFFFF) >> shift
+            if cache[idx] == px:
+                ops.append(("cache", idx))
+                pos += 1
+                continue
+            cache[idx] = px
+        ops.append(("lit", px))
+        pos += 1
+    return ops
+
+
+def _write_entropy_image(
+    w: _W,
+    pixels: np.ndarray,
+    *,
+    cache_bits: int = 0,
+    lz77: bool = False,
+    meta_bits: int | None = None,
+    allow_meta: bool = False,
+    max_symbol: bool = False,
+) -> None:
+    h, width = pixels.shape
+    if cache_bits:
+        w.write(1, 1)
+        w.write(cache_bits, 4)
+    else:
+        w.write(0, 1)
+    groups_of: np.ndarray | None = None
+    n_groups = 1
+    if allow_meta:
+        if meta_bits is not None:
+            w.write(1, 1)
+            w.write(meta_bits - 2, 3)
+            mw = (width + (1 << meta_bits) - 1) >> meta_bits
+            mh = (h + (1 << meta_bits) - 1) >> meta_bits
+            gy, gx = np.mgrid[0:mh, 0:mw]
+            groups_of = ((gx + gy) % 2).astype(np.int64)
+            n_groups = 2
+            meta_px = (
+                np.uint32(0xFF) << 24
+                | ((groups_of >> 8).astype(np.uint32) << 16)
+                | ((groups_of & 0xFF).astype(np.uint32) << 8)
+            )
+            _write_entropy_image(w, meta_px)
+        else:
+            w.write(0, 1)
+    ops = _tokenize(pixels, cache_bits, lz77)
+    # assign each op to its group (by the position of its first pixel)
+    op_groups: list[int] = []
+    pos = 0
+    for op in ops:
+        if groups_of is not None:
+            x, y = pos % width, pos // width
+            op_groups.append(
+                int(groups_of[y >> meta_bits, x >> meta_bits])
+            )
+        else:
+            op_groups.append(0)
+        pos += op[1] if op[0] == "copy" else 1
+    green_alpha = 256 + 24 + ((1 << cache_bits) if cache_bits else 0)
+    codes = []
+    for g in range(n_groups):
+        fg: dict[int, int] = {}
+        fr: dict[int, int] = {}
+        fb: dict[int, int] = {}
+        fa: dict[int, int] = {}
+        fd: dict[int, int] = {}
+        for op, og in zip(ops, op_groups):
+            if og != g:
+                continue
+            if op[0] == "lit":
+                px = op[1]
+                fg[(px >> 8) & 0xFF] = fg.get((px >> 8) & 0xFF, 0) + 1
+                fr[(px >> 16) & 0xFF] = fr.get((px >> 16) & 0xFF, 0) + 1
+                fb[px & 0xFF] = fb.get(px & 0xFF, 0) + 1
+                fa[(px >> 24) & 0xFF] = fa.get((px >> 24) & 0xFF, 0) + 1
+            elif op[0] == "copy":
+                lc, _, _ = _to_prefix(op[1])
+                fg[256 + lc] = fg.get(256 + lc, 0) + 1
+                dc, _, _ = _to_prefix(_dist_to_code(op[2], width))
+                fd[dc] = fd.get(dc, 0) + 1
+            else:
+                fg[280 + op[1]] = fg.get(280 + op[1], 0) + 1
+        # every alphabet needs >=1 symbol even in unused groups
+        for d, alt in ((fg, 0), (fr, 0), (fb, 0), (fa, 0xFF), (fd, 0)):
+            if not d:
+                d[alt] = 1
+        codes.append(
+            (
+                _Code(fg, green_alpha, use_max_symbol=max_symbol),
+                _Code(fr, 256),
+                _Code(fb, 256),
+                _Code(fa, 256),
+                _Code(fd, 40),
+            )
+        )
+    for cg in codes:
+        for c in cg:
+            c.write_header(w)
+    for op, og in zip(ops, op_groups):
+        cg = codes[og]
+        if op[0] == "lit":
+            px = op[1]
+            cg[0].emit(w, (px >> 8) & 0xFF)
+            cg[1].emit(w, (px >> 16) & 0xFF)
+            cg[2].emit(w, px & 0xFF)
+            cg[3].emit(w, (px >> 24) & 0xFF)
+        elif op[0] == "copy":
+            lc, nb, ex = _to_prefix(op[1])
+            cg[0].emit(w, 256 + lc)
+            if nb:
+                w.write(ex, nb)
+            dcode = _dist_to_code(op[2], width)
+            dc, nb, ex = _to_prefix(dcode)
+            cg[4].emit(w, dc)
+            if nb:
+                w.write(ex, nb)
+        else:
+            cg[0].emit(w, 280 + op[1])
+
+
+# ---------------------------------------------------------------------------
+# encoder: forward transforms + container
+# ---------------------------------------------------------------------------
+
+
+def _s8v(v: np.ndarray) -> np.ndarray:
+    return ((v.astype(np.int64) + 128) & 0xFF) - 128
+
+
+def _fwd_subtract_green(px: np.ndarray) -> np.ndarray:
+    g = (px >> 8) & 0xFF
+    r = (((px >> 16) & 0xFF) - g) & 0xFF
+    b = ((px & 0xFF) - g) & 0xFF
+    return (px & np.uint32(0xFF00FF00)) | (r << 16) | b
+
+
+def _fwd_predictor(px: np.ndarray, bits: int):
+    h, w = px.shape
+    ch = np.stack(
+        [(px >> 24) & 0xFF, (px >> 16) & 0xFF, (px >> 8) & 0xFF, px & 0xFF],
+        axis=-1,
+    ).astype(np.int64)
+    mh, mw = (h + (1 << bits) - 1) >> bits, (w + (1 << bits) - 1) >> bits
+    my, mx = np.mgrid[0:mh, 0:mw]
+    modes = ((mx + 3 * my) % 14).astype(np.int64)
+    res = np.zeros_like(ch)
+
+    def avg2(a, b):
+        return (a + b) // 2
+
+    for y in range(h):
+        for x in range(w):
+            if x == 0 and y == 0:
+                pred = np.array([0xFF, 0, 0, 0], dtype=np.int64)
+            elif y == 0:
+                pred = ch[0, x - 1]
+            elif x == 0:
+                pred = ch[y - 1, 0]
+            else:
+                mode = int(modes[y >> bits, x >> bits])
+                L, T, TL = ch[y, x - 1], ch[y - 1, x], ch[y - 1, x - 1]
+                TR = ch[y - 1, x + 1] if x + 1 < w else ch[y, 0]
+                pred = [
+                    lambda: np.array([0xFF, 0, 0, 0], dtype=np.int64),
+                    lambda: L,
+                    lambda: T,
+                    lambda: TR,
+                    lambda: TL,
+                    lambda: avg2(avg2(L, TR), T),
+                    lambda: avg2(L, TL),
+                    lambda: avg2(L, T),
+                    lambda: avg2(TL, T),
+                    lambda: avg2(T, TR),
+                    lambda: avg2(avg2(L, TL), avg2(T, TR)),
+                    lambda: (
+                        T
+                        if np.abs(T + L - TL - T).sum()
+                        - np.abs(T + L - TL - L).sum()
+                        <= 0
+                        else L
+                    ),
+                    lambda: np.clip(L + T - TL, 0, 255),
+                    lambda: np.clip(
+                        avg2(L, T)
+                        + np.sign(avg2(L, T) - TL)
+                        * (np.abs(avg2(L, T) - TL) // 2),
+                        0,
+                        255,
+                    ),
+                ][mode]()
+            res[y, x] = (ch[y, x] - pred) & 0xFF
+    resid = (
+        (res[..., 0].astype(np.uint32) << 24)
+        | (res[..., 1].astype(np.uint32) << 16)
+        | (res[..., 2].astype(np.uint32) << 8)
+        | res[..., 3].astype(np.uint32)
+    )
+    mode_px = (np.uint32(0xFF) << 24) | (modes.astype(np.uint32) << 8)
+    return resid, mode_px
+
+
+def _fwd_color_transform(px: np.ndarray, bits: int):
+    h, w = px.shape
+    mh, mw = (h + (1 << bits) - 1) >> bits, (w + (1 << bits) - 1) >> bits
+    my, mx = np.mgrid[0:mh, 0:mw]
+    g2r = ((mx * 17 + my * 3) % 256).astype(np.uint32)
+    g2b = ((mx * 7 + my * 31) % 256).astype(np.uint32)
+    r2b = ((mx * 5 + my * 13) % 256).astype(np.uint32)
+    by = np.arange(h) >> bits
+    bx = np.arange(w) >> bits
+    G2R = g2r[np.ix_(by, bx)].astype(np.int64)
+    G2B = g2b[np.ix_(by, bx)].astype(np.int64)
+    R2B = r2b[np.ix_(by, bx)].astype(np.int64)
+    a = (px >> 24) & 0xFF
+    r0 = ((px >> 16) & 0xFF).astype(np.int64)
+    g = ((px >> 8) & 0xFF).astype(np.int64)
+    b0 = (px & 0xFF).astype(np.int64)
+    delta = lambda t, c: (_s8v(t) * _s8v(c)) >> 5  # noqa: E731
+    r = (r0 - delta(G2R, g)) & 0xFF
+    b = (b0 - delta(G2B, g) - delta(R2B, r0)) & 0xFF
+    out = (
+        (a.astype(np.uint32) << 24)
+        | (r.astype(np.uint32) << 16)
+        | (g.astype(np.uint32) << 8)
+        | b.astype(np.uint32)
+    )
+    cte_px = (
+        (np.uint32(0xFF) << 24) | (r2b << 16) | (g2b << 8) | g2r
+    )
+    return out, cte_px
+
+
+def _fwd_color_indexing(px: np.ndarray):
+    h, w = px.shape
+    colors, idx = np.unique(px.ravel(), return_inverse=True)
+    assert len(colors) <= 256
+    idx = idx.reshape(h, w).astype(np.int64)
+    n = len(colors)
+    if n <= 2:
+        wb = 3
+    elif n <= 4:
+        wb = 2
+    elif n <= 16:
+        wb = 1
+    else:
+        wb = 0
+    if wb:
+        per = 1 << wb
+        bw = 8 >> wb
+        pw = (w + per - 1) // per
+        packed = np.zeros((h, pw), dtype=np.uint32)
+        for i in range(per):
+            col = np.zeros((h, pw), dtype=np.int64)
+            part = idx[:, i::per]
+            col[:, : part.shape[1]] = part
+            packed |= (col.astype(np.uint32) & ((1 << bw) - 1)) << (
+                i * bw
+            )
+        data = (np.uint32(0xFF) << 24) | (packed << 8)
+    else:
+        data = (np.uint32(0xFF) << 24) | (idx.astype(np.uint32) << 8)
+    # delta-encode the palette sub-image
+    pal = colors.astype(np.uint32)
+    prev = np.uint32(0)
+    deltas = np.zeros((1, n), dtype=np.uint32)
+    for i in range(n):
+        cur = pal[i]
+        d = 0
+        for shift in (24, 16, 8, 0):
+            d |= ((int(cur >> shift) - int(prev >> shift)) & 0xFF) << shift
+        deltas[0, i] = d
+        prev = cur
+    return data, deltas, n
+
+
+def encode_webp_lossless(
+    img: np.ndarray,
+    *,
+    transforms: tuple[str, ...] = (),
+    cache_bits: int = 0,
+    lz77: bool = False,
+    meta_bits: int | None = None,
+    pred_bits: int = 2,
+    color_bits: int = 3,
+    max_symbol: bool = False,
+    alpha: np.ndarray | None = None,
+    container: str = "plain",
+) -> bytes:
+    """img: (H, W, 3) uint8 RGB (+ optional alpha plane)."""
+    h, w = img.shape[:2]
+    a = (
+        np.full((h, w), 255, dtype=np.uint32)
+        if alpha is None
+        else alpha.astype(np.uint32)
+    )
+    px = (
+        (a << 24)
+        | (img[..., 0].astype(np.uint32) << 16)
+        | (img[..., 1].astype(np.uint32) << 8)
+        | img[..., 2].astype(np.uint32)
+    )
+    bw = _W()
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(0 if alpha is None else 1, 1)
+    bw.write(0, 3)  # version
+    for t in transforms:
+        bw.write(1, 1)
+        if t == "predictor":
+            bw.write(0, 2)
+            bw.write(pred_bits - 2, 3)
+            px, mode_px = _fwd_predictor(px, pred_bits)
+            _write_entropy_image(bw, mode_px)
+        elif t == "color":
+            bw.write(1, 2)
+            bw.write(color_bits - 2, 3)
+            px, cte_px = _fwd_color_transform(px, color_bits)
+            _write_entropy_image(bw, cte_px)
+        elif t == "subtract_green":
+            bw.write(2, 2)
+            px = _fwd_subtract_green(px)
+        elif t == "palette":
+            bw.write(3, 2)
+            px, deltas, n = _fwd_color_indexing(px)
+            bw.write(n - 1, 8)
+            _write_entropy_image(bw, deltas)
+        else:
+            raise ValueError(t)
+    bw.write(0, 1)  # no more transforms
+    _write_entropy_image(
+        bw, px, cache_bits=cache_bits, lz77=lz77,
+        meta_bits=meta_bits, allow_meta=True, max_symbol=max_symbol,
+    )
+    payload = b"\x2f" + bw.payload()
+    chunks = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunks += b"\x00"
+    if container == "vp8x":
+        vp8x = struct.pack(
+            "<I", 10
+        ) + b"\x00\x00\x00\x00" + struct.pack(
+            "<I", ((h - 1) << 24) | (w - 1)
+        )[:3] + struct.pack("<I", h - 1)[:3]
+        chunks = b"VP8X" + vp8x + chunks
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WEBP" + chunks
+
+
+def _rand_img(h, w, n_colors, seed):
+    rng = np.random.RandomState(seed)
+    pal = rng.randint(0, 256, size=(n_colors, 3))
+    return pal[rng.randint(0, n_colors, size=(h, w))].astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# tests
+# ---------------------------------------------------------------------------
+
+
+def test_simple_codes_round_trip():
+    img = np.zeros((4, 5, 3), dtype=np.uint8)
+    img[1::2, ::2] = [10, 200, 30]  # two colors -> 1/2-symbol codes
+    out = decode_webp(encode_webp_lossless(img))
+    assert np.array_equal(out, img)
+
+
+def test_full_code_headers_round_trip():
+    # many distinct colors force normal-form headers with 17/18 zero
+    # runs; 16 equal-frequency colors also produce 16-repeat runs
+    img = _rand_img(13, 11, 97, seed=3)
+    out = decode_webp(encode_webp_lossless(img))
+    assert np.array_equal(out, img)
+    flat = np.arange(16).repeat(12)[:143]
+    img2 = np.stack([flat, flat, flat], axis=-1).reshape(11, 13, 3)
+    img2 = (img2 * 16).astype(np.uint8)
+    out2 = decode_webp(encode_webp_lossless(img2))
+    assert np.array_equal(out2, img2)
+
+
+def test_max_symbol_header_round_trip():
+    img = _rand_img(9, 9, 40, seed=5)
+    out = decode_webp(encode_webp_lossless(img, max_symbol=True))
+    assert np.array_equal(out, img)
+
+
+def test_lz77_and_color_cache_round_trip():
+    rng = np.random.RandomState(11)
+    tile = rng.randint(0, 255, size=(4, 4, 3), dtype=np.uint8)
+    img = np.tile(tile, (5, 6, 1))  # long matches at 2-D distances
+    for cache_bits in (0, 4):
+        data = encode_webp_lossless(img, lz77=True, cache_bits=cache_bits)
+        assert np.array_equal(decode_webp(data), img)
+
+
+def test_each_transform_round_trip():
+    img = _rand_img(10, 7, 30, seed=7)
+    for tf in ("subtract_green", "predictor", "color"):
+        data = encode_webp_lossless(img, transforms=(tf,))
+        assert np.array_equal(decode_webp(data), img), tf
+
+
+def test_stacked_transforms_round_trip():
+    img = _rand_img(12, 9, 25, seed=9)
+    data = encode_webp_lossless(
+        img, transforms=("color", "subtract_green", "predictor"),
+        lz77=True, cache_bits=3,
+    )
+    assert np.array_equal(decode_webp(data), img)
+
+
+@pytest.mark.parametrize("n_colors", [2, 3, 4, 9, 16, 17, 200])
+def test_palette_bundling_round_trip(n_colors):
+    img = _rand_img(7, 13, n_colors, seed=n_colors)
+    data = encode_webp_lossless(img, transforms=("palette",))
+    assert np.array_equal(decode_webp(data), img)
+
+
+def test_palette_then_lz77_round_trip():
+    img = _rand_img(9, 21, 4, seed=13)
+    data = encode_webp_lossless(
+        img, transforms=("palette",), lz77=True
+    )
+    assert np.array_equal(decode_webp(data), img)
+
+
+def test_meta_prefix_groups_round_trip():
+    img = _rand_img(16, 16, 60, seed=17)
+    data = encode_webp_lossless(img, meta_bits=3)
+    assert np.array_equal(decode_webp(data), img)
+    data2 = encode_webp_lossless(img, meta_bits=2, lz77=True, cache_bits=2)
+    assert np.array_equal(decode_webp(data2), img)
+
+
+def test_alpha_premultiplies_like_png():
+    img = _rand_img(6, 6, 12, seed=19)
+    alpha = np.full((6, 6), 128, dtype=np.uint8)
+    data = encode_webp_lossless(img, alpha=alpha)
+    got = decode_webp(data)
+    assert np.array_equal(got, _premultiply(img, alpha))
+
+
+def test_vp8x_container_walk():
+    img = _rand_img(5, 8, 10, seed=23)
+    data = encode_webp_lossless(img, container="vp8x")
+    assert sniff_format(data) == "webp"
+    assert np.array_equal(decode_webp(data), img)
+
+
+def test_property_random_configs():
+    rng = np.random.RandomState(29)
+    tf_pool = [
+        (), ("subtract_green",), ("predictor",),
+        ("subtract_green", "predictor"), ("palette",), ("color",),
+    ]
+    for trial in range(12):
+        h = int(rng.randint(1, 20))
+        w = int(rng.randint(1, 20))
+        n_col = int(rng.randint(2, 40))
+        img = _rand_img(h, w, n_col, seed=100 + trial)
+        data = encode_webp_lossless(
+            img,
+            transforms=tf_pool[trial % len(tf_pool)],
+            lz77=bool(rng.randint(0, 2)),
+            cache_bits=int(rng.choice([0, 2, 6])),
+            max_symbol=bool(rng.randint(0, 2)),
+        )
+        assert np.array_equal(decode_webp(data), img), trial
+
+
+def test_gates_and_dispatch():
+    img = _rand_img(4, 4, 5, seed=31)
+    data = encode_webp_lossless(img)
+    # decode_image dispatches webp now
+    assert np.array_equal(decode_image(data), img)
+    lossy = (
+        b"RIFF" + struct.pack("<I", 20) + b"WEBP"
+        + b"VP8 " + struct.pack("<I", 4) + b"\x00\x00\x00\x00"
+    )
+    with pytest.raises(UnsupportedImageError, match="lossy"):
+        decode_webp(lossy)
+    anim = (
+        b"RIFF" + struct.pack("<I", 20) + b"WEBP"
+        + b"ANMF" + struct.pack("<I", 4) + b"\x00\x00\x00\x00"
+    )
+    with pytest.raises(UnsupportedImageError, match="animated"):
+        decode_webp(anim)
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_webp(b"not a webp at all")
+    empty = b"RIFF" + struct.pack("<I", 4) + b"WEBP"
+    with pytest.raises(ValueError, match="image chunk"):
+        decode_webp(empty)
