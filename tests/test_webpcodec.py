@@ -755,3 +755,130 @@ def test_gates_and_dispatch():
     empty = b"RIFF" + struct.pack("<I", 4) + b"WEBP"
     with pytest.raises(ValueError, match="image chunk"):
         decode_webp(empty)
+
+
+def test_malformed_streams_raise_value_error():
+    import struct as _s
+
+    def vp8l(payload: bytes) -> bytes:
+        chunk = b"VP8L" + _s.pack("<I", len(payload)) + payload
+        if len(payload) & 1:
+            chunk += b"\x00"
+        return b"RIFF" + _s.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+    with pytest.raises(ValueError, match="signature"):
+        decode_webp(vp8l(b"\x00\x00\x00\x00\x00"))
+    # bad version (bits 29-31 of the header word nonzero)
+    hdr = bytearray(b"\x2f\x00\x00\x00\x00")
+    hdr[4] |= 0xE0
+    with pytest.raises(ValueError, match="version"):
+        decode_webp(vp8l(bytes(hdr)))
+    # truncation mid-stream
+    img = _rand_img(8, 8, 20, seed=37)
+    good = encode_webp_lossless(img)
+    start = good.index(b"VP8L") + 8
+    cut = good[: start + 6]
+    payload = cut[start:]
+    with pytest.raises(ValueError, match="truncated|prefix|image chunk"):
+        decode_webp(
+            b"RIFF" + struct.pack("<I", 4 + 8 + len(payload)) + b"WEBP"
+            + b"VP8L" + struct.pack("<I", len(payload)) + payload
+        )
+
+
+def test_oversubscribed_code_rejected():
+    from same_same_spark.pipeline.webpcodec import _PrefixCode
+
+    with pytest.raises(ValueError, match="prefix code"):
+        _PrefixCode([1, 1, 1])  # oversubscribed
+    with pytest.raises(ValueError, match="prefix code"):
+        _PrefixCode([2, 2, 2])  # incomplete
+    with pytest.raises(ValueError, match="no symbols"):
+        _PrefixCode([0, 0])
+    assert _PrefixCode([0, 3, 0]).single == 1  # one symbol -> zero bits
+
+
+def test_backward_reference_bounds_checked():
+    # hand-build a stream: 1x4 image, one literal then a copy with
+    # dist 2 (> pixels decoded) -> must raise, not read garbage
+    w = _W()
+    w.write(4 - 1, 14)
+    w.write(1 - 1, 14)
+    w.write(0, 1)
+    w.write(0, 3)
+    w.write(0, 1)  # no transforms
+    w.write(0, 1)  # no cache
+    w.write(0, 1)  # no meta
+    # green code: two symbols {0 literal, 256+0 length-1}: normal form
+    fg = {0: 1, 256: 1}
+    codes = [
+        _Code(fg, 256 + 24), _Code({5: 1}, 256), _Code({6: 1}, 256),
+        _Code({255: 1}, 256), _Code({1: 1}, 40),  # dist code 1 -> 2
+    ]
+    for c in codes:
+        c.write_header(w)
+    codes[0].emit(w, 0)  # literal (r/b/a zero-bit)
+    codes[0].emit(w, 256)  # copy, length prefix 0 -> len 1
+    codes[4].emit(w, 1)  # dist prefix 1 -> dist_code 2 -> (1,0) -> 1? 
+    payload = b"\x2f" + w.payload()
+    data = (
+        b"RIFF" + struct.pack("<I", 12 + len(payload)) + b"WEBP"
+        + b"VP8L" + struct.pack("<I", len(payload)) + payload
+    )
+    # dist_code 2 maps to (1, 0) -> dist 1 with one pixel decoded: OK.
+    out = decode_webp(data)
+    assert out.shape == (1, 4, 3)
+    # now a distance beyond what's decoded: dist prefix 3 -> code 4 ->
+    # map (-1,1) -> w-1 = 3 > decoded 1 -> must raise
+    w2 = _W()
+    w2.write(3, 14)
+    w2.write(0, 14)
+    w2.write(0, 1)
+    w2.write(0, 3)
+    w2.write(0, 1)
+    w2.write(0, 1)
+    w2.write(0, 1)
+    codes2 = [
+        _Code({0: 1, 256: 1}, 256 + 24), _Code({5: 1}, 256),
+        _Code({6: 1}, 256), _Code({255: 1}, 256), _Code({3: 1}, 40),
+    ]
+    for c in codes2:
+        c.write_header(w2)
+    codes2[0].emit(w2, 0)
+    codes2[0].emit(w2, 256)
+    codes2[4].emit(w2, 3)
+    payload2 = b"\x2f" + w2.payload()
+    data2 = (
+        b"RIFF" + struct.pack("<I", 12 + len(payload2)) + b"WEBP"
+        + b"VP8L" + struct.pack("<I", len(payload2)) + payload2
+    )
+    with pytest.raises(ValueError, match="backward reference"):
+        decode_webp(data2)
+
+
+def test_cache_symbol_without_cache_rejected():
+    w = _W()
+    w.write(0, 14)  # 1x1
+    w.write(0, 14)
+    w.write(0, 1)
+    w.write(0, 3)
+    w.write(0, 1)  # no transforms
+    w.write(0, 1)  # no cache
+    w.write(0, 1)  # no meta
+    # a green alphabet claiming symbol 280 (cache idx 0) with no cache:
+    # alphabet size is 280 then — symbol 280 out of range, so build the
+    # stream with alphabet 256+24 and symbol 279 (a length code) is
+    # legal; instead craft via an oversized simple header symbol
+    codes = [
+        _Code({10: 1}, 256 + 24), _Code({5: 1}, 256),
+        _Code({6: 1}, 256), _Code({255: 1}, 256), _Code({0: 1}, 40),
+    ]
+    for c in codes:
+        c.write_header(w)
+    payload = b"\x2f" + w.payload()
+    data = (
+        b"RIFF" + struct.pack("<I", 12 + len(payload)) + b"WEBP"
+        + b"VP8L" + struct.pack("<I", len(payload)) + payload
+    )
+    out = decode_webp(data)  # single literal, zero-bit codes everywhere
+    assert out.shape == (1, 1, 3) and tuple(out[0, 0]) == (5, 10, 6)
