@@ -567,27 +567,65 @@ def _decode_vp8l_payload(data: bytes) -> np.ndarray:
 
 
 def decode_webp(data: bytes) -> np.ndarray:
-    """RIFF walk + VP8L decode to ``(H, W, 3)`` uint8 RGB. Lossy VP8
-    payloads raise :class:`UnsupportedImageError` (the remaining honest
-    gate); malformed containers raise ``ValueError``."""
+    """RIFF walk + VP8L decode to ``(H, W, 3)`` uint8 RGB. Animations
+    yield their FIRST frame composited at its offset onto a black
+    canvas (the GIF convention in this package). Lossy VP8 payloads
+    raise :class:`UnsupportedImageError` (the remaining honest gate);
+    malformed containers raise ``ValueError``."""
     if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
         raise ValueError("webp: not a RIFF/WEBP container")
     pos = 12
+    canvas_wh = None
     while pos + 8 <= len(data):
         fourcc = data[pos : pos + 4]
         (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
         payload = data[pos + 8 : pos + 8 + size]
-        if fourcc == b"VP8L":
+        if fourcc == b"VP8X" and size >= 10:
+            cw = int.from_bytes(payload[4:7], "little") + 1
+            chh = int.from_bytes(payload[7:10], "little") + 1
+            canvas_wh = (cw, chh)
+        elif fourcc == b"VP8L":
             return _decode_vp8l_payload(payload)
-        if fourcc == b"VP8 ":
+        elif fourcc == b"VP8 ":
             raise UnsupportedImageError(
                 "webp: lossy VP8 payload (intra-frame video codec) "
                 "unsupported; lossless VP8L decodes here"
             )
-        if fourcc == b"ANMF":
-            raise UnsupportedImageError(
-                "webp: animated payload unsupported"
-            )
-        # VP8X and metadata chunks: keep walking to the image chunk
+        elif fourcc == b"ANMF":
+            return _decode_first_frame(payload, canvas_wh)
+        # ANIM/ICCP/EXIF/XMP/ALPH and unknown chunks: keep walking
         pos += 8 + size + (size & 1)
     raise ValueError("webp: no image chunk found")
+
+
+def _decode_first_frame(
+    payload: bytes, canvas_wh: tuple[int, int] | None
+) -> np.ndarray:
+    """First ANMF frame: 16-byte frame header (x/2, y/2, w-1, h-1 as
+    24-bit LE, duration, flags) then the frame's image subchunks."""
+    if len(payload) < 16:
+        raise ValueError("webp: truncated ANMF chunk")
+    fx = int.from_bytes(payload[0:3], "little") * 2
+    fy = int.from_bytes(payload[3:6], "little") * 2
+    pos = 16
+    frame = None
+    while pos + 8 <= len(payload):
+        fourcc = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        if fourcc == b"VP8L":
+            frame = _decode_vp8l_payload(payload[pos + 8 : pos + 8 + size])
+            break
+        if fourcc == b"VP8 ":
+            raise UnsupportedImageError(
+                "webp: animated frame uses lossy VP8"
+            )
+        pos += 8 + size + (size & 1)
+    if frame is None:
+        raise ValueError("webp: ANMF frame without an image chunk")
+    fh, fw = frame.shape[:2]
+    cw, chh = canvas_wh or (fx + fw, fy + fh)
+    canvas = np.zeros((chh, cw, 3), dtype=np.uint8)
+    canvas[fy : fy + fh, fx : fx + fw] = frame[
+        : max(0, chh - fy), : max(0, cw - fx)
+    ]
+    return canvas

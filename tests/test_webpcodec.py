@@ -744,12 +744,12 @@ def test_gates_and_dispatch():
     )
     with pytest.raises(UnsupportedImageError, match="lossy"):
         decode_webp(lossy)
-    anim = (
+    anim_trunc = (
         b"RIFF" + struct.pack("<I", 20) + b"WEBP"
         + b"ANMF" + struct.pack("<I", 4) + b"\x00\x00\x00\x00"
     )
-    with pytest.raises(UnsupportedImageError, match="animated"):
-        decode_webp(anim)
+    with pytest.raises(ValueError, match="ANMF"):
+        decode_webp(anim_trunc)
     with pytest.raises(ValueError, match="RIFF"):
         decode_webp(b"not a webp at all")
     empty = b"RIFF" + struct.pack("<I", 4) + b"WEBP"
@@ -882,3 +882,44 @@ def test_cache_symbol_without_cache_rejected():
     )
     out = decode_webp(data)  # single literal, zero-bit codes everywhere
     assert out.shape == (1, 1, 3) and tuple(out[0, 0]) == (5, 10, 6)
+
+
+def test_animated_first_frame_composites_on_canvas():
+    """GIF parity: animations decode to their first frame at its
+    offset on a black canvas sized by VP8X."""
+    img = _rand_img(3, 4, 6, seed=41)
+    inner = encode_webp_lossless(img)
+    start = inner.index(b"VP8L")
+    vp8l_chunk = inner[start:]  # VP8L + size + payload (+pad)
+    frame_hdr = (
+        (1).to_bytes(3, "little")  # x/2 = 1 -> x = 2
+        + (0).to_bytes(3, "little")
+        + (4 - 1).to_bytes(3, "little")
+        + (3 - 1).to_bytes(3, "little")
+        + (100).to_bytes(3, "little")
+        + b"\x00"
+    )
+    anmf = b"ANMF" + struct.pack(
+        "<I", len(frame_hdr) + len(vp8l_chunk)
+    ) + frame_hdr + vp8l_chunk
+    vp8x = (
+        b"VP8X" + struct.pack("<I", 10) + b"\x02\x00\x00\x00"
+        + (8 - 1).to_bytes(3, "little") + (5 - 1).to_bytes(3, "little")
+    )
+    data = (
+        b"RIFF" + struct.pack("<I", 4 + len(vp8x) + len(anmf)) + b"WEBP"
+        + vp8x + anmf
+    )
+    got = decode_webp(data)
+    assert got.shape == (5, 8, 3)
+    exp = np.zeros((5, 8, 3), dtype=np.uint8)
+    exp[0:3, 2:6] = img
+    assert np.array_equal(got, exp)
+    lossy_frame = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + 16 + 12) + b"WEBP"
+        + b"ANMF" + struct.pack("<I", 16 + 12)
+        + b"\x00" * 16
+        + b"VP8 " + struct.pack("<I", 4) + b"\x00\x00\x00\x00"
+    )
+    with pytest.raises(UnsupportedImageError, match="lossy"):
+        decode_webp(lossy_frame)
