@@ -249,6 +249,45 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     for r in fused.orderBy("rank").collect():
         print(f"  #{r['rank']} doc {r['doc_id']}  rrf={r['score']:.5f}")
 
+    # 14. interval join (the stream-stream shape), per-domain caps, OPQ
+    from same_same_spark.operators.events import interval_join
+    from same_same_spark.pipeline.sampling import sample_host_cap
+
+    pairs = interval_join(
+        clicks.select("event_id", "user_id", "ts"),
+        purch.withColumnRenamed("rid", "event_id"),
+        on="user_id", lookback_seconds=21600, right_cols=["event_id"],
+    ).count()
+    hosts = docs.withColumn(
+        "url",
+        F.concat(
+            F.lit("https://"),
+            F.when(F.col("doc_id") % 3 == 0, "hub.example.com").otherwise(
+                F.concat(F.lit("s"), (F.col("doc_id") % 9).cast("string"),
+                         F.lit(".example.org"))
+            ),
+            F.lit("/"), F.col("doc_id").cast("string"),
+        ),
+    )
+    capped = sample_host_cap(hosts, 5, seed="demo")
+    print(
+        f"-- interval join: {pairs} (click,purchase) pairs in 6h; "
+        f"host cap 5 docs/domain: {docs.count()} -> {capped.count()} --"
+    )
+
+    import numpy as np
+
+    from same_same_spark.pipeline import opq as opq_ops
+
+    rng = np.random.RandomState(1)
+    sample = rng.randn(128, 2) @ rng.randn(2, 8) + 0.1 * rng.randn(128, 8)
+    R, books = opq_ops.train_opq(sample, m=2, n_codes=4, n_iter=3, seed=2)
+    e_pq = opq_ops.quantization_error(
+        sample, np.eye(8).tolist(),
+        [[[float(v) for v in c] for c in cb] for cb in books],
+    )
+    e_opq = opq_ops.quantization_error(sample, R, books)
+    print(f"-- OPQ rotation: quantization MSE {e_pq:.3f} -> {e_opq:.3f} --")
 
 if __name__ == "__main__":
     main(*sys.argv[1:])
