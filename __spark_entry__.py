@@ -3085,6 +3085,81 @@ SELECT doc_id, url_canonical FROM c WHERE url_canonical IS NULL
 """
 
 
+_DSIR_KW = dict(n=2, n_buckets=1024, alpha=0.5)
+
+
+def _q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance log-weights (pipeline/dsir.py, Xie et al. 2023):
+    hashed-bigram add-alpha estimates of a target slice (every 10th
+    doc) vs the raw rest; per-doc log_w = Σ count·(ln p̂_t − ln p̂_r).
+    Buckets = shared 60-bit shingle hashes mod 1024, so the oracle
+    re-derives both distributions and every weight from the same
+    parquet."""
+    from same_same_spark.pipeline.dsir import dsir_log_weights
+
+    docs = _docs(spark, sf_dir)
+    raw = docs.filter(F.col("doc_id") % 10 != 0)
+    tgt = docs.filter(F.col("doc_id") % 10 == 0)
+    out = dsir_log_weights(raw, tgt, **_DSIR_KW)
+    return _round6(out, "log_w")
+
+
+def _sql_dsir_weights() -> str:
+    from same_same_spark.pipeline.dsir import dsir_sql_ctes
+
+    ctes = dsir_sql_ctes(
+        "documents", target_where="doc_id % 10 = 0",
+        raw_where="doc_id % 10 <> 0", **_DSIR_KW,
+    )
+    return (
+        f"WITH {ctes} SELECT doc_id, n_grams, round(log_w, 6) AS log_w "
+        f"FROM dsir"
+    )
+
+
+def _q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel top-k DSIR selection (dsir_topk): rank log_w/T + g with
+    deterministic per-doc Gumbel noise from the package's hash
+    uniform; top-50 through the bounded tournament."""
+    from same_same_spark.pipeline.dsir import dsir_topk
+
+    docs = _docs(spark, sf_dir)
+    out = dsir_topk(
+        docs.filter(F.col("doc_id") % 10 != 0),
+        docs.filter(F.col("doc_id") % 10 == 0),
+        k=50, seed="dsir-entry", temperature=2.0, **_DSIR_KW,
+    )
+    return _round6(out, "log_w")
+
+
+def _sql_dsir_select() -> str:
+    from same_same_spark.pipeline.dsir import dsir_sql_ctes
+    from same_same_spark.pipeline.sampling import hash_uniform_sql
+
+    ctes = dsir_sql_ctes(
+        "documents", target_where="doc_id % 10 = 0",
+        raw_where="doc_id % 10 <> 0", **_DSIR_KW,
+    )
+    u = hash_uniform_sql("doc_id", seed="dsir-entry")
+    return f"""
+WITH {ctes},
+scored AS (
+  SELECT doc_id, log_w,
+         log_w / 2.0 + (-ln(-ln({u}))) AS score
+  FROM dsir
+),
+r AS (
+  SELECT doc_id, log_w,
+         row_number() OVER (
+           ORDER BY round(score, 9) DESC, doc_id ASC
+         ) AS rank
+  FROM scored
+)
+SELECT doc_id, round(log_w, 6) AS log_w, rank::INTEGER AS rank
+FROM r WHERE rank <= 50
+"""
+
+
 # Deterministic synthetic URLs over documents for the per-domain cap:
 # one giant host (every doc_id % 3 == 0), a 37-host long tail, scheme/
 # www./tracking noise exercising canonicalization, NULL urls (% 41)
@@ -3738,6 +3813,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # indexed BM25 read path keeps index_bm25_topk, and the rotated
     # entry stays pinned by tests/test_api + test_entry.
     "opq_adc_topk": (_q_opq_adc_topk, _sql_opq_adc_topk()),
+    # sole evidence for DSIR data selection (pipeline/dsir.py, Xie et
+    # al. 2023). Its insertion rotated r2+r3-green one-expression
+    # vector_topk (X5) to the overflow head — cosine stays value-
+    # compared cross-engine inside in-top-50 semdedup's oracle and
+    # pinned by tests/test_operators + the rotated entry's local gate.
+    "dsir_weights": (_q_dsir_weights, _sql_dsir_weights()),
     # --- r3-green entries (CORRECTNESS_r03 all-green) -----------------
     # (bm25_topk moved to the twin tail this round: it shares
     # _SQL_BM25_TOPK with in-top-50 index_bm25_topk and the two are
@@ -3748,7 +3829,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "corpus_overview": (_q_corpus_overview, _SQL_CORPUS_OVERVIEW),
     "filter_expr": (_q_filter_expr, _SQL_FILTER_EXPR),
     "list_projection": (_q_list_projection, _SQL_LIST_PROJECTION),
-    "vector_topk": (_q_vector_topk, _SQL_VECTOR_TOPK),
     "index_bm25_topk": (_q_index_bm25_topk, _SQL_BM25_TOPK),
     "index_bm25_topk_after_delete": (
         _q_index_bm25_after_delete,
@@ -3777,6 +3857,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         _q_search_by_text_indexed,
         _SQL_SEARCH_BY_TEXT_INDEXED,
     ),
+    # vector_topk rotated here when dsir_weights landed (see that
+    # entry's comment).
+    "vector_topk": (_q_vector_topk, _SQL_VECTOR_TOPK),
     "event_age_buckets": (_q_event_age_buckets, _SQL_EVENT_AGE_BUCKETS),
     # temporal_topk + tags_split rotated here this session (r2+r3
     # green one-expression ops) to make room for asof_join +
@@ -3879,6 +3962,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # shared oracle, twin-tail per the codified exception; the mirror's
     # own mutation matrix is pinned in tests/test_pq_mirror.py.
     "pq_mirror_topk": (_q_pq_mirror_topk, _SQL_PQ_IVF_TOPK),
+    # dsir_select = the Gumbel top-k over in-top-50 dsir_weights' exact
+    # log_w values, noise from the verified hash uniform, ranking via
+    # the tournament every top-k entry exercises — the codified
+    # composition exception; its full-value oracle (the whole WITH
+    # chain + the Gumbel expression) is compared by tests/test_entry.
+    "dsir_select": (_q_dsir_select, _sql_dsir_select()),
 }
 
 

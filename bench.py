@@ -98,6 +98,7 @@ ENTRY_QUERY_NAMES = [
     "events_sessionize",
     "global_line_dedup",
     "host_cap",
+    "dsir_weights",
     "semdedup",
     "pq_adc_topk",
     "opq_adc_topk",

@@ -21,6 +21,13 @@ Stage order (each optional, each a module this package already ships):
 6. decontamination — :func:`~same_same_spark.pipeline.decontam.decontaminate`
    against an eval set (broadcast shingle hashes; only when the caller
    passes ``eval_df``),
+6b. DSIR selection — :func:`~same_same_spark.pipeline.dsir.dsir_topk`
+   target-matched importance resampling (only when the caller passes
+   ``dsir_target_df`` and ``cfg.dsir_k``; like the LM gate, building
+   its weight table runs eager aggregations at plan-construction
+   time),
+6c. per-domain caps — :func:`~same_same_spark.pipeline.sampling.sample_host_cap`
+   uniform host budgets over canonical URLs (``cfg.host_cap``),
 7. mix sampling   — :func:`~same_same_spark.pipeline.sampling.sample_stratified`
    per-stratum rates (zero-shuffle hash filter),
 8. split columns  — :func:`~same_same_spark.pipeline.sampling.assign_splits`,
@@ -82,6 +89,14 @@ class MixConfig:
     minhash_n_hashes: int = 16
     minhash_bands: int = 8
     shingle_n: int = 3
+    # DSIR data selection (pipeline/dsir.dsir_topk): keep the dsir_k
+    # docs whose hashed-n-gram distribution best matches the target
+    # corpus passed as prepare_training_corpus(dsir_target_df=...),
+    # Gumbel-resampled at dsir_temperature. Runs after dedup/decontam
+    # (select from the cleaned pool) and before the domain caps.
+    dsir_k: int | None = None
+    dsir_temperature: float = 1.0
+    dsir_n_buckets: int = 1 << 16
     # uniform per-domain budget (sampling.sample_host_cap): cap every
     # canonical URL host at this many docs (host_cap_weight_col=None)
     # or this much additive weight (e.g. "n_tokens"). Requires
@@ -125,7 +140,10 @@ class MixConfig:
     pack_shards: int = 256
 
     def stages(
-        self, with_decontam: bool = False, with_lm: bool = False
+        self,
+        with_decontam: bool = False,
+        with_lm: bool = False,
+        with_dsir: bool = False,
     ) -> list[str]:
         out = []
         if self.url_col is not None:
@@ -148,6 +166,8 @@ class MixConfig:
             out.append("fuzzy_dedup")
         if with_decontam:
             out.append("decontam")
+        if with_dsir and self.dsir_k is not None:
+            out.append("dsir")
         if self.host_cap is not None:
             out.append("host_cap")
         if self.fractions is not None:
@@ -165,6 +185,7 @@ def prepare_training_corpus(
     eval_df: DataFrame | None = None,
     stats: dict | None = None,
     lm_ref_df: DataFrame | None = None,
+    dsir_target_df: DataFrame | None = None,
 ) -> DataFrame:
     """Run the configured stages; returns the surviving rows with all
     input columns (+ ``split`` when splits are configured).
@@ -273,6 +294,15 @@ def prepare_training_corpus(
             text_col=cfg.text_col,
             max_hit_frac=cfg.decontam_max_hit_frac,
         )
+    if dsir_target_df is not None and cfg.dsir_k is not None:
+        from same_same_spark.pipeline.dsir import dsir_topk
+
+        picked = dsir_topk(
+            out, dsir_target_df, k=cfg.dsir_k, id_col=cfg.id_col,
+            text_col=cfg.text_col, n_buckets=cfg.dsir_n_buckets,
+            temperature=cfg.dsir_temperature, seed=cfg.seed + ":dsir",
+        ).select(cfg.id_col)
+        out = out.join(picked, cfg.id_col, "left_semi")
     if cfg.host_cap is not None:
         if cfg.url_col is None:
             raise ValueError("MixConfig.host_cap requires url_col")
@@ -318,6 +348,7 @@ def mix_report(
     cfg: MixConfig,
     eval_df: DataFrame | None = None,
     lm_ref_df: DataFrame | None = None,
+    dsir_target_df: DataFrame | None = None,
 ) -> dict[str, int]:
     """Row counts after each configured stage (one Spark action per
     stage — a diagnostic for notebooks and tests, NOT part of the lazy
@@ -333,15 +364,19 @@ def mix_report(
             lm_ref_df = train_bigram_lm(
                 lm_ref_df, text_col=cfg.text_col, alpha=cfg.lm_alpha
             )
-    order = cfg.stages(with_decontam=with_d, with_lm=with_lm)
+    order = cfg.stages(
+        with_decontam=with_d, with_lm=with_lm,
+        with_dsir=dsir_target_df is not None,
+    )
     counts: dict[str, int] = {"input": df.count()}
     for i, stage in enumerate(order):
         keep = set(order[: i + 1])
         partial = _truncated(cfg, keep)
         ev = eval_df if "decontam" in keep else None
         lref = lm_ref_df if "lm" in keep else None
+        tgt = dsir_target_df if "dsir" in keep else None
         counts[stage] = prepare_training_corpus(
-            df, partial, ev, lm_ref_df=lref
+            df, partial, ev, lm_ref_df=lref, dsir_target_df=tgt
         ).count()
     return counts
 

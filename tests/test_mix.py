@@ -197,3 +197,30 @@ def test_host_cap_stage(spark):
     # host_cap without a URL column is a config error
     with pytest.raises(ValueError, match="url_col"):
         prepare_training_corpus(df, MixConfig(host_cap=5))
+
+
+def test_dsir_stage(spark):
+    rows = []
+    kw = ("query engine scans table filter join sort output stream "
+          "batch merge").split()
+    junk = ("wombat doily parsnip zephyr gnocchi umlaut quasar vellum "
+            "bixby njord").split()
+    for i in range(30):
+        pool = kw if i % 2 == 0 else junk
+        rows.append((i, " ".join(pool[(i + j) % len(pool)]
+                                 for j in range(8)), "en"))
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING, lang STRING")
+    tgt = spark.createDataFrame(
+        [(100 + j, " ".join(kw[j:] + kw[:j])) for j in range(4)],
+        "doc_id LONG, text STRING",
+    )
+    cfg = MixConfig(exact=False, dsir_k=8, dsir_temperature=0.05,
+                    dsir_n_buckets=2048, seed="dm")
+    assert cfg.stages(with_dsir=True) == ["dsir"]
+    assert cfg.stages() == []  # no target handed in -> stage off
+    out = prepare_training_corpus(df, cfg, dsir_target_df=tgt)
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert len(ids) == 8
+    assert sum(1 for i in ids if i % 2 == 0) >= 7  # target-like wins
+    counts = mix_report(df, cfg, dsir_target_df=tgt)
+    assert counts == {"input": 30, "dsir": 8}
