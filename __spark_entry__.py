@@ -3120,7 +3120,8 @@ def _sql_dsir_weights() -> str:
 def _q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gumbel top-k DSIR selection (dsir_topk): rank log_w/T + g with
     deterministic per-doc Gumbel noise from the package's hash
-    uniform; top-50 through the bounded tournament."""
+    uniform; top-50 through the bounded tournament. Returns the
+    perturbed objective itself (the weight plan runs exactly once)."""
     from same_same_spark.pipeline.dsir import dsir_topk
 
     docs = _docs(spark, sf_dir)
@@ -3129,7 +3130,7 @@ def _q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") % 10 == 0),
         k=50, seed="dsir-entry", temperature=2.0, **_DSIR_KW,
     )
-    return _round6(out, "log_w")
+    return _round6(out, "score")
 
 
 def _sql_dsir_select() -> str:
@@ -3144,18 +3145,17 @@ def _sql_dsir_select() -> str:
     return f"""
 WITH {ctes},
 scored AS (
-  SELECT doc_id, log_w,
-         log_w / 2.0 + (-ln(-ln({u}))) AS score
+  SELECT doc_id, log_w / 2.0 + (-ln(-ln({u}))) AS score
   FROM dsir
 ),
 r AS (
-  SELECT doc_id, log_w,
+  SELECT doc_id, score,
          row_number() OVER (
            ORDER BY round(score, 9) DESC, doc_id ASC
          ) AS rank
   FROM scored
 )
-SELECT doc_id, round(log_w, 6) AS log_w, rank::INTEGER AS rank
+SELECT doc_id, round(score, 6) AS score, rank::INTEGER AS rank
 FROM r WHERE rank <= 50
 """
 

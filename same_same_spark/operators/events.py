@@ -220,10 +220,15 @@ def interval_join(
     )
     rt = F.col(f"{prefix}{right_ts}")
     lt = F.col(left_ts)
+    # fixed-point formatting: f"{x}" renders tiny/huge floats in
+    # scientific notation, which INTERVAL syntax rejects (1e-05 -> parse
+    # error); sub-microsecond remainders are below timestamp resolution
+    back = f"{float(lookback_seconds):.6f}"
+    ahead = f"{float(lookahead_seconds):.6f}"
     cond = (
         (F.col(on) == F.col("__rk"))
-        & (rt >= lt - F.expr(f"INTERVAL {float(lookback_seconds)} SECONDS"))
-        & (rt <= lt + F.expr(f"INTERVAL {float(lookahead_seconds)} SECONDS"))
+        & (rt >= lt - F.expr(f"INTERVAL '{back}' SECOND"))
+        & (rt <= lt + F.expr(f"INTERVAL '{ahead}' SECOND"))
     )
     return l.join(r, cond, "inner").drop("__rk")
 

@@ -162,11 +162,16 @@ def dsir_topk(
     temperature: float = 1.0,
 ) -> DataFrame:
     """Gumbel top-k importance resampling: rank docs by
-    ``log_w/temperature + g`` with deterministic per-doc Gumbel noise
-    ``g = −ln(−ln(hash_uniform(seed|id)))`` and keep the top ``k``
-    through the bounded tournament. ``temperature → 0`` approaches
-    argmax selection; Xie et al.'s sampled-without-replacement scheme
-    is exactly this ranking. Returns ``(id, log_w, rank)``."""
+    ``score = log_w/temperature + g`` with deterministic per-doc
+    Gumbel noise ``g = −ln(−ln(hash_uniform(seed|id)))`` and keep the
+    top ``k`` through the bounded tournament. ``temperature → 0``
+    approaches argmax selection; Xie et al.'s sampled-without-
+    replacement scheme is exactly this ranking. Returns
+    ``(id, score, rank)`` — the perturbed objective itself, so the
+    weight plan executes exactly ONCE (joining log_w back would re-run
+    the distribution passes; re-derive it as
+    ``(score − g)·temperature``, or join
+    :func:`dsir_log_weights` yourself, when the raw weight matters)."""
     from same_same_spark.operators.topk import topk_per_query
 
     if temperature <= 0:
@@ -181,20 +186,9 @@ def dsir_topk(
         F.lit(0).alias("query_id"),
         F.col(id_col).alias("doc_id"),
         (F.col("log_w") / F.lit(float(temperature)) + gumbel).alias("score"),
-        F.col("log_w").alias("_lw"),
     )
-    ranked = topk_per_query(
-        scored.select("query_id", "doc_id", "score"), k
-    )
-    return (
-        ranked.join(
-            scored.select(F.col("doc_id"), F.col("_lw")), "doc_id"
-        )
-        .select(
-            F.col("doc_id").alias(id_col),
-            F.col("_lw").alias("log_w"),
-            "rank",
-        )
+    return topk_per_query(scored, k).select(
+        F.col("doc_id").alias(id_col), "score", "rank"
     )
 
 

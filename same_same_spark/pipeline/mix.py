@@ -299,7 +299,8 @@ def prepare_training_corpus(
 
         picked = dsir_topk(
             out, dsir_target_df, k=cfg.dsir_k, id_col=cfg.id_col,
-            text_col=cfg.text_col, n_buckets=cfg.dsir_n_buckets,
+            text_col=cfg.text_col, target_text_col=cfg.text_col,
+            n_buckets=cfg.dsir_n_buckets,
             temperature=cfg.dsir_temperature, seed=cfg.seed + ":dsir",
         ).select(cfg.id_col)
         out = out.join(picked, cfg.id_col, "left_semi")

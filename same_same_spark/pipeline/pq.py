@@ -460,6 +460,33 @@ def _load_pq_store(spark, pq_dir: str):
     return manifest, sorted(cents), codebooks
 
 
+def _probe_pairs(
+    cents: list[tuple[int, list[float]]],
+    queries: list[tuple[int, list[float]]],
+    nprobe: int,
+) -> list[tuple[int, int]]:
+    """Driver-side probe selection — ONE definition of the IVF probe
+    rule (round-9 cosine DESC, smaller centroid id wins) shared by the
+    persisted store and the PQ mirror, so their oracles stay
+    rank-compatible by construction."""
+    import numpy as np
+
+    out: list[tuple[int, int]] = []
+    for qid, qvec in queries:
+        q = np.asarray(qvec, dtype=np.float64)
+        qn = np.linalg.norm(q)
+        sims = []
+        for cid, cvec in sorted(cents):
+            c = np.asarray(cvec, dtype=np.float64)
+            denom = qn * np.linalg.norm(c)
+            sims.append(
+                (round(float(q @ c / denom) if denom else 0.0, 9), -cid)
+            )
+        sims.sort(reverse=True)
+        out.extend((qid, -negcid) for _, negcid in sims[:nprobe])
+    return out
+
+
 def pq_topk_persisted(
     spark,
     pq_dir: str,
@@ -484,23 +511,9 @@ def pq_topk_persisted(
     re-ranked by exact cosine via one broadcast semi-join against the
     vector table: ``(query_id, id, score, rank)``, the standard
     IVF-PQ + re-rank serving stack."""
-    import numpy as np
-
     manifest, cents, codebooks = _load_pq_store(spark, pq_dir)
     id_col = manifest["id_col"]
-    probe_pairs: list[tuple[int, int]] = []
-    for qid, qvec in queries:
-        q = np.asarray(qvec, dtype=np.float64)
-        qn = np.linalg.norm(q)
-        sims = []
-        for cid, cvec in cents:
-            c = np.asarray(cvec, dtype=np.float64)
-            denom = qn * np.linalg.norm(c)
-            sims.append(
-                (round(float(q @ c / denom) if denom else 0.0, 9), -cid)
-            )
-        sims.sort(reverse=True)
-        probe_pairs.extend((qid, -negcid) for _, negcid in sims[:nprobe])
+    probe_pairs = _probe_pairs(cents, queries, nprobe)
     probes = spark.createDataFrame(
         probe_pairs, "query_id INT, centroid_id INT"
     )

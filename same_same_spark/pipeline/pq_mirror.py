@@ -214,7 +214,13 @@ def sync_pq_mirror(
             "batch", "centroid_id"
         ).parquet(out_dir)
     mode = "rebuild" if rebuilt else "incremental"
-    token = f"sync-{mode}-g{gen}-" + "-".join(sorted(todo)[:8])
+    # token = hash of the FULL batch list: a name-prefix truncation
+    # would let two distinct syncs collide and overwrite each other's
+    # lineage, breaking the one-record-per-mutation identity
+    import hashlib
+
+    digest = hashlib.md5(",".join(sorted(todo)).encode()).hexdigest()[:12]
+    token = f"sync-{mode}-g{gen}-{digest}"
     write_store_lineage(
         pq_dir, token,
         {"op": f"pq_mirror_{mode}", "batches": sorted(todo),
@@ -223,8 +229,9 @@ def sync_pq_mirror(
     pm = dict(pm)
     pm.update(gen=gen, batches=src_batches, src_ivf_dir=src_ivf)
     _flip_mirror(pq_dir, pm)
-    if rebuilt:
-        _sweep_mirror(pq_dir, gen)
+    # sweep after EVERY flip: an incremental sync after a crashed
+    # rebuild (flip landed, sweep didn't) must still clear the old gen
+    _sweep_mirror(pq_dir, gen)
     log(f"[pq-mirror] {mode}: {sorted(todo)} (gen {gen})")
     return {"mode": mode, "batches": sorted(todo)}
 
@@ -253,7 +260,7 @@ def pq_mirror_topk(
     run :func:`sync_pq_mirror` first. ``refine=True`` re-ranks the
     bounded ADC candidate set by exact cosine against the source's own
     full-precision rows in the probed cells."""
-    import numpy as np
+    from same_same_spark.pipeline.pq import _probe_pairs
 
     am = _load_manifest(ann_dir)
     pm = _load_mirror(pq_dir)
@@ -265,24 +272,11 @@ def pq_mirror_topk(
         )
     id_col = pm["id_col"]
     books = _load_codebooks(spark, pq_dir, pm)
-    # the manifest's centroid generation (refresh_centroids moves it)
-    cents = sorted(
-        (cid, [float(x) for x in vec])
-        for cid, vec in _load_centroids(spark, ann_dir)
+    # the manifest's centroid generation (refresh_centroids moves it);
+    # probe rule = pq.py's ONE shared definition
+    probe_pairs = _probe_pairs(
+        _load_centroids(spark, ann_dir), queries, nprobe
     )
-    probe_pairs: list[tuple[int, int]] = []
-    for qid, qvec in queries:
-        q = np.asarray(qvec, dtype=np.float64)
-        qn = np.linalg.norm(q)
-        sims = []
-        for cid, cvec in cents:
-            c = np.asarray(cvec, dtype=np.float64)
-            denom = qn * np.linalg.norm(c)
-            sims.append(
-                (round(float(q @ c / denom) if denom else 0.0, 9), -cid)
-            )
-        sims.sort(reverse=True)
-        probe_pairs.extend((qid, -negcid) for _, negcid in sims[:nprobe])
     probes = spark.createDataFrame(
         probe_pairs, "query_id INT, centroid_id INT"
     )
@@ -303,8 +297,14 @@ def pq_mirror_topk(
     )
     if not refine:
         return out.filter(F.col("rank") <= k)
-    vecs = spark.read.parquet(f"{ann_dir}/{src_ivf}").filter(
-        F.col("batch").isin(list(am["batches"]))
+    # the candidates all live in probed cells, so the re-rank scan
+    # prunes the same centroid_id partitions the code scan did
+    vecs = (
+        spark.read.parquet(f"{ann_dir}/{src_ivf}")
+        .filter(F.col("batch").isin(list(am["batches"])))
+        .filter(
+            F.col("centroid_id").isin(sorted({c for _, c in probe_pairs}))
+        )
     )
     if tomb is not None:
         vecs = vecs.join(F.broadcast(tomb), id_col, "left_anti")

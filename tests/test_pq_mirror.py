@@ -104,9 +104,14 @@ def test_append_folds_only_the_new_batch(spark, emb, tmp_path):
         spark, ann_dir, pq_dir, queries, k=5, nprobe=10**6
     ).collect()
     assert after[0]["vec_id"] == 1 and round(after[0]["dist"], 6) >= 0.0
-    # lineage recorded per sync token
+    # lineage recorded per sync token (full batch list hashed in)
+    import hashlib
+
+    digest = hashlib.md5(b"b1").hexdigest()[:12]
     assert os.path.exists(
-        os.path.join(pq_dir, "_lineage", "sync-incremental-g0-b1.json")
+        os.path.join(
+            pq_dir, "_lineage", f"sync-incremental-g0-{digest}.json"
+        )
     )
 
 

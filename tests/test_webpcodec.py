@@ -19,11 +19,40 @@ from same_same_spark.pipeline.imagecodec import (
     decode_image,
     sniff_format,
 )
-from same_same_spark.pipeline.webpcodec import (
-    K_CODE_LENGTH_ORDER,
-    K_DIST_MAP,
-    decode_webp,
+from same_same_spark.pipeline.webpcodec import decode_webp
+
+# The encoder carries its OWN copies of the spec tables (RFC 9649
+# kCodeLengthCodeOrder / the 120-entry distance plane) so a corruption
+# of the decoder's tables cannot hide inside a consistent round trip;
+# test_spec_tables_match pins the two transcriptions against each other.
+K_CODE_LENGTH_ORDER = (
+    17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,
 )
+K_DIST_MAP = (
+    (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+    (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+    (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+    (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+    (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+    (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+    (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
+    (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2), (-6, 2),
+    (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+    (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5), (7, 1), (-7, 1),
+    (4, 6), (-4, 6), (6, 4), (-6, 4), (2, 7), (-2, 7), (7, 2), (-7, 2),
+    (3, 7), (-3, 7), (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5),
+    (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
+    (-6, 6), (8, 3), (5, 7), (-5, 7), (7, 5), (-7, 5), (8, 4), (6, 7),
+    (-6, 7), (7, 6), (-7, 6), (8, 5), (7, 7), (-7, 7), (8, 6), (8, 7),
+)
+
+
+def test_spec_tables_match_decoder():
+    from same_same_spark.pipeline import webpcodec as wc
+
+    assert K_CODE_LENGTH_ORDER == wc.K_CODE_LENGTH_ORDER
+    assert K_DIST_MAP == wc.K_DIST_MAP
+    assert len(K_DIST_MAP) == 120 and len(set(K_DIST_MAP)) == 120
 
 # ---------------------------------------------------------------------------
 # encoder: bit writer + canonical prefix codes
