@@ -2026,6 +2026,28 @@ def _sql_lm_perplexity() -> str:
     return lm_ops.lm_perplexity_sql(alpha=0.5)
 
 
+def _q_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring (pipeline/lm.py,
+    train_kn_lm — the smoothing KenLM/CCNet actually use): absolute
+    discounting with continuation-count backoff, UNK-floored so OOV
+    events stay finite. Same reference slice and output contract as
+    lm_perplexity; the oracle re-derives the marginals, fan-outs,
+    continuation counts and the interpolated probability."""
+    from same_same_spark.pipeline import lm as lm_ops
+
+    docs = _docs(spark, sf_dir)
+    model = lm_ops.train_kn_lm(docs.filter(F.col("doc_id") % 10 == 0))
+    return lm_ops.lm_perplexity(docs, model).select(
+        "doc_id", "n_bigrams", "avg_logp"
+    )
+
+
+def _sql_kn_perplexity() -> str:
+    from same_same_spark.pipeline import lm as lm_ops
+
+    return lm_ops.kn_perplexity_sql()
+
+
 def _q_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet head/middle/tail buckets per lang stratum: exact
     interpolated tercile cuts of avg_logp (Spark percentile ≡ DuckDB
@@ -3819,6 +3841,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # compared cross-engine inside in-top-50 semdedup's oracle and
     # pinned by tests/test_operators + the rotated entry's local gate.
     "dsir_weights": (_q_dsir_weights, _sql_dsir_weights()),
+    # sole evidence for Kneser-Ney smoothing (lm.train_kn_lm). Its
+    # insertion rotated r3-green list_projection (F7/F8) to the
+    # overflow head — projection semantics are exercised by every
+    # entry's select list and stay pinned by tests/test_api + the
+    # rotated entry's local gate.
+    "kn_perplexity": (_q_kn_perplexity, _sql_kn_perplexity()),
     # --- r3-green entries (CORRECTNESS_r03 all-green) -----------------
     # (bm25_topk moved to the twin tail this round: it shares
     # _SQL_BM25_TOPK with in-top-50 index_bm25_topk and the two are
@@ -3828,7 +3856,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "term_df_top100": (_q_term_df, _SQL_TERM_DF),
     "corpus_overview": (_q_corpus_overview, _SQL_CORPUS_OVERVIEW),
     "filter_expr": (_q_filter_expr, _SQL_FILTER_EXPR),
-    "list_projection": (_q_list_projection, _SQL_LIST_PROJECTION),
     "index_bm25_topk": (_q_index_bm25_topk, _SQL_BM25_TOPK),
     "index_bm25_topk_after_delete": (
         _q_index_bm25_after_delete,
@@ -3860,6 +3887,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # vector_topk rotated here when dsir_weights landed (see that
     # entry's comment).
     "vector_topk": (_q_vector_topk, _SQL_VECTOR_TOPK),
+    # list_projection rotated here when kn_perplexity landed (see that
+    # entry's comment).
+    "list_projection": (_q_list_projection, _SQL_LIST_PROJECTION),
     "event_age_buckets": (_q_event_age_buckets, _SQL_EVENT_AGE_BUCKETS),
     # temporal_topk + tags_split rotated here this session (r2+r3
     # green one-expression ops) to make room for asof_join +

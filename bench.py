@@ -89,6 +89,7 @@ ENTRY_QUERY_NAMES = [
     "ann_hnsw_persisted",
     "ann_hnsw_after_repair",
     "lm_perplexity",
+    "kn_perplexity",
     "lcs_pairs",
     "passage_topk",
     "bpe_encode",

@@ -41,14 +41,18 @@ from same_same_spark.text.tokenizer import duckdb_tokens_sql, tokens_col
 
 __all__ = [
     "BigramLM",
+    "KneserNeyLM",
     "train_bigram_lm",
+    "train_kn_lm",
     "lm_perplexity",
     "lm_perplexity_sql",
+    "kn_perplexity_sql",
     "lm_buckets",
     "lm_buckets_sql",
 ]
 
 ALPHA_DEFAULT = 0.5
+KN_DISCOUNT_DEFAULT = 0.75
 
 
 @dataclass
@@ -61,6 +65,37 @@ class BigramLM:
     unigrams: DataFrame
     bigrams: DataFrame
     vocab_size: int
+    alpha: float = ALPHA_DEFAULT
+    broadcast: bool = True
+
+
+@dataclass
+class KneserNeyLM:
+    """Interpolated Kneser–Ney bigram LM (Kneser & Ney 1995; the
+    smoothing CCNet's KenLM models actually use, vs :class:`BigramLM`'s
+    add-alpha baseline)::
+
+        P(w2|w1) = max(c(w1,w2) − D, 0)/c(w1·)
+                   + D·N₁₊(w1,·)/c(w1·) · P_cont(w2)      c(w1·) > 0
+        P(w2|w1) = P_cont(w2)                              unseen w1
+
+    with ``c(w1·)`` the bigram marginal, ``N₁₊(w1,·)`` the distinct
+    continuations of ``w1``, and the continuation distribution floored
+    by one add-alpha UNK slot so unseen words keep finite mass::
+
+        P_cont(w2) = (N₁₊(·,w2) + alpha) / (N₁₊(·,·) + alpha·(V+1))
+
+    Tables: ``bigrams`` (w1, w2, c2), ``contexts`` (w1, c1m, n_fwd),
+    ``continuations`` (w2, n_bwd); scalars ``n1p_total`` (distinct
+    bigram count) and ``vocab_size``. All counts are exact one-pass
+    aggregates over the (small, curated) reference slice."""
+
+    bigrams: DataFrame
+    contexts: DataFrame
+    continuations: DataFrame
+    n1p_total: float
+    vocab_size: int
+    discount: float = KN_DISCOUNT_DEFAULT
     alpha: float = ALPHA_DEFAULT
     broadcast: bool = True
 
@@ -107,9 +142,74 @@ def train_bigram_lm(
     )
 
 
+def train_kn_lm(
+    train_df: DataFrame,
+    text_col: str = "text",
+    discount: float = KN_DISCOUNT_DEFAULT,
+    alpha: float = ALPHA_DEFAULT,
+    broadcast: bool = True,
+) -> KneserNeyLM:
+    """One pass over the reference slice → bigram counts + the three
+    Kneser–Ney statistics tables (context marginals/fan-outs, backward
+    continuation counts). Deterministic exact counts, like
+    :func:`train_bigram_lm`."""
+    if not 0.0 < discount < 1.0:
+        raise ValueError(f"discount must be in (0, 1), got {discount}")
+    toks = train_df.select(tokens_col(text_col).alias("t")).filter(
+        F.size("t") > 0
+    )
+    bi = (
+        toks.filter(F.size("t") > 1)
+        .select(F.explode(_bigram_pairs(F.col("t"))).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("double").alias("c2"))
+    )
+    contexts = bi.groupBy("w1").agg(
+        F.sum("c2").alias("c1m"),
+        F.count(F.lit(1)).cast("double").alias("n_fwd"),
+    )
+    continuations = bi.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("double").alias("n_bwd")
+    )
+    n1p_total = float(bi.count())
+    vocab_size = int(
+        toks.select(F.explode("t").alias("w")).select("w").distinct().count()
+    )
+    return KneserNeyLM(
+        bigrams=bi,
+        contexts=contexts,
+        continuations=continuations,
+        n1p_total=n1p_total,
+        vocab_size=vocab_size,
+        discount=float(discount),
+        alpha=float(alpha),
+        broadcast=broadcast,
+    )
+
+
+def _kn_lp(lm: KneserNeyLM) -> Column:
+    """Per-bigram-event Kneser–Ney log-probability from the joined
+    (c2, c1m, n_fwd, n_bwd) columns — NULLs = unseen."""
+    p_cont = (
+        F.coalesce(F.col("n_bwd"), F.lit(0.0)) + F.lit(lm.alpha)
+    ) / F.lit(lm.n1p_total + lm.alpha * (lm.vocab_size + 1))
+    c1m = F.coalesce(F.col("c1m"), F.lit(0.0))
+    seen = (
+        F.greatest(
+            F.coalesce(F.col("c2"), F.lit(0.0)) - F.lit(lm.discount),
+            F.lit(0.0),
+        )
+        / c1m
+        + F.lit(lm.discount) * F.coalesce(F.col("n_fwd"), F.lit(0.0)) / c1m
+        * p_cont
+    )
+    return F.log(F.when(c1m > 0, seen).otherwise(p_cont)).alias("lp")
+
+
 def lm_perplexity(
     df: DataFrame,
-    lm: BigramLM,
+    lm: "BigramLM | KneserNeyLM",
     id_col: str = "doc_id",
     text_col: str = "text",
     keep_cols: list[str] | None = None,
@@ -128,9 +228,6 @@ def lm_perplexity(
     derives from the UNrounded mean and is informational.
     """
     keep = list(keep_cols or [])
-    uni, bi = lm.unigrams, lm.bigrams
-    if lm.broadcast:
-        uni, bi = F.broadcast(uni), F.broadcast(bi)
     toks = df.select(
         F.col(id_col), *[F.col(c) for c in keep],
         tokens_col(text_col).alias("t"),
@@ -145,19 +242,29 @@ def lm_perplexity(
             F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"),
         )
     )
-    lp = (
-        F.log(
-            (F.coalesce(F.col("c2"), F.lit(0.0)) + F.lit(lm.alpha))
-            / (
-                F.coalesce(F.col("c1"), F.lit(0.0))
-                + F.lit(lm.alpha * lm.vocab_size)
-            )
+    hint = F.broadcast if lm.broadcast else (lambda d: d)
+    if isinstance(lm, KneserNeyLM):
+        joined = (
+            pairs.join(hint(lm.bigrams), ["w1", "w2"], "left")
+            .join(hint(lm.contexts), ["w1"], "left")
+            .join(hint(lm.continuations), ["w2"], "left")
         )
-    ).alias("lp")
+        lp = _kn_lp(lm)
+    else:
+        joined = pairs.join(hint(lm.bigrams), ["w1", "w2"], "left").join(
+            hint(lm.unigrams), ["w1"], "left"
+        )
+        lp = (
+            F.log(
+                (F.coalesce(F.col("c2"), F.lit(0.0)) + F.lit(lm.alpha))
+                / (
+                    F.coalesce(F.col("c1"), F.lit(0.0))
+                    + F.lit(lm.alpha * lm.vocab_size)
+                )
+            )
+        ).alias("lp")
     scored = (
-        pairs.join(bi, ["w1", "w2"], "left")
-        .join(uni, ["w1"], "left")
-        .select(id_col, *keep, lp)
+        joined.select(id_col, *keep, lp)
         .groupBy(id_col)
         .agg(
             *[F.first(c).alias(c) for c in keep],  # per-doc constants
@@ -303,6 +410,76 @@ def lm_perplexity_sql(
     last-ulp-amplifying, so the oracle pins avg_logp)."""
     ctes = _lm_score_ctes(table, id_expr, text_expr, train_where, alpha)
     return f"{ctes}\nSELECT doc_id, n_bigrams, avg_logp FROM sc"
+
+
+def kn_perplexity_sql(
+    table: str = "documents",
+    id_expr: str = "doc_id",
+    text_expr: str = "text",
+    train_where: str = "doc_id % 10 = 0",
+    discount: float = KN_DISCOUNT_DEFAULT,
+    alpha: float = ALPHA_DEFAULT,
+) -> str:
+    """DuckDB twin of :func:`lm_perplexity` over a
+    :class:`KneserNeyLM` — re-derives the bigram counts, context
+    marginals/fan-outs, continuation counts, the UNK-floored
+    continuation distribution, and the interpolated KN probability
+    with the same operation grouping as the Column expression."""
+    t = duckdb_tokens_sql(text_expr)
+    d = float(discount)
+    a = float(alpha)
+    p_cont = (
+        f"((coalesce(n.n_bwd, 0) + {a!r}) / "
+        f"((SELECT n1p FROM tot) + {a!r} * ((SELECT vs FROM vocab) + 1)))"
+    )
+    return f"""
+WITH tr AS (
+  SELECT {t} AS t FROM {table} WHERE {train_where}
+),
+bi AS (
+  SELECT w1, w2, count(*)::DOUBLE AS c2
+  FROM (
+    SELECT t[i] AS w1, t[i + 1] AS w2
+    FROM tr, unnest(range(1, len(t))) AS u(i)
+  )
+  GROUP BY 1, 2
+),
+ctx AS (
+  SELECT w1, sum(c2) AS c1m, count(*)::DOUBLE AS n_fwd FROM bi GROUP BY 1
+),
+cont AS (SELECT w2, count(*)::DOUBLE AS n_bwd FROM bi GROUP BY 1),
+tot AS (SELECT count(*)::DOUBLE AS n1p FROM bi),
+vocab AS (
+  SELECT count(DISTINCT w)::DOUBLE AS vs
+  FROM (SELECT unnest(t) AS w FROM tr WHERE len(t) > 0)
+),
+docs AS (
+  SELECT {id_expr} AS doc_id, {t} AS t FROM {table}
+),
+pairs AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM docs, unnest(range(1, len(t))) AS u(i)
+),
+scored AS (
+  SELECT p.doc_id,
+         ln(CASE WHEN coalesce(x.c1m, 0) > 0
+                 THEN greatest(coalesce(b.c2, 0) - {d!r}, 0) / x.c1m
+                      + {d!r} * coalesce(x.n_fwd, 0) / x.c1m * {p_cont}
+                 ELSE {p_cont} END) AS lp
+  FROM pairs p
+  LEFT JOIN bi b ON b.w1 = p.w1 AND b.w2 = p.w2
+  LEFT JOIN ctx x ON x.w1 = p.w1
+  LEFT JOIN cont n ON n.w2 = p.w2
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_bigrams, avg(lp) AS avg_lp
+  FROM scored GROUP BY 1
+)
+SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams,
+       round(a.avg_lp, 6) AS avg_logp
+FROM (SELECT DISTINCT {id_expr} AS doc_id FROM {table}) d
+LEFT JOIN agg a ON a.doc_id = d.doc_id
+"""
 
 
 def lm_buckets_sql(

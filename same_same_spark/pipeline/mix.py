@@ -235,13 +235,14 @@ def prepare_training_corpus(
     if lm_ref_df is not None and cfg.lm_max_perplexity is not None:
         from same_same_spark.pipeline.lm import (
             BigramLM,
+            KneserNeyLM,
             lm_perplexity,
             train_bigram_lm,
         )
 
         model = (
             lm_ref_df
-            if isinstance(lm_ref_df, BigramLM)
+            if isinstance(lm_ref_df, (BigramLM, KneserNeyLM))
             else train_bigram_lm(
                 lm_ref_df, text_col=cfg.text_col, alpha=cfg.lm_alpha
             )
@@ -359,9 +360,13 @@ def mix_report(
     if with_lm and cfg.lm_max_perplexity is not None:
         # train ONCE up front — otherwise every stage count at or
         # after "lm" would re-run the training aggregation
-        from same_same_spark.pipeline.lm import BigramLM, train_bigram_lm
+        from same_same_spark.pipeline.lm import (
+            BigramLM,
+            KneserNeyLM,
+            train_bigram_lm,
+        )
 
-        if not isinstance(lm_ref_df, BigramLM):
+        if not isinstance(lm_ref_df, (BigramLM, KneserNeyLM)):
             lm_ref_df = train_bigram_lm(
                 lm_ref_df, text_col=cfg.text_col, alpha=cfg.lm_alpha
             )

@@ -179,3 +179,125 @@ def test_lm_buckets_terciles_and_twin(spark, docs):
     assert {r["bucket"] for r in g2 if r["avg_logp"] is not None} == {
         "head", "middle", "tail"
     }
+
+
+# ---------------------------------------------------------------------------
+# Kneser-Ney smoothing
+# ---------------------------------------------------------------------------
+
+
+def _py_kn(train_texts, discount=0.75, alpha=0.5):
+    """Independent pure-Python interpolated-KN reference."""
+    bi: dict[tuple[str, str], int] = {}
+    vocab: set[str] = set()
+    for t in train_texts:
+        toks = tokenize_py(t)
+        vocab.update(toks)
+        for a, b in zip(toks, toks[1:]):
+            bi[(a, b)] = bi.get((a, b), 0) + 1
+    c1m: dict[str, float] = {}
+    n_fwd: dict[str, int] = {}
+    n_bwd: dict[str, int] = {}
+    for (a, b), c in bi.items():
+        c1m[a] = c1m.get(a, 0.0) + c
+        n_fwd[a] = n_fwd.get(a, 0) + 1
+        n_bwd[b] = n_bwd.get(b, 0) + 1
+    n1p = float(len(bi))
+    V = float(len(vocab))
+
+    def p(w1, w2):
+        p_cont = (n_bwd.get(w2, 0) + alpha) / (n1p + alpha * (V + 1))
+        if c1m.get(w1, 0.0) > 0:
+            c = bi.get((w1, w2), 0)
+            return (
+                max(c - discount, 0.0) / c1m[w1]
+                + discount * n_fwd[w1] / c1m[w1] * p_cont
+            )
+        return p_cont
+
+    def score(text):
+        toks = tokenize_py(text)
+        if len(toks) < 2:
+            return 0, None
+        lps = [math.log(p(a, b)) for a, b in zip(toks, toks[1:])]
+        return len(lps), sum(lps) / len(lps)
+
+    return p, score
+
+
+def test_kn_matches_pure_python(spark, docs):
+    from same_same_spark.pipeline.lm import lm_perplexity, train_kn_lm
+
+    train = [r["text"] for r in docs.filter("doc_id % 2 = 0").collect()]
+    lm = train_kn_lm(docs.filter("doc_id % 2 = 0"))
+    _, score = _py_kn(train)
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logp"])
+        for r in lm_perplexity(docs, lm).collect()
+    }
+    for r in docs.collect():
+        n, avg = score(r["text"])
+        exp = (n, None if avg is None else round(avg, 6))
+        assert got[r["doc_id"]] == exp, r["doc_id"]
+
+
+def test_kn_properties(spark, docs):
+    from same_same_spark.pipeline.lm import train_kn_lm
+
+    train_rows = docs.filter("doc_id % 2 = 0")
+    train = [r["text"] for r in train_rows.collect()]
+    p, _ = _py_kn(train)
+    lm = train_kn_lm(train_rows)
+    # seen-context distribution sums to ~1 over vocab+UNK (interpolated
+    # KN is a proper distribution; the UNK slot carries the remainder)
+    vocab = {w for t in train for w in tokenize_py(t)}
+    some_ctx = next(
+        a
+        for t in train
+        for a in tokenize_py(t)[:-1]
+        if len(tokenize_py(t)) > 1
+    )
+    total = sum(p(some_ctx, w) for w in vocab)
+    # remaining mass = sum over unseen-w2 continuation floor; bounded
+    assert 0.5 < total <= 1.0 + 1e-9
+    # OOV word under OOV context still has finite log-prob
+    assert p("zzzunseen", "qqqunseen") > 0.0
+    # discount validation
+    with pytest.raises(ValueError, match="discount"):
+        train_kn_lm(train_rows, discount=1.5)
+
+
+def test_kn_duckdb_twin_parity(spark, docs):
+    from same_same_spark.pipeline.lm import (
+        kn_perplexity_sql,
+        lm_perplexity,
+        train_kn_lm,
+    )
+
+    lm = train_kn_lm(docs.filter("doc_id % 2 = 0"))
+    got = sorted(
+        (r["doc_id"], r["n_bigrams"], r["avg_logp"])
+        for r in lm_perplexity(docs, lm).collect()
+    )
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    oracle = sorted(
+        (r[0], r[1], r[2])
+        for r in con.execute(
+            kn_perplexity_sql(train_where="doc_id % 2 = 0")
+        ).fetchall()
+    )
+    assert got == oracle and got
+
+
+def test_kn_buckets_and_mix_gate(spark, docs):
+    from same_same_spark.pipeline.lm import lm_buckets, train_kn_lm
+    from same_same_spark.pipeline.mix import MixConfig, prepare_training_corpus
+
+    lm = train_kn_lm(docs.filter("doc_id % 2 = 0"))
+    b = lm_buckets(docs, lm)
+    buckets = {r["bucket"] for r in b.collect()}
+    assert buckets <= {"head", "middle", "tail", None}
+    cfg = MixConfig(exact=False, lm_max_perplexity=1e9)
+    out = prepare_training_corpus(docs, cfg, lm_ref_df=lm)
+    assert out.count() == docs.count()  # huge threshold keeps all
