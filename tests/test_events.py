@@ -388,3 +388,24 @@ def test_interval_join_validation(spark, left_right):
             left, right, on="user", lookback_seconds=1,
             right_cols=["ts"],
         )
+
+
+def test_interval_join_lookahead_and_tiny_bounds(spark, left_right):
+    from same_same_spark.operators.events import interval_join
+
+    left, right = left_right
+    # forward window: purchases up to 10 minutes AFTER the click
+    out = interval_join(
+        left, right, on="user", lookback_seconds=0,
+        lookahead_seconds=10 * 60, right_cols=["rid"],
+    )
+    pairs = {(r["event_id"], r["r_rid"]) for r in out.collect()}
+    # event 1 @10: rights @20 (+10min, inclusive) and NOT @25 (+15)
+    assert (1, 101) in pairs and (1, 102) not in pairs
+    # fractional sub-second bounds must not hit the INTERVAL parser's
+    # scientific-notation trap (regression: 1e-05 -> ParseException)
+    tiny = interval_join(
+        left, right, on="user", lookback_seconds=1e-05,
+        right_cols=["rid"],
+    )
+    assert tiny.count() >= 0  # plan parses and runs
