@@ -109,27 +109,36 @@ def dsir_log_weights(
     elsewhere, the LM-gate convention)."""
     if alpha <= 0:
         raise ValueError("alpha must be > 0")
+    spark = raw_df.sparkSession
     tgt = bucket_counts(target_df, target_text_col, n, n_buckets)
     raw = bucket_counts(raw_df, text_col, n, n_buckets)
-    # ln p̂[b] = ln(cnt_b + α) − ln(total + α·B); the subtraction of the
-    # two normalizers is a per-corpus CONSTANT, folded in driver-side
-    # from two tiny aggregates (n_buckets-row inputs)
-    t_total = tgt.agg(F.sum("cnt")).first()[0] or 0
-    r_total = raw.agg(F.sum("cnt")).first()[0] or 0
-    const = math.log(float(r_total) + alpha * n_buckets) - math.log(
-        float(t_total) + alpha * n_buckets
-    )
-    weights = (
+    # Materialize the joined bucket table ONCE (≤ 2·n_buckets rows —
+    # driver memory is bounded by the caller's n_buckets choice, the
+    # lm_buckets eager-cuts precedent) and derive the normalizer
+    # totals from those SAME rows: one pass over each corpus total,
+    # where lazy/eager totals branches would re-run the corpus
+    # explodes (measured 2 extra passes at bench scale).
+    joined = (
         tgt.selectExpr("bucket", "cnt AS t_cnt")
         .join(raw.selectExpr("bucket", "cnt AS r_cnt"), "bucket", "full")
-        .select(
-            "bucket",
+        .collect()
+    )
+    t_total = float(sum(r["t_cnt"] or 0 for r in joined))
+    r_total = float(sum(r["r_cnt"] or 0 for r in joined))
+    const = math.log(r_total + alpha * n_buckets) - math.log(
+        t_total + alpha * n_buckets
+    )
+    weights = spark.createDataFrame(
+        [
             (
-                F.log(F.coalesce(F.col("t_cnt"), F.lit(0)) + F.lit(alpha))
-                - F.log(F.coalesce(F.col("r_cnt"), F.lit(0)) + F.lit(alpha))
-                + F.lit(const)
-            ).alias("lw"),
-        )
+                int(r["bucket"]),
+                math.log((r["t_cnt"] or 0) + alpha)
+                - math.log((r["r_cnt"] or 0) + alpha)
+                + const,
+            )
+            for r in joined
+        ],
+        "bucket LONG, lw DOUBLE",
     )
     sh, bucket = _bucket_col(text_col, n, n_buckets)
     doc_buckets = raw_df.select(
