@@ -952,3 +952,50 @@ def test_animated_first_frame_composites_on_canvas():
     )
     with pytest.raises(UnsupportedImageError, match="lossy"):
         decode_webp(lossy_frame)
+
+
+# ---------------------------------------------------------------------------
+# hypothesis: round trip under randomized shapes/configs (with shrinking)
+# ---------------------------------------------------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAS_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    _HAS_HYPOTHESIS = False
+
+
+if _HAS_HYPOTHESIS:
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        h=st.integers(1, 24),
+        w=st.integers(1, 24),
+        n_colors=st.integers(2, 48),
+        seed=st.integers(0, 10**6),
+        transforms=st.sampled_from(
+            [
+                (),
+                ("subtract_green",),
+                ("predictor",),
+                ("color",),
+                ("palette",),
+                ("subtract_green", "predictor"),
+                ("color", "subtract_green", "predictor"),
+            ]
+        ),
+        lz77=st.booleans(),
+        cache_bits=st.sampled_from([0, 1, 3, 8]),
+        max_symbol=st.booleans(),
+    )
+    def test_hypothesis_round_trip(
+        h, w, n_colors, seed, transforms, lz77, cache_bits, max_symbol
+    ):
+        img = _rand_img(h, w, n_colors, seed=seed)
+        data = encode_webp_lossless(
+            img, transforms=transforms, lz77=lz77,
+            cache_bits=cache_bits, max_symbol=max_symbol,
+        )
+        assert np.array_equal(decode_webp(data), img)
