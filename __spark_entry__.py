@@ -3182,6 +3182,36 @@ FROM r WHERE rank <= 50
 """
 
 
+def _q_corpus_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus drift diagnostic (dsir.corpus_divergence): KL both ways
+    + Jensen-Shannon between the doc_id%10 slice and the rest, over
+    the same smoothed hashed-bigram distributions dsir_weights
+    verifies; the two bucket passes are the only distributed work,
+    the reduce folds driver-side with the all-empty-bucket remainder
+    in closed form."""
+    from same_same_spark.pipeline.dsir import corpus_divergence
+
+    docs = _docs(spark, sf_dir)
+    d = corpus_divergence(
+        docs.filter(F.col("doc_id") % 10 == 0),
+        docs.filter(F.col("doc_id") % 10 != 0),
+        **_DSIR_KW,
+    )
+    return spark.createDataFrame(
+        [(round(d["kl_ab"], 6), round(d["kl_ba"], 6), round(d["js"], 6))],
+        "kl_ab DOUBLE, kl_ba DOUBLE, js DOUBLE",
+    )
+
+
+def _sql_corpus_divergence() -> str:
+    from same_same_spark.pipeline.dsir import corpus_divergence_sql
+
+    return corpus_divergence_sql(
+        "documents", a_where="doc_id % 10 = 0",
+        b_where="doc_id % 10 <> 0", **_DSIR_KW,
+    )
+
+
 # Deterministic synthetic URLs over documents for the per-domain cap:
 # one giant host (every doc_id % 3 == 0), a 37-host long tail, scheme/
 # www./tracking noise exercising canonicalization, NULL urls (% 41)
@@ -3998,6 +4028,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # composition exception; its full-value oracle (the whole WITH
     # chain + the Gumbel expression) is compared by tests/test_entry.
     "dsir_select": (_q_dsir_select, _sql_dsir_select()),
+    # corpus_divergence = a driver-side closed-form reduce over the
+    # SAME smoothed bucket distributions in-top-50 dsir_weights
+    # verifies per-document; tail placement per the composition
+    # exception, full-value oracle compared by tests/test_entry +
+    # hand-property tests in test_dsir.
+    "corpus_divergence": (_q_corpus_divergence, _sql_corpus_divergence()),
 }
 
 

@@ -53,9 +53,11 @@ from same_same_spark.pipeline.sampling import hash_uniform_col, hash_uniform_sql
 
 __all__ = [
     "bucket_counts",
+    "corpus_divergence",
     "dsir_log_weights",
     "dsir_topk",
     "dsir_sql_ctes",
+    "corpus_divergence_sql",
 ]
 
 DEFAULT_N = 2
@@ -155,6 +157,113 @@ def dsir_log_weights(
             F.coalesce(F.sum("lw"), F.lit(0.0)).alias("log_w"),
         )
     )
+
+
+def corpus_divergence(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    text_col_a: str = "text",
+    text_col_b: str = "text",
+    n: int = DEFAULT_N,
+    n_buckets: int = DEFAULT_BUCKETS,
+    alpha: float = 1.0,
+) -> dict[str, float]:
+    """Distribution drift between two corpora over the SAME smoothed
+    hashed-n-gram model DSIR selects with: returns ``{"kl_ab",
+    "kl_ba", "js"}`` (nats; JS uses the standard ½-mixture). The
+    standard dataset-card diagnostic for "did this month's crawl move
+    away from the reference mix".
+
+    Shape: the two ``bucket_counts`` corpus passes are the only
+    distributed work; the divergences reduce driver-side over the
+    collected ≤ 2·n_buckets-row joined table, with the (B − seen)
+    all-empty buckets folded in closed form (they share one smoothed
+    probability pair)."""
+    if alpha <= 0:
+        raise ValueError("alpha must be > 0")
+    a = bucket_counts(df_a, text_col_a, n, n_buckets)
+    b = bucket_counts(df_b, text_col_b, n, n_buckets)
+    joined = (
+        a.selectExpr("bucket", "cnt AS a_cnt")
+        .join(b.selectExpr("bucket", "cnt AS b_cnt"), "bucket", "full")
+        .collect()
+    )
+    a_total = float(sum(r["a_cnt"] or 0 for r in joined))
+    b_total = float(sum(r["b_cnt"] or 0 for r in joined))
+    za = a_total + alpha * n_buckets
+    zb = b_total + alpha * n_buckets
+    kl_ab = kl_ba = js = 0.0
+    for r in joined:
+        pa = ((r["a_cnt"] or 0) + alpha) / za
+        pb = ((r["b_cnt"] or 0) + alpha) / zb
+        m = 0.5 * (pa + pb)
+        kl_ab += pa * math.log(pa / pb)
+        kl_ba += pb * math.log(pb / pa)
+        js += 0.5 * pa * math.log(pa / m) + 0.5 * pb * math.log(pb / m)
+    empty = n_buckets - len(joined)
+    if empty:
+        pa = alpha / za
+        pb = alpha / zb
+        m = 0.5 * (pa + pb)
+        kl_ab += empty * pa * math.log(pa / pb)
+        kl_ba += empty * pb * math.log(pb / pa)
+        js += empty * (
+            0.5 * pa * math.log(pa / m) + 0.5 * pb * math.log(pb / m)
+        )
+    return {"kl_ab": kl_ab, "kl_ba": kl_ba, "js": js}
+
+
+def corpus_divergence_sql(
+    rel: str = "documents",
+    a_where: str = "TRUE",
+    b_where: str = "TRUE",
+    n: int = DEFAULT_N,
+    n_buckets: int = DEFAULT_BUCKETS,
+    alpha: float = 1.0,
+) -> str:
+    """DuckDB twin of :func:`corpus_divergence` (full one-row SELECT:
+    ``kl_ab, kl_ba, js`` rounded to 6dp), with the all-empty-bucket
+    remainder folded in the same closed form."""
+    from same_same_spark.text.tokenizer import duckdb_tokens_sql
+
+    toks = duckdb_tokens_sql("text")
+    shingles = word_shingles_sql("toks", n)
+    g = (
+        f"SELECT {hash60_sql('g')} % {n_buckets} AS bucket "
+        f"FROM (SELECT unnest({shingles}) AS g "
+        f"FROM (SELECT {toks} AS toks FROM {rel} WHERE {{where}}))"
+    )
+    return f"""
+WITH acnt AS (
+  SELECT bucket, count(*) AS cnt FROM ({g.format(where=a_where)}) GROUP BY 1
+),
+bcnt AS (
+  SELECT bucket, count(*) AS cnt FROM ({g.format(where=b_where)}) GROUP BY 1
+),
+j AS (
+  SELECT coalesce(a.cnt, 0)::DOUBLE AS a_cnt,
+         coalesce(b.cnt, 0)::DOUBLE AS b_cnt
+  FROM acnt a FULL JOIN bcnt b ON a.bucket = b.bucket
+),
+z AS (
+  SELECT coalesce(sum(a_cnt), 0) + {alpha!r} * {n_buckets} AS za,
+         coalesce(sum(b_cnt), 0) + {alpha!r} * {n_buckets} AS zb,
+         {n_buckets} - count(*) AS empty
+  FROM j
+),
+p AS (
+  SELECT (a_cnt + {alpha!r}) / za AS pa, (b_cnt + {alpha!r}) / zb AS pb
+  FROM j, z
+  UNION ALL
+  SELECT {alpha!r} / za AS pa, {alpha!r} / zb AS pb
+  FROM z, unnest(range(1, empty + 1)) AS u(i)
+)
+SELECT round(sum(pa * ln(pa / pb)), 6) AS kl_ab,
+       round(sum(pb * ln(pb / pa)), 6) AS kl_ba,
+       round(sum(0.5 * pa * ln(pa / ((pa + pb) / 2))
+                 + 0.5 * pb * ln(pb / ((pa + pb) / 2))), 6) AS js
+FROM p
+"""
 
 
 def dsir_topk(

@@ -139,3 +139,35 @@ def test_validation(spark):
         dsir.dsir_log_weights(raw, tgt, alpha=0.0)
     with pytest.raises(ValueError, match="temperature"):
         dsir.dsir_topk(raw, tgt, k=3, temperature=0.0)
+
+
+def test_corpus_divergence_properties_and_parity(spark):
+    raw, tgt = _corpus(spark)
+    evens = raw.filter("doc_id % 2 = 0")
+    odds = raw.filter("doc_id % 2 = 1")
+    # identical corpora: every bucket pair has pa == pb -> exactly 0
+    same = dsir.corpus_divergence(evens, evens, n_buckets=2048)
+    assert same == {"kl_ab": 0.0, "kl_ba": 0.0, "js": 0.0}
+    # disjoint-vocabulary corpora diverge; JS is symmetric + bounded
+    d = dsir.corpus_divergence(evens, odds, n_buckets=2048)
+    assert d["kl_ab"] > 0.01 and d["kl_ba"] > 0.01
+    assert 0 < d["js"] <= math.log(2) + 1e-9
+    dsym = dsir.corpus_divergence(odds, evens, n_buckets=2048)
+    assert abs(dsym["js"] - d["js"]) < 1e-9
+    # a near-target slice sits closer to the target than noise does
+    near = dsir.corpus_divergence(tgt, evens, n_buckets=2048)["js"]
+    far = dsir.corpus_divergence(tgt, odds, n_buckets=2048)["js"]
+    assert near < far
+    # DuckDB twin parity (6dp, the entry contract)
+    con = duckdb.connect()
+    con.register("documents", raw.toPandas())
+    sql = dsir.corpus_divergence_sql(
+        "documents", a_where="doc_id % 2 = 0", b_where="doc_id % 2 = 1",
+        n_buckets=2048,
+    )
+    row = con.execute(sql).fetchone()
+    assert row == (
+        round(d["kl_ab"], 6), round(d["kl_ba"], 6), round(d["js"], 6)
+    )
+    with pytest.raises(ValueError, match="alpha"):
+        dsir.corpus_divergence(evens, odds, alpha=0)
