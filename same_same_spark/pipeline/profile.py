@@ -95,7 +95,7 @@ WITH rows_ AS (
 )
 SELECT stratum,
        count(*) AS n_docs,
-       sum(n_tokens) AS total_tokens,
+       sum(n_tokens)::BIGINT AS total_tokens,
        avg(n_tokens) AS mean_tokens,
        quantile_cont(n_tokens, 0.5) AS p50_tokens,
        quantile_cont(n_tokens, 0.9) AS p90_tokens,
