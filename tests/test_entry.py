@@ -4,7 +4,6 @@ order-insensitive) — a local replica of the driver's CORRECTNESS gate."""
 
 from __future__ import annotations
 
-import math
 import sys
 
 import duckdb
@@ -44,6 +43,12 @@ def _canon(pdf: pd.DataFrame) -> pd.DataFrame:
 
 
 def _assert_match(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame):
+    """Mirror the driver's CORRECTNESS hash: dtype-exact, 6dp-rounded.
+
+    The driver hashes canonicalized values exactly, so int64 vs float64
+    drift (e.g. an uncast DuckDB HUGEINT sum) must FAIL here even though
+    the numeric values agree — no isclose escape hatch.
+    """
     assert len(spark_pdf) == len(oracle_pdf), (
         f"{name}: row count {len(spark_pdf)} != oracle {len(oracle_pdf)}"
     )
@@ -54,12 +59,17 @@ def _assert_match(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame):
     a, b = _canon(spark_pdf), _canon(oracle_pdf)
     for col in a.columns:
         av, bv = a[col], b[col]
-        if av.dtype.kind == "f" or bv.dtype.kind == "f":
+        assert av.dtype.kind == bv.dtype.kind, (
+            f"{name}.{col}: dtype kind {av.dtype} (spark) != "
+            f"{bv.dtype} (oracle) — the driver hashes these differently"
+        )
+        if av.dtype.kind == "f":
             for i, (x, y) in enumerate(zip(av, bv)):
-                ok = (pd.isna(x) and pd.isna(y)) or math.isclose(
-                    float(x), float(y), rel_tol=0, abs_tol=1.5e-6
+                if pd.isna(x) and pd.isna(y):
+                    continue
+                assert round(float(x), 6) == round(float(y), 6), (
+                    f"{name}.{col}[{i}]: {x!r} != {y!r} at 6dp"
                 )
-                assert ok, f"{name}.{col}[{i}]: {x} != {y}"
         else:
             mism = (av.astype(str) != bv.astype(str))
             assert not mism.any(), (
@@ -79,6 +89,24 @@ def test_oracle_keys_subset_of_queries():
     q, o = entrymod.queries(), entrymod.oracle_sql()
     assert set(o) <= set(q)
     assert len(q) > 0
+
+
+def test_no_hugeint_oracle_columns(con):
+    """DuckDB sum() over integers yields HUGEINT, which pandas turns into
+    float64 while Spark returns int64 — the driver's exact hash then
+    diverges even when values match (r4: corpus_profile). Reject the type
+    class at the SQL boundary so the failure is impossible to reship."""
+    banned = {"HUGEINT", "UHUGEINT"}
+    offenders = []
+    for name, sql in sorted(entrymod.oracle_sql().items()):
+        desc = con.sql(f"DESCRIBE ({sql})").df()
+        for _, row in desc.iterrows():
+            if row["column_type"].upper() in banned:
+                offenders.append(f"{name}.{row['column_name']}")
+    assert not offenders, (
+        "oracle columns with HUGEINT output (cast to ::BIGINT): "
+        + ", ".join(offenders)
+    )
 
 
 @pytest.mark.parametrize("name", sorted(entrymod.queries()))

@@ -7,7 +7,7 @@ while being written)."""
 
 from __future__ import annotations
 
-import heapq
+
 import struct
 
 import numpy as np
@@ -79,22 +79,33 @@ class _W:
 
 
 def _huff_lengths(freqs: dict[int, int], max_len: int) -> dict[int, int]:
-    """Code lengths via plain Huffman (tiny inputs; asserts the cap)."""
-    items = [(f, s) for s, f in freqs.items() if f > 0]
+    """Length-limited code lengths via package-merge (coin collector).
+
+    Plain Huffman can exceed VP8L's depth caps (7 for the code-length
+    code) on skewed distributions — a real encoder must length-limit,
+    so this one does too. Package-merge yields Kraft-exact optimal
+    lengths with max depth <= max_len whenever n_symbols <= 2**max_len.
+    """
+    items = sorted((f, s) for s, f in freqs.items() if f > 0)
     if not items:
         raise ValueError("no symbols")
     if len(items) == 1:
         return {items[0][1]: 1}
-    heap = [(f, s, (s,)) for f, s in items]
-    heapq.heapify(heap)
-    depth: dict[int, int] = {s: 0 for _, s in items}
-    while len(heap) > 1:
-        f1, t1, m1 = heapq.heappop(heap)
-        f2, t2, m2 = heapq.heappop(heap)
-        for s in m1 + m2:
+    n = len(items)
+    assert n <= (1 << max_len), "alphabet cannot fit under the depth cap"
+    singles = [(f, (s,)) for f, s in items]
+    level = list(singles)
+    for _ in range(max_len - 1):
+        packages = [
+            (level[i][0] + level[i + 1][0], level[i][1] + level[i + 1][1])
+            for i in range(0, len(level) - 1, 2)
+        ]
+        level = sorted(packages + singles)
+    depth = {s: 0 for _, s in items}
+    for _, members in level[: 2 * n - 2]:
+        for s in members:
             depth[s] += 1
-        heapq.heappush(heap, (f1 + f2, min(t1, t2), m1 + m2))
-    assert max(depth.values()) <= max_len, "test distribution too deep"
+    assert max(depth.values()) <= max_len
     return depth
 
 
