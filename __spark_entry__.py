@@ -3717,18 +3717,14 @@ FROM s GROUP BY 1, 2
 
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # ------------------------------------------------------------------
-    # Declaration order is the driver's verification order (the r3 run
-    # consumed exactly the first 50 entries).  VERDICT_r3 #1 priority:
-    # 1-15  entries that never got a driver CORRECTNESS row,
-    # 16-20 new round-4 entries,
-    # 21-50 every entry that is the SOLE evidence for a SURVEY §2
-    #       MAIN-table row (sources S1-S4 and euclidean X6 included),
-    # 51+   rotation overflow, all green in CORRECTNESS_r03: secondary
-    #       (LLM-pipeline)-table entries whose rows read pass(r3) +
-    #       redundant SQL twins of in-top-50 entries (same oracle,
-    #       Spark-side divergence pinned by tests/test_entry.py over
-    #       ALL 77). If the cap stays 50, rotate these to the top next
-    #       round.
+    # DEFINITIONS ONLY — since round 5 the driver verification order
+    # lives in _ORDER below (the driver checks the first 50 names that
+    # queries()/oracle_sql() yield).  The per-entry comments in this
+    # dict record each entry's evidence history; the rotation contract
+    # itself (never-verified sole evidence must sit <= 50, twin-tail
+    # entries must name an in-registry witness) is machine-checked by
+    # tests/test_entry.py::test_registry_rotation_contract against
+    # _ORDER + _TWIN_WITNESS + the CORRECTNESS_r*.json history.
     # ------------------------------------------------------------------
     "training_mix": (_q_training_mix, _sql_training_mix()),
     "contamination": (_q_contamination, _SQL_CONTAMINATION),
@@ -4036,6 +4032,162 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "corpus_divergence": (_q_corpus_divergence, _sql_corpus_divergence()),
 }
 
+# ---------------------------------------------------------------------------
+# Driver verification order (round 5 rotation).  The driver consumes the
+# first 50 names.  Blocks:
+#   1-11   never driver-verified: the two r4 hash-reds (corpus_profile,
+#          profile_incremental — fixed this round) + the eight twin-tail
+#          entries that never got a driver row + bpe_encode (rows-only
+#          by design; re-recorded each round it sits <= 50).
+#   then   new round-5 entries, inserted here as they land (each insert
+#          bumps the lowest rotate-back below into the r4-green tail).
+#   then   rotate-backs: every entry whose last green row is r2/r3,
+#          euclidean_topk first (VERDICT_r4 #4 / the registry contract),
+#          minus witness-backed twins that stay in the tail.
+#   51+    the 47 entries green in CORRECTNESS_r04 (freshest evidence,
+#          safe to skip a round) + witness-backed twins last.
+# ---------------------------------------------------------------------------
+_ORDER: list[str] = [
+    # --- never driver-verified (11) -----------------------------------
+    "corpus_profile",
+    "profile_incremental",
+    "passage_topk",
+    "ann_hnsw_persisted",
+    "lcs_strip",
+    "session_windows",
+    "pq_ivf_topk",
+    "pq_mirror_topk",
+    "dsir_select",
+    "corpus_divergence",
+    "bpe_encode",
+    # --- new round-5 entries land here --------------------------------
+    # --- rotate-backs (last green r2/r3) -------------------------------
+    "euclidean_topk",
+    "events_hourly",
+    "vocab_prune",
+    "search_by_text_indexed",
+    "vector_topk",
+    "event_age_buckets",
+    "temporal_topk",
+    "vector_dim_mismatch",
+    "tags_split",
+    "legacy_metadata_eq",
+    "metadata_score",
+    "doc_token_stats",
+    "source_quotes",
+    "clip_image_features",
+    "source_csv",
+    "source_jsonl",
+    "source_hf",
+    "list_projection",
+    "dedup_exact",
+    "shared_spans",
+    "dedup_minhash",
+    "dedup_clusters",
+    "simhash_docs",
+    "dedup_embedding",
+    "ann_brute_topk",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "simhash_pairs",
+    "lang_id",
+    "quality_scores",
+    "temporal_decay",
+    "temporal_search",
+    "dedup_prefix",
+    "dedup_ngram_jaccard",
+    "ann_lsh_persisted",
+    "ann_ivf_persisted",
+    "tfidf_topk_indexed",
+    "filter_metadata_map",
+    "search_by_text",
+    # --- position 51+: green in CORRECTNESS_r04 ------------------------
+    "training_mix",
+    "contamination",
+    "c4_filter",
+    "pii_redact",
+    "sample_quota",
+    "sample_stratified",
+    "split_assign",
+    "repetition_metrics",
+    "top_ngram",
+    "token_counts",
+    "fingerprints",
+    "multimodal_features",
+    "ingest_stats",
+    "span_dedup",
+    "profile_index_fed",
+    "pack_sequences",
+    "ann_hnsw_topk",
+    "lcs_pairs",
+    "chunk_docs",
+    "ann_hnsw_after_repair",
+    "lm_perplexity",
+    "lm_buckets",
+    "line_dedup",
+    "bpe_pair_counts",
+    "audio_features",
+    "video_frames",
+    "asof_join",
+    "events_sessionize",
+    "global_line_dedup",
+    "semdedup",
+    "pq_adc_topk",
+    "rrf_fuse",
+    "url_dedup",
+    "interval_join",
+    "host_cap",
+    "opq_adc_topk",
+    "dsir_weights",
+    "kn_perplexity",
+    "term_df_top100",
+    "corpus_overview",
+    "filter_expr",
+    "index_bm25_topk",
+    "index_bm25_topk_after_delete",
+    "tfidf_topk",
+    "clip_text_topk",
+    "hybrid_search_indexed",
+    "filter_search_indexed",
+    # --- witness-backed twins (r3-green, lowest rotation priority) -----
+    "bm25_topk",
+    "hybrid_search",
+]
+
+# Twin-tail witness map (the codified exception, machine-checkable):
+# an entry may sit past position 50 while never driver-verified ONLY if
+# its witness chain reaches an entry that is driver-green or <= 50.
+# Each value names the in-registry entry whose green row covers the
+# key's oracle identity (result-identical twin or a pure composition of
+# verified pieces); the Spark-vs-oracle identity of every key is still
+# full-value-compared by tests/test_entry.py.
+_TWIN_WITNESS: dict[str, str] = {
+    "bm25_topk": "index_bm25_topk",          # shared _SQL_BM25_TOPK, rank-identical
+    "search_by_text": "search_by_text_indexed",
+    "hybrid_search": "hybrid_search_indexed",
+    "filter_metadata_map": "filter_expr",    # F2/F3 subsumes the equality semantics
+    "tfidf_topk_indexed": "tfidf_topk",      # shared _SQL_TFIDF_TOPK
+    "passage_topk": "chunk_docs",            # chunk_documents ∘ score_queries
+    "lcs_strip": "lcs_pairs",                # measured pairs ∘ strip_char_ranges
+    "session_windows": "events_sessionize",  # identical 6h-gap cuts (test_sessions)
+    "pq_ivf_topk": "pq_adc_topk",            # encode/ADC math + ann_ivf probe rule
+    "pq_mirror_topk": "pq_ivf_topk",         # same centroids/codebooks/probe rule
+    "dsir_select": "dsir_weights",           # Gumbel top-k over verified log_w
+    "corpus_divergence": "dsir_weights",     # closed-form over the same buckets
+    "ann_hnsw_persisted": "ann_hnsw_topk",   # build determinism (test_hnsw)
+    "ann_lsh_persisted": "ann_lsh_topk",
+    "ann_ivf_persisted": "ann_ivf_topk",
+    "dedup_prefix": "dedup_minhash",         # shared exact-Jaccard oracle (0.9)
+    "dedup_ngram_jaccard": "dedup_minhash",  # same oracle family at 0.8
+}
+
+assert len(_ORDER) == len(set(_ORDER)), "duplicate names in _ORDER"
+assert set(_ORDER) == set(_REGISTRY), (
+    "_ORDER and _REGISTRY disagree: "
+    f"missing={set(_REGISTRY) - set(_ORDER)} extra={set(_ORDER) - set(_REGISTRY)}"
+)
+assert set(_TWIN_WITNESS) <= set(_REGISTRY)
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: BM25 top-k over the
@@ -4044,10 +4196,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: fn for name, (fn, _) in _REGISTRY.items()}
+    return {name: _REGISTRY[name][0] for name in _ORDER}
 
 
 def oracle_sql() -> dict[str, str]:
     return {
-        name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None
+        name: _REGISTRY[name][1]
+        for name in _ORDER
+        if _REGISTRY[name][1] is not None
     }

@@ -91,6 +91,52 @@ def test_oracle_keys_subset_of_queries():
     assert len(q) > 0
 
 
+def test_registry_rotation_contract():
+    """Machine-check the registry contract (CLAUDE.md): an entry with no
+    green driver CORRECTNESS row may sit past position 50 ONLY if its
+    _TWIN_WITNESS chain reaches an entry that is driver-green or itself
+    inside the top-50 — a future insert can no longer silently bury
+    sole evidence in the tail."""
+    import glob
+    import json
+
+    order = entrymod._ORDER
+    witness = entrymod._TWIN_WITNESS
+    assert len(order) == len(set(order))
+    assert set(order) == set(entrymod._REGISTRY)
+    assert list(entrymod.queries()) == order
+
+    green: set[str] = set()
+    for path in glob.glob("/root/repo/CORRECTNESS_r*.json"):
+        for name, row in json.load(open(path)).items():
+            if (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+            ):
+                green.add(name)
+    assert green, "no driver CORRECTNESS history found"
+
+    pos = {name: i + 1 for i, name in enumerate(order)}
+
+    def covered(name: str, seen: frozenset[str] = frozenset()) -> bool:
+        if name in green or pos[name] <= 50:
+            return True
+        w = witness.get(name)
+        if w is None or w == name or w in seen:
+            return False
+        assert w in pos, f"{name}: witness {w} not in registry"
+        return covered(w, seen | {name})
+
+    buried = [
+        f"{n} (pos {pos[n]})" for n in order if not covered(n)
+    ]
+    assert not buried, (
+        "never-driver-verified entries without a witness sit past 50: "
+        + ", ".join(buried)
+    )
+
+
 def test_no_hugeint_oracle_columns(con):
     """DuckDB sum() over integers yields HUGEINT, which pandas turns into
     float64 while Spark returns int64 — the driver's exact hash then
