@@ -3460,7 +3460,13 @@ def _pq_mirror_dir(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     ).hexdigest()[:10]
     ann = f"{tempfile.gettempdir()}/ss_entry_pqmirror_ann_{tag}"
     pq = f"{tempfile.gettempdir()}/ss_entry_pqmirror_pq_{tag}"
-    if not os.path.exists(os.path.join(pq, "pq_mirror.json")):
+    # Gate the cache on SYNC completion, not just the manifest:
+    # init_pq_mirror writes pq_mirror.json before sync_pq_mirror runs,
+    # so a crash between the two would otherwise leave a cached dir
+    # whose codes parquet never exists (every later run then fails
+    # until the source mtime changes the tag).
+    done = os.path.join(pq, "_entry_synced")
+    if not os.path.exists(done):
         shutil.rmtree(ann, ignore_errors=True)
         shutil.rmtree(pq, ignore_errors=True)
         emb = _emb(spark, sf_dir)
@@ -3470,6 +3476,8 @@ def _pq_mirror_dir(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
             spark, ann, pq, codebooks=pq_ops.slice_codebooks(cents, m=8)
         )
         pqm.sync_pq_mirror(spark, ann, pq, log=lambda *_: None)
+        with open(done, "w") as fh:
+            fh.write("ok\n")
     return ann, pq
 
 

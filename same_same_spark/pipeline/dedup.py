@@ -808,6 +808,7 @@ def semdedup_keep(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     embedding_col: str = "embedding",
+    max_cluster_size: int = 100_000,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication over an embedding column. Assign every vector to its
@@ -829,17 +830,43 @@ def semdedup_keep(
     :func:`~same_same_spark.pipeline.ann_store.kmeans_centroids`).
     Cross-cluster near-dups are invisible by design — that recall/cost
     trade IS the algorithm. Centroids broadcast; nothing driver-side.
+
+    Giant-cluster guard: a degenerate KMeans fit (one mega-cluster)
+    would land a quadratic self-join on ONE task. Clusters larger than
+    ``max_cluster_size`` are therefore hash-split into
+    ``ceil(size / max_cluster_size)`` blocks and the self-join runs on
+    (cluster, block-pair) keys — every pair still meets exactly once
+    (the a-side copy tagged with b's block meets the b-side copy tagged
+    with a's block), so results are IDENTICAL to the unblocked join
+    while per-task pair count is bounded by ``max_cluster_size²`` and
+    the replication factor of an n-block cluster is n on each side.
+    Normal-size clusters keep replication 1.
     """
     from same_same_spark.pipeline.ann import assign_centroids
 
     asg = assign_centroids(
         df, centroids, id_col=id_col, embedding_col=embedding_col
     )
-    a, b = asg.alias("a"), asg.alias("b")
+    sizes = asg.groupBy("centroid_id").agg(F.count("*").alias("__csize"))
+    asg = asg.join(F.broadcast(sizes), "centroid_id").withColumn(
+        "__nb",
+        F.ceil(F.col("__csize") / F.lit(int(max_cluster_size))).cast("int"),
+    )
+    asg = asg.withColumn(
+        "__blk",
+        F.pmod(F.xxhash64(F.col(id_col)), F.col("__nb")).cast("int"),
+    )
+    peers = F.explode(
+        F.sequence(F.lit(0), F.col("__nb") - F.lit(1))
+    ).alias("__peer")
+    a = asg.select(id_col, "centroid_id", "emb", "__blk", peers).alias("a")
+    b = asg.select(id_col, "centroid_id", "emb", "__blk", peers).alias("b")
     drops = (
         a.join(
             b,
             (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col("a.__blk") == F.col("b.__peer"))
+            & (F.col("a.__peer") == F.col("b.__blk"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .filter(_cos(F.col("a.emb"), F.col("b.emb")) >= F.lit(threshold))

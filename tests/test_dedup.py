@@ -453,6 +453,61 @@ def test_semdedup_differential_vs_python(spark, embeddings):
     assert any(k for _, k in got.values())
 
 
+def test_semdedup_giant_cluster_blocked_join_identity(spark, embeddings):
+    """Degenerate KMeans fit: ONE centroid puts the whole corpus in a
+    single mega-cluster. The max_cluster_size guard must hash-split the
+    self-join into block pairs (bounding per-task pair count) while
+    returning results IDENTICAL to the unblocked join and to the
+    pure-Python reference — every (i < j) pair still meets exactly
+    once."""
+    dim = len(embeddings.select("embedding").first()["embedding"])
+    cents = [(0, [1.0] + [0.0] * (dim - 1))]
+    n = embeddings.count()
+    capped = sorted(map(tuple, dedup.semdedup_keep(
+        embeddings, cents, threshold=0.25, max_cluster_size=max(2, n // 7)
+    ).collect()))
+    uncapped = sorted(map(tuple, dedup.semdedup_keep(
+        embeddings, cents, threshold=0.25, max_cluster_size=10**9
+    ).collect()))
+    assert capped == uncapped
+    vecs = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in embeddings.select("vec_id", "embedding").collect()
+    }
+    exp = sorted(
+        (i, cid, keep) for i, (cid, keep) in
+        _semdedup_py(vecs, cents, 0.25).items()
+    )
+    assert capped == exp
+    assert any(not k for _, _, k in capped)  # drops happened in-cluster
+
+
+def test_semdedup_cap_one_extreme(spark):
+    """max_cluster_size=1 (every member its own block) is the maximal
+    blocking — the hand case must still come out exactly the same."""
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.99, 0.01, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+        (4, [0.0, 0.99, 0.01]),
+        (5, [-1.0, 0.2, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    cents = [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])]
+    out = {
+        r["vec_id"]: (r["centroid_id"], r["keep"])
+        for r in dedup.semdedup_keep(
+            df, cents, threshold=0.95, max_cluster_size=1
+        ).collect()
+    }
+    assert out[1] == (0, True)
+    assert out[2] == (0, False)
+    assert out[3] == (1, True)
+    assert out[4] == (1, False)
+    assert out[5][1] is True
+    assert len(out) == 5
+
+
 def test_semdedup_with_kmeans_is_deterministic(spark, embeddings):
     from same_same_spark.pipeline.ann_store import kmeans_centroids
 
