@@ -3359,6 +3359,55 @@ def _pq_store_dir(spark: SparkSession, sf_dir: str) -> str:
     return out
 
 
+def _cell_store_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per content fingerprint) a mutable ANN store whose
+    IVF cells carry in-cell PQ codes (ann_store.build_ann_index
+    pq_codebooks=): the SAME label-mean centroids + m=8 slice
+    codebooks as the pq/mirror fixtures, so the shared oracle
+    re-derives everything from the embeddings view. Completion =
+    manifest.json present (build writes it atomically last)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from same_same_spark.pipeline import ann_store
+    from same_same_spark.pipeline import pq as pq_ops
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f"{src}|{st.st_size}|{st.st_mtime_ns}|cellstore-v1|m=8".encode()
+    ).hexdigest()[:10]
+    out = f"{tempfile.gettempdir()}/ss_entry_cellstore_{tag}"
+    if not os.path.exists(os.path.join(out, "manifest.json")):
+        emb = _emb(spark, sf_dir)
+        cents = ann_ops.centroids_by_label(emb)
+        ann_store.build_ann_index(
+            emb, out, centroids=cents,
+            pq_codebooks=pq_ops.slice_codebooks(cents, m=8),
+        )
+    return out
+
+
+def _q_pq_cell_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-cell PQ probe (ann_store.pq_cell_topk): ADC over the mutable
+    store's OWN codes column — no separate PQ store or mirror, no sync
+    staleness; mutations maintain the codes (matrix pinned in
+    tests/test_pq). Same centroids/codebooks/probe rule as pq_ivf_topk
+    and pq_mirror_topk, so the shared oracle pins in-cell ADC ==
+    mirror == dedicated store."""
+    from same_same_spark.pipeline import ann_store
+
+    out = ann_store.pq_cell_topk(
+        spark,
+        _cell_store_dir(spark, sf_dir),
+        _ann_queries(spark, sf_dir),
+        k=5,
+        nprobe=3,
+    )
+    return _round6(out, "dist")
+
+
 def _q_pq_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persisted IVF-PQ probe (pq.pq_topk_persisted): nprobe=3 coarse
     cells by query→centroid cosine (the ann_ivf probe rule), then ADC
@@ -4021,6 +4070,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # codified exception, full-value-compared in tests/test_entry.py,
     # pruning plan-asserted in tests/test_pq.py.
     "pq_ivf_topk": (_q_pq_ivf_topk, _SQL_PQ_IVF_TOPK),
+    # pq_cell_topk (round 5): in-cell PQ codes on the MUTABLE store —
+    # sole evidence for ann_store.build_ann_index(pq_codebooks=) /
+    # attach_pq_codes / pq_cell_topk; in the top-50 via _ORDER.
+    "pq_cell_topk": (_q_pq_cell_topk, _SQL_PQ_IVF_TOPK),
     # pq_mirror_topk = the incremental mirror's init→sync→probe path
     # over the SAME centroids/codebooks/probe rule as pq_ivf_topk —
     # shared oracle, twin-tail per the codified exception; the mirror's
@@ -4069,6 +4122,9 @@ _ORDER: list[str] = [
     "corpus_divergence",
     "bpe_encode",
     # --- new round-5 entries land here --------------------------------
+    # in-cell PQ codes on the mutable ann_store (sole evidence); its
+    # insertion bumped witness-backed search_by_text to the tail
+    "pq_cell_topk",
     # --- rotate-backs (last green r2/r3) -------------------------------
     "euclidean_topk",
     "events_hourly",
@@ -4108,7 +4164,6 @@ _ORDER: list[str] = [
     "ann_ivf_persisted",
     "tfidf_topk_indexed",
     "filter_metadata_map",
-    "search_by_text",
     # --- position 51+: green in CORRECTNESS_r04 ------------------------
     "training_mix",
     "contamination",
@@ -4158,6 +4213,7 @@ _ORDER: list[str] = [
     "hybrid_search_indexed",
     "filter_search_indexed",
     # --- witness-backed twins (r3-green, lowest rotation priority) -----
+    "search_by_text",
     "bm25_topk",
     "hybrid_search",
 ]

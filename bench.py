@@ -104,6 +104,7 @@ ENTRY_QUERY_NAMES = [
     "pq_adc_topk",
     "opq_adc_topk",
     "pq_mirror_topk",
+    "pq_cell_topk",
 ]
 
 # VERDICT r3 #8: round-over-round totals stopped being comparable as
@@ -252,6 +253,7 @@ def main() -> None:
     entry._hnsw_repaired_store_dir(spark, SF_DIR)
     entry._entry_deleted_index_dir(spark, SF_DIR)
     entry._pq_mirror_dir(spark, SF_DIR)
+    entry._cell_store_dir(spark, SF_DIR)
     ensure_tfidf_aux(spark, entry_idx, log=lambda *_: None)
     qs = entry.queries()
     samples_out: dict[str, list[float]] = {}

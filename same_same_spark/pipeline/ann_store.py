@@ -89,14 +89,16 @@ def build_ann_index(
     centroids: list[tuple[int, list[float]]] | None = None,
     n_centroids: int = 16,
     seed: int = 13,
+    pq_codebooks: list[list[list[float]]] | None = None,
 ) -> dict:
     """Persist LSH + IVF structures for the vector table.
 
     Layout::
 
         <out>/lsh/sig=<S>/...          (vec_id, emb)   partitioned
-        <out>/ivf/centroid_id=<C>/...  (vec_id, emb)   partitioned
+        <out>/ivf/centroid_id=<C>/...  (vec_id, emb[, codes])
         <out>/centroids/               (centroid_id, cvec)
+        <out>/codebooks/               (s, c, code)    pq only
         <out>/manifest.json
 
     One pass computes signatures (pure column math) and one
@@ -104,7 +106,18 @@ def build_ann_index(
     so probes prune. At 100 TB the partition count is n_planes-bounded
     (2^8 = 256 LSH cells) / n_centroids-bounded — each cell is a
     splittable parquet directory, never a single hot file.
+
+    ``pq_codebooks`` stores PQ codes IN the IVF cells (one map-only
+    encode folded into the same write — no extra pass, no join):
+    :func:`pq_cell_topk` then ADC-scores probes over the compressed
+    column, with optional exact re-rank against the in-cell vectors.
+    One store serves cosine probes AND compressed probes, and every
+    mutation (append/delete/compact/refresh) maintains the codes —
+    this drops the separate PQ mirror (and its sync staleness /
+    second copy) from the 100-TB serving story.
     """
+    from same_same_spark.pipeline.pq import _check_codebooks, pq_encode
+
     spark = df.sparkSession
     e = df.select(
         F.col(id_col),
@@ -120,6 +133,12 @@ def build_ann_index(
     # the same manifest-gated liveness discipline as the index's groups
     lsh = e.withColumn("sig", signature_col(F.col("emb"), n_planes))
     assigned = assign_centroids(e, centroids, id_col=id_col, embedding_col="emb")
+    if pq_codebooks is not None:
+        _check_codebooks(pq_codebooks)
+        assigned = pq_encode(
+            assigned, pq_codebooks, id_col=id_col, embedding_col="emb",
+            extra_cols=["emb", "centroid_id"],
+        )
     with MetricsWindow(spark) as mw:
         lsh.withColumn("batch", F.lit("base")).write.mode(
             "overwrite"
@@ -133,6 +152,8 @@ def build_ann_index(
         "centroid_id INT, cvec ARRAY<DOUBLE>",
     )
     cdf.coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/centroids")
+    if pq_codebooks is not None:
+        _write_codebooks(spark, f"{out_dir}/codebooks", pq_codebooks)
 
     manifest = {
         "n_planes": n_planes,
@@ -142,12 +163,49 @@ def build_ann_index(
         "batches": ["base"],
         "tomb_gen": 0,
     }
+    if pq_codebooks is not None:
+        manifest["pq"] = {
+            "m": len(pq_codebooks), "n_codes": len(pq_codebooks[0]),
+        }
+        manifest["codebooks_dir"] = "codebooks"
     write_store_lineage(
         out_dir, "build-base",
         {"op": "build", "rows": manifest["n_vectors"], "exec": mw.totals()},
     )
     _write_manifest(out_dir, manifest)
     return manifest
+
+
+def _write_codebooks(
+    spark: SparkSession, path: str, codebooks: list[list[list[float]]]
+) -> None:
+    spark.createDataFrame(
+        [
+            (s, c, [float(x) for x in code])
+            for s, cb in enumerate(codebooks)
+            for c, code in enumerate(cb)
+        ],
+        "s INT, c INT, code ARRAY<DOUBLE>",
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def _load_store_codebooks(
+    spark: SparkSession, ann_dir: str, m: dict
+) -> list[list[list[float]]]:
+    """Codebooks of a PQ-enabled store, reassembled in (s, c) order."""
+    pq = m.get("pq")
+    if not pq:
+        raise ValueError(
+            "store has no in-cell PQ codes — build with pq_codebooks= "
+            "or upgrade with attach_pq_codes"
+        )
+    rows = spark.read.parquet(
+        f"{ann_dir}/{m.get('codebooks_dir', 'codebooks')}"
+    ).collect()
+    books: list[dict[int, list[float]]] = [{} for _ in range(pq["m"])]
+    for r in rows:
+        books[int(r["s"])][int(r["c"])] = [float(x) for x in r["code"]]
+    return [[sub[c] for c in range(pq["n_codes"])] for sub in books]
 
 
 def _check_batch_name(batch: str) -> None:
@@ -269,6 +327,17 @@ def append_ann_index(
     assigned = assign_centroids(
         e, _load_centroids(spark, ann_dir), id_col=id_col, embedding_col="emb"
     ).withColumn("batch", F.lit(batch))
+    if m.get("pq"):
+        # PQ-enabled store: the appended cells carry codes too (the
+        # same map-only encode as build — appends never leave a batch
+        # that pq_cell_topk can't score)
+        from same_same_spark.pipeline.pq import pq_encode
+
+        assigned = pq_encode(
+            assigned, _load_store_codebooks(spark, ann_dir, m),
+            id_col=id_col, embedding_col="emb",
+            extra_cols=["emb", "centroid_id", "batch"],
+        )
     with MetricsWindow(spark) as mw:
         lsh.write.mode("append").partitionBy("batch", "sig").parquet(
             f"{ann_dir}/{_sub_dir(m, 'lsh')}"
@@ -380,9 +449,12 @@ def refresh_centroids(
         )
     gen = int(m.get("ivf_gen", 0)) + 1
     id_col = m["id_col"]
-    live = _live_vectors(spark, ann_dir, m, "ivf").select(
-        id_col, "emb", "batch"
-    )
+    # carry every non-derived column through the rewrite (batch keeps
+    # the append log meaningful; codes — when the store is PQ-enabled —
+    # are a function of the raw vector, not of the coarse assignment,
+    # so re-clustering leaves them valid verbatim)
+    live = _live_vectors(spark, ann_dir, m, "ivf").drop("centroid_id")
+    carry = [c for c in live.columns if c not in (id_col, "emb")]
     if centroids is None:
         centroids = kmeans_centroids(
             live, n_centroids=n_centroids, embedding_col="emb", seed=seed
@@ -390,7 +462,7 @@ def refresh_centroids(
     assigned = assign_centroids(
         live.select(id_col, "emb"), centroids, id_col=id_col,
         embedding_col="emb",
-    ).join(live.select(id_col, "batch"), id_col)
+    ).join(live.select(id_col, *carry), id_col)
     new_ivf = f"ivf-{gen}"
     new_cent = f"centroids-{gen}"
     with MetricsWindow(spark) as mw:
@@ -504,6 +576,7 @@ def _sweep_ann_dirs(ann_dir: str, m: dict) -> None:
         _sub_dir(m, "lsh"),
         _sub_dir(m, "ivf"),
         m.get("centroids_dir", "centroids"),
+        m.get("codebooks_dir", "codebooks"),
     }
     if int(m.get("tomb_gen") or 0):
         keep.add(f"tomb-{m['tomb_gen']}")
@@ -514,6 +587,7 @@ def _sweep_ann_dirs(ann_dir: str, m: dict) -> None:
             d == "lsh" or d.startswith("lsh-")
             or d == "ivf" or d.startswith("ivf-")
             or d == "centroids" or d.startswith("centroids-")
+            or d == "codebooks" or d.startswith("codebooks-")
             or d.startswith("tomb-")
         ):
             shutil.rmtree(os.path.join(ann_dir, d), ignore_errors=True)
@@ -662,3 +736,120 @@ def ivf_topk_persisted(
         )
     )
     return _ranked(scored, k, id_col)
+
+
+# ---------------------------------------------------------------------------
+# In-cell PQ codes — compressed probes over the SAME mutable store
+# ---------------------------------------------------------------------------
+
+
+def attach_pq_codes(
+    spark: SparkSession,
+    ann_dir: str,
+    codebooks: list[list[list[float]]],
+) -> dict:
+    """Upgrade an existing store in place: rewrite the live IVF
+    generation with a ``codes`` column (one map-only encode pass over
+    the committed batches) so :func:`pq_cell_topk` can probe it.
+
+    Same commit shape as :func:`compact_ann_index`: new ``ivf-<gen>``
+    + ``codebooks-<gen>`` dirs land first, ONE manifest flip makes
+    both live, stale generations are swept after. Rows keep their
+    ``batch`` / ``centroid_id`` values and tombstoned rows are copied
+    verbatim (this is an encoding upgrade, not a compaction — liveness
+    stays manifest-gated exactly as before). A blind retry after the
+    flip is a no-op; already-PQ stores return unchanged.
+    """
+    from same_same_spark.pipeline.pq import _check_codebooks, pq_encode
+
+    m = _load_manifest(ann_dir)
+    if "batches" not in m:
+        raise ValueError(
+            "store predates the batch layout — rebuild with build_ann_index"
+        )
+    if m.get("pq"):
+        _sweep_ann_dirs(ann_dir, m)  # collect a crashed flip's orphans
+        return m
+    _check_codebooks(codebooks)
+    gen = int(m.get("ivf_gen", 0)) + 1
+    new_ivf, new_books = f"ivf-{gen}", f"codebooks-{gen}"
+    id_col = m["id_col"]
+
+    rows = spark.read.parquet(f"{ann_dir}/{_sub_dir(m, 'ivf')}").filter(
+        F.col("batch").isin(list(m["batches"]))
+    )
+    encoded = pq_encode(
+        rows, codebooks, id_col=id_col, embedding_col="emb",
+        extra_cols=["emb", "centroid_id", "batch"],
+    )
+    with MetricsWindow(spark) as mw:
+        encoded.write.mode("overwrite").partitionBy(
+            "batch", "centroid_id"
+        ).parquet(f"{ann_dir}/{new_ivf}")
+    _write_codebooks(spark, f"{ann_dir}/{new_books}", codebooks)
+    write_store_lineage(
+        ann_dir, f"attach-pq-{gen}",
+        {"op": "attach_pq_codes", "m": len(codebooks),
+         "n_codes": len(codebooks[0]), "exec": mw.totals()},
+    )
+    m = dict(m)
+    m["ivf_gen"], m["ivf_dir"] = gen, new_ivf
+    m["codebooks_dir"] = new_books
+    m["pq"] = {"m": len(codebooks), "n_codes": len(codebooks[0])}
+    _write_manifest(ann_dir, m)
+    _sweep_ann_dirs(ann_dir, m)
+    return m
+
+
+def pq_cell_topk(
+    spark: SparkSession,
+    ann_dir: str,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    nprobe: int = 3,
+    *,
+    rerank: bool = False,
+    refine_factor: int = 4,
+) -> DataFrame:
+    """ADC probe over the mutable store's own in-cell PQ codes.
+
+    Same probe rule as the persisted IVF-PQ store and its mirror
+    (:func:`~same_same_spark.pipeline.pq._probe_pairs` — ONE
+    definition), same partition-pruned read as
+    :func:`ivf_topk_persisted` (batch + centroid_id are partition
+    columns), same bounded-tournament ranking as every top-k here.
+    Appends/deletes/compaction/refresh are visible immediately — there
+    is no mirror to sync. ``(query_id, id, dist, rank)`` round-9 ASC;
+    with ``rerank=True`` the top ``refine_factor × k`` ADC candidates
+    re-rank by exact cosine against the in-cell full-precision
+    vectors: ``(query_id, id, score, rank)``.
+    """
+    from same_same_spark.pipeline.pq import (
+        _adc_rank,
+        _exact_rerank,
+        _probe_pairs,
+    )
+
+    m = _load_manifest(ann_dir)
+    id_col = m["id_col"]
+    codebooks = _load_store_codebooks(spark, ann_dir, m)
+    cents = _load_centroids(spark, ann_dir)
+    probe_pairs = _probe_pairs(cents, queries, nprobe)
+    probes = spark.createDataFrame(
+        probe_pairs, "query_id INT, centroid_id INT"
+    )
+    cells = _live_vectors(spark, ann_dir, m, "ivf").filter(
+        F.col("centroid_id").isin(sorted({c for _, c in probe_pairs}))
+    )
+    adc_k = k if not rerank else max(k, refine_factor * k)
+    out = _adc_rank(
+        cells.join(F.broadcast(probes), "centroid_id"),
+        codebooks, queries, adc_k, id_col,
+    )
+    if not rerank:
+        return out
+    return _exact_rerank(
+        spark, out, queries,
+        cells.select(F.col(id_col), F.col("emb")), k, id_col,
+        id_col_refine=id_col, embedding_col_refine="emb",
+    )

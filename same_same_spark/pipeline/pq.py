@@ -135,9 +135,13 @@ def pq_encode(
     id_col: str = "vec_id",
     embedding_col: str = "embedding",
     max_literal_floats: int = 512,
+    extra_cols: list[str] | None = None,
 ) -> DataFrame:
-    """``(id, codes ARRAY<INT>)`` — per subspace, the code minimizing
-    the squared distance (round-9, ties to the smaller code id).
+    """``(id, *extra_cols, codes ARRAY<INT>)`` — per subspace, the code
+    minimizing the squared distance (round-9, ties to the smaller code
+    id). ``extra_cols`` pass through unchanged so callers embedding
+    codes into a wider row (e.g. the in-cell ANN store) stay map-only
+    instead of joining the codes back by id.
 
     Two bit-equal physical strategies (pinned in test_pq), chosen by
     codebook size: small codebooks inline as literal column
@@ -147,9 +151,11 @@ def pq_encode(
     already trips the codegen fallback), so encoding dispatches to the
     Arrow-batched numpy path — same distances, same round-9 argmin."""
     m, n_codes = _check_codebooks(codebooks)
+    extra = list(extra_cols or [])
     if n_codes * sum(len(cb[0]) for cb in codebooks) > max_literal_floats:
         return pq_encode_pandas(
-            df, codebooks, id_col=id_col, embedding_col=embedding_col
+            df, codebooks, id_col=id_col, embedding_col=embedding_col,
+            extra_cols=extra,
         )
     emb = F.col(embedding_col).cast("array<double>")
     dim = sum(len(cb[0]) for cb in codebooks)
@@ -169,7 +175,9 @@ def pq_encode(
             ]
         )
         code_cols.append(F.array_min(cand)["c"])
-    return df.select(F.col(id_col), F.array(*code_cols).alias("codes"))
+    return df.select(
+        F.col(id_col), *extra, F.array(*code_cols).alias("codes")
+    )
 
 
 def pq_encode_pandas(
@@ -177,6 +185,7 @@ def pq_encode_pandas(
     codebooks: list[list[list[float]]],
     id_col: str = "vec_id",
     embedding_col: str = "embedding",
+    extra_cols: list[str] | None = None,
 ) -> DataFrame:
     """Arrow-batched numpy encoder — the scale path for large
     codebooks where the literal-expression encoder's codegen would
@@ -188,12 +197,15 @@ def pq_encode_pandas(
     from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
 
     m, n_codes = _check_codebooks(codebooks)
+    extra = list(extra_cols or [])
     dim = sum(len(cb[0]) for cb in codebooks)
     bounds = _subspace_bounds(dim, m)
     cbs = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
 
     out_schema = StructType(
-        [df.schema[id_col], StructField("codes", ArrayType(IntegerType()))]
+        [df.schema[id_col]]
+        + [df.schema[c] for c in extra]
+        + [StructField("codes", ArrayType(IntegerType()))]
     )
 
     def encode_iter(pdfs):
@@ -214,13 +226,18 @@ def pq_encode_pandas(
                     d = sub[:, j : j + 1] - cbs[s][None, :, j]
                     acc = acc + d * d
                 codes[:, s] = np.argmin(np.round(acc, 9), axis=1)
-            yield pd.DataFrame(
-                {id_col: pdf[id_col], "codes": list(map(list, codes))}
-            )
+            out = {id_col: pdf[id_col]}
+            out.update({c: pdf[c] for c in extra})
+            out["codes"] = list(map(list, codes))
+            yield pd.DataFrame(out)
 
-    return df.select(id_col, embedding_col).mapInPandas(
-        encode_iter, schema=out_schema
-    )
+    # extra may legitimately include embedding_col itself (a caller
+    # keeping the raw vector next to its codes) — select each once
+    sel = [id_col]
+    for c in [*extra, embedding_col]:
+        if c not in sel:
+            sel.append(c)
+    return df.select(*sel).mapInPandas(encode_iter, schema=out_schema)
 
 
 def pq_decode(

@@ -320,3 +320,140 @@ def test_pq_store_refine_reranks_exactly(spark, pq_store, emb):
     assert got == exp
     assert adc.columns == ["query_id", "vec_id", "dist", "rank"]
     assert refined.columns == ["query_id", "vec_id", "score", "rank"]
+
+
+# ---------------------------------------------------------------------------
+# in-cell PQ codes on the mutable ann_store (build/append/delete/compact/
+# refresh all maintain the codes column; probes need no mirror)
+# ---------------------------------------------------------------------------
+
+from same_same_spark.pipeline import ann_store
+
+
+def _queries(emb, ids=(0, 1, 2)):
+    rows = emb.filter(F.col("vec_id").isin(*ids)).collect()
+    return [(int(r["vec_id"]), [float(x) for x in r["embedding"]])
+            for r in rows]
+
+
+def _probe(spark, d, queries, **kw):
+    return sorted(
+        map(tuple, ann_store.pq_cell_topk(spark, d, queries, **kw).collect())
+    )
+
+
+def test_pq_cell_probe_matches_pq_store(spark, emb, embeddings, books,
+                                        tmp_path):
+    """In-cell ADC over the mutable store == the dedicated IVF-PQ
+    store's probe, same centroids/codebooks/probe rule."""
+    cents = centroids_by_label(embeddings)
+    cell_dir, pq_dir = str(tmp_path / "cell"), str(tmp_path / "pqs")
+    ann_store.build_ann_index(
+        emb, cell_dir, centroids=cents, pq_codebooks=books
+    )
+    pq.build_pq_store(emb, pq_dir, codebooks=books, centroids=cents)
+    queries = _queries(emb)
+    a = _probe(spark, cell_dir, queries, k=5, nprobe=3)
+    b = sorted(map(tuple, pq.pq_topk_persisted(
+        spark, pq_dir, queries, k=5, nprobe=3
+    ).collect()))
+    assert a == b and len(a) == 15
+
+
+def test_pq_cell_mutation_matrix(spark, emb, embeddings, books, tmp_path):
+    """append -> delete -> compact -> refresh, probing after each step;
+    every state matches a fresh build over the surviving vectors."""
+    cents = centroids_by_label(embeddings)
+    d = str(tmp_path / "mut")
+    ann_store.build_ann_index(
+        emb.filter(F.col("vec_id") % 2 == 0), d,
+        centroids=cents, pq_codebooks=books,
+    )
+    ann_store.append_ann_index(
+        emb.filter(F.col("vec_id") % 2 == 1), d, "b1"
+    )
+    queries = _queries(emb)
+    got = _probe(spark, d, queries, k=5, nprobe=3)
+
+    full = str(tmp_path / "full")
+    ann_store.build_ann_index(emb, full, centroids=cents, pq_codebooks=books)
+    assert got == _probe(spark, full, queries, k=5, nprobe=3)
+
+    # delete the current winners — they must vanish from the probe
+    victims = sorted({t[1] for t in got})[:5]
+    ann_store.delete_from_ann_index(spark, d, victims)
+    got2 = _probe(spark, d, queries, k=5, nprobe=3)
+    assert not {t[1] for t in got2} & set(victims)
+    surv = str(tmp_path / "surv")
+    ann_store.build_ann_index(
+        emb.filter(~F.col("vec_id").isin(victims)), surv,
+        centroids=cents, pq_codebooks=books,
+    )
+    assert got2 == _probe(spark, surv, queries, k=5, nprobe=3)
+
+    # compact folds tombstones out; probe identical, re-append legal
+    ann_store.compact_ann_index(spark, d)
+    assert _probe(spark, d, queries, k=5, nprobe=3) == got2
+
+    # refresh with the same centroids: codes survive the rewrite
+    ann_store.refresh_centroids(spark, d, centroids=cents)
+    assert _probe(spark, d, queries, k=5, nprobe=3) == got2
+    m = ann_store._load_manifest(d)
+    rows = spark.read.parquet(
+        f"{d}/{ann_store._sub_dir(m, 'ivf')}"
+    )
+    assert rows.filter(F.col("codes").isNull()).count() == 0
+
+
+def test_attach_pq_codes_matches_native_build(spark, emb, embeddings, books,
+                                              tmp_path):
+    plain, native = str(tmp_path / "plain"), str(tmp_path / "native")
+    cents = centroids_by_label(embeddings)
+    ann_store.build_ann_index(emb, plain, centroids=cents)
+    with pytest.raises(ValueError, match="no in-cell PQ codes"):
+        ann_store.pq_cell_topk(spark, plain, _queries(emb), k=5)
+    m1 = ann_store.attach_pq_codes(spark, plain, books)
+    ann_store.build_ann_index(emb, native, centroids=cents,
+                              pq_codebooks=books)
+    queries = _queries(emb)
+    assert (
+        _probe(spark, plain, queries, k=5, nprobe=3)
+        == _probe(spark, native, queries, k=5, nprobe=3)
+    )
+    # blind retry is a no-op (no new generation)
+    m2 = ann_store.attach_pq_codes(spark, plain, books)
+    assert m2["ivf_gen"] == m1["ivf_gen"]
+    # cosine probes still serve from the same store
+    exact = ann_store.ivf_topk_persisted(spark, plain, queries, k=5,
+                                         nprobe=3)
+    assert exact.count() == 15
+
+
+def test_pq_cell_rerank_matches_exact_ivf(spark, emb, embeddings, books,
+                                          tmp_path):
+    """rerank=True over ALL probed rows (refine_factor large enough)
+    == the exact cosine IVF probe of the same store."""
+    cents = centroids_by_label(embeddings)
+    d = str(tmp_path / "rr")
+    ann_store.build_ann_index(emb, d, centroids=cents, pq_codebooks=books)
+    queries = _queries(emb)
+    got = _probe(spark, d, queries, k=5, nprobe=3, rerank=True,
+                 refine_factor=1000)
+    exact = sorted(map(tuple, ann_store.ivf_topk_persisted(
+        spark, d, queries, k=5, nprobe=3
+    ).collect()))
+    assert got == exact
+
+
+def test_pq_cell_probe_is_partition_pruned(spark, emb, embeddings, books,
+                                           tmp_path):
+    import re
+
+    cents = centroids_by_label(embeddings)
+    d = str(tmp_path / "prune")
+    ann_store.build_ann_index(emb, d, centroids=cents, pq_codebooks=books)
+    queries = _queries(emb, ids=(0,))
+    df = ann_store.pq_cell_topk(spark, d, queries, k=5, nprobe=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    mt = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert mt and "centroid_id" in mt.group(1)
