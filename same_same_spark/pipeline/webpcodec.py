@@ -629,3 +629,88 @@ def _decode_first_frame(
         : max(0, chh - fy), : max(0, cw - fx)
     ]
     return canvas
+
+
+def classify_webp(data: bytes) -> tuple[str, bool]:
+    """Container-level WebP classification: ``(codec, animated)``.
+
+    ``codec`` is ``'lossless'`` (VP8L — decodable here), ``'lossy'``
+    (VP8 — the documented gate), or ``'none'`` (no image chunk);
+    ``animated`` reflects the VP8X animation flag or an ANIM/ANMF
+    chunk. The walk mirrors :func:`decode_webp`'s exactly (top-level
+    chunks; an ANMF frame's codec comes from its first image subchunk
+    past the 16-byte frame header), so ``codec == 'lossless'``
+    ⇔ ``decode_webp`` would reach a VP8L payload. Raises
+    ``ValueError`` on non-RIFF/WEBP input — callers classifying mixed
+    corpora should route through :func:`webp_coverage_kind`.
+    """
+    if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ValueError("webp: not a RIFF/WEBP container")
+    pos = 12
+    animated = False
+    codec = "none"
+    while pos + 8 <= len(data):
+        fourcc = data[pos : pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        payload = data[pos + 8 : pos + 8 + size]
+        if fourcc == b"VP8X" and size >= 10 and payload[0] & 0x02:
+            animated = True
+        elif fourcc in (b"VP8L", b"VP8 "):
+            codec = "lossless" if fourcc == b"VP8L" else "lossy"
+            break
+        elif fourcc == b"ANIM":
+            animated = True
+        elif fourcc == b"ANMF":
+            animated = True
+            fpos = 16
+            while fpos + 8 <= len(payload):
+                sub = payload[fpos : fpos + 4]
+                (ssize,) = struct.unpack("<I", payload[fpos + 4 : fpos + 8])
+                if sub in (b"VP8L", b"VP8 "):
+                    codec = "lossless" if sub == b"VP8L" else "lossy"
+                    break
+                fpos += 8 + ssize + (ssize & 1)
+            break
+        pos += 8 + size + (size & 1)
+    return codec, animated
+
+
+def webp_coverage_kind(data) -> str:
+    """Total classification for mixed binary corpora: the
+    :func:`classify_webp` result as one string (``lossless``,
+    ``lossy``, ``lossless-animated``, ``lossy-animated``,
+    ``no-image-chunk``), or ``not-webp`` for anything that isn't a
+    RIFF/WEBP container (including NULL/empty). Never raises."""
+    if not data:
+        return "not-webp"
+    try:
+        codec, animated = classify_webp(bytes(data))
+    except ValueError:
+        return "not-webp"
+    if codec == "none":
+        return "no-image-chunk"
+    return f"{codec}-animated" if animated else codec
+
+
+def webp_coverage_stats(
+    df, content_col: str = "content", kind_col: str = "kind"
+):
+    """Per-kind counts over a binary column — quantifies how much of a
+    corpus the lossy-VP8 gate actually bites (``lossy*`` rows raise in
+    :func:`decode_webp`; ``lossless*`` rows decode). Arrow-batched
+    classification (header walk only — no decode), then one groupBy
+    on a low-cardinality kind column: a map-side-combined aggregate,
+    corpus-scan-bound at any scale."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _kind(s):
+        return pd.Series(s.map(webp_coverage_kind))
+
+    return (
+        df.select(_kind(F.col(content_col)).alias(kind_col))
+        .groupBy(kind_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

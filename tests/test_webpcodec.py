@@ -1010,3 +1010,89 @@ if _HAS_HYPOTHESIS:
             cache_bits=cache_bits, max_symbol=max_symbol,
         )
         assert np.array_equal(decode_webp(data), img)
+
+
+# ---------------------------------------------------------------------------
+# container-level classification (webp_coverage_stats — quantifying the
+# lossy-VP8 gate's bite without decoding)
+# ---------------------------------------------------------------------------
+
+
+def _lossy_stub() -> bytes:
+    """Minimal container whose image chunk is VP8 (classification is
+    container-level, so the payload need not be a valid stream)."""
+    return (
+        b"RIFF" + struct.pack("<I", 4 + 12) + b"WEBP"
+        + b"VP8 " + struct.pack("<I", 4) + b"\x00\x00\x00\x00"
+    )
+
+
+def _animated(vp8l_chunk: bytes, codec: bytes = b"VP8L") -> bytes:
+    frame_hdr = b"\x00" * 16
+    inner = (
+        vp8l_chunk if codec == b"VP8L"
+        else codec + struct.pack("<I", 4) + b"\x00\x00\x00\x00"
+    )
+    anmf = b"ANMF" + struct.pack("<I", 16 + len(inner)) + frame_hdr + inner
+    vp8x = (
+        b"VP8X" + struct.pack("<I", 10) + b"\x02\x00\x00\x00"
+        + (4 - 1).to_bytes(3, "little") + (3 - 1).to_bytes(3, "little")
+    )
+    return (
+        b"RIFF" + struct.pack("<I", 4 + len(vp8x) + len(anmf)) + b"WEBP"
+        + vp8x + anmf
+    )
+
+
+def test_classify_webp_kinds():
+    from same_same_spark.pipeline.webpcodec import (
+        classify_webp,
+        webp_coverage_kind,
+    )
+
+    img = _rand_img(3, 4, 6, seed=41)
+    plain = encode_webp_lossless(img)
+    vp8x = encode_webp_lossless(img, container="vp8x")
+    inner = plain[plain.index(b"VP8L"):]
+    assert classify_webp(plain) == ("lossless", False)
+    assert classify_webp(vp8x) == ("lossless", False)
+    assert classify_webp(_lossy_stub()) == ("lossy", False)
+    assert classify_webp(_animated(inner)) == ("lossless", True)
+    assert classify_webp(_animated(inner, b"VP8 ")) == ("lossy", True)
+    assert webp_coverage_kind(plain) == "lossless"
+    assert webp_coverage_kind(_animated(inner)) == "lossless-animated"
+    assert webp_coverage_kind(_animated(inner, b"VP8 ")) == "lossy-animated"
+    assert webp_coverage_kind(b"GIF89a") == "not-webp"
+    assert webp_coverage_kind(None) == "not-webp"
+    assert webp_coverage_kind(b"") == "not-webp"
+    hollow = b"RIFF" + struct.pack("<I", 4) + b"WEBP"
+    assert webp_coverage_kind(hollow) == "no-image-chunk"
+    # the classification<->decodability contract: lossless* decodes,
+    # lossy* raises the gate, exactly
+    for blob in (plain, vp8x, _animated(inner)):
+        assert decode_webp(blob) is not None
+    for blob in (_lossy_stub(), _animated(inner, b"VP8 ")):
+        with pytest.raises(UnsupportedImageError):
+            decode_webp(blob)
+
+
+def test_webp_coverage_stats_spark(spark):
+    from same_same_spark.pipeline.webpcodec import webp_coverage_stats
+
+    img = _rand_img(3, 4, 6, seed=43)
+    plain = encode_webp_lossless(img)
+    inner = plain[plain.index(b"VP8L"):]
+    rows = (
+        [(i, bytearray(plain)) for i in range(4)]
+        + [(10 + i, bytearray(_lossy_stub())) for i in range(3)]
+        + [(20, bytearray(_animated(inner)))]
+        + [(30, bytearray(b"\x89PNG not webp")), (31, None)]
+    )
+    df = spark.createDataFrame(rows, "id LONG, content BINARY")
+    got = {
+        r["kind"]: r["n"]
+        for r in webp_coverage_stats(df, "content").collect()
+    }
+    assert got == {
+        "lossless": 4, "lossy": 3, "lossless-animated": 1, "not-webp": 2,
+    }
