@@ -54,6 +54,75 @@ def _zigzag() -> list[int]:
 ZIGZAG = _zigzag()
 _ZIGZAG_ARR = np.array(ZIGZAG)
 
+# ITU-T T.81 Annex K.3 "typical" huffman tables, stored as the exact
+# DHT-segment body a conforming stream would carry (class/id byte, 16
+# length counts, symbols — four tables concatenated: DC luma 0x00,
+# DC chroma 0x01, AC luma 0x10, AC chroma 0x11). Legacy MJPEG frames
+# inside AVI omit DHT by convention and assume these decoder-side;
+# ``decode_jpeg(default_huffman=True)`` pre-loads them through the
+# same parser as an in-stream segment, and any in-stream DHT still
+# overrides (the OpenDML rule real decoders follow).
+# The AC tables are typed as (counts, symbols-per-length for lengths
+# 2..15); the length-16 tail — the bulk of each table — is a structural
+# property of Annex K: exactly the REMAINING run/size symbols in
+# ascending numeric order, so it is generated, not transcribed. The
+# full alphabet per AC table is {run<<4 | size : run 0..15, size
+# 1..10} ∪ {0x00 EOB, 0xF0 ZRL} (162 symbols), asserted at import.
+_ANNEX_K_AC = {
+    0x10: [  # AC luminance: symbols of lengths 2,3,...,15 in order
+        [0x01, 0x02], [0x03], [0x00, 0x04, 0x11], [0x05, 0x12, 0x21],
+        [0x31, 0x41], [0x06, 0x13, 0x51, 0x61], [0x07, 0x22, 0x71],
+        [0x14, 0x32, 0x81, 0x91, 0xA1], [0x08, 0x23, 0x42, 0xB1, 0xC1],
+        [0x15, 0x52, 0xD1, 0xF0], [0x24, 0x33, 0x62, 0x72],
+        [], [], [0x82],
+    ],
+    0x11: [  # AC chrominance
+        [0x00, 0x01], [0x02], [0x03, 0x11], [0x04, 0x05, 0x21, 0x31],
+        [0x06, 0x12, 0x41, 0x51], [0x07, 0x61, 0x71],
+        [0x13, 0x22, 0x32, 0x81],
+        [0x08, 0x14, 0x42, 0x91, 0xA1, 0xB1, 0xC1],
+        [0x09, 0x23, 0x33, 0x52, 0xF0], [0x15, 0x62, 0x72, 0xD1],
+        [0x0A, 0x16, 0x24, 0x34], [], [0xE1], [0x25, 0xF1],
+    ],
+}
+_ANNEX_K_DC = {
+    0x00: [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    0x01: [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+}
+
+
+def _annex_k_body() -> bytes:
+    alphabet = {0x00, 0xF0} | {
+        (run << 4) | size for run in range(16) for size in range(1, 11)
+    }
+    out = bytearray()
+    for cid, counts in sorted(_ANNEX_K_DC.items()):
+        assert sum(counts) == 12
+        out += bytes([cid]) + bytes(counts) + bytes(range(12))
+    for cid, per_len in sorted(_ANNEX_K_AC.items()):
+        short = [s for group in per_len for s in group]
+        assert len(set(short)) == len(short) <= len(alphabet)
+        tail = sorted(alphabet - set(short))
+        counts = [0] + [len(g) for g in per_len] + [len(tail)]  # len 1..16
+        assert len(counts) == 16 and sum(counts) == 162
+        out += bytes([cid]) + bytes(counts) + bytes(short + tail)
+    return bytes(out)
+
+
+_DEFAULT_DHT_BODY = _annex_k_body()
+
+
+def _parse_dht(body: bytes, huff: dict) -> None:
+    """Fold one DHT-segment body (one or more tables) into ``huff``."""
+    b = 0
+    while b < len(body):
+        tc, th = body[b] >> 4, body[b] & 15
+        counts = body[b + 1 : b + 17]
+        nsym = sum(counts)
+        symbols = body[b + 17 : b + 17 + nsym]
+        huff[(tc, th)] = _build_huffman(counts, symbols)
+        b += 17 + nsym
+
 # Orthonormal 8-point DCT-II basis: A[u, x] = c(u)/2 * cos((2x+1)uπ/16)
 _A = np.array(
     [
@@ -486,20 +555,25 @@ def _decode_lossless_scan(
     return p
 
 
-def decode_jpeg(data: bytes) -> np.ndarray:
+def decode_jpeg(data: bytes, default_huffman: bool = False) -> np.ndarray:
     """Decode a huffman-coded DCT JPEG (baseline, extended sequential,
     or progressive; interleaved or per-component scans) or a
     huffman-coded LOSSLESS JPEG (SOF3, predictors 1-7, point
     transform, 2-16 bit precision, 1×1 sampling) to an ``(H, W, 3)``
     uint8 RGB array. Lossless samples deeper than 8 bits scale down by
     a right shift (shallower ones scale up); 3-component lossless data
-    is RGB unless a JFIF APP0 header declares the stream YCbCr."""
+    is RGB unless a JFIF APP0 header declares the stream YCbCr.
+    ``default_huffman=True`` pre-loads the T.81 Annex K typical tables
+    (the legacy-MJPEG convention for AVI frames that omit DHT); any
+    in-stream DHT still overrides."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("jpeg: missing SOI")
     pos = 2
     n = len(data)
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}  # (class 0=DC/1=AC, id)
+    if default_huffman:
+        _parse_dht(_DEFAULT_DHT_BODY, huff)
     frame = None  # (H, W, components)
     progressive = False
     lossless = False
@@ -575,14 +649,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         elif marker == 0xE0:  # APP0: JFIF declares YCbCr for 3-comp
             jfif = jfif or body[:5] == b"JFIF\x00"
         elif marker == 0xC4:  # DHT
-            b = 0
-            while b < len(body):
-                tc, th = body[b] >> 4, body[b] & 15
-                counts = body[b + 1 : b + 17]
-                nsym = sum(counts)
-                symbols = body[b + 17 : b + 17 + nsym]
-                huff[(tc, th)] = _build_huffman(counts, symbols)
-                b += 17 + nsym
+            _parse_dht(body, huff)
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS

@@ -10,8 +10,9 @@ self-contained video payloads decode with what this repo already has:
 
 - **MJPEG** (``MJPG`` fourcc): every frame is a standalone baseline
   JPEG — decoded by :mod:`same_same_spark.pipeline.jpegcodec`. Frames
-  that omit their huffman tables (a legacy MJPEG convention) are
-  honestly gated.
+  that omit their huffman tables (the legacy OpenDML MJPEG convention)
+  decode with the T.81 Annex K typical tables
+  (``decode_jpeg(default_huffman=True)``); in-stream DHT overrides.
 - **Uncompressed DIB** (``BI_RGB``): bottom-up BGR rows padded to
   4-byte stride, 24/32-bit — a struct-level transform.
 
@@ -162,14 +163,13 @@ def decode_frame(meta: AviMeta, payload: bytes) -> np.ndarray:
         rgb = px[:, :, 2::-1]  # BGR(X) → RGB
         return rgb[::-1].copy()  # bottom-up → top-down
     if meta.fourcc.upper() in ("MJPG", "JPEG") or payload[:3] == b"\xff\xd8\xff":
-        if b"\xff\xc4" not in payload.split(b"\xff\xda", 1)[0]:
-            raise UnsupportedVideoError(
-                "avi: MJPEG frame omits huffman tables (legacy MJPEG "
-                "convention relying on decoder-side defaults)"
-            )
         from same_same_spark.pipeline.jpegcodec import decode_jpeg
 
-        return decode_jpeg(payload)
+        # Legacy MJPEG convention (OpenDML): frames may omit DHT and
+        # assume the T.81 Annex K typical tables decoder-side. Loading
+        # the defaults is safe for table-carrying frames too — an
+        # in-stream DHT overrides, exactly like real MJPEG decoders.
+        return decode_jpeg(payload, default_huffman=True)
     raise UnsupportedVideoError(f"avi: codec {meta.fourcc!r} unsupported")
 
 

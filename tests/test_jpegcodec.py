@@ -163,9 +163,13 @@ def _coef_blocks(img: np.ndarray, q: int, subsample: bool):
     return blocks, factors, H, W, mcus_x, mcus_y, true_blocks
 
 
-def _encode_block(wr: _Writer, zz, pred: int) -> int:
+def _encode_block(
+    wr: _Writer, zz, pred: int, dc_code=None, ac_code=None
+) -> int:
+    dc_code = dc_code or _DC_CODE
+    ac_code = ac_code or _AC_CODE
     s, bits = _cat(int(zz[0]) - pred)
-    ln, code = _DC_CODE[s]
+    ln, code = dc_code[s]
     wr.put(code, ln)
     if s:
         wr.put(bits, s)
@@ -173,18 +177,18 @@ def _encode_block(wr: _Writer, zz, pred: int) -> int:
     last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
     for k in range(1, 64):
         if k > last_nz:
-            ln, code = _AC_CODE[0x00]  # EOB
+            ln, code = ac_code[0x00]  # EOB
             wr.put(code, ln)
             break
         if zz[k] == 0:
             run += 1
             continue
         while run > 15:
-            ln, code = _AC_CODE[0xF0]  # ZRL
+            ln, code = ac_code[0xF0]  # ZRL
             wr.put(code, ln)
             run -= 16
         s, bits = _cat(int(zz[k]))
-        ln, code = _AC_CODE[(run << 4) | s]
+        ln, code = ac_code[(run << 4) | s]
         wr.put(code, ln)
         wr.put(bits, s)
         run = 0
@@ -192,8 +196,12 @@ def _encode_block(wr: _Writer, zz, pred: int) -> int:
 
 
 def _headers(
-    sof_marker: int, factors, H, W, q: int, restart: int
+    sof_marker: int, factors, H, W, q: int, restart: int,
+    tables=None, emit_dht: bool = True, table_id: int = 0,
 ) -> bytes:
+    dc_counts, dc_syms, ac_counts, ac_syms = tables or (
+        _DC_COUNTS, _DC_SYMS, _AC_COUNTS, _AC_SYMS
+    )
     ncomp = len(factors)
     sof = struct.pack(">BHHB", 8, H, W, ncomp) + b"".join(
         struct.pack(">BBB", ci + 1, (fh << 4) | fv, 0)
@@ -201,34 +209,47 @@ def _headers(
     )
     out = b"\xff\xd8"
     out += _seg(0xDB, b"\x00" + bytes([q] * 64))
-    out += _seg(0xC4, b"\x00" + _DC_COUNTS + _DC_SYMS)
-    out += _seg(0xC4, b"\x10" + _AC_COUNTS + _AC_SYMS)
+    if emit_dht:
+        out += _seg(0xC4, bytes([0x00 | table_id]) + dc_counts + dc_syms)
+        out += _seg(0xC4, bytes([0x10 | table_id]) + ac_counts + ac_syms)
     if restart:
         out += _seg(0xDD, struct.pack(">H", restart))
     out += _seg(sof_marker, sof)
     return out
 
 
-def _sos(sel: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
+def _sos(
+    sel: list[int], ss: int, se: int, ah: int, al: int, table_id: int = 0
+) -> bytes:
     body = bytes([len(sel)]) + b"".join(
-        bytes([cid, 0x00]) for cid in sel
+        bytes([cid, table_id * 0x11]) for cid in sel
     ) + bytes([ss, se, (ah << 4) | al])
     return _seg(0xDA, body)
 
 
 def encode_jpeg(
     img: np.ndarray, q: int = 1, subsample=False, restart: int = 0,
-    interleaved: bool = True,
+    interleaved: bool = True, tables=None, emit_dht: bool = True,
+    table_id: int = 0,
 ) -> bytes:
     """Minimal baseline JFIF encoder: quality = uniform quant table
     ``q``; 4:4:4 or (``subsample=True``) 4:2:0; optional restart
     interval in MCUs. Grayscale input -> single-component stream.
     ``interleaved=False`` writes one sequential scan per component
-    (spec-legal non-interleaved baseline; 4:4:4 / gray only here)."""
+    (spec-legal non-interleaved baseline; 4:4:4 / gray only here).
+    ``tables=(dc_counts, dc_syms, ac_counts, ac_syms)`` swaps the
+    huffman tables; ``emit_dht=False`` omits the DHT segments (the
+    legacy table-less MJPEG shape)."""
+    dc_code, ac_code = _DC_CODE, _AC_CODE
+    if tables is not None:
+        dc_code = _codes(tables[0], tables[1])
+        ac_code = _codes(tables[2], tables[3])
     blocks, factors, H, W, mcus_x, mcus_y, true_blocks = _coef_blocks(
         img, q, subsample
     )
-    out = _headers(0xC0, factors, H, W, q, restart)
+    out = _headers(
+        0xC0, factors, H, W, q, restart, tables, emit_dht, table_id
+    )
 
     if not interleaved:
         assert all(f == (1, 1) for f in factors)
@@ -244,10 +265,12 @@ def encode_jpeg(
                         wr.restart(rst_n)
                         rst_n += 1
                         pred = 0
-                    pred = _encode_block(wr, blocks[ci][by, bx], pred)
+                    pred = _encode_block(
+                        wr, blocks[ci][by, bx], pred, dc_code, ac_code
+                    )
                     count += 1
             wr.flush()
-            out += _sos([ci + 1], 0, 63, 0, 0) + bytes(wr.out)
+            out += _sos([ci + 1], 0, 63, 0, 0, table_id) + bytes(wr.out)
         return out + b"\xff\xd9"
 
     wr = _Writer()
@@ -265,11 +288,11 @@ def encode_jpeg(
                     for bx in range(fh):
                         pred[ci] = _encode_block(
                             wr, blocks[ci][my * fv + by, mx * fh + bx],
-                            pred[ci],
+                            pred[ci], dc_code, ac_code,
                         )
             mcu_count += 1
     wr.flush()
-    out += _sos(list(range(1, len(factors) + 1)), 0, 63, 0, 0)
+    out += _sos(list(range(1, len(factors) + 1)), 0, 63, 0, 0, table_id)
     out += bytes(wr.out)
     return out + b"\xff\xd9"
 
@@ -921,3 +944,101 @@ def test_lossless_gates():
     bad[sof_at + 2 + 2 + 6 + 1] = 0x22  # h=v=2 for component 1
     with _pytest.raises(UnsupportedImageError, match="subsampled"):
         decode_jpeg(bytes(bad))
+
+
+# --- table-less MJPEG: T.81 Annex K default tables ---------------------------
+# Independent transcription of the Annex K.3 "typical" tables, row-major
+# straight from the spec's listings (the product module derives the AC
+# length-16 tails structurally — two independent forms that must agree
+# on every decoded pixel).
+
+_K_DC_LUMA = (
+    bytes([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]),
+    bytes(range(12)),
+)
+_K_DC_CHROMA = (
+    bytes([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]),
+    bytes(range(12)),
+)
+_K_AC_LUMA = (
+    bytes([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]),
+    bytes.fromhex(
+        "01020300041105122131410613516107"
+        "227114328191a1082342b1c11552d1f0"
+        "2433627282090a161718191a25262728"
+        "292a3435363738393a43444546474849"
+        "4a535455565758595a63646566676869"
+        "6a737475767778797a83848586878889"
+        "8a92939495969798999aa2a3a4a5a6a7"
+        "a8a9aab2b3b4b5b6b7b8b9bac2c3c4c5"
+        "c6c7c8c9cad2d3d4d5d6d7d8d9dae1e2"
+        "e3e4e5e6e7e8e9eaf1f2f3f4f5f6f7f8"
+        "f9fa"
+    ),
+)
+_K_AC_CHROMA = (
+    bytes([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]),
+    bytes.fromhex(
+        "00010203110405213106124151076171"
+        "13223281081442" "91a1b1c1" "09233352f0"
+        "156272d10a162434e125f11718191a26"
+        "2728292a35363738393a434445464748"
+        "494a535455565758595a636465666768"
+        "696a737475767778797a828384858687"
+        "88898a92939495969798999aa2a3a4a5"
+        "a6a7a8a9aab2b3b4b5b6b7b8b9bac2c3"
+        "c4c5c6c7c8c9cad2d3d4d5d6d7d8d9da"
+        "e2e3e4e5e6e7e8e9eaf2f3f4f5f6f7f8"
+        "f9fa"
+    ),
+)
+
+
+def test_tableless_mjpeg_decodes_with_annex_k_defaults():
+    """A stream encoded WITH the Annex K luma tables decodes
+    identically whether the DHT segments are present or omitted
+    (``default_huffman=True``); without the flag the table-less
+    stream is refused."""
+    img = _smooth(24, 17, seed=41)
+    tables = _K_DC_LUMA + _K_AC_LUMA
+    with_dht = encode_jpeg(img, q=1, tables=tables)
+    without_dht = encode_jpeg(img, q=1, tables=tables, emit_dht=False)
+    ref = decode_jpeg(with_dht)
+    got = decode_jpeg(without_dht, default_huffman=True)
+    assert np.array_equal(ref, got)
+    with pytest.raises(ValueError, match="huffman"):
+        decode_jpeg(without_dht)
+
+
+def test_tableless_color_and_chroma_default_tables():
+    """Color stream whose SOS selects table id 1 for every component:
+    the Annex K CHROMA pair must be what ``default_huffman`` supplies
+    at id 1."""
+    rng = np.random.default_rng(42)
+    img = np.clip(
+        _smooth(16, 16, seed=5).astype(int)
+        + rng.integers(-8, 8, size=(16, 16, 3)),
+        0, 255,
+    ).astype(np.uint8)
+    tables = _K_DC_CHROMA + _K_AC_CHROMA
+    with_dht = encode_jpeg(img, q=1, tables=tables, table_id=1)
+    without_dht = encode_jpeg(
+        img, q=1, tables=tables, table_id=1, emit_dht=False
+    )
+    ref = decode_jpeg(with_dht)
+    got = decode_jpeg(without_dht, default_huffman=True)
+    assert np.array_equal(ref, got)
+    # and the defaults round-trip the pixels like any q=1 encode
+    err = np.abs(got.astype(float) - img.astype(float))
+    assert err.max() <= 25 and err.mean() < 2.0
+
+
+def test_instream_dht_overrides_defaults():
+    """default_huffman must not shadow in-stream tables: a stream
+    carrying the test suite's FLAT tables (incompatible with Annex K)
+    decodes identically with and without the flag."""
+    img = _smooth(15, 22, seed=43)
+    data = encode_jpeg(img, q=2)
+    assert np.array_equal(
+        decode_jpeg(data), decode_jpeg(data, default_huffman=True)
+    )

@@ -70,17 +70,46 @@ def test_mjpeg_frames_decode():
         assert err.max() <= 25 and err.mean() < 2.0
 
 
+def test_tableless_mjpeg_frames_decode():
+    """Legacy MJPEG frames that omit their DHT segments (the OpenDML
+    convention) decode via the Annex K defaults, pixel-identical to
+    the same frames carrying the tables explicitly."""
+    from tests.test_jpegcodec import (
+        _K_AC_LUMA,
+        _K_DC_LUMA,
+        _smooth,
+        encode_jpeg,
+    )
+
+    imgs = [_smooth(16, 16, seed=s) for s in range(2)]
+    tables = _K_DC_LUMA + _K_AC_LUMA
+    with_dht = [encode_jpeg(im, q=1, tables=tables) for im in imgs]
+    stripped = [
+        encode_jpeg(im, q=1, tables=tables, emit_dht=False) for im in imgs
+    ]
+    avi_full = encode_avi(with_dht, 16, 16, fps=2, compression=b"MJPG")
+    avi_bare = encode_avi(stripped, 16, 16, fps=2, compression=b"MJPG")
+    meta_f, frames_f = parse_avi(avi_full)
+    meta_b, frames_b = parse_avi(avi_bare)
+    for pf, pb in zip(frames_f, frames_b):
+        assert b"\xff\xc4" in pf.split(b"\xff\xda", 1)[0]
+        assert b"\xff\xc4" not in pb.split(b"\xff\xda", 1)[0]
+        assert np.array_equal(
+            decode_frame(meta_f, pf), decode_frame(meta_b, pb)
+        )
+
+
 def test_gates():
     # unknown codec fourcc
     avi = encode_avi([b"\x00" * 10], 4, 4, compression=b"H264")
     meta, frames = parse_avi(avi)
     with pytest.raises(UnsupportedVideoError):
         decode_frame(meta, frames[0])
-    # MJPEG frame without huffman tables (legacy convention)
+    # malformed MJPEG frame still fails loudly (truncated stream)
     headerless = b"\xff\xd8\xff\xdb" + bytes(10) + b"\xff\xda" + bytes(4)
     avi2 = encode_avi([headerless], 4, 4, compression=b"MJPG")
     meta2, frames2 = parse_avi(avi2)
-    with pytest.raises(UnsupportedVideoError):
+    with pytest.raises(ValueError):
         decode_frame(meta2, frames2[0])
     # not an AVI
     with pytest.raises(ValueError):
