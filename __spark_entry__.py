@@ -2512,6 +2512,63 @@ def _q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_audio_features(wav).orderBy("doc_id")
 
 
+# FLAC twins of the SAME audio fixture, produced once by the
+# spec-derived encoder in tests/test_flaccodec.py (the product ships
+# decode only, by design) and embedded as constants: clip 1 = FIXED
+# order-2 subframe with 5 wasted bits (±12000 = 375<<5), clip 2 = LPC
+# order 2 with 4 Rice partitions, clip 3 = VERBATIM, clips 4/5 =
+# CONSTANT; all carry header CRC-8, frame CRC-16 and the STREAMINFO
+# MD5, which decode_flac verifies. The oracle recomputes the features
+# from the literal samples — one shared feature contract for WAV and
+# FLAC, so this entry is sole evidence for the FLAC bitstream decoder
+# (pipeline/flaccodec.py) end to end.
+_FLAC_BLOBS: dict[int, str] = {
+    1: (
+        "664c6143800000220040004000000000000001f400f000000040b5910aed02ab"
+        "20436d63f0233a289309fff86008003f061509772ee04c01001ed9ee401001ee"
+        "1edc01001ed9ee401001ee1edc01001ed9ee401001ee1edc01001ed9ee401001"
+        "ee1edc01001ed9ee401001ee1edc01001ed9ee401001ee1edc01001ed9ee4010"
+        "01ee1edc01001ed9ee4010005654"
+    ),
+    2: (
+        "664c6143800000220050005000000000000003e800f0000000506307c52d2dd2"
+        "149ae5ff526ec3a8991efff86008004f5142d120d505943ff8004a665a4af5aa"
+        "d4beeb6cf05187081430c81c410208d04e82b000d91800d96413608b03d81ac0"
+        "b604b01f80bc03e00f0008044043203102081440ba06d03e823413a0ac003646"
+        "00365904d822c0f606b02f813c07e02f00fc803c00201101080b407a04d02e81"
+        "b40fa08d04e82b000d91800d96413608f03f81bc0bc05321"
+    ),
+    3: (
+        "664c6143800000220021002100000000000002b110f0000000212870b05b5a23"
+        "b94a24e5bf8ddf45c8c7fff8600800205b020064ff950072ff870080ff79008e"
+        "ff6b009cff5d00aaff4f00b8ff4100c6ff3300d4ff2500e2ff1700f0ff0900fe"
+        "fefb010cfeed011afedf0128fed10136fec3014480c8"
+    ),
+    4: (
+        "664c61438000002200010001000000000000056220f000000001951da941a924"
+        "f156dd15a49237f69089fff860080000bb0010922b4e"
+    ),
+    5: (
+        "664c6143800000220010001000000000000001f400f00000001070bc8f4b72a8"
+        "6921468bf8e8441dce51fff86008000f96000000ae85"
+    ),
+}
+
+
+def _q_flac_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAC pipeline end to end (pipeline/flaccodec + audiocodec
+    dispatch + multimodal.decode_audio_features): embedded FLAC
+    bitstreams → sniff → full spec decode (Rice residuals, fixed + LPC
+    predictors, wasted bits, CRC-8/CRC-16/MD5 checks) → per-clip
+    features. The oracle recomputes the features from the same literal
+    samples the blobs encode — any decode defect fails the hash."""
+    rows = [(i, bytearray(bytes.fromhex(h))) for i, h in _FLAC_BLOBS.items()]
+    from same_same_spark.pipeline.multimodal import decode_audio_features
+
+    df = spark.createDataFrame(rows, "doc_id LONG, content BINARY")
+    return decode_audio_features(df).orderBy("doc_id")
+
+
 def _sql_audio_features() -> str:
     values = ", ".join(
         f"({i}, {sr}, {list(s)})" for i, sr, s in _audio_fixture()
@@ -3852,6 +3909,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # head — X11/U2's SURVEY rows keep in-top-50 evidence via
     # clip_text_topk + multimodal_features.
     "audio_features": (_q_audio_features, _sql_audio_features()),
+    # sole evidence for the FLAC decoder (pipeline/flaccodec.py):
+    # embedded spec-encoder blobs of the SAME fixture → decode →
+    # features vs the shared literal-sample oracle. Its r5 insertion
+    # rotated filter_metadata_map past 50 (twin-witnessed by
+    # filter_expr).
+    "flac_features": (_q_flac_features, _sql_audio_features()),
     # sole evidence for the REAL video decode path (videocodec AVI
     # parse + DIB decode + mid-bucket frame sampling +
     # multimodal.decode_video_frames); rotated source_csv to overflow.
@@ -4125,6 +4188,9 @@ _ORDER: list[str] = [
     # in-cell PQ codes on the mutable ann_store (sole evidence); its
     # insertion bumped witness-backed search_by_text to the tail
     "pq_cell_topk",
+    # FLAC bitstream decoder end to end (sole evidence); bumped
+    # filter_metadata_map past 50 (twin-witnessed by filter_expr)
+    "flac_features",
     # --- rotate-backs (last green r2/r3) -------------------------------
     "euclidean_topk",
     "events_hourly",

@@ -105,6 +105,7 @@ ENTRY_QUERY_NAMES = [
     "opq_adc_topk",
     "pq_mirror_topk",
     "pq_cell_topk",
+    "flac_features",
 ]
 
 # VERDICT r3 #8: round-over-round totals stopped being comparable as

@@ -6,9 +6,10 @@ image gap: the reference's media model carries audio metadata
 duration, sample rate) but this container has no audio libraries, so
 the decode step used to be stubbed. WAV/PCM is fully specified (RIFF
 chunks + raw samples, no compression) and needs only ``struct`` —
-the decode can be real here. Compressed containers (MP3/OGG/FLAC,
-ADPCM inside WAV) stay honestly gated behind
-:class:`UnsupportedAudioError`.
+the decode can be real here. FLAC (lossless) decodes in
+:mod:`same_same_spark.pipeline.flaccodec` via :func:`decode_audio`'s
+sniff dispatch; lossy containers (MP3/OGG, ADPCM inside WAV) stay
+honestly gated behind :class:`UnsupportedAudioError`.
 
 Contracts:
 
@@ -38,6 +39,7 @@ import numpy as np
 __all__ = [
     "UnsupportedAudioError",
     "sniff_audio",
+    "decode_audio",
     "decode_wav",
     "encode_wav",
     "audio_features",
@@ -49,8 +51,8 @@ WAVE_FORMAT_EXTENSIBLE = 0xFFFE
 
 
 class UnsupportedAudioError(NotImplementedError):
-    """Compressed / non-PCM audio this stdlib codec genuinely cannot
-    decode (MP3, OGG, FLAC, ADPCM, a-law/mu-law)."""
+    """Compressed audio these stdlib codecs genuinely cannot decode
+    (MP3, OGG, ADPCM, a-law/mu-law — the lossy/telephony formats)."""
 
 
 def sniff_audio(data: bytes) -> str:
@@ -177,6 +179,20 @@ def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
     )
     hdr += b"data" + struct.pack("<I", len(pcm))
     return hdr + pcm
+
+
+def decode_audio(data: bytes) -> tuple[np.ndarray, int]:
+    """Sniff-and-decode: WAV via :func:`decode_wav`, FLAC via
+    :mod:`same_same_spark.pipeline.flaccodec` (both return samples
+    normalized by ``2^(bits-1)``); MP3/OGG stay gated."""
+    kind = sniff_audio(data)
+    if kind == "wav":
+        return decode_wav(data)
+    if kind == "flac":
+        from same_same_spark.pipeline.flaccodec import decode_flac
+
+        return decode_flac(data)
+    raise UnsupportedAudioError(f"audio: {kind} unsupported")
 
 
 def audio_features(samples: np.ndarray, sample_rate: int) -> dict:

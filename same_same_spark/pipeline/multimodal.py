@@ -158,9 +158,10 @@ def decode_audio_features(
 ) -> DataFrame:
     """Real audio decode → deterministic per-clip scalar features.
 
-    WAV/PCM decodes via the pure-stdlib codec
-    (:mod:`same_same_spark.pipeline.audiocodec`); compressed audio
-    raises ``UnsupportedAudioError`` (a ``NotImplementedError``
+    WAV/PCM and FLAC decode via the pure-stdlib codecs
+    (:mod:`same_same_spark.pipeline.audiocodec` /
+    :mod:`same_same_spark.pipeline.flaccodec`); MP3/OGG raise
+    ``UnsupportedAudioError`` (a ``NotImplementedError``
     subclass — the honest gate). One feature row per clip, Arrow
     batches in/out, exactly the image-path shape.
     """
@@ -173,13 +174,13 @@ def decode_audio_features(
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from same_same_spark.pipeline.audiocodec import (
             audio_features,
-            decode_wav,
+            decode_audio,
         )
 
         for pdf in batches:
             rows = []
             for blob in pdf[content_col]:
-                samples, rate = decode_wav(bytes(blob))
+                samples, rate = decode_audio(bytes(blob))
                 rows.append(audio_features(samples, rate))
             out = pd.DataFrame(rows)
             out.insert(0, id_col, pdf[id_col].values)
