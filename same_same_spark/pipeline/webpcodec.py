@@ -653,7 +653,7 @@ def classify_webp(data: bytes) -> tuple[str, bool]:
         fourcc = data[pos : pos + 4]
         (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
         payload = data[pos + 8 : pos + 8 + size]
-        if fourcc == b"VP8X" and size >= 10 and payload[0] & 0x02:
+        if fourcc == b"VP8X" and len(payload) >= 10 and payload[0] & 0x02:
             animated = True
         elif fourcc in (b"VP8L", b"VP8 "):
             codec = "lossless" if fourcc == b"VP8L" else "lossy"

@@ -92,17 +92,19 @@ class _BW:
 
 
 def _utf8_num(n: int) -> bytes:
+    """FLAC's extended-UTF-8 coded number: a k-byte form carries
+    (7-k) + 6(k-1) = 5k+1 payload bits (36 at k=7)."""
     if n < 0x80:
         return bytes([n])
-    groups = []
-    while n >= 0x40 or len(groups) < 1:
-        groups.append(0x80 | (n & 0x3F))
-        n >>= 6
-        if n < (0x40 >> len(groups)) and n < 0x40:
+    for k in range(2, 8):
+        bits = 36 if k == 7 else 5 * k + 1
+        if n < (1 << bits):
             break
-    nbytes = len(groups)
-    lead = (0xFF << (7 - nbytes)) & 0xFF | n
-    return bytes([lead]) + bytes(reversed(groups))
+    else:
+        raise AssertionError("number exceeds 36 bits")
+    cont = [0x80 | ((n >> (6 * i)) & 0x3F) for i in range(k - 1)]
+    lead = ((0xFF << (8 - k)) & 0xFF) | (n >> (6 * (k - 1)))
+    return bytes([lead]) + bytes(reversed(cont))
 
 
 def _zigzag(x: np.ndarray) -> np.ndarray:
@@ -438,6 +440,30 @@ def test_variable_blocking_strategy():
     x = _sig(700, seed=8)
     data = encode_flac(x, 44100, block_size=256, subframe="fixed2",
                        variable_blocking=True)
+    got, _ = decode_flac(data)
+    assert np.array_equal(np.rint(got * 32768).astype(np.int64), x)
+
+
+def test_utf8_number_boundaries():
+    """Encoder/decoder agreement across every coded-number width band
+    (the k-byte form switches at 5k+1 payload bits)."""
+    from same_same_spark.pipeline.flaccodec import _BitReader, _read_utf8_number
+
+    cases = [0, 1, 0x7F, 0x80, 0x7FF, 0x800, 0xFFF, 0x1000, 0xFFFF,
+             0x10000, 0x1FFFF, 0x20000, 0x1FFFFF, 0x200000, 0x3FFFFFF,
+             0x4000000, 0x7FFFFFFF, (1 << 36) - 1]
+    for n in cases:
+        enc = _utf8_num(n)
+        br = _BitReader(enc)
+        assert _read_utf8_number(br) == n, hex(n)
+        assert br.bytepos == len(enc), hex(n)
+
+
+def test_long_stream_many_frames():
+    """>2048 frames pushes the frame number into the 3-byte coded-
+    number band (the regression the old test encoder would corrupt)."""
+    x = np.arange(2100 * 16, dtype=np.int64)[:, None] % 251 - 125
+    data = encode_flac(x, 8000, bps=16, block_size=16, subframe="fixed1")
     got, _ = decode_flac(data)
     assert np.array_equal(np.rint(got * 32768).astype(np.int64), x)
 

@@ -1067,6 +1067,12 @@ def test_classify_webp_kinds():
     assert webp_coverage_kind(b"") == "not-webp"
     hollow = b"RIFF" + struct.pack("<I", 4) + b"WEBP"
     assert webp_coverage_kind(hollow) == "no-image-chunk"
+    # truncated VP8X: chunk header declares 10 bytes but the file ends
+    # — must classify (no-image-chunk), never die on an index error
+    cut = (b"RIFF" + struct.pack("<I", 14) + b"WEBP"
+           + b"VP8X" + struct.pack("<I", 10))
+    assert classify_webp(cut) == ("none", False)
+    assert webp_coverage_kind(cut) == "no-image-chunk"
     # the classification<->decodability contract: lossless* decodes,
     # lossy* raises the gate, exactly
     for blob in (plain, vp8x, _animated(inner)):
