@@ -518,3 +518,67 @@ def test_decode_audio_features_mixed_formats(spark):
     for col in ("sample_rate", "n_channels", "n_frames", "duration_sec",
                 "rms", "peak", "zcr"):
         assert out[0][col] == out[1][col], col
+
+
+# ---------------------------------------------------------------------------
+# hypothesis: round trip under randomized shapes/configs (with shrinking)
+# ---------------------------------------------------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAS_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    _HAS_HYPOTHESIS = False
+
+
+if _HAS_HYPOTHESIS:
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        n=st.integers(1, 700),
+        ch=st.integers(1, 3),
+        seed=st.integers(0, 10**6),
+        bps=st.sampled_from([8, 16, 24]),
+        block_size=st.sampled_from([16, 64, 192, 200, 256]),
+        mode=st.sampled_from(["indep", "ls", "rs", "ms"]),
+        kind=st.sampled_from(
+            ["verbatim", "fixed0", "fixed1", "fixed2", "fixed3", "fixed4"]
+        ),
+        porder=st.sampled_from([0, 1, 2]),
+        force_escape=st.booleans(),
+        wasted=st.sampled_from([0, 3]),
+    )
+    def test_hypothesis_round_trip(
+        n, ch, seed, bps, block_size, mode, kind, porder, force_escape,
+        wasted,
+    ):
+        from hypothesis import assume
+
+        assume(mode == "indep" or ch == 2)
+        # mid = (l+r)>>1 halves the common power-of-two factor, so the
+        # single-`wasted` test encoder can't do wasted bits in ms mode
+        # (real encoders pick wasted bits per subframe)
+        assume(wasted == 0 or mode != "ms")
+        # every frame's size must be divisible by 2^porder (the last
+        # frame is the remainder) and larger than the fixed order
+        order = int(kind[-1]) if kind.startswith("fixed") else 0
+        last = n % block_size or block_size
+        assume(all(
+            b % (1 << porder) == 0 and (b >> porder) >= max(order, 1)
+            for b in (block_size, last)
+        ))
+        amp = {8: 100, 16: 12000, 24: 3_000_000}[bps]
+        x = _sig(n, ch=ch, seed=seed, amp=amp)
+        if wasted:
+            x = (x >> wasted) << wasted
+        data = encode_flac(
+            x, 44100, bps=bps, block_size=block_size, channel_mode=mode,
+            subframe=kind, porder=porder, force_escape=force_escape,
+            wasted=wasted,
+        )
+        got, rate = decode_flac(data)
+        assert rate == 44100
+        scale = float(1 << (bps - 1))
+        assert np.array_equal(np.rint(got * scale).astype(np.int64), x)
