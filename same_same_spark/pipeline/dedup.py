@@ -179,18 +179,59 @@ def minhash_candidate_pairs(
     n_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    collapse_identical: bool = False,
 ) -> DataFrame:
     """``(id_a, id_b)`` distinct candidate pairs sharing ≥1 LSH band bucket.
 
     The self-join runs on (band, bucket) — the quadratic step happens
     only inside identical-signature buckets, which is the entire point
-    of LSH at 100 TB.
+    of LSH at 100 TB. That leaves ONE quadratic hazard: a group of
+    docs with *identical full signatures* (e.g. thousands of short
+    docs that tokenize to the same few words — ``word_shingles_col``
+    gives sub-``n``-token docs a whole-doc fallback shingle) lands in
+    one bucket in EVERY band and the clique is k²/2 pairs (measured:
+    a 1.7k-doc group → 6.2M pairs → OOM downstream).
+
+    ``collapse_identical=True`` is the cluster-oriented fix: docs are
+    grouped by full signature, each group emits star edges
+    ``(min_id, member)`` instead of its clique, and only the group
+    representative enters banding. Identical signatures ⇒ identical
+    buckets, so banding on representatives is candidate-lossless, and
+    downstream connected components produce the same clusters whenever
+    star edges pass verification — exactly the case for token-identical
+    docs (Jaccard 1). Do NOT use it when the *pair set itself* is the
+    contract (the dedup_minhash oracle pins the full quadratic pair
+    set): a member's cross-pair is emitted through its representative,
+    not under its own id. The residual trade: two docs with identical
+    16-hash signatures but different shingle sets (P ≈ 2⁻¹⁶ per
+    borderline pair) verify through the representative instead of
+    pairwise.
     """
     sig = minhash_signatures(df, id_col, text_col, n_hashes, shingle_n)
+    star = None
+    if collapse_identical:
+        sig_cols = [f"mh_{i}" for i in range(n_hashes)]
+        # 64-bit internal group key (not cross-engine): a collision
+        # only adds a spurious star edge, which exact verification
+        # rejects downstream.
+        keyed = sig.withColumn(
+            "_sig_key", F.xxhash64(*[F.col(c) for c in sig_cols])
+        )
+        reps = keyed.groupBy("_sig_key").agg(F.min(id_col).alias("_rep"))
+        tagged = keyed.join(reps, "_sig_key")
+        star = (
+            tagged.filter(F.col(id_col) != F.col("_rep"))
+            .select(
+                F.col("_rep").alias("id_a"), F.col(id_col).alias("id_b")
+            )
+        )
+        sig = tagged.filter(F.col(id_col) == F.col("_rep")).drop(
+            "_sig_key", "_rep"
+        )
     buckets = lsh_band_buckets(sig, id_col, n_hashes, bands)
     a = buckets.alias("a")
     b = buckets.alias("b")
-    return (
+    pairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -203,6 +244,9 @@ def minhash_candidate_pairs(
         )
         .distinct()
     )
+    if star is not None:
+        pairs = pairs.unionByName(star).distinct()
+    return pairs
 
 
 def jaccard_for_pairs(
@@ -264,10 +308,17 @@ def minhash_dedup_pairs(
     n_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    collapse_identical: bool = False,
 ) -> DataFrame:
-    """MinHash-LSH candidates, verified with exact Jaccard ≥ threshold."""
+    """MinHash-LSH candidates, verified with exact Jaccard ≥ threshold.
+
+    ``collapse_identical`` (see :func:`minhash_candidate_pairs`) is for
+    cluster-oriented callers only — it changes WHICH verified pairs are
+    emitted (star edges through group representatives), preserving the
+    connected components but not the oracle-pinned full pair set."""
     cand = minhash_candidate_pairs(
-        df, id_col, text_col, n_hashes, bands, shingle_n
+        df, id_col, text_col, n_hashes, bands, shingle_n,
+        collapse_identical=collapse_identical,
     )
     j = jaccard_for_pairs(cand, df, id_col, text_col, shingle_n)
     return j.filter(F.col("jaccard") >= threshold)

@@ -267,6 +267,11 @@ def prepare_training_corpus(
     if cfg.exact:
         out = dedup_ops.exact_dedup(out, cfg.id_col, cfg.text_col)
     if cfg.fuzzy_threshold is not None:
+        # collapse_identical: this consumer only needs the CLUSTERS
+        # (keep min id per component), so signature-identical groups —
+        # e.g. floods of short docs that tokenize identically — emit
+        # linear star edges instead of a k²/2 clique. Same survivors;
+        # see minhash_candidate_pairs.
         pairs = dedup_ops.minhash_dedup_pairs(
             out,
             cfg.id_col,
@@ -275,6 +280,7 @@ def prepare_training_corpus(
             n_hashes=cfg.minhash_n_hashes,
             bands=cfg.minhash_bands,
             shingle_n=cfg.shingle_n,
+            collapse_identical=True,
         )
         cc_stats: dict | None = {} if stats is not None else None
         clusters = dedup_ops.dedup_clusters(
@@ -400,6 +406,9 @@ def _truncated(cfg: MixConfig, keep: set[str]) -> MixConfig:
     return replace(
         cfg,
         dedup_lines=cfg.dedup_lines and "line_dedup" in keep,
+        dedup_lines_global=(
+            cfg.dedup_lines_global and "global_line_dedup" in keep
+        ),
         min_quality=cfg.min_quality if "quality" in keep else None,
         c4_gate=cfg.c4_gate and "c4" in keep,
         strip_spans=cfg.strip_spans and "span_strip" in keep,

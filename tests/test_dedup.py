@@ -531,3 +531,87 @@ def test_semdedup_with_kmeans_is_deterministic(spark, embeddings):
         map(tuple, dedup.semdedup_keep(embeddings, cents2, 0.3).collect())
     )
     assert out1 == out2
+
+
+def test_collapse_identical_signatures_linear_candidates(spark):
+    """A flood of short docs that all tokenize to the same few words
+    (identical full MinHash signatures) must produce LINEAR candidate
+    edges under collapse_identical, and the SAME connected components
+    as the quadratic clique path (measured: a 1.7k-doc group emitted a
+    6.2M-pair clique and OOM'd connected components without this)."""
+    from same_same_spark.pipeline.dedup import (
+        dedup_clusters,
+        minhash_candidate_pairs,
+        minhash_dedup_pairs,
+    )
+
+    n_flood = 400
+    # short docs: the hex token is dropped by the X1 tokenizer, so all
+    # flood docs tokenize to ["func"] — one identical fallback shingle
+    flood = [(i, f"func u2 {i:016X}") for i in range(n_flood)]
+    # plus two genuine near-dup long pairs and two singletons
+    a = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    rows = flood + [
+        (1001, a), (1002, a + " kilo"),
+        (1003, "one unique document body here with words"),
+        (1004, "another entirely different text lives here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+    collapsed = minhash_candidate_pairs(
+        df, n_hashes=16, bands=8, collapse_identical=True
+    )
+    n_collapsed = collapsed.count()
+    # star edges for the flood group (n-1) + the real pair + slack for
+    # rep-level band collisions; nothing remotely quadratic
+    assert n_collapsed <= n_flood + 10, n_collapsed
+
+    clique = minhash_candidate_pairs(df, n_hashes=16, bands=8)
+    assert clique.count() >= n_flood * (n_flood - 1) // 2  # the hazard
+
+    # identical clusters + survivors either way
+    def clusters(collapse):
+        pairs = minhash_dedup_pairs(
+            df, threshold=0.9, n_hashes=16, bands=8,
+            collapse_identical=collapse,
+        )
+        cc = dedup_clusters(df, pairs)
+        return {
+            (r["doc_id"], r["cluster_id"]) for r in cc.collect()
+        }
+
+    assert clusters(True) == clusters(False)
+
+
+def test_collapse_identical_noop_on_distinct_signatures(spark, docs=None):
+    """On a corpus with no identical-signature groups the collapsed
+    path emits exactly the clique path's pairs (it is a pure no-op)."""
+    from same_same_spark.pipeline.dedup import minhash_candidate_pairs
+
+    import itertools
+    import string
+
+    # alphabetic unique tokens (the X1 tokenizer drops tokens with
+    # digits — which is exactly how identical-signature floods happen)
+    letters = itertools.product(string.ascii_lowercase, repeat=3)
+    rows = []
+    for i in range(40):
+        uniq = " ".join("tok" + "".join(next(letters)) for _ in range(12))
+        rows.append((i, uniq + " shared common words"))
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    from same_same_spark.pipeline.dedup import minhash_signatures
+
+    sig = minhash_signatures(df, n_hashes=16)
+    cols = [f"mh_{i}" for i in range(16)]
+    assert sig.groupBy(*cols).count().filter("count > 1").count() == 0
+    plain = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_candidate_pairs(df, n_hashes=16, bands=8).collect()
+    }
+    coll = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_candidate_pairs(
+            df, n_hashes=16, bands=8, collapse_identical=True
+        ).collect()
+    }
+    assert plain == coll
