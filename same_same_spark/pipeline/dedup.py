@@ -643,7 +643,20 @@ def connected_components(
     iteration count, so callers and benchmarks can assert the O(log n)
     bound instead of trusting it.
     """
-    e = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    # Sever the caller's lineage FIRST: the pair list may sit at the
+    # end of an arbitrarily deep pipeline (the mix pipeline stacks 10+
+    # stages), and every CC round re-ANALYZES plans that embed that
+    # tree — with the union below doubling it. Catalyst plan
+    # canonicalization is what blew the heap (measured: a 30k-doc
+    # full-pipeline prefix OOM'd 16g inside
+    # Expression.withCanonicalizedChildren while the same data split
+    # by materialization ran in seconds). One eager localCheckpoint
+    # materializes the small pair list, roots every round's plan at a
+    # LogicalRDD, and halves upstream evaluation (the union's two
+    # branches re-ran the caller's plan twice).
+    e = pairs.select(
+        F.col(id_a).alias("u"), F.col(id_b).alias("v")
+    ).localCheckpoint(eager=True)
     edges = (
         e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
