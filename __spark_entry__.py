@@ -3826,6 +3826,121 @@ FROM s GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# round-5 fulltext extras: phrase search, snippets, spell suggestion
+# ---------------------------------------------------------------------------
+
+# Covers multi-term, trigram, repeated-term (overlap counting),
+# all-stopword (zero tokens ⇒ zero rows) and a long rare phrase.
+PHRASE_QUERIES: list[tuple[int, str]] = [
+    (1, "table query"),
+    (2, "fast scan row"),
+    (3, "table table"),
+    (4, "the a an"),
+    (5, "window agg stream batch"),
+]
+
+
+def _q_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacency-verified phrase search, BM25-ranked
+    (operators/phrase.phrase_search). Sole evidence for the phrase
+    operator; the oracle re-derives adjacency with a brute-force
+    list-slice scan, so the Spark candidate prefilter is part of what
+    the differential checks."""
+    from same_same_spark.operators.phrase import phrase_search
+
+    out = phrase_search(
+        _docs(spark, sf_dir), PHRASE_QUERIES, k=REF_K,
+        id_col="doc_id", text_col="text",
+    )
+    return _round6(out, "score")
+
+
+def _sql_phrase_topk() -> str:
+    from same_same_spark.operators.phrase import duckdb_phrase_sql
+
+    return duckdb_phrase_sql(
+        "documents", "doc_id", "text", PHRASE_QUERIES, k=REF_K
+    )
+
+
+def _q_snippet_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-5 for the reference query set, each hit decorated with
+    the best-window snippet (operators/snippet.with_snippets; window=8
+    tokens, score = distinct query terms in window, ties → smallest
+    start). Sole evidence for the snippet operator."""
+    from same_same_spark.operators.snippet import with_snippets
+
+    docs = _docs(spark, sf_dir)
+    top = score_queries(
+        docs, REF_QUERIES, k=5, id_col="doc_id", text_col="text"
+    )
+    out = with_snippets(
+        top, docs, dict(REF_QUERIES), window=8,
+        id_col="doc_id", text_col="text",
+    )
+    return _round6(out, "score").withColumn(
+        "rank", F.col("rank").cast("int")
+    )
+
+
+def _sql_snippet_topk() -> str:
+    from same_same_spark.operators.snippet import duckdb_snippet_exprs
+    from same_same_spark.text.tokenizer import tokenize_py
+
+    inner = duckdb_bm25_sql("documents", "doc_id", "text", REF_QUERIES, k=5)
+    snip_cases, hit_cases = [], []
+    for qid, text in REF_QUERIES:
+        terms = tokenize_py(text)
+        if not terms:
+            # zero-token query produces zero BM25 rows; no branch needed
+            continue
+        s, h = duckdb_snippet_exprs("d.tokens", terms, 8)
+        snip_cases.append(f"WHEN t.query_id = {qid} THEN {s}")
+        hit_cases.append(f"WHEN t.query_id = {qid} THEN {h}")
+    from same_same_spark.text.tokenizer import duckdb_tokens_sql
+
+    return f"""
+WITH top AS ({inner}),
+d AS (SELECT doc_id, {duckdb_tokens_sql('text')} AS tokens FROM documents)
+SELECT t.query_id, t.doc_id, t.score, t.rank::INTEGER AS rank,
+       CASE {' '.join(snip_cases)} END AS snippet,
+       CASE {' '.join(hit_cases)} END AS n_hit_terms
+FROM top t JOIN d ON t.doc_id = d.doc_id
+"""
+
+
+# Typos of corpus vocabulary at distances 0/1/2 + a no-match probe.
+SPELL_TERMS: list[str] = [
+    "tabel", "quer", "windwo", "vektor", "stream", "zzzqqq",
+]
+
+
+def _q_spell_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SymSpell deletion-neighborhood spell suggestions
+    (operators/spell.suggest_terms) over the corpus vocabulary. The
+    oracle brute-forces the vocab × query cross join, so the
+    deletion-key recall theorem is exactly what this differential
+    verifies."""
+    from same_same_spark.operators.spell import (
+        suggest_terms,
+        vocab_from_docs,
+    )
+
+    vocab = vocab_from_docs(
+        _docs(spark, sf_dir), id_col="doc_id", text_col="text"
+    )
+    return suggest_terms(vocab, SPELL_TERMS, max_edits=2, topn=3)
+
+
+def _sql_spell_suggest() -> str:
+    from same_same_spark.operators.spell import duckdb_suggest_sql
+
+    return duckdb_suggest_sql(
+        "documents", "doc_id", "text", SPELL_TERMS, max_edits=2, topn=3
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -4137,6 +4252,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # sole evidence for ann_store.build_ann_index(pq_codebooks=) /
     # attach_pq_codes / pq_cell_topk; in the top-50 via _ORDER.
     "pq_cell_topk": (_q_pq_cell_topk, _SQL_PQ_IVF_TOPK),
+    # round-5 fulltext extras (sole evidence, in the top-50 via _ORDER)
+    "phrase_topk": (_q_phrase_topk, _sql_phrase_topk()),
+    "snippet_topk": (_q_snippet_topk, _sql_snippet_topk()),
+    "spell_suggest": (_q_spell_suggest, _sql_spell_suggest()),
     # pq_mirror_topk = the incremental mirror's init→sync→probe path
     # over the SAME centroids/codebooks/probe rule as pq_ivf_topk —
     # shared oracle, twin-tail per the codified exception; the mirror's
@@ -4191,6 +4310,13 @@ _ORDER: list[str] = [
     # FLAC bitstream decoder end to end (sole evidence); bumped
     # filter_metadata_map past 50 (twin-witnessed by filter_expr)
     "flac_features",
+    # fulltext extras (sole evidence): adjacency-verified phrase
+    # search, best-window snippets, SymSpell spell suggestion. Their
+    # insertion bumped ann_lsh_persisted / ann_ivf_persisted /
+    # tfidf_topk_indexed past 50 (each twin-witnessed below).
+    "phrase_topk",
+    "snippet_topk",
+    "spell_suggest",
     # --- rotate-backs (last green r2/r3) -------------------------------
     "euclidean_topk",
     "events_hourly",

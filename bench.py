@@ -106,6 +106,9 @@ ENTRY_QUERY_NAMES = [
     "pq_mirror_topk",
     "pq_cell_topk",
     "flac_features",
+    "phrase_topk",
+    "snippet_topk",
+    "spell_suggest",
 ]
 
 # VERDICT r3 #8: round-over-round totals stopped being comparable as

@@ -1,0 +1,216 @@
+"""Unit tests for the round-5 fulltext extras: phrase search, snippet
+generation, spell suggestion. Each op is differential-tested against an
+independent pure-Python brute force here; the cross-engine (DuckDB)
+differential runs through the registry gate in test_entry.py."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from same_same_spark.bm25 import score_queries
+from same_same_spark.operators.phrase import phrase_search
+from same_same_spark.operators.snippet import with_snippets
+from same_same_spark.operators.spell import (
+    _deletions_py,
+    suggest_terms,
+    vocab_from_docs,
+)
+from same_same_spark.text.tokenizer import tokenize_py
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "quick brown quick brown quick"),
+    (3, "brown fox? brown FOX! brown fox"),
+    (4, "dog dog dog dog"),
+    (5, "nothing relevant here whatsoever"),
+    (6, ""),
+    (7, "fox quick brown"),  # right terms, wrong order
+]
+
+
+def _docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id LONG, text STRING")
+
+
+def _brute_phrase(phrase: str) -> dict[int, int]:
+    """doc_id -> n_matches via pure-Python scan."""
+    ptoks = tokenize_py(phrase)
+    out = {}
+    if not ptoks:
+        return out
+    m = len(ptoks)
+    for did, text in DOCS:
+        toks = tokenize_py(text)
+        n = sum(
+            1
+            for i in range(len(toks) - m + 1)
+            if toks[i : i + m] == ptoks
+        )
+        if n:
+            out[did] = n
+    return out
+
+
+@pytest.mark.parametrize(
+    "phrase",
+    [
+        "quick brown",          # multi-doc, multi-occurrence
+        "brown fox",            # punctuation-stripped adjacency
+        "dog dog",              # overlapping repeats: 3 matches in doc 4
+        "quick brown fox",      # trigram
+        "the quick",            # leading stopword drops out
+        "lazy cat",             # no match
+        "the a an",             # all stopwords -> no tokens -> no rows
+        "fox",                  # single term: n_matches == tf
+    ],
+)
+def test_phrase_matches_brute_force(spark, phrase):
+    got = {
+        r["doc_id"]: r["n_matches"]
+        for r in phrase_search(
+            _docs_df(spark), [(1, phrase)], k=100,
+            id_col="doc_id", text_col="text",
+        ).collect()
+    }
+    assert got == _brute_phrase(phrase)
+
+
+def test_phrase_rank_is_bm25_over_matching_docs(spark):
+    """Ranking = BM25 of the phrase's distinct terms restricted to
+    adjacency-verified docs, pinned order."""
+    docs = _docs_df(spark)
+    out = phrase_search(
+        docs, [(7, "quick brown")], k=10, id_col="doc_id", text_col="text"
+    ).collect()
+    match_ids = set(_brute_phrase("quick brown"))
+    bm = {
+        r["doc_id"]: r["score"]
+        for r in score_queries(
+            docs, [(7, "quick brown")], k=100,
+            id_col="doc_id", text_col="text",
+        ).collect()
+    }
+    expect = sorted(
+        match_ids, key=lambda d: (-round(bm[d], 9), d)
+    )
+    assert [r["doc_id"] for r in sorted(out, key=lambda r: r["rank"])] == expect
+    for r in out:
+        assert r["score"] == pytest.approx(bm[r["doc_id"]])
+
+
+def test_phrase_order_sensitive(spark):
+    """Doc 7 has the terms but not the order: must not match."""
+    got = {
+        r["doc_id"]
+        for r in phrase_search(
+            _docs_df(spark), [(1, "quick brown fox")], k=100,
+            id_col="doc_id", text_col="text",
+        ).collect()
+    }
+    assert 7 not in got and 1 in got
+
+
+def _brute_snippet(text: str, qterms: list[str], w: int):
+    toks = tokenize_py(text)
+    qset = set(qterms)
+    starts = range(1, max(len(toks) - w + 1, 1) + 1)
+    scores = [
+        len({t for t in toks[i - 1 : i - 1 + w] if t in qset})
+        for i in starts
+    ]
+    best = max(scores)
+    idx = scores.index(best)  # smallest start
+    return " ".join(toks[idx : idx + w]), best
+
+
+def test_snippet_matches_brute_force(spark):
+    docs = _docs_df(spark)
+    queries = dict([(1, "quick fox"), (2, "dog"), (3, "the a an")])
+    hits = spark.createDataFrame(
+        [(1, 1), (1, 2), (1, 3), (1, 6), (2, 4), (3, 5)],
+        "query_id INT, doc_id LONG",
+    )
+    out = with_snippets(
+        hits, docs, queries, window=3, id_col="doc_id", text_col="text"
+    ).collect()
+    text_by_id = dict(DOCS)
+    assert len(out) == hits.count()
+    for r in out:
+        qterms = tokenize_py(queries[r["query_id"]])
+        snip, nhit = _brute_snippet(text_by_id[r["doc_id"]], qterms, 3)
+        assert (r["snippet"], r["n_hit_terms"]) == (snip, nhit), (
+            r["query_id"], r["doc_id"])
+
+
+def test_snippet_tie_break_smallest_start(spark):
+    """Two windows with the same score: the earlier one wins."""
+    docs = spark.createDataFrame(
+        [(1, "aaa needle bbb ccc needle ddd")], "doc_id LONG, text STRING"
+    )
+    hits = spark.createDataFrame([(1, 1)], "query_id INT, doc_id LONG")
+    out = with_snippets(
+        hits, docs, {1: "needle"}, window=2, id_col="doc_id", text_col="text"
+    ).collect()[0]
+    assert out["snippet"] == "aaa needle"
+    assert out["n_hit_terms"] == 1
+
+
+def test_deletions_py_counts():
+    # length-L term at d=2: 1 + L + L(L-1)/2 distinct keys max
+    keys = _deletions_py("abcde", 2)
+    assert "abcde" in keys and "abc" in keys and "cde" in keys
+    assert len(keys) <= 1 + 5 + 10
+
+
+def _brute_suggest(vocab: dict[str, int], q: str, d: int, n: int):
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(
+                    prev[j] + 1, cur[j - 1] + 1,
+                    prev[j - 1] + (ca != cb),
+                ))
+            prev = cur
+        return prev[-1]
+
+    cand = [
+        (lev(q, t), -df, t, df)
+        for t, df in vocab.items()
+        if lev(q, t) <= d
+    ]
+    return [
+        (t, dist, df) for dist, _, t, df in sorted(cand)[:n]
+    ]
+
+
+def test_spell_suggest_matches_brute_force(spark):
+    docs = _docs_df(spark)
+    vocab = {
+        r["term"]: r["df"]
+        for r in vocab_from_docs(docs, id_col="doc_id", text_col="text")
+        .collect()
+    }
+    qterms = ["quik", "brwn", "dogg", "fox", "xyzzyx", "relevnt"]
+    out = suggest_terms(
+        vocab_from_docs(docs, id_col="doc_id", text_col="text"),
+        qterms, max_edits=2, topn=3,
+    ).collect()
+    got: dict[str, list] = {}
+    for r in sorted(out, key=lambda r: (r["query_term"], r["rank"])):
+        got.setdefault(r["query_term"], []).append(
+            (r["suggestion"], r["distance"], r["df"])
+        )
+    for q in qterms:
+        assert got.get(q, []) == _brute_suggest(vocab, q, 2, 3), q
+
+
+def test_spell_self_match_rank1(spark):
+    out = suggest_terms(
+        vocab_from_docs(_docs_df(spark), id_col="doc_id", text_col="text"),
+        ["quick"], max_edits=1, topn=2,
+    ).collect()
+    top = min(out, key=lambda r: r["rank"])
+    assert (top["suggestion"], top["distance"]) == ("quick", 0)
