@@ -3909,6 +3909,32 @@ FROM top t JOIN d ON t.doc_id = d.doc_id
 """
 
 
+# Source docs for more-like-this (present at every sf: ids are dense).
+MLT_SOURCE_IDS: list[int] = [0, 7]
+
+
+def _q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-as-query retrieval (operators/mlt.more_like_this):
+    top-10 tf-idf-salient terms of each source doc run as a BM25 query,
+    source excluded. Sole evidence for the MLT operator."""
+    from same_same_spark.operators.mlt import more_like_this
+
+    out = more_like_this(
+        _docs(spark, sf_dir), MLT_SOURCE_IDS, k=REF_K, max_terms=10,
+        id_col="doc_id", text_col="text",
+    )
+    return _round6(out, "score")
+
+
+def _sql_more_like_this() -> str:
+    from same_same_spark.operators.mlt import duckdb_mlt_sql
+
+    return duckdb_mlt_sql(
+        "documents", "doc_id", "text", MLT_SOURCE_IDS, k=REF_K,
+        max_terms=10,
+    )
+
+
 # Typos of corpus vocabulary at distances 0/1/2 + a no-match probe.
 SPELL_TERMS: list[str] = [
     "tabel", "quer", "windwo", "vektor", "stream", "zzzqqq",
@@ -4256,6 +4282,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "phrase_topk": (_q_phrase_topk, _sql_phrase_topk()),
     "snippet_topk": (_q_snippet_topk, _sql_snippet_topk()),
     "spell_suggest": (_q_spell_suggest, _sql_spell_suggest()),
+    "more_like_this": (_q_more_like_this, _sql_more_like_this()),
     # pq_mirror_topk = the incremental mirror's init→sync→probe path
     # over the SAME centroids/codebooks/probe rule as pq_ivf_topk —
     # shared oracle, twin-tail per the codified exception; the mirror's
@@ -4311,12 +4338,14 @@ _ORDER: list[str] = [
     # filter_metadata_map past 50 (twin-witnessed by filter_expr)
     "flac_features",
     # fulltext extras (sole evidence): adjacency-verified phrase
-    # search, best-window snippets, SymSpell spell suggestion. Their
-    # insertion bumped ann_lsh_persisted / ann_ivf_persisted /
-    # tfidf_topk_indexed past 50 (each twin-witnessed below).
+    # search, best-window snippets, SymSpell spell suggestion,
+    # more-like-this. Their insertion bumped dedup_ngram_jaccard /
+    # ann_lsh_persisted / ann_ivf_persisted / tfidf_topk_indexed past
+    # 50 (each twin-witnessed below).
     "phrase_topk",
     "snippet_topk",
     "spell_suggest",
+    "more_like_this",
     # --- rotate-backs (last green r2/r3) -------------------------------
     "euclidean_topk",
     "events_hourly",

@@ -109,6 +109,7 @@ ENTRY_QUERY_NAMES = [
     "phrase_topk",
     "snippet_topk",
     "spell_suggest",
+    "more_like_this",
 ]
 
 # VERDICT r3 #8: round-over-round totals stopped being comparable as

@@ -214,3 +214,61 @@ def test_spell_self_match_rank1(spark):
     ).collect()
     top = min(out, key=lambda r: r["rank"])
     assert (top["suggestion"], top["distance"]) == ("quick", 0)
+
+
+def _brute_mlt(source_id: int, max_terms: int, k: int):
+    import math
+
+    toks = {d: tokenize_py(t) for d, t in DOCS}
+    n = len(DOCS)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    df: dict[str, int] = {}
+    for v in toks.values():
+        for t in set(v):
+            df[t] = df.get(t, 0) + 1
+
+    def idf(t):
+        return math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+
+    src = toks[source_id]
+    sal = {t: src.count(t) * idf(t) for t in set(src)}
+    selected = [
+        t for t in sorted(sal, key=lambda t: (-round(sal[t], 9), t))
+    ][:max_terms]
+    scored = {}
+    for d, v in toks.items():
+        if d == source_id:
+            continue
+        s = 0.0
+        for t in selected:
+            tf = v.count(t)
+            if tf:
+                s += idf(t) * tf * 2.2 / (
+                    tf + 1.2 * (0.25 + 0.75 * len(v) / avgdl)
+                )
+        if s > 0:
+            scored[d] = s
+    order = sorted(scored, key=lambda d: (-round(scored[d], 9), d))[:k]
+    return [(d, scored[d]) for d in order]
+
+
+def test_more_like_this_matches_brute_force(spark):
+    from same_same_spark.operators.mlt import more_like_this
+
+    out = more_like_this(
+        _docs_df(spark), [1, 3], k=5, max_terms=3,
+        id_col="doc_id", text_col="text",
+    ).collect()
+    for src in (1, 3):
+        got = [
+            (r["doc_id"], r["score"])
+            for r in sorted(
+                (r for r in out if r["query_id"] == src),
+                key=lambda r: r["rank"],
+            )
+        ]
+        want = _brute_mlt(src, 3, 5)
+        assert [g[0] for g in got] == [w[0] for w in want], src
+        for (gd, gs), (wd, ws) in zip(got, want):
+            assert gs == pytest.approx(ws), (src, gd)
+        assert src not in [g[0] for g in got]  # self excluded
