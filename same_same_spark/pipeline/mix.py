@@ -179,6 +179,16 @@ class MixConfig:
         return out
 
 
+# Stages whose output references their own input more than once
+# (``out = join(out, f(out))`` shapes). Each one DOUBLES (or worse) the
+# upstream plan subtree when the pipeline stays lazy — see the
+# ``scratch_dir`` note in :func:`prepare_training_corpus`.
+_SELF_REFERENCING_STAGES = frozenset({
+    "global_line_dedup", "lm", "span_strip", "exact_dedup",
+    "fuzzy_dedup", "dsir", "host_cap",
+})
+
+
 def prepare_training_corpus(
     df: DataFrame,
     cfg: MixConfig,
@@ -186,6 +196,7 @@ def prepare_training_corpus(
     stats: dict | None = None,
     lm_ref_df: DataFrame | None = None,
     dsir_target_df: DataFrame | None = None,
+    scratch_dir: str | None = None,
 ) -> DataFrame:
     """Run the configured stages; returns the surviving rows with all
     input columns (+ ``split`` when splits are configured).
@@ -199,7 +210,60 @@ def prepare_training_corpus(
     calls. ``stats`` (optional dict)
     receives the fuzzy-dedup connected-components round count
     (``{"cc_rounds": n}``) — observability for scale benchmarks, no
-    extra Spark actions."""
+    extra Spark actions.
+
+    ``scratch_dir`` — the SCALE lever. Most heavy stages are
+    self-referencing (``out = join(out, f(out))``: the LM keep-set,
+    fuzzy survivors, DSIR selection, host-cap totals, the global line
+    dedup keep join …). Left lazy, every such stage doubles the
+    upstream plan subtree, so an 8-stage configuration re-executes the
+    input scan and the early gates ~2^8 times inside ONE action —
+    measured: a 7-stage prefix of a 10k-doc corpus ran in ~46 s while
+    the full lazy pipeline on the same input needed >15 min. Spark's
+    ReusedExchange only collapses identical *exchange* subtrees and
+    does not rescue these shapes. Passing ``scratch_dir`` inserts a
+    materialization barrier (write parquet + re-read, under a unique
+    per-call subdirectory) after each self-referencing stage: upstream
+    work becomes linear in the stage count — each barrier costs one
+    write of the CURRENT survivor set — which is exactly how a
+    large-scale operator checkpoints a multi-stage curation pipeline.
+    Results are value-identical with and without (pinned in
+    tests/test_mix.py); the default stays fully lazy.
+    """
+    configured = set(
+        cfg.stages(
+            with_decontam=eval_df is not None,
+            with_lm=lm_ref_df is not None,
+            with_dsir=dsir_target_df is not None,
+        )
+    )
+    n_self_ref = len(configured & _SELF_REFERENCING_STAGES)
+    if scratch_dir is None and n_self_ref >= 5:
+        import warnings
+
+        warnings.warn(
+            f"prepare_training_corpus: {n_self_ref} self-referencing "
+            "stages configured with no scratch_dir — the lazy plan tree "
+            "doubles per such stage (Catalyst planning alone can OOM the "
+            "driver near 7+). Pass scratch_dir= to insert stage barriers.",
+            stacklevel=2,
+        )
+
+    barrier_dir = None
+    if scratch_dir is not None:
+        import os
+        import tempfile
+
+        os.makedirs(scratch_dir, exist_ok=True)
+        barrier_dir = tempfile.mkdtemp(prefix="mix_", dir=scratch_dir)
+
+    def _barrier(cur: DataFrame, stage: str) -> DataFrame:
+        if barrier_dir is None or stage not in _SELF_REFERENCING_STAGES:
+            return cur
+        path = f"{barrier_dir}/{stage}"
+        cur.write.mode("overwrite").parquet(path)
+        return cur.sparkSession.read.parquet(path)
+
     out = df
     if cfg.url_col is not None:
         from same_same_spark.pipeline.urls import dedup_by_url
@@ -224,6 +288,7 @@ def prepare_training_corpus(
             .withColumn(cfg.text_col, F.col("__gtext"))
             .drop("__gtext")
         )
+        out = _barrier(out, "global_line_dedup")
     if cfg.min_quality is not None:
         score = textqc_ops.quality_cols(cfg.text_col)["quality_score"]
         out = out.filter(score >= F.lit(cfg.min_quality))
@@ -256,6 +321,7 @@ def prepare_training_corpus(
             .select(cfg.id_col)
         )
         out = out.join(keep_ids, cfg.id_col, "left_semi")
+        out = _barrier(out, "lm")
     if cfg.strip_spans:
         from same_same_spark.pipeline.spans import remove_shared_spans
 
@@ -264,8 +330,10 @@ def prepare_training_corpus(
             k=cfg.span_k, min_df=cfg.span_min_df,
             min_span_chars=cfg.span_min_chars,
         )
+        out = _barrier(out, "span_strip")
     if cfg.exact:
         out = dedup_ops.exact_dedup(out, cfg.id_col, cfg.text_col)
+        out = _barrier(out, "exact_dedup")
     if cfg.fuzzy_threshold is not None:
         # collapse_identical: this consumer only needs the CLUSTERS
         # (keep min id per component), so signature-identical groups —
@@ -293,6 +361,7 @@ def prepare_training_corpus(
         out = out.join(survivors, cfg.id_col, "left_semi")
         if stats is not None and cc_stats is not None:
             stats["cc_rounds"] = cc_stats.get("rounds")
+        out = _barrier(out, "fuzzy_dedup")
     if eval_df is not None:
         from same_same_spark.pipeline.decontam import decontaminate
 
@@ -311,6 +380,7 @@ def prepare_training_corpus(
             temperature=cfg.dsir_temperature, seed=cfg.seed + ":dsir",
         ).select(cfg.id_col)
         out = out.join(picked, cfg.id_col, "left_semi")
+        out = _barrier(out, "dsir")
     if cfg.host_cap is not None:
         if cfg.url_col is None:
             raise ValueError("MixConfig.host_cap requires url_col")
@@ -322,6 +392,7 @@ def prepare_training_corpus(
             seed=cfg.seed + ":host",
             weight_col=cfg.host_cap_weight_col,
         ).drop("url_host")
+        out = _barrier(out, "host_cap")
     if cfg.fractions is not None:
         out = sampling_ops.sample_stratified(
             out,
