@@ -3935,6 +3935,39 @@ def _sql_more_like_this() -> str:
     )
 
 
+# (query_id, must, should, must_not) — covers must+should scoring,
+# conjunctive-only, exclusion, stopword-must fallback to should mode,
+# and a no-positive-clause query (zero rows by pinned semantics).
+BOOL_QUERIES: list[tuple[int, str, str, str]] = [
+    (1, "table query", "join merge", "vector"),
+    (2, "", "fast scan row", "window"),
+    (3, "spark", "", ""),
+    (4, "the a an", "batch stream", ""),
+    (5, "", "", "table"),
+]
+
+
+def _q_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean must/should/must_not search over BM25
+    (operators/boolquery.boolean_search). Sole evidence for the
+    boolean-clause operator."""
+    from same_same_spark.operators.boolquery import boolean_search
+
+    out = boolean_search(
+        _docs(spark, sf_dir), BOOL_QUERIES, k=REF_K,
+        id_col="doc_id", text_col="text",
+    )
+    return _round6(out, "score")
+
+
+def _sql_boolean_search() -> str:
+    from same_same_spark.operators.boolquery import duckdb_bool_sql
+
+    return duckdb_bool_sql(
+        "documents", "doc_id", "text", BOOL_QUERIES, k=REF_K
+    )
+
+
 # Typos of corpus vocabulary at distances 0/1/2 + a no-match probe.
 SPELL_TERMS: list[str] = [
     "tabel", "quer", "windwo", "vektor", "stream", "zzzqqq",
@@ -4283,6 +4316,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "snippet_topk": (_q_snippet_topk, _sql_snippet_topk()),
     "spell_suggest": (_q_spell_suggest, _sql_spell_suggest()),
     "more_like_this": (_q_more_like_this, _sql_more_like_this()),
+    "boolean_search": (_q_boolean_search, _sql_boolean_search()),
     # pq_mirror_topk = the incremental mirror's init→sync→probe path
     # over the SAME centroids/codebooks/probe rule as pq_ivf_topk —
     # shared oracle, twin-tail per the codified exception; the mirror's
@@ -4346,6 +4380,7 @@ _ORDER: list[str] = [
     "snippet_topk",
     "spell_suggest",
     "more_like_this",
+    "boolean_search",
     # --- rotate-backs (last green r2/r3) -------------------------------
     "euclidean_topk",
     "events_hourly",

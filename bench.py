@@ -110,6 +110,7 @@ ENTRY_QUERY_NAMES = [
     "snippet_topk",
     "spell_suggest",
     "more_like_this",
+    "boolean_search",
 ]
 
 # VERDICT r3 #8: round-over-round totals stopped being comparable as

@@ -272,3 +272,69 @@ def test_more_like_this_matches_brute_force(spark):
         for (gd, gs), (wd, ws) in zip(got, want):
             assert gs == pytest.approx(ws), (src, gd)
         assert src not in [g[0] for g in got]  # self excluded
+
+
+def _brute_bool(must: str, should: str, must_not: str, k: int):
+    import math
+
+    toks = {d: tokenize_py(t) for d, t in DOCS}
+    n = len(DOCS)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    dfm: dict[str, int] = {}
+    for v in toks.values():
+        for t in set(v):
+            dfm[t] = dfm.get(t, 0) + 1
+    m = sorted(set(tokenize_py(must)))
+    s = sorted(set(tokenize_py(should)))
+    x = sorted(set(tokenize_py(must_not)))
+    terms = sorted(set(m) | set(s))
+    out = {}
+    for d, v in toks.items():
+        vs = set(v)
+        if x and (vs & set(x)):
+            continue
+        if m:
+            if not set(m) <= vs:
+                continue
+        elif not (vs & set(s)):
+            continue
+        score = 0.0
+        for t in terms:
+            tf = v.count(t)
+            if tf and t in dfm:
+                idf = math.log(1.0 + (n - dfm[t] + 0.5) / (dfm[t] + 0.5))
+                score += idf * tf * 2.2 / (
+                    tf + 1.2 * (0.25 + 0.75 * len(v) / avgdl)
+                )
+        out[d] = score
+    order = sorted(out, key=lambda d: (-round(out[d], 9), d))[:k]
+    return [(d, out[d]) for d in order]
+
+
+@pytest.mark.parametrize(
+    "must,should,must_not",
+    [
+        ("quick", "fox dog", ""),          # must + should scoring
+        ("quick brown", "", "dog"),        # conjunctive + exclusion
+        ("", "fox dog", "quick"),          # pure should + exclusion
+        ("quick fox", "", ""),             # conjunctive only
+        ("", "", "dog"),                   # nothing positive -> no rows
+        ("the a an", "fox", ""),           # must all-stopword -> should mode
+        ("missingterm", "fox", ""),        # unmatched must -> no rows
+    ],
+)
+def test_boolean_search_matches_brute_force(spark, must, should, must_not):
+    from same_same_spark.operators.boolquery import boolean_search
+
+    out = boolean_search(
+        _docs_df(spark), [(1, must, should, must_not)], k=10,
+        id_col="doc_id", text_col="text",
+    ).collect()
+    got = [
+        (r["doc_id"], r["score"])
+        for r in sorted(out, key=lambda r: r["rank"])
+    ]
+    want = _brute_bool(must, should, must_not, 10)
+    assert [g[0] for g in got] == [w[0] for w in want], (must, should, must_not)
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert gs == pytest.approx(ws), (gd, must)
