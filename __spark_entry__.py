@@ -3999,6 +3999,101 @@ def _sql_spell_suggest() -> str:
     )
 
 
+# Pattern sets: prefix, single-char ?, leading *, wildcard-free exact,
+# a no-match probe, and a broad prefix whose expansion cap actually
+# bites at sf0.01 (determinism of the cap is part of the differential).
+WILDCARD_QUERIES: list[tuple[int, str]] = [
+    (1, "tab* quer*"),
+    (2, "s?an filter*"),
+    (3, "*dow"),
+    (4, "vector"),
+    (5, "zzz*"),
+    (6, "f*"),
+]
+
+
+def _q_wildcard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wildcard/prefix term queries (operators/wildcard.wildcard_search):
+    pattern expansion against the corpus vocabulary capped
+    deterministically, OR-mode BM25 over the union. Sole evidence for
+    the wildcard operator; the oracle re-ranks the expansion with a
+    window function over a regexp join (vs the bounded RLIKE
+    tournament), so cap determinism is what the differential checks."""
+    from same_same_spark.operators.wildcard import wildcard_search
+
+    out = wildcard_search(
+        _docs(spark, sf_dir), WILDCARD_QUERIES, k=REF_K,
+        max_expansions=20, id_col="doc_id", text_col="text",
+    )
+    return _round6(out, "score")
+
+
+def _sql_wildcard_topk() -> str:
+    from same_same_spark.operators.wildcard import duckdb_wildcard_sql
+
+    return duckdb_wildcard_sql(
+        "documents", "doc_id", "text", WILDCARD_QUERIES, k=REF_K,
+        max_expansions=20,
+    )
+
+
+# Typos at distances 1/2, an exact vocabulary term (self at d=0 plus
+# its neighborhood), and a no-match probe.
+FUZZY_QUERIES: list[tuple[int, str]] = [
+    (1, "tabel"),
+    (2, "quary scn"),
+    (3, "window"),
+    (4, "zzzqqq"),
+]
+
+
+def _q_fuzzy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy term queries (operators/fuzzy.fuzzy_search): SymSpell
+    deletion-key expansion within levenshtein <= 2, similarity-weighted
+    BM25. Sole evidence for the fuzzy operator; the oracle brute-forces
+    the vocab cross join, so the deletion-key recall theorem is
+    verified at the retrieval level."""
+    from same_same_spark.operators.fuzzy import fuzzy_search
+
+    out = fuzzy_search(
+        _docs(spark, sf_dir), FUZZY_QUERIES, k=REF_K, max_edits=2,
+        max_expansions=8, id_col="doc_id", text_col="text",
+    )
+    return _round6(out, "score")
+
+
+def _sql_fuzzy_topk() -> str:
+    from same_same_spark.operators.fuzzy import duckdb_fuzzy_sql
+
+    return duckdb_fuzzy_sql(
+        "documents", "doc_id", "text", FUZZY_QUERIES, k=REF_K,
+        max_edits=2, max_expansions=8,
+    )
+
+
+def _q_proximity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity search (operators/proximity.proximity_search): all
+    distinct query terms within a |terms|+slop token window, any order;
+    BM25 rank restricted to matches. Sole evidence for the proximity
+    operator; the oracle scans every doc's window set brute-force, so
+    the Spark candidate prefilter is part of the differential."""
+    from same_same_spark.operators.proximity import proximity_search
+
+    out = proximity_search(
+        _docs(spark, sf_dir), REF_QUERIES, slop=2, k=REF_K,
+        id_col="doc_id", text_col="text",
+    )
+    return _round6(out, "score")
+
+
+def _sql_proximity_topk() -> str:
+    from same_same_spark.operators.proximity import duckdb_proximity_sql
+
+    return duckdb_proximity_sql(
+        "documents", "doc_id", "text", REF_QUERIES, slop=2, k=REF_K
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4317,6 +4412,14 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "spell_suggest": (_q_spell_suggest, _sql_spell_suggest()),
     "more_like_this": (_q_more_like_this, _sql_more_like_this()),
     "boolean_search": (_q_boolean_search, _sql_boolean_search()),
+    # multi-term query rewrites (third round-5 session): wildcard/prefix
+    # patterns, edit-distance fuzzy matching, bounded-window proximity —
+    # each sole evidence with an independently-derived oracle (window-fn
+    # expansion ranking / brute-force cross join / brute-force window
+    # scan respectively).
+    "wildcard_topk": (_q_wildcard_topk, _sql_wildcard_topk()),
+    "fuzzy_topk": (_q_fuzzy_topk, _sql_fuzzy_topk()),
+    "proximity_topk": (_q_proximity_topk, _sql_proximity_topk()),
     # pq_mirror_topk = the incremental mirror's init→sync→probe path
     # over the SAME centroids/codebooks/probe rule as pq_ivf_topk —
     # shared oracle, twin-tail per the codified exception; the mirror's
@@ -4381,6 +4484,14 @@ _ORDER: list[str] = [
     "spell_suggest",
     "more_like_this",
     "boolean_search",
+    # multi-term rewrites (sole evidence): wildcard, fuzzy, proximity.
+    # Their insertion bumped r2/r3-green quality_scores / temporal_decay
+    # / temporal_search past 50 (each has green driver history; X7
+    # additionally keeps temporal_search's semantics exercised by the
+    # r3-green temporal_topk family).
+    "wildcard_topk",
+    "fuzzy_topk",
+    "proximity_topk",
     # --- rotate-backs (last green r2/r3) -------------------------------
     "euclidean_topk",
     "events_hourly",

@@ -111,6 +111,9 @@ ENTRY_QUERY_NAMES = [
     "spell_suggest",
     "more_like_this",
     "boolean_search",
+    "wildcard_topk",
+    "fuzzy_topk",
+    "proximity_topk",
 ]
 
 # VERDICT r3 #8: round-over-round totals stopped being comparable as

@@ -1,0 +1,269 @@
+"""Wildcard / prefix term queries — Lucene's MultiTermQuery shape.
+
+A beyond-reference fulltext feature: the reference scores a query as a
+bag of exact words (``internal/storage/search/search.go:16-42``); real
+search surfaces also need ``tok*`` prefix and ``t?ble`` wildcard terms.
+
+Pinned semantics (cross-engine, re-derived in
+:func:`duckdb_wildcard_sql`):
+
+- a query string is a whitespace-separated set of PATTERNS, lowercased;
+  the allowed alphabet is ``[a-z*?]`` (X1 terms are pure lowercase
+  letters) — ``*`` matches any (possibly empty) run of letters, ``?``
+  exactly one letter; any other character raises;
+- each pattern expands against the corpus vocabulary: the matching
+  terms ranked by ``(df DESC, term ASC)``, truncated to
+  ``max_expansions`` (Lucene's top-terms blended rewrite — the
+  DETERMINISTIC cap is part of the contract, so both engines agree on
+  which terms survive a hot pattern);
+- a query scores the DISTINCT union of its patterns' expansions in
+  OR mode: BM25 (the engine's pinned model, true global df) summed over
+  the expanded terms present in the doc;
+- total order ``(round(score, 9) DESC, doc_id ASC)``, top-k; a query
+  whose patterns expand to nothing yields no rows.
+
+Scale shape: the vocabulary is one ``explode`` + ``groupBy`` over the
+corpus (map-side combined — the same aggregate every stats pass uses);
+pattern matching is a broadcast nested-loop of the TINY pattern table
+against vocab rows — a linear, fully parallel term-dictionary scan,
+exactly Lucene's cost model for a leading-wildcard term (documented
+hazard there too). Expansion is capped by the bounded sort_array/slice
+tournament (never a WindowExec), the posting join is a broadcast of
+≤ patterns × max_expansions terms, and top-k goes through
+:func:`~same_same_spark.operators.topk.topk_per_query`.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from same_same_spark.bm25 import (
+    B_DEFAULT,
+    K1_DEFAULT,
+    bm25_weight_col,
+    idf_col,
+)
+from same_same_spark.operators.topk import topk_per_query
+from same_same_spark.stats import (
+    corpus_stats,
+    doc_term_freqs,
+    term_doc_freqs,
+    tokenized,
+)
+
+_PATTERN_RE = re.compile(r"^[a-z*?]+$")
+
+
+def glob_to_regex(pattern: str) -> str:
+    """Anchored regex for a ``[a-z*?]`` glob. Spelled with explicit
+    ``[a-z]`` classes (never ``.``) so Java regex and RE2 cannot
+    disagree on any input."""
+    if not _PATTERN_RE.match(pattern):
+        raise ValueError(
+            f"wildcard pattern {pattern!r}: only [a-z*?] allowed"
+        )
+    parts = []
+    for ch in pattern:
+        if ch == "*":
+            parts.append("[a-z]*")
+        elif ch == "?":
+            parts.append("[a-z]")
+        else:
+            parts.append(ch)
+    return "^" + "".join(parts) + "$"
+
+
+def expand_patterns(
+    vocab_df: DataFrame,
+    patterns: list[tuple[int, str]],
+    max_expansions: int = 50,
+) -> DataFrame:
+    """Expand (query_id, glob) patterns against a (term, df) vocabulary.
+
+    Returns the DISTINCT per-query union (query_id INT, term STRING,
+    df LONG): each pattern's matches capped at ``max_expansions`` under
+    ``(df DESC, term ASC)`` first, then unioned.
+    """
+    spark = vocab_df.sparkSession
+    prows = sorted(
+        {(qid, p.lower()) for qid, text in patterns for p in text.split()}
+    )
+    if not prows:
+        return spark.createDataFrame(
+            [], "query_id INT, term STRING, df LONG"
+        )
+    pats_df = spark.createDataFrame(
+        [(qid, p, glob_to_regex(p)) for qid, p in prows],
+        "query_id INT, pattern STRING, regex STRING",
+    )
+    matched = (
+        vocab_df.select("term", F.col("df").cast("long").alias("df"))
+        .crossJoin(F.broadcast(pats_df))
+        .filter(F.expr("term RLIKE regex"))
+    )
+    entry = F.struct(
+        (-F.col("df")).alias("negdf"),
+        F.col("term").alias("term"),
+        F.col("df").alias("df"),
+    )
+    local = (
+        matched.withColumn("part", F.spark_partition_id())
+        .groupBy("query_id", "pattern", "part")
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_list(entry)), 1, max_expansions
+            ).alias("c")
+        )
+    )
+    return (
+        local.groupBy("query_id", "pattern")
+        .agg(
+            F.slice(
+                F.sort_array(F.flatten(F.collect_list("c"))),
+                1,
+                max_expansions,
+            ).alias("top")
+        )
+        .select("query_id", F.explode("top").alias("s"))
+        .select(
+            "query_id",
+            F.col("s.term").alias("term"),
+            F.col("s.df").alias("df"),
+        )
+        .distinct()
+    )
+
+
+def wildcard_search(
+    docs_df: DataFrame,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    max_expansions: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+) -> DataFrame:
+    """Top-k wildcard search for (query_id, pattern-set) queries.
+
+    Returns (query_id INT, doc_id, score DOUBLE, rank INT).
+    """
+    spark = docs_df.sparkSession
+    tok = tokenized(docs_df, id_col=id_col, text_col=text_col)
+    cs = corpus_stats(tok)
+    empty = spark.createDataFrame(
+        [], "query_id INT, doc_id LONG, score DOUBLE, rank INT"
+    )
+    if cs.avgdl == 0:
+        # validate patterns even on an empty corpus (pinned contract)
+        for qid, text in queries:
+            for p in text.lower().split():
+                glob_to_regex(p)
+        return empty
+
+    expanded = expand_patterns(
+        term_doc_freqs(tok), queries, max_expansions
+    )
+    scored = (
+        doc_term_freqs(tok)
+        .join(F.broadcast(expanded), "term")
+        .withColumn("idf", idf_col(F.col("df"), cs.n_docs))
+        .withColumn(
+            "w",
+            bm25_weight_col(
+                F.col("tf"), F.col("dl"), F.col("idf"), cs.avgdl, k1, b
+            ),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("w").alias("score"))
+    )
+    return topk_per_query(scored, k)
+
+
+def duckdb_wildcard_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    max_expansions: int = 50,
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+    round_score: int = 6,
+) -> str:
+    """DuckDB twin of :func:`wildcard_search` (score compared at 6dp).
+
+    Independent re-derivation: expansion ranks with a window function
+    over a ``regexp_matches`` join (vs Spark's bounded tournament over
+    an RLIKE nested loop), so cap determinism is part of what the
+    differential checks.
+    """
+    from same_same_spark.text.tokenizer import duckdb_tokens_sql
+
+    prows = sorted(
+        {(qid, p.lower()) for qid, text in queries for p in text.split()}
+    )
+    pvalues = (
+        ", ".join(
+            f"({qid}, '{glob_to_regex(p)}')" for qid, p in prows
+        )
+        if prows
+        else "(NULL, NULL) LIMIT 0"
+    )
+    score_expr = (
+        f"sum(ln(1.0 + (c.n - e.df + 0.5) / (e.df + 0.5)) "
+        f"* t.tf * ({k1} + 1.0) / "
+        f"(t.tf + {k1} * (1.0 - {b} + {b} * t.dl / c.avgdl)))"
+    )
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id, {duckdb_tokens_sql(text_col)} AS tokens
+  FROM {table}
+),
+docstat AS (SELECT doc_id, len(tokens) AS dl FROM toks),
+corpus AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM docstat),
+vocab AS (
+  SELECT term, count(*) AS df
+  FROM (SELECT doc_id, unnest(list_distinct(tokens)) AS term FROM toks)
+  GROUP BY term
+),
+pats AS (SELECT * FROM (VALUES {pvalues}) AS v(query_id, regex)),
+expand_ranked AS (
+  SELECT p.query_id, p.regex, v.term, v.df, row_number() OVER (
+    PARTITION BY p.query_id, p.regex
+    ORDER BY v.df DESC, v.term ASC
+  ) AS rn
+  FROM pats p JOIN vocab v ON regexp_matches(v.term, p.regex)
+),
+expanded AS (
+  SELECT DISTINCT query_id, term, df
+  FROM expand_ranked WHERE rn <= {max_expansions}
+),
+tfc AS (
+  SELECT doc_id, term, count(*) AS tf, any_value(dl) AS dl
+  FROM (
+    SELECT t.doc_id, unnest(t.tokens) AS term, d.dl
+    FROM toks t JOIN docstat d ON t.doc_id = d.doc_id
+  )
+  GROUP BY doc_id, term
+),
+scored AS (
+  SELECT e.query_id, t.doc_id, {score_expr} AS score
+  FROM tfc t JOIN expanded e ON t.term = e.term
+  CROSS JOIN corpus c
+  GROUP BY e.query_id, t.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score, row_number() OVER (
+    PARTITION BY query_id
+    ORDER BY round(score, 9) DESC, doc_id ASC
+  ) AS rank
+  FROM scored
+)
+SELECT query_id, doc_id, round(score, {round_score}) AS score,
+       rank::INTEGER AS rank
+FROM ranked WHERE rank <= {k}
+"""
