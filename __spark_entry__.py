@@ -4094,6 +4094,61 @@ def _sql_proximity_topk() -> str:
     )
 
 
+def _q_search_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Faceted search (operators/facets.search_facets): terms-aggregation
+    doc counts over each query's FULL match set, NULL values excluded,
+    top-n per (query, facet) under (doc_count DESC, value ASC). Sole
+    evidence for the facet operator."""
+    from same_same_spark.operators.facets import search_facets
+
+    return search_facets(
+        _docs(spark, sf_dir), REF_QUERIES, ["lang", "source"], topn=5,
+        id_col="doc_id", text_col="text",
+    )
+
+
+def _sql_search_facets() -> str:
+    from same_same_spark.operators.facets import duckdb_facets_sql
+
+    return duckdb_facets_sql(
+        "documents", "doc_id", "text", REF_QUERIES, ["lang", "source"],
+        topn=5,
+    )
+
+
+def _q_search_after_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset pagination (operators/topk.search_after): page 2 of the
+    reference BM25 query set via the page-1 cursor — never an OFFSET
+    re-rank. The oracle derives the same page from offset ranks
+    k+1..2k of a full window re-rank, so the cursor==offset identity
+    under the pinned total order is exactly what the differential
+    checks (including short match sets: a query with <= k matches has
+    no cursor and no page-2 rows)."""
+    from same_same_spark.bm25 import scored_matches
+    from same_same_spark.operators.topk import search_after, topk_per_query
+
+    scored = scored_matches(
+        _docs(spark, sf_dir), REF_QUERIES, id_col="doc_id", text_col="text"
+    )
+    page1 = topk_per_query(scored, REF_K)
+    cursor = page1.filter(F.col("rank") == REF_K).select(
+        "query_id",
+        F.col("score").alias("after_score"),
+        F.col("doc_id").alias("after_doc_id"),
+    )
+    return _round6(search_after(scored, cursor, REF_K), "score")
+
+
+def _sql_search_after_page2() -> str:
+    inner = duckdb_bm25_sql(
+        "documents", "doc_id", "text", REF_QUERIES, k=2 * REF_K
+    )
+    return f"""
+SELECT query_id, doc_id, score, (rank - {REF_K})::INTEGER AS rank
+FROM ({inner}) WHERE rank > {REF_K}
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4420,6 +4475,13 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "wildcard_topk": (_q_wildcard_topk, _sql_wildcard_topk()),
     "fuzzy_topk": (_q_fuzzy_topk, _sql_fuzzy_topk()),
     "proximity_topk": (_q_proximity_topk, _sql_proximity_topk()),
+    # facet aggregations over the full match set + keyset pagination
+    # (cursor==offset identity under the pinned total order) — both
+    # sole evidence.
+    "search_facets": (_q_search_facets, _sql_search_facets()),
+    "search_after_page2": (
+        _q_search_after_page2, _sql_search_after_page2(),
+    ),
     # pq_mirror_topk = the incremental mirror's init→sync→probe path
     # over the SAME centroids/codebooks/probe rule as pq_ivf_topk —
     # shared oracle, twin-tail per the codified exception; the mirror's
@@ -4492,6 +4554,12 @@ _ORDER: list[str] = [
     "wildcard_topk",
     "fuzzy_topk",
     "proximity_topk",
+    # facets + keyset pagination (sole evidence); bumped r2/r3-green
+    # simhash_pairs / lang_id past 50 (both have green driver history;
+    # simhash stays exercised via in-top-50 training_mix's dedup chain,
+    # lang_id inside the r4-green c4_filter/textqc family).
+    "search_facets",
+    "search_after_page2",
     # --- rotate-backs (last green r2/r3) -------------------------------
     "euclidean_topk",
     "events_hourly",

@@ -114,6 +114,8 @@ ENTRY_QUERY_NAMES = [
     "wildcard_topk",
     "fuzzy_topk",
     "proximity_topk",
+    "search_facets",
+    "search_after_page2",
 ]
 
 # VERDICT r3 #8: round-over-round totals stopped being comparable as

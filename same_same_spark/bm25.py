@@ -93,6 +93,30 @@ def score_queries(
     this replaced, which landed ALL of a query's matched docs on one
     task.
     """
+    scored = scored_matches(
+        docs_df, queries, id_col=id_col, text_col=text_col,
+        k1=k1, b=b, stats=stats,
+    )
+
+    from same_same_spark.operators.topk import topk_per_query
+
+    return topk_per_query(scored, k)
+
+
+def scored_matches(
+    docs_df: DataFrame,
+    queries: list[tuple[int, str]],
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+    stats: tuple[int, float] | None = None,
+) -> DataFrame:
+    """The FULL scored match set behind :func:`score_queries`:
+    (query_id INT, doc_id, score DOUBLE), one row per (query, doc with
+    >= 1 query term) — no ranking, no truncation. Callers that need
+    top-k feed this to ``topk_per_query``; pagination feeds it to
+    ``search_after``."""
     spark = docs_df.sparkSession
     tok = tokenized(docs_df, id_col=id_col, text_col=text_col)
     cs = (
@@ -102,7 +126,7 @@ def score_queries(
     )
     if cs.avgdl == 0:
         return spark.createDataFrame(
-            [], f"query_id INT, doc_id LONG, score DOUBLE, rank INT"
+            [], "query_id INT, doc_id LONG, score DOUBLE"
         )
 
     postings = doc_term_freqs(tok)  # (doc_id, term, tf, dl)
@@ -117,7 +141,7 @@ def score_queries(
         F.count(F.lit(1)).alias("df")
     )
 
-    scored = (
+    return (
         matched.join(F.broadcast(dfs), "term")
         .withColumn("idf", idf_col(F.col("df"), cs.n_docs))
         .withColumn(
@@ -130,10 +154,6 @@ def score_queries(
         .groupBy("query_id", "doc_id")
         .agg(F.sum("w").alias("score"))
     )
-
-    from same_same_spark.operators.topk import topk_per_query
-
-    return topk_per_query(scored, k)
 
 
 def duckdb_bm25_sql(

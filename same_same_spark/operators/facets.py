@@ -1,0 +1,160 @@
+"""Faceted search — metadata aggregations over a query's match set.
+
+A beyond-reference fulltext feature (Elasticsearch's terms
+aggregation): alongside the top-k hits, a search surface reports how
+the FULL match set distributes over metadata fields ("412 hits: lang
+en=390 de=22").
+
+Pinned semantics (cross-engine, re-derived in :func:`duckdb_facets_sql`):
+
+- a doc is in query q's match set iff it contains >= 1 of q's distinct
+  X1 query terms (the engine's bag-of-words match semantics — every
+  doc BM25 would score, not just the top-k);
+- per (query, facet column): doc_count of each distinct facet VALUE
+  over the match set, NULL values excluded (Elasticsearch's default
+  missing-bucket behavior), values compared as strings;
+- top-n values per (query, facet) under ``(doc_count DESC, value
+  ASC)``, rank 1..n; zero-token queries yield no rows.
+
+Scale shape: the match set is one broadcast term join on the exploded
+distinct-token rows + a (query, doc) ``distinct`` — a single shuffle
+bounded by matched docs; the facet counts are a map-side-combined
+``groupBy`` whose cardinality is queries × facet values; top-n uses
+the bounded sort_array/slice tournament (no WindowExec). Nothing holds
+a query's full match list in one task.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from same_same_spark.bm25 import query_terms_df
+from same_same_spark.stats import tokenized
+
+
+def search_facets(
+    docs_df: DataFrame,
+    queries: list[tuple[int, str]],
+    facet_cols: list[str],
+    topn: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+) -> DataFrame:
+    """Top-n facet values per (query, facet column) over the match set.
+
+    Returns (query_id INT, facet STRING, value STRING, doc_count LONG,
+    rank INT).
+    """
+    if not facet_cols:
+        raise ValueError("facet_cols must be non-empty")
+    spark = docs_df.sparkSession
+    qterms = query_terms_df(spark, queries)
+    tok = tokenized(docs_df, id_col=id_col, text_col=text_col)
+
+    matched = (
+        tok.select(
+            "doc_id", F.explode(F.array_distinct("tokens")).alias("term")
+        )
+        .join(F.broadcast(qterms), "term")
+        .select("query_id", "doc_id")
+        .distinct()
+    )
+    meta = docs_df.select(
+        F.col(id_col).alias("doc_id"),
+        *[F.col(c).cast("string").alias(c) for c in facet_cols],
+    )
+    joined = matched.join(meta, "doc_id")
+
+    counts = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            joined.filter(F.col(c).isNotNull())
+            .groupBy("query_id", F.col(c).alias("value"))
+            .agg(F.count(F.lit(1)).alias("doc_count"))
+            .withColumn("facet", F.lit(c))
+            for c in facet_cols
+        ],
+    )
+
+    entry = F.struct(
+        (-F.col("doc_count")).alias("negc"),
+        F.col("value").alias("value"),
+        F.col("doc_count").alias("doc_count"),
+    )
+    local = (
+        counts.withColumn("part", F.spark_partition_id())
+        .groupBy("query_id", "facet", "part")
+        .agg(F.slice(F.sort_array(F.collect_list(entry)), 1, topn).alias("c"))
+    )
+    merged = local.groupBy("query_id", "facet").agg(
+        F.slice(
+            F.sort_array(F.flatten(F.collect_list("c"))), 1, topn
+        ).alias("top")
+    )
+    return merged.select(
+        "query_id", "facet", F.posexplode("top").alias("pos", "s")
+    ).select(
+        "query_id",
+        "facet",
+        F.col("s.value").alias("value"),
+        F.col("s.doc_count").cast("long").alias("doc_count"),
+        (F.col("pos") + 1).cast("int").alias("rank"),
+    )
+
+
+def duckdb_facets_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    queries: list[tuple[int, str]],
+    facet_cols: list[str],
+    topn: int = 5,
+) -> str:
+    """DuckDB twin of :func:`search_facets` (window-function ranking vs
+    Spark's bounded tournament)."""
+    from same_same_spark.text.tokenizer import duckdb_tokens_sql, tokenize_py
+
+    qrows = [
+        f"({qid}, '{term}')"
+        for qid, text in queries
+        for term in sorted(set(tokenize_py(text)))
+    ]
+    qvalues = ", ".join(qrows) if qrows else "(NULL, NULL) LIMIT 0"
+    branches = "\n  UNION ALL\n".join(
+        f"  SELECT m.query_id, '{c}' AS facet, CAST(d.{c} AS VARCHAR) AS value"
+        f"\n  FROM matched m JOIN {table} d ON m.doc_id = d.{id_col}"
+        f"\n  WHERE d.{c} IS NOT NULL"
+        for c in facet_cols
+    )
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id, {duckdb_tokens_sql(text_col)} AS tokens
+  FROM {table}
+),
+qt AS (SELECT * FROM (VALUES {qvalues}) AS v(query_id, term)),
+matched AS (
+  SELECT DISTINCT q.query_id, t.doc_id
+  FROM (
+    SELECT doc_id, unnest(list_distinct(tokens)) AS term FROM toks
+  ) t JOIN qt q ON t.term = q.term
+),
+vals AS (
+{branches}
+),
+counts AS (
+  SELECT query_id, facet, value, count(*)::BIGINT AS doc_count
+  FROM vals GROUP BY query_id, facet, value
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id, facet
+    ORDER BY doc_count DESC, value ASC
+  ) AS rank
+  FROM counts
+)
+SELECT query_id, facet, value, doc_count, rank::INTEGER AS rank
+FROM ranked WHERE rank <= {topn}
+"""

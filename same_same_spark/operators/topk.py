@@ -158,3 +158,46 @@ def topk_per_query(
         F.col("s.score").alias("score"),
         (F.col("pos") + 1).cast("int").alias("rank"),
     )
+
+
+def search_after(
+    scored: DataFrame,
+    cursor_df: DataFrame,
+    k: int,
+    salts: int = TOPK_SALTS,
+) -> DataFrame:
+    """Keyset pagination under the pinned total order (Elasticsearch's
+    ``search_after``): the next k rows STRICTLY AFTER a per-query
+    cursor, without re-ranking the rows already served.
+
+    ``scored``: (query_id, doc_id, score) — the full match set (e.g.
+    :func:`same_same_spark.bm25.scored_matches`).
+    ``cursor_df``: (query_id, after_score, after_doc_id) — the LAST row
+    of the previous page; queries absent from the cursor table produce
+    no rows (a page can only follow a full previous page).
+
+    Returns (query_id, doc_id, score, rank) with rank 1..k WITHIN the
+    page. Deterministic because the pinned order
+    ``(round(score, 9) DESC, doc_id ASC)`` is total: the page equals
+    offset ranks k+1..2k of a full re-rank — the identity the oracle
+    differential pins — while costing one broadcast-join filter plus a
+    tournament over only the remaining rows (never an OFFSET scan, the
+    classic deep-paging trap).
+    """
+    cursor = cursor_df.select(
+        "query_id",
+        F.round(F.col("after_score"), 9).alias("__after_nk"),
+        F.col("after_doc_id").alias("__after_id"),
+    )
+    flt = (
+        scored.join(F.broadcast(cursor), "query_id")
+        .filter(
+            (F.round(F.col("score"), 9) < F.col("__after_nk"))
+            | (
+                (F.round(F.col("score"), 9) == F.col("__after_nk"))
+                & (F.col("doc_id") > F.col("__after_id"))
+            )
+        )
+        .drop("__after_nk", "__after_id")
+    )
+    return topk_per_query(flt, k, salts=salts)
