@@ -4062,6 +4062,23 @@ def _q_fuzzy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round6(out, "score")
 
 
+def _q_wildcard_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wildcard search through the posting index's term dictionary
+    (operators/wildcard.wildcard_search_indexed) — rank-identical to
+    the naive wildcard path, so it shares wildcard_topk's oracle
+    (twin tail; the identity is also pinned with deletes in
+    tests/test_multiterm.py)."""
+    from same_same_spark.operators.wildcard import wildcard_search_indexed
+
+    out = wildcard_search_indexed(
+        spark, _entry_index_dir(spark, sf_dir), WILDCARD_QUERIES,
+        k=REF_K, max_expansions=20,
+    )
+    return _round6(out, "score").withColumn(
+        "rank", F.col("rank").cast("int")
+    )
+
+
 def _sql_fuzzy_topk() -> str:
     from same_same_spark.operators.fuzzy import duckdb_fuzzy_sql
 
@@ -4482,6 +4499,11 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "search_after_page2": (
         _q_search_after_page2, _sql_search_after_page2(),
     ),
+    # index-dictionary wildcard: rank-identical twin of wildcard_topk
+    # (shared oracle; twin-tail placement per the witness contract)
+    "wildcard_topk_indexed": (
+        _q_wildcard_topk_indexed, _sql_wildcard_topk(),
+    ),
     # pq_mirror_topk = the incremental mirror's init→sync→probe path
     # over the SAME centroids/codebooks/probe rule as pq_ivf_topk —
     # shared oracle, twin-tail per the codified exception; the mirror's
@@ -4651,6 +4673,7 @@ _ORDER: list[str] = [
     "search_by_text",
     "bm25_topk",
     "hybrid_search",
+    "wildcard_topk_indexed",
 ]
 
 # Twin-tail witness map (the codified exception, machine-checkable):
@@ -4678,6 +4701,7 @@ _TWIN_WITNESS: dict[str, str] = {
     "ann_ivf_persisted": "ann_ivf_topk",
     "dedup_prefix": "dedup_minhash",         # shared exact-Jaccard oracle (0.9)
     "dedup_ngram_jaccard": "dedup_minhash",  # same oracle family at 0.8
+    "wildcard_topk_indexed": "wildcard_topk",  # shared oracle, rank-identical
 }
 
 assert len(_ORDER) == len(set(_ORDER)), "duplicate names in _ORDER"

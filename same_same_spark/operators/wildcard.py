@@ -183,6 +183,75 @@ def wildcard_search(
     return topk_per_query(scored, k)
 
 
+def wildcard_search_indexed(
+    spark,
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    max_expansions: int = 50,
+    prune: bool = True,
+    merge: str = "auto",
+) -> DataFrame:
+    """Wildcard search through the compressed posting index.
+
+    Patterns expand against the index's term-statistics table — the
+    engine's term dictionary, the same structure Lucene's
+    MultiTermQuery walks — and the expanded OR-query runs the block-max
+    read path (:func:`same_same_spark.index.query.search_batch`).
+    Rank-identical to :func:`wildcard_search` over the same corpus: the
+    index BM25 path is rank-identical to the naive scorer, and the
+    expansion cap orders by the SAME (df DESC, term ASC) key over equal
+    df values (tombstone-adjusted below, so deletes don't skew the cap
+    either).
+
+    Scale shape: the dictionary scan is a bounded parquet read of the
+    stats table (n_terms rows, no posting data touched); the collected
+    expansion is ≤ patterns × max_expansions rows (a bounded driver
+    list, like every query batch).
+    """
+    from same_same_spark.index.query import (
+        _load_manifest,
+        _load_tombstones,
+        search_batch,
+    )
+
+    manifest = _load_manifest(index_dir)
+    stats = spark.read.parquet(
+        f"{index_dir}/{manifest.stats_dirname()}"
+    ).select("term", "df")
+    tomb = _load_tombstones(index_dir)
+    if tomb is not None and tomb["n_removed"]:
+        dd = tomb["df_delta"]
+        if dd:
+            delta = spark.createDataFrame(
+                list(dd.items()), "term STRING, df_delta LONG"
+            )
+            stats = (
+                stats.join(F.broadcast(delta), "term", "left")
+                .withColumn(
+                    "df",
+                    F.col("df") - F.coalesce(F.col("df_delta"), F.lit(0)),
+                )
+                .filter(F.col("df") > 0)
+                .select("term", "df")
+            )
+    expanded = expand_patterns(stats, queries, max_expansions)
+    by_q: dict[int, list[str]] = {}
+    for r in expanded.collect():  # bounded: patterns × max_expansions
+        by_q.setdefault(r["query_id"], []).append(r["term"])
+    equeries = [
+        (qid, " ".join(sorted(terms)))
+        for qid, terms in sorted(by_q.items())
+    ]
+    if not equeries:
+        return spark.createDataFrame(
+            [], "query_id INT, doc_id LONG, score DOUBLE, rank INT"
+        )
+    return search_batch(
+        spark, index_dir, equeries, k=k, prune=prune, merge=merge
+    )
+
+
 def duckdb_wildcard_sql(
     table: str,
     id_col: str,

@@ -9,6 +9,7 @@ import math
 import re
 
 import pytest
+from pyspark.sql import functions as F
 
 from same_same_spark.operators.fuzzy import fuzzy_expansions, fuzzy_search
 from same_same_spark.operators.proximity import proximity_search
@@ -165,6 +166,53 @@ def test_wildcard_exact_pattern_equals_plain_bm25(spark):
     assert sorted((r["doc_id"], r["rank"], r["score"]) for r in a) == sorted(
         (r["doc_id"], r["rank"], r["score"]) for r in b
     )
+
+
+def test_wildcard_indexed_rank_identical(spark, tmp_path):
+    """The index-dictionary path must reproduce the naive scorer's
+    (doc_id, rank, score@6dp) exactly — fresh build AND after a
+    tombstoned delete (expansion df is tombstone-adjusted, scoring
+    re-derives through search_batch's delete-aware stats)."""
+    from same_same_spark.index.build import build_index
+    from same_same_spark.index.mutate import delete_docs
+    from same_same_spark.operators.wildcard import wildcard_search_indexed
+
+    docs = _docs_df(spark)
+    idx = str(tmp_path / "idx")
+    build_index(
+        docs, idx, id_col="doc_id", text_col="text",
+        num_buckets=4, log=lambda *_: None,
+    )
+    queries = [(1, "qu*"), (2, "d?g fox"), (3, "*own qu?ck"), (4, "zz*")]
+
+    def key(rows):
+        return sorted(
+            (r["query_id"], r["doc_id"], r["rank"], round(r["score"], 6))
+            for r in rows
+        )
+
+    naive = wildcard_search(
+        docs, queries, k=10, max_expansions=2,
+        id_col="doc_id", text_col="text",
+    ).collect()
+    indexed = wildcard_search_indexed(
+        spark, idx, queries, k=10, max_expansions=2
+    ).collect()
+    assert key(indexed) == key(naive)
+    assert naive  # non-vacuous
+
+    # delete doc 8 (the quince/quantum/quack doc): "qu*"'s capped
+    # expansion must re-rank by the post-delete dfs
+    delete_docs(spark, idx, [8], log=lambda *_: None)
+    naive2 = wildcard_search(
+        docs.filter(F.col("doc_id") != 8), queries, k=10,
+        max_expansions=2, id_col="doc_id", text_col="text",
+    ).collect()
+    indexed2 = wildcard_search_indexed(
+        spark, idx, queries, k=10, max_expansions=2
+    ).collect()
+    assert key(indexed2) == key(naive2)
+    assert key(indexed2) != key(naive)  # the delete visibly changed it
 
 
 # --------------------------------------------------------------------------
