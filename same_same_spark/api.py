@@ -462,6 +462,147 @@ class SameSameSpark:
             )
         return out.withColumnRenamed("doc_id", self.id_col)
 
+    def query(
+        self,
+        q,
+        k: int = DEFAULT_TOP_K,
+        mode: str = "terms",
+        **kw,
+    ) -> DataFrame:
+        """Unified fulltext query dispatcher over the extended query
+        surface (the Lucene-ish query-type family; each mode's pinned
+        semantics live in its operator module):
+
+        - ``"terms"``  — bag-of-words BM25 (:meth:`search_by_text`);
+          ``q`` = text. Rides the index when attached.
+        - ``"phrase"`` — consecutive in-order match
+          (:mod:`~same_same_spark.operators.phrase`); ``q`` = text.
+        - ``"bool"``   — must/should/must_not clauses
+          (:mod:`~same_same_spark.operators.boolquery`); ``q`` = dict
+          with any of those keys as strings.
+        - ``"wildcard"`` — ``[a-z*?]`` patterns
+          (:mod:`~same_same_spark.operators.wildcard`); ``q`` =
+          pattern string. Rides the index term dictionary when
+          attached; ``max_expansions=`` caps the rewrite.
+        - ``"fuzzy"``  — edit-distance rewrite
+          (:mod:`~same_same_spark.operators.fuzzy`); ``q`` = text;
+          ``max_edits=`` / ``max_expansions=``.
+        - ``"proximity"`` — all terms within a ``len+slop`` window
+          (:mod:`~same_same_spark.operators.proximity`); ``q`` = text;
+          ``slop=``.
+
+        Extra ``kw`` pass through to the operator. Returns
+        (id, score, rank) plus the mode's extra columns
+        (``n_matches`` / ``n_windows``).
+        """
+        k = k if k > 0 else DEFAULT_TOP_K
+        if mode == "terms":
+            return self.search_by_text(q, k=k, **kw)
+        if mode == "phrase":
+            from same_same_spark.operators.phrase import phrase_search
+
+            out = phrase_search(
+                self.docs, [(0, q)], k=k, id_col=self.id_col,
+                text_col=self.text_col, **kw,
+            )
+        elif mode == "bool":
+            from same_same_spark.operators.boolquery import boolean_search
+
+            out = boolean_search(
+                self.docs,
+                [(
+                    0,
+                    q.get("must", ""),
+                    q.get("should", ""),
+                    q.get("must_not", ""),
+                )],
+                k=k, id_col=self.id_col, text_col=self.text_col, **kw,
+            )
+        elif mode == "wildcard":
+            from same_same_spark.operators.wildcard import (
+                wildcard_search,
+                wildcard_search_indexed,
+            )
+
+            if self.index_dir:
+                out = wildcard_search_indexed(
+                    self.docs.sparkSession, self.index_dir, [(0, q)],
+                    k=k, **kw,
+                )
+            else:
+                out = wildcard_search(
+                    self.docs, [(0, q)], k=k, id_col=self.id_col,
+                    text_col=self.text_col, **kw,
+                )
+        elif mode == "fuzzy":
+            from same_same_spark.operators.fuzzy import fuzzy_search
+
+            out = fuzzy_search(
+                self.docs, [(0, q)], k=k, id_col=self.id_col,
+                text_col=self.text_col, **kw,
+            )
+        elif mode == "proximity":
+            from same_same_spark.operators.proximity import proximity_search
+
+            out = proximity_search(
+                self.docs, [(0, q)], k=k, id_col=self.id_col,
+                text_col=self.text_col, **kw,
+            )
+        else:
+            raise ValueError(
+                f"unknown query mode {mode!r} (expected terms/phrase/"
+                "bool/wildcard/fuzzy/proximity)"
+            )
+        return out.drop("query_id").withColumnRenamed("doc_id", self.id_col)
+
+    def facets(
+        self,
+        text: str,
+        facet_cols: list[str],
+        topn: int = 5,
+    ) -> DataFrame:
+        """Terms aggregations over the query's FULL match set
+        (:mod:`~same_same_spark.operators.facets`): (facet, value,
+        doc_count, rank) per facet column, NULLs excluded."""
+        from same_same_spark.operators.facets import search_facets
+
+        return search_facets(
+            self.docs, [(0, text)], facet_cols, topn=topn,
+            id_col=self.id_col, text_col=self.text_col,
+        ).drop("query_id")
+
+    def more_like_this(
+        self, doc_id, k: int = DEFAULT_TOP_K, max_terms: int = 10
+    ) -> DataFrame:
+        """Document-as-query retrieval
+        (:mod:`~same_same_spark.operators.mlt`): the source doc's
+        top-``max_terms`` tf-idf-salient terms as a BM25 query, source
+        excluded."""
+        from same_same_spark.operators.mlt import more_like_this
+
+        # query_id is kept: it carries the SOURCE doc id
+        return more_like_this(
+            self.docs, [doc_id], k=k, max_terms=max_terms,
+            id_col=self.id_col, text_col=self.text_col,
+        ).withColumnRenamed("doc_id", self.id_col)
+
+    def suggest(
+        self, terms: list[str], max_edits: int = 2, topn: int = 3
+    ) -> DataFrame:
+        """Spell suggestions from the corpus vocabulary
+        (:mod:`~same_same_spark.operators.spell`)."""
+        from same_same_spark.operators.spell import (
+            suggest_terms,
+            vocab_from_docs,
+        )
+
+        return suggest_terms(
+            vocab_from_docs(
+                self.docs, id_col=self.id_col, text_col=self.text_col
+            ),
+            terms, max_edits=max_edits, topn=topn,
+        )
+
     def advanced_search(
         self,
         query: str,

@@ -53,9 +53,10 @@ def more_like_this(
 ) -> DataFrame:
     """Top-k similar docs per source doc id.
 
-    Returns (query_id LONG = the source doc id, doc_id, score DOUBLE,
+    Returns (query_id = the source doc id, doc_id, score DOUBLE,
     rank INT). A source id with no tokens (or absent from the corpus)
-    yields no rows.
+    yields no rows. Non-numeric (e.g. string) ids are accepted —
+    they pass through to the id-typed isin filter untouched.
     """
     spark = docs_df.sparkSession
     tok = tokenized(docs_df, id_col=id_col, text_col=text_col)
@@ -64,7 +65,10 @@ def more_like_this(
         return spark.createDataFrame(
             [], "query_id LONG, doc_id LONG, score DOUBLE, rank INT"
         )
-    ids = sorted(set(int(i) for i in source_ids))
+    try:
+        ids = sorted(set(int(i) for i in source_ids))
+    except (TypeError, ValueError):
+        ids = sorted(set(source_ids))
 
     postings = doc_term_freqs(tok)  # (doc_id, term, tf, dl)
     src = postings.filter(F.col("doc_id").isin(ids)).select(
@@ -118,9 +122,12 @@ def more_like_this(
         .groupBy("query_id", "doc_id")
         .agg(F.sum("w").alias("score"))
     )
-    return topk_per_query(scored, k).withColumn(
-        "query_id", F.col("query_id").cast("long")
-    )
+    out = topk_per_query(scored, k)
+    # normalize numeric source ids to LONG (the documented schema);
+    # string ids pass through untouched (ANSI would refuse the cast)
+    if dict(out.dtypes)["query_id"] in ("tinyint", "smallint", "int", "bigint"):
+        out = out.withColumn("query_id", F.col("query_id").cast("long"))
+    return out
 
 
 def duckdb_mlt_sql(

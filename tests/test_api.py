@@ -544,3 +544,89 @@ def test_delete_padded_id_drops_frame_and_index_together(spark, tmp_path):
     # the frame dropped the SAME document the index tombstoned
     assert out.count() == docs.count() - 1
     assert out.get(victim).count() == 0
+
+
+def test_query_dispatcher_routes_match_operators(spark, store):
+    """api.query(mode=...) must return exactly the operator's rows,
+    id-renamed — for every mode, on a STRING-id store."""
+    from same_same_spark.operators.boolquery import boolean_search
+    from same_same_spark.operators.fuzzy import fuzzy_search
+    from same_same_spark.operators.phrase import phrase_search
+    from same_same_spark.operators.proximity import proximity_search
+    from same_same_spark.operators.wildcard import wildcard_search
+
+    docs = store.docs
+
+    def rows(df, idc="id"):
+        return sorted(
+            (r[idc], r["rank"], round(r["score"], 9)) for r in df.collect()
+        )
+
+    got = store.query("quantum mechanics", mode="phrase", k=5)
+    want = phrase_search(docs, [(0, "quantum mechanics")], k=5,
+                         id_col="id", text_col="text")
+    assert rows(got) == rows(want, "doc_id") and rows(got)
+
+    got = store.query({"must": "physics", "must_not": "quantum"},
+                      mode="bool", k=5)
+    want = boolean_search(docs, [(0, "physics", "", "quantum")], k=5,
+                          id_col="id", text_col="text")
+    assert rows(got) == rows(want, "doc_id") and rows(got)
+
+    got = store.query("phys*", mode="wildcard", k=5, max_expansions=5)
+    want = wildcard_search(docs, [(0, "phys*")], k=5, max_expansions=5,
+                           id_col="id", text_col="text")
+    assert rows(got) == rows(want, "doc_id") and rows(got)
+
+    got = store.query("physucs", mode="fuzzy", k=5, max_edits=1)
+    want = fuzzy_search(docs, [(0, "physucs")], k=5, max_edits=1,
+                        id_col="id", text_col="text")
+    assert rows(got) == rows(want, "doc_id") and rows(got)
+
+    got = store.query("physics theory", mode="proximity", k=5, slop=2)
+    want = proximity_search(docs, [(0, "physics theory")], slop=2, k=5,
+                            id_col="id", text_col="text")
+    assert rows(got) == rows(want, "doc_id") and rows(got)
+
+    with pytest.raises(ValueError):
+        store.query("x", mode="regex")
+
+
+def test_query_wildcard_rides_index(spark, tmp_path):
+    """mode='wildcard' with an attached index routes through the term
+    dictionary and stays rank-identical to the naive path."""
+    from same_same_spark.index.build import build_index
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    idx = str(tmp_path / "idx")
+    build_index(docs, idx, id_col="doc_id", text_col="text",
+                num_buckets=4, log=lambda *_: None)
+    naive = SameSameSpark(docs, id_col="doc_id", text_col="text")
+    indexed = SameSameSpark(docs, id_col="doc_id", text_col="text",
+                            index_dir=idx)
+    key = lambda df: sorted(
+        (r["doc_id"], r["rank"], round(r["score"], 6))
+        for r in df.collect()
+    )
+    a = key(naive.query("tab* quer*", mode="wildcard", k=5))
+    b = key(indexed.query("tab* quer*", mode="wildcard", k=5))
+    assert a == b and a
+
+
+def test_facets_mlt_suggest_surface(store):
+    """facets / more_like_this / suggest on a string-id store."""
+    f = {
+        (r["facet"], r["value"]): r["doc_count"]
+        for r in store.facets("physics gardening", ["metadata"]).collect()
+    }
+    # metadata is a MAP column cast to string — every matched doc has one
+    assert sum(v for (fc, _), v in f.items() if fc == "metadata") == 3
+
+    mlt = store.more_like_this("q1", k=2).collect()
+    assert [r["query_id"] for r in mlt] == ["q1"] * len(mlt)
+    assert "q1" not in {r["id"] for r in mlt} and mlt
+
+    sug = store.suggest(["physucs"], max_edits=1, topn=1).collect()
+    assert [(r["suggestion"], r["distance"]) for r in sug] == [("physics", 1)]
