@@ -4062,6 +4062,56 @@ def _q_fuzzy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round6(out, "score")
 
 
+def _q_collapse_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field collapsing (operators/collapse.collapse_topk): one best
+    doc per `source` value under the pinned order, top-k groups —
+    constant aggregation state per group (min(struct), never a
+    buffer). Sole evidence for the collapse operator."""
+    from same_same_spark.bm25 import scored_matches
+    from same_same_spark.operators.collapse import collapse_topk
+
+    docs = _docs(spark, sf_dir)
+    scored = scored_matches(
+        docs, REF_QUERIES, id_col="doc_id", text_col="text"
+    )
+    return _round6(
+        collapse_topk(scored, docs, "source", k=REF_K), "score"
+    )
+
+
+def _sql_collapse_by_source() -> str:
+    from same_same_spark.bm25 import duckdb_scored_sql
+    from same_same_spark.operators.collapse import duckdb_collapse_sql
+
+    return duckdb_collapse_sql(
+        duckdb_scored_sql("documents", "doc_id", "text", REF_QUERIES),
+        "documents", "doc_id", "source", REF_K,
+    )
+
+
+def _q_range_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range aggregation (operators/facets.range_facets): half-open
+    [lo, hi) doc-count buckets of `n_chars` over each query's full
+    match set, zero buckets included. Sole evidence; the oracle
+    assigns buckets with an independent closed form (count of edges
+    <= v) vs Spark's chained CASE."""
+    from same_same_spark.operators.facets import range_facets
+
+    return range_facets(
+        _docs(spark, sf_dir), REF_QUERIES, "n_chars",
+        [100.0, 200.0, 400.0], id_col="doc_id", text_col="text",
+    )
+
+
+def _sql_range_facets() -> str:
+    from same_same_spark.operators.facets import duckdb_range_facets_sql
+
+    return duckdb_range_facets_sql(
+        "documents", "doc_id", "text", REF_QUERIES, "n_chars",
+        [100.0, 200.0, 400.0],
+    )
+
+
 def _q_wildcard_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wildcard search through the posting index's term dictionary
     (operators/wildcard.wildcard_search_indexed) — rank-identical to
@@ -4499,6 +4549,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "search_after_page2": (
         _q_search_after_page2, _sql_search_after_page2(),
     ),
+    # result shaping: field collapsing + range aggregation (both sole
+    # evidence with independently-derived oracles)
+    "collapse_by_source": (
+        _q_collapse_by_source, _sql_collapse_by_source(),
+    ),
+    "range_facets": (_q_range_facets, _sql_range_facets()),
     # index-dictionary wildcard: rank-identical twin of wildcard_topk
     # (shared oracle; twin-tail placement per the witness contract)
     "wildcard_topk_indexed": (
@@ -4582,6 +4638,13 @@ _ORDER: list[str] = [
     # lang_id inside the r4-green c4_filter/textqc family).
     "search_facets",
     "search_after_page2",
+    # field collapsing + range aggregation (sole evidence); bumped
+    # r2/r3-green ann_lsh_topk / ann_ivf_topk past 50 (both keep green
+    # driver history; the LSH/IVF probe rules stay exercised by
+    # in-top-50 semdedup's shared-CTE oracle and the persisted-store
+    # twins in the tail).
+    "collapse_by_source",
+    "range_facets",
     # --- rotate-backs (last green r2/r3) -------------------------------
     "euclidean_topk",
     "events_hourly",

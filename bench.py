@@ -116,6 +116,8 @@ ENTRY_QUERY_NAMES = [
     "proximity_topk",
     "search_facets",
     "search_after_page2",
+    "collapse_by_source",
+    "range_facets",
 ]
 
 # VERDICT r3 #8: round-over-round totals stopped being comparable as

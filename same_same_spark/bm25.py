@@ -172,6 +172,36 @@ def duckdb_bm25_sql(
     Self-contained CTE chain; tokenization via
     :func:`same_same_spark.text.tokenizer.duckdb_tokens_sql`.
     """
+    inner = duckdb_scored_sql(table, id_col, text_col, queries, k1=k1, b=b)
+    sel_score = (
+        f"round(score, {round_score}) AS score" if round_score is not None
+        else "score"
+    )
+    return f"""
+WITH scored AS ({inner}),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY round(score, 9) DESC, doc_id ASC
+         ) AS rank
+  FROM scored
+)
+SELECT query_id, doc_id, {sel_score}, rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def duckdb_scored_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    queries: list[tuple[int, str]],
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+) -> str:
+    """DuckDB twin of :func:`scored_matches`: the FULL (query_id,
+    doc_id, score) match set, unranked and untruncated."""
     from same_same_spark.text.tokenizer import duckdb_tokens_sql
 
     qrows = []
@@ -182,10 +212,6 @@ def duckdb_bm25_sql(
     score_expr = (
         f"sum(s.idf * t.tf * ({k1} + 1.0) / "
         f"(t.tf + {k1} * (1.0 - {b} + {b} * t.dl / c.avgdl)))"
-    )
-    sel_score = (
-        f"round(score, {round_score}) AS score" if round_score is not None
-        else "score"
     )
     return f"""
 WITH toks AS (
@@ -227,15 +253,6 @@ scored AS (
   JOIN idf s ON t.term = s.term
   CROSS JOIN corpus c
   GROUP BY q.query_id, t.doc_id
-),
-ranked AS (
-  SELECT query_id, doc_id, score,
-         row_number() OVER (
-           PARTITION BY query_id
-           ORDER BY round(score, 9) DESC, doc_id ASC
-         ) AS rank
-  FROM scored
 )
-SELECT query_id, doc_id, {sel_score}, rank
-FROM ranked WHERE rank <= {k}
+SELECT query_id, doc_id, score FROM scored
 """

@@ -105,6 +105,136 @@ def search_facets(
     )
 
 
+def range_facets(
+    docs_df: DataFrame,
+    queries: list[tuple[int, str]],
+    value_col: str,
+    bounds: list[float],
+    id_col: str = "doc_id",
+    text_col: str = "content",
+) -> DataFrame:
+    """Range aggregation over the match set (Elasticsearch's range agg).
+
+    ``bounds`` = ascending inner edges; buckets are half-open
+    ``[lo, hi)`` with unbounded first/last ends. Returns (query_id INT,
+    bucket INT 0-based, lo DOUBLE nullable, hi DOUBLE nullable,
+    doc_count LONG) — EVERY bucket is emitted per matching query, zero
+    counts included (the fixed-shape histogram a UI renders); NULL
+    values are excluded from every bucket. Match set as in
+    :func:`search_facets`.
+    """
+    if sorted(bounds) != list(bounds) or len(set(bounds)) != len(bounds):
+        raise ValueError("bounds must be strictly ascending")
+    spark = docs_df.sparkSession
+    qterms = query_terms_df(spark, queries)
+    tok = tokenized(docs_df, id_col=id_col, text_col=text_col)
+    matched = (
+        tok.select(
+            "doc_id", F.explode(F.array_distinct("tokens")).alias("term")
+        )
+        .join(F.broadcast(qterms), "term")
+        .select("query_id", "doc_id")
+        .distinct()
+    )
+    meta = docs_df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    edges = [None] + list(bounds) + [None]
+    buckets = [
+        (i, edges[i], edges[i + 1]) for i in range(len(edges) - 1)
+    ]
+    bucket_expr = F.lit(len(buckets) - 1)
+    for i, (_, lo, hi) in reversed(list(enumerate(buckets[:-1]))):
+        bucket_expr = F.when(F.col("v") < F.lit(hi), F.lit(i)).otherwise(
+            bucket_expr
+        )
+    counted = (
+        matched.join(meta, "doc_id")
+        .filter(F.col("v").isNotNull())
+        .withColumn("bucket", bucket_expr)
+        .groupBy("query_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+    )
+    shape = spark.createDataFrame(
+        [(i, lo, hi) for i, lo, hi in buckets],
+        "bucket INT, lo DOUBLE, hi DOUBLE",
+    )
+    return (
+        matched.select("query_id")
+        .distinct()
+        .crossJoin(F.broadcast(shape))
+        .join(counted, ["query_id", "bucket"], "left")
+        .select(
+            "query_id",
+            F.col("bucket").cast("int").alias("bucket"),
+            "lo",
+            "hi",
+            F.coalesce(F.col("doc_count"), F.lit(0))
+            .cast("long")
+            .alias("doc_count"),
+        )
+    )
+
+
+def duckdb_range_facets_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    queries: list[tuple[int, str]],
+    value_col: str,
+    bounds: list[float],
+) -> str:
+    """DuckDB twin of :func:`range_facets` (bucket assignment re-derived
+    with an independent closed-form: count of edges <= v)."""
+    from same_same_spark.text.tokenizer import duckdb_tokens_sql, tokenize_py
+
+    qrows = [
+        f"({qid}, '{term}')"
+        for qid, text in queries
+        for term in sorted(set(tokenize_py(text)))
+    ]
+    qvalues = ", ".join(qrows) if qrows else "(NULL, NULL) LIMIT 0"
+    edges = [None] + list(bounds) + [None]
+    brows = ", ".join(
+        f"({i}, {'NULL' if edges[i] is None else edges[i]}, "
+        f"{'NULL' if edges[i + 1] is None else edges[i + 1]})"
+        for i in range(len(edges) - 1)
+    )
+    blist = ", ".join(str(b) for b in bounds)
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id, {duckdb_tokens_sql(text_col)} AS tokens
+  FROM {table}
+),
+qt AS (SELECT * FROM (VALUES {qvalues}) AS v(query_id, term)),
+matched AS (
+  SELECT DISTINCT q.query_id, t.doc_id
+  FROM (
+    SELECT doc_id, unnest(list_distinct(tokens)) AS term FROM toks
+  ) t JOIN qt q ON t.term = q.term
+),
+shape AS (SELECT * FROM (VALUES {brows}) AS v(bucket, lo, hi)),
+assigned AS (
+  SELECT m.query_id,
+         len(list_filter([{blist}], e -> e <= CAST(d.{value_col} AS DOUBLE)))
+           AS bucket
+  FROM matched m JOIN {table} d ON m.doc_id = d.{id_col}
+  WHERE d.{value_col} IS NOT NULL
+),
+counted AS (
+  SELECT query_id, bucket, count(*)::BIGINT AS doc_count
+  FROM assigned GROUP BY query_id, bucket
+)
+SELECT q.query_id, s.bucket::INTEGER AS bucket,
+       CAST(s.lo AS DOUBLE) AS lo, CAST(s.hi AS DOUBLE) AS hi,
+       coalesce(c.doc_count, 0)::BIGINT AS doc_count
+FROM (SELECT DISTINCT query_id FROM matched) q
+CROSS JOIN shape s
+LEFT JOIN counted c ON c.query_id = q.query_id AND c.bucket = s.bucket
+"""
+
+
 def duckdb_facets_sql(
     table: str,
     id_col: str,

@@ -163,3 +163,107 @@ def test_search_after_score_tie_breaks_by_doc_id(spark):
         )
     ]
     assert got == [(4, 1), (5, 2)]
+
+
+# --------------------------------------------------------------------------
+# range facets
+# --------------------------------------------------------------------------
+
+
+def test_range_facets_match_brute_force(spark):
+    from same_same_spark.operators.facets import range_facets
+
+    docs = _docs_df(spark).withColumn("n_chars", F.length("text"))
+    bounds = [10.0, 30.0]
+    got = sorted(
+        (r["query_id"], r["bucket"], r["lo"], r["hi"], r["doc_count"])
+        for r in range_facets(
+            docs, [(1, "quick fox"), (2, "zzz")], "n_chars", bounds,
+            id_col="doc_id", text_col="text",
+        ).collect()
+    )
+    qterms = set(tokenize_py("quick fox"))
+    matched = [r for r in DOCS if qterms & set(tokenize_py(r[1]))]
+    counts = [0, 0, 0]
+    for r in matched:
+        v = len(r[1])
+        counts[sum(b <= v for b in bounds)] += 1
+    want = sorted(
+        (1, i, lo, hi, counts[i])
+        for i, (lo, hi) in enumerate(
+            [(None, 10.0), (10.0, 30.0), (30.0, None)]
+        )
+    )
+    assert got == want  # query 2 (no matches) emits nothing
+    assert sum(counts) == len(matched) and len(matched) > 0
+
+
+def test_range_facets_boundary_is_half_open(spark):
+    from same_same_spark.operators.facets import range_facets
+
+    docs = spark.createDataFrame(
+        [(1, "quick", 10.0), (2, "quick", 9.999), (3, "quick", None)],
+        "doc_id LONG, text STRING, v DOUBLE",
+    )
+    got = {
+        r["bucket"]: r["doc_count"]
+        for r in range_facets(
+            docs, [(1, "quick")], "v", [10.0],
+            id_col="doc_id", text_col="text",
+        ).collect()
+    }
+    # v=10.0 lands in [10, inf), 9.999 in (-inf, 10); NULL excluded
+    assert got == {0: 1, 1: 1}
+
+
+def test_range_facets_bad_bounds_raise(spark):
+    from same_same_spark.operators.facets import range_facets
+
+    for bad in ([2.0, 1.0], [1.0, 1.0]):
+        with pytest.raises(ValueError):
+            range_facets(_docs_df(spark), [(1, "quick")], "doc_id", bad)
+
+
+# --------------------------------------------------------------------------
+# field collapsing
+# --------------------------------------------------------------------------
+
+
+def test_collapse_topk_one_per_value(spark):
+    from same_same_spark.operators.collapse import collapse_topk
+
+    docs = _docs_df(spark)
+    scored = scored_matches(
+        docs, [(1, "quick brown fox dog")], id_col="doc_id", text_col="text"
+    )
+    out = sorted(
+        (r["rank"], r["doc_id"], r["source"])
+        for r in collapse_topk(scored, docs, "source", k=10).collect()
+    )
+    # brute force: best doc per source under the pinned order
+    full = {
+        r["doc_id"]: r["score"] for r in scored.collect()
+    }
+    by_src = {}
+    src_of = {d: row[3] for row in DOCS for d in [row[0]]}
+    for d, s in full.items():
+        v = src_of[d]
+        cur = by_src.get(v)
+        if cur is None or (-round(s, 9), d) < (-round(full[cur], 9), cur):
+            by_src[v] = d
+    reps = sorted(
+        by_src.values(), key=lambda d: (-round(full[d], 9), d)
+    )
+    want = sorted(
+        (i + 1, d, src_of[d]) for i, d in enumerate(reps)
+    )
+    assert out == want
+    # every source value appears at most once
+    vals = [v for _, _, v in out]
+    assert len(vals) == len(set(vals))
+
+    # NULL values form ONE group of their own: doc 7 (NULL lang) matches
+    lang_out = collapse_topk(scored, docs, "lang", k=10).collect()
+    lang_vals = [r["lang"] for r in lang_out]
+    assert lang_vals.count(None) == 1
+    assert 7 in {r["doc_id"] for r in lang_out if r["lang"] is None}
