@@ -50,6 +50,12 @@ def search_facets(
     """
     if not facet_cols:
         raise ValueError("facet_cols must be non-empty")
+    if id_col in facet_cols or "doc_id" in facet_cols:
+        raise ValueError(
+            "faceting on the document id column is ill-posed (every "
+            "value has count 1) and collides with the internal doc_id "
+            "alias — pick a metadata column"
+        )
     spark = docs_df.sparkSession
     qterms = query_terms_df(spark, queries)
     tok = tokenized(docs_df, id_col=id_col, text_col=text_col)

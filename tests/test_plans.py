@@ -177,3 +177,82 @@ def test_lm_scoring_joins_broadcast(spark, documents):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "WindowExec" not in plan
+
+
+def test_multiterm_rewrites_plan_shape(spark, documents):
+    """The query-rewrite family must stay window-free, and each join
+    against the tiny rewrite table must be a BROADCAST join. The one
+    intended non-equi join — wildcard's pattern-vs-vocab term-dictionary
+    scan — must be the broadcast nested loop (pattern side broadcast),
+    never a shuffled CartesianProduct."""
+    from same_same_spark.operators.fuzzy import fuzzy_search
+    from same_same_spark.operators.proximity import proximity_search
+    from same_same_spark.operators.wildcard import wildcard_search
+
+    w = _plan(wildcard_search(
+        documents, [(0, "tab* quer*")], k=5,
+        id_col="doc_id", text_col="text",
+    ))
+    assert "Window" not in w
+    assert "CartesianProduct" not in w
+    assert "BroadcastNestedLoopJoin" in w  # the dictionary scan itself
+    assert "BroadcastHashJoin" in w       # expansion -> postings
+
+    f = _plan(fuzzy_search(
+        documents, [(0, "tabel")], k=5, max_edits=1,
+        id_col="doc_id", text_col="text",
+    ))
+    assert "Window" not in f
+    assert "CartesianProduct" not in f
+    assert "BroadcastNestedLoopJoin" not in f  # SymSpell = equi hash join
+
+    p = _plan(proximity_search(
+        documents, [(0, "fast merge")], slop=2, k=5,
+        id_col="doc_id", text_col="text",
+    ))
+    assert "Window" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_result_shaping_plan_shape(spark, documents):
+    """Facets, range facets, collapsing and keyset pagination: no
+    WindowExec, no cartesians; collapse's per-group best is an
+    aggregate (min), never a collect_list of group rows."""
+    from same_same_spark.bm25 import scored_matches
+    from same_same_spark.operators.collapse import collapse_topk
+    from same_same_spark.operators.facets import range_facets, search_facets
+    from same_same_spark.operators.topk import search_after, topk_per_query
+
+    docs = documents.withColumn("n_chars", F.length("text"))
+    queries = [(0, "fast merge join"), (1, "vector table")]
+
+    sf = _plan(search_facets(
+        docs, queries, ["lang", "source"], topn=3,
+        id_col="doc_id", text_col="text",
+    ))
+    rf = _plan(range_facets(
+        docs, queries, "n_chars", [100.0, 300.0],
+        id_col="doc_id", text_col="text",
+    ))
+    scored = scored_matches(docs, queries, id_col="doc_id", text_col="text")
+    co = collapse_topk(scored, docs, "source", k=5)
+    cop = _plan(co)
+    cursor = topk_per_query(scored, 5).filter(F.col("rank") == 5).select(
+        "query_id", F.col("score").alias("after_score"),
+        F.col("doc_id").alias("after_doc_id"),
+    )
+    sa = _plan(search_after(scored, cursor, 5))
+
+    for plan in (sf, rf, cop, sa):
+        assert "Window" not in plan
+        assert "CartesianProduct" not in plan
+    # range_facets' shape join is the intended tiny broadcast loop
+    # (bucket shape x matching queries); everything else is hash joins
+    assert "BroadcastNestedLoopJoin" not in sf
+    assert "BroadcastNestedLoopJoin" not in cop
+    assert "BroadcastNestedLoopJoin" not in sa
+    # collapse: the per-group best is a min(struct) aggregate — the
+    # plan carries a partial/final min over __entry (constant state),
+    # and the only collect_lists are the bounded tournament's own.
+    assert "min(__entry" in cop.replace("partial_", "")
