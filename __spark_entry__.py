@@ -3865,9 +3865,10 @@ def _sql_phrase_topk() -> str:
 
 def _q_snippet_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-5 for the reference query set, each hit decorated with
-    the best-window snippet (operators/snippet.with_snippets; window=8
-    tokens, score = distinct query terms in window, ties → smallest
-    start). Sole evidence for the snippet operator."""
+    the best-window snippet + <em>-tagged highlight
+    (operators/snippet.with_snippets; window=8 tokens, score = distinct
+    query terms in window, ties → smallest start). Sole evidence for
+    the snippet/highlight operator."""
     from same_same_spark.operators.snippet import with_snippets
 
     docs = _docs(spark, sf_dir)
@@ -3888,15 +3889,16 @@ def _sql_snippet_topk() -> str:
     from same_same_spark.text.tokenizer import tokenize_py
 
     inner = duckdb_bm25_sql("documents", "doc_id", "text", REF_QUERIES, k=5)
-    snip_cases, hit_cases = [], []
+    snip_cases, hit_cases, hl_cases = [], [], []
     for qid, text in REF_QUERIES:
         terms = tokenize_py(text)
         if not terms:
             # zero-token query produces zero BM25 rows; no branch needed
             continue
-        s, h = duckdb_snippet_exprs("d.tokens", terms, 8)
+        s, h, hl = duckdb_snippet_exprs("d.tokens", terms, 8)
         snip_cases.append(f"WHEN t.query_id = {qid} THEN {s}")
         hit_cases.append(f"WHEN t.query_id = {qid} THEN {h}")
+        hl_cases.append(f"WHEN t.query_id = {qid} THEN {hl}")
     from same_same_spark.text.tokenizer import duckdb_tokens_sql
 
     return f"""
@@ -3904,7 +3906,8 @@ WITH top AS ({inner}),
 d AS (SELECT doc_id, {duckdb_tokens_sql('text')} AS tokens FROM documents)
 SELECT t.query_id, t.doc_id, t.score, t.rank::INTEGER AS rank,
        CASE {' '.join(snip_cases)} END AS snippet,
-       CASE {' '.join(hit_cases)} END AS n_hit_terms
+       CASE {' '.join(hit_cases)} END AS n_hit_terms,
+       CASE {' '.join(hl_cases)} END AS highlight
 FROM top t JOIN d ON t.doc_id = d.doc_id
 """
 
@@ -4214,6 +4217,158 @@ def _sql_search_after_page2() -> str:
 SELECT query_id, doc_id, score, (rank - {REF_K})::INTEGER AS rank
 FROM ({inner}) WHERE rank > {REF_K}
 """
+
+
+def _q_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Significant-terms aggregation (operators/sigterms.significant_terms):
+    JLH-scored terms over-represented in each query's match set vs the
+    corpus, query terms excluded, fg >= 2. Sole evidence for the
+    significant-terms operator; the oracle re-derives both frequency
+    tables and the JLH expression independently."""
+    from same_same_spark.operators.sigterms import significant_terms
+
+    out = significant_terms(
+        _docs(spark, sf_dir), REF_QUERIES, topn=10, min_doc_count=2,
+        id_col="doc_id", text_col="text",
+    )
+    return _round6(out, "score")
+
+
+def _sql_significant_terms() -> str:
+    from same_same_spark.operators.sigterms import duckdb_sigterms_sql
+
+    return duckdb_sigterms_sql(
+        "documents", "doc_id", "text", REF_QUERIES, topn=10,
+        min_doc_count=2,
+    )
+
+
+def _q_facet_top_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-hits aggregation (operators/facets.facet_top_hits): best 3
+    BM25 docs inside each query's top-3 `source` buckets. Sole
+    evidence for the bucket-scoped hit ranking (two chained bounded
+    tournaments vs the oracle's two window functions)."""
+    from same_same_spark.operators.facets import facet_top_hits
+
+    out = facet_top_hits(
+        _docs(spark, sf_dir), REF_QUERIES, "source", topn=3, k_hits=3,
+        id_col="doc_id", text_col="text",
+    )
+    return _round6(out, "score")
+
+
+def _sql_facet_top_hits() -> str:
+    from same_same_spark.bm25 import duckdb_scored_sql
+    from same_same_spark.operators.facets import duckdb_top_hits_sql
+
+    return duckdb_top_hits_sql(
+        duckdb_scored_sql("documents", "doc_id", "text", REF_QUERIES),
+        "documents", "doc_id", "source", topn=3, k_hits=3,
+    )
+
+
+# term^boost syntax: re-weighting, duplicate-term boost summing
+# (fast + fast^2 = 3.0), a zero boost dropping its term, boosted
+# stopwords (no tokens), and a boost-free control query.
+BOOSTED_QUERIES: list[tuple[int, str]] = [
+    (1, "table^3 query join^0.5"),
+    (2, "fast fast^2 scan"),
+    (3, "window^0 agg stream^1.5"),
+    (4, "the^5 a an"),
+    (5, "vector"),
+]
+
+
+def _q_boosted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-time term boosting (operators/boost.boosted_search):
+    Lucene's term^boost syntax, duplicate boosts summed, zero boosts
+    dropped. Sole evidence for the boosted scorer (the parse is shared
+    driver-side code; the weighted scoring + ranking is the
+    differential)."""
+    from same_same_spark.operators.boost import boosted_search
+
+    out = boosted_search(
+        _docs(spark, sf_dir), BOOSTED_QUERIES, k=REF_K,
+        id_col="doc_id", text_col="text",
+    )
+    return _round6(out, "score")
+
+
+def _sql_boosted_topk() -> str:
+    from same_same_spark.operators.boost import duckdb_boosted_sql
+
+    return duckdb_boosted_sql(
+        "documents", "doc_id", "text", BOOSTED_QUERIES, k=REF_K
+    )
+
+
+# groups over corpus vocabulary (+ out-of-vocab members, which must
+# contribute nothing); "row" appears in two groups.
+SYNONYM_GROUPS: list[list[str]] = [
+    ["table", "row"],
+    ["row", "record", "tuple"],
+    ["fast", "quick", "rapid"],
+    ["window", "frame"],
+]
+
+
+def _q_synonym_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synonym-expanded search (operators/synonyms.synonym_search):
+    query terms expand through an engine-side synonym-group table
+    (two broadcast joins + distinct union — the expansion itself is
+    under the differential), BM25 over the expanded set. Sole evidence
+    for the synonym operator."""
+    from same_same_spark.operators.synonyms import synonym_search
+
+    out = synonym_search(
+        _docs(spark, sf_dir), REF_QUERIES, SYNONYM_GROUPS, k=REF_K,
+        id_col="doc_id", text_col="text",
+    )
+    return _round6(out, "score")
+
+
+def _sql_synonym_topk() -> str:
+    from same_same_spark.operators.synonyms import duckdb_synonym_sql
+
+    return duckdb_synonym_sql(
+        "documents", "doc_id", "text", REF_QUERIES, SYNONYM_GROUPS,
+        k=REF_K,
+    )
+
+
+# minimum_should_match=2 over: pure-should 2-of-3, must + 2-of-3
+# should with exclusion, a should set SMALLER than the requirement
+# (matches nothing, no clamping), and a must-only query (msm ignored
+# without should clauses).
+BOOL_MSM_QUERIES: list[tuple[int, str, str, str]] = [
+    (1, "", "table join merge", ""),
+    (2, "spark", "fast scan row", "vector"),
+    (3, "", "window", ""),
+    (4, "query", "", ""),
+]
+
+
+def _q_boolean_msm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean search with minimum_should_match=2
+    (operators/boolquery.boolean_search): Elasticsearch's n-of-m
+    should gating layered on the must/should/must_not candidate
+    algebra. Sole evidence for the msm gate."""
+    from same_same_spark.operators.boolquery import boolean_search
+
+    out = boolean_search(
+        _docs(spark, sf_dir), BOOL_MSM_QUERIES, k=REF_K,
+        id_col="doc_id", text_col="text", minimum_should_match=2,
+    )
+    return _round6(out, "score")
+
+
+def _sql_boolean_msm() -> str:
+    from same_same_spark.operators.boolquery import duckdb_bool_sql
+
+    return duckdb_bool_sql(
+        "documents", "doc_id", "text", BOOL_MSM_QUERIES, k=REF_K,
+        minimum_should_match=2,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -4555,6 +4710,17 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         _q_collapse_by_source, _sql_collapse_by_source(),
     ),
     "range_facets": (_q_range_facets, _sql_range_facets()),
+    # relevance & aggregation wave (fourth round-5 session, all sole
+    # evidence): JLH significant terms, bucket-scoped top hits,
+    # term^boost weighting, engine-side synonym expansion, and the
+    # minimum_should_match gate on the boolean algebra.
+    "significant_terms": (
+        _q_significant_terms, _sql_significant_terms(),
+    ),
+    "facet_top_hits": (_q_facet_top_hits, _sql_facet_top_hits()),
+    "boosted_topk": (_q_boosted_topk, _sql_boosted_topk()),
+    "synonym_topk": (_q_synonym_topk, _sql_synonym_topk()),
+    "boolean_msm": (_q_boolean_msm, _sql_boolean_msm()),
     # index-dictionary wildcard: rank-identical twin of wildcard_topk
     # (shared oracle; twin-tail placement per the witness contract)
     "wildcard_topk_indexed": (
@@ -4645,6 +4811,16 @@ _ORDER: list[str] = [
     # twins in the tail).
     "collapse_by_source",
     "range_facets",
+    # relevance & aggregation wave (fourth round-5 session, sole
+    # evidence); their insertion pushed r2/r3-green dedup_minhash /
+    # dedup_clusters / simhash_docs / dedup_embedding / ann_brute_topk
+    # past 50 — each has green driver history (r2/r3 rows), which the
+    # rotation contract accepts for displaced rotate-backs.
+    "significant_terms",
+    "facet_top_hits",
+    "boosted_topk",
+    "synonym_topk",
+    "boolean_msm",
     # --- rotate-backs (last green r2/r3) -------------------------------
     "euclidean_topk",
     "events_hourly",

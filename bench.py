@@ -118,6 +118,11 @@ ENTRY_QUERY_NAMES = [
     "search_after_page2",
     "collapse_by_source",
     "range_facets",
+    "significant_terms",
+    "facet_top_hits",
+    "boosted_topk",
+    "synonym_topk",
+    "boolean_msm",
 ]
 
 # VERDICT r3 #8: round-over-round totals stopped being comparable as

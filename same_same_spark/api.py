@@ -490,6 +490,12 @@ class SameSameSpark:
         - ``"proximity"`` — all terms within a ``len+slop`` window
           (:mod:`~same_same_spark.operators.proximity`); ``q`` = text;
           ``slop=``.
+        - ``"boosted"`` — Lucene ``term^boost`` weighting
+          (:mod:`~same_same_spark.operators.boost`); ``q`` = query
+          string with optional ``^<float>`` suffixes.
+        - ``"synonym"`` — engine-side synonym expansion
+          (:mod:`~same_same_spark.operators.synonyms`); ``q`` = text;
+          ``synonyms=`` the group list.
 
         Extra ``kw`` pass through to the operator. Returns
         (id, score, rank) plus the mode's extra columns
@@ -548,10 +554,24 @@ class SameSameSpark:
                 self.docs, [(0, q)], k=k, id_col=self.id_col,
                 text_col=self.text_col, **kw,
             )
+        elif mode == "boosted":
+            from same_same_spark.operators.boost import boosted_search
+
+            out = boosted_search(
+                self.docs, [(0, q)], k=k, id_col=self.id_col,
+                text_col=self.text_col, **kw,
+            )
+        elif mode == "synonym":
+            from same_same_spark.operators.synonyms import synonym_search
+
+            out = synonym_search(
+                self.docs, [(0, q)], kw.pop("synonyms"), k=k,
+                id_col=self.id_col, text_col=self.text_col, **kw,
+            )
         else:
             raise ValueError(
                 f"unknown query mode {mode!r} (expected terms/phrase/"
-                "bool/wildcard/fuzzy/proximity)"
+                "bool/wildcard/fuzzy/proximity/boosted/synonym)"
             )
         return out.drop("query_id").withColumnRenamed("doc_id", self.id_col)
 
@@ -570,6 +590,38 @@ class SameSameSpark:
             self.docs, [(0, text)], facet_cols, topn=topn,
             id_col=self.id_col, text_col=self.text_col,
         ).drop("query_id")
+
+    def significant_terms(
+        self, text: str, topn: int = 10, min_doc_count: int = 2
+    ) -> DataFrame:
+        """JLH-scored terms over-represented in the query's match set
+        vs the corpus (:mod:`~same_same_spark.operators.sigterms`):
+        (term, fg_count, bg_count, score, rank)."""
+        from same_same_spark.operators.sigterms import significant_terms
+
+        return significant_terms(
+            self.docs, [(0, text)], topn=topn,
+            min_doc_count=min_doc_count,
+            id_col=self.id_col, text_col=self.text_col,
+        ).drop("query_id")
+
+    def top_hits(
+        self,
+        text: str,
+        facet_col: str,
+        topn: int = 5,
+        k_hits: int = 3,
+    ) -> DataFrame:
+        """Top-hits aggregation
+        (:mod:`~same_same_spark.operators.facets`): the best
+        ``k_hits`` BM25 docs inside each of the query's top-``topn``
+        facet buckets."""
+        from same_same_spark.operators.facets import facet_top_hits
+
+        return facet_top_hits(
+            self.docs, [(0, text)], facet_col, topn=topn,
+            k_hits=k_hits, id_col=self.id_col, text_col=self.text_col,
+        ).drop("query_id").withColumnRenamed("doc_id", self.id_col)
 
     def more_like_this(
         self, doc_id, k: int = DEFAULT_TOP_K, max_terms: int = 10

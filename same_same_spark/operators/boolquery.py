@@ -13,6 +13,14 @@ Pinned semantics (cross-engine, re-derived in
 - candidates: docs containing ALL must terms (when ``must`` is
   non-empty) or at least ONE should term (when ``must`` tokenizes
   empty), minus docs containing ANY must_not term;
+- ``minimum_should_match`` (Elasticsearch semantics): a candidate must
+  additionally contain >= that many DISTINCT should terms. The
+  effective requirement per query is ``max(msm, 1)`` when must is
+  empty (a pure-should query always needs one match), ``msm`` when
+  must is non-empty, and 0 when the should set is empty (the knob is
+  ignored without should clauses, as in Elasticsearch); a query whose
+  should set is SMALLER than its requirement matches nothing (no
+  clamping);
 - score = BM25 (the engine's pinned model) over the distinct union of
   must + should terms, restricted to candidates;
 - total order ``(round(score, 9) DESC, doc_id ASC)``, top-k;
@@ -51,6 +59,7 @@ def boolean_search(
     text_col: str = "content",
     k1: float = K1_DEFAULT,
     b: float = B_DEFAULT,
+    minimum_should_match: int = 0,
 ) -> DataFrame:
     """Top-k boolean search for (query_id, must, should, must_not)
     clause triples. Returns (query_id INT, doc_id, score DOUBLE,
@@ -61,11 +70,18 @@ def boolean_search(
 
     qrows = []  # (query_id, term, role)
     m_counts: dict[int, int] = {}
+    s_required: dict[int, int] = {}
     for qid, must, should, must_not in queries:
         m = sorted(set(tokenize_py(must)))
         s = sorted(set(tokenize_py(should)))
         x = sorted(set(tokenize_py(must_not)))
         m_counts[qid] = len(m)
+        s_eff = [t for t in s if t not in m]
+        s_required[qid] = (
+            0 if not s_eff
+            else (max(minimum_should_match, 1) if not m
+                  else minimum_should_match)
+        )
         for t in m:
             qrows.append((qid, t, "must"))
         for t in s:
@@ -106,19 +122,21 @@ def boolean_search(
         )
     )
     m_df = spark.createDataFrame(
-        [(qid, n) for qid, n in sorted(m_counts.items())],
-        "query_id INT, m_required INT",
+        [
+            (qid, n, s_required[qid])
+            for qid, n in sorted(m_counts.items())
+        ],
+        "query_id INT, m_required INT, s_required INT",
     )
     cand = (
         gate.join(F.broadcast(m_df), "query_id")
         .filter(
             (F.col("n_not") == 0)
             & (
-                F.when(
-                    F.col("m_required") > 0,
-                    F.col("n_must") == F.col("m_required"),
-                ).otherwise(F.col("n_should") > 0)
+                (F.col("m_required") == 0)
+                | (F.col("n_must") == F.col("m_required"))
             )
+            & (F.col("n_should") >= F.col("s_required"))
         )
         .select("query_id", "doc_id")
     )
@@ -149,6 +167,7 @@ def duckdb_bool_sql(
     k1: float = K1_DEFAULT,
     b: float = B_DEFAULT,
     round_score: int = 6,
+    minimum_should_match: int = 0,
 ) -> str:
     """DuckDB twin of :func:`boolean_search` (score compared at 6dp)."""
     from same_same_spark.text.tokenizer import duckdb_tokens_sql
@@ -158,7 +177,13 @@ def duckdb_bool_sql(
         m = sorted(set(tokenize_py(must)))
         s = sorted(set(tokenize_py(should)))
         x = sorted(set(tokenize_py(must_not)))
-        mrows.append(f"({qid}, {len(m)})")
+        s_eff = [t for t in s if t not in m]
+        s_req = (
+            0 if not s_eff
+            else (max(minimum_should_match, 1) if not m
+                  else minimum_should_match)
+        )
+        mrows.append(f"({qid}, {len(m)}, {s_req})")
         for t in m:
             qrows.append(f"({qid}, '{t}', 'must')")
         for t in s:
@@ -167,7 +192,7 @@ def duckdb_bool_sql(
         for t in x:
             qrows.append(f"({qid}, '{t}', 'not')")
     qvalues = ", ".join(qrows) if qrows else "(NULL, NULL, NULL) LIMIT 0"
-    mvalues = ", ".join(mrows) if mrows else "(NULL, NULL) LIMIT 0"
+    mvalues = ", ".join(mrows) if mrows else "(NULL, NULL, NULL) LIMIT 0"
     score_expr = (
         f"sum(s.idf * t.tf * ({k1} + 1.0) / "
         f"(t.tf + {k1} * (1.0 - {b} + {b} * t.dl / c.avgdl)))"
@@ -188,7 +213,8 @@ tfc AS (
   GROUP BY doc_id, term
 ),
 qt AS (SELECT * FROM (VALUES {qvalues}) AS v(query_id, term, role)),
-mreq AS (SELECT * FROM (VALUES {mvalues}) AS v(query_id, m_required)),
+mreq AS (SELECT * FROM (VALUES {mvalues})
+         AS v(query_id, m_required, s_required)),
 dfs AS (
   SELECT tfc.term, count(*) AS df FROM tfc
   WHERE tfc.term IN (SELECT DISTINCT term FROM qt)
@@ -210,8 +236,8 @@ cand AS (
   SELECT g.query_id, g.doc_id
   FROM gate g JOIN mreq m ON g.query_id = m.query_id
   WHERE g.n_not = 0
-    AND CASE WHEN m.m_required > 0 THEN g.n_must = m.m_required
-             ELSE g.n_should > 0 END
+    AND (m.m_required = 0 OR g.n_must = m.m_required)
+    AND g.n_should >= m.s_required
 ),
 scored AS (
   SELECT q.query_id, t.doc_id, {score_expr} AS score

@@ -183,6 +183,172 @@ def range_facets(
     )
 
 
+def facet_top_hits(
+    docs_df: DataFrame,
+    queries: list[tuple[int, str]],
+    facet_col: str,
+    topn: int = 5,
+    k_hits: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+) -> DataFrame:
+    """Top-hits aggregation (Elasticsearch ``top_hits`` inside a terms
+    agg): for each query's top-n facet values by match count, the
+    k_hits best BM25-scored matching docs carrying that value.
+
+    Pinned semantics (cross-engine, re-derived in
+    :func:`duckdb_top_hits_sql`):
+
+    - match set + scores = the engine's pinned BM25 over each query's
+      distinct X1 tokens (``bm25.scored_matches``), so the bucket
+      membership here is score-carrying, not merely boolean;
+    - buckets: distinct ``facet_col`` values (cast to string, NULLs
+      excluded) ranked per query by ``(doc_count DESC, value ASC)``,
+      top-n kept, ``value_rank`` 1..n;
+    - hits: within each kept (query, value) bucket, top-``k_hits``
+      docs under the pinned ``(round(score, 9) DESC, doc_id ASC)``,
+      ``hit_rank`` 1..k_hits.
+
+    Returns (query_id INT, value STRING, doc_count LONG,
+    value_rank INT, doc_id, score DOUBLE, hit_rank INT).
+
+    Scale shape: one scored-match relation feeds both the bucket
+    counts (map-side-combined groupBy) and the hit selection; the kept
+    bucket set is queries×topn rows — broadcast back, so hit ranking
+    only ever touches rows of surviving buckets. Both rankings are
+    bounded sort_array/slice tournaments keyed by (query, [value]) —
+    no WindowExec, no buffer proportional to a bucket's match count.
+    """
+    from same_same_spark.bm25 import scored_matches
+
+    scored = scored_matches(
+        docs_df, queries, id_col=id_col, text_col=text_col
+    )
+    meta = docs_df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(facet_col).cast("string").alias("value"),
+    )
+    joined = scored.join(meta, "doc_id").filter(F.col("value").isNotNull())
+
+    counts = joined.groupBy("query_id", "value").agg(
+        F.count(F.lit(1)).alias("doc_count")
+    )
+    ventry = F.struct(
+        (-F.col("doc_count")).alias("negc"),
+        F.col("value").alias("value"),
+        F.col("doc_count").alias("doc_count"),
+    )
+    vlocal = (
+        counts.withColumn("part", F.spark_partition_id())
+        .groupBy("query_id", "part")
+        .agg(F.slice(F.sort_array(F.collect_list(ventry)), 1, topn).alias("c"))
+    )
+    topvals = (
+        vlocal.groupBy("query_id")
+        .agg(
+            F.slice(
+                F.sort_array(F.flatten(F.collect_list("c"))), 1, topn
+            ).alias("top")
+        )
+        .select("query_id", F.posexplode("top").alias("pos", "s"))
+        .select(
+            "query_id",
+            F.col("s.value").alias("value"),
+            F.col("s.doc_count").cast("long").alias("doc_count"),
+            (F.col("pos") + 1).cast("int").alias("value_rank"),
+        )
+    )
+
+    kept = joined.join(
+        F.broadcast(topvals), ["query_id", "value"], "inner"
+    )
+    hentry = F.struct(
+        (F.lit(0.0) - F.round("score", 9)).alias("nk"),
+        F.col("doc_id").alias("doc_id"),
+        F.col("score").alias("score"),
+    )
+    hlocal = (
+        kept.withColumn("part", F.spark_partition_id())
+        .groupBy("query_id", "value", "doc_count", "value_rank", "part")
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_list(hentry)), 1, k_hits
+            ).alias("c")
+        )
+    )
+    return (
+        hlocal.groupBy("query_id", "value", "doc_count", "value_rank")
+        .agg(
+            F.slice(
+                F.sort_array(F.flatten(F.collect_list("c"))), 1, k_hits
+            ).alias("top")
+        )
+        .select(
+            "query_id",
+            "value",
+            "doc_count",
+            "value_rank",
+            F.posexplode("top").alias("pos", "s"),
+        )
+        .select(
+            "query_id",
+            "value",
+            "doc_count",
+            "value_rank",
+            F.col("s.doc_id").alias("doc_id"),
+            F.col("s.score").alias("score"),
+            (F.col("pos") + 1).cast("int").alias("hit_rank"),
+        )
+    )
+
+
+def duckdb_top_hits_sql(
+    scored_sql: str,
+    table: str,
+    id_col: str,
+    facet_col: str,
+    topn: int = 5,
+    k_hits: int = 3,
+    round_score: int = 6,
+) -> str:
+    """DuckDB twin of :func:`facet_top_hits` (two window-function
+    rankings vs Spark's bounded tournaments; score compared at 6dp).
+    ``scored_sql`` = the full-match-set SQL (``duckdb_scored_sql``)."""
+    return f"""
+WITH scored AS ({scored_sql}),
+joined AS (
+  SELECT s.query_id, s.doc_id, s.score,
+         CAST(d.{facet_col} AS VARCHAR) AS value
+  FROM scored s JOIN {table} d ON s.doc_id = d.{id_col}
+  WHERE d.{facet_col} IS NOT NULL
+),
+counts AS (
+  SELECT query_id, value, count(*)::BIGINT AS doc_count
+  FROM joined GROUP BY query_id, value
+),
+topvals AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY doc_count DESC, value ASC
+  ) AS value_rank
+  FROM counts QUALIFY value_rank <= {topn}
+),
+hits AS (
+  SELECT j.query_id, j.value, t.doc_count, t.value_rank,
+         j.doc_id, j.score,
+         row_number() OVER (
+           PARTITION BY j.query_id, j.value
+           ORDER BY round(j.score, 9) DESC, j.doc_id ASC
+         ) AS hit_rank
+  FROM joined j
+  JOIN topvals t ON j.query_id = t.query_id AND j.value = t.value
+)
+SELECT query_id, value, doc_count, value_rank::INTEGER AS value_rank,
+       doc_id, round(score, {round_score}) AS score,
+       hit_rank::INTEGER AS hit_rank
+FROM hits WHERE hit_rank <= {k_hits}
+"""
+
+
 def duckdb_range_facets_sql(
     table: str,
     id_col: str,

@@ -13,7 +13,10 @@ engines reproduce exactly):
 - best window = max score, ties broken by the SMALLEST start offset
   (``array_position`` / ``list_position`` both return the first hit);
 - ``snippet`` = the window's tokens joined by one space;
-  ``n_hit_terms`` = the best window's score.
+  ``n_hit_terms`` = the best window's score;
+- ``highlight`` = the same window with every token that IS a query
+  term wrapped in ``<em>``/``</em>`` (Elasticsearch's default
+  highlighter tags), tokens joined by one space.
 
 Scale shape: the window scan is pure JVM column math (``transform`` over
 a bounded ``sequence``; cost O(n·W) per doc) and is evaluated ONLY for
@@ -33,7 +36,8 @@ from same_same_spark.text.tokenizer import tokenize_py, tokens_col
 def snippet_cols(
     tokens: Column, query_terms: list[str], window: int
 ) -> dict[str, Column]:
-    """{'snippet': STRING, 'n_hit_terms': INT} for one doc's token array.
+    """{'snippet': STRING, 'n_hit_terms': INT, 'highlight': STRING} for
+    one doc's token array.
 
     ``query_terms`` is a driver-side list (queries are tiny); terms are
     deduplicated and sorted so the generated expression is deterministic.
@@ -59,11 +63,20 @@ def snippet_cols(
     )
     best = F.array_max(scores)
     idx = F.array_position(scores, best)  # first (= smallest start), 1-based
+    win = F.slice(tokens, idx.cast("int"), window)
     return {
-        "snippet": F.array_join(
-            F.slice(tokens, idx.cast("int"), window), " "
-        ),
+        "snippet": F.array_join(win, " "),
         "n_hit_terms": best.cast("int"),
+        "highlight": F.array_join(
+            F.transform(
+                win,
+                lambda t: F.when(
+                    F.array_contains(qarr, t),
+                    F.concat(F.lit("<em>"), t, F.lit("</em>")),
+                ).otherwise(t),
+            ),
+            " ",
+        ),
     }
 
 
@@ -89,28 +102,34 @@ def with_snippets(
     joined = hits.join(needed, "doc_id")
     # Per-query branch: one chained CASE over the (tiny) query set keeps
     # this a single plan with no per-row Python and no UDF.
-    snip, nhit = None, None
+    snip, nhit, hl = None, None, None
     for qid, text in sorted(query_texts.items()):
         cols = snippet_cols(F.col("tokens"), tokenize_py(text), window)
         cond = F.col("query_id") == F.lit(qid)
         if snip is None:
             snip = F.when(cond, cols["snippet"])
             nhit = F.when(cond, cols["n_hit_terms"])
+            hl = F.when(cond, cols["highlight"])
         else:
             snip = snip.when(cond, cols["snippet"])
             nhit = nhit.when(cond, cols["n_hit_terms"])
+            hl = hl.when(cond, cols["highlight"])
     if snip is None:
         snip = F.lit(None).cast("string")
         nhit = F.lit(None).cast("int")
-    return joined.withColumn("snippet", snip).withColumn(
-        "n_hit_terms", nhit
-    ).drop("tokens")
+        hl = F.lit(None).cast("string")
+    return (
+        joined.withColumn("snippet", snip)
+        .withColumn("n_hit_terms", nhit)
+        .withColumn("highlight", hl)
+        .drop("tokens")
+    )
 
 
 def duckdb_snippet_exprs(
     tokens_expr: str, query_terms: list[str], window: int
-) -> tuple[str, str]:
-    """(snippet_sql, n_hit_terms_sql) — DuckDB twins of
+) -> tuple[str, str, str]:
+    """(snippet_sql, n_hit_terms_sql, highlight_sql) — DuckDB twins of
     :func:`snippet_cols` over a token-list SQL expression."""
     terms = sorted(set(query_terms))
     qlist = "[" + ", ".join(f"'{t}'" for t in terms) + "]"
@@ -124,8 +143,13 @@ def duckdb_snippet_exprs(
     )
     best = f"list_aggregate({scores}, 'max')"
     idx = f"list_position({scores}, {best})"
-    snippet = (
-        f"array_to_string(list_slice({tokens_expr}, {idx}, "
-        f"{idx} + {window} - 1), ' ')"
+    win = (
+        f"list_slice({tokens_expr}, {idx}, {idx} + {window} - 1)"
     )
-    return snippet, f"({best})::INTEGER"
+    snippet = f"array_to_string({win}, ' ')"
+    highlight = (
+        f"array_to_string(list_transform({win}, "
+        f"t -> CASE WHEN list_contains({qlist}, t) "
+        f"THEN '<em>' || t || '</em>' ELSE t END), ' ')"
+    )
+    return snippet, f"({best})::INTEGER", highlight

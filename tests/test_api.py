@@ -588,6 +588,20 @@ def test_query_dispatcher_routes_match_operators(spark, store):
                             id_col="id", text_col="text")
     assert rows(got) == rows(want, "doc_id") and rows(got)
 
+    from same_same_spark.operators.boost import boosted_search
+    from same_same_spark.operators.synonyms import synonym_search
+
+    got = store.query("physics^2 theory", mode="boosted", k=5)
+    want = boosted_search(docs, [(0, "physics^2 theory")], k=5,
+                          id_col="id", text_col="text")
+    assert rows(got) == rows(want, "doc_id") and rows(got)
+
+    groups = [["physics", "quantum"]]
+    got = store.query("physics", mode="synonym", k=5, synonyms=groups)
+    want = synonym_search(docs, [(0, "physics")], groups, k=5,
+                          id_col="id", text_col="text")
+    assert rows(got) == rows(want, "doc_id") and rows(got)
+
     with pytest.raises(ValueError):
         store.query("x", mode="regex")
 

@@ -256,3 +256,42 @@ def test_result_shaping_plan_shape(spark, documents):
     # plan carries a partial/final min over __entry (constant state),
     # and the only collect_lists are the bounded tournament's own.
     assert "min(__entry" in cop.replace("partial_", "")
+
+
+def test_relevance_extras_plan_shape(spark, documents):
+    """Significant terms, facet top-hits, boosted and synonym search:
+    no WindowExec anywhere; every tiny table (query terms, boosts,
+    synonym groups, kept buckets) joins broadcast; the only
+    nested-loop join is sigterms' single-row corpus-count broadcast."""
+    from same_same_spark.operators.boost import boosted_search
+    from same_same_spark.operators.facets import facet_top_hits
+    from same_same_spark.operators.sigterms import significant_terms
+    from same_same_spark.operators.synonyms import synonym_search
+
+    queries = [(0, "fast merge join"), (1, "vector table")]
+
+    st = _plan(significant_terms(
+        documents, queries, topn=5, id_col="doc_id", text_col="text",
+    ))
+    th = _plan(facet_top_hits(
+        documents, queries, "source", topn=3, k_hits=2,
+        id_col="doc_id", text_col="text",
+    ))
+    bo = _plan(boosted_search(
+        documents, [(0, "fast^2 merge join^0.5")], k=5,
+        id_col="doc_id", text_col="text",
+    ))
+    sy = _plan(synonym_search(
+        documents, queries, [["fast", "quick"], ["table", "row"]],
+        k=5, id_col="doc_id", text_col="text",
+    ))
+    for plan in (st, th, bo, sy):
+        assert "Window" not in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastHashJoin" in plan
+    # equi joins only in the scoring family (boosts/synonyms ride the
+    # broadcast query-term table; top-hits joins kept buckets by key)
+    for plan in (th, bo, sy):
+        assert "BroadcastNestedLoopJoin" not in plan
+    # sigterms: the one nested loop is the single-row n_docs broadcast
+    assert st.count("BroadcastNestedLoopJoin") == 1

@@ -1,0 +1,210 @@
+"""Semantics tests for the relevance & aggregation wave: significant
+terms (hand-computed JLH), facet top-hits, term^boost parsing and
+scoring, synonym expansion, minimum_should_match, highlight tags."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from same_same_spark.bm25 import score_queries
+from same_same_spark.operators.boolquery import boolean_search
+from same_same_spark.operators.boost import boosted_search, parse_boosted_query
+from same_same_spark.operators.facets import facet_top_hits
+from same_same_spark.operators.sigterms import significant_terms
+from same_same_spark.operators.snippet import with_snippets
+from same_same_spark.operators.synonyms import synonym_rows, synonym_search
+
+
+@pytest.fixture(scope="module")
+def fruit_docs(spark):
+    rows = [
+        (1, "apple banana cherry", "x"),
+        (2, "apple banana dates", "x"),
+        (3, "apple cherry dates", "y"),
+        (4, "banana melon dates", "y"),
+        (5, "melon cherry grape", None),
+        (6, "grape melon dates", "z"),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, grp STRING"
+    )
+
+
+def test_significant_terms_hand_computed(fruit_docs):
+    """Query 'apple' matches d1-d3 (m=3, n=6). banana and cherry each
+    have fg=2, bg=3 -> JLH (2/3 - 1/2) * (2/3 / 1/2) = 2/9; dates has
+    fg_pct == bg_pct (2/3) and must be filtered; the query's own term
+    is excluded; ties break term ASC."""
+    out = significant_terms(
+        fruit_docs, [(1, "apple")], topn=10, min_doc_count=2,
+        id_col="doc_id", text_col="text",
+    ).collect()
+    assert [(r.term, r.fg_count, r.bg_count, r.rank) for r in out] == [
+        ("banana", 2, 3, 1), ("cherry", 2, 3, 2)
+    ]
+    for r in out:
+        assert math.isclose(r.score, 2.0 / 9.0, rel_tol=1e-9)
+
+
+def test_significant_terms_min_doc_count(fruit_docs):
+    """min_doc_count=3 kills both fg=2 candidates -> no rows."""
+    out = significant_terms(
+        fruit_docs, [(1, "apple")], topn=10, min_doc_count=3,
+        id_col="doc_id", text_col="text",
+    )
+    assert out.count() == 0
+
+
+def test_parse_boosted_query():
+    assert parse_boosted_query("table^3 query join^0.5") == {
+        "join": 0.5, "query": 1.0, "table": 3.0
+    }
+    # duplicate boosts sum; zero effective boost drops the term
+    assert parse_boosted_query("fast fast^2")["fast"] == 3.0
+    assert "window" not in parse_boosted_query("window^0 agg")
+    # a chunk's term part may tokenize to several tokens, all boosted
+    assert parse_boosted_query("foo-bar^2") == {"bar": 2.0, "foo": 2.0}
+    with pytest.raises(ValueError, match="malformed"):
+        parse_boosted_query("table^abc")
+    with pytest.raises(ValueError, match="negative"):
+        parse_boosted_query("table^-1")
+
+
+def test_boost_one_scales_to_plain_bm25(fruit_docs):
+    """All-1.0 boosts must reproduce score_queries exactly, and a
+    uniform boost B must scale every score by B (rank-identical)."""
+    plain = {
+        (r.query_id, r.doc_id): (r.score, r.rank)
+        for r in score_queries(
+            fruit_docs, [(1, "apple dates")], k=10,
+            id_col="doc_id", text_col="text",
+        ).collect()
+    }
+    unit = boosted_search(
+        fruit_docs, [(1, "apple dates")], k=10,
+        id_col="doc_id", text_col="text",
+    ).collect()
+    assert {
+        (r.query_id, r.doc_id): (r.score, r.rank) for r in unit
+    } == plain
+    doubled = boosted_search(
+        fruit_docs, [(1, "apple^2 dates^2")], k=10,
+        id_col="doc_id", text_col="text",
+    ).collect()
+    for r in doubled:
+        s, rank = plain[(r.query_id, r.doc_id)]
+        assert math.isclose(r.score, 2.0 * s, rel_tol=1e-12)
+        assert r.rank == rank
+
+
+def test_synonym_rows_validation():
+    with pytest.raises(ValueError, match="exactly one"):
+        synonym_rows([["apple", "fruit salad"]])
+    with pytest.raises(ValueError, match="fewer than two"):
+        synonym_rows([["apple", "apple"]])
+    assert synonym_rows([["banana", "apple"]]) == [
+        (0, "apple"), (0, "banana")
+    ]
+
+
+def test_synonym_expansion_is_one_hop(fruit_docs):
+    """'table'-style one-hop expansion: query 'apple' with groups
+    [[apple,banana],[banana,cherry]] expands to {apple,banana} — cherry
+    is reachable only THROUGH banana and must not join. Equivalent to
+    a plain two-term query; out-of-vocab members contribute nothing."""
+    out = synonym_search(
+        fruit_docs, [(1, "apple")],
+        [["apple", "banana"], ["banana", "cherry"]],
+        k=10, id_col="doc_id", text_col="text",
+    ).collect()
+    ref = score_queries(
+        fruit_docs, [(1, "apple banana")], k=10,
+        id_col="doc_id", text_col="text",
+    ).collect()
+    assert {(r.doc_id, r.score, r.rank) for r in out} == {
+        (r.doc_id, r.score, r.rank) for r in ref
+    }
+    with_oov = synonym_search(
+        fruit_docs, [(1, "apple")],
+        [["apple", "banana", "pineapple"], ["banana", "cherry"]],
+        k=10, id_col="doc_id", text_col="text",
+    ).collect()
+    assert {(r.doc_id, r.score, r.rank) for r in with_oov} == {
+        (r.doc_id, r.score, r.rank) for r in ref
+    }
+
+
+def test_minimum_should_match_gating(fruit_docs):
+    """msm=3 over a 3-term should set keeps only the doc containing all
+    three; a should set smaller than msm matches nothing; msm is
+    ignored when there are no should clauses."""
+    hits = boolean_search(
+        fruit_docs, [(1, "", "apple banana cherry", "")], k=10,
+        id_col="doc_id", text_col="text", minimum_should_match=3,
+    ).collect()
+    assert [r.doc_id for r in hits] == [1]
+    assert boolean_search(
+        fruit_docs, [(1, "", "apple", "")], k=10,
+        id_col="doc_id", text_col="text", minimum_should_match=2,
+    ).count() == 0
+    must_only = boolean_search(
+        fruit_docs, [(1, "apple", "", "")], k=10,
+        id_col="doc_id", text_col="text", minimum_should_match=5,
+    ).collect()
+    assert sorted(r.doc_id for r in must_only) == [1, 2, 3]
+
+
+def test_minimum_should_match_with_must(fruit_docs):
+    """must='dates' + 2-of-{apple,banana,melon}: d2 (apple banana),
+    d4 (banana melon) qualify; d3 and d6 carry only one should term."""
+    hits = boolean_search(
+        fruit_docs, [(1, "dates", "apple banana melon", "")], k=10,
+        id_col="doc_id", text_col="text", minimum_should_match=2,
+    ).collect()
+    assert sorted(r.doc_id for r in hits) == [2, 4]
+
+
+def test_facet_top_hits_shape_and_nulls(fruit_docs):
+    """Query 'dates' matches d2,d3,d4,d6 -> buckets x:1 y:2 z:1 (d5's
+    NULL grp never buckets); value order (count DESC, value ASC) = y,
+    x, z; hits within a bucket follow the pinned score order."""
+    out = facet_top_hits(
+        fruit_docs, [(1, "dates")], "grp", topn=3, k_hits=2,
+        id_col="doc_id", text_col="text",
+    ).collect()
+    by_vrank = {}
+    for r in out:
+        by_vrank.setdefault(r.value_rank, []).append(r)
+    assert [by_vrank[i][0].value for i in (1, 2, 3)] == ["y", "x", "z"]
+    assert by_vrank[1][0].doc_count == 2
+    y_hits = sorted(by_vrank[1], key=lambda r: r.hit_rank)
+    assert len(y_hits) == 2
+    assert y_hits[0].score >= y_hits[1].score
+    assert all(r.value is not None for r in out)
+
+
+def test_highlight_wraps_only_query_terms(fruit_docs):
+    hits = score_queries(
+        fruit_docs, [(1, "apple cherry")], k=3,
+        id_col="doc_id", text_col="text",
+    )
+    out = with_snippets(
+        hits, fruit_docs, {1: "apple cherry"}, window=3,
+        id_col="doc_id", text_col="text",
+    ).collect()
+    for r in out:
+        assert "<em>" in r.highlight
+        # stripping the tags recovers the snippet exactly
+        assert (
+            r.highlight.replace("<em>", "").replace("</em>", "")
+            == r.snippet
+        )
+        for piece in r.highlight.split():
+            token = piece.replace("<em>", "").replace("</em>", "")
+            if token in ("apple", "cherry"):
+                assert piece == f"<em>{token}</em>"
+            else:
+                assert piece == token
