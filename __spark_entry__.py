@@ -4371,6 +4371,78 @@ def _sql_boolean_msm() -> str:
     )
 
 
+# One validated term regex per query: alternation, dot, bounded
+# quantifier, class+star (cap pressure), and a no-match probe.
+REGEXP_QUERIES: list[tuple[int, str]] = [
+    (1, "s(can|ort|low)"),
+    (2, "ta.le"),
+    (3, "quer(y|ies)"),
+    (4, "(fa|va)[a-z]{2,3}"),
+    (5, "[a-c][a-z]*"),
+    (6, "zz+"),
+]
+
+
+def _q_regexp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp term queries (operators/wildcard.regexp_search): one
+    whole-term regex per query from the cross-engine-safe subset
+    (validate_term_regex), expanded against the corpus vocabulary under
+    the same deterministic (df DESC, term ASC) cap as the glob mode,
+    OR-mode BM25 over the union. Sole evidence for the regexp operator;
+    the oracle runs the USER pattern through RE2 vs Spark's Java regex,
+    so the differential additionally pins Java-vs-RE2 agreement on
+    every pinned pattern."""
+    from same_same_spark.operators.wildcard import regexp_search
+
+    out = regexp_search(
+        _docs(spark, sf_dir), REGEXP_QUERIES, k=REF_K,
+        max_expansions=20, id_col="doc_id", text_col="text",
+    )
+    return _round6(out, "score")
+
+
+def _sql_regexp_topk() -> str:
+    from same_same_spark.operators.wildcard import duckdb_regexp_sql
+
+    return duckdb_regexp_sql(
+        "documents", "doc_id", "text", REGEXP_QUERIES, k=REF_K,
+        max_expansions=20,
+    )
+
+
+STATS_AGG_QUERIES: list[tuple[int, str]] = [
+    (1, "fast merge"),
+    (2, "vector window"),
+    (3, "customer order join"),
+    (4, "zzz"),
+]
+
+
+def _q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended-stats metric aggregation over the match set
+    (operators/facets.stats_facets): per-query count/min/max/sum/avg +
+    sum_of_squares/variance/std_deviation of documents.n_chars —
+    Elasticsearch's extended_stats. n_chars is BIGINT, so the sums
+    aggregate exactly in the integer domain and every derived double
+    is bit-identical across engines (no 6dp rounding needed). Sole
+    evidence for the metric-aggregation operator."""
+    from same_same_spark.operators.facets import stats_facets
+
+    return stats_facets(
+        _docs(spark, sf_dir), STATS_AGG_QUERIES, "n_chars",
+        extended=True, id_col="doc_id", text_col="text",
+    )
+
+
+def _sql_stats_agg() -> str:
+    from same_same_spark.operators.facets import duckdb_stats_facets_sql
+
+    return duckdb_stats_facets_sql(
+        "documents", "doc_id", "text", STATS_AGG_QUERIES, "n_chars",
+        extended=True, integer_field=True,
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4721,6 +4793,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "boosted_topk": (_q_boosted_topk, _sql_boosted_topk()),
     "synonym_topk": (_q_synonym_topk, _sql_synonym_topk()),
     "boolean_msm": (_q_boolean_msm, _sql_boolean_msm()),
+    # regexp query mode + extended-stats metric aggregation (fifth
+    # round-5 session, both sole evidence): the regexp oracle pins
+    # Java-vs-RE2 agreement on the validated subset; the stats oracle
+    # compares bit-identical doubles derived from exact integer sums.
+    "regexp_topk": (_q_regexp_topk, _sql_regexp_topk()),
+    "stats_agg": (_q_stats_agg, _sql_stats_agg()),
     # index-dictionary wildcard: rank-identical twin of wildcard_topk
     # (shared oracle; twin-tail placement per the witness contract)
     "wildcard_topk_indexed": (
@@ -4821,6 +4899,14 @@ _ORDER: list[str] = [
     "boosted_topk",
     "synonym_topk",
     "boolean_msm",
+    # regexp query mode + extended-stats aggregation (sole evidence);
+    # their insertion pushed r2/r3-green dedup_exact / shared_spans
+    # past 50 — both have green driver history, and their semantics
+    # stay exercised in-top-50 (exact dedup inside training_mix's
+    # dedup chain; the winnowing fingerprint family via span_dedup's
+    # r4-green row).
+    "regexp_topk",
+    "stats_agg",
     # --- rotate-backs (last green r2/r3) -------------------------------
     "euclidean_topk",
     "events_hourly",

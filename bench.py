@@ -123,6 +123,8 @@ ENTRY_QUERY_NAMES = [
     "boosted_topk",
     "synonym_topk",
     "boolean_msm",
+    "regexp_topk",
+    "stats_agg",
 ]
 
 # VERDICT r3 #8: round-over-round totals stopped being comparable as

@@ -496,6 +496,11 @@ class SameSameSpark:
         - ``"synonym"`` — engine-side synonym expansion
           (:mod:`~same_same_spark.operators.synonyms`); ``q`` = text;
           ``synonyms=`` the group list.
+        - ``"regexp"`` — one whole-term regex from the
+          cross-engine-safe subset
+          (:mod:`~same_same_spark.operators.wildcard`); ``q`` = the
+          pattern. Rides the index term dictionary when attached;
+          ``max_expansions=`` caps the rewrite.
 
         Extra ``kw`` pass through to the operator. Returns
         (id, score, rank) plus the mode's extra columns
@@ -540,6 +545,22 @@ class SameSameSpark:
                     self.docs, [(0, q)], k=k, id_col=self.id_col,
                     text_col=self.text_col, **kw,
                 )
+        elif mode == "regexp":
+            from same_same_spark.operators.wildcard import (
+                regexp_search,
+                regexp_search_indexed,
+            )
+
+            if self.index_dir:
+                out = regexp_search_indexed(
+                    self.docs.sparkSession, self.index_dir, [(0, q)],
+                    k=k, **kw,
+                )
+            else:
+                out = regexp_search(
+                    self.docs, [(0, q)], k=k, id_col=self.id_col,
+                    text_col=self.text_col, **kw,
+                )
         elif mode == "fuzzy":
             from same_same_spark.operators.fuzzy import fuzzy_search
 
@@ -571,7 +592,7 @@ class SameSameSpark:
         else:
             raise ValueError(
                 f"unknown query mode {mode!r} (expected terms/phrase/"
-                "bool/wildcard/fuzzy/proximity/boosted/synonym)"
+                "bool/wildcard/regexp/fuzzy/proximity/boosted/synonym)"
             )
         return out.drop("query_id").withColumnRenamed("doc_id", self.id_col)
 
@@ -588,6 +609,21 @@ class SameSameSpark:
 
         return search_facets(
             self.docs, [(0, text)], facet_cols, topn=topn,
+            id_col=self.id_col, text_col=self.text_col,
+        ).drop("query_id")
+
+    def stats(
+        self, text: str, value_col: str, extended: bool = False
+    ) -> DataFrame:
+        """Metric aggregation over the query's FULL match set
+        (:mod:`~same_same_spark.operators.facets`): count/min/max/sum/
+        avg of a numeric field; ``extended=True`` adds sum_of_squares,
+        variance and std_deviation (Elasticsearch's ``stats`` /
+        ``extended_stats``)."""
+        from same_same_spark.operators.facets import stats_facets
+
+        return stats_facets(
+            self.docs, [(0, text)], value_col, extended=extended,
             id_col=self.id_col, text_col=self.text_col,
         ).drop("query_id")
 

@@ -183,6 +183,483 @@ def range_facets(
     )
 
 
+_INT_TYPES = {"tinyint", "smallint", "int", "bigint"}
+
+
+def _match_set(docs_df, queries, id_col, text_col):
+    """(query_id, doc_id) match set — the one relation every
+    aggregation in this module shares: a doc matches iff it contains
+    >= 1 of the query's distinct X1 terms."""
+    spark = docs_df.sparkSession
+    qterms = query_terms_df(spark, queries)
+    tok = tokenized(docs_df, id_col=id_col, text_col=text_col)
+    return (
+        tok.select(
+            "doc_id", F.explode(F.array_distinct("tokens")).alias("term")
+        )
+        .join(F.broadcast(qterms), "term")
+        .select("query_id", "doc_id")
+        .distinct()
+    )
+
+
+def histogram_facets(
+    docs_df: DataFrame,
+    queries: list[tuple[int, str]],
+    value_col: str,
+    interval: float,
+    max_buckets: int = 65536,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+) -> DataFrame:
+    """Histogram aggregation over the match set (Elasticsearch's
+    ``histogram`` agg): fixed-``interval`` buckets keyed
+    ``floor(v / interval) * interval``, NULL values excluded, EVERY
+    bucket between each query's min and max key emitted (ES's default
+    ``min_doc_count=0`` within the data bounds — the fixed-shape
+    histogram a UI renders).
+
+    Returns (query_id INT, key DOUBLE, doc_count LONG).
+
+    Guards: ``interval`` must be > 0; a per-query span wider than
+    ``max_buckets`` buckets raises at execution time (ES's
+    too-many-buckets breaker — a degenerate interval over a wide field
+    must not materialize millions of rows per query).
+
+    Scale shape: one count per non-empty (query, bucket) from a
+    map-side-combined groupBy; the zero-fill works on the per-query
+    BOUNDS row (two longs), never the data — the emitted shape is
+    bounded by ``max_buckets`` per query.
+    """
+    if not interval > 0:
+        raise ValueError("interval must be > 0")
+    matched = _match_set(docs_df, queries, id_col, text_col)
+    meta = docs_df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    assigned = (
+        matched.join(meta, "doc_id")
+        .filter(F.col("v").isNotNull())
+        .withColumn(
+            "idx", F.floor(F.col("v") / F.lit(float(interval)))
+        )
+    )
+    counted = assigned.groupBy("query_id", "idx").agg(
+        F.count(F.lit(1)).alias("doc_count")
+    )
+    shape = (
+        counted.groupBy("query_id")
+        .agg(F.min("idx").alias("lo"), F.max("idx").alias("hi"))
+        .withColumn(
+            "_chk",
+            F.assert_true(
+                F.col("hi") - F.col("lo") < F.lit(int(max_buckets)),
+                F.lit(
+                    f"histogram span exceeds max_buckets={max_buckets}; "
+                    "widen the interval"
+                ),
+            ),
+        )
+        .select(
+            "query_id",
+            F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("idx"),
+        )
+    )
+    return shape.join(counted, ["query_id", "idx"], "left").select(
+        "query_id",
+        (F.col("idx").cast("double") * F.lit(float(interval))).alias("key"),
+        F.coalesce(F.col("doc_count"), F.lit(0)).cast("long").alias(
+            "doc_count"
+        ),
+    )
+
+
+def duckdb_histogram_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    queries: list[tuple[int, str]],
+    value_col: str,
+    interval: float,
+) -> str:
+    """DuckDB twin of :func:`histogram_facets` (generate_series zero-fill
+    vs Spark's sequence explode; same floor-division key math)."""
+    qvalues = _qterm_values(queries)
+    return f"""
+WITH {_matched_ctes(table, id_col, text_col, qvalues)},
+assigned AS (
+  SELECT m.query_id,
+         floor(CAST(d.{value_col} AS DOUBLE) / {float(interval)})::BIGINT
+           AS idx
+  FROM matched m JOIN {table} d ON m.doc_id = d.{id_col}
+  WHERE d.{value_col} IS NOT NULL
+),
+counted AS (
+  SELECT query_id, idx, count(*)::BIGINT AS doc_count
+  FROM assigned GROUP BY query_id, idx
+),
+bounds AS (
+  SELECT query_id, min(idx) AS lo, max(idx) AS hi
+  FROM counted GROUP BY query_id
+),
+shape AS (
+  SELECT b.query_id, unnest(range(b.lo, b.hi + 1)) AS idx FROM bounds b
+)
+SELECT s.query_id,
+       s.idx::DOUBLE * {float(interval)} AS key,
+       coalesce(c.doc_count, 0)::BIGINT AS doc_count
+FROM shape s
+LEFT JOIN counted c ON c.query_id = s.query_id AND c.idx = s.idx
+"""
+
+
+def percentiles_facets(
+    docs_df: DataFrame,
+    queries: list[tuple[int, str]],
+    value_col: str,
+    percents: list[float] = (1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0),
+    id_col: str = "doc_id",
+    text_col: str = "content",
+) -> DataFrame:
+    """Percentiles aggregation over the match set — Elasticsearch's
+    ``percentiles`` agg at its default percents, but EXACT
+    (linear-interpolated, Spark ``percentile`` == DuckDB
+    ``quantile_cont`` — the same cross-engine identity corpus_profile
+    pins) instead of ES's t-digest approximation; at ES scale you'd
+    swap ``percentile_approx`` into the same expression slot.
+
+    Returns (query_id INT, percent DOUBLE, value DOUBLE); NULL values
+    excluded; queries with no values yield no rows.
+
+    Scale shape: ``percentile`` is a per-group sort over the MATCHED
+    values only — one row of state per (query, percent) out.
+    """
+    ps = [float(p) for p in percents]
+    if not ps or any(not 0.0 < p <= 100.0 for p in ps):
+        raise ValueError("percents must be in (0, 100]")
+    if len(set(ps)) != len(ps):
+        raise ValueError("percents must be distinct")
+    matched = _match_set(docs_df, queries, id_col, text_col)
+    meta = docs_df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    agg = (
+        matched.join(meta, "doc_id")
+        .filter(F.col("v").isNotNull())
+        .groupBy("query_id")
+        .agg(
+            F.percentile(
+                F.col("v"), F.array(*[F.lit(p / 100.0) for p in ps])
+            ).alias("q")
+        )
+    )
+    pcts = F.array(*[F.lit(p) for p in ps])
+    return agg.select(
+        "query_id", F.posexplode("q").alias("pos", "value")
+    ).select(
+        "query_id",
+        F.element_at(pcts, F.col("pos") + 1).alias("percent"),
+        "value",
+    )
+
+
+def duckdb_percentiles_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    queries: list[tuple[int, str]],
+    value_col: str,
+    percents: list[float] = (1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0),
+    round_value: int = 6,
+) -> str:
+    """DuckDB twin of :func:`percentiles_facets` (``quantile_cont``
+    list form + unnest(range()) ordinals — DuckDB 1.0 has no WITH
+    ORDINALITY)."""
+    ps = [float(p) for p in percents]
+    qvalues = _qterm_values(queries)
+    fracs = ", ".join(str(p / 100.0) for p in ps)
+    plist = ", ".join(str(p) for p in ps)
+    return f"""
+WITH {_matched_ctes(table, id_col, text_col, qvalues)},
+vals AS (
+  SELECT m.query_id, CAST(d.{value_col} AS DOUBLE) AS v
+  FROM matched m JOIN {table} d ON m.doc_id = d.{id_col}
+  WHERE d.{value_col} IS NOT NULL
+),
+agg AS (
+  SELECT query_id, quantile_cont(v, [{fracs}]) AS q
+  FROM vals GROUP BY query_id
+),
+ord AS (SELECT unnest(range({len(ps)})) AS i)
+SELECT a.query_id,
+       ([{plist}])[o.i + 1]::DOUBLE AS percent,
+       round(a.q[o.i + 1], {round_value}) AS value
+FROM agg a CROSS JOIN ord o
+"""
+
+
+def cardinality_facets(
+    docs_df: DataFrame,
+    queries: list[tuple[int, str]],
+    value_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+) -> DataFrame:
+    """Field-count aggregations over the match set — Elasticsearch's
+    ``value_count`` + ``cardinality`` + ``missing`` in one pass, but
+    cardinality EXACT (``count(DISTINCT ...)``) instead of ES's HLL
+    approximation; at ES scale you'd swap ``approx_count_distinct``
+    into the same expression slot (the profile store's sketch mode is
+    the worked example).
+
+    Returns (query_id INT, value_count LONG, distinct_count LONG,
+    missing_count LONG) — one row per query WITH matches (even if every
+    value is NULL: then 0/0/n).
+    """
+    matched = _match_set(docs_df, queries, id_col, text_col)
+    meta = docs_df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(value_col).cast("string").alias("v"),
+    )
+    return (
+        matched.join(meta, "doc_id")
+        .groupBy("query_id")
+        .agg(
+            F.count("v").alias("value_count"),
+            F.countDistinct("v").alias("distinct_count"),
+            F.count(F.when(F.col("v").isNull(), 1)).alias(
+                "missing_count"
+            ),
+        )
+        .select(
+            "query_id",
+            F.col("value_count").cast("long").alias("value_count"),
+            F.col("distinct_count").cast("long").alias("distinct_count"),
+            F.col("missing_count").cast("long").alias("missing_count"),
+        )
+    )
+
+
+def duckdb_cardinality_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    queries: list[tuple[int, str]],
+    value_col: str,
+) -> str:
+    """DuckDB twin of :func:`cardinality_facets`."""
+    qvalues = _qterm_values(queries)
+    return f"""
+WITH {_matched_ctes(table, id_col, text_col, qvalues)},
+vals AS (
+  SELECT m.query_id, CAST(d.{value_col} AS VARCHAR) AS v
+  FROM matched m JOIN {table} d ON m.doc_id = d.{id_col}
+)
+SELECT query_id,
+       count(v)::BIGINT AS value_count,
+       count(DISTINCT v)::BIGINT AS distinct_count,
+       count(*) FILTER (WHERE v IS NULL)::BIGINT AS missing_count
+FROM vals GROUP BY query_id
+"""
+
+
+def _qterm_values(queries: list[tuple[int, str]]) -> str:
+    from same_same_spark.text.tokenizer import tokenize_py
+
+    qrows = [
+        f"({qid}, '{term}')"
+        for qid, text in queries
+        for term in sorted(set(tokenize_py(text)))
+    ]
+    return ", ".join(qrows) if qrows else "(NULL, NULL) LIMIT 0"
+
+
+def _matched_ctes(
+    table: str, id_col: str, text_col: str, qvalues: str
+) -> str:
+    """The shared toks/qt/matched CTE prefix (match-set definition,
+    spelled once for the newer aggregation twins)."""
+    from same_same_spark.text.tokenizer import duckdb_tokens_sql
+
+    return f"""toks AS (
+  SELECT {id_col} AS doc_id, {duckdb_tokens_sql(text_col)} AS tokens
+  FROM {table}
+),
+qt AS (SELECT * FROM (VALUES {qvalues}) AS v(query_id, term)),
+matched AS (
+  SELECT DISTINCT q.query_id, t.doc_id
+  FROM (
+    SELECT doc_id, unnest(list_distinct(tokens)) AS term FROM toks
+  ) t JOIN qt q ON t.term = q.term
+)"""
+
+
+def stats_facets(
+    docs_df: DataFrame,
+    queries: list[tuple[int, str]],
+    value_col: str,
+    extended: bool = False,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+) -> DataFrame:
+    """Metric aggregation over the match set (Elasticsearch's ``stats``
+    / ``extended_stats``): per query, the count / min / max / sum / avg
+    of a numeric field over every matching doc, NULL values excluded.
+    ``extended=True`` adds sum_of_squares, variance and std_deviation
+    (population variance via ES's own closed form
+    ``sum_sq/n - (sum/n)^2``).
+
+    Returns (query_id INT, count_vals LONG, min_val DOUBLE,
+    max_val DOUBLE, sum_val DOUBLE, avg_val DOUBLE[, sum_sq DOUBLE,
+    variance DOUBLE, std_dev DOUBLE]). Queries with an empty match set
+    (or all-NULL values) yield no row.
+
+    Cross-engine exactness: when ``value_col`` is an integer type the
+    sums aggregate in the INTEGER domain (order-independent, exact) and
+    every double in the output derives from exact integers through one
+    pinned closed-form expression — bit-identical across engines. For
+    floating inputs the sums are order-dependent as usual (6dp rounding
+    absorbs it at moderate magnitudes; documented caveat).
+
+    Scale shape: the match set is the one broadcast-term-join +
+    ``distinct`` every facet shares; the aggregation is a
+    map-side-combined ``groupBy(query_id)`` with one output row per
+    query — no per-value state anywhere.
+    """
+    spark = docs_df.sparkSession
+    qterms = query_terms_df(spark, queries)
+    tok = tokenized(docs_df, id_col=id_col, text_col=text_col)
+    matched = (
+        tok.select(
+            "doc_id", F.explode(F.array_distinct("tokens")).alias("term")
+        )
+        .join(F.broadcast(qterms), "term")
+        .select("query_id", "doc_id")
+        .distinct()
+    )
+    dtype = dict(docs_df.dtypes).get(value_col)
+    if dtype is None:
+        raise ValueError(f"no column {value_col!r} in docs_df")
+    is_int = dtype in _INT_TYPES
+    cast_to = "long" if is_int else "double"
+    meta = docs_df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(value_col).cast(cast_to).alias("v"),
+    )
+    agg = (
+        matched.join(meta, "doc_id")
+        .filter(F.col("v").isNotNull())
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("count_vals"),
+            F.min("v").alias("vmin"),
+            F.max("v").alias("vmax"),
+            F.sum("v").alias("vsum"),
+            F.sum(F.col("v") * F.col("v")).alias("vsumsq"),
+        )
+    )
+    n = F.col("count_vals").cast("double")
+    s = F.col("vsum").cast("double")
+    avg = s / n
+    cols = [
+        F.col("query_id"),
+        F.col("count_vals").cast("long").alias("count_vals"),
+        F.col("vmin").cast("double").alias("min_val"),
+        F.col("vmax").cast("double").alias("max_val"),
+        s.alias("sum_val"),
+        avg.alias("avg_val"),
+    ]
+    if extended:
+        ssq = F.col("vsumsq").cast("double")
+        variance = ssq / n - (s / n) * (s / n)
+        cols += [
+            ssq.alias("sum_sq"),
+            variance.alias("variance"),
+            F.sqrt(variance).alias("std_dev"),
+        ]
+    return agg.select(*cols)
+
+
+def duckdb_stats_facets_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    queries: list[tuple[int, str]],
+    value_col: str,
+    extended: bool = False,
+    integer_field: bool = True,
+) -> str:
+    """DuckDB twin of :func:`stats_facets` — integer-domain sums cast
+    through BIGINT (DuckDB sums integers into HUGEINT; the explicit
+    cast keeps the output schema driver-comparable) and the SAME
+    closed-form double expressions, so exact-integer inputs compare
+    bit-identically."""
+    from same_same_spark.text.tokenizer import duckdb_tokens_sql, tokenize_py
+
+    qrows = [
+        f"({qid}, '{term}')"
+        for qid, text in queries
+        for term in sorted(set(tokenize_py(text)))
+    ]
+    qvalues = ", ".join(qrows) if qrows else "(NULL, NULL) LIMIT 0"
+    vcast = "BIGINT" if integer_field else "DOUBLE"
+    ext = (
+        """,
+       CAST(sum(v * v) AS BIGINT)::DOUBLE AS sum_sq,
+       CAST(sum(v * v) AS BIGINT)::DOUBLE / count(*)::DOUBLE
+         - (CAST(sum(v) AS BIGINT)::DOUBLE / count(*)::DOUBLE)
+           * (CAST(sum(v) AS BIGINT)::DOUBLE / count(*)::DOUBLE)
+         AS variance,
+       sqrt(CAST(sum(v * v) AS BIGINT)::DOUBLE / count(*)::DOUBLE
+         - (CAST(sum(v) AS BIGINT)::DOUBLE / count(*)::DOUBLE)
+           * (CAST(sum(v) AS BIGINT)::DOUBLE / count(*)::DOUBLE))
+         AS std_dev"""
+        if extended and integer_field
+        else (
+            """,
+       sum(v * v)::DOUBLE AS sum_sq,
+       sum(v * v)::DOUBLE / count(*)::DOUBLE
+         - (sum(v)::DOUBLE / count(*)::DOUBLE)
+           * (sum(v)::DOUBLE / count(*)::DOUBLE) AS variance,
+       sqrt(sum(v * v)::DOUBLE / count(*)::DOUBLE
+         - (sum(v)::DOUBLE / count(*)::DOUBLE)
+           * (sum(v)::DOUBLE / count(*)::DOUBLE)) AS std_dev"""
+            if extended
+            else ""
+        )
+    )
+    sum_cast = (
+        "CAST(sum(v) AS BIGINT)::DOUBLE" if integer_field else "sum(v)::DOUBLE"
+    )
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id, {duckdb_tokens_sql(text_col)} AS tokens
+  FROM {table}
+),
+qt AS (SELECT * FROM (VALUES {qvalues}) AS v(query_id, term)),
+matched AS (
+  SELECT DISTINCT q.query_id, t.doc_id
+  FROM (
+    SELECT doc_id, unnest(list_distinct(tokens)) AS term FROM toks
+  ) t JOIN qt q ON t.term = q.term
+),
+vals AS (
+  SELECT m.query_id, CAST(d.{value_col} AS {vcast}) AS v
+  FROM matched m JOIN {table} d ON m.doc_id = d.{id_col}
+  WHERE d.{value_col} IS NOT NULL
+)
+SELECT query_id,
+       count(*)::BIGINT AS count_vals,
+       min(v)::DOUBLE AS min_val,
+       max(v)::DOUBLE AS max_val,
+       {sum_cast} AS sum_val,
+       {sum_cast} / count(*)::DOUBLE AS avg_val{ext}
+FROM vals GROUP BY query_id
+"""
+
+
 def facet_top_hits(
     docs_df: DataFrame,
     queries: list[tuple[int, str]],

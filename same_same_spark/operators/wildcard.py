@@ -56,6 +56,16 @@ from same_same_spark.stats import (
 
 _PATTERN_RE = re.compile(r"^[a-z*?]+$")
 
+# regexp query mode: the cross-engine-safe subset. Term regexes run
+# under BOTH Java regex (Spark RLIKE) and RE2 (DuckDB regexp_matches);
+# the two agree on this POSIX-ish core — literals, ., classes (incl.
+# ranges and ^-negation), alternation, grouping, greedy quantifiers —
+# over the [a-z]+ term alphabet, and disagree outside it (backrefs,
+# lookaround, possessive quantifiers, escape shorthands, dangling
+# braces). The validator whitelists the core and rejects the rest.
+_REGEX_CHARS_RE = re.compile(r"^[a-z0-9.*+?|()\[\]{},^-]+$")
+_QUANTIFIER_RE = re.compile(r"\{\d+(,\d*)?\}")
+
 
 def glob_to_regex(pattern: str) -> str:
     """Anchored regex for a ``[a-z*?]`` glob. Spelled with explicit
@@ -76,28 +86,81 @@ def glob_to_regex(pattern: str) -> str:
     return "^" + "".join(parts) + "$"
 
 
-def expand_patterns(
+def validate_term_regex(pattern: str) -> str:
+    """Validate a term regex against the cross-engine-safe subset and
+    return its anchored form ``^(?:pattern)$`` (a regexp query matches
+    WHOLE terms, Lucene's RegexpQuery contract).
+
+    Rejected (each a documented Java-vs-RE2 divergence hazard):
+    ``\\`` escapes, ``(?`` special groups, explicit ``^``/``$`` anchors
+    (``^`` is allowed only as class negation immediately after ``[``),
+    empty classes ``[]``, and any ``{`` ``}`` ``,`` or digit outside a
+    well-formed ``{m}`` / ``{m,}`` / ``{m,n}`` quantifier.
+    """
+    if not pattern or len(pattern) > 200:
+        raise ValueError(
+            f"term regex {pattern!r}: must be 1..200 characters"
+        )
+    if "\\" in pattern:
+        raise ValueError(
+            f"term regex {pattern!r}: backslash escapes are not in the "
+            "cross-engine-safe subset"
+        )
+    if not _REGEX_CHARS_RE.match(pattern):
+        raise ValueError(
+            f"term regex {pattern!r}: only [a-z0-9.*+?|(){{}}[],^-] "
+            "allowed"
+        )
+    if "(?" in pattern:
+        raise ValueError(
+            f"term regex {pattern!r}: (?...) groups are not in the "
+            "cross-engine-safe subset"
+        )
+    if "[]" in pattern:
+        raise ValueError(
+            f"term regex {pattern!r}: empty character class (engines "
+            "disagree on []-handling)"
+        )
+    # ^ only as class negation right after [
+    for i, ch in enumerate(pattern):
+        if ch == "^" and (i == 0 or pattern[i - 1] != "["):
+            raise ValueError(
+                f"term regex {pattern!r}: ^ is only allowed as class "
+                "negation (the pattern is implicitly anchored)"
+            )
+    # digits/,/{/} legal only inside a well-formed bounded quantifier —
+    # Java throws on a dangling {, RE2 treats it as a literal.
+    residue = _QUANTIFIER_RE.sub("", pattern)
+    if any(c in residue for c in "{},0123456789"):
+        raise ValueError(
+            f"term regex {pattern!r}: braces, commas and digits are "
+            "only allowed inside a {{m}}/{{m,n}} quantifier"
+        )
+    anchored = f"^(?:{pattern})$"
+    try:
+        re.compile(anchored)
+    except re.error as exc:
+        raise ValueError(f"term regex {pattern!r}: {exc}") from None
+    return anchored
+
+
+def expand_regex_rows(
     vocab_df: DataFrame,
-    patterns: list[tuple[int, str]],
+    rows: list[tuple[int, str, str]],
     max_expansions: int = 50,
 ) -> DataFrame:
-    """Expand (query_id, glob) patterns against a (term, df) vocabulary.
-
-    Returns the DISTINCT per-query union (query_id INT, term STRING,
-    df LONG): each pattern's matches capped at ``max_expansions`` under
-    ``(df DESC, term ASC)`` first, then unioned.
-    """
+    """Expand (query_id, pattern_key, anchored_regex) rows against a
+    (term, df) vocabulary. Returns the DISTINCT per-query union
+    (query_id INT, term STRING, df LONG): each pattern's matches capped
+    at ``max_expansions`` under ``(df DESC, term ASC)`` first, then
+    unioned. Shared engine for the glob and regexp query modes."""
     spark = vocab_df.sparkSession
-    prows = sorted(
-        {(qid, p.lower()) for qid, text in patterns for p in text.split()}
-    )
-    if not prows:
+    if not rows:
         return spark.createDataFrame(
             [], "query_id INT, term STRING, df LONG"
         )
     pats_df = spark.createDataFrame(
-        [(qid, p, glob_to_regex(p)) for qid, p in prows],
-        "query_id INT, pattern STRING, regex STRING",
+        rows, "query_id INT, pattern STRING, regex STRING"
     )
     matched = (
         vocab_df.select("term", F.col("df").cast("long").alias("df"))
@@ -137,6 +200,43 @@ def expand_patterns(
     )
 
 
+def expand_patterns(
+    vocab_df: DataFrame,
+    patterns: list[tuple[int, str]],
+    max_expansions: int = 50,
+) -> DataFrame:
+    """Expand (query_id, glob) patterns against a (term, df) vocabulary.
+
+    Returns the DISTINCT per-query union (query_id INT, term STRING,
+    df LONG): each pattern's matches capped at ``max_expansions`` under
+    ``(df DESC, term ASC)`` first, then unioned.
+    """
+    prows = sorted(
+        {(qid, p.lower()) for qid, text in patterns for p in text.split()}
+    )
+    return expand_regex_rows(
+        vocab_df,
+        [(qid, p, glob_to_regex(p)) for qid, p in prows],
+        max_expansions,
+    )
+
+
+def expand_regexes(
+    vocab_df: DataFrame,
+    queries: list[tuple[int, str]],
+    max_expansions: int = 50,
+) -> DataFrame:
+    """Expand (query_id, regex) queries — ONE validated term regex per
+    query (Lucene RegexpQuery: a single whole-term pattern, unlike the
+    whitespace-split glob mode) — against a (term, df) vocabulary."""
+    prows = sorted({(qid, p.strip().lower()) for qid, p in queries})
+    return expand_regex_rows(
+        vocab_df,
+        [(qid, p, validate_term_regex(p)) for qid, p in prows],
+        max_expansions,
+    )
+
+
 def wildcard_search(
     docs_df: DataFrame,
     queries: list[tuple[int, str]],
@@ -167,6 +267,11 @@ def wildcard_search(
     expanded = expand_patterns(
         term_doc_freqs(tok), queries, max_expansions
     )
+    return _score_expanded(tok, cs, expanded, k, k1, b)
+
+
+def _score_expanded(tok, cs, expanded, k, k1, b):
+    """BM25-sum the (query_id, term, df) expansion union, top-k."""
     scored = (
         doc_term_freqs(tok)
         .join(F.broadcast(expanded), "term")
@@ -181,6 +286,39 @@ def wildcard_search(
         .agg(F.sum("w").alias("score"))
     )
     return topk_per_query(scored, k)
+
+
+def regexp_search(
+    docs_df: DataFrame,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    max_expansions: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+) -> DataFrame:
+    """Top-k regexp search — ONE whole-term regex per query (Lucene's
+    RegexpQuery), validated into the cross-engine-safe subset by
+    :func:`validate_term_regex`, expanded against the corpus vocabulary
+    under the same deterministic ``(df DESC, term ASC)`` cap as the
+    glob mode, BM25-scored over the expansion union.
+
+    Returns (query_id INT, doc_id, score DOUBLE, rank INT).
+    """
+    spark = docs_df.sparkSession
+    tok = tokenized(docs_df, id_col=id_col, text_col=text_col)
+    cs = corpus_stats(tok)
+    if cs.avgdl == 0:
+        for _, p in queries:
+            validate_term_regex(p.strip().lower())
+        return spark.createDataFrame(
+            [], "query_id INT, doc_id LONG, score DOUBLE, rank INT"
+        )
+    expanded = expand_regexes(
+        term_doc_freqs(tok), queries, max_expansions
+    )
+    return _score_expanded(tok, cs, expanded, k, k1, b)
 
 
 def wildcard_search_indexed(
@@ -209,10 +347,42 @@ def wildcard_search_indexed(
     expansion is ≤ patterns × max_expansions rows (a bounded driver
     list, like every query batch).
     """
+    expanded = expand_patterns(
+        index_vocab(spark, index_dir), queries, max_expansions
+    )
+    return _search_expanded_indexed(
+        spark, index_dir, expanded, k, prune, merge
+    )
+
+
+def regexp_search_indexed(
+    spark,
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    max_expansions: int = 50,
+    prune: bool = True,
+    merge: str = "auto",
+) -> DataFrame:
+    """Regexp search through the compressed posting index — the regexp
+    twin of :func:`wildcard_search_indexed`: patterns expand against
+    the tombstone-adjusted term dictionary, the expanded OR-query runs
+    the block-max read path. Rank-identical to :func:`regexp_search`
+    over the same corpus (same argument as the glob mode)."""
+    expanded = expand_regexes(
+        index_vocab(spark, index_dir), queries, max_expansions
+    )
+    return _search_expanded_indexed(
+        spark, index_dir, expanded, k, prune, merge
+    )
+
+
+def index_vocab(spark, index_dir: str) -> DataFrame:
+    """The index's term dictionary as a (term, df) relation,
+    tombstone-adjusted so deletes can't skew expansion caps."""
     from same_same_spark.index.query import (
         _load_manifest,
         _load_tombstones,
-        search_batch,
     )
 
     manifest = _load_manifest(index_dir)
@@ -235,7 +405,15 @@ def wildcard_search_indexed(
                 .filter(F.col("df") > 0)
                 .select("term", "df")
             )
-    expanded = expand_patterns(stats, queries, max_expansions)
+    return stats
+
+
+def _search_expanded_indexed(
+    spark, index_dir: str, expanded: DataFrame, k, prune, merge
+) -> DataFrame:
+    """Collect the bounded expansion union and run the index read path."""
+    from same_same_spark.index.query import search_batch
+
     by_q: dict[int, list[str]] = {}
     for r in expanded.collect():  # bounded: patterns × max_expansions
         by_q.setdefault(r["query_id"], []).append(r["term"])
@@ -270,16 +448,67 @@ def duckdb_wildcard_sql(
     an RLIKE nested loop), so cap determinism is part of what the
     differential checks.
     """
-    from same_same_spark.text.tokenizer import duckdb_tokens_sql
-
     prows = sorted(
         {(qid, p.lower()) for qid, text in queries for p in text.split()}
     )
+    return _duckdb_expanded_sql(
+        table,
+        id_col,
+        text_col,
+        [(qid, glob_to_regex(p)) for qid, p in prows],
+        k,
+        max_expansions,
+        k1,
+        b,
+        round_score,
+    )
+
+
+def duckdb_regexp_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    max_expansions: int = 50,
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+    round_score: int = 6,
+) -> str:
+    """DuckDB twin of :func:`regexp_search` — the same independent
+    re-derivation as the glob twin, but the regex reaching RE2 is the
+    USER's pattern (validated subset), so the differential additionally
+    checks Java-vs-RE2 agreement on every pattern an entry pins."""
+    prows = sorted({(qid, p.strip().lower()) for qid, p in queries})
+    return _duckdb_expanded_sql(
+        table,
+        id_col,
+        text_col,
+        [(qid, validate_term_regex(p)) for qid, p in prows],
+        k,
+        max_expansions,
+        k1,
+        b,
+        round_score,
+    )
+
+
+def _duckdb_expanded_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    regex_rows: list[tuple[int, str]],
+    k: int,
+    max_expansions: int,
+    k1: float,
+    b: float,
+    round_score: int,
+) -> str:
+    from same_same_spark.text.tokenizer import duckdb_tokens_sql
+
     pvalues = (
-        ", ".join(
-            f"({qid}, '{glob_to_regex(p)}')" for qid, p in prows
-        )
-        if prows
+        ", ".join(f"({qid}, '{rx}')" for qid, rx in regex_rows)
+        if regex_rows
         else "(NULL, NULL) LIMIT 0"
     )
     score_expr = (

@@ -644,3 +644,48 @@ def test_facets_mlt_suggest_surface(store):
 
     sug = store.suggest(["physucs"], max_edits=1, topn=1).collect()
     assert [(r["suggestion"], r["distance"]) for r in sug] == [("physics", 1)]
+
+
+def test_query_regexp_mode_and_stats_surface(spark, store, tmp_path):
+    """mode='regexp' routes to regexp_search (and the term dictionary
+    when an index is attached); api.stats() mirrors stats_facets."""
+    from same_same_spark.index.build import build_index
+    from same_same_spark.operators.wildcard import regexp_search
+
+    docs = store.docs
+
+    def rows(df, idc="id"):
+        return sorted(
+            (r[idc], r["rank"], round(r["score"], 9)) for r in df.collect()
+        )
+
+    got = store.query("phys[a-z]+", mode="regexp", k=5, max_expansions=5)
+    want = regexp_search(docs, [(0, "phys[a-z]+")], k=5, max_expansions=5,
+                         id_col="id", text_col="text")
+    assert rows(got) == rows(want, "doc_id") and rows(got)
+
+    # indexed route stays rank-identical to the naive path
+    ldocs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    idx = str(tmp_path / "idx")
+    build_index(ldocs, idx, id_col="doc_id", text_col="text",
+                num_buckets=4, log=lambda *_: None)
+    naive = SameSameSpark(ldocs, id_col="doc_id", text_col="text")
+    indexed = SameSameSpark(ldocs, id_col="doc_id", text_col="text",
+                            index_dir=idx)
+    key = lambda df: sorted(
+        (r["doc_id"], r["rank"], round(r["score"], 6))
+        for r in df.collect()
+    )
+    a = key(naive.query("tab(le)?[a-z]*", mode="regexp", k=5))
+    b = key(indexed.query("tab(le)?[a-z]*", mode="regexp", k=5))
+    assert a == b and a
+
+    # stats() over an integer metadata column of the parquet store
+    st = SameSameSpark(
+        ldocs.withColumn("n", F.length("text").cast("long")),
+        id_col="doc_id", text_col="text",
+    ).stats("table query", "n", extended=True).collect()
+    assert len(st) == 1 and st[0]["count_vals"] > 0
+    assert st[0]["variance"] >= 0.0

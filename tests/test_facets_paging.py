@@ -267,3 +267,124 @@ def test_collapse_topk_one_per_value(spark):
     lang_vals = [r["lang"] for r in lang_out]
     assert lang_vals.count(None) == 1
     assert 7 in {r["doc_id"] for r in lang_out if r["lang"] is None}
+
+
+# ---------------------------------------------------------------------------
+# stats / extended_stats metric aggregation
+# ---------------------------------------------------------------------------
+
+STAT_DOCS = [
+    # (doc_id, text, n_chars LONG, weight DOUBLE)
+    (1, "the quick brown fox", 120, 0.25),
+    (2, "quick brown quick", 87, 1.5),
+    (3, "brown fox brown fox", 301, None),
+    (4, "dog dog dog", None, 2.0),
+    (5, "nothing relevant here", 55, 0.125),
+    (6, "fox quick", 55, 0.5),
+]
+
+
+def _stat_docs_df(spark):
+    return spark.createDataFrame(
+        STAT_DOCS,
+        "doc_id LONG, text STRING, n_chars LONG, weight DOUBLE",
+    )
+
+
+def _brute_stats(query: str, col_idx: int):
+    qterms = set(tokenize_py(query))
+    vals = [
+        row[col_idx]
+        for row in STAT_DOCS
+        if qterms & set(tokenize_py(row[1])) and row[col_idx] is not None
+    ]
+    if not vals:
+        return None
+    n = len(vals)
+    s = sum(vals)
+    ssq = sum(v * v for v in vals)
+    avg = float(s) / n
+    var = float(ssq) / n - (float(s) / n) * (float(s) / n)
+    return (
+        n, float(min(vals)), float(max(vals)), float(s), avg,
+        float(ssq), var, var ** 0.5,
+    )
+
+
+@pytest.mark.parametrize(
+    "query", ["quick", "fox", "dog", "nothing", "missingzz"]
+)
+def test_stats_facets_match_brute_force(spark, query):
+    from same_same_spark.operators.facets import stats_facets
+
+    rows = stats_facets(
+        _stat_docs_df(spark), [(1, query)], "n_chars", extended=True,
+        id_col="doc_id", text_col="text",
+    ).collect()
+    want = _brute_stats(query, 2)
+    if want is None:
+        assert rows == []
+        return
+    assert len(rows) == 1
+    r = rows[0]
+    got = (
+        r["count_vals"], r["min_val"], r["max_val"], r["sum_val"],
+        r["avg_val"], r["sum_sq"], r["variance"], r["std_dev"],
+    )
+    # integer field -> exact sums; derived doubles bit-equal to the
+    # closed form (the property the oracle entry relies on)
+    assert got[:4] == want[:4]
+    for g, w in zip(got[4:], want[4:]):
+        assert g == pytest.approx(w, abs=1e-12)
+
+
+def test_stats_facets_basic_shape_excludes_extended(spark):
+    from same_same_spark.operators.facets import stats_facets
+
+    df = stats_facets(
+        _stat_docs_df(spark), [(1, "quick")], "n_chars",
+        id_col="doc_id", text_col="text",
+    )
+    assert df.columns == [
+        "query_id", "count_vals", "min_val", "max_val", "sum_val",
+        "avg_val",
+    ]
+
+
+def test_stats_facets_double_field(spark):
+    from same_same_spark.operators.facets import stats_facets
+
+    rows = stats_facets(
+        _stat_docs_df(spark), [(1, "quick fox")], "weight",
+        extended=True, id_col="doc_id", text_col="text",
+    ).collect()
+    want = _brute_stats("quick fox", 3)
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["count_vals"] == want[0]
+    # the fixture weights are exact binary fractions, so even the
+    # float-domain sums agree exactly
+    assert r["sum_val"] == want[3]
+    assert r["variance"] == pytest.approx(want[6], abs=1e-12)
+
+
+def test_stats_facets_single_value_zero_variance(spark):
+    from same_same_spark.operators.facets import stats_facets
+
+    rows = stats_facets(
+        _stat_docs_df(spark), [(1, "relevant")], "n_chars",
+        extended=True, id_col="doc_id", text_col="text",
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0]["variance"] == 0.0
+    assert rows[0]["std_dev"] == 0.0
+
+
+def test_stats_facets_unknown_column_raises(spark):
+    from same_same_spark.operators.facets import stats_facets
+
+    with pytest.raises(ValueError, match="no column"):
+        stats_facets(
+            _stat_docs_df(spark), [(1, "quick")], "nope",
+            id_col="doc_id", text_col="text",
+        )

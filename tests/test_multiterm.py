@@ -410,3 +410,162 @@ def test_proximity_short_doc_truncated_window(spark):
 def test_proximity_negative_slop_raises(spark):
     with pytest.raises(ValueError):
         proximity_search(_docs_df(spark), [(1, "a b")], slop=-1)
+
+
+# ---------------------------------------------------------------------------
+# regexp query mode
+# ---------------------------------------------------------------------------
+
+def test_validate_term_regex_rejects_unsafe():
+    from same_same_spark.operators.wildcard import validate_term_regex
+
+    for bad in (
+        "",               # empty
+        "a\\d",           # escape shorthand (Java/RE2 agree, but the
+                          # subset bans all backslashes)
+        "(?i)quick",      # special group
+        "(?:ab)",         # special group (engine-added only)
+        "^quick",         # explicit anchor
+        "qu$",            # $ not even in the charset
+        "a{",             # dangling { (Java throws, RE2 literal)
+        "a{2,",           # unterminated quantifier
+        "ab2",            # digit outside a quantifier
+        "a,b",            # comma outside a quantifier
+        "[]x]",           # empty-class prefix (engines disagree)
+        "(ab",            # unbalanced (re.compile rejects)
+        "Quick",          # uppercase outside the term alphabet
+    ):
+        with pytest.raises(ValueError):
+            validate_term_regex(bad)
+    # the safe core all passes
+    for ok in ("qu.ck", "fo(x|g)+", "[a-f]{2,3}", "do[^x]", "a|b|c"):
+        validate_term_regex(ok)
+
+
+def _brute_regexp(pattern: str, k: int, max_expansions: int = 50):
+    from same_same_spark.operators.wildcard import validate_term_regex
+
+    rx = re.compile(validate_term_regex(pattern.strip().lower()))
+    hits = [t for t in VOCAB if rx.match(t)]
+    hits.sort(key=lambda t: (-DF[t], t))
+    expanded = set(hits[:max_expansions])
+    scores = {
+        d: sum(_w(t, v) for t in sorted(expanded))
+        for d, v in TOKS.items()
+    }
+    return _rank(scores, k)
+
+
+@pytest.mark.parametrize(
+    "pattern",
+    [
+        "qu.ck",              # dot
+        "qu(ick|ack|ince)",   # alternation
+        "fo[a-z]",            # class
+        "do[^t]",             # negated class (dog, not dot)
+        "(qu|br)[a-z]+",      # group + plus
+        "[a-z]{5}",           # bounded quantifier: all 5-letter terms
+        "quick",              # plain literal
+        "zz+",                # no match -> no rows
+    ],
+)
+def test_regexp_matches_brute_force(spark, pattern):
+    from same_same_spark.operators.wildcard import regexp_search
+
+    out = regexp_search(
+        _docs_df(spark), [(1, pattern)], k=10,
+        id_col="doc_id", text_col="text",
+    ).collect()
+    got = [
+        (r["doc_id"], r["score"])
+        for r in sorted(out, key=lambda r: r["rank"])
+    ]
+    want = _brute_regexp(pattern, 10)
+    assert [g[0] for g in got] == [w[0] for w in want], pattern
+    for (gd, gs), (_, ws) in zip(got, want):
+        assert gs == pytest.approx(ws), (pattern, gd)
+
+
+def test_regexp_expansion_cap_deterministic(spark):
+    from same_same_spark.operators.wildcard import expand_regexes
+    from same_same_spark.stats import term_doc_freqs, tokenized
+
+    vocab = term_doc_freqs(
+        tokenized(_docs_df(spark), id_col="doc_id", text_col="text")
+    )
+    got = sorted(
+        r["term"]
+        for r in expand_regexes(
+            vocab, [(1, "qu[a-z]+")], max_expansions=2
+        ).collect()
+    )
+    hits = sorted(
+        (t for t in VOCAB if re.match(r"^qu[a-z]+$", t)),
+        key=lambda t: (-DF[t], t),
+    )
+    assert got == sorted(hits[:2])
+    assert len(hits) > 2  # the cap actually bit
+
+
+def test_regexp_union_of_terms_equals_plain_bm25(spark):
+    """An alternation of exact terms must score identically to the
+    plain BM25 path over the same term set (shared pinned model)."""
+    from same_same_spark.bm25 import score_queries
+    from same_same_spark.operators.wildcard import regexp_search
+
+    docs = _docs_df(spark)
+    a = regexp_search(
+        docs, [(1, "quick|fox")], k=10, id_col="doc_id", text_col="text"
+    ).collect()
+    b = score_queries(
+        docs, [(1, "quick fox")], k=10, id_col="doc_id", text_col="text"
+    ).collect()
+    assert sorted((r["doc_id"], r["rank"], r["score"]) for r in a) == sorted(
+        (r["doc_id"], r["rank"], r["score"]) for r in b
+    )
+
+
+def test_regexp_indexed_rank_identical(spark, tmp_path):
+    """The index-dictionary regexp path must reproduce the naive
+    scorer's (doc_id, rank, score@6dp) — fresh build AND after a
+    tombstoned delete (same contract as the glob mode)."""
+    from same_same_spark.index.build import build_index
+    from same_same_spark.index.mutate import delete_docs
+    from same_same_spark.operators.wildcard import (
+        regexp_search,
+        regexp_search_indexed,
+    )
+
+    docs = _docs_df(spark)
+    idx = str(tmp_path / "idx")
+    build_index(
+        docs, idx, id_col="doc_id", text_col="text",
+        num_buckets=4, log=lambda *_: None,
+    )
+    queries = [(1, "qu[a-z]+"), (2, "do(g|t)"), (3, "zz+")]
+
+    def key(rows):
+        return sorted(
+            (r["query_id"], r["doc_id"], r["rank"], round(r["score"], 6))
+            for r in rows
+        )
+
+    naive = regexp_search(
+        docs, queries, k=10, max_expansions=2,
+        id_col="doc_id", text_col="text",
+    ).collect()
+    indexed = regexp_search_indexed(
+        spark, idx, queries, k=10, max_expansions=2
+    ).collect()
+    assert key(indexed) == key(naive)
+
+    delete_docs(spark, idx, [2, 8])
+    kept = docs.filter(~F.col("doc_id").isin([2, 8]))
+    naive2 = regexp_search(
+        kept, queries, k=10, max_expansions=2,
+        id_col="doc_id", text_col="text",
+    ).collect()
+    indexed2 = regexp_search_indexed(
+        spark, idx, queries, k=10, max_expansions=2
+    ).collect()
+    assert key(indexed2) == key(naive2)

@@ -295,3 +295,32 @@ def test_relevance_extras_plan_shape(spark, documents):
         assert "BroadcastNestedLoopJoin" not in plan
     # sigterms: the one nested loop is the single-row n_docs broadcast
     assert st.count("BroadcastNestedLoopJoin") == 1
+
+
+def test_regexp_and_stats_plan_shape(spark, documents):
+    """regexp shares the glob mode's plan (broadcast nested-loop
+    dictionary scan + broadcast posting join, window-free); stats_facets
+    is a single map-side-combined groupBy over the matched join — no
+    windows, no cartesians, no per-value collect_list state."""
+    from same_same_spark.operators.facets import stats_facets
+    from same_same_spark.operators.wildcard import regexp_search
+
+    r = _plan(regexp_search(
+        documents, [(0, "tab(le)?[a-z]*")], k=5,
+        id_col="doc_id", text_col="text",
+    ))
+    assert "Window" not in r
+    assert "CartesianProduct" not in r
+    assert "BroadcastNestedLoopJoin" in r  # the dictionary scan itself
+    assert "BroadcastHashJoin" in r        # expansion -> postings
+
+    docs = documents.withColumn("n", F.length("text").cast("long"))
+    s = _plan(stats_facets(
+        docs, [(0, "fast merge")], "n", extended=True,
+        id_col="doc_id", text_col="text",
+    ))
+    assert "Window" not in s
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+    assert "collect_list" not in s  # one row per query, pure aggregates
+    assert "partial_sum" in s       # map-side combine engaged
