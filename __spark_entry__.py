@@ -4443,6 +4443,98 @@ def _sql_stats_agg() -> str:
     )
 
 
+def _q_histogram_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram aggregation over the match set
+    (operators/facets.histogram_facets): fixed-interval buckets keyed
+    floor(v/interval)*interval over documents.n_chars, every bucket
+    between each query's data bounds emitted (min_doc_count=0). Sole
+    evidence; the oracle zero-fills with generate_series vs Spark's
+    sequence explode, so the fixed-shape contract is what the
+    differential checks."""
+    from same_same_spark.operators.facets import histogram_facets
+
+    return histogram_facets(
+        _docs(spark, sf_dir), STATS_AGG_QUERIES, "n_chars", 50.0,
+        id_col="doc_id", text_col="text",
+    )
+
+
+def _sql_histogram_agg() -> str:
+    from same_same_spark.operators.facets import duckdb_histogram_sql
+
+    return duckdb_histogram_sql(
+        "documents", "doc_id", "text", STATS_AGG_QUERIES, "n_chars", 50.0,
+    )
+
+
+def _q_percentiles_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles aggregation over the match set
+    (operators/facets.percentiles_facets) at ES's default percents:
+    Spark percentile vs DuckDB quantile_cont — the same exact
+    linear-interpolation identity corpus_profile pins, here per
+    match set. Sole evidence."""
+    from same_same_spark.operators.facets import percentiles_facets
+
+    out = percentiles_facets(
+        _docs(spark, sf_dir), STATS_AGG_QUERIES, "n_chars",
+        id_col="doc_id", text_col="text",
+    )
+    return _round6(out, "value")
+
+
+def _sql_percentiles_agg() -> str:
+    from same_same_spark.operators.facets import duckdb_percentiles_sql
+
+    return duckdb_percentiles_sql(
+        "documents", "doc_id", "text", STATS_AGG_QUERIES, "n_chars",
+    )
+
+
+def _q_cardinality_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """value_count + exact cardinality + missing counts over the match
+    set (operators/facets.cardinality_facets) on documents.source.
+    Sole evidence; all-integer outputs, compared exactly."""
+    from same_same_spark.operators.facets import cardinality_facets
+
+    return cardinality_facets(
+        _docs(spark, sf_dir), STATS_AGG_QUERIES, "source",
+        id_col="doc_id", text_col="text",
+    )
+
+
+def _sql_cardinality_agg() -> str:
+    from same_same_spark.operators.facets import duckdb_cardinality_sql
+
+    return duckdb_cardinality_sql(
+        "documents", "doc_id", "text", STATS_AGG_QUERIES, "source",
+    )
+
+
+def _q_rescore_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 → exact-phrase rescore → top-k (operators/rescore.py):
+    ES's rescore block with score_mode=total; the phrase scores
+    Lucene PhraseQuery-style (tf = adjacency count, idf = Σ term
+    idfs) on the bounded top-window only. Sole evidence; the oracle
+    re-derives the window with a window function over the full scored
+    set and counts phrases with unprefiltered list-slice scans."""
+    from same_same_spark.operators.rescore import rescore_topk
+
+    out = rescore_topk(
+        _docs(spark, sf_dir), PHRASE_QUERIES, k=REF_K, window_size=30,
+        rescore_weight=2.0, id_col="doc_id", text_col="text",
+    )
+    return _round6(out, "score", "primary_score", "rescore_score")
+
+
+def _sql_rescore_topk() -> str:
+    from same_same_spark.operators.rescore import duckdb_rescore_sql
+
+    return duckdb_rescore_sql(
+        "documents", "doc_id", "text", PHRASE_QUERIES, k=REF_K,
+        window_size=30, rescore_weight=2.0,
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4799,6 +4891,17 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # compares bit-identical doubles derived from exact integer sums.
     "regexp_topk": (_q_regexp_topk, _sql_regexp_topk()),
     "stats_agg": (_q_stats_agg, _sql_stats_agg()),
+    # the rest of the ES metric/bucket aggregation family (sole
+    # evidence): zero-filled fixed-interval histogram, exact
+    # percentiles (the corpus_profile quantile identity per match
+    # set), and value_count/cardinality/missing in one pass.
+    "histogram_agg": (_q_histogram_agg, _sql_histogram_agg()),
+    "percentiles_agg": (_q_percentiles_agg, _sql_percentiles_agg()),
+    "cardinality_agg": (_q_cardinality_agg, _sql_cardinality_agg()),
+    # ES rescore block: phrase re-rank of the bounded BM25 top-window
+    # (sole evidence; window selection + phrase counts independently
+    # re-derived in the oracle).
+    "rescore_topk": (_q_rescore_topk, _sql_rescore_topk()),
     # index-dictionary wildcard: rank-identical twin of wildcard_topk
     # (shared oracle; twin-tail placement per the witness contract)
     "wildcard_topk_indexed": (
@@ -4907,6 +5010,17 @@ _ORDER: list[str] = [
     # r4-green row).
     "regexp_topk",
     "stats_agg",
+    # histogram/percentiles/cardinality aggregations (sole evidence);
+    # their insertion pushed r2/r3-green source_jsonl / source_hf /
+    # list_projection past 50 — green driver history, and S3/S4/F7
+    # semantics stay exercised locally (test_sources, test_api).
+    "histogram_agg",
+    "percentiles_agg",
+    "cardinality_agg",
+    # ES rescore (sole evidence); its insertion pushed r2/r3-green
+    # source_csv past 50 (green driver history; S2 semantics stay
+    # exercised locally in test_sources).
+    "rescore_topk",
     # --- rotate-backs (last green r2/r3) -------------------------------
     "euclidean_topk",
     "events_hourly",

@@ -125,6 +125,10 @@ ENTRY_QUERY_NAMES = [
     "boolean_msm",
     "regexp_topk",
     "stats_agg",
+    "histogram_agg",
+    "percentiles_agg",
+    "cardinality_agg",
+    "rescore_topk",
 ]
 
 # VERDICT r3 #8: round-over-round totals stopped being comparable as

@@ -501,6 +501,9 @@ class SameSameSpark:
           (:mod:`~same_same_spark.operators.wildcard`); ``q`` = the
           pattern. Rides the index term dictionary when attached;
           ``max_expansions=`` caps the rewrite.
+        - ``"rescore"`` — BM25 window re-ranked by the exact phrase
+          (:mod:`~same_same_spark.operators.rescore`); ``q`` = text;
+          ``window_size=`` / ``query_weight=`` / ``rescore_weight=``.
 
         Extra ``kw`` pass through to the operator. Returns
         (id, score, rank) plus the mode's extra columns
@@ -575,6 +578,13 @@ class SameSameSpark:
                 self.docs, [(0, q)], k=k, id_col=self.id_col,
                 text_col=self.text_col, **kw,
             )
+        elif mode == "rescore":
+            from same_same_spark.operators.rescore import rescore_topk
+
+            out = rescore_topk(
+                self.docs, [(0, q)], k=k, id_col=self.id_col,
+                text_col=self.text_col, **kw,
+            )
         elif mode == "boosted":
             from same_same_spark.operators.boost import boosted_search
 
@@ -592,7 +602,8 @@ class SameSameSpark:
         else:
             raise ValueError(
                 f"unknown query mode {mode!r} (expected terms/phrase/"
-                "bool/wildcard/regexp/fuzzy/proximity/boosted/synonym)"
+                "bool/wildcard/regexp/fuzzy/proximity/boosted/synonym/"
+                "rescore)"
             )
         return out.drop("query_id").withColumnRenamed("doc_id", self.id_col)
 
@@ -624,6 +635,44 @@ class SameSameSpark:
 
         return stats_facets(
             self.docs, [(0, text)], value_col, extended=extended,
+            id_col=self.id_col, text_col=self.text_col,
+        ).drop("query_id")
+
+    def histogram(
+        self, text: str, value_col: str, interval: float
+    ) -> DataFrame:
+        """Fixed-interval histogram over the query's match set
+        (:mod:`~same_same_spark.operators.facets`): (key, doc_count),
+        every bucket between the data bounds emitted."""
+        from same_same_spark.operators.facets import histogram_facets
+
+        return histogram_facets(
+            self.docs, [(0, text)], value_col, interval,
+            id_col=self.id_col, text_col=self.text_col,
+        ).drop("query_id")
+
+    def percentiles(
+        self,
+        text: str,
+        value_col: str,
+        percents: list[float] = (1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0),
+    ) -> DataFrame:
+        """Exact interpolated percentiles of a numeric field over the
+        query's match set: (percent, value)."""
+        from same_same_spark.operators.facets import percentiles_facets
+
+        return percentiles_facets(
+            self.docs, [(0, text)], value_col, percents=percents,
+            id_col=self.id_col, text_col=self.text_col,
+        ).drop("query_id")
+
+    def cardinality(self, text: str, value_col: str) -> DataFrame:
+        """value_count / exact distinct / missing counts of a field
+        over the query's match set."""
+        from same_same_spark.operators.facets import cardinality_facets
+
+        return cardinality_facets(
+            self.docs, [(0, text)], value_col,
             id_col=self.id_col, text_col=self.text_col,
         ).drop("query_id")
 

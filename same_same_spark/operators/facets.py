@@ -248,22 +248,25 @@ def histogram_facets(
     counted = assigned.groupBy("query_id", "idx").agg(
         F.count(F.lit(1)).alias("doc_count")
     )
+    # the breaker rides INSIDE the sequence bound (an unused projection
+    # would be pruned by Catalyst and never fire): assert_true yields
+    # NULL on success, so the when() resolves to hi — or errors.
+    hi_checked = F.when(
+        F.assert_true(
+            F.col("hi") - F.col("lo") < F.lit(int(max_buckets)),
+            F.lit(
+                f"histogram span exceeds max_buckets={max_buckets}; "
+                "widen the interval"
+            ),
+        ).isNull(),
+        F.col("hi"),
+    )
     shape = (
         counted.groupBy("query_id")
         .agg(F.min("idx").alias("lo"), F.max("idx").alias("hi"))
-        .withColumn(
-            "_chk",
-            F.assert_true(
-                F.col("hi") - F.col("lo") < F.lit(int(max_buckets)),
-                F.lit(
-                    f"histogram span exceeds max_buckets={max_buckets}; "
-                    "widen the interval"
-                ),
-            ),
-        )
         .select(
             "query_id",
-            F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("idx"),
+            F.explode(F.sequence(F.col("lo"), hi_checked)).alias("idx"),
         )
     )
     return shape.join(counted, ["query_id", "idx"], "left").select(

@@ -689,3 +689,34 @@ def test_query_regexp_mode_and_stats_surface(spark, store, tmp_path):
     ).stats("table query", "n", extended=True).collect()
     assert len(st) == 1 and st[0]["count_vals"] > 0
     assert st[0]["variance"] >= 0.0
+
+
+def test_aggregation_api_surface(spark):
+    """histogram / percentiles / cardinality / stats on a parquet store."""
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    )
+    st = SameSameSpark(docs, id_col="doc_id", text_col="text")
+    h = st.histogram("table query", "n_chars", 100.0).collect()
+    assert h and sum(r["doc_count"] for r in h) > 0
+    keys = [r["key"] for r in h]
+    assert keys == sorted(keys) or len(set(keys)) == len(keys)
+    p = {r["percent"]: r["value"] for r in
+         st.percentiles("table query", "n_chars", [50.0]).collect()}
+    assert set(p) == {50.0}
+    c = st.cardinality("table query", "lang").collect()
+    assert len(c) == 1 and c[0]["distinct_count"] >= 1
+
+
+def test_query_rescore_mode(store):
+    from same_same_spark.operators.rescore import rescore_topk
+
+    got = store.query("quantum mechanics", mode="rescore", k=5,
+                      window_size=10, rescore_weight=2.0)
+    want = rescore_topk(store.docs, [(0, "quantum mechanics")], k=5,
+                        window_size=10, rescore_weight=2.0,
+                        id_col="id", text_col="text")
+    key = lambda df, idc: sorted(
+        (r[idc], r["rank"], round(r["score"], 9)) for r in df.collect()
+    )
+    assert key(got, "id") == key(want, "doc_id") and key(got, "id")

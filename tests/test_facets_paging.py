@@ -388,3 +388,101 @@ def test_stats_facets_unknown_column_raises(spark):
             _stat_docs_df(spark), [(1, "quick")], "nope",
             id_col="doc_id", text_col="text",
         )
+
+
+# ---------------------------------------------------------------------------
+# histogram / percentiles / cardinality aggregations
+# ---------------------------------------------------------------------------
+
+def test_histogram_zero_fill_and_negative_keys(spark):
+    from same_same_spark.operators.facets import histogram_facets
+
+    docs = [
+        (1, "quick fox", -13), (2, "quick", 55), (3, "quick", 55),
+        (4, "quick", 301), (5, "quick", None), (6, "dog", 999),
+    ]
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING, n LONG")
+    rows = histogram_facets(
+        df, [(1, "quick")], "n", 50.0, id_col="doc_id", text_col="text"
+    ).collect()
+    got = {r["key"]: r["doc_count"] for r in rows}
+    # floor(-13/50) = -1 -> key -50; 55 -> 50; 301 -> 300; NULL excluded
+    want = {-50.0: 1, 0.0: 0, 50.0: 2, 100.0: 0, 150.0: 0,
+            200.0: 0, 250.0: 0, 300.0: 1}
+    assert got == want
+    # every bucket between the data bounds emitted exactly once
+    assert len(rows) == len(want)
+
+
+def test_histogram_guards(spark):
+    from pyspark.sql.utils import AnalysisException
+    from same_same_spark.operators.facets import histogram_facets
+
+    df = spark.createDataFrame(
+        [(1, "quick", 0), (2, "quick", 10_000_000)],
+        "doc_id LONG, text STRING, n LONG",
+    )
+    with pytest.raises(ValueError):
+        histogram_facets(df, [(1, "quick")], "n", 0.0,
+                         id_col="doc_id", text_col="text")
+    # span 0..10M at interval 1 = 10M buckets -> the breaker trips
+    with pytest.raises(Exception, match="max_buckets"):
+        histogram_facets(
+            df, [(1, "quick")], "n", 1.0,
+            id_col="doc_id", text_col="text",
+        ).collect()
+
+
+def test_percentiles_match_numpy_interpolation(spark):
+    import numpy as np
+    from same_same_spark.operators.facets import percentiles_facets
+
+    vals = [55, 55, 87, 120, 301]
+    docs = [(i, "quick", v) for i, v in enumerate(vals)] + [
+        (99, "dog", 1), (98, "quick", None)
+    ]
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING, n LONG")
+    ps = [10.0, 50.0, 90.0]
+    rows = percentiles_facets(
+        df, [(1, "quick")], "n", percents=ps,
+        id_col="doc_id", text_col="text",
+    ).collect()
+    got = {r["percent"]: r["value"] for r in rows}
+    for p in ps:
+        # Spark percentile == numpy linear interpolation
+        assert got[p] == pytest.approx(
+            float(np.percentile(vals, p, method="linear")), abs=1e-9
+        )
+
+
+def test_percentiles_guards(spark):
+    from same_same_spark.operators.facets import percentiles_facets
+
+    df = spark.createDataFrame(
+        [(1, "quick", 5)], "doc_id LONG, text STRING, n LONG"
+    )
+    for bad in ([], [0.0], [101.0], [50.0, 50.0]):
+        with pytest.raises(ValueError):
+            percentiles_facets(df, [(1, "quick")], "n", percents=bad,
+                               id_col="doc_id", text_col="text")
+
+
+def test_cardinality_counts(spark):
+    from same_same_spark.operators.facets import cardinality_facets
+
+    docs = [
+        (1, "quick fox", "web"), (2, "quick", "web"),
+        (3, "quick", "book"), (4, "quick", None), (5, "dog", "news"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING, src STRING")
+    rows = cardinality_facets(
+        df, [(1, "quick"), (2, "dog"), (3, "zzz")], "src",
+        id_col="doc_id", text_col="text",
+    ).collect()
+    got = {
+        r["query_id"]: (
+            r["value_count"], r["distinct_count"], r["missing_count"]
+        )
+        for r in rows
+    }
+    assert got == {1: (3, 2, 1), 2: (1, 1, 0)}

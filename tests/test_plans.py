@@ -324,3 +324,51 @@ def test_regexp_and_stats_plan_shape(spark, documents):
     assert "BroadcastNestedLoopJoin" not in s
     assert "collect_list" not in s  # one row per query, pure aggregates
     assert "partial_sum" in s       # map-side combine engaged
+
+
+def test_aggregation_family_plan_shape(spark, documents):
+    """histogram / percentiles / cardinality: window-free, no
+    cartesians, no BroadcastNestedLoopJoin; the histogram zero-fill
+    explodes the per-query BOUNDS row, never data rows."""
+    from same_same_spark.operators.facets import (
+        cardinality_facets,
+        histogram_facets,
+        percentiles_facets,
+    )
+
+    queries = [(0, "fast merge join"), (1, "vector table")]
+    h = _plan(histogram_facets(
+        documents, queries, "n_chars", 50.0,
+        id_col="doc_id", text_col="text",
+    ))
+    p = _plan(percentiles_facets(
+        documents, queries, "n_chars",
+        id_col="doc_id", text_col="text",
+    ))
+    c = _plan(cardinality_facets(
+        documents, queries, "source",
+        id_col="doc_id", text_col="text",
+    ))
+    for plan in (h, p, c):
+        assert "Window" not in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "collect_list" not in plan
+    # histogram: map-side combine on the bucket counts
+    assert "partial_count" in h.replace("partial_count_distinct", "")
+
+
+def test_rescore_plan_shape(spark, documents):
+    """Rescore: window-free, no cartesians; the window and the per-query
+    phrase/idf tables join back BROADCAST (the expensive phrase check
+    must only ever see the bounded window, shipped to the data)."""
+    from same_same_spark.operators.rescore import rescore_topk
+
+    p = _plan(rescore_topk(
+        documents, [(0, "fast merge"), (1, "table query")],
+        k=5, window_size=20, id_col="doc_id", text_col="text",
+    ))
+    assert "Window" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BroadcastHashJoin" in p

@@ -208,3 +208,128 @@ def test_highlight_wraps_only_query_terms(fruit_docs):
                 assert piece == f"<em>{token}</em>"
             else:
                 assert piece == token
+
+
+# ---------------------------------------------------------------------------
+# rescore
+# ---------------------------------------------------------------------------
+
+def test_rescore_matches_brute_force(spark):
+    """Window selection, Lucene-style phrase scoring and the combined
+    re-rank against a pure-Python brute force."""
+    import math
+
+    from same_same_spark.operators.rescore import rescore_topk
+    from same_same_spark.text.tokenizer import tokenize_py
+
+    docs = [
+        (1, "fast merge sort is a fast merge"),
+        (2, "merge fast but not together sort"),
+        (3, "fast merge fast merge fast merge"),
+        (4, "sort of fast kind of merge"),
+        (5, "unrelated words entirely"),
+        (6, "fast fast fast fast"),
+        (7, "the merge was fast merge fast"),
+    ]
+    toks = {d: tokenize_py(t) for d, t in docs}
+    n = len(docs)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    dfc: dict[str, int] = {}
+    for v in toks.values():
+        for t in set(v):
+            dfc[t] = dfc.get(t, 0) + 1
+
+    def idf(t):
+        return math.log(1.0 + (n - dfc[t] + 0.5) / (dfc[t] + 0.5))
+
+    def w(tf, dl, i):
+        return i * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+
+    def phrase_count(seq, ph):
+        return sum(
+            1
+            for i in range(len(seq) - len(ph) + 1)
+            if seq[i: i + len(ph)] == ph
+        )
+
+    q = "fast merge"
+    qtoks = tokenize_py(q)
+    qset = sorted(set(qtoks))
+    prim = {
+        d: sum(w(v.count(t), len(v), idf(t)) for t in qset if t in v)
+        for d, v in toks.items()
+    }
+    prim = {d: s for d, s in prim.items() if s > 0}
+    window = sorted(prim, key=lambda d: (-round(prim[d], 9), d))[:4]
+    qidf = sum(idf(t) for t in qset)
+    final = {}
+    for d in window:
+        m = phrase_count(toks[d], qtoks)
+        rs = w(m, len(toks[d]), qidf) if m else 0.0
+        final[d] = (prim[d] + 2.0 * rs, prim[d], rs)
+    order = sorted(final, key=lambda d: (-round(final[d][0], 9), d))[:3]
+
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    rows = rescore_topk(
+        df, [(1, q)], k=3, window_size=4, rescore_weight=2.0,
+        id_col="doc_id", text_col="text",
+    ).collect()
+    got = sorted(rows, key=lambda r: r["rank"])
+    assert [r["doc_id"] for r in got] == order
+    for r in got:
+        want = final[r["doc_id"]]
+        assert r["score"] == pytest.approx(want[0])
+        assert r["primary_score"] == pytest.approx(want[1])
+        assert r["rescore_score"] == pytest.approx(want[2])
+
+
+def test_rescore_outside_window_never_promoted(spark):
+    """A doc outside the primary window must not appear, however hard
+    the phrase would boost it (the ES window contract)."""
+    from same_same_spark.operators.rescore import rescore_topk
+
+    # doc 9 has the exact phrase but a weak bag score (long doc, one
+    # occurrence of each term, drowned by filler)
+    filler = " ".join(["filler"] * 60)
+    docs = [
+        (1, "fast fast fast fast merge merge merge"),
+        (2, "fast fast merge merge fast"),
+        (3, "merge fast fast merge"),
+        (9, f"fast merge {filler}"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    rows = rescore_topk(
+        df, [(1, "fast merge")], k=3, window_size=3,
+        rescore_weight=100.0, id_col="doc_id", text_col="text",
+    ).collect()
+    assert 9 not in {r["doc_id"] for r in rows} and rows
+
+
+def test_rescore_zero_weight_keeps_primary_order(spark):
+    """rescore_weight=0 must reproduce the plain BM25 ranking of the
+    window head exactly."""
+    from same_same_spark.bm25 import score_queries
+    from same_same_spark.operators.rescore import rescore_topk
+
+    docs = [
+        (1, "fast merge sort"), (2, "merge fast"), (3, "fast sort"),
+        (4, "merge merge fast fast"), (5, "sort sort"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    a = rescore_topk(
+        df, [(1, "fast merge")], k=3, window_size=5, rescore_weight=0.0,
+        id_col="doc_id", text_col="text",
+    ).collect()
+    b = score_queries(
+        df, [(1, "fast merge")], k=3, id_col="doc_id", text_col="text"
+    ).collect()
+    assert sorted((r["doc_id"], r["rank"], round(r["score"], 9)) for r in a) \
+        == sorted((r["doc_id"], r["rank"], round(r["score"], 9)) for r in b)
+
+
+def test_rescore_window_smaller_than_k_raises(spark):
+    from same_same_spark.operators.rescore import rescore_topk
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id LONG, text STRING")
+    with pytest.raises(ValueError, match="window_size"):
+        rescore_topk(df, [(1, "a")], k=10, window_size=5)
