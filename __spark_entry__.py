@@ -4535,6 +4535,109 @@ def _sql_rescore_topk() -> str:
     )
 
 
+# Query 1 pages from the start; query 2 resumes from a mid-space
+# after-key (both the pruned path and the page-1 path under one
+# differential); query 4 matches nothing.
+COMPOSITE_AFTER: dict[int, tuple] = {2: ("en", "src12")}
+
+
+def _q_composite_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite aggregation (operators/facets.composite_facets):
+    key-ordered (lang, source) buckets over the match set with an
+    after-key cursor — ES's paginated bucket agg. Sole evidence; the
+    oracle paginates with a window function over the FULL bucket list
+    vs Spark's filter-then-bounded-tournament, so after-key pruning
+    correctness is what the differential checks."""
+    from same_same_spark.operators.facets import composite_facets
+
+    return composite_facets(
+        _docs(spark, sf_dir), STATS_AGG_QUERIES, ["lang", "source"],
+        size=5, after=COMPOSITE_AFTER, id_col="doc_id", text_col="text",
+    )
+
+
+def _sql_composite_agg() -> str:
+    from same_same_spark.operators.facets import duckdb_composite_sql
+
+    return duckdb_composite_sql(
+        "documents", "doc_id", "text", STATS_AGG_QUERIES,
+        ["lang", "source"], size=5, after=COMPOSITE_AFTER,
+    )
+
+
+def _q_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Function-score decay (operators/decay.decay_score): BM25 ×
+    gauss decay over documents.n_chars (origin 300, scale 150,
+    offset 25, decay 0.5) — ES's function_score family with the shape
+    constant computed driver-side and embedded in both engines. Sole
+    evidence for the decay family (X7 temporal decay is its
+    age-specialized cousin)."""
+    from same_same_spark.operators.decay import decay_score
+
+    out = decay_score(
+        _docs(spark, sf_dir), STATS_AGG_QUERIES, "n_chars",
+        origin=300.0, scale=150.0, offset=25.0, decay=0.5, fn="gauss",
+        k=REF_K, id_col="doc_id", text_col="text",
+    )
+    return _round6(out, "score", "bm25", "multiplier")
+
+
+def _sql_decay_score() -> str:
+    from same_same_spark.operators.decay import duckdb_decay_sql
+
+    return duckdb_decay_sql(
+        "documents", "doc_id", "text", STATS_AGG_QUERIES, "n_chars",
+        origin=300.0, scale=150.0, offset=25.0, decay=0.5, fn="gauss",
+        k=REF_K,
+    )
+
+
+def _q_terms_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Terms aggregation with a nested metric sub-aggregation
+    (operators/facets.terms_metrics_facets): top source buckets per
+    query by match count, each carrying count/min/max/sum/avg of
+    n_chars — the ES terms{stats} nesting in ONE map-side-combined
+    pass. Sole evidence; integer-domain sums make the derived doubles
+    bit-identical cross-engine."""
+    from same_same_spark.operators.facets import terms_metrics_facets
+
+    return terms_metrics_facets(
+        _docs(spark, sf_dir), STATS_AGG_QUERIES, "source", "n_chars",
+        topn=5, id_col="doc_id", text_col="text",
+    )
+
+
+def _sql_terms_metrics() -> str:
+    from same_same_spark.operators.facets import duckdb_terms_metrics_sql
+
+    return duckdb_terms_metrics_sql(
+        "documents", "doc_id", "text", STATS_AGG_QUERIES, "source",
+        "n_chars", topn=5, integer_field=True,
+    )
+
+
+def _q_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-filled calendar date histogram over events
+    (operators/events.date_histogram): per event_type × day bucket
+    counts, every day between each type's first and last event emitted
+    (min_doc_count=0) — ES's date_histogram; events_hourly is the
+    sparse tumbling cousin. Sole evidence; the oracle zero-fills with
+    generate_series + INTERVAL stepping vs Spark's sequence explode."""
+    from same_same_spark.operators.events import date_histogram
+
+    return date_histogram(
+        _events(spark, sf_dir), "day", group_col="event_type"
+    )
+
+
+def _sql_date_histogram() -> str:
+    from same_same_spark.operators.events import duckdb_date_histogram_sql
+
+    return duckdb_date_histogram_sql(
+        "events", "day", group_col="event_type"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4902,6 +5005,14 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # (sole evidence; window selection + phrase counts independently
     # re-derived in the oracle).
     "rescore_topk": (_q_rescore_topk, _sql_rescore_topk()),
+    # ES composite agg (paginated key-ordered buckets) + function_score
+    # decay family (both sole evidence).
+    "composite_agg": (_q_composite_agg, _sql_composite_agg()),
+    "decay_score": (_q_decay_score, _sql_decay_score()),
+    # terms{stats} nesting + zero-filled calendar date histogram
+    # (both sole evidence).
+    "terms_metrics": (_q_terms_metrics, _sql_terms_metrics()),
+    "date_histogram": (_q_date_histogram, _sql_date_histogram()),
     # index-dictionary wildcard: rank-identical twin of wildcard_topk
     # (shared oracle; twin-tail placement per the witness contract)
     "wildcard_topk_indexed": (
@@ -5021,6 +5132,19 @@ _ORDER: list[str] = [
     # source_csv past 50 (green driver history; S2 semantics stay
     # exercised locally in test_sources).
     "rescore_topk",
+    # composite agg + decay function score (sole evidence); their
+    # insertion pushed r2/r3-green source_quotes / clip_image_features
+    # past 50 (green driver history; S1 stays exercised in
+    # test_sources, X11 keeps its in-top-50 clip_text_topk twin).
+    "composite_agg",
+    "decay_score",
+    # terms{stats} nesting + date_histogram (sole evidence); their
+    # insertion pushed r2/r3-green metadata_score / doc_token_stats
+    # past 50 (green driver history; A6 stays exercised via in-top-50
+    # hybrid_search_indexed's combine, X2 via every BM25 entry's tf
+    # derivation).
+    "terms_metrics",
+    "date_histogram",
     # --- rotate-backs (last green r2/r3) -------------------------------
     "euclidean_topk",
     "events_hourly",

@@ -129,6 +129,10 @@ ENTRY_QUERY_NAMES = [
     "percentiles_agg",
     "cardinality_agg",
     "rescore_topk",
+    "composite_agg",
+    "decay_score",
+    "terms_metrics",
+    "date_histogram",
 ]
 
 # VERDICT r3 #8: round-over-round totals stopped being comparable as

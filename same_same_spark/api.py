@@ -666,6 +666,36 @@ class SameSameSpark:
             id_col=self.id_col, text_col=self.text_col,
         ).drop("query_id")
 
+    def terms_stats(
+        self, text: str, facet_col: str, value_col: str, topn: int = 5
+    ) -> DataFrame:
+        """Terms buckets with a nested metric sub-aggregation over the
+        query's match set (ES ``terms { stats }``)."""
+        from same_same_spark.operators.facets import terms_metrics_facets
+
+        return terms_metrics_facets(
+            self.docs, [(0, text)], facet_col, value_col, topn=topn,
+            id_col=self.id_col, text_col=self.text_col,
+        ).drop("query_id")
+
+    def composite(
+        self,
+        text: str,
+        source_cols: list[str],
+        size: int = 10,
+        after: tuple | None = None,
+    ) -> DataFrame:
+        """Paginated key-ordered bucket counts over the query's match
+        set (ES ``composite`` agg); ``after`` = the last key tuple of
+        the previous page."""
+        from same_same_spark.operators.facets import composite_facets
+
+        return composite_facets(
+            self.docs, [(0, text)], source_cols, size=size,
+            after={0: after} if after is not None else None,
+            id_col=self.id_col, text_col=self.text_col,
+        ).drop("query_id")
+
     def cardinality(self, text: str, value_col: str) -> DataFrame:
         """value_count / exact distinct / missing counts of a field
         over the query's match set."""

@@ -270,3 +270,137 @@ def sessionize(
     return df.withColumn(
         session_col, F.sum(is_new).over(running).cast("bigint")
     )
+
+
+_DH_STEPS = {
+    "minute": "interval 1 minute",
+    "hour": "interval 1 hour",
+    "day": "interval 1 day",
+    "week": "interval 7 days",
+    "month": "interval 1 month",
+    "year": "interval 1 year",
+}
+# lower bound on a bucket's width in seconds, for the breaker
+_DH_MIN_SECONDS = {
+    "minute": 60,
+    "hour": 3600,
+    "day": 86400,
+    "week": 604800,
+    "month": 28 * 86400,
+    "year": 365 * 86400,
+}
+
+
+def date_histogram(
+    events_df: DataFrame,
+    unit: str,
+    time_col: str = "ts",
+    group_col: str | None = None,
+    max_buckets: int = 65536,
+) -> DataFrame:
+    """Date-histogram aggregation — Elasticsearch's ``date_histogram``
+    with calendar intervals: per (optional group ×) ``date_trunc(unit)``
+    bucket counts, EVERY bucket between each group's first and last
+    event emitted (``min_doc_count=0`` zero-fill — the fixed-shape
+    series a dashboard renders; the engine's ``events_hourly`` tumbling
+    aggregate is the sparse cousin). NULL timestamps excluded.
+
+    Returns ([group STRING,] bucket TIMESTAMP, doc_count LONG).
+
+    The zero-fill walks TIMESTAMP sequences with calendar INTERVAL
+    steps (month/year buckets are non-uniform — epoch arithmetic can't
+    generate them; both engines agree on calendar stepping), generated
+    from each group's BOUNDS row only. The ES too-many-buckets breaker
+    bounds the span via each unit's minimum width, riding inside the
+    sequence bound expression (an unused assert_true projection would
+    be pruned — see facets.histogram_facets).
+    """
+    if unit not in _DH_STEPS:
+        raise ValueError(
+            f"unit must be one of {sorted(_DH_STEPS)}, got {unit!r}"
+        )
+    gcols = [group_col] if group_col else []
+    ev = events_df.select(
+        *[F.col(c).cast("string").alias(c) for c in gcols],
+        F.date_trunc(unit, F.col(time_col)).alias("bucket"),
+    ).filter(F.col("bucket").isNotNull())
+    counted = ev.groupBy(*gcols, "bucket").agg(
+        F.count(F.lit(1)).alias("doc_count")
+    )
+    span_sec = (
+        F.unix_seconds(F.col("hi")) - F.unix_seconds(F.col("lo"))
+    ).cast("double")
+    hi_checked = F.when(
+        F.assert_true(
+            span_sec / F.lit(float(_DH_MIN_SECONDS[unit]))
+            < F.lit(float(max_buckets)),
+            F.lit(
+                f"date_histogram span exceeds max_buckets={max_buckets} "
+                f"at unit={unit!r}; widen the unit"
+            ),
+        ).isNull(),
+        F.col("hi"),
+    )
+    shape = (
+        counted.groupBy(*gcols)
+        .agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+        .select(
+            *gcols,
+            F.explode(
+                F.sequence(
+                    F.col("lo"), hi_checked, F.expr(_DH_STEPS[unit])
+                )
+            ).alias("bucket"),
+        )
+    )
+    return shape.join(counted, gcols + ["bucket"], "left").select(
+        *gcols,
+        "bucket",
+        F.coalesce(F.col("doc_count"), F.lit(0)).cast("long").alias(
+            "doc_count"
+        ),
+    )
+
+
+def duckdb_date_histogram_sql(
+    table: str,
+    unit: str,
+    time_col: str = "ts",
+    group_col: str | None = None,
+) -> str:
+    """DuckDB twin of :func:`date_histogram` (generate_series with a
+    calendar INTERVAL step vs Spark's sequence explode)."""
+    if unit not in _DH_STEPS:
+        raise ValueError(
+            f"unit must be one of {sorted(_DH_STEPS)}, got {unit!r}"
+        )
+    step = _DH_STEPS[unit].replace("interval ", "INTERVAL ")
+    g = f"CAST({group_col} AS VARCHAR) AS grp, " if group_col else ""
+    gsel = "grp, " if group_col else ""
+    gout = f"{group_col}, " if group_col else ""
+    gb = "grp, " if group_col else ""
+    join_g = "s.grp = c.grp AND " if group_col else ""
+    out_g = f"s.grp AS {group_col}, " if group_col else ""
+    return f"""
+WITH ev AS (
+  SELECT {g}date_trunc('{unit}', {time_col}) AS bucket
+  FROM {table}
+  WHERE {time_col} IS NOT NULL
+),
+counted AS (
+  SELECT {gsel}bucket, count(*)::BIGINT AS doc_count
+  FROM ev GROUP BY {gb}bucket
+),
+bounds AS (
+  SELECT {gsel}min(bucket) AS lo, max(bucket) AS hi
+  FROM counted {"GROUP BY grp" if group_col else ""}
+),
+shape AS (
+  SELECT {gsel}unnest(generate_series(lo, hi, {step})) AS bucket
+  FROM bounds
+)
+SELECT {out_g}s.bucket AS bucket,
+       coalesce(c.doc_count, 0)::BIGINT AS doc_count
+FROM shape s
+LEFT JOIN counted c ON {join_g}s.bucket = c.bucket
+"""

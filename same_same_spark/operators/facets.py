@@ -468,6 +468,318 @@ FROM vals GROUP BY query_id
 """
 
 
+def terms_metrics_facets(
+    docs_df: DataFrame,
+    queries: list[tuple[int, str]],
+    facet_col: str,
+    value_col: str,
+    topn: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+) -> DataFrame:
+    """Terms aggregation with a metric SUB-aggregation — the
+    Elasticsearch bread-and-butter nesting ``terms(facet) {
+    stats(value) }``: for each query's top-n facet values by match
+    count, the count/min/max/sum/avg of a numeric field over that
+    bucket's docs.
+
+    Pinned semantics (cross-engine, re-derived in
+    :func:`duckdb_terms_metrics_sql`):
+
+    - buckets: distinct ``facet_col`` values (string-cast, NULLs
+      excluded) over the match set, top-n per query under
+      ``(doc_count DESC, value ASC)``, rank 1..n;
+    - per kept bucket: ``count_vals`` (non-NULL metric values),
+      ``min_val``/``max_val``/``sum_val``/``avg_val`` with
+      :func:`stats_facets`'s exactness contract (integer fields sum in
+      the integer domain — derived doubles bit-identical); an all-NULL
+      bucket reports 0 count and NULL metrics.
+
+    Returns (query_id INT, value STRING, doc_count LONG, rank INT,
+    count_vals LONG, min_val DOUBLE, max_val DOUBLE, sum_val DOUBLE,
+    avg_val DOUBLE).
+
+    Scale shape: ONE map-side-combined groupBy computes the bucket
+    count and every metric piece together (constant state per bucket);
+    the top-n selection is the bounded tournament over aggregated
+    bucket rows — the sub-agg adds zero passes and zero shuffles over
+    the plain terms agg.
+    """
+    dtype = dict(docs_df.dtypes).get(value_col)
+    if dtype is None:
+        raise ValueError(f"no column {value_col!r} in docs_df")
+    cast_to = "long" if dtype in _INT_TYPES else "double"
+    matched = _match_set(docs_df, queries, id_col, text_col)
+    meta = docs_df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(facet_col).cast("string").alias("value"),
+        F.col(value_col).cast(cast_to).alias("v"),
+    )
+    buckets = (
+        matched.join(meta, "doc_id")
+        .filter(F.col("value").isNotNull())
+        .groupBy("query_id", "value")
+        .agg(
+            F.count(F.lit(1)).alias("doc_count"),
+            F.count("v").alias("count_vals"),
+            F.min("v").alias("vmin"),
+            F.max("v").alias("vmax"),
+            F.sum("v").alias("vsum"),
+        )
+    )
+    entry = F.struct(
+        (-F.col("doc_count")).alias("negc"),
+        F.col("value").alias("value"),
+        F.col("doc_count").alias("doc_count"),
+        F.col("count_vals").alias("count_vals"),
+        F.col("vmin").alias("vmin"),
+        F.col("vmax").alias("vmax"),
+        F.col("vsum").alias("vsum"),
+    )
+    local = (
+        buckets.withColumn("part", F.spark_partition_id())
+        .groupBy("query_id", "part")
+        .agg(F.slice(F.sort_array(F.collect_list(entry)), 1, topn).alias("c"))
+    )
+    merged = (
+        local.groupBy("query_id")
+        .agg(
+            F.slice(
+                F.sort_array(F.flatten(F.collect_list("c"))), 1, topn
+            ).alias("top")
+        )
+        .select("query_id", F.posexplode("top").alias("pos", "s"))
+    )
+    n_vals = F.col("s.count_vals").cast("double")
+    vsum = F.col("s.vsum").cast("double")
+    return merged.select(
+        "query_id",
+        F.col("s.value").alias("value"),
+        F.col("s.doc_count").cast("long").alias("doc_count"),
+        (F.col("pos") + 1).cast("int").alias("rank"),
+        F.col("s.count_vals").cast("long").alias("count_vals"),
+        F.col("s.vmin").cast("double").alias("min_val"),
+        F.col("s.vmax").cast("double").alias("max_val"),
+        F.when(F.col("s.count_vals") > 0, vsum).alias("sum_val"),
+        F.when(F.col("s.count_vals") > 0, vsum / n_vals).alias("avg_val"),
+    )
+
+
+def duckdb_terms_metrics_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    queries: list[tuple[int, str]],
+    facet_col: str,
+    value_col: str,
+    topn: int = 5,
+    integer_field: bool = True,
+) -> str:
+    """DuckDB twin of :func:`terms_metrics_facets` (window ranking vs
+    the bounded tournament; integer sums cast through BIGINT)."""
+    qvalues = _qterm_values(queries)
+    vcast = "BIGINT" if integer_field else "DOUBLE"
+    sum_expr = (
+        "CAST(sum(v) AS BIGINT)::DOUBLE"
+        if integer_field
+        else "sum(v)::DOUBLE"
+    )
+    return f"""
+WITH {_matched_ctes(table, id_col, text_col, qvalues)},
+rows_ AS (
+  SELECT m.query_id, CAST(d.{facet_col} AS VARCHAR) AS value,
+         CAST(d.{value_col} AS {vcast}) AS v
+  FROM matched m JOIN {table} d ON m.doc_id = d.{id_col}
+  WHERE d.{facet_col} IS NOT NULL
+),
+buckets AS (
+  SELECT query_id, value,
+         count(*)::BIGINT AS doc_count,
+         count(v)::BIGINT AS count_vals,
+         min(v)::DOUBLE AS min_val,
+         max(v)::DOUBLE AS max_val,
+         CASE WHEN count(v) > 0 THEN {sum_expr} END AS sum_val,
+         CASE WHEN count(v) > 0
+              THEN {sum_expr} / count(v)::DOUBLE END AS avg_val
+  FROM rows_ GROUP BY query_id, value
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY doc_count DESC, value ASC
+  ) AS rank
+  FROM buckets
+)
+SELECT query_id, value, doc_count, rank::INTEGER AS rank,
+       count_vals, min_val, max_val, sum_val, avg_val
+FROM ranked WHERE rank <= {topn}
+"""
+
+
+def composite_facets(
+    docs_df: DataFrame,
+    queries: list[tuple[int, str]],
+    source_cols: list[str],
+    size: int = 10,
+    after: dict[int, tuple] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+) -> DataFrame:
+    """Composite aggregation over the match set — Elasticsearch's
+    ``composite`` agg: doc counts for every distinct combination of the
+    ``source_cols`` values, paginated in KEY order with an after-key
+    cursor (the only ES agg that pages through unbounded bucket
+    spaces).
+
+    Pinned semantics (cross-engine, re-derived in
+    :func:`duckdb_composite_sql`):
+
+    - bucket key = the source columns cast to string; a doc with NULL
+      in ANY source column is excluded (ES ``missing_bucket: false``);
+    - buckets order lexicographically ASCENDING by the key tuple;
+    - ``after[query_id]`` = a key tuple; the page is the first ``size``
+      buckets STRICTLY AFTER it (omitted query_id → from the start);
+    - returns (query_id INT, <source_cols...> STRING, doc_count LONG,
+      bucket_rank INT 1..size).
+
+    Scale shape: counts are one map-side-combined groupBy (cardinality
+    = queries × live key combinations); the page is a bounded
+    tournament ASCENDING on the key struct — constant memory per
+    partition, never a WindowExec; the after filter prunes before the
+    tournament, so deep paging costs the same as page one.
+    """
+    if not source_cols:
+        raise ValueError("source_cols must be non-empty")
+    if size <= 0:
+        raise ValueError("size must be positive")
+    after = dict(after or {})
+    for qid, tup in after.items():
+        if len(tup) != len(source_cols):
+            raise ValueError(
+                f"after[{qid}] has {len(tup)} values, expected "
+                f"{len(source_cols)}"
+            )
+    spark = docs_df.sparkSession
+    matched = _match_set(docs_df, queries, id_col, text_col)
+    meta = docs_df.select(
+        F.col(id_col).alias("doc_id"),
+        *[F.col(c).cast("string").alias(c) for c in source_cols],
+    )
+    joined = matched.join(meta, "doc_id")
+    for c in source_cols:
+        joined = joined.filter(F.col(c).isNotNull())
+    counts = joined.groupBy("query_id", *source_cols).agg(
+        F.count(F.lit(1)).alias("doc_count")
+    )
+
+    if after:
+        adf = spark.createDataFrame(
+            [(qid,) + tuple(str(v) for v in tup)
+             for qid, tup in sorted(after.items())],
+            ", ".join(
+                ["query_id INT"]
+                + [f"__a{i} STRING" for i in range(len(source_cols))]
+            ),
+        )
+        counts = counts.join(F.broadcast(adf), "query_id", "left")
+        # lexicographic strictly-after: (c1>a1) | (c1=a1 & c2>a2) | ...
+        pred = F.lit(False)
+        for i in reversed(range(len(source_cols))):
+            c, a = F.col(source_cols[i]), F.col(f"__a{i}")
+            pred = (c > a) | ((c == a) & pred)
+        counts = counts.filter(
+            F.col("__a0").isNull() | pred
+        ).drop(*[f"__a{i}" for i in range(len(source_cols))])
+
+    entry = F.struct(
+        *[F.col(c).alias(c) for c in source_cols],
+        F.col("doc_count").alias("doc_count"),
+    )
+    local = (
+        counts.withColumn("part", F.spark_partition_id())
+        .groupBy("query_id", "part")
+        .agg(F.slice(F.sort_array(F.collect_list(entry)), 1, size).alias("c"))
+    )
+    return (
+        local.groupBy("query_id")
+        .agg(
+            F.slice(
+                F.sort_array(F.flatten(F.collect_list("c"))), 1, size
+            ).alias("page")
+        )
+        .select("query_id", F.posexplode("page").alias("pos", "s"))
+        .select(
+            "query_id",
+            *[F.col(f"s.{c}").alias(c) for c in source_cols],
+            F.col("s.doc_count").cast("long").alias("doc_count"),
+            (F.col("pos") + 1).cast("int").alias("bucket_rank"),
+        )
+    )
+
+
+def duckdb_composite_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    queries: list[tuple[int, str]],
+    source_cols: list[str],
+    size: int = 10,
+    after: dict[int, tuple] | None = None,
+) -> str:
+    """DuckDB twin of :func:`composite_facets` (window-function
+    pagination over the full bucket list vs Spark's pruned bounded
+    tournament — so after-key pruning correctness is what the
+    differential checks)."""
+    qvalues = _qterm_values(queries)
+    keycols = ", ".join(
+        f"CAST(d.{c} AS VARCHAR) AS {c}" for c in source_cols
+    )
+    notnull = " AND ".join(f"d.{c} IS NOT NULL" for c in source_cols)
+    gb = ", ".join(source_cols)
+    after = dict(after or {})
+    if after:
+        arows = ", ".join(
+            "(" + str(qid) + ", "
+            + ", ".join(f"'{v}'" for v in tup) + ")"
+            for qid, tup in sorted(after.items())
+        )
+        acols = ", ".join(f"a{i}" for i in range(len(source_cols)))
+        after_cte = (
+            f"afters AS (SELECT * FROM (VALUES {arows}) "
+            f"AS v(query_id, {acols})),"
+        )
+        tup_c = "(" + ", ".join(f"c.{c}" for c in source_cols) + ")"
+        tup_a = "(" + ", ".join(
+            f"a.a{i}" for i in range(len(source_cols))
+        ) + ")"
+        after_join = "LEFT JOIN afters a ON c.query_id = a.query_id"
+        after_where = f"WHERE a.a0 IS NULL OR {tup_c} > {tup_a}"
+    else:
+        after_cte = ""
+        after_join = ""
+        after_where = ""
+    order = ", ".join(f"{c} ASC" for c in source_cols)
+    outcols = ", ".join(source_cols)
+    return f"""
+WITH {_matched_ctes(table, id_col, text_col, qvalues)},
+counts AS (
+  SELECT m.query_id, {keycols}, count(*)::BIGINT AS doc_count
+  FROM matched m JOIN {table} d ON m.doc_id = d.{id_col}
+  WHERE {notnull}
+  GROUP BY m.query_id, {gb}
+),
+{after_cte}
+paged AS (
+  SELECT c.*, row_number() OVER (
+    PARTITION BY c.query_id ORDER BY {order}
+  ) AS bucket_rank
+  FROM counts c {after_join}
+  {after_where}
+)
+SELECT query_id, {outcols}, doc_count, bucket_rank::INTEGER AS bucket_rank
+FROM paged WHERE bucket_rank <= {size}
+"""
+
+
 def _qterm_values(queries: list[tuple[int, str]]) -> str:
     from same_same_spark.text.tokenizer import tokenize_py
 

@@ -409,3 +409,55 @@ def test_interval_join_lookahead_and_tiny_bounds(spark, left_right):
         right_cols=["rid"],
     )
     assert tiny.count() >= 0  # plan parses and runs
+
+
+# ---------------------------------------------------------------------------
+# date_histogram
+# ---------------------------------------------------------------------------
+
+def test_date_histogram_zero_fill_and_units(spark):
+    from datetime import datetime
+
+    from same_same_spark.operators.events import date_histogram
+
+    rows = [
+        ("a", datetime(2024, 1, 1, 10, 5)),
+        ("a", datetime(2024, 1, 1, 10, 55)),
+        ("a", datetime(2024, 1, 4, 3, 0)),
+        ("b", datetime(2024, 1, 2, 0, 0)),
+        ("b", None),
+    ]
+    df = spark.createDataFrame(rows, "event_type STRING, ts TIMESTAMP")
+    out = {
+        (r["event_type"], str(r["bucket"])): r["doc_count"]
+        for r in date_histogram(df, "day", group_col="event_type").collect()
+    }
+    # group a spans Jan 1..4 -> 4 buckets incl. two zero days; group b
+    # has one bucket; the NULL ts row is excluded
+    assert out == {
+        ("a", "2024-01-01 00:00:00"): 2,
+        ("a", "2024-01-02 00:00:00"): 0,
+        ("a", "2024-01-03 00:00:00"): 0,
+        ("a", "2024-01-04 00:00:00"): 1,
+        ("b", "2024-01-02 00:00:00"): 1,
+    }
+    # ungrouped hourly: Jan 1 10:00 .. Jan 4 03:00 inclusive
+    hourly = date_histogram(df, "hour").collect()
+    assert len(hourly) == 66  # 3 days * 24 - 10 + 3 + 1
+    assert sum(r["doc_count"] for r in hourly) == 4
+
+
+def test_date_histogram_guards(spark):
+    from datetime import datetime
+
+    from same_same_spark.operators.events import date_histogram
+
+    df = spark.createDataFrame(
+        [("a", datetime(2024, 1, 1)), ("a", datetime(2031, 1, 1))],
+        "event_type STRING, ts TIMESTAMP",
+    )
+    with pytest.raises(ValueError):
+        date_histogram(df, "fortnight")
+    # 7 years of minutes >> 65536 buckets -> the breaker trips
+    with pytest.raises(Exception, match="max_buckets"):
+        date_histogram(df, "minute").collect()

@@ -486,3 +486,121 @@ def test_cardinality_counts(spark):
         for r in rows
     }
     assert got == {1: (3, 2, 1), 2: (1, 1, 0)}
+
+
+# ---------------------------------------------------------------------------
+# composite aggregation
+# ---------------------------------------------------------------------------
+
+COMP_DOCS = [
+    (1, "quick fox", "en", "web"), (2, "quick", "en", "book"),
+    (3, "quick", "de", "web"), (4, "quick", "de", "web"),
+    (5, "quick", None, "web"), (6, "quick", "fr", "news"),
+    (7, "dog", "en", "web"), (8, "quick dog", "en", "news"),
+]
+
+
+def _comp_df(spark):
+    return spark.createDataFrame(
+        COMP_DOCS, "doc_id LONG, text STRING, lang STRING, source STRING"
+    )
+
+
+def _brute_composite(query, size, after=None):
+    qterms = set(tokenize_py(query))
+    counts = {}
+    for _, text, lang, src in COMP_DOCS:
+        if qterms & set(tokenize_py(text)) and lang is not None \
+                and src is not None:
+            counts[(lang, src)] = counts.get((lang, src), 0) + 1
+    keys = sorted(counts)
+    if after is not None:
+        keys = [k for k in keys if k > after]
+    return [
+        (lang, src, counts[(lang, src)], i + 1)
+        for i, (lang, src) in enumerate(keys[:size])
+    ]
+
+
+def test_composite_pages_are_cursor_consistent(spark):
+    """Page 2 via after-key == rows size+1..2*size of an unpaginated
+    run (the cursor==offset identity on BUCKETS)."""
+    from same_same_spark.operators.facets import composite_facets
+
+    df = _comp_df(spark)
+    full = _brute_composite("quick dog", 100)
+    size = 2
+    page1 = composite_facets(
+        df, [(1, "quick dog")], ["lang", "source"], size=size,
+        id_col="doc_id", text_col="text",
+    ).collect()
+    got1 = sorted(
+        (r["lang"], r["source"], r["doc_count"], r["bucket_rank"])
+        for r in page1
+    )
+    assert got1 == sorted(full[:size])
+    cursor = (full[size - 1][0], full[size - 1][1])
+    page2 = composite_facets(
+        df, [(1, "quick dog")], ["lang", "source"], size=size,
+        after={1: cursor}, id_col="doc_id", text_col="text",
+    ).collect()
+    got2 = sorted(
+        (r["lang"], r["source"], r["doc_count"], r["bucket_rank"])
+        for r in page2
+    )
+    want2 = sorted(
+        (lang, src, c, i + 1)
+        for i, (lang, src, c, _) in enumerate(full[size:2 * size])
+    )
+    assert got2 == want2 and got2
+    # NULL-lang doc 5 never contributes to any bucket
+    assert all(r["lang"] is not None for r in page1 + page2)
+
+
+def test_composite_guards(spark):
+    from same_same_spark.operators.facets import composite_facets
+
+    df = _comp_df(spark)
+    with pytest.raises(ValueError):
+        composite_facets(df, [(1, "quick")], [], size=2)
+    with pytest.raises(ValueError):
+        composite_facets(df, [(1, "quick")], ["lang"], size=0)
+    with pytest.raises(ValueError, match="after"):
+        composite_facets(
+            df, [(1, "quick")], ["lang", "source"], size=2,
+            after={1: ("en",)},
+        )
+
+
+def test_terms_metrics_match_brute_force(spark):
+    """The terms{stats} nesting against a pure-Python brute force,
+    including an all-NULL-metric bucket (0 count, NULL stats) and the
+    (doc_count DESC, value ASC) top-n cap."""
+    from same_same_spark.operators.facets import terms_metrics_facets
+
+    docs = [
+        (1, "quick fox", "web", 120), (2, "quick", "web", 87),
+        (3, "quick", "book", None), (4, "quick", "book", 301),
+        (5, "quick", None, 50), (6, "dog quick", "news", 55),
+        (7, "quick", "alls", None), (8, "quick", "alls", None),
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id LONG, text STRING, src STRING, n LONG"
+    )
+    rows = terms_metrics_facets(
+        df, [(1, "quick")], "src", "n", topn=3,
+        id_col="doc_id", text_col="text",
+    ).collect()
+    got = {
+        r["value"]: (
+            r["doc_count"], r["rank"], r["count_vals"],
+            r["min_val"], r["max_val"], r["sum_val"], r["avg_val"],
+        )
+        for r in rows
+    }
+    # counts: alls=2, book=2, web=2, news=1 -> top-3 by (count desc,
+    # value asc) = alls, book, web
+    assert set(got) == {"alls", "book", "web"}
+    assert got["alls"] == (2, 1, 0, None, None, None, None)
+    assert got["book"] == (2, 2, 1, 301.0, 301.0, 301.0, 301.0)
+    assert got["web"] == (2, 3, 2, 87.0, 120.0, 207.0, 103.5)

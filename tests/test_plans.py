@@ -372,3 +372,50 @@ def test_rescore_plan_shape(spark, documents):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "BroadcastHashJoin" in p
+
+
+def test_composite_and_decay_plan_shape(spark, documents):
+    """composite: window-free bounded tournament, broadcast after-key
+    join; decay: one column expression over the scored match set —
+    no extra shuffles beyond the BM25 plan, window-free."""
+    from same_same_spark.operators.decay import decay_score
+    from same_same_spark.operators.facets import composite_facets
+
+    queries = [(0, "fast merge join"), (1, "vector table")]
+    cp = _plan(composite_facets(
+        documents, queries, ["lang", "source"], size=5,
+        after={0: ("de", "src3")}, id_col="doc_id", text_col="text",
+    ))
+    dp = _plan(decay_score(
+        documents, queries, "n_chars", origin=300.0, scale=150.0,
+        k=5, id_col="doc_id", text_col="text",
+    ))
+    for plan in (cp, dp):
+        assert "Window" not in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_terms_metrics_and_date_histogram_plan_shape(spark, documents):
+    """terms{stats}: ONE aggregate computes count + every metric piece
+    (no second pass, no collect_list beyond the bounded tournament);
+    date_histogram: zero-fill explodes the per-group bounds row only."""
+    from pyspark.sql import functions as F
+
+    from same_same_spark.operators.events import date_histogram
+    from same_same_spark.operators.facets import terms_metrics_facets
+
+    t = _plan(terms_metrics_facets(
+        documents, [(0, "fast merge")], "source", "n_chars", topn=3,
+        id_col="doc_id", text_col="text",
+    ))
+    assert "Window" not in t
+    assert "CartesianProduct" not in t
+    assert "partial_min" in t and "partial_sum" in t  # one combined agg
+
+    ev = spark.createDataFrame(
+        [("a", "2024-01-01 10:00:00")], "event_type STRING, ts STRING"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    d = _plan(date_histogram(ev, "day", group_col="event_type"))
+    assert "Window" not in d
+    assert "CartesianProduct" not in d

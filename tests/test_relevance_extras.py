@@ -333,3 +333,70 @@ def test_rescore_window_smaller_than_k_raises(spark):
     df = spark.createDataFrame([(1, "a b")], "doc_id LONG, text STRING")
     with pytest.raises(ValueError, match="window_size"):
         rescore_topk(df, [(1, "a")], k=10, window_size=5)
+
+
+# ---------------------------------------------------------------------------
+# decay function score
+# ---------------------------------------------------------------------------
+
+def test_decay_shapes_and_null_passthrough(spark):
+    """The three ES shapes against their closed forms; offset radius
+    and NULL field values decay by exactly 1."""
+    import math
+
+    from same_same_spark.operators.decay import decay_score
+
+    docs = [
+        (1, "quick", 500.0), (2, "quick", 480.0), (3, "quick", 720.0),
+        (4, "quick", None), (5, "quick", 100.0),
+    ]
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING, v DOUBLE")
+    origin, scale, offset, dec = 500.0, 200.0, 20.0, 0.5
+
+    def dist(v):
+        return max(0.0, abs(v - origin) - offset)
+
+    forms = {
+        "gauss": lambda d: math.exp(
+            -(d * d) / (2.0 * (-(scale * scale) / (2.0 * math.log(dec))))
+        ),
+        "exp": lambda d: math.exp(math.log(dec) / scale * d),
+        "linear": lambda d: max(
+            0.0, (scale / (1.0 - dec) - d) / (scale / (1.0 - dec))
+        ),
+    }
+    for fn, form in forms.items():
+        rows = decay_score(
+            df, [(1, "quick")], "v", origin=origin, scale=scale,
+            offset=offset, decay=dec, fn=fn, k=10,
+            id_col="doc_id", text_col="text",
+        ).collect()
+        got = {r["doc_id"]: r["multiplier"] for r in rows}
+        assert got[1] == 1.0 and got[2] == 1.0  # inside the offset
+        assert got[4] == 1.0                    # NULL field
+        for d in (3, 5):
+            v = dict((d_, v_) for d_, _, v_ in docs)[d]
+            assert got[d] == pytest.approx(form(dist(v)), abs=1e-12), fn
+        # score = bm25 * multiplier, pinned order
+        for r in rows:
+            assert r["score"] == pytest.approx(
+                r["bm25"] * r["multiplier"], abs=1e-12
+            )
+        # the family contract: multiplier at origin+scale+offset == decay
+        assert form(scale) == pytest.approx(dec, abs=1e-12)
+
+
+def test_decay_param_guards(spark):
+    from same_same_spark.operators.decay import decay_score
+
+    df = spark.createDataFrame([(1, "a", 1.0)],
+                               "doc_id LONG, text STRING, v DOUBLE")
+    for kw in (
+        dict(fn="nope"), dict(scale=0.0), dict(decay=0.0),
+        dict(decay=1.0), dict(offset=-1.0),
+    ):
+        args = dict(origin=0.0, scale=1.0, offset=0.0, decay=0.5,
+                    fn="gauss")
+        args.update(kw)
+        with pytest.raises(ValueError):
+            decay_score(df, [(1, "a")], "v", **args)
