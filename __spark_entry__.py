@@ -4592,6 +4592,72 @@ def _sql_decay_score() -> str:
     )
 
 
+# Alert-table shape: overlapping rules, a strict multi-term rule,
+# a never-matching rule, a stopword-only rule (never matches).
+PERCOLATE_RULES: list[tuple[int, str]] = [
+    (1, "fast merge"),
+    (2, "vector"),
+    (3, "customer order join group"),
+    (4, "zzzqqq"),
+    (5, "the a"),
+]
+
+
+def _q_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percolation (operators/percolate.py): the registered-query
+    relation — every (rule, doc) pair where the doc contains ALL of
+    the rule's terms, BM25-scored. Reverse search / rule-based
+    document routing. Sole evidence; the oracle re-derives the
+    coverage gate with HAVING count(DISTINCT term) = m."""
+    from same_same_spark.operators.percolate import percolate
+
+    out = percolate(
+        _docs(spark, sf_dir), PERCOLATE_RULES,
+        id_col="doc_id", text_col="text",
+    )
+    return _round6(out, "score")
+
+
+def _sql_percolate() -> str:
+    from same_same_spark.operators.percolate import duckdb_percolate_sql
+
+    return duckdb_percolate_sql(
+        "documents", "doc_id", "text", PERCOLATE_RULES
+    )
+
+
+ADJACENCY_FILTERS: list[tuple[str, str]] = [
+    ("fastish", "fast slow"),
+    ("joins", "join merge"),
+    ("vectors", "vector"),
+    ("nothing", "zzzqqq"),
+]
+
+
+def _q_adjacency_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacency-matrix aggregation
+    (operators/facets.adjacency_matrix_facets): named-filter overlap
+    counts (singles + 'a&b' pair intersections). Sole evidence; the
+    oracle re-derives pairs with a doc-keyed self-join vs Spark's
+    per-doc array expansion."""
+    from same_same_spark.operators.facets import adjacency_matrix_facets
+
+    return adjacency_matrix_facets(
+        _docs(spark, sf_dir), ADJACENCY_FILTERS,
+        id_col="doc_id", text_col="text",
+    )
+
+
+def _sql_adjacency_matrix() -> str:
+    from same_same_spark.operators.facets import (
+        duckdb_adjacency_matrix_sql,
+    )
+
+    return duckdb_adjacency_matrix_sql(
+        "documents", "doc_id", "text", ADJACENCY_FILTERS
+    )
+
+
 def _q_terms_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Terms aggregation with a nested metric sub-aggregation
     (operators/facets.terms_metrics_facets): top source buckets per
@@ -5013,6 +5079,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # (both sole evidence).
     "terms_metrics": (_q_terms_metrics, _sql_terms_metrics()),
     "date_histogram": (_q_date_histogram, _sql_date_histogram()),
+    # reverse search (percolation) + named-filter overlap matrix
+    # (both sole evidence).
+    "percolate": (_q_percolate, _sql_percolate()),
+    "adjacency_matrix": (_q_adjacency_matrix, _sql_adjacency_matrix()),
     # index-dictionary wildcard: rank-identical twin of wildcard_topk
     # (shared oracle; twin-tail placement per the witness contract)
     "wildcard_topk_indexed": (
@@ -5145,6 +5215,12 @@ _ORDER: list[str] = [
     # derivation).
     "terms_metrics",
     "date_histogram",
+    # percolation + adjacency matrix (sole evidence); their insertion
+    # pushed r2/r3-green tags_split / legacy_metadata_eq past 50
+    # (green driver history; X10 stays exercised locally in
+    # test_operators, F1/F6 via in-top-50 filter_expr's truth tables).
+    "percolate",
+    "adjacency_matrix",
     # --- rotate-backs (last green r2/r3) -------------------------------
     "euclidean_topk",
     "events_hourly",

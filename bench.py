@@ -133,6 +133,8 @@ ENTRY_QUERY_NAMES = [
     "decay_score",
     "terms_metrics",
     "date_histogram",
+    "percolate",
+    "adjacency_matrix",
 ]
 
 # VERDICT r3 #8: round-over-round totals stopped being comparable as

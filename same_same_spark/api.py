@@ -666,6 +666,31 @@ class SameSameSpark:
             id_col=self.id_col, text_col=self.text_col,
         ).drop("query_id")
 
+    def percolate(self, registered: list[tuple[int, str]]) -> DataFrame:
+        """Reverse search (ES percolate): every (registered query, doc)
+        pair where the doc contains ALL of the query's terms,
+        BM25-scored — rule-based document routing."""
+        from same_same_spark.operators.percolate import percolate
+
+        return percolate(
+            self.docs, registered, id_col=self.id_col,
+            text_col=self.text_col,
+        ).withColumnRenamed("doc_id", self.id_col)
+
+    def adjacency_matrix(
+        self, filters: list[tuple[str, str]]
+    ) -> DataFrame:
+        """Named-filter overlap counts (ES ``adjacency_matrix``):
+        singles plus 'a&b' pairwise intersections."""
+        from same_same_spark.operators.facets import (
+            adjacency_matrix_facets,
+        )
+
+        return adjacency_matrix_facets(
+            self.docs, filters, id_col=self.id_col,
+            text_col=self.text_col,
+        )
+
     def terms_stats(
         self, text: str, facet_col: str, value_col: str, topn: int = 5
     ) -> DataFrame:

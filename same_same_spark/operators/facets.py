@@ -615,6 +615,120 @@ FROM ranked WHERE rank <= {topn}
 """
 
 
+def adjacency_matrix_facets(
+    docs_df: DataFrame,
+    filters: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "content",
+) -> DataFrame:
+    """Adjacency-matrix aggregation — Elasticsearch's
+    ``adjacency_matrix``: given NAMED term filters, the doc count of
+    every filter and of every pairwise intersection (key ``"a&b"``,
+    names in ascending order), zero-doc buckets omitted (ES behavior).
+    The classic co-occurrence/overlap matrix ("how many docs match
+    both the 'spark' alert and the 'flink' alert").
+
+    Filter names must not contain ``&`` and must be unique (ES
+    contract — the separator is the key syntax).
+
+    Returns (key STRING, doc_count LONG).
+
+    Scale shape: ONE matched relation feeds everything; per doc the
+    sorted set of matching filter names (bounded by the filter count —
+    an agg state of ≤ |filters| strings) expands to its singles +
+    pairs as pure column math, then one map-side-combined count per
+    key. No self-join on docs, no pass per filter pair — cost is
+    linear in matched docs × matched-filters-per-doc².
+    """
+    if not filters:
+        raise ValueError("filters must be non-empty")
+    names = [n for n, _ in filters]
+    if len(set(names)) != len(names):
+        raise ValueError("filter names must be unique")
+    for n in names:
+        if "&" in n:
+            raise ValueError(
+                f"filter name {n!r} contains the '&' key separator"
+            )
+    matched = _match_set(
+        docs_df,
+        [(i, text) for i, (_, text) in enumerate(filters)],
+        id_col,
+        text_col,
+    )
+    spark = docs_df.sparkSession
+    ndf = spark.createDataFrame(
+        list(enumerate(names)), "query_id INT, name STRING"
+    )
+    per_doc = (
+        matched.join(F.broadcast(ndf), "query_id")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("name")).alias("names"))
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("names"),
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("names"), i + F.lit(2),
+                    F.size("names"),
+                ),
+                lambda y: F.concat(x, F.lit("&"), y),
+            ),
+        )
+    )
+    keys = F.concat(F.col("names"), pairs)
+    return (
+        per_doc.select(F.explode(keys).alias("key"))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).cast("long").alias("doc_count"))
+    )
+
+
+def duckdb_adjacency_matrix_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    filters: list[tuple[str, str]],
+) -> str:
+    """DuckDB twin of :func:`adjacency_matrix_facets` — independent
+    re-derivation via a doc-keyed SELF-JOIN of the per-filter match
+    sets (vs Spark's per-doc array expansion), so the expansion math
+    itself is under differential."""
+    from same_same_spark.text.tokenizer import duckdb_tokens_sql, tokenize_py
+
+    qrows = [
+        f"({i}, '{name}', '{term}')"
+        for i, (name, text) in enumerate(filters)
+        for term in sorted(set(tokenize_py(text)))
+    ]
+    qvalues = ", ".join(qrows) if qrows else "(NULL, NULL, NULL) LIMIT 0"
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id, {duckdb_tokens_sql(text_col)} AS tokens
+  FROM {table}
+),
+qt AS (SELECT * FROM (VALUES {qvalues}) AS v(query_id, name, term)),
+matched AS (
+  SELECT DISTINCT q.name, t.doc_id
+  FROM (
+    SELECT doc_id, unnest(list_distinct(tokens)) AS term FROM toks
+  ) t JOIN qt q ON t.term = q.term
+),
+singles AS (
+  SELECT name AS key, count(*)::BIGINT AS doc_count
+  FROM matched GROUP BY name
+),
+pairs AS (
+  SELECT a.name || '&' || b.name AS key, count(*)::BIGINT AS doc_count
+  FROM matched a JOIN matched b
+    ON a.doc_id = b.doc_id AND a.name < b.name
+  GROUP BY 1
+)
+SELECT * FROM singles UNION ALL SELECT * FROM pairs
+"""
+
+
 def composite_facets(
     docs_df: DataFrame,
     queries: list[tuple[int, str]],

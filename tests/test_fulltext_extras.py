@@ -338,3 +338,101 @@ def test_boolean_search_matches_brute_force(spark, must, should, must_not):
     assert [g[0] for g in got] == [w[0] for w in want], (must, should, must_not)
     for (gd, gs), (wd, ws) in zip(got, want):
         assert gs == pytest.approx(ws), (gd, must)
+
+
+# ---------------------------------------------------------------------------
+# percolation
+# ---------------------------------------------------------------------------
+
+def test_percolate_matches_brute_force(spark):
+    """operator=and coverage + BM25 score vs pure Python; empty/
+    stopword-only rules never match; the relation is untruncated."""
+    import math
+
+    from same_same_spark.operators.percolate import percolate
+    from same_same_spark.text.tokenizer import tokenize_py
+
+    docs = [
+        (1, "spark streaming joins are fast"),
+        (2, "flink streaming with state"),
+        (3, "spark and flink both do streaming"),
+        (4, "batch only no stream here"),
+        (5, "fast spark joins joins"),
+    ]
+    toks = {d: tokenize_py(t) for d, t in docs}
+    n = len(docs)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    dfc = {}
+    for v in toks.values():
+        for t in set(v):
+            dfc[t] = dfc.get(t, 0) + 1
+
+    def w(term, seq):
+        tf = seq.count(term)
+        idf = math.log(1.0 + (n - dfc[term] + 0.5) / (dfc[term] + 0.5))
+        return idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len(seq) / avgdl))
+
+    rules = [(1, "spark streaming"), (2, "flink"), (3, "fast joins"),
+             (4, "zzz"), (5, "the a")]
+    want = set()
+    scores = {}
+    for qid, text in rules:
+        terms = sorted(set(tokenize_py(text)))
+        if not terms:
+            continue
+        for d, seq in toks.items():
+            if all(t in seq for t in terms):
+                want.add((qid, d))
+                scores[(qid, d)] = sum(w(t, seq) for t in terms)
+
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    rows = percolate(df, rules, id_col="doc_id", text_col="text").collect()
+    got = {(r["query_id"], r["doc_id"]): r["score"] for r in rows}
+    assert set(got) == want
+    for k, s in got.items():
+        assert s == pytest.approx(scores[k])
+
+
+def test_percolate_partial_coverage_never_matches(spark):
+    from same_same_spark.operators.percolate import percolate
+
+    df = spark.createDataFrame(
+        [(1, "spark is here"), (2, "streaming is here")],
+        "doc_id LONG, text STRING",
+    )
+    rows = percolate(
+        df, [(1, "spark streaming")], id_col="doc_id", text_col="text"
+    ).collect()
+    assert rows == []  # each doc has only one of the two terms
+
+
+# ---------------------------------------------------------------------------
+# adjacency matrix
+# ---------------------------------------------------------------------------
+
+def test_adjacency_matrix_counts_and_guards(spark):
+    from same_same_spark.operators.facets import adjacency_matrix_facets
+
+    docs = [
+        (1, "spark streaming"), (2, "flink streaming"),
+        (3, "spark flink streaming"), (4, "batch"), (5, "spark"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    filt = [("flink", "flink"), ("spark", "spark"),
+            ("streamy", "streaming"), ("none", "zzz")]
+    got = {
+        r["key"]: r["doc_count"]
+        for r in adjacency_matrix_facets(
+            df, filt, id_col="doc_id", text_col="text"
+        ).collect()
+    }
+    assert got == {
+        "flink": 2, "spark": 3, "streamy": 3,
+        "flink&spark": 1, "flink&streamy": 2, "spark&streamy": 2,
+    }  # zero buckets (none, none&*) omitted
+    with pytest.raises(ValueError):
+        adjacency_matrix_facets(df, [])
+    with pytest.raises(ValueError, match="unique"):
+        adjacency_matrix_facets(df, [("a", "x"), ("a", "y")])
+    with pytest.raises(ValueError, match="separator"):
+        adjacency_matrix_facets(df, [("a&b", "x")])

@@ -419,3 +419,29 @@ def test_terms_metrics_and_date_histogram_plan_shape(spark, documents):
     d = _plan(date_histogram(ev, "day", group_col="event_type"))
     assert "Window" not in d
     assert "CartesianProduct" not in d
+
+
+def test_percolate_and_adjacency_plan_shape(spark, documents):
+    """percolate: registered table broadcast, coverage+score one
+    aggregate, window-free; adjacency: per-doc array expansion, no
+    doc-keyed self-join (the SQL twin has one — Spark must not)."""
+    from same_same_spark.operators.facets import adjacency_matrix_facets
+    from same_same_spark.operators.percolate import percolate
+
+    p = _plan(percolate(
+        documents, [(1, "fast merge"), (2, "vector")],
+        id_col="doc_id", text_col="text",
+    ))
+    assert "Window" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+    a = _plan(adjacency_matrix_facets(
+        documents, [("x", "fast"), ("y", "merge join")],
+        id_col="doc_id", text_col="text",
+    ))
+    assert "Window" not in a
+    assert "CartesianProduct" not in a
+    # one matched relation, grouped per doc — never joined to itself
+    assert a.count("SortMergeJoin") == 0
