@@ -4704,6 +4704,66 @@ def _sql_date_histogram() -> str:
     )
 
 
+def _q_term_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term vectors (operators/termvectors.py): per requested doc the
+    analyzer's terms with tf + 1-based positions and CORPUS-wide
+    df/ttf — ES _termvectors with term_statistics. Sole evidence; the
+    oracle re-derives positions with generate_subscripts vs Spark's
+    posexplode."""
+    from same_same_spark.operators.termvectors import term_vectors
+
+    return term_vectors(
+        _docs(spark, sf_dir), [3, 17, 42, 999_999_999],
+        id_col="doc_id", text_col="text",
+    )
+
+
+def _sql_term_vectors() -> str:
+    from same_same_spark.operators.termvectors import (
+        duckdb_term_vectors_sql,
+    )
+
+    return duckdb_term_vectors_sql(
+        "documents", "doc_id", "text", [3, 17, 42, 999_999_999]
+    )
+
+
+# In-order with gaps (slop=1), an adjacent pair (phrase-equivalent at
+# slop=0 semantics exercised in tests), a duplicate-term sequence, and
+# a no-match probe.
+SPAN_QUERIES: list[tuple[int, str]] = [
+    (1, "fast sort"),
+    (2, "table query"),
+    (3, "table table"),
+    (4, "zzz qq"),
+]
+
+
+def _q_span_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered span-near (operators/spannear.py): the query token
+    sequence embeds in order within a slop budget; n_spans counts
+    valid greedy starts; BM25 rank restricted to matches. Completes
+    the positional family (phrase = slop 0 ordered, proximity =
+    unordered window). Sole evidence; the oracle UNROLLS the greedy
+    chain per query into nested list_min/list_filter expressions vs
+    Spark's generic fold."""
+    from same_same_spark.operators.spannear import span_near_search
+
+    out = span_near_search(
+        _docs(spark, sf_dir), SPAN_QUERIES, slop=1, k=REF_K,
+        id_col="doc_id", text_col="text",
+    )
+    return _round6(out, "score")
+
+
+def _sql_span_near() -> str:
+    from same_same_spark.operators.spannear import duckdb_span_near_sql
+
+    return duckdb_span_near_sql(
+        "documents", "doc_id", "text", SPAN_QUERIES, slop=1, k=REF_K
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5083,6 +5143,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # (both sole evidence).
     "percolate": (_q_percolate, _sql_percolate()),
     "adjacency_matrix": (_q_adjacency_matrix, _sql_adjacency_matrix()),
+    # per-doc term vectors + ordered span-near (both sole evidence).
+    "term_vectors": (_q_term_vectors, _sql_term_vectors()),
+    "span_near": (_q_span_near, _sql_span_near()),
     # index-dictionary wildcard: rank-identical twin of wildcard_topk
     # (shared oracle; twin-tail placement per the witness contract)
     "wildcard_topk_indexed": (
@@ -5221,6 +5284,13 @@ _ORDER: list[str] = [
     # test_operators, F1/F6 via in-top-50 filter_expr's truth tables).
     "percolate",
     "adjacency_matrix",
+    # term vectors + ordered span-near (sole evidence); their insertion
+    # pushed r2/r3-green temporal_topk / vector_dim_mismatch past 50
+    # (green driver history; X7 stays exercised via the r3-green
+    # temporal family + decay_score's generalization, F4 locally in
+    # test_operators).
+    "term_vectors",
+    "span_near",
     # --- rotate-backs (last green r2/r3) -------------------------------
     "euclidean_topk",
     "events_hourly",

@@ -135,6 +135,8 @@ ENTRY_QUERY_NAMES = [
     "date_histogram",
     "percolate",
     "adjacency_matrix",
+    "term_vectors",
+    "span_near",
 ]
 
 # VERDICT r3 #8: round-over-round totals stopped being comparable as

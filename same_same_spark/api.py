@@ -504,6 +504,9 @@ class SameSameSpark:
         - ``"rescore"`` — BM25 window re-ranked by the exact phrase
           (:mod:`~same_same_spark.operators.rescore`); ``q`` = text;
           ``window_size=`` / ``query_weight=`` / ``rescore_weight=``.
+        - ``"span_near"`` — ordered span with gaps
+          (:mod:`~same_same_spark.operators.spannear`); ``q`` = text;
+          ``slop=``.
 
         Extra ``kw`` pass through to the operator. Returns
         (id, score, rank) plus the mode's extra columns
@@ -578,6 +581,13 @@ class SameSameSpark:
                 self.docs, [(0, q)], k=k, id_col=self.id_col,
                 text_col=self.text_col, **kw,
             )
+        elif mode == "span_near":
+            from same_same_spark.operators.spannear import span_near_search
+
+            out = span_near_search(
+                self.docs, [(0, q)], k=k, id_col=self.id_col,
+                text_col=self.text_col, **kw,
+            )
         elif mode == "rescore":
             from same_same_spark.operators.rescore import rescore_topk
 
@@ -603,7 +613,7 @@ class SameSameSpark:
             raise ValueError(
                 f"unknown query mode {mode!r} (expected terms/phrase/"
                 "bool/wildcard/regexp/fuzzy/proximity/boosted/synonym/"
-                "rescore)"
+                "rescore/span_near)"
             )
         return out.drop("query_id").withColumnRenamed("doc_id", self.id_col)
 
@@ -665,6 +675,15 @@ class SameSameSpark:
             self.docs, [(0, text)], value_col, percents=percents,
             id_col=self.id_col, text_col=self.text_col,
         ).drop("query_id")
+
+    def term_vectors(self, ids: list) -> DataFrame:
+        """Per-doc analyzer output with corpus-wide term statistics
+        (ES ``_termvectors``): (id, term, tf, positions, df, ttf)."""
+        from same_same_spark.operators.termvectors import term_vectors
+
+        return term_vectors(
+            self.docs, ids, id_col=self.id_col, text_col=self.text_col
+        ).withColumnRenamed("doc_id", self.id_col)
 
     def percolate(self, registered: list[tuple[int, str]]) -> DataFrame:
         """Reverse search (ES percolate): every (registered query, doc)

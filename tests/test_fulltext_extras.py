@@ -436,3 +436,92 @@ def test_adjacency_matrix_counts_and_guards(spark):
         adjacency_matrix_facets(df, [("a", "x"), ("a", "y")])
     with pytest.raises(ValueError, match="separator"):
         adjacency_matrix_facets(df, [("a&b", "x")])
+
+
+# ---------------------------------------------------------------------------
+# term vectors
+# ---------------------------------------------------------------------------
+
+def test_term_vectors_positions_and_corpus_stats(spark):
+    from same_same_spark.operators.termvectors import term_vectors
+
+    docs = [
+        (1, "fast merge fast sort fast"),
+        (2, "merge sort merge"),
+        (3, "fast things"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    rows = term_vectors(df, [1, 4, 99], id_col="doc_id", text_col="text")
+    got = {
+        (r["doc_id"], r["term"]): (r["tf"], r["positions"], r["df"], r["ttf"])
+        for r in rows.collect()
+    }
+    # df/ttf are CORPUS-wide though only doc 1 was requested
+    assert got == {
+        (1, "fast"): (3, "1,3,5", 2, 4),
+        (1, "merge"): (1, "2", 2, 3),
+        (1, "sort"): (1, "4", 2, 2),
+    }
+    with pytest.raises(ValueError):
+        term_vectors(df, [])
+
+
+# ---------------------------------------------------------------------------
+# span near (ordered)
+# ---------------------------------------------------------------------------
+
+def test_span_near_order_slop_and_duplicates(spark):
+    from same_same_spark.operators.spannear import span_near_search
+
+    docs = [
+        (1, "fast merge sort"),           # fast..sort: 1 gap
+        (2, "fast aaa bbb ccc sort"),     # 3 gaps (X1 keeps 3+ letters)
+        (3, "sort then fast"),            # wrong order
+        (4, "fast sort fast nope sort"),  # two valid starts at slop 1
+        (5, "merge merge fast"),
+        (7, "fast fast sort"),            # both starts valid at slop 1
+    ]
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+
+    def spans(q, slop):
+        return {
+            r["doc_id"]: r["n_spans"]
+            for r in span_near_search(
+                df, [(1, q)], slop=slop, k=10,
+                id_col="doc_id", text_col="text",
+            ).collect()
+        }
+
+    assert spans("fast sort", 1) == {1: 1, 4: 2, 7: 2}
+    assert spans("fast sort", 3) == {1: 1, 2: 1, 4: 2, 7: 2}
+    assert spans("fast sort", 0) == {4: 1, 7: 1}  # adjacency only
+    assert spans("merge merge", 1) == {5: 1}      # duplicate sequence
+    with pytest.raises(ValueError):
+        span_near_search(df, [(1, "a b")], slop=-1)
+
+
+def test_span_near_slop0_equals_phrase(spark):
+    """slop=0 span-near == phrase search (doc set, scores, and the
+    per-doc occurrence count) — the positional family's boundary
+    identity."""
+    from same_same_spark.operators.phrase import phrase_search
+    from same_same_spark.operators.spannear import span_near_search
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    q = [(1, "table query"), (2, "fast scan row")]
+    a = span_near_search(docs, q, slop=0, k=10,
+                         id_col="doc_id", text_col="text").collect()
+    b = phrase_search(docs, q, k=10, id_col="doc_id",
+                      text_col="text").collect()
+    key_a = sorted(
+        (r["query_id"], r["doc_id"], r["rank"], round(r["score"], 9),
+         r["n_spans"]) for r in a
+    )
+    key_b = sorted(
+        (r["query_id"], r["doc_id"], r["rank"], round(r["score"], 9),
+         r["n_matches"]) for r in b
+    )
+    assert key_a == key_b and key_a

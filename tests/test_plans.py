@@ -445,3 +445,23 @@ def test_percolate_and_adjacency_plan_shape(spark, documents):
     assert "CartesianProduct" not in a
     # one matched relation, grouped per doc — never joined to itself
     assert a.count("SortMergeJoin") == 0
+
+
+def test_term_vectors_and_span_near_plan_shape(spark, documents):
+    """term_vectors: requested ids + term stats broadcast, window-free;
+    span_near: same candidate plumbing as phrase — broadcasts, no
+    windows, no cartesians."""
+    from same_same_spark.operators.spannear import span_near_search
+    from same_same_spark.operators.termvectors import term_vectors
+
+    t = _plan(term_vectors(
+        documents, [1, 2, 3], id_col="doc_id", text_col="text",
+    ))
+    s = _plan(span_near_search(
+        documents, [(0, "fast merge")], slop=1, k=5,
+        id_col="doc_id", text_col="text",
+    ))
+    for plan in (t, s):
+        assert "Window" not in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastHashJoin" in plan
