@@ -4764,6 +4764,45 @@ def _sql_span_near() -> str:
     )
 
 
+def _q_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered k-NN (pipeline/ann.brute_topk_filtered): exact cosine
+    top-5 among vectors passing a metadata predicate (label % 2 = 0)
+    — the pre-filter vector-store shape; a post-filtered unfiltered
+    top-k would under-return, which is why this is its own operator.
+    Sole evidence; the IVF-filtered path is pinned rank-identical in
+    tests/test_ann_filtered."""
+    from same_same_spark.pipeline import ann as ann_ops
+
+    out = ann_ops.brute_topk_filtered(
+        _emb(spark, sf_dir), _ann_queries(spark, sf_dir),
+        "label % 2 = 0", k=5,
+    )
+    return _round6(out, "score")
+
+
+_SQL_ANN_FILTERED = """
+WITH q AS (
+  SELECT vec_id::INTEGER AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id IN (0, 1, 2)
+),
+s AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS score
+  FROM embeddings e, q
+  WHERE len(e.embedding) = len(q.qv) AND e.label % 2 = 0
+),
+r AS (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY round(score, 9) DESC, vec_id ASC
+         ) AS rank
+  FROM s
+)
+SELECT query_id, vec_id, round(score, 6) AS score, rank::INTEGER AS rank
+FROM r WHERE rank <= 5
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5146,6 +5185,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # per-doc term vectors + ordered span-near (both sole evidence).
     "term_vectors": (_q_term_vectors, _sql_term_vectors()),
     "span_near": (_q_span_near, _sql_span_near()),
+    # metadata-filtered k-NN (sole evidence for the pre-filter shape).
+    "ann_filtered_topk": (_q_ann_filtered, _SQL_ANN_FILTERED),
     # index-dictionary wildcard: rank-identical twin of wildcard_topk
     # (shared oracle; twin-tail placement per the witness contract)
     "wildcard_topk_indexed": (
@@ -5291,6 +5332,10 @@ _ORDER: list[str] = [
     # test_operators).
     "term_vectors",
     "span_near",
+    # filtered k-NN (sole evidence); its insertion pushed r2/r3-green
+    # event_age_buckets past 50 (green driver history; X9 stays
+    # exercised locally in test_operators).
+    "ann_filtered_topk",
     # --- rotate-backs (last green r2/r3) -------------------------------
     "euclidean_topk",
     "events_hourly",

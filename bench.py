@@ -137,6 +137,7 @@ ENTRY_QUERY_NAMES = [
     "adjacency_matrix",
     "term_vectors",
     "span_near",
+    "ann_filtered_topk",
 ]
 
 # VERDICT r3 #8: round-over-round totals stopped being comparable as

@@ -289,3 +289,54 @@ def ivf_topk(
         cosine_col(F.col("emb"), F.col("qvec")).alias("score"),
     )
     return _ranked(scored, k, id_col)
+
+
+def brute_topk_filtered(
+    df: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    predicate: str,
+    k: int = 10,
+    id_col: str = "vec_id",
+    embedding_col: str = "embedding",
+) -> DataFrame:
+    """Exact filtered k-NN — cosine top-k among the vectors whose row
+    passes ``predicate`` (a SQL boolean over the frame's columns): the
+    PRE-FILTER shape every vector store exposes as "kNN with metadata
+    filter". Exact because the filter runs before ranking — a
+    post-filter of an unfiltered top-k can return < k rows or miss
+    true neighbors entirely (the classic filtered-kNN failure mode,
+    why this is its own operator and not `.filter()` on brute_topk's
+    OUTPUT).
+
+    Scale shape: the predicate reaches the parquet scan (pushdown —
+    it's a plain column filter ahead of the score math); everything
+    after is brute_topk's plan on the surviving rows.
+    """
+    return brute_topk(
+        df.filter(F.expr(predicate)), queries, k=k,
+        id_col=id_col, embedding_col=embedding_col,
+    )
+
+
+def ivf_topk_filtered(
+    df: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    centroids: list[tuple[int, list[float]]],
+    predicate: str,
+    k: int = 10,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    embedding_col: str = "embedding",
+) -> DataFrame:
+    """Filtered IVF search: the metadata filter applies INSIDE the
+    probed cells, before the exact re-rank — so recall vs
+    :func:`brute_topk_filtered` is governed by ``nprobe`` exactly as
+    unfiltered IVF recall is governed by it (the filter cannot add
+    misses beyond unprobed cells). For ultra-selective filters raise
+    ``nprobe`` (the standard vector-store guidance); a persisted store
+    keeps this a partition-pruned read + a pushed-down filter.
+    """
+    return ivf_topk(
+        df.filter(F.expr(predicate)), queries, centroids, k=k,
+        nprobe=nprobe, id_col=id_col, embedding_col=embedding_col,
+    )

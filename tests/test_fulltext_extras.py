@@ -525,3 +525,61 @@ def test_span_near_slop0_equals_phrase(spark):
          r["n_matches"]) for r in b
     )
     assert key_a == key_b and key_a
+
+
+def test_percolate_streaming_matches_batch(spark, tmp_path):
+    """Streaming percolation (the operator inside foreachBatch) fires
+    the SAME (rule, doc) pairs as one batch percolation of everything
+    ingested — the matching decision is per-doc, so micro-batching
+    cannot change it. (Scores are corpus-stat-dependent and are the
+    batch's own by contract; the pin is the match relation.)"""
+    import json
+    import os
+
+    from same_same_spark.operators.percolate import percolate
+
+    rules = [(1, "spark streaming"), (2, "flink"), (3, "fast joins")]
+    src = str(tmp_path / "docs")
+    os.makedirs(src)
+    batches = [
+        [(1, "spark streaming joins are fast"),
+         (2, "flink streaming with state")],
+        [(3, "spark and flink both do streaming"),
+         (4, "batch only"), (5, "fast spark joins")],
+    ]
+    for i, rows in enumerate(batches):
+        with open(os.path.join(src, f"b{i}.json"), "w") as f:
+            for doc_id, text in rows:
+                f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+
+    fired: list[tuple[int, int]] = []
+
+    def sink(b, _):
+        fired.extend(
+            (int(r["query_id"]), int(r["doc_id"]))
+            for r in percolate(
+                b, rules, id_col="doc_id", text_col="text"
+            ).collect()
+        )
+
+    q = (
+        spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    all_docs = spark.createDataFrame(
+        [r for b in batches for r in b], "doc_id LONG, text STRING"
+    )
+    want = sorted(
+        (int(r["query_id"]), int(r["doc_id"]))
+        for r in percolate(
+            all_docs, rules, id_col="doc_id", text_col="text"
+        ).collect()
+    )
+    assert sorted(fired) == want and want
