@@ -4764,6 +4764,34 @@ def _sql_span_near() -> str:
     )
 
 
+EXPLAIN_PAIRS: list[tuple[int, int]] = [
+    (1, 3), (1, 17), (1, 42), (2, 3), (2, 99), (3, 5), (4, 7),
+    (1, 999_999_999),
+]
+
+
+def _q_explain_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score explanation (operators/explain.py): per-(query, doc, term)
+    BM25 breakdown with exact inputs (tf/dl/df/idf/weight) — ES's
+    _explain; per-term weights sum to the engine's score by
+    construction (pinned in tests). Sole evidence."""
+    from same_same_spark.operators.explain import explain_scores
+
+    out = explain_scores(
+        _docs(spark, sf_dir), STATS_AGG_QUERIES, EXPLAIN_PAIRS,
+        id_col="doc_id", text_col="text",
+    )
+    return _round6(out, "idf", "weight")
+
+
+def _sql_explain_score() -> str:
+    from same_same_spark.operators.explain import duckdb_explain_sql
+
+    return duckdb_explain_sql(
+        "documents", "doc_id", "text", STATS_AGG_QUERIES, EXPLAIN_PAIRS
+    )
+
+
 def _q_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filtered k-NN (pipeline/ann.brute_topk_filtered): exact cosine
     top-5 among vectors passing a metadata predicate (label % 2 = 0)
@@ -5187,6 +5215,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "span_near": (_q_span_near, _sql_span_near()),
     # metadata-filtered k-NN (sole evidence for the pre-filter shape).
     "ann_filtered_topk": (_q_ann_filtered, _SQL_ANN_FILTERED),
+    # per-hit BM25 score breakdown (sole evidence).
+    "explain_score": (_q_explain_score, _sql_explain_score()),
     # index-dictionary wildcard: rank-identical twin of wildcard_topk
     # (shared oracle; twin-tail placement per the witness contract)
     "wildcard_topk_indexed": (
@@ -5336,6 +5366,10 @@ _ORDER: list[str] = [
     # event_age_buckets past 50 (green driver history; X9 stays
     # exercised locally in test_operators).
     "ann_filtered_topk",
+    # _explain score breakdown (sole evidence); its insertion pushed
+    # r2/r3-green vector_topk past 50 (green driver history; X5 stays
+    # exercised via semdedup's shared-CTE oracle + every ANN entry).
+    "explain_score",
     # --- rotate-backs (last green r2/r3) -------------------------------
     "euclidean_topk",
     "events_hourly",

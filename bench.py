@@ -138,6 +138,7 @@ ENTRY_QUERY_NAMES = [
     "term_vectors",
     "span_near",
     "ann_filtered_topk",
+    "explain_score",
 ]
 
 # VERDICT r3 #8: round-over-round totals stopped being comparable as

@@ -676,6 +676,17 @@ class SameSameSpark:
             id_col=self.id_col, text_col=self.text_col,
         ).drop("query_id")
 
+    def explain(self, text: str, ids: list) -> DataFrame:
+        """Per-term BM25 score breakdown for the given hits (ES
+        ``_explain``): (id, term, tf, dl, df, idf, weight); weights
+        sum to the hit's score."""
+        from same_same_spark.operators.explain import explain_scores
+
+        return explain_scores(
+            self.docs, [(0, text)], [(0, i) for i in ids],
+            id_col=self.id_col, text_col=self.text_col,
+        ).drop("query_id").withColumnRenamed("doc_id", self.id_col)
+
     def term_vectors(self, ids: list) -> DataFrame:
         """Per-doc analyzer output with corpus-wide term statistics
         (ES ``_termvectors``): (id, term, tf, positions, df, ttf)."""

@@ -583,3 +583,36 @@ def test_percolate_streaming_matches_batch(spark, tmp_path):
         ).collect()
     )
     assert sorted(fired) == want and want
+
+
+def test_explain_weights_sum_to_engine_score(spark):
+    """_explain decomposition: per-term weights sum EXACTLY to
+    score_queries' score per (query, doc); absent terms / unknown
+    docs / non-matching pairs emit no rows."""
+    from same_same_spark.bm25 import score_queries
+    from same_same_spark.operators.explain import explain_scores
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    queries = [(1, "fast merge join"), (2, "vector")]
+    top = score_queries(
+        docs, queries, k=5, id_col="doc_id", text_col="text"
+    ).collect()
+    pairs = [(r["query_id"], r["doc_id"]) for r in top]
+    pairs.append((1, 999_999_999))
+    rows = explain_scores(
+        docs, queries, pairs, id_col="doc_id", text_col="text"
+    ).collect()
+    sums: dict[tuple, float] = {}
+    for r in rows:
+        sums[(r["query_id"], r["doc_id"])] = (
+            sums.get((r["query_id"], r["doc_id"]), 0.0) + r["weight"]
+        )
+    assert set(sums) == set(pairs) - {(1, 999_999_999)}
+    for r in top:
+        assert sums[(r["query_id"], r["doc_id"])] == pytest.approx(
+            r["score"], abs=1e-9
+        )
+    with pytest.raises(ValueError):
+        explain_scores(docs, queries, [])
