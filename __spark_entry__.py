@@ -4831,6 +4831,57 @@ FROM r WHERE rank <= 5
 """
 
 
+# BM25F derived-field rule (pinned, both engines): the corpus has one
+# text blob, so the entry derives head = first 6 X1 tokens rejoined
+# with spaces, body = the rest — re-tokenizing a rejoined token list is
+# the identity under X1, so the field split is exact cross-engine.
+_BM25F_HEAD_LEN = 6
+_BM25F_FIELDS = {"head": (3.0, 0.5), "body": (1.0, 0.75)}
+
+
+def _q_bm25f_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25F cross-field ranking (operators/bm25f.py): per-field
+    weighted, per-field length-normalized tf folded into one
+    saturation (Robertson et al. 2004) — head^3 over the first 6
+    tokens vs body. Sole evidence; the oracle re-derives the math with
+    per-field CTEs instead of the union fold."""
+    from same_same_spark.operators.bm25f import bm25f_search
+    from same_same_spark.text.tokenizer import tokens_col
+
+    tok = tokens_col("text")
+    docs_f = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(tok, 1, _BM25F_HEAD_LEN)).alias("head"),
+        F.concat_ws(
+            " ", F.slice(tok, _BM25F_HEAD_LEN + 1, 1 << 30)
+        ).alias("body"),
+    )
+    out = bm25f_search(
+        docs_f, REF_QUERIES, _BM25F_FIELDS, k=REF_K, id_col="doc_id"
+    )
+    return _round6(out, "score")
+
+
+def _sql_bm25f_topk() -> str:
+    from same_same_spark.operators.bm25f import duckdb_bm25f_sql
+    from same_same_spark.text.tokenizer import duckdb_tokens_sql
+
+    toks = duckdb_tokens_sql("text")
+    prelude = f"""docs_f AS (
+  SELECT doc_id,
+         array_to_string(list_slice({toks}, 1, {_BM25F_HEAD_LEN}), ' ')
+           AS head,
+         array_to_string(
+           list_slice({toks}, {_BM25F_HEAD_LEN} + 1, 1 << 30), ' ')
+           AS body
+  FROM documents
+), """
+    return duckdb_bm25f_sql(
+        "docs_f", "doc_id", REF_QUERIES, _BM25F_FIELDS, k=REF_K,
+        prelude_ctes=prelude,
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5217,6 +5268,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "ann_filtered_topk": (_q_ann_filtered, _SQL_ANN_FILTERED),
     # per-hit BM25 score breakdown (sole evidence).
     "explain_score": (_q_explain_score, _sql_explain_score()),
+    "bm25f_topk": (_q_bm25f_topk, _sql_bm25f_topk()),
     # index-dictionary wildcard: rank-identical twin of wildcard_topk
     # (shared oracle; twin-tail placement per the witness contract)
     "wildcard_topk_indexed": (
@@ -5370,6 +5422,10 @@ _ORDER: list[str] = [
     # r2/r3-green vector_topk past 50 (green driver history; X5 stays
     # exercised via semdedup's shared-CTE oracle + every ANN entry).
     "explain_score",
+    # BM25F cross-field ranking (sole evidence, fifth round-5 session);
+    # its insertion pushed r2/r3-green euclidean_topk past 50 (green
+    # driver history; X6 stays exercised locally in test_operators).
+    "bm25f_topk",
     # --- rotate-backs (last green r2/r3) -------------------------------
     "euclidean_topk",
     "events_hourly",

@@ -139,6 +139,7 @@ ENTRY_QUERY_NAMES = [
     "span_near",
     "ann_filtered_topk",
     "explain_score",
+    "bm25f_topk",
 ]
 
 # VERDICT r3 #8: round-over-round totals stopped being comparable as

@@ -465,3 +465,25 @@ def test_term_vectors_and_span_near_plan_shape(spark, documents):
         assert "Window" not in plan
         assert "CartesianProduct" not in plan
         assert "BroadcastHashJoin" in plan
+
+
+def test_bm25f_plan_shape(spark, documents):
+    """BM25F: no windows, no cartesians; query terms and the derived
+    df table ride broadcast joins; field branches union before ONE
+    (doc, term) fold so fields never multiply shuffle rounds."""
+    from same_same_spark.operators.bm25f import bm25f_search
+
+    docs_f = documents.select(
+        "doc_id",
+        F.col("text").alias("head"),
+        F.col("text").alias("body"),
+    )
+    plan = _plan(bm25f_search(
+        docs_f, [(0, "fast merge join")],
+        {"head": (3.0, 0.5), "body": (1.0, 0.75)}, k=5, id_col="doc_id",
+    ))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -400,3 +400,94 @@ def test_decay_param_guards(spark):
         args.update(kw)
         with pytest.raises(ValueError):
             decay_score(df, [(1, "a")], "v", **args)
+
+
+# ---------------------------------------------------------------------------
+# BM25F cross-field ranking
+# ---------------------------------------------------------------------------
+
+
+def test_bm25f_single_field_reduces_to_bm25(fruit_docs):
+    """With one field at (w=1, b=0.75), tfn = tf/norm and the BM25F
+    saturation idf*tfn*(k1+1)/(k1+tfn) algebraically equals the
+    engine's idf*tf*(k1+1)/(tf + k1*norm) — so the reduction must be
+    exact, not approximate."""
+    from same_same_spark.operators.bm25f import bm25f_search
+
+    queries = [(1, "apple dates"), (2, "melon")]
+    plain = score_queries(
+        fruit_docs, queries, k=10, id_col="doc_id", text_col="text"
+    ).collect()
+    f = bm25f_search(
+        fruit_docs, queries, {"text": (1.0, 0.75)}, k=10,
+        id_col="doc_id",
+    ).collect()
+    key = lambda rows: sorted(
+        (r.query_id, r.doc_id, r.rank, round(r.score, 12)) for r in rows
+    )
+    assert key(plain) == key(f)
+
+
+def test_bm25f_field_weight_promotes_head_match(spark):
+    """Same term in doc 1's head vs doc 2's body; head weight 3 must
+    rank doc 1 first, and the hand-derived score must match."""
+    from same_same_spark.operators.bm25f import bm25f_search
+
+    rows = [
+        (1, "needle alpha", "filler wordy tokens here"),
+        (2, "alpha bravo", "needle wordy tokens here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, head STRING, body STRING")
+    out = bm25f_search(
+        docs, [(1, "needle")], {"head": (3.0, 0.5), "body": (1.0, 0.5)},
+        k=10, id_col="doc_id",
+    ).collect()
+    assert [(r.doc_id, r.rank) for r in out] == [(1, 1), (2, 2)]
+    # hand math: head dl=2 both, avgdl_head=2 -> norm 1; tfn_1 = 3*1/1.
+    # body dl=4 both, avgdl_body=4 -> norm 1; tfn_2 = 1*1/1.
+    # df(needle)=2 over n=2 docs -> idf = ln(1 + 0.5/2.5); k1=1.2
+    idf = math.log(1.0 + 0.5 / 2.5)
+    exp1 = idf * 3.0 * 2.2 / (1.2 + 3.0)
+    exp2 = idf * 1.0 * 2.2 / (1.2 + 1.0)
+    got = {r.doc_id: r.score for r in out}
+    assert got[1] == pytest.approx(exp1, abs=1e-12)
+    assert got[2] == pytest.approx(exp2, abs=1e-12)
+
+
+def test_bm25f_empty_field_contributes_nothing(spark):
+    """A field that is empty corpus-wide (avgdl 0) or carries weight 0
+    must not alter scores; NULL field values tokenize to dl 0."""
+    from same_same_spark.operators.bm25f import bm25f_search
+
+    rows = [(1, "needle alpha", None), (2, "alpha bravo", "")]
+    docs = spark.createDataFrame(rows, "doc_id LONG, head STRING, empty STRING")
+    base = bm25f_search(
+        docs, [(1, "needle alpha")], {"head": (1.0, 0.75)}, k=10,
+        id_col="doc_id",
+    ).collect()
+    plus = bm25f_search(
+        docs, [(1, "needle alpha")],
+        {"head": (1.0, 0.75), "empty": (5.0, 0.75)},
+        k=10, id_col="doc_id",
+    ).collect()
+    zerow = bm25f_search(
+        docs, [(1, "needle alpha")],
+        {"head": (1.0, 0.75), "empty": (0.0, 0.75)},
+        k=10, id_col="doc_id",
+    ).collect()
+    key = lambda rows: sorted(
+        (r.query_id, r.doc_id, r.rank, round(r.score, 12)) for r in rows
+    )
+    assert key(base) == key(plus) == key(zerow)
+
+
+def test_bm25f_param_guards(spark):
+    from same_same_spark.operators.bm25f import bm25f_search
+
+    df = spark.createDataFrame([(1, "a")], "doc_id LONG, text STRING")
+    with pytest.raises(ValueError, match="at least one"):
+        bm25f_search(df, [(1, "a")], {})
+    with pytest.raises(ValueError, match="negative weight"):
+        bm25f_search(df, [(1, "a")], {"text": (-1.0, 0.5)})
+    with pytest.raises(ValueError, match="outside"):
+        bm25f_search(df, [(1, "a")], {"text": (1.0, 1.5)})
