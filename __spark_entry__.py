@@ -4882,6 +4882,40 @@ def _sql_bm25f_topk() -> str:
     )
 
 
+def _q_pipeline_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline aggregations (events.pipeline_aggs): ES's
+    cumulative_sum / derivative / moving_fn(avg, 7) over the
+    zero-filled per-event_type daily date histogram — windows
+    PARTITIONED by event_type (the sessionize per-key pattern), each
+    partition bounded by the histogram breaker. Sole evidence; the
+    oracle re-derives all three with DuckDB window functions."""
+    from same_same_spark.operators.events import date_histogram, pipeline_aggs
+
+    series = date_histogram(
+        _events(spark, sf_dir), "day", group_col="event_type"
+    )
+    out = pipeline_aggs(series, group_cols=["event_type"], window=7)
+    return _round6(out, "moving_avg")
+
+
+def _sql_pipeline_aggs() -> str:
+    from same_same_spark.operators.events import (
+        duckdb_date_histogram_sql,
+        duckdb_pipeline_aggs_sql,
+    )
+
+    inner = duckdb_pipeline_aggs_sql(
+        duckdb_date_histogram_sql("events", "day", group_col="event_type"),
+        group_cols=["event_type"],
+        window=7,
+    )
+    return f"""
+SELECT event_type, bucket, doc_count, cumulative_sum, derivative,
+       round(moving_avg, 6) AS moving_avg
+FROM ({inner})
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5269,6 +5303,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # per-hit BM25 score breakdown (sole evidence).
     "explain_score": (_q_explain_score, _sql_explain_score()),
     "bm25f_topk": (_q_bm25f_topk, _sql_bm25f_topk()),
+    "pipeline_aggs": (_q_pipeline_aggs, _sql_pipeline_aggs()),
     # index-dictionary wildcard: rank-identical twin of wildcard_topk
     # (shared oracle; twin-tail placement per the witness contract)
     "wildcard_topk_indexed": (
@@ -5426,6 +5461,11 @@ _ORDER: list[str] = [
     # its insertion pushed r2/r3-green euclidean_topk past 50 (green
     # driver history; X6 stays exercised locally in test_operators).
     "bm25f_topk",
+    # ES pipeline aggregations over the date histogram (sole evidence);
+    # its insertion pushed r2/r3-green events_hourly past 50 (green
+    # driver history; §2.7's windowed agg stays exercised by the
+    # in-top-50 date_histogram + this entry's composed series).
+    "pipeline_aggs",
     # --- rotate-backs (last green r2/r3) -------------------------------
     "euclidean_topk",
     "events_hourly",

@@ -140,6 +140,7 @@ ENTRY_QUERY_NAMES = [
     "ann_filtered_topk",
     "explain_score",
     "bm25f_topk",
+    "pipeline_aggs",
 ]
 
 # VERDICT r3 #8: round-over-round totals stopped being comparable as

@@ -31,7 +31,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "interval_join", "sessionize"]
+__all__ = [
+    "asof_join",
+    "date_histogram",
+    "interval_join",
+    "pipeline_aggs",
+    "sessionize",
+]
 
 
 def asof_join(
@@ -403,4 +409,90 @@ SELECT {out_g}s.bucket AS bucket,
        coalesce(c.doc_count, 0)::BIGINT AS doc_count
 FROM shape s
 LEFT JOIN counted c ON {join_g}s.bucket = c.bucket
+"""
+
+
+def pipeline_aggs(
+    series_df: DataFrame,
+    value_col: str = "doc_count",
+    order_col: str = "bucket",
+    group_cols: list[str] | None = None,
+    window: int = 7,
+) -> DataFrame:
+    """Pipeline aggregations — ES's ``cumulative_sum`` / ``derivative``
+    / ``moving_fn`` (avg) over a bucketed series (normally the output
+    of :func:`date_histogram`, whose breaker bounds every group's
+    bucket count).
+
+    Pinned semantics (cross-engine, re-derived in
+    :func:`duckdb_pipeline_aggs_sql`):
+
+    - buckets order by ``order_col`` ASC within each group (the series
+      must carry distinct order values per group — date_histogram's
+      zero-fill guarantees it);
+    - ``cumulative_sum`` = inclusive running sum of ``value_col``
+      (BIGINT);
+    - ``derivative`` = value − previous bucket's value, NULL on each
+      group's first bucket (ES emits no derivative there);
+    - ``moving_avg`` = mean of the trailing ``min(i+1, window)``
+      values INCLUDING the current bucket (DOUBLE).
+
+    Scale shape: windows PARTITIONED by the group columns — the same
+    per-key pattern as :func:`sessionize` (never the banned
+    unpartitioned rank window); all three functions stream within the
+    sorted partition, and a partition's row count is bounded by the
+    histogram breaker. A global series (no groups) partitions on a
+    non-foldable constant (Spark 4's EliminateWindowPartitions folds a
+    LITERAL key into an unpartitioned window — see sessionize's notes)
+    and is bounded by the same breaker.
+    """
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    gcols = list(group_cols or [])
+    if gcols:
+        part = [F.col(c) for c in gcols]
+    else:
+        # non-foldable constant: survives EliminateWindowPartitions
+        part = [F.when(F.col(order_col).isNotNull(), F.lit(0))]
+    ordered = Window.partitionBy(*part).orderBy(F.col(order_col).asc())
+    cum = ordered.rowsBetween(Window.unboundedPreceding, 0)
+    trail = ordered.rowsBetween(-(window - 1), 0)
+    v = F.col(value_col)
+    return series_df.select(
+        *gcols,
+        order_col,
+        value_col,
+        F.sum(v).over(cum).cast("long").alias("cumulative_sum"),
+        (v - F.lag(v, 1).over(ordered)).cast("long").alias("derivative"),
+        F.avg(v).over(trail).cast("double").alias("moving_avg"),
+    )
+
+
+def duckdb_pipeline_aggs_sql(
+    series_sql: str,
+    value_col: str = "doc_count",
+    order_col: str = "bucket",
+    group_cols: list[str] | None = None,
+    window: int = 7,
+) -> str:
+    """DuckDB twin of :func:`pipeline_aggs` over the series produced by
+    ``series_sql`` (a full SELECT, e.g. the date_histogram twin)."""
+    gcols = list(group_cols or [])
+    part = f"PARTITION BY {', '.join(gcols)} " if gcols else ""
+    gsel = "".join(f"{c}, " for c in gcols)
+    return f"""
+WITH series AS ({series_sql})
+SELECT {gsel}{order_col}, {value_col},
+       sum({value_col}) OVER (
+         {part}ORDER BY {order_col} ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       )::BIGINT AS cumulative_sum,
+       ({value_col} - lag({value_col}, 1) OVER (
+         {part}ORDER BY {order_col} ASC
+       ))::BIGINT AS derivative,
+       avg({value_col}) OVER (
+         {part}ORDER BY {order_col} ASC
+         ROWS BETWEEN {window - 1} PRECEDING AND CURRENT ROW
+       )::DOUBLE AS moving_avg
+FROM series
 """

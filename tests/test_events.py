@@ -461,3 +461,59 @@ def test_date_histogram_guards(spark):
     # 7 years of minutes >> 65536 buckets -> the breaker trips
     with pytest.raises(Exception, match="max_buckets"):
         date_histogram(df, "minute").collect()
+
+
+def test_pipeline_aggs_hand_computed(spark):
+    from datetime import datetime
+
+    from same_same_spark.operators.events import pipeline_aggs
+
+    t = lambda d: datetime(2024, 1, d)
+    rows = [
+        ("A", t(1), 3), ("A", t(2), 0), ("A", t(3), 5), ("A", t(4), 2),
+        ("B", t(1), 1), ("B", t(2), 4),
+    ]
+    series = spark.createDataFrame(
+        rows, "event_type STRING, bucket TIMESTAMP, doc_count LONG"
+    )
+    out = pipeline_aggs(
+        series, group_cols=["event_type"], window=2
+    ).collect()
+    got = {
+        (r.event_type, r.bucket.day): (
+            r.cumulative_sum, r.derivative, r.moving_avg
+        )
+        for r in out
+    }
+    assert got[("A", 1)] == (3, None, 3.0)
+    assert got[("A", 2)] == (3, -3, 1.5)
+    assert got[("A", 3)] == (8, 5, 2.5)
+    assert got[("A", 4)] == (10, -3, 3.5)
+    assert got[("B", 1)] == (1, None, 1.0)
+    assert got[("B", 2)] == (5, 3, 2.5)
+
+
+def test_pipeline_aggs_global_series_partition_survives(spark):
+    """No group columns: the constant partition key must survive
+    EliminateWindowPartitions (Spark 4 folds LITERAL keys into an
+    unpartitioned window — the banned shape)."""
+    from datetime import datetime
+
+    from same_same_spark.operators.events import pipeline_aggs
+
+    series = spark.createDataFrame(
+        [(datetime(2024, 1, d), d) for d in (1, 2, 3)],
+        "bucket TIMESTAMP, doc_count LONG",
+    )
+    out = pipeline_aggs(series, window=3)
+    rows = out.collect()
+    assert [r.cumulative_sum for r in sorted(rows, key=lambda r: r.bucket)] \
+        == [1, 3, 6]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # window is still partitioned (on the non-foldable constant)
+    assert "Window" in plan
+    assert "windowspecdefinition(CASE" in plan.replace(" ", "")[:100000] or \
+        "CASE WHEN" in plan
+
+    with pytest.raises(ValueError, match="window"):
+        pipeline_aggs(series, window=0)
