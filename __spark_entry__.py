@@ -4882,6 +4882,35 @@ def _sql_bm25f_topk() -> str:
     )
 
 
+SUGGEST_PREFIXES: list[tuple[int, str]] = [
+    (1, "sc"), (2, "win"), (3, "ba"), (4, "zzzz")
+]
+
+
+def _q_suggest_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completion suggester (operators/suggest.py): prefix
+    autocompletion from the corpus vocabulary, rank 1..5 per prefix
+    under (df DESC, term ASC). Twin-tail composition: candidates come
+    from wildcard_topk's verified expand_patterns engine (prefix ≡
+    glob '<p>*'); the oracle re-derives via a LIKE join + window."""
+    from same_same_spark.operators.suggest import suggest_completions
+
+    return suggest_completions(
+        _docs(spark, sf_dir), SUGGEST_PREFIXES, topn=5,
+        id_col="doc_id", text_col="text",
+    )
+
+
+def _sql_suggest_topk() -> str:
+    from same_same_spark.operators.suggest import (
+        duckdb_suggest_completions_sql,
+    )
+
+    return duckdb_suggest_completions_sql(
+        "documents", "doc_id", "text", SUGGEST_PREFIXES, topn=5
+    )
+
+
 def _q_pipeline_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pipeline aggregations (events.pipeline_aggs): ES's
     cumulative_sum / derivative / moving_fn(avg, 7) over the
@@ -5304,6 +5333,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "explain_score": (_q_explain_score, _sql_explain_score()),
     "bm25f_topk": (_q_bm25f_topk, _sql_bm25f_topk()),
     "pipeline_aggs": (_q_pipeline_aggs, _sql_pipeline_aggs()),
+    "suggest_topk": (_q_suggest_topk, _sql_suggest_topk()),
     # index-dictionary wildcard: rank-identical twin of wildcard_topk
     # (shared oracle; twin-tail placement per the witness contract)
     "wildcard_topk_indexed": (
@@ -5558,6 +5588,7 @@ _ORDER: list[str] = [
     "bm25_topk",
     "hybrid_search",
     "wildcard_topk_indexed",
+    "suggest_topk",
 ]
 
 # Twin-tail witness map (the codified exception, machine-checkable):
@@ -5586,6 +5617,7 @@ _TWIN_WITNESS: dict[str, str] = {
     "dedup_prefix": "dedup_minhash",         # shared exact-Jaccard oracle (0.9)
     "dedup_ngram_jaccard": "dedup_minhash",  # same oracle family at 0.8
     "wildcard_topk_indexed": "wildcard_topk",  # shared oracle, rank-identical
+    "suggest_topk": "wildcard_topk",  # expand_patterns ∘ posexplode rank glue
 }
 
 assert len(_ORDER) == len(set(_ORDER)), "duplicate names in _ORDER"

@@ -141,6 +141,7 @@ ENTRY_QUERY_NAMES = [
     "explain_score",
     "bm25f_topk",
     "pipeline_aggs",
+    "suggest_topk",
 ]
 
 # VERDICT r3 #8: round-over-round totals stopped being comparable as

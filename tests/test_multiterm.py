@@ -569,3 +569,53 @@ def test_regexp_indexed_rank_identical(spark, tmp_path):
         spark, idx, queries, k=10, max_expansions=2
     ).collect()
     assert key(indexed2) == key(naive2)
+
+
+# ---------------------------------------------------------------------------
+# completion suggester
+# ---------------------------------------------------------------------------
+
+
+def test_suggest_completions_hand_computed(spark):
+    from same_same_spark.operators.suggest import suggest_completions
+
+    rows = [
+        (1, "apple apply banana"),
+        (2, "apple appliance cherry"),
+        (3, "apple banana"),
+        (4, "apricot banana"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = suggest_completions(
+        docs, [(1, "app"), (2, "ban"), (3, "zzz")], topn=2,
+        id_col="doc_id", text_col="text",
+    ).collect()
+    got = sorted((r.sug_id, r.rank, r.term, r.df) for r in out)
+    # app*: apple df=3 > apply df=1 == appliance df=1 (term ASC)
+    assert got == [
+        (1, 1, "apple", 3),
+        (1, 2, "appliance", 1),
+        (2, 1, "banana", 3),
+    ]
+
+
+def test_suggest_completions_min_df_and_guards(spark):
+    import pytest as _pytest
+
+    from same_same_spark.operators.suggest import suggest_completions
+
+    docs = spark.createDataFrame(
+        [(1, "apple apply"), (2, "apple")], "doc_id LONG, text STRING"
+    )
+    out = suggest_completions(
+        docs, [(1, "APP")], topn=5, id_col="doc_id", text_col="text",
+        min_df=2,
+    ).collect()
+    assert [(r.term, r.rank) for r in out] == [("apple", 1)]
+    for bad in ("app le", "app*", "", "ápp"):
+        with _pytest.raises(ValueError, match="literal"):
+            suggest_completions(docs, [(1, bad)], id_col="doc_id",
+                                text_col="text")
+    with _pytest.raises(ValueError, match="topn"):
+        suggest_completions(docs, [(1, "app")], topn=0,
+                            id_col="doc_id", text_col="text")
