@@ -4945,6 +4945,37 @@ FROM ({inner})
 """
 
 
+def _q_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar quantization (pipeline/sq.py): per-dim exact-bounds
+    int8 codes (faiss QT_8bit shape, the cheap tier before PQ),
+    asymmetric L2² top-5. Sole evidence; the oracle re-derives the
+    ENTIRE train→encode→rank chain in SQL (exact per-dim min/max, the
+    pinned floor(v+0.5) encode — codes are integers, so the encode
+    differential is exact, distance compares at round-6)."""
+    from same_same_spark.pipeline.sq import (
+        sq_encode,
+        sq_topk,
+        train_sq_params,
+    )
+
+    emb = _emb(spark, sf_dir)
+    mins, steps = train_sq_params(emb)
+    coded = sq_encode(emb.select("vec_id", "embedding"), mins, steps)
+    out = sq_topk(
+        coded, mins, steps, _ann_queries(spark, sf_dir), k=5
+    )
+    return _round6(out, "dist")
+
+
+def _sql_sq8_topk() -> str:
+    from same_same_spark.pipeline.sq import duckdb_sq_topk_sql
+
+    return duckdb_sq_topk_sql(
+        "embeddings", "vec_id", "embedding", None, None, None,
+        k=5, dim=64, query_ids=[0, 1, 2],
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5334,6 +5365,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "bm25f_topk": (_q_bm25f_topk, _sql_bm25f_topk()),
     "pipeline_aggs": (_q_pipeline_aggs, _sql_pipeline_aggs()),
     "suggest_topk": (_q_suggest_topk, _sql_suggest_topk()),
+    "sq8_topk": (_q_sq8_topk, _sql_sq8_topk()),
     # index-dictionary wildcard: rank-identical twin of wildcard_topk
     # (shared oracle; twin-tail placement per the witness contract)
     "wildcard_topk_indexed": (
@@ -5496,6 +5528,11 @@ _ORDER: list[str] = [
     # driver history; §2.7's windowed agg stays exercised by the
     # in-top-50 date_histogram + this entry's composed series).
     "pipeline_aggs",
+    # SQ8 scalar quantization (sole evidence): the whole
+    # train→encode→rank chain under the differential; its insertion
+    # pushed r2/r3-green vocab_prune past 50 (green driver history; A2
+    # stays exercised via in-top-50 tfidf_topk's prune_vocabulary).
+    "sq8_topk",
     # --- rotate-backs (last green r2/r3) -------------------------------
     "euclidean_topk",
     "events_hourly",

@@ -142,6 +142,7 @@ ENTRY_QUERY_NAMES = [
     "bm25f_topk",
     "pipeline_aggs",
     "suggest_topk",
+    "sq8_topk",
 ]
 
 # VERDICT r3 #8: round-over-round totals stopped being comparable as
