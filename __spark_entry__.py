@@ -4976,6 +4976,30 @@ def _sql_sq8_topk() -> str:
     )
 
 
+def _q_dirichlet_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM Dirichlet similarity (operators/similarity.py): query
+    likelihood with Dirichlet smoothing (Zhai & Lafferty 2001;
+    Lucene's LMDirichletSimilarity, per-term clamp at 0) — the
+    engine's second relevance model next to BM25. Sole evidence; the
+    oracle re-derives ttf from the full token stream vs Spark's
+    matched-set derivation."""
+    from same_same_spark.operators.similarity import dirichlet_search
+
+    out = dirichlet_search(
+        _docs(spark, sf_dir), REF_QUERIES, k=REF_K,
+        id_col="doc_id", text_col="text",
+    )
+    return _round6(out, "score")
+
+
+def _sql_dirichlet_topk() -> str:
+    from same_same_spark.operators.similarity import duckdb_dirichlet_sql
+
+    return duckdb_dirichlet_sql(
+        "documents", "doc_id", "text", REF_QUERIES, k=REF_K
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5366,6 +5390,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "pipeline_aggs": (_q_pipeline_aggs, _sql_pipeline_aggs()),
     "suggest_topk": (_q_suggest_topk, _sql_suggest_topk()),
     "sq8_topk": (_q_sq8_topk, _sql_sq8_topk()),
+    "dirichlet_topk": (_q_dirichlet_topk, _sql_dirichlet_topk()),
     # index-dictionary wildcard: rank-identical twin of wildcard_topk
     # (shared oracle; twin-tail placement per the witness contract)
     "wildcard_topk_indexed": (
@@ -5533,6 +5558,11 @@ _ORDER: list[str] = [
     # pushed r2/r3-green vocab_prune past 50 (green driver history; A2
     # stays exercised via in-top-50 tfidf_topk's prune_vocabulary).
     "sq8_topk",
+    # LM Dirichlet similarity (sole evidence) — the 50th sole-evidence
+    # slot; its insertion pushed r2/r3-green search_by_text_indexed
+    # past 50 (green driver history; the §2.9 flagship read path stays
+    # exercised by in-top-50 index_bm25_topk + filter_search_indexed).
+    "dirichlet_topk",
     # --- rotate-backs (last green r2/r3) -------------------------------
     "euclidean_topk",
     "events_hourly",

@@ -143,6 +143,7 @@ ENTRY_QUERY_NAMES = [
     "pipeline_aggs",
     "suggest_topk",
     "sq8_topk",
+    "dirichlet_topk",
 ]
 
 # VERDICT r3 #8: round-over-round totals stopped being comparable as

@@ -491,3 +491,50 @@ def test_bm25f_param_guards(spark):
         bm25f_search(df, [(1, "a")], {"text": (-1.0, 0.5)})
     with pytest.raises(ValueError, match="outside"):
         bm25f_search(df, [(1, "a")], {"text": (1.0, 1.5)})
+
+
+# ---------------------------------------------------------------------------
+# LM Dirichlet similarity
+# ---------------------------------------------------------------------------
+
+
+def test_dirichlet_hand_computed_with_clamp(spark):
+    """d1='cat cat dog', d2='dog dog dog', mu=10: total=6,
+    ttf(cat)=2, ttf(dog)=4. d1's dog term goes NEGATIVE pre-clamp
+    (ln(1.15)-ln(1.3) < 0) and must contribute exactly 0."""
+    from same_same_spark.operators.similarity import dirichlet_search
+
+    docs = spark.createDataFrame(
+        [(1, "cat cat dog"), (2, "dog dog dog")],
+        "doc_id LONG, text STRING",
+    )
+    out = dirichlet_search(
+        docs, [(1, "cat dog")], k=10, id_col="doc_id", text_col="text",
+        mu=10.0,
+    ).collect()
+    got = {r.doc_id: (r.score, r.rank) for r in out}
+    exp1 = math.log(1.6) - math.log(1.3)          # cat only; dog clamped
+    exp2 = math.log(1.45) - math.log(1.3)         # dog tf=3
+    assert got[1][0] == pytest.approx(exp1, abs=1e-12)
+    assert got[2][0] == pytest.approx(exp2, abs=1e-12)
+    assert (got[1][1], got[2][1]) == (1, 2)
+
+
+def test_dirichlet_no_match_and_guards(spark):
+    from same_same_spark.operators.similarity import dirichlet_search
+
+    docs = spark.createDataFrame(
+        [(1, "cat cat dog")], "doc_id LONG, text STRING"
+    )
+    # no query term in the corpus -> zero rows (never zero-score rows)
+    assert dirichlet_search(
+        docs, [(1, "elephant")], id_col="doc_id", text_col="text"
+    ).count() == 0
+    with pytest.raises(ValueError, match="mu"):
+        dirichlet_search(docs, [(1, "cat")], id_col="doc_id",
+                         text_col="text", mu=0.0)
+    # empty corpus -> empty result, not division by zero
+    empty = spark.createDataFrame([], "doc_id LONG, text STRING")
+    assert dirichlet_search(
+        empty, [(1, "cat")], id_col="doc_id", text_col="text"
+    ).count() == 0
