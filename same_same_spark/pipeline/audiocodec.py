@@ -8,13 +8,18 @@ the decode step used to be stubbed. WAV/PCM is fully specified (RIFF
 chunks + raw samples, no compression) and needs only ``struct`` —
 the decode can be real here. FLAC (lossless) decodes in
 :mod:`same_same_spark.pipeline.flaccodec` via :func:`decode_audio`'s
-sniff dispatch; lossy containers (MP3/OGG, ADPCM inside WAV) stay
-honestly gated behind :class:`UnsupportedAudioError`.
+sniff dispatch; G.711 a-law/mu-law expand in closed form below.
+Lossy containers (MP3/OGG) and ADPCM-in-WAV stay honestly gated
+behind :class:`UnsupportedAudioError` (their Huffman/step tables are
+large spec constants that cannot be re-derived from memory — same
+rationale as the lossy-VP8 gate in ``webpcodec``).
 
 Contracts:
 
 - :func:`decode_wav` handles PCM 8 (unsigned) / 16 / 24 / 32-bit
-  (signed little-endian) and IEEE float 32/64, any channel count,
+  (signed little-endian), IEEE float 32/64 and ITU-T G.711 a-law /
+  mu-law telephony bytes (format tags 0x0006/0x0007 — closed-form
+  segment expansion, no lookup tables), any channel count,
   ``WAVE_FORMAT_EXTENSIBLE`` wrappers, chunk padding to even offsets
   and unknown chunks (LIST/fact/cue) before or after ``data``.
   Output is ``(samples, sample_rate)`` with samples shaped
@@ -43,16 +48,60 @@ __all__ = [
     "decode_wav",
     "encode_wav",
     "audio_features",
+    "alaw_expand",
+    "mulaw_expand",
 ]
 
 WAVE_FORMAT_PCM = 0x0001
 WAVE_FORMAT_IEEE_FLOAT = 0x0003
+WAVE_FORMAT_ALAW = 0x0006
+WAVE_FORMAT_MULAW = 0x0007
 WAVE_FORMAT_EXTENSIBLE = 0xFFFE
 
 
 class UnsupportedAudioError(NotImplementedError):
     """Compressed audio these stdlib codecs genuinely cannot decode
-    (MP3, OGG, ADPCM, a-law/mu-law — the lossy/telephony formats)."""
+    (MP3, OGG, ADPCM — formats whose Huffman/step tables are large
+    baked spec constants)."""
+
+
+def mulaw_expand(codes: np.ndarray) -> np.ndarray:
+    """ITU-T G.711 mu-law byte → linear PCM on the 16-bit scale.
+
+    Closed-form segment expansion (no lookup table): the transmitted
+    byte is bit-inverted ``sign(1) | segment(3) | mantissa(4)``; the
+    decoded magnitude is the midpoint of the encoder's quantization
+    interval, ``((mant·8 + 0x84) << seg) − 0x84`` with the spec's bias
+    of 0x84 (= 33 on the 14-bit scale × 4).  Range ±32124; the two
+    codes 0xFF / 0x7F both decode to exactly 0 (mu-law's ±0).
+    """
+    u = (~np.asarray(codes, dtype=np.uint8).astype(np.int64)) & 0xFF
+    seg = (u >> 4) & 0x07
+    mant = u & 0x0F
+    mag = (((mant << 3) + 0x84) << seg) - 0x84
+    return np.where(u & 0x80, -mag, mag)
+
+
+def alaw_expand(codes: np.ndarray) -> np.ndarray:
+    """ITU-T G.711 a-law byte → linear PCM on the 16-bit scale.
+
+    The transmitted byte has even bits inverted (XOR 0x55); after
+    undoing that it is ``sign(1) | segment(3) | mantissa(4)`` where the
+    sign bit is **1 for non-negative** values (A-law convention, the
+    opposite of mu-law).  Segment 0 is linear (step 2 on the 13-bit
+    scale, decode midpoint ``2·mant + 1``); segments 1-7 decode to
+    ``(2·mant + 33) << (seg − 1)``, all ×8 to sit on the 16-bit scale.
+    Range ±[8, 32256] — a-law has no exact zero.
+    """
+    a = (np.asarray(codes, dtype=np.uint8).astype(np.int64)) ^ 0x55
+    seg = (a >> 4) & 0x07
+    mant = a & 0x0F
+    mag = np.where(
+        seg == 0,
+        (mant << 4) + 8,
+        ((mant << 4) + 0x108) << np.maximum(seg - 1, 0),
+    )
+    return np.where(a & 0x80, mag, -mag)
 
 
 def sniff_audio(data: bytes) -> str:
@@ -149,6 +198,14 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
             )
         else:
             raise UnsupportedAudioError(f"wav: {bits}-bit float unsupported")
+    elif audio_format in (WAVE_FORMAT_ALAW, WAVE_FORMAT_MULAW):
+        if bits not in (0, 8):
+            raise UnsupportedAudioError(f"wav: {bits}-bit G.711 unsupported")
+        codes = np.frombuffer(pcm, dtype=np.uint8)
+        expand = (
+            alaw_expand if audio_format == WAVE_FORMAT_ALAW else mulaw_expand
+        )
+        flat = expand(codes).astype(np.float64) / 32768.0
     else:
         raise UnsupportedAudioError(
             f"wav: format tag 0x{audio_format:04x} (non-PCM) unsupported"

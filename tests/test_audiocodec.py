@@ -17,9 +17,11 @@ import pytest
 
 from same_same_spark.pipeline.audiocodec import (
     UnsupportedAudioError,
+    alaw_expand,
     audio_features,
     decode_wav,
     encode_wav,
+    mulaw_expand,
     sniff_audio,
 )
 
@@ -125,6 +127,132 @@ def test_unknown_chunks_and_odd_padding():
     assert r == 8000 and np.array_equal(
         s[:, 0] * 32768.0, pcm.astype(np.float64)
     )
+
+
+# --------------------------------------------------------------------
+# G.711 a-law / mu-law — independent spec-derived COMPRESSORS (the
+# codec differential strategy: product ships the expander, the test
+# transcribes the encoder from the G.711 segment tables and the two
+# must agree over the whole 16-bit domain).
+# --------------------------------------------------------------------
+
+
+def _mulaw_compress(x: int) -> int:
+    """G.711 mu-law compressor, 16-bit domain: bias 132, clip 32635,
+    8 doubling segments of 16 steps each, transmitted bit-inverted."""
+    sign = 0x80 if x < 0 else 0
+    m = min(-x if x < 0 else x, 32635) + 132
+    seg = 0
+    while seg < 7 and m >= 256 << seg:
+        seg += 1
+    mant = (m >> (seg + 3)) & 0x0F
+    return ~(sign | (seg << 4) | mant) & 0xFF
+
+
+def _alaw_compress(x: int) -> int:
+    """G.711 a-law compressor, 13-bit domain per the spec tables:
+    segment 0 linear (step 2), segments 1-7 doubling; sign bit 1 for
+    non-negative; even bits inverted (XOR 0x55) on the wire."""
+    sign = 0x80 if x >= 0 else 0
+    m = (x if x >= 0 else -x - 1) >> 3
+    if m < 32:
+        seg, mant = 0, m >> 1
+    else:
+        seg = m.bit_length() - 5
+        mant = (m >> seg) & 0x0F
+    return (sign | (seg << 4) | mant) ^ 0x55
+
+
+def test_g711_known_endpoints():
+    # Public G.711 anchors: mu-law has two zeros (0xFF/0x7F) and range
+    # +-32124; a-law has no zero, min magnitude 8 at 0x55/0xD5, range
+    # +-32256 at 0x2A/0xAA.
+    assert mulaw_expand(np.array([0xFF]))[0] == 0
+    assert mulaw_expand(np.array([0x7F]))[0] == 0
+    assert mulaw_expand(np.array([0x80]))[0] == 32124
+    assert mulaw_expand(np.array([0x00]))[0] == -32124
+    assert alaw_expand(np.array([0xD5]))[0] == 8
+    assert alaw_expand(np.array([0x55]))[0] == -8
+    assert alaw_expand(np.array([0xAA]))[0] == 32256
+    assert alaw_expand(np.array([0x2A]))[0] == -32256
+    # sign bit (bit 7 of the pre-inversion code; untouched by XOR 0x55)
+    # mirrors the decode exactly for every code
+    codes = np.arange(256, dtype=np.uint8)
+    assert np.array_equal(
+        mulaw_expand(codes), -mulaw_expand(codes ^ 0x80)
+    )
+    assert np.array_equal(alaw_expand(codes), -alaw_expand(codes ^ 0x80))
+
+
+def test_g711_differential_full_domain():
+    """decode(encode(x)) must land on the midpoint of x's quantization
+    cell for EVERY 16-bit input, and re-encoding the decoded value must
+    reproduce the decode (codec idempotence)."""
+    xs = np.arange(-32768, 32768, dtype=np.int64)
+
+    mu_codes = np.array([_mulaw_compress(int(v)) for v in xs], dtype=np.uint8)
+    mu_dec = mulaw_expand(mu_codes)
+    seg = ((~mu_codes.astype(np.int64)) >> 4) & 0x07
+    # midpoint distance <= half cell width (cell = 8<<seg in the biased
+    # domain); clipped inputs (|x| > 32635) excepted
+    live = np.abs(xs) <= 32635
+    assert np.all(np.abs(mu_dec - xs)[live] <= (4 << seg)[live])
+    # idempotence at the value level (covers mu-law's two zeros, where
+    # -0 re-encodes as +0's code)
+    mu_re = np.array(
+        [_mulaw_compress(int(v)) for v in mu_dec], dtype=np.uint8
+    )
+    assert np.array_equal(mulaw_expand(mu_re), mu_dec)
+    # decode is monotone non-decreasing in the input
+    assert np.all(np.diff(mu_dec) >= 0)
+
+    al_codes = np.array([_alaw_compress(int(v)) for v in xs], dtype=np.uint8)
+    al_dec = alaw_expand(al_codes)
+    seg = ((al_codes.astype(np.int64) ^ 0x55) >> 4) & 0x07
+    # 16-bit cell width is 16<<max(seg-1,0); +-1 slack for the spec's
+    # two's-complement negative fold (-x-1)
+    half = (8 << np.maximum(seg - 1, 0)) + 1
+    assert np.all(np.abs(al_dec - xs) <= half)
+    al_re = np.array(
+        [_alaw_compress(int(v)) for v in al_dec], dtype=np.uint8
+    )
+    assert np.array_equal(al_re, al_codes)
+    assert np.all(np.diff(al_dec) >= 0)
+    # every one of the 256 a-law codes decodes to a distinct value;
+    # mu-law collapses exactly the two zero codes
+    assert len(set(alaw_expand(np.arange(256)).tolist())) == 256
+    assert len(set(mulaw_expand(np.arange(256)).tolist())) == 255
+
+
+def test_g711_wav_plumbing():
+    # mu-law mono WAV: 8-bit codes, format tag 7
+    codes = bytes([0xFF, 0x80, 0x00, 0x7F, 0xD5, 0x2A])
+    data = _riff(_fmt_chunk(7, 1, 8000, 8), _data_chunk(codes))
+    s, r = decode_wav(data)
+    assert r == 8000 and s.shape == (6, 1)
+    want = mulaw_expand(np.frombuffer(codes, np.uint8)) / 32768.0
+    assert np.array_equal(s[:, 0], want)
+
+    # a-law stereo, and EXTENSIBLE wrapping of the a-law tag
+    data = _riff(_fmt_chunk(6, 2, 16000, 8), _data_chunk(codes))
+    s2, r2 = decode_wav(data)
+    assert r2 == 16000 and s2.shape == (3, 2)
+    want2 = (alaw_expand(np.frombuffer(codes, np.uint8)) / 32768.0).reshape(
+        3, 2
+    )
+    assert np.array_equal(s2, want2)
+
+    guid = struct.pack("<H", 6) + b"\x00\x00" + bytes(12)
+    extra = struct.pack("<HHI", 22, 8, 0x3) + guid
+    data = _riff(_fmt_chunk(0xFFFE, 1, 8000, 8, extra), _data_chunk(codes))
+    s3, _ = decode_wav(data)
+    assert np.array_equal(
+        s3[:, 0], alaw_expand(np.frombuffer(codes, np.uint8)) / 32768.0
+    )
+
+    # features flow through the normal path
+    f = audio_features(s, r)
+    assert f["n_frames"] == 6 and f["sample_rate"] == 8000
 
 
 def test_gates_and_sniff():

@@ -538,3 +538,60 @@ def test_dirichlet_no_match_and_guards(spark):
     assert dirichlet_search(
         empty, [(1, "cat")], id_col="doc_id", text_col="text"
     ).count() == 0
+
+
+def test_jm_hand_computed(spark):
+    """d1='cat cat dog', d2='dog dog dog', λ=0.5: total=6,
+    p(cat)=1/3, p(dog)=2/3. d1: ln(1+2) + ln(1+0.5) = ln 4.5;
+    d2: ln(1+1.5) = ln 2.5 — no clamp needed, both positive."""
+    from same_same_spark.operators.similarity import jm_search
+
+    docs = spark.createDataFrame(
+        [(1, "cat cat dog"), (2, "dog dog dog")],
+        "doc_id LONG, text STRING",
+    )
+    out = jm_search(
+        docs, [(1, "cat dog")], k=10, id_col="doc_id", text_col="text",
+        lambda_=0.5,
+    ).collect()
+    got = {r.doc_id: (r.score, r.rank) for r in out}
+    assert got[1][0] == pytest.approx(math.log(4.5), abs=1e-12)
+    assert got[2][0] == pytest.approx(math.log(2.5), abs=1e-12)
+    assert (got[1][1], got[2][1]) == (1, 2)
+
+
+def test_jm_duckdb_differential_and_guards(spark):
+    """Value-level cross-engine parity at sf0.001 (the same evidence
+    class as the registry gate, run locally: JM rides the verified
+    statistics pipeline but has its own scorer)."""
+    import duckdb
+
+    from same_same_spark.operators.similarity import duckdb_jm_sql, jm_search
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    queries = [(0, "fast merge join sort"), (1, "window hash batch")]
+    got = {
+        (r.query_id, r.doc_id, round(r.score, 6), r.rank)
+        for r in jm_search(
+            docs, queries, k=10, id_col="doc_id", text_col="text"
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    want = {
+        (int(q), int(d), float(s), int(k))
+        for q, d, s, k in con.sql(
+            duckdb_jm_sql("documents", "doc_id", "text", queries, k=10)
+        ).fetchall()
+    }
+    assert got == want and len(got) == 20
+
+    with pytest.raises(ValueError, match="lambda"):
+        jm_search(docs, queries, id_col="doc_id", text_col="text",
+                  lambda_=0.0)
+    with pytest.raises(ValueError, match="lambda"):
+        jm_search(docs, queries, id_col="doc_id", text_col="text",
+                  lambda_=1.5)
