@@ -5000,6 +5000,58 @@ def _sql_dirichlet_topk() -> str:
     )
 
 
+def _q_jm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM Jelinek-Mercer similarity (operators/similarity.py): query
+    likelihood with linear collection-model interpolation (Zhai &
+    Lafferty 2001; Lucene's LMJelinekMercerSimilarity) — the engine's
+    third relevance model. Saturation-overflow entry: the top-50 is
+    fully spent on never-verified sole evidence, so this sits at 51+
+    with the machine-checked exemption (_SATURATION_OVERFLOW)."""
+    from same_same_spark.operators.similarity import jm_search
+
+    out = jm_search(
+        _docs(spark, sf_dir), REF_QUERIES, k=REF_K,
+        id_col="doc_id", text_col="text",
+    )
+    return _round6(out, "score")
+
+
+def _sql_jm_topk() -> str:
+    from same_same_spark.operators.similarity import duckdb_jm_sql
+
+    return duckdb_jm_sql(
+        "documents", "doc_id", "text", REF_QUERIES, k=REF_K
+    )
+
+
+def _q_bq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary quantization (pipeline/bq.py): per-dim exact midrange
+    sign bits packed 32/word (faiss IndexBinaryFlat shape, the 32×
+    shortlist tier below SQ8/PQ), Hamming top-5. The oracle re-derives
+    the ENTIRE train→encode→rank chain in SQL and every compared value
+    is an INTEGER — the differential is exact end to end.
+    Saturation-overflow entry (see _SATURATION_OVERFLOW)."""
+    from same_same_spark.pipeline.bq import (
+        bq_encode,
+        bq_topk,
+        train_bq_thresholds,
+    )
+
+    emb = _emb(spark, sf_dir)
+    thr = train_bq_thresholds(emb)
+    coded = bq_encode(emb.select("vec_id", "embedding"), thr)
+    return bq_topk(coded, thr, _ann_queries(spark, sf_dir), k=5)
+
+
+def _sql_bq_topk() -> str:
+    from same_same_spark.pipeline.bq import duckdb_bq_topk_sql
+
+    return duckdb_bq_topk_sql(
+        "embeddings", "vec_id", "embedding", None, None,
+        k=5, dim=64, query_ids=[0, 1, 2],
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5391,6 +5443,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "suggest_topk": (_q_suggest_topk, _sql_suggest_topk()),
     "sq8_topk": (_q_sq8_topk, _sql_sq8_topk()),
     "dirichlet_topk": (_q_dirichlet_topk, _sql_dirichlet_topk()),
+    # saturation-overflow entries (see _SATURATION_OVERFLOW below)
+    "jm_topk": (_q_jm_topk, _sql_jm_topk()),
+    "bq_topk": (_q_bq_topk, _sql_bq_topk()),
     # index-dictionary wildcard: rank-identical twin of wildcard_topk
     # (shared oracle; twin-tail placement per the witness contract)
     "wildcard_topk_indexed": (
@@ -5563,6 +5618,13 @@ _ORDER: list[str] = [
     # past 50 (green driver history; the §2.9 flagship read path stays
     # exercised by in-top-50 index_bm25_topk + filter_search_indexed).
     "dirichlet_topk",
+    # --- saturation overflow (sole evidence, positions 51-52) ----------
+    # The 50 slots above are ALL never-driver-verified sole evidence,
+    # so rotation cannot make room without burying other sole evidence;
+    # these queue here for round-6 verification under the
+    # machine-checked _SATURATION_OVERFLOW exemption (test_entry).
+    "jm_topk",
+    "bq_topk",
     # --- rotate-backs (last green r2/r3) -------------------------------
     "euclidean_topk",
     "events_hourly",
@@ -5686,6 +5748,14 @@ _TWIN_WITNESS: dict[str, str] = {
     "wildcard_topk_indexed": "wildcard_topk",  # shared oracle, rank-identical
     "suggest_topk": "wildcard_topk",  # expand_patterns ∘ posexplode rank glue
 }
+
+# Saturation overflow (the second codified exception): a sole-evidence
+# entry may sit past position 50 ONLY while every one of positions
+# 1..50 is itself never-driver-verified sole evidence (rotation could
+# not free a slot without burying other sole evidence). The exemption
+# is machine-checked in tests/test_entry.py — the moment any top-50
+# slot turns driver-green, these entries must rotate in.
+_SATURATION_OVERFLOW: set[str] = {"jm_topk", "bq_topk"}
 
 assert len(_ORDER) == len(set(_ORDER)), "duplicate names in _ORDER"
 assert set(_ORDER) == set(_REGISTRY), (

@@ -144,6 +144,8 @@ ENTRY_QUERY_NAMES = [
     "suggest_topk",
     "sq8_topk",
     "dirichlet_topk",
+    "jm_topk",
+    "bq_topk",
 ]
 
 # VERDICT r3 #8: round-over-round totals stopped being comparable as

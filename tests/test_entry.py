@@ -119,8 +119,25 @@ def test_registry_rotation_contract():
 
     pos = {name: i + 1 for i, name in enumerate(order)}
 
+    top50_saturated = all(n not in green for n in order[:50])
+    overflow = entrymod._SATURATION_OVERFLOW
+
     def covered(name: str, seen: frozenset[str] = frozenset()) -> bool:
         if name in green or pos[name] <= 50:
+            return True
+        if name in overflow:
+            # second codified exception: legal ONLY while every top-50
+            # slot is itself never-driver-verified sole evidence, and
+            # only in the block immediately after the top-50 (so they
+            # are first in line when a slot frees up)
+            assert top50_saturated, (
+                f"{name}: _SATURATION_OVERFLOW but a top-50 slot is "
+                "driver-green — rotate this entry in"
+            )
+            assert pos[name] <= 50 + len(overflow), (
+                f"{name}: saturation-overflow entries must sit "
+                "immediately after position 50"
+            )
             return True
         w = witness.get(name)
         if w is None or w == name or w in seen:

@@ -487,3 +487,29 @@ def test_bm25f_plan_shape(spark, documents):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_bq_plan_shape(spark):
+    """BQ Hamming scoring: the query side broadcasts (never a shuffle
+    of 8-byte codes against a 3-row query table), ranking goes through
+    the bounded tournament (no WindowExec), and the hot loop is
+    whole-stage-codegen integer ops."""
+    from same_same_spark.pipeline.bq import (
+        bq_encode,
+        bq_topk,
+        train_bq_thresholds,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 3), 1.0]) for i in range(60)],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+    thr = train_bq_thresholds(df)
+    coded = bq_encode(df, thr)
+    plan = _plan(bq_topk(coded, thr, [(0, [1.0, 2.0, 3.0])], k=5))
+    assert "WindowExec" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    # query side broadcast; encode is inline integer CASE arithmetic
+    assert "BroadcastExchange" in plan
+    assert "bit_count" in plan
