@@ -5052,6 +5052,119 @@ def _sql_bq_topk() -> str:
     )
 
 
+# Clause lists for dis_max: query 1 mixes a strong and a weak clause,
+# query 2 has three clauses (sum-vs-max separation needs >= 2 matched),
+# query 3's first clause is stopword-only (contributes nothing).
+DISMAX_QUERIES: list[tuple[int, list[str]]] = [
+    (1, ["table query join", "fast scan"]),
+    (2, ["window agg", "stream batch", "vector search"]),
+    (3, ["the a an", "filter sort"]),
+]
+
+
+def _q_dismax_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunction-max query (operators/dismax.dismax_search):
+    best-clause BM25 + tie_breaker times the rest (Lucene dis_max /
+    multi_match best_fields semantics). Clauses ride ONE composite-id
+    scored_matches pass — zero extra shuffles. Sole evidence; the
+    oracle re-derives the combine over the pinned per-clause scored
+    fragment. Saturation-overflow entry (see _SATURATION_OVERFLOW)."""
+    from same_same_spark.operators.dismax import dismax_search
+
+    out = dismax_search(
+        _docs(spark, sf_dir), DISMAX_QUERIES, tie_breaker=0.3, k=REF_K,
+        id_col="doc_id", text_col="text",
+    )
+    return _round6(out, "score")
+
+
+def _sql_dismax_topk() -> str:
+    from same_same_spark.operators.dismax import duckdb_dismax_sql
+
+    return duckdb_dismax_sql(
+        "documents", "doc_id", "text", DISMAX_QUERIES,
+        tie_breaker=0.3, k=REF_K,
+    )
+
+
+# Named-filter buckets over top-level doc columns (metadata_col=None
+# binding): eq on a string, numeric gte, and an AND of case-insensitive
+# contains + numeric lt; 'SRC1' is deliberately uppercase (the compile
+# lowers both sides). REF_QUERIES includes the zero-token query 4 —
+# its buckets must still emit with doc_count 0.
+FILTER_BUCKETS: dict[str, dict] = {
+    "english": {"lang": {"eq": "en"}},
+    "long": {"n_chars": {"gte": 400}},
+    "src1x_short": {"source": {"contains": "SRC1"}, "n_chars": {"lt": 400}},
+}
+
+# The SQL predicates are hand-derived from the FilterExpr semantics
+# (filters.py's truth tables), NOT generated — the differential covers
+# the compiled Column tree against this independent reading.
+_FILTER_BUCKET_PREDS: list[tuple[str, str]] = [
+    ("english", "(lang IS NOT NULL AND lang = 'en')"),
+    ("long", "(n_chars IS NOT NULL AND CAST(n_chars AS DOUBLE) >= 400.0)"),
+    (
+        "src1x_short",
+        "(source IS NOT NULL AND contains(lower(source), lower('SRC1')))"
+        " AND (n_chars IS NOT NULL AND CAST(n_chars AS DOUBLE) < 400.0)",
+    ),
+]
+
+
+def _q_filters_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filters aggregation (operators/facets.filters_facets): named
+    FilterExpr buckets over the BM25 match set — the F2/F3 predicate
+    algebra driving aggregation, ES filters-agg shape with
+    other_bucket. Fixed output shape (zero-match queries and empty
+    buckets emit doc_count 0). Sole evidence; the oracle's predicates
+    are hand-derived from the FilterExpr truth tables.
+    Saturation-overflow entry (see _SATURATION_OVERFLOW)."""
+    from same_same_spark.operators.facets import filters_facets
+
+    out = filters_facets(
+        _docs(spark, sf_dir), REF_QUERIES, FILTER_BUCKETS,
+        other_bucket=True, metadata_col=None,
+        id_col="doc_id", text_col="text",
+    )
+    return _round6(out, "avg_score")
+
+
+def _sql_filters_agg() -> str:
+    from same_same_spark.operators.facets import duckdb_filters_facets_sql
+
+    return duckdb_filters_facets_sql(
+        "documents", "doc_id", "text", REF_QUERIES,
+        _FILTER_BUCKET_PREDS, meta_cols=["lang", "source", "n_chars"],
+        other_bucket=True,
+    )
+
+
+def _q_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversification (operators/mmr.mmr_topk): exact cosine
+    top-20 pool per query, greedy maximal-marginal-relevance selection
+    of 5 (lam=0.7) in one bounded Arrow group per query. Sole evidence;
+    the oracle UNROLLS the greedy steps as chained CTEs (penalty
+    re-derived as max-sim-to-selected via plain aggregates), so the two
+    engines share no selection code. Saturation-overflow entry (see
+    _SATURATION_OVERFLOW)."""
+    from same_same_spark.operators.mmr import mmr_topk
+
+    out = mmr_topk(
+        _emb(spark, sf_dir), _ann_queries(spark, sf_dir),
+        k=5, pool=20, lam=0.7,
+    )
+    return _round6(out, "score")
+
+
+def _sql_mmr_topk() -> str:
+    from same_same_spark.operators.mmr import duckdb_mmr_sql
+
+    return duckdb_mmr_sql(
+        "embeddings", query_ids=[0, 1, 2], k=5, pool=20, lam=0.7,
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5446,6 +5559,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # saturation-overflow entries (see _SATURATION_OVERFLOW below)
     "jm_topk": (_q_jm_topk, _sql_jm_topk()),
     "bq_topk": (_q_bq_topk, _sql_bq_topk()),
+    "dismax_topk": (_q_dismax_topk, _sql_dismax_topk()),
+    "filters_agg": (_q_filters_agg, _sql_filters_agg()),
+    "mmr_topk": (_q_mmr_topk, _sql_mmr_topk()),
     # index-dictionary wildcard: rank-identical twin of wildcard_topk
     # (shared oracle; twin-tail placement per the witness contract)
     "wildcard_topk_indexed": (
@@ -5625,6 +5741,9 @@ _ORDER: list[str] = [
     # machine-checked _SATURATION_OVERFLOW exemption (test_entry).
     "jm_topk",
     "bq_topk",
+    "dismax_topk",
+    "filters_agg",
+    "mmr_topk",
     # --- rotate-backs (last green r2/r3) -------------------------------
     "euclidean_topk",
     "events_hourly",
@@ -5755,7 +5874,13 @@ _TWIN_WITNESS: dict[str, str] = {
 # not free a slot without burying other sole evidence). The exemption
 # is machine-checked in tests/test_entry.py — the moment any top-50
 # slot turns driver-green, these entries must rotate in.
-_SATURATION_OVERFLOW: set[str] = {"jm_topk", "bq_topk"}
+_SATURATION_OVERFLOW: set[str] = {
+    "jm_topk",
+    "bq_topk",
+    "dismax_topk",
+    "filters_agg",
+    "mmr_topk",
+}
 
 assert len(_ORDER) == len(set(_ORDER)), "duplicate names in _ORDER"
 assert set(_ORDER) == set(_REGISTRY), (

@@ -146,6 +146,9 @@ ENTRY_QUERY_NAMES = [
     "dirichlet_topk",
     "jm_topk",
     "bq_topk",
+    "dismax_topk",
+    "filters_agg",
+    "mmr_topk",
 ]
 
 # VERDICT r3 #8: round-over-round totals stopped being comparable as

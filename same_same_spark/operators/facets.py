@@ -1366,3 +1366,170 @@ ranked AS (
 SELECT query_id, facet, value, doc_count, rank::INTEGER AS rank
 FROM ranked WHERE rank <= {topn}
 """
+
+
+def filters_facets(
+    docs_df: DataFrame,
+    queries: list[tuple[int, str]],
+    buckets: dict[str, dict],
+    other_bucket: bool = False,
+    metadata_col: str | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+) -> DataFrame:
+    """Named-filter buckets over the match set (Elasticsearch's
+    ``filters`` aggregation): each bucket is a FilterExpr
+    (``operators/filters.compile_filters`` — the F2/F3 algebra, so the
+    same predicate language drives search AND aggregation); per
+    (query, bucket) the doc_count and mean BM25 score of matching docs.
+
+    Pinned semantics (cross-engine, re-derived per-entry against
+    :func:`duckdb_filters_facets_sql`):
+
+    - the scored match set is the engine's pinned BM25
+      (``bm25.scored_matches``) — every doc with >= 1 query term;
+    - buckets evaluate independently per doc (overlap allowed, ES
+      semantics); ``other_bucket=True`` adds an ``_other_`` bucket of
+      matched docs in NO named bucket (ES's other_bucket_key default);
+    - the output shape is FIXED: every (query, bucket) pair emits a
+      row, zero-match queries and empty buckets included
+      (doc_count 0, avg_score NULL).
+
+    Returns (query_id INT, bucket STRING, doc_count LONG,
+    avg_score DOUBLE).
+
+    Scale shape: one scored-match plan (single broadcast term join),
+    bucket predicates evaluated as column expressions ON the doc side
+    before the join (Catalyst folds them into the scan projection), a
+    map-side-combined ``groupBy(query_id)`` whose output is ONE row per
+    query, and a driver-free explode to (query, bucket) rows. No new
+    shuffles beyond the match-set aggregation.
+    """
+    from same_same_spark.operators.filters import compile_filters
+
+    if not buckets:
+        raise ValueError("buckets must be non-empty")
+    names = list(buckets)
+    if other_bucket and "_other_" in names:
+        raise ValueError("bucket name _other_ collides with other_bucket")
+
+    from same_same_spark.bm25 import scored_matches
+
+    spark = docs_df.sparkSession
+    matched = scored_matches(
+        docs_df, queries, id_col=id_col, text_col=text_col
+    )
+    flags = docs_df.select(
+        F.col(id_col).alias("doc_id"),
+        *[
+            compile_filters(
+                buckets[name], metadata_col=metadata_col, df=docs_df
+            ).alias(f"__b{i}")
+            for i, name in enumerate(names)
+        ],
+    )
+    if other_bucket:
+        none_named = ~reduce(
+            lambda a, b: a | b,
+            [F.coalesce(F.col(f"__b{i}"), F.lit(False)) for i in range(len(names))],
+        )
+        flags = flags.withColumn(f"__b{len(names)}", none_named)
+        names = names + ["_other_"]
+
+    j = matched.join(flags, "doc_id")
+    aggs = []
+    for i in range(len(names)):
+        hit = F.coalesce(F.col(f"__b{i}"), F.lit(False))
+        aggs.append(
+            F.sum(F.when(hit, F.lit(1)).otherwise(F.lit(0))).alias(f"c{i}")
+        )
+        aggs.append(F.avg(F.when(hit, F.col("score"))).alias(f"a{i}"))
+    per_q = j.groupBy("query_id").agg(*aggs)
+
+    qframe = spark.createDataFrame(
+        [(int(qid),) for qid, _ in queries], "query_id INT"
+    )
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("bucket"),
+                F.coalesce(F.col(f"c{i}"), F.lit(0))
+                .cast("long")
+                .alias("doc_count"),
+                F.col(f"a{i}").cast("double").alias("avg_score"),
+            )
+            for i, name in enumerate(names)
+        ]
+    )
+    # per_q is one row per query — broadcast it so the fixed-shape
+    # zero-fill join never shuffles (the left side of a LeftOuter can't
+    # broadcast, so the broadcast hint goes on the agg output).
+    return (
+        qframe.join(F.broadcast(per_q), "query_id", "left")
+        .select("query_id", F.explode(entries).alias("e"))
+        .select(
+            "query_id",
+            F.col("e.bucket").alias("bucket"),
+            F.col("e.doc_count").alias("doc_count"),
+            F.col("e.avg_score").alias("avg_score"),
+        )
+    )
+
+
+def duckdb_filters_facets_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    queries: list[tuple[int, str]],
+    buckets: list[tuple[str, str]],
+    meta_cols: list[str],
+    other_bucket: bool = False,
+    round_score: int = 6,
+) -> str:
+    """DuckDB twin of :func:`filters_facets`.
+
+    ``buckets`` are (name, SQL predicate) pairs whose predicates the
+    ENTRY derives independently from the FilterExpr semantics (the
+    cross-engine differential therefore covers the compiled predicate,
+    the match-set scoring, and the bucket aggregation); ``meta_cols``
+    lists the doc columns the predicates reference."""
+    from same_same_spark.bm25 import duckdb_scored_sql
+
+    inner = duckdb_scored_sql(table, id_col, text_col, queries)
+    names = list(buckets)
+    if other_bucket:
+        none_named = " AND ".join(
+            f"NOT coalesce(({p}), FALSE)" for _, p in buckets
+        )
+        names = names + [("_other_", none_named)]
+    qvalues = ", ".join(f"({int(qid)})" for qid, _ in queries)
+    mcols = "".join(f", d.{c}" for c in meta_cols)
+    agg_exprs = ",\n    ".join(
+        f"count(*) FILTER (WHERE {pred}) AS c{i},\n"
+        f"    avg(score) FILTER (WHERE {pred}) AS a{i}"
+        for i, (_, pred) in enumerate(names)
+    )
+    branches = "\n  UNION ALL\n".join(
+        f"""  SELECT q.query_id, '{name}' AS bucket,
+         coalesce(a.c{i}, 0)::BIGINT AS doc_count,
+         round(a.a{i}, {round_score}) AS avg_score
+  FROM qids q LEFT JOIN agg a USING (query_id)"""
+        for i, (name, _) in enumerate(names)
+    )
+    return f"""
+WITH scored AS ({inner}),
+j AS (
+  SELECT s.query_id, s.doc_id, s.score{mcols}
+  FROM scored s JOIN {table} d ON s.doc_id = d.{id_col}
+),
+qids AS (SELECT * FROM (VALUES {qvalues}) v(query_id)),
+agg AS (
+  SELECT query_id,
+    {agg_exprs}
+  FROM j GROUP BY query_id
+)
+SELECT query_id::INTEGER AS query_id, bucket, doc_count, avg_score
+FROM (
+{branches}
+)
+"""

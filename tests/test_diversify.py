@@ -1,0 +1,231 @@
+"""Semantics tests for the dis_max / filters-agg / MMR wave:
+best-clause combine against per-clause BM25, named-filter buckets
+against hand-counted sets, greedy MMR against a hand-computed
+geometry and the lam=1 pure-relevance reduction."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from same_same_spark.bm25 import score_queries
+from same_same_spark.operators.dismax import dismax_search
+from same_same_spark.operators.facets import filters_facets
+from same_same_spark.operators.mmr import mmr_topk
+from same_same_spark.pipeline.ann import brute_topk
+
+
+@pytest.fixture(scope="module")
+def fruit_docs(spark):
+    rows = [
+        (1, "apple banana cherry", "en", 10),
+        (2, "apple dates", "de", 300),
+        (3, "banana cherry dates", "en", 500),
+        (4, "dates melon", "en", 500),
+        (5, "apple fruit", None, 50),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, lang STRING, length LONG"
+    )
+
+
+# ---------------------------------------------------------------------------
+# dis_max
+# ---------------------------------------------------------------------------
+
+
+def _clause_scores(docs, clauses):
+    """{(clause_idx, doc_id): score} via the verified plain scorer."""
+    out = score_queries(
+        docs, list(enumerate(clauses)), k=100,
+        id_col="doc_id", text_col="text",
+    ).collect()
+    return {(r.query_id, r.doc_id): r.score for r in out}
+
+
+def test_dismax_tie0_is_best_clause(fruit_docs):
+    clauses = ["apple banana", "dates"]
+    per = _clause_scores(fruit_docs, clauses)
+    got = {
+        r.doc_id: r.score
+        for r in dismax_search(
+            fruit_docs, [(7, clauses)], tie_breaker=0.0, k=10,
+            id_col="doc_id", text_col="text",
+        ).collect()
+    }
+    docs = {d for _, d in per}
+    assert set(got) == docs
+    for d in docs:
+        want = max(per.get((i, d), 0.0) for i in range(len(clauses)))
+        assert math.isclose(got[d], want, rel_tol=1e-12), d
+
+
+def test_dismax_tie1_disjoint_clauses_is_plain_sum(fruit_docs):
+    """tie_breaker=1 -> sum of clauses; with term-disjoint clauses that
+    equals one flat BM25 over the concatenated query string."""
+    clauses = ["apple banana", "dates melon"]
+    flat = {
+        r.doc_id: r.score
+        for r in score_queries(
+            fruit_docs, [(0, "apple banana dates melon")], k=100,
+            id_col="doc_id", text_col="text",
+        ).collect()
+    }
+    got = {
+        r.doc_id: r.score
+        for r in dismax_search(
+            fruit_docs, [(0, clauses)], tie_breaker=1.0, k=10,
+            id_col="doc_id", text_col="text",
+        ).collect()
+    }
+    assert set(got) == set(flat)
+    for d, s in flat.items():
+        assert math.isclose(got[d], s, rel_tol=1e-12), d
+
+
+def test_dismax_stopword_clause_contributes_nothing(fruit_docs):
+    base = dismax_search(
+        fruit_docs, [(0, ["apple"])], tie_breaker=0.4, k=10,
+        id_col="doc_id", text_col="text",
+    ).collect()
+    with_stop = dismax_search(
+        fruit_docs, [(0, ["the a an", "apple"])], tie_breaker=0.4, k=10,
+        id_col="doc_id", text_col="text",
+    ).collect()
+    assert sorted((r.doc_id, r.score, r.rank) for r in base) == sorted(
+        (r.doc_id, r.score, r.rank) for r in with_stop
+    )
+
+
+def test_dismax_guards(fruit_docs):
+    with pytest.raises(ValueError, match="tie_breaker"):
+        dismax_search(fruit_docs, [(0, ["x"])], tie_breaker=1.5)
+    with pytest.raises(ValueError, match="out of composite-id range"):
+        dismax_search(fruit_docs, [(2**31, ["x"])])
+    with pytest.raises(ValueError, match="clauses"):
+        dismax_search(fruit_docs, [(0, ["x"] * 1001)])
+
+
+# ---------------------------------------------------------------------------
+# filters aggregation
+# ---------------------------------------------------------------------------
+
+BUCKETS = {
+    "english": {"lang": {"eq": "en"}},
+    "long": {"length": {"gte": 100}},
+}
+
+
+def test_filters_agg_hand_counted(fruit_docs):
+    """Query 'apple' matches docs 1, 2, 5. english={1}, long={2},
+    other={5} (NULL lang fails exists; 50 < 100). Query 'zzz' matches
+    nothing but must still emit every bucket with doc_count 0."""
+    scores = {
+        r.doc_id: r.score
+        for r in score_queries(
+            fruit_docs, [(1, "apple")], k=100,
+            id_col="doc_id", text_col="text",
+        ).collect()
+    }
+    out = filters_facets(
+        fruit_docs, [(1, "apple"), (2, "zzz")], BUCKETS,
+        other_bucket=True, metadata_col=None,
+        id_col="doc_id", text_col="text",
+    ).collect()
+    rows = {(r.query_id, r.bucket): r for r in out}
+    assert len(out) == 6  # fixed shape: 2 queries x 3 buckets
+    assert rows[(1, "english")].doc_count == 1
+    assert math.isclose(rows[(1, "english")].avg_score, scores[1])
+    assert rows[(1, "long")].doc_count == 1
+    assert math.isclose(rows[(1, "long")].avg_score, scores[2])
+    assert rows[(1, "_other_")].doc_count == 1
+    assert math.isclose(rows[(1, "_other_")].avg_score, scores[5])
+    for b in ("english", "long", "_other_"):
+        assert rows[(2, b)].doc_count == 0
+        assert rows[(2, b)].avg_score is None
+
+
+def test_filters_agg_overlap_counts_both(fruit_docs):
+    """Doc 3 (en, 500) matches 'banana' and lands in BOTH buckets;
+    overlapping docs are never in _other_."""
+    out = filters_facets(
+        fruit_docs, [(0, "banana cherry")], BUCKETS,
+        other_bucket=True, metadata_col=None,
+        id_col="doc_id", text_col="text",
+    ).collect()
+    rows = {r.bucket: r for r in out}
+    # matches: docs 1, 3. english={1,3}; long={3}; other={} (doc 1 is en)
+    assert rows["english"].doc_count == 2
+    assert rows["long"].doc_count == 1
+    assert rows["_other_"].doc_count == 0
+    assert rows["_other_"].avg_score is None
+
+
+def test_filters_agg_guards(fruit_docs):
+    with pytest.raises(ValueError, match="non-empty"):
+        filters_facets(fruit_docs, [(0, "apple")], {})
+    with pytest.raises(ValueError, match="_other_"):
+        filters_facets(
+            fruit_docs, [(0, "apple")],
+            {"_other_": {"lang": {"eq": "en"}}}, other_bucket=True,
+        )
+
+
+# ---------------------------------------------------------------------------
+# MMR
+# ---------------------------------------------------------------------------
+
+
+def _unit(deg: float) -> list[float]:
+    r = math.radians(deg)
+    return [math.cos(r), math.sin(r)]
+
+
+@pytest.fixture(scope="module")
+def angle_vecs(spark):
+    # Unit vectors by angle from the query (at 0 deg): a near-duplicate
+    # pair (5, 15 deg) and one diverse vector (80 deg).
+    rows = [(1, _unit(5.0)), (2, _unit(15.0)), (3, _unit(80.0))]
+    return spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+
+
+def test_mmr_hand_computed_diversity(angle_vecs):
+    """lam=0.3: pick1 = vec 1 (best rel). Step 2: vec 2 is redundant
+    (cos 10 deg to the pick), vec 3 wins despite far lower relevance.
+    Scores carry the mmr value at selection time."""
+    q = [(0, _unit(0.0))]
+    out = mmr_topk(angle_vecs, q, k=3, pool=3, lam=0.3).collect()
+    by_rank = {r.rank: r for r in out}
+    assert [by_rank[i].vec_id for i in (1, 2, 3)] == [1, 3, 2]
+    lam = 0.3
+    rel = {1: math.cos(math.radians(5)), 2: math.cos(math.radians(15)),
+           3: math.cos(math.radians(80))}
+    assert math.isclose(by_rank[1].score, lam * rel[1], rel_tol=1e-12)
+    want3 = lam * rel[3] - (1 - lam) * math.cos(math.radians(75))
+    assert math.isclose(by_rank[2].score, want3, rel_tol=1e-9)
+    # last pick's penalty is the max over BOTH selected (10 < 65 deg)
+    want2 = lam * rel[2] - (1 - lam) * math.cos(math.radians(10))
+    assert math.isclose(by_rank[3].score, want2, rel_tol=1e-9)
+
+
+def test_mmr_lam1_is_pure_relevance(spark):
+    rows = [(i, [float(i % 7), float((3 * i) % 5), 1.0]) for i in range(30)]
+    vecs = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    q = [(0, [1.0, 2.0, 0.5]), (1, [0.1, 0.9, 2.0])]
+    plain = brute_topk(vecs, q, k=5)
+    got = mmr_topk(vecs, q, k=5, pool=10, lam=1.0)
+    assert sorted(
+        (r.query_id, r.vec_id, r.rank) for r in got.collect()
+    ) == sorted((r.query_id, r.vec_id, r.rank) for r in plain.collect())
+
+
+def test_mmr_pool_smaller_than_k_and_guards(angle_vecs):
+    out = mmr_topk(
+        angle_vecs, [(0, _unit(0.0))], k=3, pool=10, lam=0.5
+    ).collect()
+    assert sorted(r.rank for r in out) == [1, 2, 3]  # only 3 candidates
+    with pytest.raises(ValueError, match="lam"):
+        mmr_topk(angle_vecs, [(0, _unit(0.0))], k=2, pool=5, lam=-0.1)
+    with pytest.raises(ValueError, match="exceeds"):
+        mmr_topk(angle_vecs, [(0, _unit(0.0))], k=6, pool=5)

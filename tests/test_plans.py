@@ -513,3 +513,55 @@ def test_bq_plan_shape(spark):
     # query side broadcast; encode is inline integer CASE arithmetic
     assert "BroadcastExchange" in plan
     assert "bit_count" in plan
+
+
+def test_dismax_and_filters_agg_plan_shape(spark, documents):
+    """dis_max: clauses ride ONE scored_matches plan (broadcast term
+    join, window-free combine). filters agg: bucket predicates are
+    column expressions in the doc-side projection; one aggregate row
+    per query, exploded — window-free, no cartesians. (The tiny
+    query-id frame joins broadcast.)"""
+    from same_same_spark.operators.dismax import dismax_search
+    from same_same_spark.operators.facets import filters_facets
+
+    dm = _plan(dismax_search(
+        documents, [(0, ["fast merge", "table query"])],
+        tie_breaker=0.3, k=5, id_col="doc_id", text_col="text",
+    ))
+    assert "Window" not in dm
+    assert "CartesianProduct" not in dm
+    assert "BroadcastNestedLoopJoin" not in dm
+    assert "BroadcastHashJoin" in dm
+    assert "SortMergeJoin" not in dm
+
+    fa = _plan(filters_facets(
+        documents, [(0, "fast merge join")],
+        {"english": {"lang": {"eq": "en"}},
+         "long": {"n_chars": {"gte": 400}}},
+        other_bucket=True, metadata_col=None,
+        id_col="doc_id", text_col="text",
+    ))
+    assert "Window" not in fa
+    assert "CartesianProduct" not in fa
+    assert "BroadcastNestedLoopJoin" not in fa
+    assert "SortMergeJoin" not in fa
+
+
+def test_mmr_plan_shape(spark):
+    """MMR: candidate generation is the brute-cosine shape (query side
+    a BroadcastNestedLoopJoin over the tiny query frame — the
+    documented ANN-brute exemption), pool selection is the bounded
+    tournament (window-free), and the greedy re-rank is ONE Arrow
+    FlatMapGroupsInPandas over the bounded pool."""
+    from same_same_spark.operators.mmr import mmr_topk
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 3), 1.0]) for i in range(60)],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+    p = _plan(mmr_topk(df, [(0, [1.0, 2.0, 3.0])], k=3, pool=10))
+    assert "WindowExec" not in p
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+    assert p.count("FlatMapGroupsInPandas") == 1
+    assert "BroadcastExchange" in p
