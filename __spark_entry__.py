@@ -5165,6 +5165,96 @@ def _sql_mmr_topk() -> str:
     )
 
 
+# multi_match fields: the SAME head/body token-slice derivation the
+# bm25f entry pins (head = first 6 X1 tokens), so the two multi-field
+# families (per-field stats vs blended stats) are compared over
+# identical fields. head^2 best_fields with tie_breaker 0.25.
+_MM_FIELDS = {"head": 2.0, "body": 1.0}
+
+
+def _q_multi_match_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multi_match best_fields (operators/multimatch.py): one query
+    string against several fields, each with its OWN corpus stats
+    (Lucene per-field semantics), dis-max combine with tie_breaker.
+    Sole evidence for the per-field-stats family; the oracle
+    instantiates the pinned scored fragment per field and re-derives
+    the combine. Saturation-overflow entry (see
+    _SATURATION_OVERFLOW)."""
+    from same_same_spark.operators.multimatch import multi_match_search
+    from same_same_spark.text.tokenizer import tokens_col
+
+    tok = tokens_col("text")
+    docs_f = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(tok, 1, _BM25F_HEAD_LEN)).alias("head"),
+        F.concat_ws(
+            " ", F.slice(tok, _BM25F_HEAD_LEN + 1, 1 << 30)
+        ).alias("body"),
+    )
+    out = multi_match_search(
+        docs_f, REF_QUERIES, _MM_FIELDS, mode="best_fields",
+        tie_breaker=0.25, k=REF_K, id_col="doc_id",
+    )
+    return _round6(out, "score")
+
+
+def _sql_multi_match_topk() -> str:
+    from same_same_spark.operators.multimatch import duckdb_multi_match_sql
+    from same_same_spark.text.tokenizer import duckdb_tokens_sql
+
+    toks = duckdb_tokens_sql("text")
+    prelude = f"""docs_f AS (
+  SELECT doc_id,
+         array_to_string(list_slice({toks}, 1, {_BM25F_HEAD_LEN}), ' ')
+           AS head,
+         array_to_string(
+           list_slice({toks}, {_BM25F_HEAD_LEN} + 1, 1 << 30), ' ')
+           AS body
+  FROM documents
+), """
+    return duckdb_multi_match_sql(
+        "docs_f", "doc_id", REF_QUERIES, _MM_FIELDS, mode="best_fields",
+        tie_breaker=0.25, k=REF_K, prelude_ctes=prelude,
+    )
+
+
+def _q_matrix_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """matrix_stats aggregation (operators/facets.matrix_stats_facets):
+    complete-case sample covariance + Pearson correlation between
+    n_chars and the X1 token count over each query's match set — ONE
+    aggregate row per query computing every pair's moments, exploded.
+    Sole evidence; the oracle re-derives both moments with DuckDB's
+    own covar_samp/corr over an independently-built match set.
+    Saturation-overflow entry (see _SATURATION_OVERFLOW)."""
+    from same_same_spark.operators.facets import matrix_stats_facets
+    from same_same_spark.text.tokenizer import tokens_col
+
+    docs_m = _docs(spark, sf_dir).select(
+        "doc_id", "text", "n_chars",
+        F.size(tokens_col("text")).cast("long").alias("dl"),
+    )
+    out = matrix_stats_facets(
+        docs_m, REF_QUERIES, ["n_chars", "dl"],
+        id_col="doc_id", text_col="text",
+    )
+    return _round6(out, "covariance", "correlation")
+
+
+def _sql_matrix_stats_agg() -> str:
+    from same_same_spark.operators.facets import duckdb_matrix_stats_sql
+    from same_same_spark.text.tokenizer import duckdb_tokens_sql
+
+    toks = duckdb_tokens_sql("text")
+    prelude = f"""docs_m AS (
+  SELECT doc_id, text, n_chars, len({toks})::BIGINT AS dl
+  FROM documents
+), """
+    return duckdb_matrix_stats_sql(
+        "docs_m", "doc_id", "text", REF_QUERIES, ["n_chars", "dl"],
+        prelude_ctes=prelude,
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5562,6 +5652,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "dismax_topk": (_q_dismax_topk, _sql_dismax_topk()),
     "filters_agg": (_q_filters_agg, _sql_filters_agg()),
     "mmr_topk": (_q_mmr_topk, _sql_mmr_topk()),
+    "multi_match_topk": (_q_multi_match_topk, _sql_multi_match_topk()),
+    "matrix_stats_agg": (_q_matrix_stats_agg, _sql_matrix_stats_agg()),
     # index-dictionary wildcard: rank-identical twin of wildcard_topk
     # (shared oracle; twin-tail placement per the witness contract)
     "wildcard_topk_indexed": (
@@ -5744,6 +5836,8 @@ _ORDER: list[str] = [
     "dismax_topk",
     "filters_agg",
     "mmr_topk",
+    "multi_match_topk",
+    "matrix_stats_agg",
     # --- rotate-backs (last green r2/r3) -------------------------------
     "euclidean_topk",
     "events_hourly",
@@ -5880,6 +5974,8 @@ _SATURATION_OVERFLOW: set[str] = {
     "dismax_topk",
     "filters_agg",
     "mmr_topk",
+    "multi_match_topk",
+    "matrix_stats_agg",
 }
 
 assert len(_ORDER) == len(set(_ORDER)), "duplicate names in _ORDER"

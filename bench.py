@@ -149,6 +149,8 @@ ENTRY_QUERY_NAMES = [
     "dismax_topk",
     "filters_agg",
     "mmr_topk",
+    "multi_match_topk",
+    "matrix_stats_agg",
 ]
 
 # VERDICT r3 #8: round-over-round totals stopped being comparable as

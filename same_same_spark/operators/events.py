@@ -496,3 +496,95 @@ SELECT {gsel}{order_col}, {value_col},
        )::DOUBLE AS moving_avg
 FROM series
 """
+
+
+def bucket_selector(
+    series_df: DataFrame,
+    min_value: float | None = None,
+    max_value: float | None = None,
+    value_col: str = "doc_count",
+) -> DataFrame:
+    """ES ``bucket_selector`` for the comparison-script family: keep
+    buckets whose ``value_col`` lies in the inclusive
+    ``[min_value, max_value]`` range (either side open when None —
+    ES's ubiquitous ``params.v >= X`` / ``<= Y`` scripts; arbitrary
+    scripts are out of scope by design). NULL values never match.
+    A plain filter — Catalyst pushes it into whatever produced the
+    series."""
+    if min_value is None and max_value is None:
+        raise ValueError("bucket_selector needs min_value or max_value")
+    v = F.col(value_col)
+    cond = v.isNotNull()
+    if min_value is not None:
+        cond = cond & (v >= F.lit(float(min_value)))
+    if max_value is not None:
+        cond = cond & (v <= F.lit(float(max_value)))
+    return series_df.filter(cond)
+
+
+def bucket_sort(
+    series_df: DataFrame,
+    size: int,
+    sort_col: str = "doc_count",
+    order_col: str = "bucket",
+    group_cols: list[str] | None = None,
+    from_: int = 0,
+    ascending: bool = False,
+) -> DataFrame:
+    """ES ``bucket_sort``: re-order a parent aggregation's buckets by a
+    metric and truncate — "top ``size`` buckets per group", with
+    ``from_`` pagination.
+
+    Pinned semantics (cross-engine, re-derived per-entry with a
+    row_number window in DuckDB):
+
+    - order within each group by ``(round(sort_col, 9) DESC|ASC,
+      order_col ASC)`` (the engine's pinned tie rule);
+    - ``bucket_rank`` = the bucket's absolute 1-based position in that
+      order; rows with rank in ``(from_, from_ + size]`` survive.
+
+    Returns the group columns + ``order_col`` + ``sort_col`` +
+    ``bucket_rank INT``.
+
+    Scale shape: the bounded tournament (struct sort_array/slice per
+    partition, then per group) — never a rank window on data rows;
+    buffers hold <= from_ + size entries per (group, partition).
+    """
+    if size < 1:
+        raise ValueError(f"size must be >= 1, got {size}")
+    if from_ < 0:
+        raise ValueError(f"from_ must be >= 0, got {from_}")
+    gcols = list(group_cols or [])
+    keep = from_ + size
+    key = F.round(F.col(sort_col).cast("double"), 9)
+    entry = F.struct(
+        (key if ascending else -key).alias("k"),
+        F.col(order_col).alias("o"),
+        F.col(sort_col).alias("v"),
+    )
+    local = (
+        series_df.withColumn("part", F.spark_partition_id())
+        .groupBy(*gcols, "part")
+        .agg(F.slice(F.sort_array(F.collect_list(entry)), 1, keep).alias("c"))
+    )
+    if gcols:
+        merged = local.groupBy(*gcols)
+    else:
+        # non-foldable constant key (see pipeline_aggs' notes)
+        merged = local.groupBy(
+            F.when(F.col("part").isNotNull(), F.lit(0)).alias("__g")
+        )
+    top = merged.agg(
+        F.slice(
+            F.sort_array(F.flatten(F.collect_list("c"))), 1, keep
+        ).alias("top")
+    )
+    out = top.select(
+        *gcols, F.posexplode("top").alias("pos", "s")
+    ).select(
+        *gcols,
+        F.col("s.o").alias(order_col),
+        F.col("s.v").alias(sort_col),
+        (F.col("pos") + 1).cast("int").alias("bucket_rank"),
+    )
+    return out.filter(F.col("bucket_rank") > from_)

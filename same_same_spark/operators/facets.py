@@ -1533,3 +1533,317 @@ FROM (
 {branches}
 )
 """
+
+
+def matrix_stats_facets(
+    docs_df: DataFrame,
+    queries: list[tuple[int, str]],
+    value_cols: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "content",
+) -> DataFrame:
+    """Pairwise numeric-field statistics over the match set
+    (Elasticsearch's ``matrix_stats`` aggregation): sample covariance
+    and Pearson correlation for every ordered field pair.
+
+    Pinned semantics (cross-engine, re-derived per-entry against
+    :func:`duckdb_matrix_stats_sql`):
+
+    - complete-case like ES: a matched doc enters the matrix only if
+      ALL ``value_cols`` are non-NULL (numeric, compared as doubles);
+    - one row per (query, field pair i < j in the given column order);
+      ``n`` = complete-case doc count (shared by every pair);
+    - ``covariance`` = sample covariance (n-1 denominator),
+      ``correlation`` = Pearson; with n < 2 or a zero-variance side
+      both are NULL (Spark's NaN normalizes to NULL — DuckDB already
+      yields NULL);
+    - queries with no complete-case match emit no rows.
+
+    Returns (query_id INT, field_a STRING, field_b STRING, n LONG,
+    covariance DOUBLE, correlation DOUBLE).
+
+    Scale shape: the shared match-set join + ONE map-side-combined
+    ``groupBy(query_id)`` computing every pair's moments in a single
+    aggregate (output = one row per query), then a driver-free
+    fixed-shape explode. No WindowExec, no cartesians.
+    """
+    if len(value_cols) < 2:
+        raise ValueError("matrix_stats needs >= 2 value columns")
+    if len(set(value_cols)) != len(value_cols):
+        raise ValueError("duplicate value columns")
+    matched = _match_set(docs_df, queries, id_col, text_col)
+    vals = docs_df.select(
+        F.col(id_col).alias("doc_id"),
+        *[F.col(c).cast("double").alias(c) for c in value_cols],
+    )
+    complete = reduce(
+        lambda a, c: a & F.col(c).isNotNull(),
+        value_cols[1:],
+        F.col(value_cols[0]).isNotNull(),
+    )
+    j = matched.join(vals, "doc_id").filter(complete)
+
+    pairs = [
+        (value_cols[i], value_cols[jx])
+        for i in range(len(value_cols))
+        for jx in range(i + 1, len(value_cols))
+    ]
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i, (a, b) in enumerate(pairs):
+        aggs.append(F.covar_samp(F.col(a), F.col(b)).alias(f"cov{i}"))
+        # Pearson via the covariance identity: F.corr THROWS
+        # DIVIDE_BY_ZERO under Spark 4 ANSI on a zero-variance side;
+        # try_divide yields the pinned NULL instead (n < 2 is NULL
+        # through covar_samp/stddev_samp already).
+        aggs.append(
+            F.try_divide(
+                F.covar_samp(F.col(a), F.col(b)),
+                F.stddev_samp(F.col(a)) * F.stddev_samp(F.col(b)),
+            ).alias(f"cor{i}")
+        )
+    per_q = j.groupBy("query_id").agg(*aggs)
+
+    def _nan_null(c):
+        return F.when(F.isnan(c), F.lit(None).cast("double")).otherwise(c)
+
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("field_a"),
+                F.lit(b).alias("field_b"),
+                _nan_null(F.col(f"cov{i}")).alias("covariance"),
+                _nan_null(F.col(f"cor{i}")).alias("correlation"),
+            )
+            for i, (a, b) in enumerate(pairs)
+        ]
+    )
+    return per_q.select(
+        "query_id", F.col("n").cast("long").alias("n"),
+        F.explode(entries).alias("e"),
+    ).select(
+        "query_id",
+        F.col("e.field_a").alias("field_a"),
+        F.col("e.field_b").alias("field_b"),
+        "n",
+        F.col("e.covariance").alias("covariance"),
+        F.col("e.correlation").alias("correlation"),
+    )
+
+
+def duckdb_matrix_stats_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    queries: list[tuple[int, str]],
+    value_cols: list[str],
+    prelude_ctes: str = "",
+    round_score: int = 6,
+) -> str:
+    """DuckDB twin of :func:`matrix_stats_facets` (moments compared at
+    6dp). ``prelude_ctes`` lets callers feed a derived-fields table."""
+    if len(value_cols) < 2:
+        raise ValueError("matrix_stats needs >= 2 value columns")
+    qvalues = _qterm_values(queries)
+    complete = " AND ".join(f"v.{c} IS NOT NULL" for c in value_cols)
+    vcols = ", ".join(f"CAST({c} AS DOUBLE) AS {c}" for c in value_cols)
+    pairs = [
+        (value_cols[i], value_cols[jx])
+        for i in range(len(value_cols))
+        for jx in range(i + 1, len(value_cols))
+    ]
+    branches = "\n  UNION ALL\n  ".join(
+        f"""SELECT query_id, '{a}' AS field_a, '{b}' AS field_b, n,
+         round(cov_{i}, {round_score}) AS covariance,
+         round(cor_{i}, {round_score}) AS correlation
+  FROM agg"""
+        for i, (a, b) in enumerate(pairs)
+    )
+    moment_exprs = ",\n    ".join(
+        f"covar_samp({a}, {b}) AS cov_{i}, corr({a}, {b}) AS cor_{i}"
+        for i, (a, b) in enumerate(pairs)
+    )
+    return f"""
+WITH {prelude_ctes}{_matched_ctes(table, id_col, text_col, qvalues)},
+vals AS (SELECT {id_col} AS doc_id, {vcols} FROM {table}),
+j AS (
+  SELECT m.query_id, v.* FROM matched m
+  JOIN vals v ON m.doc_id = v.doc_id
+  WHERE {complete}
+),
+agg AS (
+  SELECT query_id, count(*)::BIGINT AS n,
+    {moment_exprs}
+  FROM j GROUP BY query_id
+)
+SELECT query_id, field_a, field_b, n, covariance, correlation
+FROM (
+  {branches}
+)
+"""
+
+
+def rare_terms_facets(
+    docs_df: DataFrame,
+    queries: list[tuple[int, str]],
+    facet_col: str,
+    max_doc_count: int = 1,
+    topn: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+) -> DataFrame:
+    """Long-tail terms over the match set (Elasticsearch's
+    ``rare_terms`` aggregation — the complement of the terms agg):
+    facet values whose doc_count <= ``max_doc_count``, rarest first.
+
+    Pinned semantics (cross-engine, re-derived per-entry):
+
+    - doc_count per distinct facet value over the match set (NULL
+      values excluded, values compared as strings — the search_facets
+      rules);
+    - keep values with ``doc_count <= max_doc_count``; rank 1..topn
+      under ``(doc_count ASC, value ASC)``.
+
+    Returns (query_id INT, value STRING, doc_count LONG, rank INT).
+
+    Scale shape: the rarity filter lands on the AGGREGATED counts (one
+    row per (query, value) — map-side combined), then the bounded
+    tournament; no WindowExec, no per-value data movement beyond the
+    counts. ES needs special machinery here because its shards can't
+    see global counts; one Spark shuffle IS the global count.
+    """
+    if max_doc_count < 1:
+        raise ValueError(f"max_doc_count must be >= 1, got {max_doc_count}")
+    matched = _match_set(docs_df, queries, id_col, text_col)
+    meta = docs_df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(facet_col).cast("string").alias("value"),
+    )
+    counts = (
+        matched.join(meta, "doc_id")
+        .filter(F.col("value").isNotNull())
+        .groupBy("query_id", "value")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .filter(F.col("doc_count") <= max_doc_count)
+    )
+    entry = F.struct(
+        F.col("doc_count").alias("doc_count"),
+        F.col("value").alias("value"),
+    )
+    local = (
+        counts.withColumn("part", F.spark_partition_id())
+        .groupBy("query_id", "part")
+        .agg(F.slice(F.sort_array(F.collect_list(entry)), 1, topn).alias("c"))
+    )
+    merged = local.groupBy("query_id").agg(
+        F.slice(
+            F.sort_array(F.flatten(F.collect_list("c"))), 1, topn
+        ).alias("top")
+    )
+    return merged.select(
+        "query_id", F.posexplode("top").alias("pos", "s")
+    ).select(
+        "query_id",
+        F.col("s.value").alias("value"),
+        F.col("s.doc_count").cast("long").alias("doc_count"),
+        (F.col("pos") + 1).cast("int").alias("rank"),
+    )
+
+
+def duckdb_rare_terms_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    queries: list[tuple[int, str]],
+    facet_col: str,
+    max_doc_count: int = 1,
+    topn: int = 10,
+) -> str:
+    """DuckDB twin of :func:`rare_terms_facets`."""
+    qvalues = _qterm_values(queries)
+    return f"""
+WITH {_matched_ctes(table, id_col, text_col, qvalues)},
+counts AS (
+  SELECT m.query_id, CAST(d.{facet_col} AS VARCHAR) AS value,
+         count(*)::BIGINT AS doc_count
+  FROM matched m JOIN {table} d ON m.doc_id = d.{id_col}
+  WHERE d.{facet_col} IS NOT NULL
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, value, doc_count, row_number() OVER (
+    PARTITION BY query_id ORDER BY doc_count ASC, value ASC
+  ) AS rank
+  FROM counts WHERE doc_count <= {max_doc_count}
+)
+SELECT query_id, value, doc_count, rank::INTEGER AS rank
+FROM ranked WHERE rank <= {topn}
+"""
+
+
+def weighted_avg_facets(
+    docs_df: DataFrame,
+    queries: list[tuple[int, str]],
+    value_col: str,
+    weight_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+) -> DataFrame:
+    """Weighted average over the match set (Elasticsearch's
+    ``weighted_avg`` aggregation): ``sum(v * w) / sum(w)``.
+
+    Pinned semantics (cross-engine, re-derived per-entry):
+
+    - matched docs with a NULL value OR a NULL weight are skipped (ES
+      drops the doc unless the caller configures ``missing``);
+    - ``n`` = contributing doc count; ``weighted_avg`` is NULL when
+      ``sum(w)`` is 0 (try_divide — never an ANSI throw);
+    - queries with no contributing doc emit no rows.
+
+    Returns (query_id INT, n LONG, weighted_avg DOUBLE). One map-side
+    combined aggregate over the match-set join; no new shuffles.
+    """
+    matched = _match_set(docs_df, queries, id_col, text_col)
+    vals = docs_df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(value_col).cast("double").alias("__v"),
+        F.col(weight_col).cast("double").alias("__w"),
+    )
+    j = (
+        matched.join(vals, "doc_id")
+        .filter(F.col("__v").isNotNull() & F.col("__w").isNotNull())
+    )
+    return j.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.try_divide(
+            F.sum(F.col("__v") * F.col("__w")), F.sum("__w")
+        ).cast("double").alias("weighted_avg"),
+    )
+
+
+def duckdb_weighted_avg_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    queries: list[tuple[int, str]],
+    value_col: str,
+    weight_col: str,
+    prelude_ctes: str = "",
+    round_score: int = 6,
+) -> str:
+    """DuckDB twin of :func:`weighted_avg_facets`. ``prelude_ctes``
+    lets callers feed a derived-fields table."""
+    qvalues = _qterm_values(queries)
+    return f"""
+WITH {prelude_ctes}{_matched_ctes(table, id_col, text_col, qvalues)},
+j AS (
+  SELECT m.query_id,
+         CAST(d.{value_col} AS DOUBLE) AS v,
+         CAST(d.{weight_col} AS DOUBLE) AS w
+  FROM matched m JOIN {table} d ON m.doc_id = d.{id_col}
+  WHERE d.{value_col} IS NOT NULL AND d.{weight_col} IS NOT NULL
+)
+SELECT query_id, count(*)::BIGINT AS n,
+       round(sum(v * w) / nullif(sum(w), 0), {round_score})
+         AS weighted_avg
+FROM j GROUP BY query_id
+"""

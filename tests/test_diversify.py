@@ -229,3 +229,172 @@ def test_mmr_pool_smaller_than_k_and_guards(angle_vecs):
         mmr_topk(angle_vecs, [(0, _unit(0.0))], k=2, pool=5, lam=-0.1)
     with pytest.raises(ValueError, match="exceeds"):
         mmr_topk(angle_vecs, [(0, _unit(0.0))], k=6, pool=5)
+
+
+# ---------------------------------------------------------------------------
+# multi_match
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def field_docs(spark):
+    rows = [
+        (1, "apple pie", "apple banana cherry melon"),
+        (2, "banana split", "apple dates"),
+        (3, "cherry tart", "banana cherry dates melon"),
+        (4, "dates cake", "dates melon grape"),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id LONG, title STRING, body STRING"
+    )
+
+
+def _field_scores(docs, queries, field):
+    out = score_queries(
+        docs, queries, k=100, id_col="doc_id", text_col=field,
+    ).collect()
+    return {(r.query_id, r.doc_id): r.score for r in out}
+
+
+@pytest.mark.parametrize("mode,tie", [("best_fields", 0.3), ("most_fields", 0.0)])
+def test_multi_match_matches_per_field_combine(field_docs, mode, tie):
+    """Combine against per-field plain BM25 (each field its own corpus
+    stats) computed via the verified single-field scorer."""
+    from same_same_spark.operators.multimatch import multi_match_search
+
+    queries = [(0, "apple dates"), (1, "cherry")]
+    fields = {"title": 2.0, "body": 1.0}
+    per = {f: _field_scores(field_docs, queries, f) for f in fields}
+    got = {
+        (r.query_id, r.doc_id): r.score
+        for r in multi_match_search(
+            field_docs, queries, fields, mode=mode, tie_breaker=tie,
+            k=10, id_col="doc_id",
+        ).collect()
+    }
+    keys = {k for f in fields for k in per[f]}
+    assert set(got) == keys
+    for key in keys:
+        s = [w * per[f].get(key, 0.0) for f, w in fields.items()
+             if key in per[f]]
+        want = sum(s) if mode == "most_fields" else (
+            max(s) + tie * (sum(s) - max(s))
+        )
+        assert math.isclose(got[key], want, rel_tol=1e-12), key
+
+
+def test_multi_match_single_field_is_plain_bm25(field_docs):
+    from same_same_spark.operators.multimatch import multi_match_search
+
+    queries = [(0, "apple dates")]
+    plain = score_queries(
+        field_docs, queries, k=10, id_col="doc_id", text_col="body",
+    ).collect()
+    got = multi_match_search(
+        field_docs, queries, {"body": 1.0}, k=10, id_col="doc_id",
+    ).collect()
+    assert sorted((r.doc_id, r.score, r.rank) for r in plain) == sorted(
+        (r.doc_id, r.score, r.rank) for r in got
+    )
+
+
+def test_multi_match_zero_boost_drops_field(field_docs):
+    from same_same_spark.operators.multimatch import multi_match_search
+
+    queries = [(0, "apple dates")]
+    with_zero = multi_match_search(
+        field_docs, queries, {"title": 0.0, "body": 1.0},
+        k=10, id_col="doc_id",
+    ).collect()
+    only_body = multi_match_search(
+        field_docs, queries, {"body": 1.0}, k=10, id_col="doc_id",
+    ).collect()
+    assert sorted(map(tuple, with_zero)) == sorted(map(tuple, only_body))
+    # every field zero-boosted -> empty result, stable schema
+    assert multi_match_search(
+        field_docs, queries, {"title": 0.0}, k=10, id_col="doc_id",
+    ).count() == 0
+
+
+def test_multi_match_guards(field_docs):
+    from same_same_spark.operators.multimatch import multi_match_search
+
+    with pytest.raises(ValueError, match="mode"):
+        multi_match_search(field_docs, [(0, "x")], {"body": 1.0},
+                           mode="cross_fields")
+    with pytest.raises(ValueError, match="tie_breaker"):
+        multi_match_search(field_docs, [(0, "x")], {"body": 1.0},
+                           tie_breaker=2.0)
+    with pytest.raises(ValueError, match="non-empty"):
+        multi_match_search(field_docs, [(0, "x")], {})
+    with pytest.raises(ValueError, match="non-negative"):
+        multi_match_search(field_docs, [(0, "x")], {"body": -1.0})
+
+
+# ---------------------------------------------------------------------------
+# matrix_stats
+# ---------------------------------------------------------------------------
+
+
+def test_matrix_stats_hand_computed(spark):
+    """Query 'apple' matches docs 1-3; doc 3 has a NULL y and is
+    dropped (complete-case), so the matrix runs over docs 1, 2:
+    covar_samp and corr of two points are exact closed forms."""
+    from same_same_spark.operators.facets import matrix_stats_facets
+
+    rows = [
+        (1, "apple", 1.0, 10.0),
+        (2, "apple pie", 3.0, 14.0),
+        (3, "apple cake", 5.0, None),
+        (4, "banana", 7.0, 99.0),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, x DOUBLE, y DOUBLE"
+    )
+    out = matrix_stats_facets(
+        docs, [(0, "apple"), (1, "zzz")], ["x", "y"],
+        id_col="doc_id", text_col="text",
+    ).collect()
+    assert len(out) == 1  # query 1 matches nothing -> no row
+    r = out[0]
+    assert (r.query_id, r.field_a, r.field_b, r.n) == (0, "x", "y", 2)
+    # two points (1,10), (3,14): covar_samp = (1-2)(10-12)+(3-2)(14-12)
+    # = 4 over n-1=1; corr = +1 (perfectly linear)
+    assert math.isclose(r.covariance, 4.0, rel_tol=1e-12)
+    assert math.isclose(r.correlation, 1.0, rel_tol=1e-12)
+
+
+def test_matrix_stats_degenerate_to_null(spark):
+    """n=1 (covar_samp undefined) and zero variance (corr NaN) both
+    surface as NULL — the pinned cross-engine normalization."""
+    from same_same_spark.operators.facets import matrix_stats_facets
+
+    docs = spark.createDataFrame(
+        [(1, "apple", 1.0, 2.0), (2, "banana", 5.0, 2.0),
+         (3, "banana", 9.0, 2.0)],
+        "doc_id LONG, text STRING, x DOUBLE, y DOUBLE",
+    )
+    out = {
+        r.query_id: r
+        for r in matrix_stats_facets(
+            docs, [(0, "apple"), (1, "banana")], ["x", "y"],
+            id_col="doc_id", text_col="text",
+        ).collect()
+    }
+    assert out[0].n == 1
+    assert out[0].covariance is None and out[0].correlation is None
+    assert out[1].n == 2
+    assert out[1].covariance == 0.0  # y constant
+    assert out[1].correlation is None  # 0/0 -> NaN -> NULL
+
+
+def test_matrix_stats_guards(spark):
+    from same_same_spark.operators.facets import matrix_stats_facets
+
+    docs = spark.createDataFrame(
+        [(1, "a", 1.0)], "doc_id LONG, text STRING, x DOUBLE"
+    )
+    with pytest.raises(ValueError, match=">= 2"):
+        matrix_stats_facets(docs, [(0, "a")], ["x"])
+    with pytest.raises(ValueError, match="duplicate"):
+        matrix_stats_facets(docs, [(0, "a")], ["x", "x"])

@@ -565,3 +565,32 @@ def test_mmr_plan_shape(spark):
     assert "SortMergeJoin" not in p
     assert p.count("FlatMapGroupsInPandas") == 1
     assert "BroadcastExchange" in p
+
+
+def test_multi_match_and_matrix_stats_plan_shape(spark, documents):
+    """multi_match: per-field broadcast term joins unioned, window-free
+    combine + tournament. matrix_stats: ONE aggregate row per query
+    (every pair's moments in a single groupBy), fixed-shape explode —
+    window-free, no cartesians."""
+    from same_same_spark.operators.facets import matrix_stats_facets
+    from same_same_spark.operators.multimatch import multi_match_search
+
+    docs_f = documents.selectExpr(
+        "doc_id", "substr(text, 1, 40) AS head", "text AS body"
+    )
+    mm = _plan(multi_match_search(
+        docs_f, [(0, "fast merge join")], {"head": 2.0, "body": 1.0},
+        mode="best_fields", tie_breaker=0.25, k=5, id_col="doc_id",
+    ))
+    ms = _plan(matrix_stats_facets(
+        documents.selectExpr("doc_id", "text", "n_chars",
+                             "n_chars % 7 AS x"),
+        [(0, "fast merge join")], ["n_chars", "x"],
+        id_col="doc_id", text_col="text",
+    ))
+    for plan in (mm, ms):
+        assert "Window" not in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "SortMergeJoin" not in plan
+        assert "BroadcastHashJoin" in plan
