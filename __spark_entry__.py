@@ -5255,6 +5255,162 @@ def _sql_matrix_stats_agg() -> str:
     )
 
 
+def _q_rare_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rare_terms aggregation (operators/facets.rare_terms_facets):
+    long-tail facet values of `n_chars` over each query's match set
+    (doc_count <= 2, rarest first) — the complement of search_facets'
+    terms agg; the rarity filter lands on aggregated counts and
+    ranking is the bounded tournament. Sole evidence; the oracle
+    re-derives with a row_number window. Saturation-overflow entry
+    (see _SATURATION_OVERFLOW)."""
+    from same_same_spark.operators.facets import rare_terms_facets
+
+    return rare_terms_facets(
+        _docs(spark, sf_dir), REF_QUERIES, "n_chars",
+        max_doc_count=2, topn=10, id_col="doc_id", text_col="text",
+    )
+
+
+def _sql_rare_terms() -> str:
+    from same_same_spark.operators.facets import duckdb_rare_terms_sql
+
+    return duckdb_rare_terms_sql(
+        "documents", "doc_id", "text", REF_QUERIES, "n_chars",
+        max_doc_count=2, topn=10,
+    )
+
+
+def _q_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """weighted_avg aggregation (operators/facets.weighted_avg_facets):
+    n_chars weighted by the X1 token count over each query's match set
+    — sum(v*w)/sum(w) with ES's skip-on-missing semantics, NULL on a
+    zero weight sum (try_divide, never an ANSI throw). Sole evidence;
+    the oracle re-derives with nullif division over an
+    independently-built match set. Saturation-overflow entry (see
+    _SATURATION_OVERFLOW)."""
+    from same_same_spark.operators.facets import weighted_avg_facets
+    from same_same_spark.text.tokenizer import tokens_col
+
+    docs_m = _docs(spark, sf_dir).select(
+        "doc_id", "text", "n_chars",
+        F.size(tokens_col("text")).cast("long").alias("dl"),
+    )
+    out = weighted_avg_facets(
+        docs_m, REF_QUERIES, "n_chars", "dl",
+        id_col="doc_id", text_col="text",
+    )
+    return _round6(out, "weighted_avg")
+
+
+def _sql_weighted_avg() -> str:
+    from same_same_spark.operators.facets import duckdb_weighted_avg_sql
+    from same_same_spark.text.tokenizer import duckdb_tokens_sql
+
+    toks = duckdb_tokens_sql("text")
+    prelude = f"""docs_m AS (
+  SELECT doc_id, text, n_chars, len({toks})::BIGINT AS dl
+  FROM documents
+), """
+    return duckdb_weighted_avg_sql(
+        "docs_m", "doc_id", "text", REF_QUERIES, "n_chars", "dl",
+        prelude_ctes=prelude,
+    )
+
+
+def _q_bucket_sort_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bucket_selector + bucket_sort pipeline aggs (operators/events):
+    over the per-event_type zero-filled daily histogram, keep buckets
+    with >= 1 event (the selector's comparison-script family) and
+    emit each type's top-3 busiest days ((count DESC, day ASC),
+    absolute bucket_rank) via the bounded tournament — never a rank
+    window on data rows. Sole evidence; the oracle re-derives with a
+    row_number window over the shared histogram twin.
+    Saturation-overflow entry (see _SATURATION_OVERFLOW)."""
+    from same_same_spark.operators.events import (
+        bucket_selector,
+        bucket_sort,
+        date_histogram,
+    )
+
+    series = date_histogram(
+        _events(spark, sf_dir), "day", group_col="event_type"
+    )
+    kept = bucket_selector(series, min_value=1)
+    return bucket_sort(
+        kept, size=3, sort_col="doc_count", order_col="bucket",
+        group_cols=["event_type"],
+    )
+
+
+def _sql_bucket_sort_days() -> str:
+    from same_same_spark.operators.events import duckdb_date_histogram_sql
+
+    hist = duckdb_date_histogram_sql("events", "day", group_col="event_type")
+    return f"""
+WITH series AS ({hist}),
+kept AS (SELECT * FROM series WHERE doc_count >= 1.0),
+ranked AS (
+  SELECT event_type, bucket, doc_count, row_number() OVER (
+    PARTITION BY event_type
+    ORDER BY round(doc_count, 9) DESC, bucket ASC
+  ) AS bucket_rank
+  FROM kept
+)
+SELECT event_type, bucket, doc_count, bucket_rank::INTEGER AS bucket_rank
+FROM ranked WHERE bucket_rank <= 3
+"""
+
+
+def _q_span_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """span_first query (operators/spannear.span_first_search): any
+    query term within the first 8 token positions (span_or under ES's
+    end boundary), matches BM25-ranked with first_pos reported —
+    completes the positional family (phrase / proximity / span_near /
+    span_first). Sole evidence; the oracle probes positions via
+    unnest(range) + min vs Spark's bounded-prefix filter.
+    Saturation-overflow entry (see _SATURATION_OVERFLOW)."""
+    from same_same_spark.operators.spannear import span_first_search
+
+    out = span_first_search(
+        _docs(spark, sf_dir), REF_QUERIES, end=8, k=REF_K,
+        id_col="doc_id", text_col="text",
+    )
+    return _round6(out, "score")
+
+
+def _sql_span_first() -> str:
+    from same_same_spark.operators.spannear import duckdb_span_first_sql
+
+    return duckdb_span_first_sql(
+        "documents", "doc_id", "text", REF_QUERIES, end=8, k=REF_K
+    )
+
+
+def _q_sampler_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sampler > terms aggregation (operators/facets.
+    sampler_terms_facets): facet counts over each query's top-25
+    highest-scoring matches only (deterministic global sample through
+    the bounded tournament — the one-shuffle strengthening of ES's
+    per-shard sampler). Sole evidence; the oracle re-derives sample +
+    counts + rank with windows. Saturation-overflow entry (see
+    _SATURATION_OVERFLOW)."""
+    from same_same_spark.operators.facets import sampler_terms_facets
+
+    return sampler_terms_facets(
+        _docs(spark, sf_dir), REF_QUERIES, "lang",
+        shard_size=25, topn=5, id_col="doc_id", text_col="text",
+    )
+
+
+def _sql_sampler_terms() -> str:
+    from same_same_spark.operators.facets import duckdb_sampler_terms_sql
+
+    return duckdb_sampler_terms_sql(
+        "documents", "doc_id", "text", REF_QUERIES, "lang",
+        shard_size=25, topn=5,
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5654,6 +5810,11 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "mmr_topk": (_q_mmr_topk, _sql_mmr_topk()),
     "multi_match_topk": (_q_multi_match_topk, _sql_multi_match_topk()),
     "matrix_stats_agg": (_q_matrix_stats_agg, _sql_matrix_stats_agg()),
+    "rare_terms": (_q_rare_terms, _sql_rare_terms()),
+    "weighted_avg": (_q_weighted_avg, _sql_weighted_avg()),
+    "bucket_sort_days": (_q_bucket_sort_days, _sql_bucket_sort_days()),
+    "span_first": (_q_span_first, _sql_span_first()),
+    "sampler_terms": (_q_sampler_terms, _sql_sampler_terms()),
     # index-dictionary wildcard: rank-identical twin of wildcard_topk
     # (shared oracle; twin-tail placement per the witness contract)
     "wildcard_topk_indexed": (
@@ -5838,6 +5999,11 @@ _ORDER: list[str] = [
     "mmr_topk",
     "multi_match_topk",
     "matrix_stats_agg",
+    "rare_terms",
+    "weighted_avg",
+    "bucket_sort_days",
+    "span_first",
+    "sampler_terms",
     # --- rotate-backs (last green r2/r3) -------------------------------
     "euclidean_topk",
     "events_hourly",
@@ -5976,6 +6142,11 @@ _SATURATION_OVERFLOW: set[str] = {
     "mmr_topk",
     "multi_match_topk",
     "matrix_stats_agg",
+    "rare_terms",
+    "weighted_avg",
+    "bucket_sort_days",
+    "span_first",
+    "sampler_terms",
 }
 
 assert len(_ORDER) == len(set(_ORDER)), "duplicate names in _ORDER"

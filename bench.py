@@ -151,6 +151,11 @@ ENTRY_QUERY_NAMES = [
     "mmr_topk",
     "multi_match_topk",
     "matrix_stats_agg",
+    "rare_terms",
+    "weighted_avg",
+    "bucket_sort_days",
+    "span_first",
+    "sampler_terms",
 ]
 
 # VERDICT r3 #8: round-over-round totals stopped being comparable as

@@ -507,6 +507,17 @@ class SameSameSpark:
         - ``"span_near"`` — ordered span with gaps
           (:mod:`~same_same_spark.operators.spannear`); ``q`` = text;
           ``slop=``.
+        - ``"span_first"`` — any term within the first N positions
+          (:mod:`~same_same_spark.operators.spannear`); ``q`` = text;
+          ``end=`` the position boundary.
+        - ``"dis_max"`` — best-clause combine
+          (:mod:`~same_same_spark.operators.dismax`); ``q`` = list of
+          clause strings; ``tie_breaker=``.
+        - ``"multi_match"`` — one string over several fields, each
+          with its own statistics
+          (:mod:`~same_same_spark.operators.multimatch`); ``q`` =
+          text; ``fields=`` {column: boost}; ``match_mode=``
+          best_fields (default) or most_fields; ``tie_breaker=``.
 
         Extra ``kw`` pass through to the operator. Returns
         (id, score, rank) plus the mode's extra columns
@@ -609,11 +620,35 @@ class SameSameSpark:
                 self.docs, [(0, q)], kw.pop("synonyms"), k=k,
                 id_col=self.id_col, text_col=self.text_col, **kw,
             )
+        elif mode == "span_first":
+            from same_same_spark.operators.spannear import span_first_search
+
+            out = span_first_search(
+                self.docs, [(0, q)], kw.pop("end"), k=k,
+                id_col=self.id_col, text_col=self.text_col, **kw,
+            )
+        elif mode == "dis_max":
+            from same_same_spark.operators.dismax import dismax_search
+
+            out = dismax_search(
+                self.docs, [(0, list(q))], k=k, id_col=self.id_col,
+                text_col=self.text_col, **kw,
+            )
+        elif mode == "multi_match":
+            from same_same_spark.operators.multimatch import (
+                multi_match_search,
+            )
+
+            out = multi_match_search(
+                self.docs, [(0, q)], kw.pop("fields"),
+                mode=kw.pop("match_mode", "best_fields"), k=k,
+                id_col=self.id_col, **kw,
+            )
         else:
             raise ValueError(
                 f"unknown query mode {mode!r} (expected terms/phrase/"
                 "bool/wildcard/regexp/fuzzy/proximity/boosted/synonym/"
-                "rescore/span_near)"
+                "rescore/span_near/span_first/dis_max/multi_match)"
             )
         return out.drop("query_id").withColumnRenamed("doc_id", self.id_col)
 
@@ -674,6 +709,78 @@ class SameSameSpark:
         return percentiles_facets(
             self.docs, [(0, text)], value_col, percents=percents,
             id_col=self.id_col, text_col=self.text_col,
+        ).drop("query_id")
+
+    def filters_agg(
+        self,
+        text: str,
+        buckets: dict[str, dict],
+        other_bucket: bool = False,
+    ) -> DataFrame:
+        """Named FilterExpr buckets over the query's match set (ES
+        ``filters`` aggregation): (bucket, doc_count, avg_score) with
+        a fixed shape — empty buckets emit doc_count 0."""
+        from same_same_spark.operators.facets import filters_facets
+
+        return filters_facets(
+            self.docs, [(0, text)], buckets, other_bucket=other_bucket,
+            metadata_col=None, id_col=self.id_col,
+            text_col=self.text_col,
+        ).drop("query_id")
+
+    def rare_terms(
+        self,
+        text: str,
+        facet_col: str,
+        max_doc_count: int = 1,
+        topn: int = 10,
+    ) -> DataFrame:
+        """Long-tail facet values over the match set (ES
+        ``rare_terms``): doc_count <= max_doc_count, rarest first."""
+        from same_same_spark.operators.facets import rare_terms_facets
+
+        return rare_terms_facets(
+            self.docs, [(0, text)], facet_col,
+            max_doc_count=max_doc_count, topn=topn,
+            id_col=self.id_col, text_col=self.text_col,
+        ).drop("query_id")
+
+    def weighted_avg(
+        self, text: str, value_col: str, weight_col: str
+    ) -> DataFrame:
+        """Weighted average over the match set (ES ``weighted_avg``):
+        sum(v*w)/sum(w), docs missing either field skipped."""
+        from same_same_spark.operators.facets import weighted_avg_facets
+
+        return weighted_avg_facets(
+            self.docs, [(0, text)], value_col, weight_col,
+            id_col=self.id_col, text_col=self.text_col,
+        ).drop("query_id")
+
+    def matrix_stats(self, text: str, value_cols: list[str]) -> DataFrame:
+        """Pairwise covariance/correlation over the match set (ES
+        ``matrix_stats``), complete-case."""
+        from same_same_spark.operators.facets import matrix_stats_facets
+
+        return matrix_stats_facets(
+            self.docs, [(0, text)], value_cols,
+            id_col=self.id_col, text_col=self.text_col,
+        ).drop("query_id")
+
+    def sampler_terms(
+        self,
+        text: str,
+        facet_col: str,
+        shard_size: int = 100,
+        topn: int = 5,
+    ) -> DataFrame:
+        """Terms agg restricted to the top-``shard_size`` best-scoring
+        matches (ES ``sampler`` > ``terms``, made deterministic)."""
+        from same_same_spark.operators.facets import sampler_terms_facets
+
+        return sampler_terms_facets(
+            self.docs, [(0, text)], facet_col, shard_size=shard_size,
+            topn=topn, id_col=self.id_col, text_col=self.text_col,
         ).drop("query_id")
 
     def explain(self, text: str, ids: list) -> DataFrame:

@@ -1847,3 +1847,124 @@ SELECT query_id, count(*)::BIGINT AS n,
          AS weighted_avg
 FROM j GROUP BY query_id
 """
+
+
+def sampler_terms_facets(
+    docs_df: DataFrame,
+    queries: list[tuple[int, str]],
+    facet_col: str,
+    shard_size: int = 100,
+    topn: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+) -> DataFrame:
+    """Sampler aggregation with a terms sub-agg (Elasticsearch's
+    ``sampler`` > ``terms``): restrict the aggregation scope to each
+    query's ``shard_size`` HIGHEST-SCORING matched docs, then count
+    facet values inside the sample — "what do the best matches look
+    like", immune to the long relevance tail.
+
+    Pinned semantics (cross-engine, re-derived per-entry):
+
+    - the sample = top ``shard_size`` docs per query under the pinned
+      BM25 total order ``(round(score, 9) DESC, doc_id ASC)`` — Spark
+      has no shards, so the sample is GLOBAL and deterministic (ES's
+      per-shard sampling is explicitly non-deterministic; this is the
+      one-shuffle strengthening, documented);
+    - within the sample: doc_count per facet value (NULLs excluded,
+      string-compared), rank 1..topn under ``(doc_count DESC,
+      value ASC)``.
+
+    Returns (query_id INT, value STRING, doc_count LONG, rank INT).
+
+    Scale shape: the sample rides the bounded tournament
+    (``topk_per_query`` with k = shard_size), so no task ever holds a
+    query's full match list; the sub-agg sees <= queries x shard_size
+    rows. The facet join runs AFTER sampling — at 100 TB the metadata
+    fetch touches only sampled ids.
+    """
+    if shard_size < 1:
+        raise ValueError(f"shard_size must be >= 1, got {shard_size}")
+    from same_same_spark.bm25 import scored_matches
+    from same_same_spark.operators.topk import topk_per_query
+
+    scored = scored_matches(
+        docs_df, queries, id_col=id_col, text_col=text_col
+    )
+    sample = topk_per_query(scored, shard_size).select("query_id", "doc_id")
+    meta = docs_df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(facet_col).cast("string").alias("value"),
+    )
+    # the sample is bounded (queries x shard_size) — broadcast it
+    # against the metadata so only sampled ids are ever fetched
+    counts = (
+        meta.join(F.broadcast(sample), "doc_id")
+        .filter(F.col("value").isNotNull())
+        .groupBy("query_id", "value")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+    )
+    entry = F.struct(
+        (-F.col("doc_count")).alias("negc"),
+        F.col("value").alias("value"),
+        F.col("doc_count").alias("doc_count"),
+    )
+    local = (
+        counts.withColumn("part", F.spark_partition_id())
+        .groupBy("query_id", "part")
+        .agg(F.slice(F.sort_array(F.collect_list(entry)), 1, topn).alias("c"))
+    )
+    merged = local.groupBy("query_id").agg(
+        F.slice(
+            F.sort_array(F.flatten(F.collect_list("c"))), 1, topn
+        ).alias("top")
+    )
+    return merged.select(
+        "query_id", F.posexplode("top").alias("pos", "s")
+    ).select(
+        "query_id",
+        F.col("s.value").alias("value"),
+        F.col("s.doc_count").cast("long").alias("doc_count"),
+        (F.col("pos") + 1).cast("int").alias("rank"),
+    )
+
+
+def duckdb_sampler_terms_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    queries: list[tuple[int, str]],
+    facet_col: str,
+    shard_size: int = 100,
+    topn: int = 5,
+) -> str:
+    """DuckDB twin of :func:`sampler_terms_facets`."""
+    from same_same_spark.bm25 import duckdb_scored_sql
+
+    inner = duckdb_scored_sql(table, id_col, text_col, queries)
+    return f"""
+WITH scored AS ({inner}),
+sample AS (
+  SELECT query_id, doc_id FROM (
+    SELECT query_id, doc_id, row_number() OVER (
+      PARTITION BY query_id
+      ORDER BY round(score, 9) DESC, doc_id ASC
+    ) AS rn FROM scored
+  ) WHERE rn <= {shard_size}
+),
+counts AS (
+  SELECT s.query_id, CAST(d.{facet_col} AS VARCHAR) AS value,
+         count(*)::BIGINT AS doc_count
+  FROM sample s JOIN {table} d ON s.doc_id = d.{id_col}
+  WHERE d.{facet_col} IS NOT NULL
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, value, doc_count, row_number() OVER (
+    PARTITION BY query_id ORDER BY doc_count DESC, value ASC
+  ) AS rank
+  FROM counts
+)
+SELECT query_id, value, doc_count, rank::INTEGER AS rank
+FROM ranked WHERE rank <= {topn}
+"""

@@ -295,3 +295,169 @@ SELECT query_id, doc_id, round(score, {round_score}) AS score,
        rank::INTEGER AS rank, n_spans::INTEGER AS n_spans
 FROM ranked WHERE rank <= {k}
 """
+
+
+def span_first_search(
+    docs_df: DataFrame,
+    queries: list[tuple[int, str]],
+    end: int,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+) -> DataFrame:
+    """ES ``span_first`` with the query terms as ``span_or``: a doc
+    matches iff ANY of the query's distinct X1 terms occurs within the
+    first ``end`` token positions (1-based, inclusive — ES's
+    ``end`` boundary on the span's end for single-term spans).
+
+    Pinned semantics (cross-engine, re-derived in
+    :func:`duckdb_span_first_sql`):
+
+    - ``first_pos`` = the earliest position <= ``end`` holding a query
+      term; docs with none don't match;
+    - matching docs are scored with the engine's FULL pinned BM25 of
+      the query (rank restricted to matches — the phrase/span family
+      contract), pinned total order.
+
+    Returns (query_id INT, doc_id, score DOUBLE, rank INT,
+    first_pos INT).
+
+    Scale shape: candidates come from the broadcast posting join (only
+    docs holding >= 1 query term are ever touched); the position probe
+    is pure JVM column math over a ``min(end, dl)``-bounded prefix.
+    """
+    if end < 1:
+        raise ValueError(f"end must be >= 1, got {end}")
+    spark = docs_df.sparkSession
+    tok = tokenized(docs_df, id_col=id_col, text_col=text_col)
+    cs = corpus_stats(tok)
+
+    qterm_rows = [
+        (qid, term)
+        for qid, text in queries
+        for term in sorted(set(tokenize_py(text)))
+    ]
+    empty = spark.createDataFrame(
+        [],
+        "query_id INT, doc_id LONG, score DOUBLE, rank INT, first_pos INT",
+    )
+    if not qterm_rows or cs.avgdl == 0:
+        return empty
+    qterms = spark.createDataFrame(qterm_rows, "query_id INT, term STRING")
+    qarr = spark.createDataFrame(
+        [
+            (qid, sorted({t for q, t in qterm_rows if q == qid}))
+            for qid in sorted({q for q, _ in qterm_rows})
+        ],
+        "query_id INT, qset ARRAY<STRING>",
+    )
+
+    postings = doc_term_freqs(tok)
+    matched = postings.join(
+        F.broadcast(qterms.select("term").distinct()), "term", "inner"
+    )
+    dfs = matched.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    cand = (
+        matched.join(F.broadcast(qterms), "term")
+        .select("query_id", "doc_id")
+        .distinct()
+    )
+
+    prefix = F.sequence(
+        F.lit(1), F.least(F.size("tokens"), F.lit(int(end)))
+    )
+    hits = F.filter(
+        prefix,
+        lambda i: F.array_contains(
+            F.col("qset"), F.element_at(F.col("tokens"), i)
+        ),
+    )
+    verified = (
+        cand.join(tok.select("doc_id", "tokens"), "doc_id")
+        .join(F.broadcast(qarr), "query_id")
+        .withColumn(
+            "first_pos",
+            F.when(F.size(hits) > 0, F.element_at(hits, 1)),
+        )
+        .filter(F.col("first_pos").isNotNull())
+        .select("query_id", "doc_id", "first_pos")
+    )
+
+    scored = (
+        matched.join(F.broadcast(dfs), "term")
+        .withColumn("idf", idf_col(F.col("df"), cs.n_docs))
+        .withColumn(
+            "w",
+            bm25_weight_col(
+                F.col("tf"), F.col("dl"), F.col("idf"), cs.avgdl, k1, b
+            ),
+        )
+        .join(F.broadcast(qterms), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("w").alias("score"))
+        .join(verified.select("query_id", "doc_id"), ["query_id", "doc_id"])
+    )
+    top = topk_per_query(scored, k)
+    return top.join(verified, ["query_id", "doc_id"], "inner").select(
+        "query_id",
+        "doc_id",
+        "score",
+        "rank",
+        F.col("first_pos").cast("int").alias("first_pos"),
+    )
+
+
+def duckdb_span_first_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    queries: list[tuple[int, str]],
+    end: int,
+    k: int = 10,
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+    round_score: int = 6,
+) -> str:
+    """DuckDB twin of :func:`span_first_search` (score at 6dp). The
+    position probe re-derives via unnest(range) + min() instead of the
+    Spark-side bounded-prefix filter."""
+    from same_same_spark.bm25 import duckdb_scored_sql
+    from same_same_spark.text.tokenizer import duckdb_tokens_sql
+
+    if end < 1:
+        raise ValueError(f"end must be >= 1, got {end}")
+    qrows = []
+    for qid, text in queries:
+        for term in sorted(set(tokenize_py(text))):
+            qrows.append(f"({qid}, '{term}')")
+    qvalues = ", ".join(qrows) if qrows else "(NULL, NULL) LIMIT 0"
+    inner = duckdb_scored_sql(table, id_col, text_col, queries, k1=k1, b=b)
+    return f"""
+WITH toks2 AS (
+  SELECT {id_col} AS doc_id, {duckdb_tokens_sql(text_col)} AS tokens
+  FROM {table}
+),
+qt2 AS (SELECT * FROM (VALUES {qvalues}) AS v(query_id, term)),
+firstpos AS (
+  SELECT q.query_id, t.doc_id, min(u.pos)::INTEGER AS first_pos
+  FROM toks2 t,
+       unnest(range(1, len(t.tokens) + 1)) AS u(pos)
+  JOIN qt2 q ON t.tokens[u.pos] = q.term
+  WHERE u.pos <= {int(end)}
+  GROUP BY 1, 2
+),
+scored AS ({inner}),
+ranked AS (
+  SELECT s.query_id, s.doc_id, s.score, f.first_pos, row_number() OVER (
+    PARTITION BY s.query_id
+    ORDER BY round(s.score, 9) DESC, s.doc_id ASC
+  ) AS rank
+  FROM scored s
+  JOIN firstpos f ON s.query_id = f.query_id AND s.doc_id = f.doc_id
+)
+SELECT query_id, doc_id, round(score, {round_score}) AS score,
+       rank::INTEGER AS rank, first_pos
+FROM ranked WHERE rank <= {k}
+"""

@@ -720,3 +720,59 @@ def test_query_rescore_mode(store):
         (r[idc], r["rank"], round(r["score"], 9)) for r in df.collect()
     )
     assert key(got, "id") == key(want, "doc_id") and key(got, "id")
+
+
+def test_query_dispatcher_new_modes_and_agg_methods(spark, store):
+    """Round-5 additions: dis_max / multi_match / span_first modes and
+    the filters_agg / rare_terms / weighted_avg / matrix_stats /
+    sampler_terms helpers route to their operators, id-renamed."""
+    from same_same_spark.operators.dismax import dismax_search
+    from same_same_spark.operators.spannear import span_first_search
+
+    docs = store.docs
+
+    def rows(df, idc="id"):
+        return sorted(
+            (r[idc], r["rank"], round(r["score"], 9)) for r in df.collect()
+        )
+
+    got = store.query(["physics theory", "quantum"], mode="dis_max",
+                      k=5, tie_breaker=0.3)
+    want = dismax_search(docs, [(0, ["physics theory", "quantum"])],
+                         tie_breaker=0.3, k=5, id_col="id",
+                         text_col="text")
+    assert rows(got) == rows(want, "doc_id") and rows(got)
+
+    got = store.query("physics", mode="span_first", end=6, k=5)
+    want = span_first_search(docs, [(0, "physics")], end=6, k=5,
+                             id_col="id", text_col="text")
+    assert rows(got) == rows(want, "doc_id") and rows(got)
+
+    # multi_match over two real columns
+    from same_same_spark.operators.multimatch import multi_match_search
+
+    two = docs.selectExpr(
+        "id", "text", "substr(text, 1, 20) AS head", "text AS body"
+    )
+    store2 = SameSameSpark(two)
+    got = store2.query("physics theory", mode="multi_match", k=5,
+                       fields={"head": 2.0, "body": 1.0},
+                       match_mode="best_fields", tie_breaker=0.2)
+    want = multi_match_search(two, [(0, "physics theory")],
+                              {"head": 2.0, "body": 1.0},
+                              mode="best_fields", tie_breaker=0.2,
+                              k=5, id_col="id")
+    assert rows(got) == rows(want, "doc_id") and rows(got)
+
+    # aggregation helpers: shape smoke (semantics pinned in
+    # test_diversify; here we check the routing + query_id drop)
+    fa = store.filters_agg(
+        "physics", {"einstein": {"author": {"eq": "Einstein"}}},
+        other_bucket=True,
+    )
+    assert {r["bucket"] for r in fa.collect()} == {"einstein", "_other_"}
+    rt = store.rare_terms("physics", "id", max_doc_count=1, topn=10)
+    assert rt.count() == 2  # every id unique in the match set
+    st = store.sampler_terms("physics", "id", shard_size=1, topn=5)
+    assert st.count() == 1  # sample of 1 -> one facet row
+    assert "query_id" not in fa.columns

@@ -398,3 +398,197 @@ def test_matrix_stats_guards(spark):
         matrix_stats_facets(docs, [(0, "a")], ["x"])
     with pytest.raises(ValueError, match="duplicate"):
         matrix_stats_facets(docs, [(0, "a")], ["x", "x"])
+
+
+# ---------------------------------------------------------------------------
+# rare_terms / weighted_avg / bucket_selector / bucket_sort
+# ---------------------------------------------------------------------------
+
+
+def test_rare_terms_hand_counted(spark):
+    """Match set of 'apple' = docs 1-4. Facet counts: x=2, y=1, z=1
+    (NULL excluded). max_doc_count=1 keeps y, z (count ASC, value ASC);
+    max_doc_count=2 adds x after them."""
+    from same_same_spark.operators.facets import rare_terms_facets
+
+    docs = spark.createDataFrame(
+        [(1, "apple", "x"), (2, "apple", "x"), (3, "apple", "y"),
+         (4, "apple pie", "z"), (5, "apple tart", None),
+         (6, "banana", "w")],
+        "doc_id LONG, text STRING, f STRING",
+    )
+    out = rare_terms_facets(
+        docs, [(0, "apple")], "f", max_doc_count=1, topn=10,
+        id_col="doc_id", text_col="text",
+    ).collect()
+    assert [(r.value, r.doc_count, r.rank) for r in out] == [
+        ("y", 1, 1), ("z", 1, 2)
+    ]
+    out2 = rare_terms_facets(
+        docs, [(0, "apple")], "f", max_doc_count=2, topn=10,
+        id_col="doc_id", text_col="text",
+    ).collect()
+    assert [(r.value, r.doc_count, r.rank) for r in out2] == [
+        ("y", 1, 1), ("z", 1, 2), ("x", 2, 3)
+    ]
+    with pytest.raises(ValueError, match="max_doc_count"):
+        rare_terms_facets(docs, [(0, "apple")], "f", max_doc_count=0)
+
+
+def test_weighted_avg_hand_computed(spark):
+    """Docs 1-3 match; doc 3 has a NULL weight and is skipped (ES
+    missing semantics): (10*1 + 30*3) / 4 = 25. A second query's
+    matches all carry weight 0 -> NULL (never an ANSI throw)."""
+    from same_same_spark.operators.facets import weighted_avg_facets
+
+    docs = spark.createDataFrame(
+        [(1, "apple", 10.0, 1.0), (2, "apple", 30.0, 3.0),
+         (3, "apple", 99.0, None), (4, "banana", 7.0, 0.0)],
+        "doc_id LONG, text STRING, v DOUBLE, w DOUBLE",
+    )
+    out = {
+        r.query_id: r
+        for r in weighted_avg_facets(
+            docs, [(0, "apple"), (1, "banana"), (2, "zzz")], "v", "w",
+            id_col="doc_id", text_col="text",
+        ).collect()
+    }
+    assert out[0].n == 2
+    assert math.isclose(out[0].weighted_avg, 25.0, rel_tol=1e-12)
+    assert out[1].n == 1 and out[1].weighted_avg is None
+    assert 2 not in out  # no match -> no row
+
+
+def test_bucket_selector_bounds(spark):
+    from same_same_spark.operators.events import bucket_selector
+
+    series = spark.createDataFrame(
+        [("a", 1, 0), ("a", 2, 5), ("a", 3, None), ("a", 4, 9)],
+        "g STRING, bucket INT, doc_count INT",
+    )
+    kept = bucket_selector(series, min_value=1, max_value=8).collect()
+    assert [r.bucket for r in kept] == [2]  # NULL never matches
+    lo = bucket_selector(series, min_value=5).collect()
+    assert sorted(r.bucket for r in lo) == [2, 4]
+    with pytest.raises(ValueError, match="min_value or max_value"):
+        bucket_selector(series)
+
+
+def test_bucket_sort_per_group_with_ties_and_paging(spark):
+    from same_same_spark.operators.events import bucket_sort
+
+    series = spark.createDataFrame(
+        [("a", 1, 5), ("a", 2, 9), ("a", 3, 9), ("a", 4, 1),
+         ("b", 1, 2), ("b", 2, 2)],
+        "g STRING, bucket INT, doc_count INT",
+    )
+    top = bucket_sort(
+        series, size=2, sort_col="doc_count", order_col="bucket",
+        group_cols=["g"],
+    ).collect()
+    rows = sorted((r.g, r.bucket_rank, r.bucket, r.doc_count) for r in top)
+    # ties (9, 9) break bucket ASC; b's tie (2, 2) likewise
+    assert rows == [
+        ("a", 1, 2, 9), ("a", 2, 3, 9), ("b", 1, 1, 2), ("b", 2, 2, 2)
+    ]
+    page2 = bucket_sort(
+        series, size=2, sort_col="doc_count", order_col="bucket",
+        group_cols=["g"], from_=2,
+    ).collect()
+    assert sorted((r.g, r.bucket_rank, r.bucket) for r in page2) == [
+        ("a", 3, 1), ("a", 4, 4)
+    ]
+    asc = bucket_sort(
+        series, size=1, sort_col="doc_count", order_col="bucket",
+        group_cols=["g"], ascending=True,
+    ).collect()
+    assert sorted((r.g, r.bucket) for r in asc) == [("a", 4), ("b", 1)]
+    with pytest.raises(ValueError, match="size"):
+        bucket_sort(series, size=0)
+    with pytest.raises(ValueError, match="from_"):
+        bucket_sort(series, size=1, from_=-1)
+
+
+def test_bucket_sort_global_no_groups(spark):
+    from same_same_spark.operators.events import bucket_sort
+
+    series = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 7)], "bucket INT, doc_count INT",
+    )
+    top = bucket_sort(series, size=2, group_cols=None).collect()
+    assert [(r.bucket, r.bucket_rank) for r in
+            sorted(top, key=lambda r: r.bucket_rank)] == [(2, 1), (3, 2)]
+
+
+# ---------------------------------------------------------------------------
+# span_first / sampler agg
+# ---------------------------------------------------------------------------
+
+
+def test_span_first_position_gate(spark):
+    """end=2: doc 1 has 'apple' at pos 1, doc 2 at pos 3 (gated out),
+    doc 3 has 'banana' (query's 2nd term) at pos 2 -> first_pos
+    reports the earliest QUERY-TERM position within the window."""
+    from same_same_spark.operators.spannear import span_first_search
+
+    docs = spark.createDataFrame(
+        [(1, "apple pie crust"), (2, "pie crust apple"),
+         (3, "pie banana apple")],
+        "doc_id LONG, text STRING",
+    )
+    out = span_first_search(
+        docs, [(0, "apple banana")], end=2, k=10,
+        id_col="doc_id", text_col="text",
+    ).collect()
+    got = {r.doc_id: r.first_pos for r in out}
+    assert got == {1: 1, 3: 2}
+    # scores = full-query BM25, identical to the unrestricted scorer
+    full = {
+        r.doc_id: r.score
+        for r in score_queries(
+            docs, [(0, "apple banana")], k=10,
+            id_col="doc_id", text_col="text",
+        ).collect()
+    }
+    for r in out:
+        assert math.isclose(r.score, full[r.doc_id], rel_tol=1e-12)
+    with pytest.raises(ValueError, match="end"):
+        span_first_search(docs, [(0, "apple")], end=0)
+
+
+def test_span_first_end_beyond_doc_len(spark):
+    """end larger than every doc: matches every doc holding any term
+    (degrades to plain match + first occurrence position)."""
+    from same_same_spark.operators.spannear import span_first_search
+
+    docs = spark.createDataFrame(
+        [(1, "pie crust apple"), (2, "melon")],
+        "doc_id LONG, text STRING",
+    )
+    out = span_first_search(
+        docs, [(0, "apple")], end=100, k=10,
+        id_col="doc_id", text_col="text",
+    ).collect()
+    assert [(r.doc_id, r.first_pos) for r in out] == [(1, 3)]
+
+
+def test_sampler_terms_restricts_to_top_scores(spark):
+    """shard_size=2: the sample keeps the two best 'apple' docs (1, 2 —
+    higher tf); doc 3's facet value never shows. Within the sample
+    counts rank (count DESC, value ASC)."""
+    from same_same_spark.operators.facets import sampler_terms_facets
+
+    docs = spark.createDataFrame(
+        [(1, "apple apple apple", "x"), (2, "apple apple pie", "y"),
+         (3, "apple crumble pie dish", "z")],
+        "doc_id LONG, text STRING, f STRING",
+    )
+    out = sampler_terms_facets(
+        docs, [(0, "apple")], "f", shard_size=2, topn=5,
+        id_col="doc_id", text_col="text",
+    ).collect()
+    assert [(r.value, r.doc_count, r.rank) for r in out] == [
+        ("x", 1, 1), ("y", 1, 2)
+    ]
+    with pytest.raises(ValueError, match="shard_size"):
+        sampler_terms_facets(docs, [(0, "apple")], "f", shard_size=0)

@@ -594,3 +594,59 @@ def test_multi_match_and_matrix_stats_plan_shape(spark, documents):
         assert "BroadcastNestedLoopJoin" not in plan
         assert "SortMergeJoin" not in plan
         assert "BroadcastHashJoin" in plan
+
+
+def test_rare_terms_weighted_avg_bucket_sort_plan_shape(spark, documents):
+    """rare_terms: rarity filter on aggregated counts + bounded
+    tournament; weighted_avg: one map-side aggregate; bucket_sort:
+    tournament over buckets — all window-free, no cartesians."""
+    from same_same_spark.operators.events import bucket_sort
+    from same_same_spark.operators.facets import (
+        rare_terms_facets,
+        weighted_avg_facets,
+    )
+
+    queries = [(0, "fast merge join")]
+    rt = _plan(rare_terms_facets(
+        documents, queries, "n_chars", max_doc_count=2,
+        id_col="doc_id", text_col="text",
+    ))
+    wa = _plan(weighted_avg_facets(
+        documents, queries, "n_chars", "n_chars",
+        id_col="doc_id", text_col="text",
+    ))
+    series = documents.groupBy("lang").count() \
+        .withColumnRenamed("count", "doc_count") \
+        .withColumnRenamed("lang", "bucket")
+    bs = _plan(bucket_sort(series, size=3, group_cols=None))
+    for plan in (rt, wa, bs):
+        assert "Window" not in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "SortMergeJoin" not in plan
+
+
+def test_span_first_and_sampler_plan_shape(spark, documents):
+    """span_first: posting-join candidates, bounded-prefix JVM probe,
+    tournament ranking; sampler: bounded sample broadcast back against
+    the metadata — both window-free, no cartesians."""
+    from same_same_spark.operators.facets import sampler_terms_facets
+    from same_same_spark.operators.spannear import span_first_search
+
+    sf = _plan(span_first_search(
+        documents, [(0, "fast merge join")], end=8, k=5,
+        id_col="doc_id", text_col="text",
+    ))
+    sa = _plan(sampler_terms_facets(
+        documents, [(0, "fast merge join")], "lang",
+        shard_size=10, topn=5, id_col="doc_id", text_col="text",
+    ))
+    for plan in (sf, sa):
+        assert "Window" not in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "BroadcastHashJoin" in plan
+    # the sampler's joins are all broadcast; span_first's
+    # scored/verified join legitimately shuffles (both sides scale
+    # with matches — the span_near family contract)
+    assert "SortMergeJoin" not in sa
