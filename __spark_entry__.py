@@ -5361,6 +5361,32 @@ FROM ranked WHERE bucket_rank <= 3
 """
 
 
+def _q_cascade_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tiered quantized retrieval (pipeline/cascade.cascade_topk):
+    BQ Hamming shortlist (40) → SQ8 asymmetric refine (15) → exact L2
+    top-5 — the faiss binary+refine serving shape; stage boundaries
+    strict subsets, every stage the bounded tournament. Sole evidence;
+    the oracle re-derives BOTH trainers, BOTH encodes and all three
+    stages in SQL. Saturation-overflow entry (see
+    _SATURATION_OVERFLOW)."""
+    from same_same_spark.pipeline.cascade import cascade_topk
+
+    out = cascade_topk(
+        _emb(spark, sf_dir), _ann_queries(spark, sf_dir),
+        k=5, shortlist=40, refine=15,
+    )
+    return _round6(out, "dist")
+
+
+def _sql_cascade_topk() -> str:
+    from same_same_spark.pipeline.cascade import duckdb_cascade_sql
+
+    return duckdb_cascade_sql(
+        "embeddings", "vec_id", "embedding", dim=64,
+        query_ids=[0, 1, 2], k=5, shortlist=40, refine=15,
+    )
+
+
 def _q_span_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     """span_first query (operators/spannear.span_first_search): any
     query term within the first 8 token positions (span_or under ES's
@@ -5815,6 +5841,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "bucket_sort_days": (_q_bucket_sort_days, _sql_bucket_sort_days()),
     "span_first": (_q_span_first, _sql_span_first()),
     "sampler_terms": (_q_sampler_terms, _sql_sampler_terms()),
+    "cascade_topk": (_q_cascade_topk, _sql_cascade_topk()),
     # index-dictionary wildcard: rank-identical twin of wildcard_topk
     # (shared oracle; twin-tail placement per the witness contract)
     "wildcard_topk_indexed": (
@@ -6004,6 +6031,7 @@ _ORDER: list[str] = [
     "bucket_sort_days",
     "span_first",
     "sampler_terms",
+    "cascade_topk",
     # --- rotate-backs (last green r2/r3) -------------------------------
     "euclidean_topk",
     "events_hourly",
@@ -6147,6 +6175,7 @@ _SATURATION_OVERFLOW: set[str] = {
     "bucket_sort_days",
     "span_first",
     "sampler_terms",
+    "cascade_topk",
 }
 
 assert len(_ORDER) == len(set(_ORDER)), "duplicate names in _ORDER"

@@ -156,6 +156,7 @@ ENTRY_QUERY_NAMES = [
     "bucket_sort_days",
     "span_first",
     "sampler_terms",
+    "cascade_topk",
 ]
 
 # VERDICT r3 #8: round-over-round totals stopped being comparable as

@@ -259,3 +259,160 @@ SELECT query_id, doc_id, round(score, {round_score}) AS score,
        rank::INTEGER AS rank
 FROM ranked WHERE rank <= {k}
 """
+
+
+def terms_set_search(
+    docs_df: DataFrame,
+    queries: list[tuple[int, str]],
+    msm_col: str,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+) -> DataFrame:
+    """ES ``terms_set`` query: the minimum_should_match comes FROM the
+    document — "match if the doc holds at least ``msm_col``-many of
+    the query's terms" (the tags/skills-matching workhorse).
+
+    Pinned semantics (cross-engine, re-derived in
+    :func:`duckdb_terms_set_sql`):
+
+    - per (query, doc): n = how many of the query's m distinct X1
+      terms the doc contains; the doc matches iff
+      ``n >= greatest(1, least(msm_col(d), m))`` — the ubiquitous
+      ``Math.min(params.num_terms, doc[field])`` script idiom, floored
+      at 1 so a zero/negative field never matches everything;
+    - a NULL ``msm_col`` never matches (ES requires the field);
+    - matches score with the engine's pinned BM25 over the query
+      terms, pinned total order.
+
+    Returns (query_id INT, doc_id, score DOUBLE, rank INT,
+    n_matched INT).
+
+    Scale shape: the same single broadcast-posting-join plan as
+    boolean_search; the per-doc requirement joins from the doc side as
+    one pruned column.
+    """
+    spark = docs_df.sparkSession
+    tok = tokenized(docs_df, id_col=id_col, text_col=text_col)
+    cs = corpus_stats(tok)
+    qrows = [
+        (qid, term, len(set(tokenize_py(text))))
+        for qid, text in queries
+        for term in sorted(set(tokenize_py(text)))
+    ]
+    empty = spark.createDataFrame(
+        [],
+        "query_id INT, doc_id LONG, score DOUBLE, rank INT, n_matched INT",
+    )
+    if not qrows or cs.avgdl == 0:
+        return empty
+    qterms = spark.createDataFrame(
+        qrows, "query_id INT, term STRING, m INT"
+    )
+    postings = doc_term_freqs(tok)
+    matched = postings.join(
+        F.broadcast(qterms.select("term").distinct()), "term", "inner"
+    )
+    dfs = matched.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    hits = matched.join(F.broadcast(qterms), "term")
+
+    msm = docs_df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(msm_col).cast("int").alias("__msm"),
+    )
+    gated = (
+        hits.groupBy("query_id", "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matched"),
+            F.first("m").alias("m"),
+        )
+        .join(msm, "doc_id")
+        .filter(
+            F.col("__msm").isNotNull()
+            & (
+                F.col("n_matched")
+                >= F.greatest(F.lit(1), F.least(F.col("__msm"), F.col("m")))
+            )
+        )
+        .select("query_id", "doc_id", "n_matched")
+    )
+    scored = (
+        hits.join(F.broadcast(dfs), "term")
+        .withColumn("idf", idf_col(F.col("df"), cs.n_docs))
+        .withColumn(
+            "w",
+            bm25_weight_col(
+                F.col("tf"), F.col("dl"), F.col("idf"), cs.avgdl, k1, b
+            ),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("w").alias("score"))
+        .join(gated.select("query_id", "doc_id"), ["query_id", "doc_id"])
+    )
+    top = topk_per_query(scored, k)
+    return top.join(gated, ["query_id", "doc_id"], "inner").select(
+        "query_id",
+        "doc_id",
+        "score",
+        "rank",
+        F.col("n_matched").cast("int").alias("n_matched"),
+    )
+
+
+def duckdb_terms_set_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    queries: list[tuple[int, str]],
+    msm_col: str,
+    k: int = 10,
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+    round_score: int = 6,
+) -> str:
+    """DuckDB twin of :func:`terms_set_search` (score at 6dp)."""
+    from same_same_spark.bm25 import duckdb_scored_sql
+    from same_same_spark.text.tokenizer import duckdb_tokens_sql
+
+    qrows = [
+        f"({qid}, '{term}', {len(set(tokenize_py(text)))})"
+        for qid, text in queries
+        for term in sorted(set(tokenize_py(text)))
+    ]
+    qvalues = ", ".join(qrows) if qrows else "(NULL, NULL, NULL) LIMIT 0"
+    inner = duckdb_scored_sql(table, id_col, text_col, queries, k1=k1, b=b)
+    return f"""
+WITH tok3 AS (
+  SELECT {id_col} AS doc_id, {duckdb_tokens_sql(text_col)} AS tokens
+  FROM {table}
+),
+qt3 AS (SELECT * FROM (VALUES {qvalues}) AS v(query_id, term, m)),
+gate AS (
+  SELECT q.query_id, t.doc_id, count(*)::INTEGER AS n_matched,
+         any_value(q.m) AS m
+  FROM (
+    SELECT doc_id, unnest(list_distinct(tokens)) AS term FROM tok3
+  ) t JOIN qt3 q ON t.term = q.term
+  GROUP BY 1, 2
+),
+matched AS (
+  SELECT g.query_id, g.doc_id, g.n_matched
+  FROM gate g JOIN {table} d ON g.doc_id = d.{id_col}
+  WHERE d.{msm_col} IS NOT NULL
+    AND g.n_matched >= greatest(1, least(d.{msm_col}::INTEGER, g.m))
+),
+scored AS ({inner}),
+ranked AS (
+  SELECT s.query_id, s.doc_id, s.score, m.n_matched, row_number() OVER (
+    PARTITION BY s.query_id
+    ORDER BY round(s.score, 9) DESC, s.doc_id ASC
+  ) AS rank
+  FROM scored s
+  JOIN matched m ON s.query_id = m.query_id AND s.doc_id = m.doc_id
+)
+SELECT query_id, doc_id, round(score, {round_score}) AS score,
+       rank::INTEGER AS rank, n_matched
+FROM ranked WHERE rank <= {k}
+"""
