@@ -5387,6 +5387,273 @@ def _sql_cascade_topk() -> str:
     )
 
 
+def _q_rank_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank_feature query (operators/feature.rank_feature_topk):
+    BM25 + boost * saturation(n_chars, pivot=300) — a positive static
+    signal tilting text relevance (ES's bool-should rank_feature
+    shape); NULL/non-positive features contribute 0. Sole evidence;
+    the oracle re-derives the saturation fold over the pinned scored
+    fragment. Saturation-overflow entry (see _SATURATION_OVERFLOW)."""
+    from same_same_spark.operators.feature import rank_feature_topk
+
+    out = rank_feature_topk(
+        _docs(spark, sf_dir), REF_QUERIES, "n_chars",
+        function="saturation", pivot=300.0, boost=0.5, k=REF_K,
+        id_col="doc_id", text_col="text",
+    )
+    return _round6(out, "score")
+
+
+def _sql_rank_feature() -> str:
+    from same_same_spark.operators.feature import duckdb_rank_feature_sql
+
+    return duckdb_rank_feature_sql(
+        "documents", "doc_id", "text", REF_QUERIES, "n_chars",
+        function="saturation", pivot=300.0, boost=0.5, k=REF_K,
+    )
+
+
+def _q_distance_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """distance_feature query (operators/feature.
+    distance_feature_topk): BM25 + boost * pivot/(pivot + |n_chars -
+    300|) — proximity of a numeric field to an origin (ES's recency/
+    nearness boost). Sole evidence; independent SQL re-derivation.
+    Saturation-overflow entry (see _SATURATION_OVERFLOW)."""
+    from same_same_spark.operators.feature import distance_feature_topk
+
+    out = distance_feature_topk(
+        _docs(spark, sf_dir), REF_QUERIES, "n_chars",
+        origin=300.0, pivot=50.0, boost=1.0, k=REF_K,
+        id_col="doc_id", text_col="text",
+    )
+    return _round6(out, "score")
+
+
+def _sql_distance_feature() -> str:
+    from same_same_spark.operators.feature import (
+        duckdb_distance_feature_sql,
+    )
+
+    return duckdb_distance_feature_sql(
+        "documents", "doc_id", "text", REF_QUERIES, "n_chars",
+        origin=300.0, pivot=50.0, boost=1.0, k=REF_K,
+    )
+
+
+def _q_terms_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """terms_set query (operators/boolquery.terms_set_search): the
+    minimum_should_match comes FROM the document (required = 1 +
+    doc_id % 3, the tags-matching workhorse), clamped by the query's
+    term count and floored at 1; matches BM25-scored. Sole evidence;
+    the oracle re-derives the gate + clamp independently.
+    Saturation-overflow entry (see _SATURATION_OVERFLOW)."""
+    from same_same_spark.operators.boolquery import terms_set_search
+
+    docs_m = _docs(spark, sf_dir).withColumn(
+        "required_matches", (F.lit(1) + F.col("doc_id") % 3).cast("int")
+    )
+    out = terms_set_search(
+        docs_m, REF_QUERIES, "required_matches", k=REF_K,
+        id_col="doc_id", text_col="text",
+    )
+    return _round6(out, "score")
+
+
+def _sql_terms_set() -> str:
+    from same_same_spark.operators.boolquery import duckdb_terms_set_sql
+
+    prelude = (
+        "docs_ts AS (SELECT *, (1 + doc_id % 3)::INTEGER AS "
+        "required_matches FROM documents), "
+    )
+    return duckdb_terms_set_sql(
+        "docs_ts", "doc_id", "text", REF_QUERIES,
+        "required_matches", k=REF_K, prelude_ctes=prelude,
+    )
+
+
+# search-as-you-type fixtures: short fixed+prefix pairs, a pure-prefix
+# query (no fixed tokens), a punctuation-only last chunk (empty
+# normalized prefix -> no rows), and a never-completing prefix (empty
+# expansion -> no rows).
+MPP_QUERIES: list[tuple[int, str]] = [
+    (1, "fast mer"),
+    (2, "table que"),
+    (3, "windo"),
+    (4, "fast !!!"),
+    (5, "fast zzzzqq"),
+]
+
+
+def _q_match_phrase_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """match_phrase_prefix (operators/phrase.
+    match_phrase_prefix_search): search-as-you-type — fixed tokens
+    followed immediately by a prefix completion from the corpus
+    vocabulary (capped (df DESC, term ASC), the engine's one expansion
+    rule), synonym-union BM25 over matches. Sole evidence; the oracle
+    expands via starts_with + a window and brute-forces adjacency.
+    Saturation-overflow entry (see _SATURATION_OVERFLOW)."""
+    from same_same_spark.operators.phrase import match_phrase_prefix_search
+
+    out = match_phrase_prefix_search(
+        _docs(spark, sf_dir), MPP_QUERIES, k=REF_K, max_expansions=10,
+        id_col="doc_id", text_col="text",
+    )
+    return _round6(out, "score")
+
+
+def _sql_match_phrase_prefix() -> str:
+    from same_same_spark.operators.phrase import (
+        duckdb_match_phrase_prefix_sql,
+    )
+
+    return duckdb_match_phrase_prefix_sql(
+        "documents", "doc_id", "text", MPP_QUERIES, k=REF_K,
+        max_expansions=10,
+    )
+
+
+# Deterministic pointwise LTR label over (doc_id, n_chars) — both
+# engines derive it identically; it exists to make the normal
+# equations well-posed, not to be a good relevance signal.
+_LTR_LABEL = "((doc_id % 7) + (n_chars % 13)) / 10.0"
+
+
+def _ltr_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from same_same_spark.bm25 import scored_matches
+
+    docs = _docs(spark, sf_dir)
+    base = scored_matches(
+        docs, REF_QUERIES, id_col="doc_id", text_col="text"
+    )
+    meta = docs.select("doc_id", "n_chars")
+    return base.join(meta, "doc_id").select(
+        "query_id",
+        "doc_id",
+        F.col("score").alias("f_bm25"),
+        (F.col("n_chars") / F.lit(100.0)).alias("f_len"),
+        F.lit(1.0).alias("f_bias"),
+        F.expr(_LTR_LABEL).alias("y"),
+    )
+
+
+def _q_ltr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form linear LTR (operators/ltr.py): ridge normal
+    equations over (bm25, scaled length, bias) features — training is
+    ONE distributed aggregate (n²+n sums) + a driver-side 3×3 solve;
+    the oracle re-derives the SAME weights via CRAMER'S RULE in SQL
+    (no linear algebra library), then scores and ranks. Sole evidence
+    for the whole train→score→rank chain. Saturation-overflow entry
+    (see _SATURATION_OVERFLOW)."""
+    from same_same_spark.operators.ltr import (
+        ltr_score_topk,
+        train_linear_ranker,
+    )
+
+    feats = _ltr_features(spark, sf_dir)
+    w = train_linear_ranker(
+        feats, ["f_bm25", "f_len", "f_bias"], "y", l2=0.1
+    )
+    out = ltr_score_topk(feats, ["f_bm25", "f_len", "f_bias"], w, k=REF_K)
+    return _round6(out, "score")
+
+
+def _sql_ltr_topk() -> str:
+    from same_same_spark.bm25 import duckdb_scored_sql
+    from same_same_spark.operators.ltr import duckdb_ltr_sql
+
+    inner = duckdb_scored_sql("documents", "doc_id", "text", REF_QUERIES)
+    features_sql = f"""
+SELECT s.query_id, s.doc_id, s.score AS f_bm25,
+       d.n_chars / 100.0 AS f_len, 1.0 AS f_bias, d.n_chars
+FROM ({inner}) s JOIN documents d ON s.doc_id = d.doc_id
+"""
+    return duckdb_ltr_sql(
+        features_sql, ["f_bm25", "f_len", "f_bias"], _LTR_LABEL,
+        l2=0.1, k=REF_K,
+    )
+
+
+def _q_percentile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_ranks aggregation (operators/facets.
+    percentile_ranks_facets): the inverse of the percentiles agg —
+    exact pct of matched docs with n_chars <= each probe (no TDigest;
+    the engine's one-shuffle exactness). Sole evidence; independent
+    SQL re-derivation. Saturation-overflow entry (see
+    _SATURATION_OVERFLOW)."""
+    from same_same_spark.operators.facets import percentile_ranks_facets
+
+    out = percentile_ranks_facets(
+        _docs(spark, sf_dir), REF_QUERIES, "n_chars",
+        [100.0, 300.0, 500.0], id_col="doc_id", text_col="text",
+    )
+    return _round6(out, "pct")
+
+
+def _sql_percentile_ranks() -> str:
+    from same_same_spark.operators.facets import duckdb_percentile_ranks_sql
+
+    return duckdb_percentile_ranks_sql(
+        "documents", "doc_id", "text", REF_QUERIES, "n_chars",
+        [100.0, 300.0, 500.0],
+    )
+
+
+def _q_missing_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """missing aggregation (operators/facets.missing_facets): matched
+    docs with a NULL facet — the bucket every other agg drops; fixed
+    shape (zero-token queries emit 0). The NULLable field derives as
+    nullif(lang, 'en') identically in both engines. Sole evidence.
+    Saturation-overflow entry (see _SATURATION_OVERFLOW)."""
+    from same_same_spark.operators.facets import missing_facets
+
+    docs_m = _docs(spark, sf_dir).withColumn(
+        "lang_non_en", F.expr("nullif(lang, 'en')")
+    )
+    return missing_facets(
+        docs_m, REF_QUERIES, "lang_non_en",
+        id_col="doc_id", text_col="text",
+    )
+
+
+def _sql_missing_agg() -> str:
+    from same_same_spark.operators.facets import duckdb_missing_sql
+
+    prelude = (
+        "docs_mm AS (SELECT *, nullif(lang, 'en') AS lang_non_en "
+        "FROM documents), "
+    )
+    return duckdb_missing_sql(
+        "docs_mm", "doc_id", "text", REF_QUERIES, "lang_non_en",
+        prelude_ctes=prelude,
+    )
+
+
+def _q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation (operators/releval.retrieval_eval):
+    recall@5 / MRR / nDCG of the LSH path against the exact brute
+    scorer — the operator a user runs to tune nprobe/ef/shortlist at
+    scale. Sole evidence for the eval math; the oracle composes the
+    two verified ANN chains and re-derives recall/mrr/ndcg in SQL.
+    Saturation-overflow entry (see _SATURATION_OVERFLOW)."""
+    from same_same_spark.operators.releval import retrieval_eval
+
+    emb = _emb(spark, sf_dir)
+    q = _ann_queries(spark, sf_dir)
+    res = ann_ops.lsh_topk(emb, q, k=5, n_planes=8, max_hamming=1)
+    tru = ann_ops.brute_topk(emb, q, k=5)
+    out = retrieval_eval(res, tru, id_col="vec_id")
+    return _round6(out, "recall", "mrr", "ndcg")
+
+
+def _sql_ann_recall_eval() -> str:
+    from same_same_spark.operators.releval import duckdb_retrieval_eval_sql
+
+    return duckdb_retrieval_eval_sql(
+        _SQL_ANN_LSH, _SQL_ANN_BRUTE, id_col="vec_id"
+    )
+
+
 def _q_span_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     """span_first query (operators/spannear.span_first_search): any
     query term within the first 8 token positions (span_or under ES's
@@ -5842,6 +6109,16 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "span_first": (_q_span_first, _sql_span_first()),
     "sampler_terms": (_q_sampler_terms, _sql_sampler_terms()),
     "cascade_topk": (_q_cascade_topk, _sql_cascade_topk()),
+    "rank_feature_topk": (_q_rank_feature, _sql_rank_feature()),
+    "distance_feature_topk": (_q_distance_feature, _sql_distance_feature()),
+    "terms_set_topk": (_q_terms_set, _sql_terms_set()),
+    "percentile_ranks": (_q_percentile_ranks, _sql_percentile_ranks()),
+    "missing_agg": (_q_missing_agg, _sql_missing_agg()),
+    "ann_recall_eval": (_q_ann_recall_eval, _sql_ann_recall_eval()),
+    "match_phrase_prefix": (
+        _q_match_phrase_prefix, _sql_match_phrase_prefix(),
+    ),
+    "ltr_topk": (_q_ltr_topk, _sql_ltr_topk()),
     # index-dictionary wildcard: rank-identical twin of wildcard_topk
     # (shared oracle; twin-tail placement per the witness contract)
     "wildcard_topk_indexed": (
@@ -6032,6 +6309,14 @@ _ORDER: list[str] = [
     "span_first",
     "sampler_terms",
     "cascade_topk",
+    "rank_feature_topk",
+    "distance_feature_topk",
+    "terms_set_topk",
+    "percentile_ranks",
+    "missing_agg",
+    "ann_recall_eval",
+    "match_phrase_prefix",
+    "ltr_topk",
     # --- rotate-backs (last green r2/r3) -------------------------------
     "euclidean_topk",
     "events_hourly",
@@ -6176,6 +6461,14 @@ _SATURATION_OVERFLOW: set[str] = {
     "span_first",
     "sampler_terms",
     "cascade_topk",
+    "rank_feature_topk",
+    "distance_feature_topk",
+    "terms_set_topk",
+    "percentile_ranks",
+    "missing_agg",
+    "ann_recall_eval",
+    "match_phrase_prefix",
+    "ltr_topk",
 }
 
 assert len(_ORDER) == len(set(_ORDER)), "duplicate names in _ORDER"

@@ -157,6 +157,14 @@ ENTRY_QUERY_NAMES = [
     "span_first",
     "sampler_terms",
     "cascade_topk",
+    "rank_feature_topk",
+    "distance_feature_topk",
+    "terms_set_topk",
+    "percentile_ranks",
+    "missing_agg",
+    "ann_recall_eval",
+    "match_phrase_prefix",
+    "ltr_topk",
 ]
 
 # VERDICT r3 #8: round-over-round totals stopped being comparable as

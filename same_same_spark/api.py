@@ -518,6 +518,12 @@ class SameSameSpark:
           (:mod:`~same_same_spark.operators.multimatch`); ``q`` =
           text; ``fields=`` {column: boost}; ``match_mode=``
           best_fields (default) or most_fields; ``tie_breaker=``.
+        - ``"terms_set"`` — per-doc minimum_should_match
+          (:mod:`~same_same_spark.operators.boolquery`); ``q`` = text;
+          ``msm_col=`` the requirement column.
+        - ``"phrase_prefix"`` — search-as-you-type
+          (:mod:`~same_same_spark.operators.phrase`); ``q`` = text
+          whose last chunk is the prefix; ``max_expansions=``.
 
         Extra ``kw`` pass through to the operator. Returns
         (id, score, rank) plus the mode's extra columns
@@ -644,11 +650,28 @@ class SameSameSpark:
                 mode=kw.pop("match_mode", "best_fields"), k=k,
                 id_col=self.id_col, **kw,
             )
+        elif mode == "terms_set":
+            from same_same_spark.operators.boolquery import terms_set_search
+
+            out = terms_set_search(
+                self.docs, [(0, q)], kw.pop("msm_col"), k=k,
+                id_col=self.id_col, text_col=self.text_col, **kw,
+            )
+        elif mode == "phrase_prefix":
+            from same_same_spark.operators.phrase import (
+                match_phrase_prefix_search,
+            )
+
+            out = match_phrase_prefix_search(
+                self.docs, [(0, q)], k=k, id_col=self.id_col,
+                text_col=self.text_col, **kw,
+            )
         else:
             raise ValueError(
                 f"unknown query mode {mode!r} (expected terms/phrase/"
                 "bool/wildcard/regexp/fuzzy/proximity/boosted/synonym/"
-                "rescore/span_near/span_first/dis_max/multi_match)"
+                "rescore/span_near/span_first/dis_max/multi_match/"
+                "terms_set/phrase_prefix)"
             )
         return out.drop("query_id").withColumnRenamed("doc_id", self.id_col)
 

@@ -371,8 +371,11 @@ def duckdb_terms_set_sql(
     k1: float = K1_DEFAULT,
     b: float = B_DEFAULT,
     round_score: int = 6,
+    prelude_ctes: str = "",
 ) -> str:
-    """DuckDB twin of :func:`terms_set_search` (score at 6dp)."""
+    """DuckDB twin of :func:`terms_set_search` (score at 6dp).
+    ``prelude_ctes`` (e.g. ``"docs_ts AS (...), "``) lets callers feed
+    a derived-msm table."""
     from same_same_spark.bm25 import duckdb_scored_sql
     from same_same_spark.text.tokenizer import duckdb_tokens_sql
 
@@ -384,7 +387,7 @@ def duckdb_terms_set_sql(
     qvalues = ", ".join(qrows) if qrows else "(NULL, NULL, NULL) LIMIT 0"
     inner = duckdb_scored_sql(table, id_col, text_col, queries, k1=k1, b=b)
     return f"""
-WITH tok3 AS (
+WITH {prelude_ctes}tok3 AS (
   SELECT {id_col} AS doc_id, {duckdb_tokens_sql(text_col)} AS tokens
   FROM {table}
 ),

@@ -1968,3 +1968,170 @@ ranked AS (
 SELECT query_id, value, doc_count, rank::INTEGER AS rank
 FROM ranked WHERE rank <= {topn}
 """
+
+
+def percentile_ranks_facets(
+    docs_df: DataFrame,
+    queries: list[tuple[int, str]],
+    value_col: str,
+    values: list[float],
+    id_col: str = "doc_id",
+    text_col: str = "content",
+) -> DataFrame:
+    """Percentile ranks over the match set (Elasticsearch's
+    ``percentile_ranks`` — the inverse of the percentiles agg): for
+    each probe value v, the percentage of matched docs whose field is
+    <= v.
+
+    Pinned semantics (cross-engine, re-derived per-entry): the engine
+    is exact, so pct(v) = 100 * count(x <= v) / count(x IS NOT NULL)
+    (no TDigest interpolation — ES's sketch answer converges to this);
+    NULL field values drop from numerator and denominator; queries
+    with no non-NULL matched value emit no rows; one row per
+    (query, probe value) otherwise.
+
+    Returns (query_id INT, value DOUBLE, pct DOUBLE).
+
+    Scale shape: ONE map-side-combined aggregate row per query (every
+    probe is a conditional sum in the same groupBy), fixed-shape
+    explode. No new shuffles.
+    """
+    if not values:
+        raise ValueError("values must be non-empty")
+    matched = _match_set(docs_df, queries, id_col, text_col)
+    vals = docs_df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(value_col).cast("double").alias("__x"),
+    )
+    j = matched.join(vals, "doc_id").filter(F.col("__x").isNotNull())
+    aggs = [F.count(F.lit(1)).alias("n")]
+    probes = [float(v) for v in values]
+    for i, v in enumerate(probes):
+        aggs.append(
+            F.sum(
+                F.when(F.col("__x") <= F.lit(v), 1).otherwise(0)
+            ).alias(f"c{i}")
+        )
+    per_q = j.groupBy("query_id").agg(*aggs)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(v).alias("value"),
+                (
+                    F.lit(100.0) * F.col(f"c{i}") / F.col("n")
+                ).alias("pct"),
+            )
+            for i, v in enumerate(probes)
+        ]
+    )
+    return per_q.select(
+        "query_id", F.explode(entries).alias("e")
+    ).select(
+        "query_id",
+        F.col("e.value").alias("value"),
+        F.col("e.pct").alias("pct"),
+    )
+
+
+def duckdb_percentile_ranks_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    queries: list[tuple[int, str]],
+    value_col: str,
+    values: list[float],
+    round_score: int = 6,
+) -> str:
+    """DuckDB twin of :func:`percentile_ranks_facets`."""
+    qvalues = _qterm_values(queries)
+    probes = [float(v) for v in values]
+    branches = "\n  UNION ALL\n  ".join(
+        f"""SELECT query_id, {v!r} AS value,
+         round(100.0 * c{i} / n, {round_score}) AS pct
+  FROM agg"""
+        for i, v in enumerate(probes)
+    )
+    sums = ",\n    ".join(
+        f"sum(CASE WHEN x <= {v!r} THEN 1 ELSE 0 END) AS c{i}"
+        for i, v in enumerate(probes)
+    )
+    return f"""
+WITH {_matched_ctes(table, id_col, text_col, qvalues)},
+j AS (
+  SELECT m.query_id, CAST(d.{value_col} AS DOUBLE) AS x
+  FROM matched m JOIN {table} d ON m.doc_id = d.{id_col}
+  WHERE d.{value_col} IS NOT NULL
+),
+agg AS (
+  SELECT query_id, count(*) AS n,
+    {sums}
+  FROM j GROUP BY query_id
+)
+SELECT query_id, value, pct
+FROM (
+  {branches}
+)
+"""
+
+
+def missing_facets(
+    docs_df: DataFrame,
+    queries: list[tuple[int, str]],
+    facet_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+) -> DataFrame:
+    """Missing-value bucket over the match set (Elasticsearch's
+    ``missing`` aggregation): per query, how many matched docs carry a
+    NULL ``facet_col`` — the bucket every other agg silently drops.
+    FIXED shape: every query (zero-token included) emits one row.
+
+    Returns (query_id INT, doc_count LONG). One aggregate, zero-filled
+    through the broadcast query frame (the filters_facets pattern).
+    """
+    spark = docs_df.sparkSession
+    matched = _match_set(docs_df, queries, id_col, text_col)
+    vals = docs_df.select(
+        F.col(id_col).alias("doc_id"), F.col(facet_col).alias("__v")
+    )
+    per_q = (
+        matched.join(vals, "doc_id")
+        .filter(F.col("__v").isNull())
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+    )
+    qframe = spark.createDataFrame(
+        [(int(qid),) for qid, _ in queries], "query_id INT"
+    )
+    return qframe.join(F.broadcast(per_q), "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("doc_count"), F.lit(0)).cast("long").alias(
+            "doc_count"
+        ),
+    )
+
+
+def duckdb_missing_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    queries: list[tuple[int, str]],
+    facet_col: str,
+    prelude_ctes: str = "",
+) -> str:
+    """DuckDB twin of :func:`missing_facets`. ``prelude_ctes`` lets
+    callers feed a derived-fields table."""
+    qvalues = _qterm_values(queries)
+    qids = ", ".join(f"({int(qid)})" for qid, _ in queries)
+    return f"""
+WITH {prelude_ctes}{_matched_ctes(table, id_col, text_col, qvalues)},
+mq AS (
+  SELECT m.query_id, count(*)::BIGINT AS doc_count
+  FROM matched m JOIN {table} d ON m.doc_id = d.{id_col}
+  WHERE d.{facet_col} IS NULL
+  GROUP BY 1
+),
+qids AS (SELECT * FROM (VALUES {qids}) v(query_id))
+SELECT q.query_id, coalesce(mq.doc_count, 0)::BIGINT AS doc_count
+FROM qids q LEFT JOIN mq USING (query_id)
+"""

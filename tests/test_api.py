@@ -748,6 +748,16 @@ def test_query_dispatcher_new_modes_and_agg_methods(spark, store):
                              id_col="id", text_col="text")
     assert rows(got) == rows(want, "doc_id") and rows(got)
 
+    from same_same_spark.operators.boolquery import terms_set_search
+
+    docs_ts = docs.withColumn("req", F.lit(1))
+    store_ts = SameSameSpark(docs_ts)
+    got = store_ts.query("physics theory", mode="terms_set",
+                         msm_col="req", k=5)
+    want = terms_set_search(docs_ts, [(0, "physics theory")], "req",
+                            k=5, id_col="id", text_col="text")
+    assert rows(got) == rows(want, "doc_id") and rows(got)
+
     # multi_match over two real columns
     from same_same_spark.operators.multimatch import multi_match_search
 

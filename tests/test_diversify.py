@@ -592,3 +592,375 @@ def test_sampler_terms_restricts_to_top_scores(spark):
     ]
     with pytest.raises(ValueError, match="shard_size"):
         sampler_terms_facets(docs, [(0, "apple")], "f", shard_size=0)
+
+
+# ---------------------------------------------------------------------------
+# rank_feature / distance_feature / terms_set
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def feat_docs(spark):
+    rows = [
+        (1, "apple banana", 100.0),
+        (2, "apple cherry", 300.0),
+        (3, "apple dates", None),
+        (4, "apple melon", 0.0),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, feat DOUBLE"
+    )
+
+
+def test_rank_feature_saturation_hand_computed(feat_docs):
+    from same_same_spark.operators.feature import rank_feature_topk
+
+    base = {
+        r.doc_id: r.score
+        for r in score_queries(
+            feat_docs, [(0, "apple")], k=10,
+            id_col="doc_id", text_col="text",
+        ).collect()
+    }
+    got = {
+        r.doc_id: r.score
+        for r in rank_feature_topk(
+            feat_docs, [(0, "apple")], "feat",
+            function="saturation", pivot=100.0, boost=2.0, k=10,
+            id_col="doc_id", text_col="text",
+        ).collect()
+    }
+    assert set(got) == set(base)  # feature never gates matching
+    assert math.isclose(got[1], base[1] + 2.0 * 100.0 / 200.0)
+    assert math.isclose(got[2], base[2] + 2.0 * 300.0 / 400.0)
+    assert math.isclose(got[3], base[3])  # NULL -> 0 contribution
+    assert math.isclose(got[4], base[4])  # non-positive -> 0
+
+
+def test_rank_feature_log_sigmoid_and_guards(feat_docs):
+    from same_same_spark.operators.feature import rank_feature_topk
+
+    got = {
+        r.doc_id: r.score
+        for r in rank_feature_topk(
+            feat_docs, [(0, "apple")], "feat",
+            function="log", pivot=1.0, boost=1.0, k=10,
+            id_col="doc_id", text_col="text",
+        ).collect()
+    }
+    base = {
+        r.doc_id: r.score
+        for r in score_queries(
+            feat_docs, [(0, "apple")], k=10,
+            id_col="doc_id", text_col="text",
+        ).collect()
+    }
+    assert math.isclose(got[1], base[1] + math.log(101.0))
+    sig = {
+        r.doc_id: r.score
+        for r in rank_feature_topk(
+            feat_docs, [(0, "apple")], "feat",
+            function="sigmoid", pivot=100.0, exponent=2.0, boost=1.0,
+            k=10, id_col="doc_id", text_col="text",
+        ).collect()
+    }
+    assert math.isclose(sig[2], base[2] + 300.0**2 / (300.0**2 + 100.0**2))
+    with pytest.raises(ValueError, match="function"):
+        rank_feature_topk(feat_docs, [(0, "x")], "feat", function="exp")
+    with pytest.raises(ValueError, match="pivot"):
+        rank_feature_topk(feat_docs, [(0, "x")], "feat", pivot=0.0)
+    with pytest.raises(ValueError, match="scaling_factor"):
+        rank_feature_topk(
+            feat_docs, [(0, "x")], "feat", function="log", pivot=0.5
+        )
+    with pytest.raises(ValueError, match="exponent"):
+        rank_feature_topk(
+            feat_docs, [(0, "x")], "feat", function="sigmoid", exponent=0.0
+        )
+
+
+def test_distance_feature_hand_computed(feat_docs):
+    from same_same_spark.operators.feature import distance_feature_topk
+
+    base = {
+        r.doc_id: r.score
+        for r in score_queries(
+            feat_docs, [(0, "apple")], k=10,
+            id_col="doc_id", text_col="text",
+        ).collect()
+    }
+    got = {
+        r.doc_id: r.score
+        for r in distance_feature_topk(
+            feat_docs, [(0, "apple")], "feat",
+            origin=100.0, pivot=50.0, boost=3.0, k=10,
+            id_col="doc_id", text_col="text",
+        ).collect()
+    }
+    assert math.isclose(got[1], base[1] + 3.0)  # at the origin: S = 1
+    assert math.isclose(got[2], base[2] + 3.0 * 50.0 / 250.0)
+    assert math.isclose(got[3], base[3])  # NULL -> 0
+    assert math.isclose(got[4], base[4] + 3.0 * 50.0 / 150.0)
+    with pytest.raises(ValueError, match="pivot"):
+        distance_feature_topk(
+            feat_docs, [(0, "x")], "feat", origin=0.0, pivot=0.0
+        )
+
+
+def test_terms_set_per_doc_requirement(spark):
+    """Query 'apple banana cherry' (m=3). Doc msm: 1 -> needs 1 hit;
+    4 -> clamps to 3; 0 -> floors to 1; NULL -> never matches."""
+    from same_same_spark.operators.boolquery import terms_set_search
+
+    docs = spark.createDataFrame(
+        [(1, "apple pie", 1), (2, "apple banana", 3),
+         (3, "apple banana cherry", 4), (4, "apple banana cherry", None),
+         (5, "apple melon", 0)],
+        "doc_id LONG, text STRING, req INT",
+    )
+    out = terms_set_search(
+        docs, [(0, "apple banana cherry")], "req", k=10,
+        id_col="doc_id", text_col="text",
+    ).collect()
+    got = {r.doc_id: r.n_matched for r in out}
+    # doc 2 needs 3 but has 2 -> out; doc 3 clamps 4->3 and has 3 -> in
+    assert got == {1: 1, 3: 3, 5: 1}
+
+
+# ---------------------------------------------------------------------------
+# percentile_ranks / missing / retrieval_eval
+# ---------------------------------------------------------------------------
+
+
+def test_percentile_ranks_hand_computed(spark):
+    from same_same_spark.operators.facets import percentile_ranks_facets
+
+    docs = spark.createDataFrame(
+        [(1, "apple", 10.0), (2, "apple", 20.0), (3, "apple", 30.0),
+         (4, "apple", None), (5, "banana", 99.0)],
+        "doc_id LONG, text STRING, v DOUBLE",
+    )
+    out = {
+        (r.query_id, r.value): r.pct
+        for r in percentile_ranks_facets(
+            docs, [(0, "apple"), (1, "zzz")], "v", [15.0, 30.0],
+            id_col="doc_id", text_col="text",
+        ).collect()
+    }
+    # non-null matched values: 10, 20, 30 (doc 4's NULL drops)
+    assert math.isclose(out[(0, 15.0)], 100.0 / 3.0)
+    assert math.isclose(out[(0, 30.0)], 100.0)
+    assert not any(q == 1 for q, _ in out)  # no match -> no rows
+    with pytest.raises(ValueError, match="non-empty"):
+        percentile_ranks_facets(docs, [(0, "apple")], "v", [])
+
+
+def test_missing_agg_fixed_shape(spark):
+    from same_same_spark.operators.facets import missing_facets
+
+    docs = spark.createDataFrame(
+        [(1, "apple", None), (2, "apple", "x"), (3, "apple", None),
+         (4, "banana", None)],
+        "doc_id LONG, text STRING, f STRING",
+    )
+    out = {
+        r.query_id: r.doc_count
+        for r in missing_facets(
+            docs, [(0, "apple"), (1, "zzz")], "f",
+            id_col="doc_id", text_col="text",
+        ).collect()
+    }
+    assert out == {0: 2, 1: 0}  # fixed shape: zero-match query emits 0
+
+
+def test_retrieval_eval_hand_computed(spark):
+    """truth = {a, b, c} ranked 1..3; results rank (d, b, c):
+    recall 2/3; first relevant at rank 2 -> mrr 0.5;
+    DCG = 1/log2(3) + 1/log2(4); IDCG = 1 + 1/log2(3) + 1/log2(4)."""
+    from same_same_spark.operators.releval import retrieval_eval
+
+    res = spark.createDataFrame(
+        [(0, 99, 1), (0, 2, 2), (0, 3, 3),
+         (1, 7, 1)],
+        "query_id INT, vec_id LONG, rank INT",
+    )
+    tru = spark.createDataFrame(
+        [(0, 1, 1), (0, 2, 2), (0, 3, 3),
+         (2, 5, 1)],
+        "query_id INT, vec_id LONG, rank INT",
+    )
+    out = {r.query_id: r for r in retrieval_eval(res, tru).collect()}
+    dcg = 1 / math.log2(3) + 1 / math.log2(4)
+    idcg = 1.0 + 1 / math.log2(3) + 1 / math.log2(4)
+    assert math.isclose(out[0].recall, 2.0 / 3.0)
+    assert math.isclose(out[0].mrr, 0.5)
+    assert math.isclose(out[0].ndcg, dcg / idcg)
+    # truth query 2 has no results -> all zeros
+    assert (out[2].recall, out[2].mrr, out[2].ndcg) == (0.0, 0.0, 0.0)
+    # results-only query 1 is not in truth -> no row
+    assert 1 not in out
+
+
+def test_retrieval_eval_perfect_run_is_all_ones(spark):
+    from same_same_spark.operators.releval import retrieval_eval
+
+    rows = [(0, i, i) for i in range(1, 6)]
+    res = spark.createDataFrame(rows, "query_id INT, vec_id LONG, rank INT")
+    out = retrieval_eval(res, res).collect()[0]
+    assert (out.recall, out.mrr, out.ndcg) == (1.0, 1.0, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# match_phrase_prefix
+# ---------------------------------------------------------------------------
+
+
+def test_match_phrase_prefix_adjacency_and_counts(spark):
+    """'banana ch' must match 'banana cherry' / 'banana chard'
+    adjacently, NOT 'banana pie cherry' (gap) nor 'cherry banana'
+    (order)."""
+    from same_same_spark.operators.phrase import match_phrase_prefix_search
+
+    docs = spark.createDataFrame(
+        [(1, "banana cherry pie"), (2, "banana chard salad"),
+         (3, "banana pie cherry"), (4, "cherry banana"),
+         (5, "banana cherry banana chard")],
+        "doc_id LONG, text STRING",
+    )
+    out = match_phrase_prefix_search(
+        docs, [(0, "banana ch")], k=10, id_col="doc_id", text_col="text",
+    ).collect()
+    got = {r.doc_id: r.n_matches for r in out}
+    assert got == {1: 1, 2: 1, 5: 2}
+
+
+def test_match_phrase_prefix_self_completion(spark):
+    """Query 'apple app': 'apple' is BOTH the fixed token and a
+    completion — doc 'apple apple' must match (the candidate gate may
+    not treat fixed/completion as complementary roles)."""
+    from same_same_spark.operators.phrase import match_phrase_prefix_search
+
+    docs = spark.createDataFrame(
+        [(1, "apple apple pie"), (2, "apple pie")],
+        "doc_id LONG, text STRING",
+    )
+    out = match_phrase_prefix_search(
+        docs, [(0, "apple app")], k=10, id_col="doc_id", text_col="text",
+    ).collect()
+    assert {r.doc_id: r.n_matches for r in out} == {1: 1}
+
+
+def test_match_phrase_prefix_pure_prefix_and_empty_expansion(spark):
+    from same_same_spark.operators.phrase import match_phrase_prefix_search
+
+    docs = spark.createDataFrame(
+        [(1, "melon mango"), (2, "melody")], "doc_id LONG, text STRING",
+    )
+    # pure prefix (no fixed tokens): every completion position counts
+    out = match_phrase_prefix_search(
+        docs, [(0, "mel")], k=10, id_col="doc_id", text_col="text",
+    ).collect()
+    assert {r.doc_id: r.n_matches for r in out} == {1: 1, 2: 1}
+    # a prefix completing nothing matches nothing, even if fixed match
+    assert match_phrase_prefix_search(
+        docs, [(0, "melon zzz")], k=10, id_col="doc_id", text_col="text",
+    ).count() == 0
+
+
+def test_match_phrase_prefix_expansion_cap(spark):
+    """max_expansions=1 keeps only the highest-df completion
+    (df DESC, term ASC): 'ca' -> 'carrot' (df 2) beats 'cabbage'."""
+    from same_same_spark.operators.phrase import match_phrase_prefix_search
+
+    docs = spark.createDataFrame(
+        [(1, "fresh carrot"), (2, "fresh carrot soup"),
+         (3, "fresh cabbage")],
+        "doc_id LONG, text STRING",
+    )
+    out = match_phrase_prefix_search(
+        docs, [(0, "fresh ca")], k=10, max_expansions=1,
+        id_col="doc_id", text_col="text",
+    ).collect()
+    assert sorted(r.doc_id for r in out) == [1, 2]  # cabbage capped out
+
+
+# ---------------------------------------------------------------------------
+# closed-form linear LTR
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ltr_feats(spark):
+    rows = []
+    for q in (0, 1):
+        for d in range(1, 9):
+            f1 = float((d * 7 + q) % 5)
+            f2 = float((d * 3) % 4)
+            y = 2.0 * f1 - 0.5 * f2 + 3.0  # exact linear target
+            rows.append((q, d, f1, f2, 1.0, y))
+    return spark.createDataFrame(
+        rows,
+        "query_id INT, doc_id LONG, f1 DOUBLE, f2 DOUBLE, "
+        "bias DOUBLE, y DOUBLE",
+    )
+
+
+def test_ltr_recovers_exact_linear_weights(ltr_feats):
+    from same_same_spark.operators.ltr import (
+        ltr_score_topk,
+        train_linear_ranker,
+    )
+
+    w = train_linear_ranker(ltr_feats, ["f1", "f2", "bias"], "y", l2=0.0)
+    assert math.isclose(w[0], 2.0, abs_tol=1e-9)
+    assert math.isclose(w[1], -0.5, abs_tol=1e-9)
+    assert math.isclose(w[2], 3.0, abs_tol=1e-9)
+    top = ltr_score_topk(ltr_feats, ["f1", "f2", "bias"], w, k=3).collect()
+    by_q = {}
+    for r in top:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        keys = [(-round(r.score, 9), r.doc_id) for r in rs]
+        assert keys == sorted(keys) and len(rs) == 3
+
+
+def test_ltr_ridge_shrinks_and_null_rows_drop(spark, ltr_feats):
+    from same_same_spark.operators.ltr import train_linear_ranker
+
+    w0 = train_linear_ranker(ltr_feats, ["f1", "f2", "bias"], "y", l2=0.0)
+    wr = train_linear_ranker(
+        ltr_feats, ["f1", "f2", "bias"], "y", l2=1000.0
+    )
+    assert sum(x * x for x in wr) < sum(x * x for x in w0)
+    # a NULL-label row must not perturb the exact recovery
+    extra = ltr_feats.unionByName(
+        spark.createDataFrame(
+            [(9, 99, 1.0, 1.0, 1.0, None)],
+            "query_id INT, doc_id LONG, f1 DOUBLE, f2 DOUBLE, "
+            "bias DOUBLE, y DOUBLE",
+        )
+    )
+    w = train_linear_ranker(extra, ["f1", "f2", "bias"], "y", l2=0.0)
+    assert math.isclose(w[0], 2.0, abs_tol=1e-9)
+
+
+def test_ltr_guards(spark, ltr_feats):
+    from same_same_spark.operators.ltr import (
+        ltr_score_topk,
+        train_linear_ranker,
+    )
+
+    with pytest.raises(ValueError, match="non-empty"):
+        train_linear_ranker(ltr_feats, [], "y")
+    with pytest.raises(ValueError, match="l2"):
+        train_linear_ranker(ltr_feats, ["f1"], "y", l2=-1.0)
+    with pytest.raises(ValueError, match="singular"):
+        # duplicated feature -> rank-deficient at l2=0
+        train_linear_ranker(ltr_feats, ["f1", "f1", "bias"], "y", l2=0.0)
+    with pytest.raises(ValueError, match="no complete-case"):
+        train_linear_ranker(
+            ltr_feats.filter("query_id = 99"), ["f1"], "y"
+        )
+    with pytest.raises(ValueError, match="mismatch"):
+        ltr_score_topk(ltr_feats, ["f1", "f2"], [1.0])

@@ -650,3 +650,52 @@ def test_span_first_and_sampler_plan_shape(spark, documents):
     # scored/verified join legitimately shuffles (both sides scale
     # with matches — the span_near family contract)
     assert "SortMergeJoin" not in sa
+
+
+def test_feature_and_terms_set_plan_shape(spark, documents):
+    """rank/distance_feature: one scored-matches plan + a pruned
+    feature column join; terms_set: the boolean_search plan + one
+    doc-side msm column — all window-free, broadcasts only."""
+    from same_same_spark.operators.boolquery import terms_set_search
+    from same_same_spark.operators.feature import (
+        distance_feature_topk,
+        rank_feature_topk,
+    )
+    from pyspark.sql import functions as SF
+
+    queries = [(0, "fast merge join")]
+    rf = _plan(rank_feature_topk(
+        documents, queries, "n_chars", pivot=300.0, k=5,
+        id_col="doc_id", text_col="text",
+    ))
+    df_ = _plan(distance_feature_topk(
+        documents, queries, "n_chars", origin=300.0, pivot=50.0, k=5,
+        id_col="doc_id", text_col="text",
+    ))
+    ts = _plan(terms_set_search(
+        documents.withColumn("req", (SF.col("doc_id") % 3 + 1).cast("int")),
+        queries, "req", k=5, id_col="doc_id", text_col="text",
+    ))
+    for plan in (rf, df_, ts):
+        assert "Window" not in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "BroadcastHashJoin" in plan
+
+
+def test_match_phrase_prefix_plan_shape(spark, documents):
+    """match_phrase_prefix: the completion expansion runs EAGERLY into
+    a bounded literal frame (the lm_buckets cut-table precedent), so
+    the returned plan carries ZERO vocab pattern scans — without the
+    eager cut each consumer re-ran the RLIKE nested loop (measured 11
+    subtrees). Everything else broadcast + tournament, window-free."""
+    from same_same_spark.operators.phrase import match_phrase_prefix_search
+
+    p = _plan(match_phrase_prefix_search(
+        documents, [(0, "fast mer")], k=5,
+        id_col="doc_id", text_col="text",
+    ))
+    assert "Window" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p
