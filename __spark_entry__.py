@@ -5574,6 +5574,61 @@ FROM ({inner}) s JOIN documents d ON s.doc_id = d.doc_id
     )
 
 
+def _q_stream_vector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous kNN alerts (streaming/topk.stream_vector_topk):
+    per-query running cosine top-3 maintained by
+    applyInPandasWithState across TWO real micro-batches (embeddings
+    split by vec_id parity, maxFilesPerTrigger=1) — the final state is
+    pinned rank/score-identical to batch brute force over the union,
+    which IS the oracle (the stream ≡ batch contract, the
+    events_sessionize precedent). Sole evidence for the streaming
+    operator. Saturation-overflow entry (see _SATURATION_OVERFLOW)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from same_same_spark.streaming.topk import (
+        latest_topk,
+        stream_vector_topk,
+    )
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    scratch = tempfile.mkdtemp(prefix="ss_entry_stream_topk_")
+    atexit.register(shutil.rmtree, scratch, True)
+    src = f"{scratch}/src"
+    # parquet (not json): the stream source must round-trip the float
+    # embeddings bit-exactly for the stream ≡ batch oracle identity
+    for i, cond in enumerate(("vec_id % 2 = 0", "vec_id % 2 = 1")):
+        emb.filter(cond).coalesce(1).write.mode("overwrite").parquet(
+            f"{src}/b{i}"
+        )
+    stream = (
+        spark.readStream.schema("vec_id LONG, embedding ARRAY<FLOAT>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b*")
+    )
+    out = stream_vector_topk(stream, _ann_queries(spark, sf_dir), k=3)
+    name = f"ss_stream_topk_{abs(hash(scratch)) % 10**8}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", f"{scratch}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    final = latest_topk(spark.table(name))
+    return _round6(final, "score").select(
+        "query_id", "vec_id", F.col("score"), "rank"
+    )
+
+
+def _sql_stream_vector_topk() -> str:
+    # the oracle IS the batch brute-force twin at k=3: final streaming
+    # state must equal it exactly (stream ≡ batch)
+    return _SQL_ANN_BRUTE.replace("rank <= 5", "rank <= 3")
+
+
 def _q_percentile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percentile_ranks aggregation (operators/facets.
     percentile_ranks_facets): the inverse of the percentiles agg —
@@ -6119,6 +6174,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         _q_match_phrase_prefix, _sql_match_phrase_prefix(),
     ),
     "ltr_topk": (_q_ltr_topk, _sql_ltr_topk()),
+    "stream_vector_topk": (
+        _q_stream_vector_topk, _sql_stream_vector_topk(),
+    ),
     # index-dictionary wildcard: rank-identical twin of wildcard_topk
     # (shared oracle; twin-tail placement per the witness contract)
     "wildcard_topk_indexed": (
@@ -6317,6 +6375,7 @@ _ORDER: list[str] = [
     "ann_recall_eval",
     "match_phrase_prefix",
     "ltr_topk",
+    "stream_vector_topk",
     # --- rotate-backs (last green r2/r3) -------------------------------
     "euclidean_topk",
     "events_hourly",
@@ -6469,6 +6528,7 @@ _SATURATION_OVERFLOW: set[str] = {
     "ann_recall_eval",
     "match_phrase_prefix",
     "ltr_topk",
+    "stream_vector_topk",
 }
 
 assert len(_ORDER) == len(set(_ORDER)), "duplicate names in _ORDER"

@@ -165,6 +165,7 @@ ENTRY_QUERY_NAMES = [
     "ann_recall_eval",
     "match_phrase_prefix",
     "ltr_topk",
+    "stream_vector_topk",
 ]
 
 # VERDICT r3 #8: round-over-round totals stopped being comparable as
