@@ -5574,6 +5574,260 @@ FROM ({inner}) s JOIN documents d ON s.doc_id = d.doc_id
     )
 
 
+def _q_boxplot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """boxplot aggregation (operators/facets.boxplot_facets): exact
+    interpolated quartiles + Tukey whiskers (nearest data values
+    inside the 1.5-IQR fences) of n_chars over each query's match set
+    — ES's boxplot agg without the TDigest. Integer-domain values, so
+    quartiles and fences are bit-identical cross-engine. Sole
+    evidence. Saturation-overflow entry (see _SATURATION_OVERFLOW)."""
+    from same_same_spark.operators.facets import boxplot_facets
+
+    out = boxplot_facets(
+        _docs(spark, sf_dir), STATS_AGG_QUERIES, "n_chars",
+        id_col="doc_id", text_col="text",
+    )
+    return _round6(
+        out, "q1", "q2", "q3", "lower_whisker", "upper_whisker"
+    )
+
+
+def _sql_boxplot_agg() -> str:
+    from same_same_spark.operators.facets import duckdb_boxplot_sql
+
+    inner = duckdb_boxplot_sql(
+        "documents", "doc_id", "text", STATS_AGG_QUERIES, "n_chars"
+    )
+    return f"""
+SELECT query_id, count_vals, min_val, max_val,
+       round(q1, 6) AS q1, round(q2, 6) AS q2, round(q3, 6) AS q3,
+       round(lower_whisker, 6) AS lower_whisker,
+       round(upper_whisker, 6) AS upper_whisker
+FROM ({inner})
+"""
+
+
+def _q_mad_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """median_absolute_deviation aggregation (operators/facets.
+    mad_facets): exact median(|v - median(v)|) of n_chars over the
+    match set — the robust-dispersion twin of stats_agg's variance.
+    Two-pass + broadcast median table. Sole evidence.
+    Saturation-overflow entry (see _SATURATION_OVERFLOW)."""
+    from same_same_spark.operators.facets import mad_facets
+
+    out = mad_facets(
+        _docs(spark, sf_dir), STATS_AGG_QUERIES, "n_chars",
+        id_col="doc_id", text_col="text",
+    )
+    return _round6(out, "median_val", "mad")
+
+
+def _sql_mad_agg() -> str:
+    from same_same_spark.operators.facets import duckdb_mad_sql
+
+    inner = duckdb_mad_sql(
+        "documents", "doc_id", "text", STATS_AGG_QUERIES, "n_chars"
+    )
+    return f"""
+SELECT query_id, round(median_val, 6) AS median_val,
+       round(mad, 6) AS mad
+FROM ({inner})
+"""
+
+
+def _q_string_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """string_stats aggregation (operators/facets.string_stats_facets):
+    count / code-point min/max/avg length / Shannon character entropy
+    of the text field over each query's match set — ES's string_stats
+    with show_distribution's exact entropy. Sole evidence.
+    Saturation-overflow entry (see _SATURATION_OVERFLOW)."""
+    from same_same_spark.operators.facets import string_stats_facets
+
+    out = string_stats_facets(
+        _docs(spark, sf_dir), STATS_AGG_QUERIES, "text",
+        id_col="doc_id", text_col="text",
+    )
+    return _round6(out, "avg_length", "entropy")
+
+
+def _sql_string_stats_agg() -> str:
+    from same_same_spark.operators.facets import duckdb_string_stats_sql
+
+    inner = duckdb_string_stats_sql(
+        "documents", "doc_id", "text", STATS_AGG_QUERIES, "text"
+    )
+    return f"""
+SELECT query_id, count_vals, min_length, max_length,
+       round(avg_length, 6) AS avg_length,
+       round(entropy, 6) AS entropy
+FROM ({inner})
+"""
+
+
+def _q_top_metrics_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """top_metrics aggregation (operators/facets.top_metrics_facets):
+    per query the (lang, source) metrics of the 3 matching docs with
+    the largest n_chars — ES's top_metrics sort:desc. Rides the
+    bounded tournament (no WindowExec). Sole evidence.
+    Saturation-overflow entry (see _SATURATION_OVERFLOW)."""
+    from same_same_spark.operators.facets import top_metrics_facets
+
+    return top_metrics_facets(
+        _docs(spark, sf_dir), STATS_AGG_QUERIES, "n_chars",
+        ["lang", "source"], size=3, id_col="doc_id", text_col="text",
+    )
+
+
+def _sql_top_metrics_agg() -> str:
+    from same_same_spark.operators.facets import duckdb_top_metrics_sql
+
+    return duckdb_top_metrics_sql(
+        "documents", "doc_id", "text", STATS_AGG_QUERIES, "n_chars",
+        ["lang", "source"], size=3,
+    )
+
+
+def _q_serial_diff_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """serial_diff pipeline aggregation (events.serial_diff): lag-7
+    seasonal differencing over the zero-filled per-event_type daily
+    histogram — completes the pipeline family (cumulative_sum /
+    derivative / moving_avg / serial_diff). Windows partitioned by
+    event_type. Sole evidence. Saturation-overflow entry (see
+    _SATURATION_OVERFLOW)."""
+    from same_same_spark.operators.events import date_histogram, serial_diff
+
+    series = date_histogram(
+        _events(spark, sf_dir), "day", group_col="event_type"
+    )
+    return serial_diff(
+        series, lag=7, group_cols=["event_type"]
+    )
+
+
+def _sql_serial_diff_agg() -> str:
+    from same_same_spark.operators.events import (
+        duckdb_date_histogram_sql,
+        duckdb_serial_diff_sql,
+    )
+
+    return duckdb_serial_diff_sql(
+        duckdb_date_histogram_sql("events", "day", group_col="event_type"),
+        lag=7,
+        group_cols=["event_type"],
+    )
+
+
+def _q_normalize_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """normalize pipeline aggregation (events.normalize_buckets):
+    z-score rescaling of each event_type's daily bucket counts by the
+    whole-series mean/stddev — ES's normalize agg, one whole-partition
+    window, no second pass. Sole evidence for the normalize family
+    (the other three methods differ only in the window statistic;
+    test_events pins all four). Saturation-overflow entry (see
+    _SATURATION_OVERFLOW)."""
+    from same_same_spark.operators.events import (
+        date_histogram,
+        normalize_buckets,
+    )
+
+    series = date_histogram(
+        _events(spark, sf_dir), "day", group_col="event_type"
+    )
+    out = normalize_buckets(series, "zscore", group_cols=["event_type"])
+    return _round6(out, "normalized")
+
+
+def _sql_normalize_agg() -> str:
+    from same_same_spark.operators.events import (
+        duckdb_date_histogram_sql,
+        duckdb_normalize_sql,
+    )
+
+    inner = duckdb_normalize_sql(
+        duckdb_date_histogram_sql("events", "day", group_col="event_type"),
+        "zscore",
+        group_cols=["event_type"],
+    )
+    return f"""
+SELECT event_type, bucket, doc_count,
+       round(normalized, 6) AS normalized
+FROM ({inner})
+"""
+
+
+def _q_cumulative_cardinality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """cumulative_cardinality pipeline aggregation (events.
+    cumulative_cardinality): exact distinct-users-to-date per daily
+    bucket — the key appears once in the distinct reduction (groupBy
+    user → first bucket), cardinality folds to counts BEFORE the
+    bounded running-sum window. Sole evidence. Saturation-overflow
+    entry (see _SATURATION_OVERFLOW)."""
+    from same_same_spark.operators.events import cumulative_cardinality
+
+    return cumulative_cardinality(
+        _events(spark, sf_dir), "day", "user_id"
+    )
+
+
+def _sql_cumulative_cardinality() -> str:
+    from same_same_spark.operators.events import (
+        duckdb_cumulative_cardinality_sql,
+    )
+
+    return duckdb_cumulative_cardinality_sql("events", "day", "user_id")
+
+
+def _q_bucket_script_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bucket_script + bucket_selector (events.bucket_script /
+    bucket_selector): per-day click-through rate (clicks ÷ total
+    events, the canonical two-sibling-metric script), then the
+    selector keeps days with ctr >= 0.15 — the ES pipeline pair on
+    one fixed-shape daily series. NULL-safe division pinned (a
+    zero-event day would emit NULL and never match the selector).
+    Sole evidence for bucket_script; bucket_selector's range filter
+    re-verifies on a derived metric (bucket_sort_days pinned it on
+    doc_count). Saturation-overflow entry (see _SATURATION_OVERFLOW).
+    """
+    from same_same_spark.operators.events import (
+        bucket_script,
+        bucket_selector,
+    )
+
+    ev = _events(spark, sf_dir)
+    daily = (
+        ev.filter(F.col("ts").isNotNull())
+        .groupBy(F.date_trunc("day", "ts").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("total"),
+            F.count_if(F.col("event_type") == "click")
+            .cast("long")
+            .alias("clicks"),
+        )
+    )
+    scripted = bucket_script(daily, "clicks", "/", "total", "ctr")
+    out = bucket_selector(scripted, min_value=0.15, value_col="ctr")
+    return _round6(out, "ctr")
+
+
+def _sql_bucket_script_agg() -> str:
+    return """
+SELECT bucket, total, clicks, round(ctr, 6) AS ctr
+FROM (
+  SELECT date_trunc('day', ts) AS bucket,
+         count(*)::BIGINT AS total,
+         count(*) FILTER (event_type = 'click')::BIGINT AS clicks,
+         count(*) FILTER (event_type = 'click')::DOUBLE
+           / nullif(count(*), 0)::DOUBLE AS ctr
+  FROM events
+  WHERE ts IS NOT NULL
+  GROUP BY 1
+)
+WHERE ctr IS NOT NULL AND ctr >= 0.15
+"""
+
+
 def _q_stream_vector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous kNN alerts (streaming/topk.stream_vector_topk):
     per-query running cosine top-3 maintained by
@@ -6177,6 +6431,20 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "stream_vector_topk": (
         _q_stream_vector_topk, _sql_stream_vector_topk(),
     ),
+    "boxplot_agg": (_q_boxplot_agg, _sql_boxplot_agg()),
+    "mad_agg": (_q_mad_agg, _sql_mad_agg()),
+    "string_stats_agg": (
+        _q_string_stats_agg, _sql_string_stats_agg(),
+    ),
+    "top_metrics_agg": (_q_top_metrics_agg, _sql_top_metrics_agg()),
+    "serial_diff_agg": (_q_serial_diff_agg, _sql_serial_diff_agg()),
+    "normalize_agg": (_q_normalize_agg, _sql_normalize_agg()),
+    "cumulative_cardinality": (
+        _q_cumulative_cardinality, _sql_cumulative_cardinality(),
+    ),
+    "bucket_script_agg": (
+        _q_bucket_script_agg, _sql_bucket_script_agg(),
+    ),
     # index-dictionary wildcard: rank-identical twin of wildcard_topk
     # (shared oracle; twin-tail placement per the witness contract)
     "wildcard_topk_indexed": (
@@ -6376,6 +6644,14 @@ _ORDER: list[str] = [
     "match_phrase_prefix",
     "ltr_topk",
     "stream_vector_topk",
+    "boxplot_agg",
+    "mad_agg",
+    "string_stats_agg",
+    "top_metrics_agg",
+    "serial_diff_agg",
+    "normalize_agg",
+    "cumulative_cardinality",
+    "bucket_script_agg",
     # --- rotate-backs (last green r2/r3) -------------------------------
     "euclidean_topk",
     "events_hourly",
@@ -6529,6 +6805,14 @@ _SATURATION_OVERFLOW: set[str] = {
     "match_phrase_prefix",
     "ltr_topk",
     "stream_vector_topk",
+    "boxplot_agg",
+    "mad_agg",
+    "string_stats_agg",
+    "top_metrics_agg",
+    "serial_diff_agg",
+    "normalize_agg",
+    "cumulative_cardinality",
+    "bucket_script_agg",
 }
 
 assert len(_ORDER) == len(set(_ORDER)), "duplicate names in _ORDER"

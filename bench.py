@@ -166,6 +166,14 @@ ENTRY_QUERY_NAMES = [
     "match_phrase_prefix",
     "ltr_topk",
     "stream_vector_topk",
+    "boxplot_agg",
+    "mad_agg",
+    "string_stats_agg",
+    "top_metrics_agg",
+    "serial_diff_agg",
+    "normalize_agg",
+    "cumulative_cardinality",
+    "bucket_script_agg",
 ]
 
 # VERDICT r3 #8: round-over-round totals stopped being comparable as

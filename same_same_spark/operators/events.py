@@ -33,9 +33,13 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "asof_join",
+    "bucket_script",
+    "cumulative_cardinality",
     "date_histogram",
     "interval_join",
+    "normalize_buckets",
     "pipeline_aggs",
+    "serial_diff",
     "sessionize",
 ]
 
@@ -588,3 +592,293 @@ def bucket_sort(
         (F.col("pos") + 1).cast("int").alias("bucket_rank"),
     )
     return out.filter(F.col("bucket_rank") > from_)
+
+
+def serial_diff(
+    series_df: DataFrame,
+    lag: int = 1,
+    value_col: str = "doc_count",
+    order_col: str = "bucket",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """ES ``serial_diff`` pipeline aggregation: ``value − value[lag
+    buckets earlier]`` within each group's ordered bucket series —
+    the seasonal-differencing cousin of :func:`pipeline_aggs`'s
+    ``derivative`` (which is the ``lag=1`` special case). Each group's
+    first ``lag`` buckets emit NULL (ES emits no value there).
+
+    Scale shape: one ``lag`` over the same partitioned-ordered window
+    as :func:`pipeline_aggs` — group-partitioned (or the non-foldable
+    constant for a global series), streaming within the sorted
+    partition, bounded by the histogram breaker.
+    """
+    if lag < 1:
+        raise ValueError(f"lag must be >= 1, got {lag}")
+    gcols = list(group_cols or [])
+    if gcols:
+        part = [F.col(c) for c in gcols]
+    else:
+        part = [F.when(F.col(order_col).isNotNull(), F.lit(0))]
+    ordered = Window.partitionBy(*part).orderBy(F.col(order_col).asc())
+    v = F.col(value_col)
+    return series_df.select(
+        *gcols,
+        order_col,
+        value_col,
+        (v - F.lag(v, lag).over(ordered)).cast("long").alias(
+            "serial_diff"
+        ),
+    )
+
+
+def duckdb_serial_diff_sql(
+    series_sql: str,
+    lag: int = 1,
+    value_col: str = "doc_count",
+    order_col: str = "bucket",
+    group_cols: list[str] | None = None,
+) -> str:
+    """DuckDB twin of :func:`serial_diff`."""
+    gcols = list(group_cols or [])
+    part = f"PARTITION BY {', '.join(gcols)} " if gcols else ""
+    gsel = "".join(f"{c}, " for c in gcols)
+    return f"""
+WITH series AS ({series_sql})
+SELECT {gsel}{order_col}, {value_col},
+       ({value_col} - lag({value_col}, {int(lag)}) OVER (
+         {part}ORDER BY {order_col} ASC
+       ))::BIGINT AS serial_diff
+FROM series
+"""
+
+
+_NORM_METHODS = ("rescale_0_1", "percent_of_sum", "zscore", "softmax")
+
+
+def normalize_buckets(
+    series_df: DataFrame,
+    method: str,
+    value_col: str = "doc_count",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """ES ``normalize`` pipeline aggregation: rescale each group's
+    bucket values by a whole-series statistic. Pinned methods
+    (cross-engine, re-derived in :func:`duckdb_normalize_sql`):
+
+    - ``rescale_0_1`` = ``(v - min) / (max - min)``; NULL when the
+      series is constant (zero range — ES's divide-by-zero hole,
+      pinned NULL here);
+    - ``percent_of_sum`` = ``v / sum(v)``; NULL when the sum is 0;
+    - ``zscore`` = ``(v - avg) / stddev_pop``; NULL when the stddev
+      is 0;
+    - ``softmax`` = ``exp(v) / sum(exp(v))`` (bounded inputs only —
+      counts beyond ~700 overflow DOUBLE exp; the histogram series
+      this runs on are doc counts of that magnitude in pathological
+      corpora, caller's guard).
+
+    Scale shape: ONE window aggregate over the full group partition
+    (bounded by the histogram breaker) computing the series statistics
+    alongside each row — no second pass, no join; group-partitioned
+    (non-foldable constant for a global series).
+    """
+    if method not in _NORM_METHODS:
+        raise ValueError(
+            f"method must be one of {_NORM_METHODS}, got {method!r}"
+        )
+    gcols = list(group_cols or [])
+    if gcols:
+        part = [F.col(c) for c in gcols]
+    else:
+        part = [F.when(F.col(value_col).isNotNull(), F.lit(0))]
+    whole = Window.partitionBy(*part)
+    v = F.col(value_col).cast("double")
+    if method == "rescale_0_1":
+        norm = F.try_divide(
+            v - F.min(v).over(whole),
+            F.max(v).over(whole) - F.min(v).over(whole),
+        )
+    elif method == "percent_of_sum":
+        norm = F.try_divide(v, F.sum(v).over(whole))
+    elif method == "zscore":
+        norm = F.try_divide(
+            v - F.avg(v).over(whole), F.stddev_pop(v).over(whole)
+        )
+    else:  # softmax
+        norm = F.try_divide(F.exp(v), F.sum(F.exp(v)).over(whole))
+    return series_df.select(
+        "*", norm.cast("double").alias("normalized")
+    )
+
+
+def duckdb_normalize_sql(
+    series_sql: str,
+    method: str,
+    value_col: str = "doc_count",
+    order_col: str = "bucket",
+    group_cols: list[str] | None = None,
+) -> str:
+    """DuckDB twin of :func:`normalize_buckets` — the same whole-
+    partition window statistics; DuckDB raises on /0 where Spark's
+    try_divide yields NULL, so every denominator routes through
+    nullif."""
+    if method not in _NORM_METHODS:
+        raise ValueError(
+            f"method must be one of {_NORM_METHODS}, got {method!r}"
+        )
+    gcols = list(group_cols or [])
+    part = (
+        f"PARTITION BY {', '.join(gcols)}" if gcols else "PARTITION BY 1"
+    )
+    gsel = "".join(f"{c}, " for c in gcols)
+    v = f"CAST({value_col} AS DOUBLE)"
+    if method == "rescale_0_1":
+        expr = (
+            f"({v} - min({v}) OVER w)"
+            f" / nullif(max({v}) OVER w - min({v}) OVER w, 0)"
+        )
+    elif method == "percent_of_sum":
+        expr = f"{v} / nullif(sum({v}) OVER w, 0)"
+    elif method == "zscore":
+        expr = (
+            f"({v} - avg({v}) OVER w)"
+            f" / nullif(stddev_pop({v}) OVER w, 0)"
+        )
+    else:
+        expr = f"exp({v}) / nullif(sum(exp({v})) OVER w, 0)"
+    return f"""
+WITH series AS ({series_sql})
+SELECT {gsel}{order_col}, {value_col},
+       ({expr})::DOUBLE AS normalized
+FROM series
+WINDOW w AS ({part})
+"""
+
+
+def cumulative_cardinality(
+    events_df: DataFrame,
+    unit: str,
+    key_col: str,
+    time_col: str = "ts",
+    max_buckets: int = 65536,
+) -> DataFrame:
+    """ES ``cumulative_cardinality`` pipeline aggregation: per
+    date-histogram bucket, the number of DISTINCT keys seen in ANY
+    bucket up to and including it — the "total users to date" curve
+    (ES runs it on merged HLL sketches and is approximate; this is
+    EXACT, the engine's percentiles-agg precedent).
+
+    Pinned semantics (re-derived in
+    :func:`duckdb_cumulative_cardinality_sql`): NULL keys and NULL
+    timestamps are excluded; buckets zero-fill between the first and
+    last event (the :func:`date_histogram` shape), so a bucket with no
+    NEW keys still emits the running total.
+
+    Scale shape: a key appears in the distinct-reduction ONCE (groupBy
+    key → min bucket — the heavy shuffle, keyed uniformly by the key
+    column); first-seen counts per bucket are then
+    histogram-cardinality rows, and the running sum is one ordered
+    window over the bounded zero-filled series. State never holds a
+    key set — cardinality folds to counts before the window.
+    """
+    shape = date_histogram(
+        events_df, unit, time_col=time_col, max_buckets=max_buckets
+    )
+    first_seen = (
+        events_df.filter(
+            F.col(key_col).isNotNull() & F.col(time_col).isNotNull()
+        )
+        .groupBy(F.col(key_col))
+        .agg(
+            F.min(F.date_trunc(unit, F.col(time_col))).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("new_keys"))
+    )
+    joined = shape.join(first_seen, "bucket", "left").select(
+        "bucket",
+        "doc_count",
+        F.coalesce(F.col("new_keys"), F.lit(0)).cast("long").alias(
+            "new_keys"
+        ),
+    )
+    ordered = (
+        Window.partitionBy(
+            F.when(F.col("bucket").isNotNull(), F.lit(0))
+        )
+        .orderBy(F.col("bucket").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "bucket",
+        "doc_count",
+        "new_keys",
+        F.sum("new_keys").over(ordered).cast("long").alias(
+            "cumulative_cardinality"
+        ),
+    )
+
+
+def duckdb_cumulative_cardinality_sql(
+    table: str,
+    unit: str,
+    key_col: str,
+    time_col: str = "ts",
+) -> str:
+    """DuckDB twin of :func:`cumulative_cardinality`."""
+    hist = duckdb_date_histogram_sql(table, unit, time_col=time_col)
+    return f"""
+WITH shape AS ({hist}),
+first_seen AS (
+  SELECT bucket, count(*)::BIGINT AS new_keys
+  FROM (
+    SELECT {key_col}, min(date_trunc('{unit}', {time_col})) AS bucket
+    FROM {table}
+    WHERE {key_col} IS NOT NULL AND {time_col} IS NOT NULL
+    GROUP BY {key_col}
+  ) GROUP BY bucket
+)
+SELECT s.bucket, s.doc_count,
+       coalesce(f.new_keys, 0)::BIGINT AS new_keys,
+       sum(coalesce(f.new_keys, 0)) OVER (
+         ORDER BY s.bucket ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       )::BIGINT AS cumulative_cardinality
+FROM shape s LEFT JOIN first_seen f ON s.bucket = f.bucket
+"""
+
+
+_BUCKET_SCRIPT_OPS = ("+", "-", "*", "/")
+
+
+def bucket_script(
+    series_df: DataFrame,
+    left_col: str,
+    op: str,
+    right_col: str,
+    out_col: str = "script_value",
+) -> DataFrame:
+    """ES ``bucket_script`` for the binary-arithmetic script family:
+    combine two sibling metrics per bucket (``params.a / params.b``
+    etc. — the click-through-rate shape; arbitrary Painless is out of
+    scope by design, the :func:`bucket_selector` precedent). Division
+    by zero and NULL operands yield NULL (ES skips the bucket; NULL
+    here keeps the series shape fixed). A plain projection — Catalyst
+    folds it into whatever produced the series.
+    """
+    if op not in _BUCKET_SCRIPT_OPS:
+        raise ValueError(
+            f"op must be one of {_BUCKET_SCRIPT_OPS}, got {op!r}"
+        )
+    a = F.col(left_col).cast("double")
+    b = F.col(right_col).cast("double")
+    if op == "/":
+        val = F.try_divide(a, b)
+    elif op == "+":
+        val = a + b
+    elif op == "-":
+        val = a - b
+    else:
+        val = a * b
+    return series_df.select(
+        "*", val.cast("double").alias(out_col)
+    )

@@ -2135,3 +2135,403 @@ qids AS (SELECT * FROM (VALUES {qids}) v(query_id))
 SELECT q.query_id, coalesce(mq.doc_count, 0)::BIGINT AS doc_count
 FROM qids q LEFT JOIN mq USING (query_id)
 """
+
+
+def boxplot_facets(
+    docs_df: DataFrame,
+    queries: list[tuple[int, str]],
+    value_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+) -> DataFrame:
+    """Boxplot aggregation over the match set — Elasticsearch's
+    ``boxplot`` agg, but EXACT (linear-interpolated quartiles, the
+    pinned Spark ``percentile`` == DuckDB ``quantile_cont`` identity)
+    instead of ES's TDigest approximation.
+
+    Pinned semantics (cross-engine, re-derived in
+    :func:`duckdb_boxplot_sql`): per query over the non-NULL values of
+    ``value_col`` across matching docs —
+
+    - ``q1``/``q2``/``q3`` = exact interpolated 25/50/75 quantiles;
+    - ``min_val``/``max_val`` = the data extremes;
+    - whiskers follow ES's Tukey rule: ``lower_whisker`` = the SMALLEST
+      data value >= ``q1 - 1.5*IQR``, ``upper_whisker`` = the LARGEST
+      data value <= ``q3 + 1.5*IQR`` (always defined: q1/q3 themselves
+      lie inside the fences, so the inside set is non-empty whenever
+      the match set is);
+    - queries with no values yield no row.
+
+    Scale shape: two passes over the matched values — one
+    map-side-combined quantile aggregate (one row per query), then the
+    tiny fence table BROADCAST back onto the values for a conditional
+    min/max (again one row per query). No window, no per-value state.
+    """
+    matched = _match_set(docs_df, queries, id_col, text_col)
+    meta = docs_df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    vals = (
+        matched.join(meta, "doc_id").filter(F.col("v").isNotNull())
+    )
+    quarts = vals.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("count_vals"),
+        F.min("v").alias("min_val"),
+        F.max("v").alias("max_val"),
+        F.percentile(
+            F.col("v"), F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+        ).alias("q"),
+    ).select(
+        "query_id",
+        "count_vals",
+        "min_val",
+        "max_val",
+        F.col("q")[0].alias("q1"),
+        F.col("q")[1].alias("q2"),
+        F.col("q")[2].alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    fences = quarts.select(
+        "query_id",
+        (F.col("q1") - 1.5 * iqr).alias("lo_fence"),
+        (F.col("q3") + 1.5 * iqr).alias("hi_fence"),
+    )
+    whisk = (
+        vals.join(F.broadcast(fences), "query_id")
+        .groupBy("query_id")
+        .agg(
+            F.min(
+                F.when(F.col("v") >= F.col("lo_fence"), F.col("v"))
+            ).alias("lower_whisker"),
+            F.max(
+                F.when(F.col("v") <= F.col("hi_fence"), F.col("v"))
+            ).alias("upper_whisker"),
+        )
+    )
+    return quarts.join(whisk, "query_id").select(
+        "query_id", "count_vals", "min_val", "max_val",
+        "q1", "q2", "q3", "lower_whisker", "upper_whisker",
+    )
+
+
+def duckdb_boxplot_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    queries: list[tuple[int, str]],
+    value_col: str,
+) -> str:
+    """DuckDB twin of :func:`boxplot_facets` — the same exact
+    interpolated quantiles (``quantile_cont``) and the same fence
+    arithmetic, so integer-valued inputs compare bit-identically."""
+    qvalues = _qterm_values(queries)
+    return f"""
+WITH {_matched_ctes(table, id_col, text_col, qvalues)},
+vals AS (
+  SELECT m.query_id, CAST(d.{value_col} AS DOUBLE) AS v
+  FROM matched m JOIN {table} d ON m.doc_id = d.{id_col}
+  WHERE d.{value_col} IS NOT NULL
+),
+quarts AS (
+  SELECT query_id,
+         count(*)::BIGINT AS count_vals,
+         min(v) AS min_val,
+         max(v) AS max_val,
+         quantile_cont(v, 0.25) AS q1,
+         quantile_cont(v, 0.5) AS q2,
+         quantile_cont(v, 0.75) AS q3
+  FROM vals GROUP BY query_id
+),
+whisk AS (
+  SELECT v.query_id,
+         min(CASE WHEN v.v >= q.q1 - 1.5 * (q.q3 - q.q1)
+             THEN v.v END) AS lower_whisker,
+         max(CASE WHEN v.v <= q.q3 + 1.5 * (q.q3 - q.q1)
+             THEN v.v END) AS upper_whisker
+  FROM vals v JOIN quarts q USING (query_id)
+  GROUP BY v.query_id
+)
+SELECT query_id, count_vals, min_val, max_val, q1, q2, q3,
+       lower_whisker, upper_whisker
+FROM quarts JOIN whisk USING (query_id)
+"""
+
+
+def mad_facets(
+    docs_df: DataFrame,
+    queries: list[tuple[int, str]],
+    value_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+) -> DataFrame:
+    """Median-absolute-deviation aggregation over the match set —
+    Elasticsearch's ``median_absolute_deviation``, but EXACT
+    (interpolated medians) instead of ES's TDigest sketch.
+
+    Pinned semantics (re-derived in :func:`duckdb_mad_sql`): per query
+    over the non-NULL values ``v`` of matching docs,
+    ``median_val = median(v)`` and
+    ``mad = median(|v - median_val|)`` — both linear-interpolated
+    (Spark ``percentile(0.5)`` == DuckDB ``quantile_cont(0.5)``,
+    the corpus_profile identity). Queries with no values yield no row.
+
+    Scale shape: the same two-pass + broadcast shape as
+    :func:`boxplot_facets` — the per-query median table (one row per
+    query) broadcasts back onto the values for the deviation median.
+    """
+    matched = _match_set(docs_df, queries, id_col, text_col)
+    meta = docs_df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    vals = matched.join(meta, "doc_id").filter(F.col("v").isNotNull())
+    med = vals.groupBy("query_id").agg(
+        F.percentile(F.col("v"), F.lit(0.5)).alias("median_val")
+    )
+    return (
+        vals.join(F.broadcast(med), "query_id")
+        .groupBy("query_id")
+        .agg(
+            F.first("median_val").alias("median_val"),
+            F.percentile(
+                F.abs(F.col("v") - F.col("median_val")), F.lit(0.5)
+            ).alias("mad"),
+        )
+        .select("query_id", "median_val", "mad")
+    )
+
+
+def duckdb_mad_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    queries: list[tuple[int, str]],
+    value_col: str,
+) -> str:
+    """DuckDB twin of :func:`mad_facets`."""
+    qvalues = _qterm_values(queries)
+    return f"""
+WITH {_matched_ctes(table, id_col, text_col, qvalues)},
+vals AS (
+  SELECT m.query_id, CAST(d.{value_col} AS DOUBLE) AS v
+  FROM matched m JOIN {table} d ON m.doc_id = d.{id_col}
+  WHERE d.{value_col} IS NOT NULL
+),
+med AS (
+  SELECT query_id, quantile_cont(v, 0.5) AS median_val
+  FROM vals GROUP BY query_id
+)
+SELECT v.query_id,
+       any_value(m.median_val) AS median_val,
+       quantile_cont(abs(v.v - m.median_val), 0.5) AS mad
+FROM vals v JOIN med m USING (query_id)
+GROUP BY v.query_id
+"""
+
+
+def string_stats_facets(
+    docs_df: DataFrame,
+    queries: list[tuple[int, str]],
+    field_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+) -> DataFrame:
+    """String-stats aggregation over the match set — Elasticsearch's
+    ``string_stats`` (count / min_length / max_length / avg_length /
+    Shannon entropy) of a string field across matching docs.
+
+    Pinned semantics (cross-engine, re-derived in
+    :func:`duckdb_string_stats_sql`):
+
+    - NULL field values are excluded; empty strings COUNT (length 0
+      participates in count/min/max/avg) but contribute no characters;
+    - lengths are Unicode code-point counts (Spark ``length`` ==
+      DuckDB ``length``);
+    - ``entropy`` = ``-Σ_c p_c · log2(p_c)`` over the code-point
+      distribution of ALL matched values concatenated (ES's
+      show_distribution source definition); a match set with zero
+      characters yields entropy 0.0;
+    - queries with no non-NULL values yield no row.
+
+    Cross-engine float note: the entropy sum runs over the distinct
+    code-point alphabet (bounded, ~dozens of terms of magnitude <= 1),
+    so order-dependent double error sits ~1e-14 — absorbed by the
+    driver's 6dp rounding (the stats_facets precedent).
+
+    Scale shape: one pass for the length stats (map-side-combined
+    groupBy, one row per query) and one (query, char)
+    explode-aggregate whose cardinality is queries x alphabet — the
+    char counts then collapse to one row per query. No per-doc state.
+    """
+    matched = _match_set(docs_df, queries, id_col, text_col)
+    meta = docs_df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(field_col).cast("string").alias("s"),
+    )
+    vals = matched.join(meta, "doc_id").filter(F.col("s").isNotNull())
+    lens = vals.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("count_vals"),
+        F.min(F.length("s")).cast("long").alias("min_length"),
+        F.max(F.length("s")).cast("long").alias("max_length"),
+        (
+            F.sum(F.length("s")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avg_length"),
+    )
+    chars = (
+        vals.select(
+            "query_id", F.explode(F.split("s", "")).alias("ch")
+        )
+        # both engines split an EMPTY string into [''] — drop it
+        .filter(F.length("ch") > 0)
+        .groupBy("query_id", "ch")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    tot = F.sum("cnt").cast("double")
+    ent = chars.groupBy("query_id").agg(
+        (
+            -F.sum(
+                F.col("cnt").cast("double")
+                * F.log2(F.col("cnt").cast("double"))
+            )
+            / tot
+            + F.log2(tot)
+        ).alias("entropy")
+    )
+    return lens.join(ent, "query_id", "left").select(
+        "query_id", "count_vals", "min_length", "max_length",
+        "avg_length",
+        F.coalesce("entropy", F.lit(0.0)).alias("entropy"),
+    )
+
+
+def duckdb_string_stats_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    queries: list[tuple[int, str]],
+    field_col: str,
+) -> str:
+    """DuckDB twin of :func:`string_stats_facets`. BOTH engines split
+    an empty string into ``['']`` (measured — Spark's ``show`` renders
+    it as ``[]``, but ``split('', '')`` is one empty element); the
+    ``length(ch) > 0`` filter on each side drops that artifact from
+    the character stream. Entropy uses the same
+    ``log2(total) - Σ c·log2(c) / total`` factoring as the Spark side
+    so the per-term doubles match expression-for-expression."""
+    qvalues = _qterm_values(queries)
+    return f"""
+WITH {_matched_ctes(table, id_col, text_col, qvalues)},
+vals AS (
+  SELECT m.query_id, CAST(d.{field_col} AS VARCHAR) AS s
+  FROM matched m JOIN {table} d ON m.doc_id = d.{id_col}
+  WHERE d.{field_col} IS NOT NULL
+),
+lens AS (
+  SELECT query_id,
+         count(*)::BIGINT AS count_vals,
+         min(length(s))::BIGINT AS min_length,
+         max(length(s))::BIGINT AS max_length,
+         sum(length(s))::DOUBLE / count(*)::DOUBLE AS avg_length
+  FROM vals GROUP BY query_id
+),
+chars AS (
+  SELECT query_id, ch, count(*)::BIGINT AS cnt
+  FROM (
+    SELECT query_id, unnest(string_split(s, '')) AS ch FROM vals
+  ) WHERE length(ch) > 0
+  GROUP BY query_id, ch
+),
+ent AS (
+  SELECT query_id,
+         -sum(cnt::DOUBLE * log2(cnt::DOUBLE)) / sum(cnt)::DOUBLE
+           + log2(sum(cnt)::DOUBLE) AS entropy
+  FROM chars GROUP BY query_id
+)
+SELECT l.query_id, l.count_vals, l.min_length, l.max_length,
+       l.avg_length, coalesce(e.entropy, 0.0) AS entropy
+FROM lens l LEFT JOIN ent e USING (query_id)
+"""
+
+
+def top_metrics_facets(
+    docs_df: DataFrame,
+    queries: list[tuple[int, str]],
+    sort_col: str,
+    metric_cols: list[str],
+    size: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+) -> DataFrame:
+    """Top-metrics aggregation — Elasticsearch's ``top_metrics``: per
+    query, the metric values of the ``size`` matching docs with the
+    LARGEST ``sort_col`` (``sort: {field: desc}``), NULL sort values
+    excluded, ties broken by doc id ASC (the engine's pinned
+    ranking tiebreak).
+
+    Returns (query_id, rank, doc_id, sort_val DOUBLE, <metric_cols>).
+
+    Scale shape: the sort value rides the engine's bounded
+    sort_array/slice tournament (:func:`~same_same_spark.operators.
+    topk.topk_per_query` — never a rank window); the winners (queries
+    x size rows) then join metrics back from the docs relation.
+    """
+    from same_same_spark.operators.topk import topk_per_query
+
+    if size < 1:
+        raise ValueError(f"size must be >= 1, got {size}")
+    matched = _match_set(docs_df, queries, id_col, text_col)
+    meta = docs_df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(sort_col).cast("double").alias("score"),
+    )
+    scored = matched.join(meta, "doc_id").filter(
+        F.col("score").isNotNull()
+    )
+    top = topk_per_query(scored, size)
+    metrics = docs_df.select(
+        F.col(id_col).alias("doc_id"), *metric_cols
+    )
+    return (
+        top.join(metrics, "doc_id")
+        .select(
+            "query_id",
+            "rank",
+            "doc_id",
+            F.col("score").alias("sort_val"),
+            *metric_cols,
+        )
+    )
+
+
+def duckdb_top_metrics_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    queries: list[tuple[int, str]],
+    sort_col: str,
+    metric_cols: list[str],
+    size: int = 3,
+) -> str:
+    """DuckDB twin of :func:`top_metrics_facets` — the pinned
+    ``(round(sort, 9) DESC, doc_id ASC)`` ranking."""
+    qvalues = _qterm_values(queries)
+    mcols = "".join(f", d.{c}" for c in metric_cols)
+    return f"""
+WITH {_matched_ctes(table, id_col, text_col, qvalues)},
+ranked AS (
+  SELECT m.query_id, m.doc_id,
+         CAST(d.{sort_col} AS DOUBLE) AS sort_val{mcols},
+         row_number() OVER (
+           PARTITION BY m.query_id
+           ORDER BY round(CAST(d.{sort_col} AS DOUBLE), 9) DESC,
+                    m.doc_id ASC
+         ) AS rank
+  FROM matched m JOIN {table} d ON m.doc_id = d.{id_col}
+  WHERE d.{sort_col} IS NOT NULL
+)
+SELECT query_id, rank::INTEGER AS rank, doc_id, sort_val
+       {mcols.replace(' d.', ' ')}
+FROM ranked WHERE rank <= {int(size)}
+"""

@@ -517,3 +517,184 @@ def test_pipeline_aggs_global_series_partition_survives(spark):
 
     with pytest.raises(ValueError, match="window"):
         pipeline_aggs(series, window=0)
+
+
+# ---------------------------------------------------------------------------
+# serial_diff / normalize / cumulative_cardinality / bucket_script
+# ---------------------------------------------------------------------------
+
+def _series_df(spark):
+    rows = [
+        ("a", 1, 10), ("a", 2, 13), ("a", 3, 11), ("a", 4, 20),
+        ("b", 1, 5), ("b", 2, 5),
+    ]
+    return spark.createDataFrame(
+        rows, "grp STRING, bucket INT, doc_count LONG"
+    )
+
+
+def test_serial_diff_lag2_hand_computed(spark):
+    from same_same_spark.operators.events import serial_diff
+
+    out = {
+        (r["grp"], r["bucket"]): r["serial_diff"]
+        for r in serial_diff(
+            _series_df(spark), lag=2, order_col="bucket",
+            group_cols=["grp"],
+        ).collect()
+    }
+    assert out == {
+        ("a", 1): None, ("a", 2): None,
+        ("a", 3): 1, ("a", 4): 7,
+        ("b", 1): None, ("b", 2): None,
+    }
+    with pytest.raises(ValueError, match="lag must be"):
+        serial_diff(_series_df(spark), lag=0)
+
+
+def test_normalize_methods_hand_computed(spark):
+    import math
+
+    from same_same_spark.operators.events import normalize_buckets
+
+    df = _series_df(spark)
+    a = [10.0, 13.0, 11.0, 20.0]
+
+    got = {
+        (r["grp"], r["bucket"]): r["normalized"]
+        for r in normalize_buckets(
+            df, "rescale_0_1", group_cols=["grp"]
+        ).collect()
+    }
+    for i, v in enumerate(a):
+        assert got[("a", i + 1)] == pytest.approx((v - 10) / 10)
+    # constant series -> zero range -> NULL
+    assert got[("b", 1)] is None and got[("b", 2)] is None
+
+    got = {
+        (r["grp"], r["bucket"]): r["normalized"]
+        for r in normalize_buckets(
+            df, "percent_of_sum", group_cols=["grp"]
+        ).collect()
+    }
+    assert got[("a", 4)] == pytest.approx(20 / 54)
+    assert got[("b", 1)] == pytest.approx(0.5)
+
+    got = {
+        (r["grp"], r["bucket"]): r["normalized"]
+        for r in normalize_buckets(
+            df, "zscore", group_cols=["grp"]
+        ).collect()
+    }
+    mean = sum(a) / 4
+    std = math.sqrt(sum((v - mean) ** 2 for v in a) / 4)
+    assert got[("a", 1)] == pytest.approx((10 - mean) / std)
+    assert got[("b", 1)] is None  # zero stddev
+
+    got = {
+        (r["grp"], r["bucket"]): r["normalized"]
+        for r in normalize_buckets(
+            df, "softmax", group_cols=["grp"]
+        ).collect()
+    }
+    z = sum(math.exp(v) for v in a)
+    assert got[("a", 4)] == pytest.approx(math.exp(20.0) / z)
+
+    with pytest.raises(ValueError, match="method must be"):
+        normalize_buckets(df, "rank")
+
+
+def test_normalize_global_series_no_groups(spark):
+    from same_same_spark.operators.events import normalize_buckets
+
+    df = _series_df(spark).drop("grp")
+    # global: all 6 rows normalize against the ONE series total
+    rows = normalize_buckets(df, "percent_of_sum").collect()
+    total = 10 + 13 + 11 + 20 + 5 + 5
+    assert sorted(r["normalized"] for r in rows) == pytest.approx(
+        sorted(v / total for v in (10, 13, 11, 20, 5, 5))
+    )
+    assert sum(r["normalized"] for r in rows) == pytest.approx(1.0)
+
+
+def test_cumulative_cardinality_hand_computed(spark):
+    from datetime import datetime
+
+    from same_same_spark.operators.events import cumulative_cardinality
+
+    rows = [
+        (1, datetime(2024, 1, 1, 9)),
+        (2, datetime(2024, 1, 1, 10)),
+        (1, datetime(2024, 1, 2, 9)),    # repeat: not new
+        (None, datetime(2024, 1, 2, 9)),  # NULL key excluded
+        (3, datetime(2024, 1, 4, 1)),
+        (2, None),                        # NULL ts excluded
+    ]
+    df = spark.createDataFrame(rows, "user_id LONG, ts TIMESTAMP")
+    out = {
+        str(r["bucket"]): (
+            r["doc_count"], r["new_keys"], r["cumulative_cardinality"]
+        )
+        for r in cumulative_cardinality(df, "day", "user_id").collect()
+    }
+    # note: doc_count includes the NULL-key row (histogram semantics)
+    assert out == {
+        "2024-01-01 00:00:00": (2, 2, 2),
+        "2024-01-02 00:00:00": (2, 0, 2),   # zero-NEW bucket emits
+        "2024-01-03 00:00:00": (0, 0, 2),   # zero-fill bucket
+        "2024-01-04 00:00:00": (1, 1, 3),
+    }
+
+
+def test_cumulative_cardinality_duckdb_differential(spark):
+    import duckdb
+
+    from same_same_spark.operators.events import (
+        cumulative_cardinality,
+        duckdb_cumulative_cardinality_sql,
+    )
+
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    got = sorted(
+        (str(r["bucket"]), r["doc_count"], r["new_keys"],
+         r["cumulative_cardinality"])
+        for r in cumulative_cardinality(ev, "day", "user_id").collect()
+    )
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW events AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/events.parquet')"
+    )
+    want = sorted(
+        (str(b), d, n, c)
+        for b, d, n, c in con.sql(
+            duckdb_cumulative_cardinality_sql("events", "day", "user_id")
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_bucket_script_ops_and_null(spark):
+    from same_same_spark.operators.events import bucket_script
+
+    df = spark.createDataFrame(
+        [(1, 10, 4), (2, 3, 0), (3, None, 5)],
+        "bucket INT, a LONG, b LONG",
+    )
+    by = {
+        r["bucket"]: r["script_value"]
+        for r in bucket_script(df, "a", "/", "b").collect()
+    }
+    assert by[1] == pytest.approx(2.5)
+    assert by[2] is None  # /0 -> NULL
+    assert by[3] is None  # NULL operand -> NULL
+    by = {
+        r["bucket"]: r["script_value"]
+        for r in bucket_script(df, "a", "-", "b").collect()
+    }
+    assert by[1] == 6.0
+    with pytest.raises(ValueError, match="op must be"):
+        bucket_script(df, "a", "%", "b")

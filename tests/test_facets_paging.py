@@ -604,3 +604,211 @@ def test_terms_metrics_match_brute_force(spark):
     assert got["alls"] == (2, 1, 0, None, None, None, None)
     assert got["book"] == (2, 2, 1, 301.0, 301.0, 301.0, 301.0)
     assert got["web"] == (2, 3, 2, 87.0, 120.0, 207.0, 103.5)
+
+
+# ---------------------------------------------------------------- boxplot
+
+
+def _matched_vals(query: str, col_idx: int):
+    qterms = set(tokenize_py(query))
+    return [
+        row[col_idx]
+        for row in STAT_DOCS
+        if qterms & set(tokenize_py(row[1])) and row[col_idx] is not None
+    ]
+
+
+def test_boxplot_matches_numpy(spark):
+    import numpy as np
+
+    from same_same_spark.operators.facets import boxplot_facets
+
+    rows = boxplot_facets(
+        _stat_docs_df(spark), [(1, "quick fox")], "n_chars",
+        id_col="doc_id", text_col="text",
+    ).collect()
+    vals = np.array(sorted(_matched_vals("quick fox", 2)), dtype=float)
+    q1, q2, q3 = np.percentile(vals, [25, 50, 75], method="linear")
+    iqr = q3 - q1
+    lo = vals[vals >= q1 - 1.5 * iqr].min()
+    hi = vals[vals <= q3 + 1.5 * iqr].max()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["count_vals"] == len(vals)
+    assert (r["min_val"], r["max_val"]) == (vals.min(), vals.max())
+    for got, want in [
+        (r["q1"], q1), (r["q2"], q2), (r["q3"], q3),
+        (r["lower_whisker"], lo), (r["upper_whisker"], hi),
+    ]:
+        assert got == pytest.approx(want, abs=1e-12)
+
+
+def test_boxplot_outlier_excluded_from_whisker(spark):
+    from same_same_spark.operators.facets import boxplot_facets
+
+    # 5 tight values + one far outlier: upper whisker must stop at the
+    # largest value inside the Tukey fence, NOT the max
+    docs = [(i, "zebra word", v) for i, v in enumerate(
+        [10, 11, 12, 13, 14, 1000]
+    )]
+    df = spark.createDataFrame(
+        docs, "doc_id LONG, text STRING, v LONG"
+    )
+    r = boxplot_facets(
+        df, [(1, "zebra")], "v", id_col="doc_id", text_col="text"
+    ).collect()[0]
+    assert r["max_val"] == 1000.0
+    assert r["upper_whisker"] < 1000.0
+    assert r["lower_whisker"] == 10.0
+
+
+def test_boxplot_no_match_no_rows(spark):
+    from same_same_spark.operators.facets import boxplot_facets
+
+    assert (
+        boxplot_facets(
+            _stat_docs_df(spark), [(1, "missingzz")], "n_chars",
+            id_col="doc_id", text_col="text",
+        ).collect()
+        == []
+    )
+
+
+# ---------------------------------------------------------------- MAD
+
+
+def test_mad_matches_numpy(spark):
+    import numpy as np
+
+    from same_same_spark.operators.facets import mad_facets
+
+    rows = mad_facets(
+        _stat_docs_df(spark), [(1, "quick fox"), (2, "dog")], "weight",
+        id_col="doc_id", text_col="text",
+    ).collect()
+    got = {r["query_id"]: (r["median_val"], r["mad"]) for r in rows}
+    for qid, query in [(1, "quick fox"), (2, "dog")]:
+        vals = np.array(_matched_vals(query, 3), dtype=float)
+        med = np.percentile(vals, 50, method="linear")
+        mad = np.percentile(np.abs(vals - med), 50, method="linear")
+        assert got[qid][0] == pytest.approx(med, abs=1e-15)
+        assert got[qid][1] == pytest.approx(mad, abs=1e-15)
+
+
+def test_mad_single_value_is_zero(spark):
+    from same_same_spark.operators.facets import mad_facets
+
+    r = mad_facets(
+        _stat_docs_df(spark), [(1, "nothing")], "n_chars",
+        id_col="doc_id", text_col="text",
+    ).collect()[0]
+    assert (r["median_val"], r["mad"]) == (55.0, 0.0)
+
+
+# ---------------------------------------------------------------- string_stats
+
+
+def test_string_stats_hand_computed(spark):
+    import math
+
+    from same_same_spark.operators.facets import string_stats_facets
+
+    docs = [
+        (1, "alpha match", "aab"),
+        (2, "alpha match", ""),      # empty: counts, no chars
+        (3, "alpha match", None),    # NULL: excluded entirely
+        (4, "no hit here", "zzzz"),  # unmatched
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id LONG, text STRING, fld STRING"
+    )
+    r = string_stats_facets(
+        df, [(1, "alpha")], "fld", id_col="doc_id", text_col="text"
+    ).collect()[0]
+    # matched values: "aab" and "" -> chars {a: 2, b: 1}
+    assert r["count_vals"] == 2
+    assert (r["min_length"], r["max_length"]) == (0, 3)
+    assert r["avg_length"] == pytest.approx(1.5)
+    want = -(2 / 3) * math.log2(2 / 3) - (1 / 3) * math.log2(1 / 3)
+    assert r["entropy"] == pytest.approx(want, abs=1e-12)
+
+
+def test_string_stats_zero_chars_entropy_zero(spark):
+    from same_same_spark.operators.facets import string_stats_facets
+
+    df = spark.createDataFrame(
+        [(1, "alpha match", "")], "doc_id LONG, text STRING, fld STRING"
+    )
+    r = string_stats_facets(
+        df, [(1, "alpha")], "fld", id_col="doc_id", text_col="text"
+    ).collect()[0]
+    assert (r["count_vals"], r["entropy"]) == (1, 0.0)
+
+
+def test_string_stats_duckdb_differential(spark):
+    import duckdb
+
+    from same_same_spark.operators.facets import (
+        duckdb_string_stats_sql,
+        string_stats_facets,
+    )
+
+    df = _docs_df(spark)
+    got = {
+        r["query_id"]: r
+        for r in string_stats_facets(
+            df, [(1, "quick fox"), (2, "dog")], "text",
+            id_col="doc_id", text_col="text",
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register("docs_tbl", df.toPandas())
+    want = con.sql(
+        duckdb_string_stats_sql(
+            "docs_tbl", "doc_id", "text",
+            [(1, "quick fox"), (2, "dog")], "text",
+        )
+    ).fetchall()
+    assert len(want) == len(got)
+    for qid, cnt, mn, mx, avg, ent in want:
+        g = got[qid]
+        assert (g["count_vals"], g["min_length"], g["max_length"]) == (
+            cnt, mn, mx,
+        )
+        assert g["avg_length"] == pytest.approx(avg, abs=1e-12)
+        assert g["entropy"] == pytest.approx(ent, abs=1e-12)
+
+
+# ---------------------------------------------------------------- top_metrics
+
+
+def test_top_metrics_ranks_by_sort_field(spark):
+    from same_same_spark.operators.facets import top_metrics_facets
+
+    rows = top_metrics_facets(
+        _docs_df(spark).join(
+            _stat_docs_df(spark).select("doc_id", "n_chars"), "doc_id"
+        ),
+        [(1, "quick fox")],
+        "n_chars",
+        ["lang", "source"],
+        size=2,
+        id_col="doc_id",
+        text_col="text",
+    ).orderBy("rank").collect()
+    # matched docs with non-NULL n_chars: 1:120, 2:87, 3:301, 6:55
+    # wait: _docs_df ids differ; the join keeps ids 1,2,3,4,5,6
+    assert [r["doc_id"] for r in rows] == [3, 1]
+    assert rows[0]["sort_val"] == 301.0
+    assert rows[0]["lang"] == "de"
+    assert rows[1]["source"] == "web"
+
+
+def test_top_metrics_size_guard(spark):
+    from same_same_spark.operators.facets import top_metrics_facets
+
+    with pytest.raises(ValueError, match="size must be"):
+        top_metrics_facets(
+            _docs_df(spark), [(1, "x")], "doc_id", ["lang"], size=0,
+            id_col="doc_id", text_col="text",
+        )
