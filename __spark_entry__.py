@@ -5687,6 +5687,85 @@ def _sql_top_metrics_agg() -> str:
     )
 
 
+PHRASE_SUGGEST_QUERIES: list[tuple[int, str]] = [
+    (1, "fasst merge"),
+    (2, "tabel scan"),
+    (3, "window agg"),
+    (4, "the a"),  # no tokens -> no rows
+]
+
+
+def _q_phrase_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase suggester (operators/phrasesuggest.phrase_suggest):
+    whole-phrase spelling correction — SymSpell per-term candidates
+    (original always kept) cross-multiplied and ranked by the pinned
+    add-alpha bigram LM over the corpus. The oracle re-derives
+    EVERYTHING brute-force: candidates via the vocab levenshtein scan
+    (verifying SymSpell recall, the spell_suggest strategy), LM counts
+    relationally (the lm_perplexity CTE chain), phrases as a join of
+    the two candidate sets. Sole evidence. Saturation-overflow entry
+    (see _SATURATION_OVERFLOW)."""
+    from same_same_spark.operators.phrasesuggest import phrase_suggest
+
+    out = phrase_suggest(
+        _docs(spark, sf_dir), PHRASE_SUGGEST_QUERIES, topn=3,
+        max_edits=1, max_term_candidates=3,
+        id_col="doc_id", text_col="text",
+    )
+    return _round6(out, "score")
+
+
+def _sql_phrase_suggest() -> str:
+    from same_same_spark.operators.phrasesuggest import (
+        duckdb_phrase_suggest_sql,
+    )
+
+    return duckdb_phrase_suggest_sql(
+        "documents", "doc_id", "text",
+        [q for q in PHRASE_SUGGEST_QUERIES if q[0] != 4],
+        topn=3, max_edits=1, max_term_candidates=3,
+    )
+
+
+def _q_boosting_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boosting query (operators/boost.boosting_search): positive BM25
+    with negative-match demotion — docs matching the negative query
+    keep their rank slot but score x0.4 (never excluded; ES's
+    boosting semantics). One extra broadcast term join over the
+    scored-matches plan. Sole evidence. Saturation-overflow entry
+    (see _SATURATION_OVERFLOW)."""
+    from same_same_spark.operators.boost import boosting_search
+
+    out = boosting_search(
+        _docs(spark, sf_dir),
+        [
+            (1, "table query join", "slow error"),
+            (2, "fast scan row filter", "customer"),
+            (3, "vector", "the a"),  # no neg tokens -> plain BM25
+        ],
+        k=REF_K,
+        negative_boost=0.4,
+        id_col="doc_id",
+        text_col="text",
+    )
+    return _round6(out, "score")
+
+
+def _sql_boosting_topk() -> str:
+    from same_same_spark.operators.boost import duckdb_boosting_sql
+
+    return duckdb_boosting_sql(
+        "documents", "doc_id", "text",
+        [
+            (1, "table query join", "slow error"),
+            (2, "fast scan row filter", "customer"),
+            (3, "vector", "the a"),
+        ],
+        k=REF_K,
+        negative_boost=0.4,
+    )
+
+
 def _q_serial_diff_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """serial_diff pipeline aggregation (events.serial_diff): lag-7
     seasonal differencing over the zero-filled per-event_type daily
@@ -6437,6 +6516,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         _q_string_stats_agg, _sql_string_stats_agg(),
     ),
     "top_metrics_agg": (_q_top_metrics_agg, _sql_top_metrics_agg()),
+    "phrase_suggest": (_q_phrase_suggest, _sql_phrase_suggest()),
+    "boosting_topk": (_q_boosting_topk, _sql_boosting_topk()),
     "serial_diff_agg": (_q_serial_diff_agg, _sql_serial_diff_agg()),
     "normalize_agg": (_q_normalize_agg, _sql_normalize_agg()),
     "cumulative_cardinality": (
@@ -6652,6 +6733,8 @@ _ORDER: list[str] = [
     "normalize_agg",
     "cumulative_cardinality",
     "bucket_script_agg",
+    "phrase_suggest",
+    "boosting_topk",
     # --- rotate-backs (last green r2/r3) -------------------------------
     "euclidean_topk",
     "events_hourly",
@@ -6813,6 +6896,8 @@ _SATURATION_OVERFLOW: set[str] = {
     "normalize_agg",
     "cumulative_cardinality",
     "bucket_script_agg",
+    "phrase_suggest",
+    "boosting_topk",
 }
 
 assert len(_ORDER) == len(set(_ORDER)), "duplicate names in _ORDER"

@@ -174,6 +174,8 @@ ENTRY_QUERY_NAMES = [
     "normalize_agg",
     "cumulative_cardinality",
     "bucket_script_agg",
+    "phrase_suggest",
+    "boosting_topk",
 ]
 
 # VERDICT r3 #8: round-over-round totals stopped being comparable as

@@ -524,6 +524,10 @@ class SameSameSpark:
         - ``"phrase_prefix"`` — search-as-you-type
           (:mod:`~same_same_spark.operators.phrase`); ``q`` = text
           whose last chunk is the prefix; ``max_expansions=``.
+        - ``"boosting"`` — positive query with negative-match
+          demotion (:mod:`~same_same_spark.operators.boost`); ``q`` =
+          ``(positive, negative)`` strings or a dict with those keys;
+          ``negative_boost=``.
 
         Extra ``kw`` pass through to the operator. Returns
         (id, score, rank) plus the mode's extra columns
@@ -666,12 +670,24 @@ class SameSameSpark:
                 self.docs, [(0, q)], k=k, id_col=self.id_col,
                 text_col=self.text_col, **kw,
             )
+        elif mode == "boosting":
+            from same_same_spark.operators.boost import boosting_search
+
+            pos, neg = (
+                (q.get("positive", ""), q.get("negative", ""))
+                if isinstance(q, dict)
+                else q
+            )
+            out = boosting_search(
+                self.docs, [(0, pos, neg)], k=k, id_col=self.id_col,
+                text_col=self.text_col, **kw,
+            )
         else:
             raise ValueError(
                 f"unknown query mode {mode!r} (expected terms/phrase/"
-                "bool/wildcard/regexp/fuzzy/proximity/boosted/synonym/"
-                "rescore/span_near/span_first/dis_max/multi_match/"
-                "terms_set/phrase_prefix)"
+                "bool/wildcard/regexp/fuzzy/proximity/boosted/boosting/"
+                "synonym/rescore/span_near/span_first/dis_max/"
+                "multi_match/terms_set/phrase_prefix)"
             )
         return out.drop("query_id").withColumnRenamed("doc_id", self.id_col)
 
@@ -939,10 +955,34 @@ class SameSameSpark:
         ).withColumnRenamed("doc_id", self.id_col)
 
     def suggest(
-        self, terms: list[str], max_edits: int = 2, topn: int = 3
+        self,
+        terms: list[str] | str,
+        max_edits: int = 2,
+        topn: int = 3,
+        **kw,
     ) -> DataFrame:
-        """Spell suggestions from the corpus vocabulary
-        (:mod:`~same_same_spark.operators.spell`)."""
+        """Spelling suggestions. A LIST of terms → per-term SymSpell
+        suggestions from the corpus vocabulary
+        (:mod:`~same_same_spark.operators.spell`). A STRING with >= 2
+        tokens → whole-phrase correction ranked by the corpus bigram
+        LM (:mod:`~same_same_spark.operators.phrasesuggest`, ES's
+        phrase suggester; extra ``kw`` pass through); a single-token
+        string routes to the term suggester."""
+        from same_same_spark.text.tokenizer import tokenize_py
+
+        if isinstance(terms, str):
+            toks = tokenize_py(terms)
+            if len(toks) >= 2:
+                from same_same_spark.operators.phrasesuggest import (
+                    phrase_suggest,
+                )
+
+                return phrase_suggest(
+                    self.docs, [(0, terms)], topn=topn,
+                    max_edits=max_edits, id_col=self.id_col,
+                    text_col=self.text_col, **kw,
+                ).drop("query_id")
+            terms = toks
         from same_same_spark.operators.spell import (
             suggest_terms,
             vocab_from_docs,

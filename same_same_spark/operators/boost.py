@@ -194,3 +194,147 @@ SELECT query_id, doc_id, round(score, {round_score}) AS score,
        rank::INTEGER AS rank
 FROM ranked WHERE rank <= {k}
 """
+
+
+def boosting_search(
+    docs_df: DataFrame,
+    queries: list[tuple[int, str, str]],
+    k: int = 10,
+    negative_boost: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+) -> DataFrame:
+    """ES ``boosting`` query: rank by the positive query's BM25 score,
+    DEMOTING (not excluding) docs that also match the negative query.
+
+    Pinned semantics (cross-engine, re-derived in
+    :func:`duckdb_boosting_sql`):
+
+    - ``queries`` rows are ``(query_id, positive_text,
+      negative_text)``; the match set and base score are the engine's
+      pinned BM25 over the positive terms (a doc matching ONLY
+      negative terms never appears — ES's rule);
+    - a doc containing >= 1 of the query's distinct negative X1 terms
+      has its score multiplied by ``negative_boost`` (one multiplier
+      regardless of how many negative terms hit — ES applies the
+      factor once);
+    - ``negative_boost`` must be in [0, 1] (0 = sink demoted docs to
+      score 0 but keep them; ES requires a non-negative factor and
+      > 1 would invert the query's intent — rejected here);
+    - top-k under ``(round(score, 9) DESC, doc_id ASC)``.
+
+    Scale shape: the positive side is ``scored_matches``'s one
+    broadcast-posting-join plan; the negative side adds ONE more
+    broadcast term join producing a (query, doc) demotion set that
+    left-joins onto the scored matches before the bounded tournament.
+    No new shuffle families.
+    """
+    from same_same_spark.bm25 import query_terms_df, scored_matches
+    from same_same_spark.stats import tokenized
+
+    if not 0.0 <= negative_boost <= 1.0:
+        raise ValueError(
+            f"negative_boost must be in [0, 1], got {negative_boost}"
+        )
+    spark = docs_df.sparkSession
+    pos = scored_matches(
+        docs_df,
+        [(qid, p) for qid, p, _ in queries],
+        id_col=id_col,
+        text_col=text_col,
+        k1=k1,
+        b=b,
+    )
+    neg_terms = query_terms_df(
+        spark, [(qid, n) for qid, _, n in queries]
+    )
+    tok = tokenized(docs_df, id_col=id_col, text_col=text_col)
+    demoted = (
+        tok.select(
+            "doc_id", F.explode(F.array_distinct("tokens")).alias("term")
+        )
+        .join(F.broadcast(neg_terms), "term")
+        .select("query_id", "doc_id")
+        .distinct()
+        .withColumn("neg_hit", F.lit(True))
+    )
+    scored = pos.join(demoted, ["query_id", "doc_id"], "left").select(
+        "query_id",
+        "doc_id",
+        F.when(
+            F.col("neg_hit").isNotNull(),
+            F.col("score") * F.lit(float(negative_boost)),
+        )
+        .otherwise(F.col("score"))
+        .alias("score"),
+    )
+    return topk_per_query(scored, k)
+
+
+def duckdb_boosting_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    queries: list[tuple[int, str, str]],
+    k: int = 10,
+    negative_boost: float = 0.5,
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+    round_score: int = 6,
+) -> str:
+    """DuckDB twin of :func:`boosting_search` (score at 6dp)."""
+    from same_same_spark.bm25 import duckdb_scored_sql
+    from same_same_spark.text.tokenizer import (
+        duckdb_tokens_sql,
+        tokenize_py,
+    )
+
+    inner = duckdb_scored_sql(
+        table,
+        id_col,
+        text_col,
+        [(qid, p) for qid, p, _ in queries],
+        k1=k1,
+        b=b,
+    )
+    nrows = [
+        f"({qid}, '{term}')"
+        for qid, _, n in queries
+        for term in sorted(set(tokenize_py(n)))
+    ]
+    nvalues = ", ".join(nrows) if nrows else "(NULL, NULL) LIMIT 0"
+    return f"""
+WITH pos AS ({inner}),
+ntoks AS (
+  SELECT {id_col} AS doc_id, {duckdb_tokens_sql(text_col)} AS tokens
+  FROM {table}
+),
+nq AS (SELECT * FROM (VALUES {nvalues}) AS v(query_id, term)),
+demoted AS (
+  SELECT DISTINCT q.query_id, t.doc_id
+  FROM (
+    SELECT doc_id, unnest(list_distinct(tokens)) AS term FROM ntoks
+  ) t JOIN nq q ON t.term = q.term
+),
+boosted AS (
+  SELECT p.query_id, p.doc_id,
+         CASE WHEN d.doc_id IS NOT NULL
+              THEN p.score * {float(negative_boost)!r}
+              ELSE p.score END AS score
+  FROM pos p
+  LEFT JOIN demoted d
+    ON p.query_id = d.query_id AND p.doc_id = d.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score, row_number() OVER (
+    PARTITION BY query_id
+    ORDER BY round(score, 9) DESC, doc_id ASC
+  ) AS rank
+  FROM boosted
+)
+SELECT query_id, doc_id, round(score, {round_score}) AS score,
+       rank::INTEGER AS rank
+FROM ranked WHERE rank <= {int(k)}
+"""

@@ -2209,7 +2209,8 @@ def boxplot_facets(
             ).alias("upper_whisker"),
         )
     )
-    return quarts.join(whisk, "query_id").select(
+    # both sides are one-row-per-query aggregates; broadcast the merge
+    return quarts.join(F.broadcast(whisk), "query_id").select(
         "query_id", "count_vals", "min_val", "max_val",
         "q1", "q2", "q3", "lower_whisker", "upper_whisker",
     )

@@ -786,3 +786,38 @@ def test_query_dispatcher_new_modes_and_agg_methods(spark, store):
     st = store.sampler_terms("physics", "id", shard_size=1, topn=5)
     assert st.count() == 1  # sample of 1 -> one facet row
     assert "query_id" not in fa.columns
+
+
+def test_query_boosting_mode_and_phrase_suggest(spark, store):
+    """mode='boosting' routes to boosting_search (tuple and dict
+    forms agree); string suggest() with >= 2 tokens routes to the
+    phrase suggester, list form keeps the term-suggester contract."""
+    from same_same_spark.operators.boost import boosting_search
+
+    docs = store.docs
+
+    def rows(df, idc="id"):
+        return sorted(
+            (r[idc], r["rank"], round(r["score"], 9)) for r in df.collect()
+        )
+
+    got = store.query(("physics", "gardening"), mode="boosting", k=5,
+                      negative_boost=0.2)
+    want = boosting_search(docs, [(0, "physics", "gardening")], k=5,
+                           negative_boost=0.2, id_col="id",
+                           text_col="text")
+    assert rows(got) == rows(want, "doc_id") and rows(got)
+    got_d = store.query(
+        {"positive": "physics", "negative": "gardening"},
+        mode="boosting", k=5, negative_boost=0.2,
+    )
+    assert rows(got_d) == rows(got)
+
+    sug = store.suggest("quantum mechanizs", max_edits=1, topn=2).collect()
+    assert sug and sug[0]["rank"] == 1
+    assert sug[0]["suggestion"] == "quantum mechanics"
+    # single-token string falls back to the term suggester
+    one = store.suggest("physucs", max_edits=1, topn=1).collect()
+    assert [(r["suggestion"], r["distance"]) for r in one] == [
+        ("physics", 1)
+    ]

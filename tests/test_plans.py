@@ -699,3 +699,60 @@ def test_match_phrase_prefix_plan_shape(spark, documents):
     assert "CartesianProduct" not in p
     assert "BroadcastHashJoin" in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_boxplot_mad_string_stats_plan_shape(spark, documents):
+    """Round-5 agg wave: window-free, no cartesians; the boxplot/MAD
+    second pass joins the tiny per-query statistic table BROADCAST."""
+    from same_same_spark.operators.facets import (
+        boxplot_facets,
+        mad_facets,
+        string_stats_facets,
+        top_metrics_facets,
+    )
+
+    queries = [(0, "fast merge join"), (1, "vector table")]
+    b = _plan(boxplot_facets(
+        documents, queries, "n_chars", id_col="doc_id", text_col="text"
+    ))
+    m = _plan(mad_facets(
+        documents, queries, "n_chars", id_col="doc_id", text_col="text"
+    ))
+    s = _plan(string_stats_facets(
+        documents, queries, "text", id_col="doc_id", text_col="text"
+    ))
+    t = _plan(top_metrics_facets(
+        documents, queries, "n_chars", ["lang"], size=3,
+        id_col="doc_id", text_col="text",
+    ))
+    for plan in (b, m, s, t):
+        assert "Window" not in plan
+        assert "CartesianProduct" not in plan
+    for plan in (b, m):
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+
+def test_phrase_suggest_and_boosting_plan_shape(spark, documents):
+    """phrase_suggest: LM count joins broadcast, no vocab cross join
+    (the SymSpell hash join), window-free. boosting: the demotion set
+    joins as one more broadcast term join."""
+    from same_same_spark.operators.boost import boosting_search
+    from same_same_spark.operators.phrasesuggest import phrase_suggest
+
+    p = _plan(phrase_suggest(
+        documents, [(1, "fasst merge")], topn=3, max_edits=1,
+        id_col="doc_id", text_col="text",
+    ))
+    assert "Window" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+
+    b = _plan(boosting_search(
+        documents, [(1, "fast merge", "slow")], k=5,
+        id_col="doc_id", text_col="text",
+    ))
+    assert "Window" not in b
+    assert "CartesianProduct" not in b
+    assert "BroadcastNestedLoopJoin" not in b
+    assert "BroadcastHashJoin" in b

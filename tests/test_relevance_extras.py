@@ -595,3 +595,98 @@ def test_jm_duckdb_differential_and_guards(spark):
     with pytest.raises(ValueError, match="lambda"):
         jm_search(docs, queries, id_col="doc_id", text_col="text",
                   lambda_=1.5)
+
+
+# ---------------------------------------------------------------- boosting
+
+
+def test_boosting_demotes_but_keeps_negative_matches(fruit_docs):
+    from same_same_spark.operators.boost import boosting_search
+
+    plain = {
+        r["doc_id"]: r["score"]
+        for r in score_queries(
+            fruit_docs, [(1, "apple")], k=10,
+            id_col="doc_id", text_col="text",
+        ).collect()
+    }
+    out = boosting_search(
+        fruit_docs, [(1, "apple", "dates")], k=10,
+        negative_boost=0.25, id_col="doc_id", text_col="text",
+    ).collect()
+    got = {r["doc_id"]: r["score"] for r in out}
+    # match set identical to the positive query's (d1-d3)
+    assert set(got) == set(plain)
+    # d2 and d3 contain 'dates' -> demoted by exactly 0.25x; d1 not
+    assert got[1] == pytest.approx(plain[1])
+    assert got[2] == pytest.approx(plain[2] * 0.25)
+    assert got[3] == pytest.approx(plain[3] * 0.25)
+    # demotion reorders: d1 must now rank first
+    assert out[0]["doc_id"] == 1 and out[0]["rank"] == 1
+
+
+def test_boosting_negative_only_docs_absent(fruit_docs):
+    from same_same_spark.operators.boost import boosting_search
+
+    out = boosting_search(
+        fruit_docs, [(1, "apple", "melon")], k=10,
+        id_col="doc_id", text_col="text",
+    ).collect()
+    # d4-d6 match ONLY the negative query -> never appear
+    assert {r["doc_id"] for r in out} == {1, 2, 3}
+
+
+def test_boosting_zero_factor_and_multi_neg_hits(fruit_docs):
+    from same_same_spark.operators.boost import boosting_search
+
+    out = {
+        r["doc_id"]: r["score"]
+        for r in boosting_search(
+            fruit_docs, [(1, "apple", "banana cherry")], k=10,
+            negative_boost=0.0, id_col="doc_id", text_col="text",
+        ).collect()
+    }
+    # every positive match also hits >= 1 neg term (d1 hits TWO -> the
+    # factor applies ONCE); all sink to 0 but stay in the result
+    assert set(out) == {1, 2, 3}
+    assert all(v == 0.0 for v in out.values())
+
+
+def test_boosting_duckdb_differential(fruit_docs):
+    import duckdb
+
+    from same_same_spark.operators.boost import (
+        boosting_search,
+        duckdb_boosting_sql,
+    )
+
+    qs = [(1, "apple dates", "cherry"), (2, "melon", "grape dates")]
+    got = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 6))
+        for r in boosting_search(
+            fruit_docs, qs, k=5, negative_boost=0.3,
+            id_col="doc_id", text_col="text",
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.register("fruit_tbl", fruit_docs.toPandas())
+    want = sorted(
+        (q, rk, d, s)
+        for q, d, s, rk in con.sql(
+            duckdb_boosting_sql(
+                "fruit_tbl", "doc_id", "text", qs, k=5,
+                negative_boost=0.3,
+            )
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_boosting_factor_guard(fruit_docs):
+    from same_same_spark.operators.boost import boosting_search
+
+    with pytest.raises(ValueError, match="negative_boost"):
+        boosting_search(
+            fruit_docs, [(1, "apple", "dates")], negative_boost=1.5,
+            id_col="doc_id", text_col="text",
+        )
