@@ -5766,6 +5766,31 @@ def _sql_boosting_topk() -> str:
     )
 
 
+def _q_auto_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """auto_date_histogram (events.auto_date_histogram): the finest
+    ladder unit whose zero-filled bucket count fits target=1000 —
+    sf0.01's 30-day span chooses hourly (720 <= 1000, minutes 43k
+    don't) — applied per event_type. The oracle re-derives the unit
+    choice INSIDE SQL from the same exact integer bucket-count
+    formulas, then filters six unioned unit histograms to it. Sole
+    evidence. Saturation-overflow entry (see _SATURATION_OVERFLOW)."""
+    from same_same_spark.operators.events import auto_date_histogram
+
+    return auto_date_histogram(
+        _events(spark, sf_dir), 1000, group_col="event_type"
+    )
+
+
+def _sql_auto_date_histogram() -> str:
+    from same_same_spark.operators.events import (
+        duckdb_auto_date_histogram_sql,
+    )
+
+    return duckdb_auto_date_histogram_sql(
+        "events", 1000, group_col="event_type"
+    )
+
+
 def _q_serial_diff_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """serial_diff pipeline aggregation (events.serial_diff): lag-7
     seasonal differencing over the zero-filled per-event_type daily
@@ -6518,6 +6543,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "top_metrics_agg": (_q_top_metrics_agg, _sql_top_metrics_agg()),
     "phrase_suggest": (_q_phrase_suggest, _sql_phrase_suggest()),
     "boosting_topk": (_q_boosting_topk, _sql_boosting_topk()),
+    "auto_date_histogram": (
+        _q_auto_date_histogram, _sql_auto_date_histogram(),
+    ),
     "serial_diff_agg": (_q_serial_diff_agg, _sql_serial_diff_agg()),
     "normalize_agg": (_q_normalize_agg, _sql_normalize_agg()),
     "cumulative_cardinality": (
@@ -6735,6 +6763,7 @@ _ORDER: list[str] = [
     "bucket_script_agg",
     "phrase_suggest",
     "boosting_topk",
+    "auto_date_histogram",
     # --- rotate-backs (last green r2/r3) -------------------------------
     "euclidean_topk",
     "events_hourly",
@@ -6898,6 +6927,7 @@ _SATURATION_OVERFLOW: set[str] = {
     "bucket_script_agg",
     "phrase_suggest",
     "boosting_topk",
+    "auto_date_histogram",
 }
 
 assert len(_ORDER) == len(set(_ORDER)), "duplicate names in _ORDER"

@@ -176,6 +176,7 @@ ENTRY_QUERY_NAMES = [
     "bucket_script_agg",
     "phrase_suggest",
     "boosting_topk",
+    "auto_date_histogram",
 ]
 
 # VERDICT r3 #8: round-over-round totals stopped being comparable as

@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "asof_join",
+    "auto_date_histogram",
     "bucket_script",
     "cumulative_cardinality",
     "date_histogram",
@@ -882,3 +883,154 @@ def bucket_script(
     return series_df.select(
         "*", val.cast("double").alias(out_col)
     )
+
+
+_AUTO_DH_LADDER = ("minute", "hour", "day", "week", "month", "year")
+
+
+def _auto_dh_bucket_count(lo, hi, unit: str) -> int:
+    """Zero-filled bucket count between trunc(lo) and trunc(hi)
+    inclusive — EXACT integer formulas shared (spelled identically)
+    with the SQL twin, so the unit choice is cross-engine."""
+    from datetime import datetime, timedelta, timezone
+
+    def _epoch(dt: datetime) -> int:
+        return int(dt.replace(tzinfo=timezone.utc).timestamp())
+
+    if unit == "minute":
+        return _epoch(hi) // 60 - _epoch(lo) // 60 + 1
+    if unit == "hour":
+        return _epoch(hi) // 3600 - _epoch(lo) // 3600 + 1
+    if unit == "day":
+        return _epoch(hi) // 86400 - _epoch(lo) // 86400 + 1
+    if unit == "week":
+        def monday(d: datetime) -> datetime:
+            d0 = d.replace(hour=0, minute=0, second=0, microsecond=0)
+            return d0 - timedelta(days=d0.weekday())
+
+        return (_epoch(monday(hi)) - _epoch(monday(lo))) // 604800 + 1
+    if unit == "month":
+        return (
+            (hi.year * 12 + hi.month) - (lo.year * 12 + lo.month) + 1
+        )
+    return hi.year - lo.year + 1  # year
+
+
+def auto_date_histogram(
+    events_df: DataFrame,
+    target_buckets: int,
+    time_col: str = "ts",
+    group_col: str | None = None,
+    max_buckets: int = 65536,
+) -> DataFrame:
+    """ES ``auto_date_histogram``: pick the FINEST calendar interval
+    from the pinned ladder (minute → hour → day → week → month →
+    year) whose zero-filled bucket count stays <= ``target_buckets``,
+    then emit that :func:`date_histogram` tagged with the chosen unit
+    (column ``interval_unit``). If even yearly bucketing exceeds the
+    target, yearly is used (ES's coarsest-rung behavior).
+
+    Pinned semantics (cross-engine, re-derived in
+    :func:`duckdb_auto_date_histogram_sql`): the bucket count that
+    drives the choice is computed from the GLOBAL non-NULL time
+    bounds via exact integer formulas (epoch-quotient diffs for the
+    fixed-width units, calendar arithmetic for month/year) — one tiny
+    bounds aggregate collected driver-side (2 scalars, the lm_buckets
+    eager-cut precedent), so the choice is deterministic and the SQL
+    twin re-derives it inside the query. With ``group_col`` the unit
+    is still chosen from the global bounds (ES picks ONE interval for
+    the whole response), then applied per group.
+
+    An events table with no non-NULL timestamps yields no rows.
+    """
+    if target_buckets < 1:
+        raise ValueError(
+            f"target_buckets must be >= 1, got {target_buckets}"
+        )
+    bounds = (
+        events_df.filter(F.col(time_col).isNotNull())
+        .agg(
+            F.min(time_col).alias("lo"), F.max(time_col).alias("hi")
+        )
+        .collect()[0]
+    )
+    spark = events_df.sparkSession
+    gfield = f"{group_col} STRING, " if group_col else ""
+    if bounds["lo"] is None:
+        return spark.createDataFrame(
+            [],
+            f"interval_unit STRING, {gfield}bucket TIMESTAMP, "
+            "doc_count LONG",
+        )
+    unit = _AUTO_DH_LADDER[-1]
+    for u in _AUTO_DH_LADDER:
+        if _auto_dh_bucket_count(bounds["lo"], bounds["hi"], u) <= (
+            target_buckets
+        ):
+            unit = u
+            break
+    hist = date_histogram(
+        events_df,
+        unit,
+        time_col=time_col,
+        group_col=group_col,
+        max_buckets=max_buckets,
+    )
+    return hist.select(F.lit(unit).alias("interval_unit"), "*")
+
+
+def duckdb_auto_date_histogram_sql(
+    table: str,
+    target_buckets: int,
+    time_col: str = "ts",
+    group_col: str | None = None,
+) -> str:
+    """DuckDB twin of :func:`auto_date_histogram` — the unit choice is
+    re-derived INSIDE the query (same exact integer bucket-count
+    formulas over the same global bounds; DuckDB ``//`` floor-divides
+    where ``/`` would float-divide), and all six unit histograms union
+    behind a filter on the chosen unit."""
+    g = f"{group_col}, " if group_col else ""
+    branches = "\nUNION ALL\n".join(
+        f"SELECT '{u}' AS interval_unit, {g}bucket, doc_count "
+        f"FROM ({duckdb_date_histogram_sql(table, u, time_col=time_col, group_col=group_col)})"
+        for u in _AUTO_DH_LADDER
+    )
+    fineness = ", ".join(
+        f"('{u}', {i})" for i, u in enumerate(_AUTO_DH_LADDER)
+    )
+    return f"""
+WITH bounds AS (
+  SELECT min({time_col}) AS lo, max({time_col}) AS hi
+  FROM {table} WHERE {time_col} IS NOT NULL
+),
+counts AS (
+  SELECT u.unit, u.fineness,
+    CASE u.unit
+      WHEN 'minute' THEN CAST(epoch(hi) AS BIGINT) // 60
+                         - CAST(epoch(lo) AS BIGINT) // 60 + 1
+      WHEN 'hour' THEN CAST(epoch(hi) AS BIGINT) // 3600
+                       - CAST(epoch(lo) AS BIGINT) // 3600 + 1
+      WHEN 'day' THEN CAST(epoch(hi) AS BIGINT) // 86400
+                      - CAST(epoch(lo) AS BIGINT) // 86400 + 1
+      WHEN 'week' THEN (CAST(epoch(date_trunc('week', hi)) AS BIGINT)
+                        - CAST(epoch(date_trunc('week', lo)) AS BIGINT))
+                       // 604800 + 1
+      WHEN 'month' THEN (year(hi) * 12 + month(hi))
+                        - (year(lo) * 12 + month(lo)) + 1
+      ELSE year(hi) - year(lo) + 1
+    END AS n
+  FROM (VALUES {fineness}) AS u(unit, fineness), bounds
+),
+choice AS (
+  SELECT coalesce(
+    (SELECT unit FROM counts
+     WHERE n <= {int(target_buckets)}
+     ORDER BY fineness ASC LIMIT 1),
+    'year'
+  ) AS unit
+)
+SELECT * FROM (
+{branches}
+) WHERE interval_unit = (SELECT unit FROM choice)
+"""

@@ -698,3 +698,82 @@ def test_bucket_script_ops_and_null(spark):
     assert by[1] == 6.0
     with pytest.raises(ValueError, match="op must be"):
         bucket_script(df, "a", "%", "b")
+
+
+# ---------------------------------------------------------------------------
+# auto_date_histogram
+# ---------------------------------------------------------------------------
+
+def test_auto_date_histogram_picks_finest_fitting_unit(spark):
+    from datetime import datetime
+
+    from same_same_spark.operators.events import auto_date_histogram
+
+    # 3 days of data: minute count ~4320 > 50, hour 72 > 50, day 4 <= 50
+    rows = [
+        (datetime(2024, 1, 1, 0, 5),),
+        (datetime(2024, 1, 2, 12, 0),),
+        (datetime(2024, 1, 4, 0, 1),),
+        (None,),
+    ]
+    df = spark.createDataFrame(rows, "ts TIMESTAMP")
+    out = auto_date_histogram(df, 50).collect()
+    assert {r["interval_unit"] for r in out} == {"day"}
+    assert len(out) == 4  # Jan 1..4 zero-filled
+    assert sum(r["doc_count"] for r in out) == 3
+    # target 100 fits hourly: Jan 1 00:00 .. Jan 4 00:00 = 73 buckets
+    out = auto_date_histogram(df, 100).collect()
+    assert {r["interval_unit"] for r in out} == {"hour"}
+    assert len(out) == 73
+
+
+def test_auto_date_histogram_coarsest_fallback_and_empty(spark):
+    from datetime import datetime
+
+    from same_same_spark.operators.events import auto_date_histogram
+
+    df = spark.createDataFrame(
+        [(datetime(2020, 1, 1),), (datetime(2024, 6, 1),)],
+        "ts TIMESTAMP",
+    )
+    # even yearly (5 buckets) exceeds target 3 -> yearly regardless
+    out = auto_date_histogram(df, 3).collect()
+    assert {r["interval_unit"] for r in out} == {"year"}
+    assert len(out) == 5
+    # no non-NULL timestamps -> no rows
+    empty = spark.createDataFrame([(None,)], "ts TIMESTAMP")
+    assert auto_date_histogram(empty, 10).collect() == []
+    import pytest as _pt
+    with _pt.raises(ValueError, match="target_buckets"):
+        auto_date_histogram(df, 0)
+
+
+def test_auto_date_histogram_duckdb_differential(spark):
+    import duckdb
+
+    from same_same_spark.operators.events import (
+        auto_date_histogram,
+        duckdb_auto_date_histogram_sql,
+    )
+
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW events AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/events.parquet')"
+    )
+    for target in (10, 100, 2000, 10**6):
+        got = sorted(
+            (r["interval_unit"], str(r["bucket"]), r["doc_count"])
+            for r in auto_date_histogram(ev, target).collect()
+        )
+        want = sorted(
+            (u, str(b), d)
+            for u, b, d in con.sql(
+                duckdb_auto_date_histogram_sql("events", target)
+            ).fetchall()
+        )
+        assert got == want, f"target={target}"
