@@ -5766,6 +5766,100 @@ def _sql_boosting_topk() -> str:
     )
 
 
+def _q_t_test_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t_test aggregation (operators/facets.t_test_facets): Welch's t
+    between en-docs and non-en docs' n_chars over each query's match
+    set — arms are FilterExpr dicts (the F2/F3 algebra), the oracle
+    derives the predicates independently (neq-on-missing => false).
+    The pinned surface is (t_stat, df) — ES's p-value is a pure
+    driver function of those (needs the t CDF, not SQL-expressible).
+    Sole evidence. Saturation-overflow entry (see
+    _SATURATION_OVERFLOW)."""
+    from same_same_spark.operators.facets import t_test_facets
+
+    out = t_test_facets(
+        _docs(spark, sf_dir), STATS_AGG_QUERIES, "n_chars",
+        {"lang": {"eq": "en"}}, {"lang": {"neq": "en"}},
+        ttype="heteroscedastic", id_col="doc_id", text_col="text",
+    )
+    return _round6(out, "mean_a", "mean_b", "t_stat", "df")
+
+
+def _sql_t_test_agg() -> str:
+    from same_same_spark.operators.facets import duckdb_t_test_sql
+
+    inner = duckdb_t_test_sql(
+        "documents", "doc_id", "text", STATS_AGG_QUERIES, "n_chars",
+        "d.lang = 'en'",
+        "d.lang IS NOT NULL AND d.lang <> 'en'",
+        ttype="heteroscedastic",
+    )
+    return f"""
+SELECT query_id, n_a, n_b,
+       round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
+       round(t_stat, 6) AS t_stat, round(df, 6) AS df
+FROM ({inner})
+"""
+
+
+def _q_rate_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rate aggregation (events.rate_buckets): per-event_type daily
+    buckets rescaled to events-per-hour, plus the value-field sum
+    variant's rate on the same shape — fixed-width units only (the
+    pinned ES calendar restriction). Sole evidence.
+    Saturation-overflow entry (see _SATURATION_OVERFLOW)."""
+    from same_same_spark.operators.events import rate_buckets
+
+    out = rate_buckets(
+        _events(spark, sf_dir), "day", "hour", value_col="value",
+        group_col="event_type",
+    )
+    return _round6(out, "value", "rate")
+
+
+def _sql_rate_agg() -> str:
+    from same_same_spark.operators.events import duckdb_rate_sql
+
+    inner = duckdb_rate_sql(
+        "events", "day", "hour", value_col="value",
+        group_col="event_type",
+    )
+    return f"""
+SELECT event_type, bucket, doc_count,
+       round(value, 6) AS value, round(rate, 6) AS rate
+FROM ({inner})
+"""
+
+
+def _q_moving_fn_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """moving_fn pipeline aggregation (events.moving_fn): ES-faithful
+    PRIOR-window max over the per-event_type daily histogram (current
+    bucket excluded, the default shift=0; pipeline_aggs' moving_avg
+    pins the inclusive variant). Sole evidence for the exclusive
+    frame + min/max/sum family. Saturation-overflow entry (see
+    _SATURATION_OVERFLOW)."""
+    from same_same_spark.operators.events import date_histogram, moving_fn
+
+    series = date_histogram(
+        _events(spark, sf_dir), "day", group_col="event_type"
+    )
+    return moving_fn(
+        series, "max", window=7, group_cols=["event_type"]
+    )
+
+
+def _sql_moving_fn_agg() -> str:
+    from same_same_spark.operators.events import (
+        duckdb_date_histogram_sql,
+        duckdb_moving_fn_sql,
+    )
+
+    return duckdb_moving_fn_sql(
+        duckdb_date_histogram_sql("events", "day", group_col="event_type"),
+        "max", window=7, group_cols=["event_type"],
+    )
+
+
 def _q_auto_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """auto_date_histogram (events.auto_date_histogram): the finest
     ladder unit whose zero-filled bucket count fits target=1000 —
@@ -6546,6 +6640,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "auto_date_histogram": (
         _q_auto_date_histogram, _sql_auto_date_histogram(),
     ),
+    "t_test_agg": (_q_t_test_agg, _sql_t_test_agg()),
+    "rate_agg": (_q_rate_agg, _sql_rate_agg()),
+    "moving_fn_agg": (_q_moving_fn_agg, _sql_moving_fn_agg()),
     "serial_diff_agg": (_q_serial_diff_agg, _sql_serial_diff_agg()),
     "normalize_agg": (_q_normalize_agg, _sql_normalize_agg()),
     "cumulative_cardinality": (
@@ -6764,6 +6861,9 @@ _ORDER: list[str] = [
     "phrase_suggest",
     "boosting_topk",
     "auto_date_histogram",
+    "t_test_agg",
+    "rate_agg",
+    "moving_fn_agg",
     # --- rotate-backs (last green r2/r3) -------------------------------
     "euclidean_topk",
     "events_hourly",
@@ -6928,6 +7028,9 @@ _SATURATION_OVERFLOW: set[str] = {
     "phrase_suggest",
     "boosting_topk",
     "auto_date_histogram",
+    "t_test_agg",
+    "rate_agg",
+    "moving_fn_agg",
 }
 
 assert len(_ORDER) == len(set(_ORDER)), "duplicate names in _ORDER"

@@ -177,6 +177,9 @@ ENTRY_QUERY_NAMES = [
     "phrase_suggest",
     "boosting_topk",
     "auto_date_histogram",
+    "t_test_agg",
+    "rate_agg",
+    "moving_fn_agg",
 ]
 
 # VERDICT r3 #8: round-over-round totals stopped being comparable as

@@ -38,8 +38,10 @@ __all__ = [
     "cumulative_cardinality",
     "date_histogram",
     "interval_join",
+    "moving_fn",
     "normalize_buckets",
     "pipeline_aggs",
+    "rate_buckets",
     "serial_diff",
     "sessionize",
 ]
@@ -1033,4 +1035,200 @@ choice AS (
 SELECT * FROM (
 {branches}
 ) WHERE interval_unit = (SELECT unit FROM choice)
+"""
+
+
+_RATE_SECONDS = {
+    "minute": 60,
+    "hour": 3600,
+    "day": 86400,
+    "week": 604800,
+}
+
+
+def rate_buckets(
+    events_df: DataFrame,
+    unit: str,
+    rate_unit: str,
+    time_col: str = "ts",
+    value_col: str | None = None,
+    group_col: str | None = None,
+    max_buckets: int = 65536,
+) -> DataFrame:
+    """ES ``rate`` aggregation inside a date histogram: each bucket's
+    count (or ``value_col`` sum) rescaled to a per-``rate_unit`` rate
+    — "events per hour" on daily buckets.
+
+    Pinned semantics (re-derived in :func:`duckdb_rate_sql`): both
+    units must be FIXED-WIDTH (minute/hour/day/week — month/year have
+    no constant width, ES rejects most calendar combinations too);
+    ``rate = value / (bucket_seconds / rate_seconds)`` exactly; the
+    zero-filled histogram shape is :func:`date_histogram`'s. With
+    ``value_col``, NULL values contribute 0 (ES sums over present
+    values) and the emitted ``value`` is the bucket sum.
+
+    A plain projection over the histogram — no new shuffles.
+    """
+    for u, role in ((unit, "unit"), (rate_unit, "rate_unit")):
+        if u not in _RATE_SECONDS:
+            raise ValueError(
+                f"{role} must be fixed-width {sorted(_RATE_SECONDS)}, "
+                f"got {u!r}"
+            )
+    hist = date_histogram(
+        events_df,
+        unit,
+        time_col=time_col,
+        group_col=group_col,
+        max_buckets=max_buckets,
+    )
+    if value_col is not None:
+        gcols = [group_col] if group_col else []
+        sums = (
+            events_df.filter(F.col(time_col).isNotNull())
+            .groupBy(
+                *[F.col(c).cast("string").alias(c) for c in gcols],
+                F.date_trunc(unit, F.col(time_col)).alias("bucket"),
+            )
+            .agg(
+                F.sum(F.coalesce(F.col(value_col), F.lit(0.0)))
+                .cast("double")
+                .alias("value")
+            )
+        )
+        hist = hist.join(sums, gcols + ["bucket"], "left").select(
+            *gcols,
+            "bucket",
+            "doc_count",
+            F.coalesce(F.col("value"), F.lit(0.0)).alias("value"),
+        )
+        v = F.col("value")
+    else:
+        v = F.col("doc_count").cast("double")
+    factor = _RATE_SECONDS[unit] / _RATE_SECONDS[rate_unit]
+    return hist.select(
+        "*", (v / F.lit(float(factor))).alias("rate")
+    )
+
+
+def duckdb_rate_sql(
+    table: str,
+    unit: str,
+    rate_unit: str,
+    time_col: str = "ts",
+    value_col: str | None = None,
+    group_col: str | None = None,
+) -> str:
+    """DuckDB twin of :func:`rate_buckets`."""
+    for u in (unit, rate_unit):
+        if u not in _RATE_SECONDS:
+            raise ValueError(f"fixed-width units only, got {u!r}")
+    hist = duckdb_date_histogram_sql(
+        table, unit, time_col=time_col, group_col=group_col
+    )
+    g = f"{group_col}, " if group_col else ""
+    factor = _RATE_SECONDS[unit] / _RATE_SECONDS[rate_unit]
+    if value_col is None:
+        return f"""
+WITH hist AS ({hist})
+SELECT {g}bucket, doc_count,
+       (doc_count::DOUBLE / {factor!r})::DOUBLE AS rate
+FROM hist
+"""
+    join_g = f"h.{group_col} = s.{group_col} AND " if group_col else ""
+    hg = f"h.{group_col}, " if group_col else ""
+    sg = f"CAST({group_col} AS VARCHAR) AS {group_col}, " if group_col else ""
+    return f"""
+WITH hist AS ({hist}),
+sums AS (
+  SELECT {sg}date_trunc('{unit}', {time_col}) AS bucket,
+         sum(coalesce({value_col}, 0.0))::DOUBLE AS value
+  FROM {table}
+  WHERE {time_col} IS NOT NULL
+  GROUP BY {"1, 2" if group_col else "1"}
+)
+SELECT {hg}h.bucket, h.doc_count,
+       coalesce(s.value, 0.0) AS value,
+       (coalesce(s.value, 0.0) / {factor!r})::DOUBLE AS rate
+FROM hist h
+LEFT JOIN sums s ON {join_g}h.bucket = s.bucket
+"""
+
+
+_MOVING_FNS = ("min", "max", "sum", "avg")
+
+
+def moving_fn(
+    series_df: DataFrame,
+    fn: str,
+    window: int,
+    shift: int = 0,
+    value_col: str = "doc_count",
+    order_col: str = "bucket",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """ES ``moving_fn`` with the built-in function family: apply
+    ``min``/``max``/``sum``/``avg`` over a sliding window of PRIOR
+    buckets — unlike :func:`pipeline_aggs`'s ``moving_avg`` (which
+    pins the trailing-INCLUSIVE window), this is ES-faithful: the
+    default window is the ``window`` buckets BEFORE the current one,
+    current excluded; ``shift`` slides it forward (``shift=1`` brings
+    the current bucket in, ES's documented knob). A bucket whose
+    window is empty (the series head) emits NULL.
+
+    Scale shape: one frame over the same group-partitioned ordered
+    window as every pipeline agg, bounded by the histogram breaker.
+    """
+    if fn not in _MOVING_FNS:
+        raise ValueError(f"fn must be one of {_MOVING_FNS}, got {fn!r}")
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    gcols = list(group_cols or [])
+    if gcols:
+        part = [F.col(c) for c in gcols]
+    else:
+        part = [F.when(F.col(order_col).isNotNull(), F.lit(0))]
+    frame = (
+        Window.partitionBy(*part)
+        .orderBy(F.col(order_col).asc())
+        .rowsBetween(-window + shift, -1 + shift)
+    )
+    agg = getattr(F, fn)(F.col(value_col)).over(frame)
+    out_type = "double" if fn == "avg" else "long"
+    return series_df.select(
+        *gcols,
+        order_col,
+        value_col,
+        agg.cast(out_type).alias(f"moving_{fn}"),
+    )
+
+
+def duckdb_moving_fn_sql(
+    series_sql: str,
+    fn: str,
+    window: int,
+    shift: int = 0,
+    value_col: str = "doc_count",
+    order_col: str = "bucket",
+    group_cols: list[str] | None = None,
+) -> str:
+    """DuckDB twin of :func:`moving_fn`."""
+    if fn not in _MOVING_FNS:
+        raise ValueError(f"fn must be one of {_MOVING_FNS}, got {fn!r}")
+    gcols = list(group_cols or [])
+    part = f"PARTITION BY {', '.join(gcols)} " if gcols else ""
+    gsel = "".join(f"{c}, " for c in gcols)
+    lo, hi = window - shift, 1 - shift
+    hi_frame = (
+        f"{hi} PRECEDING" if hi > 0 else f"{-hi} FOLLOWING"
+    )
+    cast = "DOUBLE" if fn == "avg" else "BIGINT"
+    return f"""
+WITH series AS ({series_sql})
+SELECT {gsel}{order_col}, {value_col},
+       {fn}({value_col}) OVER (
+         {part}ORDER BY {order_col} ASC
+         ROWS BETWEEN {lo} PRECEDING AND {hi_frame}
+       )::{cast} AS moving_{fn}
+FROM series
 """

@@ -2536,3 +2536,189 @@ SELECT query_id, rank::INTEGER AS rank, doc_id, sort_val
        {mcols.replace(' d.', ' ')}
 FROM ranked WHERE rank <= {int(size)}
 """
+
+
+def t_test_facets(
+    docs_df: DataFrame,
+    queries: list[tuple[int, str]],
+    value_col: str,
+    filter_a: dict,
+    filter_b: dict,
+    ttype: str = "heteroscedastic",
+    metadata_col: str | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+) -> DataFrame:
+    """t_test aggregation — Elasticsearch's ``t_test`` over two
+    filter-defined populations of the match set. ES reports the
+    p-value (it carries a Student-t CDF); the CDF is not
+    SQL-expressible, so the pinned cross-engine surface is the
+    t-STATISTIC and degrees of freedom — the p-value is a pure driver-
+    side function of those two numbers (``scipy.stats.t.sf``) and is
+    deliberately not emitted.
+
+    Pinned semantics (re-derived in :func:`duckdb_t_test_sql`):
+
+    - populations A/B are FilterExpr dicts (the F2/F3 algebra shared
+      with search and the filters agg) evaluated per matched doc —
+      overlap allowed, NULL ``value_col`` rows excluded from both;
+    - ``ttype='heteroscedastic'`` (ES default): Welch's t with the
+      Welch–Satterthwaite df; ``'homoscedastic'``: pooled-variance t
+      with df = n_a + n_b − 2 (ES's paired type needs row pairing the
+      agg model doesn't define — rejected);
+    - sample variances (n−1); an arm with n < 2, or a zero pooled
+      denominator, yields NULL t_stat/df (never an error — the fixed
+      output shape keeps one row per query with any matched values);
+    - every double derives from exact integer sums via one pinned
+      closed form when ``value_col`` is integral (the stats_facets
+      exactness argument).
+
+    Returns (query_id INT, n_a LONG, n_b LONG, mean_a, mean_b,
+    t_stat, df DOUBLE).
+
+    Scale shape: ONE pass — the match set joins values + both arm
+    predicates (evaluated doc-side, folded into the scan projection),
+    then a map-side-combined groupBy(query_id) with six conditional
+    sums; one output row per query.
+    """
+    from same_same_spark.operators.filters import compile_filters
+
+    if ttype not in ("heteroscedastic", "homoscedastic"):
+        raise ValueError(
+            "ttype must be 'heteroscedastic' or 'homoscedastic', "
+            f"got {ttype!r}"
+        )
+    matched = _match_set(docs_df, queries, id_col, text_col)
+    pa = compile_filters(filter_a, metadata_col=metadata_col, df=docs_df)
+    pb = compile_filters(filter_b, metadata_col=metadata_col, df=docs_df)
+    meta = docs_df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(value_col).cast("double").alias("v"),
+        F.coalesce(pa, F.lit(False)).alias("in_a"),
+        F.coalesce(pb, F.lit(False)).alias("in_b"),
+    )
+    vals = matched.join(meta, "doc_id").filter(F.col("v").isNotNull())
+
+    def _arm(flag: str, suffix: str):
+        cond = F.col(flag)
+        return [
+            F.count(F.when(cond, 1)).cast("long").alias(f"n_{suffix}"),
+            F.sum(F.when(cond, F.col("v"))).alias(f"s_{suffix}"),
+            F.sum(F.when(cond, F.col("v") * F.col("v"))).alias(
+                f"ss_{suffix}"
+            ),
+        ]
+
+    agg = vals.groupBy("query_id").agg(
+        *_arm("in_a", "a"), *_arm("in_b", "b")
+    )
+    na, nb = (
+        F.col("n_a").cast("double"), F.col("n_b").cast("double"),
+    )
+    ma = F.col("s_a") / na
+    mb = F.col("s_b") / nb
+    # sample variance: (ssq - s^2/n) / (n - 1); NULL when n < 2
+    va = F.try_divide(
+        F.col("ss_a") - F.col("s_a") * F.col("s_a") / na, na - 1
+    )
+    vb = F.try_divide(
+        F.col("ss_b") - F.col("s_b") * F.col("s_b") / nb, nb - 1
+    )
+    if ttype == "heteroscedastic":
+        se2 = va / na + vb / nb
+        t = F.try_divide(ma - mb, F.sqrt(se2))
+        dof = F.try_divide(
+            se2 * se2,
+            (va / na) * (va / na) / (na - 1)
+            + (vb / nb) * (vb / nb) / (nb - 1),
+        )
+    else:
+        pooled = F.try_divide(
+            (na - 1) * va + (nb - 1) * vb, na + nb - 2
+        )
+        t = F.try_divide(
+            ma - mb, F.sqrt(pooled * (1 / na + 1 / nb))
+        )
+        dof = F.when(
+            va.isNotNull() & vb.isNotNull(), na + nb - 2
+        )
+    return agg.select(
+        "query_id",
+        "n_a",
+        "n_b",
+        ma.alias("mean_a"),
+        mb.alias("mean_b"),
+        t.alias("t_stat"),
+        dof.cast("double").alias("df"),
+    )
+
+
+def duckdb_t_test_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    queries: list[tuple[int, str]],
+    value_col: str,
+    pred_a: str,
+    pred_b: str,
+    ttype: str = "heteroscedastic",
+) -> str:
+    """DuckDB twin of :func:`t_test_facets` — ``pred_a``/``pred_b``
+    are SQL predicates the caller derives INDEPENDENTLY from the
+    FilterExpr semantics (the filters-agg differential strategy);
+    the same closed forms with nullif guarding each division."""
+    qvalues = _qterm_values(queries)
+    na, nb = "n_a::DOUBLE", "n_b::DOUBLE"
+    va = f"(ss_a - s_a * s_a / {na}) / nullif({na} - 1, 0)"
+    vb = f"(ss_b - s_b * s_b / {nb}) / nullif({nb} - 1, 0)"
+    if ttype == "heteroscedastic":
+        se2 = f"(({va}) / {na} + ({vb}) / {nb})"
+        t = (
+            f"(s_a / {na} - s_b / {nb})"
+            f" / nullif(sqrt({se2}), 0)"
+        )
+        dof = (
+            f"({se2}) * ({se2}) / nullif("
+            f"(({va}) / {na}) * (({va}) / {na}) / nullif({na} - 1, 0)"
+            f" + (({vb}) / {nb}) * (({vb}) / {nb})"
+            f" / nullif({nb} - 1, 0), 0)"
+        )
+    else:
+        pooled = (
+            f"(({na} - 1) * ({va}) + ({nb} - 1) * ({vb}))"
+            f" / nullif({na} + {nb} - 2, 0)"
+        )
+        t = (
+            f"(s_a / {na} - s_b / {nb}) / nullif(sqrt(({pooled})"
+            f" * (1.0 / {na} + 1.0 / {nb})), 0)"
+        )
+        dof = (
+            f"CASE WHEN ({va}) IS NOT NULL AND ({vb}) IS NOT NULL"
+            f" THEN {na} + {nb} - 2 END"
+        )
+    return f"""
+WITH {_matched_ctes(table, id_col, text_col, qvalues)},
+vals AS (
+  SELECT m.query_id, CAST(d.{value_col} AS DOUBLE) AS v,
+         coalesce(({pred_a}), FALSE) AS in_a,
+         coalesce(({pred_b}), FALSE) AS in_b
+  FROM matched m JOIN {table} d ON m.doc_id = d.{id_col}
+  WHERE d.{value_col} IS NOT NULL
+),
+agg AS (
+  SELECT query_id,
+         count(*) FILTER (in_a)::BIGINT AS n_a,
+         sum(v) FILTER (in_a) AS s_a,
+         sum(v * v) FILTER (in_a) AS ss_a,
+         count(*) FILTER (in_b)::BIGINT AS n_b,
+         sum(v) FILTER (in_b) AS s_b,
+         sum(v * v) FILTER (in_b) AS ss_b
+  FROM vals GROUP BY query_id
+)
+SELECT query_id, n_a, n_b,
+       s_a / {na} AS mean_a,
+       s_b / {nb} AS mean_b,
+       ({t})::DOUBLE AS t_stat,
+       ({dof})::DOUBLE AS df
+FROM agg
+"""

@@ -777,3 +777,103 @@ def test_auto_date_histogram_duckdb_differential(spark):
             ).fetchall()
         )
         assert got == want, f"target={target}"
+
+
+# ---------------------------------------------------------------------------
+# rate / moving_fn / t_test
+# ---------------------------------------------------------------------------
+
+def test_rate_buckets_counts_and_value(spark):
+    from datetime import datetime
+
+    from same_same_spark.operators.events import rate_buckets
+
+    rows = [
+        (datetime(2024, 1, 1, 3), 10.0),
+        (datetime(2024, 1, 1, 9), 14.0),
+        (datetime(2024, 1, 2, 0), None),   # NULL value counts as 0
+        (datetime(2024, 1, 3, 12), 6.0),
+    ]
+    df = spark.createDataFrame(rows, "ts TIMESTAMP, value DOUBLE")
+    got = {
+        str(r["bucket"]): (r["doc_count"], r["rate"])
+        for r in rate_buckets(df, "day", "hour").collect()
+    }
+    assert got == {
+        "2024-01-01 00:00:00": (2, 2 / 24),
+        "2024-01-02 00:00:00": (1, 1 / 24),
+        "2024-01-03 00:00:00": (1, 1 / 24),
+    }
+    got = {
+        str(r["bucket"]): (r["value"], r["rate"])
+        for r in rate_buckets(df, "day", "hour", value_col="value").collect()
+    }
+    assert got == {
+        "2024-01-01 00:00:00": (24.0, 1.0),
+        "2024-01-02 00:00:00": (0.0, 0.0),
+        "2024-01-03 00:00:00": (6.0, 0.25),
+    }
+    with pytest.raises(ValueError, match="fixed-width"):
+        rate_buckets(df, "month", "day")
+
+
+def test_moving_fn_excludes_current_and_shift(spark):
+    from same_same_spark.operators.events import moving_fn
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, 13), (3, 11), (4, 20)], "bucket INT, doc_count LONG"
+    )
+    got = {
+        r["bucket"]: r["moving_max"]
+        for r in moving_fn(df, "max", window=2).collect()
+    }
+    # window = the 2 buckets BEFORE current (ES default, shift=0)
+    assert got == {1: None, 2: 10, 3: 13, 4: 13}
+    got = {
+        r["bucket"]: r["moving_sum"]
+        for r in moving_fn(df, "sum", window=2, shift=1).collect()
+    }
+    # shift=1 slides the window to include the current bucket
+    assert got == {1: 10, 2: 23, 3: 24, 4: 31}
+    with pytest.raises(ValueError, match="fn must be"):
+        moving_fn(df, "median", window=2)
+
+
+def test_moving_fn_duckdb_differential(spark):
+    import duckdb
+
+    from same_same_spark.operators.events import (
+        date_histogram,
+        duckdb_date_histogram_sql,
+        duckdb_moving_fn_sql,
+        moving_fn,
+    )
+
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    series = date_histogram(ev, "day", group_col="event_type")
+    got = sorted(
+        (r["event_type"], str(r["bucket"]), r["doc_count"], r["moving_sum"])
+        for r in moving_fn(
+            series, "sum", window=3, group_cols=["event_type"]
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW events AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/events.parquet')"
+    )
+    want = sorted(
+        (g, str(b), d, m)
+        for g, b, d, m in con.sql(
+            duckdb_moving_fn_sql(
+                duckdb_date_histogram_sql(
+                    "events", "day", group_col="event_type"
+                ),
+                "sum", window=3, group_cols=["event_type"],
+            )
+        ).fetchall()
+    )
+    assert got == want

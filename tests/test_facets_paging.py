@@ -812,3 +812,130 @@ def test_top_metrics_size_guard(spark):
             _docs_df(spark), [(1, "x")], "doc_id", ["lang"], size=0,
             id_col="doc_id", text_col="text",
         )
+
+
+# ---------------------------------------------------------------- t_test
+
+
+def _ttest_docs_df(spark):
+    rows = [
+        (1, "zebra alpha", "en", 10),
+        (2, "zebra alpha", "en", 12),
+        (3, "zebra alpha", "en", 14),
+        (4, "zebra alpha", "de", 20),
+        (5, "zebra alpha", "de", 26),
+        (6, "zebra alpha", "de", 23),
+        (7, "zebra alpha", "fr", 99),     # neither arm
+        (8, "zebra alpha", "en", None),   # NULL value excluded
+        (9, "unmatched doc", "en", 1),    # not in match set
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, lang STRING, v LONG"
+    )
+
+
+@pytest.mark.parametrize("ttype", ["heteroscedastic", "homoscedastic"])
+def test_t_test_matches_hand_computed(spark, ttype):
+    import math
+
+    from same_same_spark.operators.facets import t_test_facets
+
+    r = t_test_facets(
+        _ttest_docs_df(spark), [(1, "zebra")], "v",
+        {"lang": {"eq": "en"}}, {"lang": {"eq": "de"}},
+        ttype=ttype, id_col="doc_id", text_col="text",
+    ).collect()[0]
+    a, b = [10.0, 12.0, 14.0], [20.0, 26.0, 23.0]
+    ma, mb = sum(a) / 3, sum(b) / 3
+    va = sum((x - ma) ** 2 for x in a) / 2
+    vb = sum((x - mb) ** 2 for x in b) / 2
+    assert (r["n_a"], r["n_b"]) == (3, 3)
+    assert r["mean_a"] == pytest.approx(ma)
+    assert r["mean_b"] == pytest.approx(mb)
+    if ttype == "heteroscedastic":
+        se2 = va / 3 + vb / 3
+        t = (ma - mb) / math.sqrt(se2)
+        dof = se2 * se2 / ((va / 3) ** 2 / 2 + (vb / 3) ** 2 / 2)
+    else:
+        sp = ((2 * va) + (2 * vb)) / 4
+        t = (ma - mb) / math.sqrt(sp * (2 / 3))
+        dof = 4.0
+    assert r["t_stat"] == pytest.approx(t, abs=1e-12)
+    assert r["df"] == pytest.approx(dof, abs=1e-9)
+
+
+def test_t_test_scipy_cross_check(spark):
+    """Cross-check Welch's t against scipy if available (the ES agg
+    this mirrors p-values through)."""
+    scipy_stats = pytest.importorskip("scipy.stats")
+
+    from same_same_spark.operators.facets import t_test_facets
+
+    r = t_test_facets(
+        _ttest_docs_df(spark), [(1, "zebra")], "v",
+        {"lang": {"eq": "en"}}, {"lang": {"eq": "de"}},
+        id_col="doc_id", text_col="text",
+    ).collect()[0]
+    res = scipy_stats.ttest_ind(
+        [10, 12, 14], [20, 26, 23], equal_var=False
+    )
+    assert r["t_stat"] == pytest.approx(res.statistic, abs=1e-12)
+
+
+def test_t_test_small_arm_yields_null(spark):
+    from same_same_spark.operators.facets import t_test_facets
+
+    r = t_test_facets(
+        _ttest_docs_df(spark), [(1, "zebra")], "v",
+        {"lang": {"eq": "fr"}}, {"lang": {"eq": "de"}},
+        id_col="doc_id", text_col="text",
+    ).collect()[0]
+    # arm A has n=1 -> variance undefined -> NULL stat, row kept
+    assert r["n_a"] == 1 and r["t_stat"] is None and r["df"] is None
+    with pytest.raises(ValueError, match="ttype"):
+        t_test_facets(
+            _ttest_docs_df(spark), [(1, "zebra")], "v",
+            {"lang": {"eq": "en"}}, {"lang": {"eq": "de"}},
+            ttype="paired", id_col="doc_id", text_col="text",
+        )
+
+
+def test_t_test_duckdb_differential(spark):
+    import duckdb
+
+    from same_same_spark.operators.facets import (
+        duckdb_t_test_sql,
+        t_test_facets,
+    )
+
+    df = _ttest_docs_df(spark)
+    for ttype in ("heteroscedastic", "homoscedastic"):
+        got = sorted(
+            tuple(
+                round(x, 9) if isinstance(x, float) else x
+                for x in (r["query_id"], r["n_a"], r["n_b"], r["mean_a"],
+                          r["mean_b"], r["t_stat"], r["df"])
+            )
+            for r in t_test_facets(
+                df, [(1, "zebra alpha"), (2, "unmatched")], "v",
+                {"lang": {"eq": "en"}}, {"lang": {"neq": "en"}},
+                ttype=ttype, id_col="doc_id", text_col="text",
+            ).collect()
+        )
+        con = duckdb.connect()
+        con.register("docs_tbl", df.toPandas())
+        want = sorted(
+            tuple(
+                round(x, 9) if isinstance(x, float) else x for x in row
+            )
+            for row in con.sql(
+                duckdb_t_test_sql(
+                    "docs_tbl", "doc_id", "text",
+                    [(1, "zebra alpha"), (2, "unmatched")], "v",
+                    "d.lang = 'en'",
+                    "d.lang IS NOT NULL AND d.lang <> 'en'",
+                    ttype=ttype,
+                )
+            ).fetchall()
+        )
+        assert got == want, ttype
