@@ -5766,6 +5766,47 @@ def _sql_boosting_topk() -> str:
     )
 
 
+_FUNC_SCORE_FNS: list[dict] = [
+    {"field_value_factor": {
+        "field": "n_chars", "factor": 0.01, "modifier": "log1p",
+        "missing": 1.0,
+    }},
+    {"random_score": {"seed": 13}},
+    {"weight": 1.5, "filter": {"lang": {"eq": "en"}}},
+]
+
+
+def _q_function_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """function_score query (operators/funcscore.
+    function_score_search): BM25 x sum(log1p popularity, seeded
+    deterministic random, filtered weight) — the ES function_score
+    families without scripts; random rides the engine's ONE pinned
+    md5-60-bit hash scheme so both engines draw the SAME 'random'
+    numbers. The oracle re-derives every function value, the fold and
+    the boost combine. Sole evidence. Saturation-overflow entry (see
+    _SATURATION_OVERFLOW)."""
+    from same_same_spark.operators.funcscore import function_score_search
+
+    out = function_score_search(
+        _docs(spark, sf_dir), REF_QUERIES, _FUNC_SCORE_FNS, k=REF_K,
+        score_mode="sum", boost_mode="multiply",
+        id_col="doc_id", text_col="text",
+    )
+    return _round6(out, "score")
+
+
+def _sql_function_score() -> str:
+    from same_same_spark.operators.funcscore import (
+        duckdb_function_score_sql,
+    )
+
+    return duckdb_function_score_sql(
+        "documents", "doc_id", "text", REF_QUERIES, _FUNC_SCORE_FNS,
+        [None, None, "d.lang = 'en'"], k=REF_K,
+        score_mode="sum", boost_mode="multiply",
+    )
+
+
 def _q_t_test_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """t_test aggregation (operators/facets.t_test_facets): Welch's t
     between en-docs and non-en docs' n_chars over each query's match
@@ -6643,6 +6684,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "t_test_agg": (_q_t_test_agg, _sql_t_test_agg()),
     "rate_agg": (_q_rate_agg, _sql_rate_agg()),
     "moving_fn_agg": (_q_moving_fn_agg, _sql_moving_fn_agg()),
+    "function_score": (_q_function_score, _sql_function_score()),
     "serial_diff_agg": (_q_serial_diff_agg, _sql_serial_diff_agg()),
     "normalize_agg": (_q_normalize_agg, _sql_normalize_agg()),
     "cumulative_cardinality": (
@@ -6864,6 +6906,7 @@ _ORDER: list[str] = [
     "t_test_agg",
     "rate_agg",
     "moving_fn_agg",
+    "function_score",
     # --- rotate-backs (last green r2/r3) -------------------------------
     "euclidean_topk",
     "events_hourly",
@@ -7031,6 +7074,7 @@ _SATURATION_OVERFLOW: set[str] = {
     "t_test_agg",
     "rate_agg",
     "moving_fn_agg",
+    "function_score",
 }
 
 assert len(_ORDER) == len(set(_ORDER)), "duplicate names in _ORDER"

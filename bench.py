@@ -180,6 +180,7 @@ ENTRY_QUERY_NAMES = [
     "t_test_agg",
     "rate_agg",
     "moving_fn_agg",
+    "function_score",
 ]
 
 # VERDICT r3 #8: round-over-round totals stopped being comparable as

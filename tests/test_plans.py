@@ -756,3 +756,25 @@ def test_phrase_suggest_and_boosting_plan_shape(spark, documents):
     assert "CartesianProduct" not in b
     assert "BroadcastNestedLoopJoin" not in b
     assert "BroadcastHashJoin" in b
+
+
+def test_function_score_plan_shape(spark, documents):
+    """function_score: every function is doc-side column math folded
+    into the one scored-matches plan — broadcast joins only, no
+    window, no cartesian."""
+    from same_same_spark.operators.funcscore import function_score_search
+
+    p = _plan(function_score_search(
+        documents, [(0, "fast merge")],
+        [
+            {"field_value_factor": {
+                "field": "n_chars", "modifier": "log1p",
+            }},
+            {"random_score": {"seed": 1}},
+            {"weight": 2.0, "filter": {"lang": {"eq": "en"}}},
+        ],
+        k=5, id_col="doc_id", text_col="text",
+    ))
+    assert "Window" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
