@@ -5766,6 +5766,58 @@ def _sql_boosting_topk() -> str:
     )
 
 
+def _q_pinned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinned query (operators/pinned.pinned_search): editorial ids
+    rank 1..p in list order (missing ids close up, non-matching docs
+    still pin, score NULL), organic BM25 follows anti-joined and
+    rank-shifted. Existence check streams the corpus against the
+    broadcast pin list. Sole evidence. Saturation-overflow entry (see
+    _SATURATION_OVERFLOW)."""
+    from same_same_spark.operators.pinned import pinned_search
+
+    out = pinned_search(
+        _docs(spark, sf_dir), _PINNED_QUERIES, k=REF_K,
+        id_col="doc_id", text_col="text",
+    )
+    return _round6(out, "score")
+
+
+_PINNED_QUERIES: list[tuple[int, str, list]] = [
+    (1, "table query join", [42, 10**9, 7]),   # one missing id
+    (2, "fast scan row filter", [3, 3, 11]),   # duplicate pin
+    (3, "the a", [5, 1]),                      # pins only, no organic
+]
+
+
+def _sql_pinned_topk() -> str:
+    from same_same_spark.operators.pinned import duckdb_pinned_sql
+
+    return duckdb_pinned_sql(
+        "documents", "doc_id", "text", _PINNED_QUERIES, k=REF_K
+    )
+
+
+def _q_vector_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector range (radius) search (pipeline/ann.range_search): every
+    embedding with cosine >= 0.2 of the three query vectors, membership
+    cut at rank precision, capped at 20 under the pinned order (the
+    cap bites — ~30 qualify per query at sf0.01). Sole evidence.
+    Saturation-overflow entry (see _SATURATION_OVERFLOW)."""
+    from same_same_spark.pipeline.ann import range_search
+
+    out = range_search(
+        _emb(spark, sf_dir), _ann_queries(spark, sf_dir),
+        min_score=0.2, max_results=20,
+    )
+    return _round6(out, "score")
+
+
+def _sql_vector_range() -> str:
+    return _SQL_ANN_BRUTE.replace(
+        "FROM s", "FROM s WHERE round(score, 9) >= round(0.2, 9)"
+    ).replace("rank <= 5", "rank <= 20")
+
+
 _FUNC_SCORE_FNS: list[dict] = [
     {"field_value_factor": {
         "field": "n_chars", "factor": 0.01, "modifier": "log1p",
@@ -6685,6 +6737,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "rate_agg": (_q_rate_agg, _sql_rate_agg()),
     "moving_fn_agg": (_q_moving_fn_agg, _sql_moving_fn_agg()),
     "function_score": (_q_function_score, _sql_function_score()),
+    "pinned_topk": (_q_pinned_topk, _sql_pinned_topk()),
+    "vector_range": (_q_vector_range, _sql_vector_range()),
     "serial_diff_agg": (_q_serial_diff_agg, _sql_serial_diff_agg()),
     "normalize_agg": (_q_normalize_agg, _sql_normalize_agg()),
     "cumulative_cardinality": (
@@ -6907,6 +6961,8 @@ _ORDER: list[str] = [
     "rate_agg",
     "moving_fn_agg",
     "function_score",
+    "pinned_topk",
+    "vector_range",
     # --- rotate-backs (last green r2/r3) -------------------------------
     "euclidean_topk",
     "events_hourly",
@@ -7075,6 +7131,8 @@ _SATURATION_OVERFLOW: set[str] = {
     "rate_agg",
     "moving_fn_agg",
     "function_score",
+    "pinned_topk",
+    "vector_range",
 }
 
 assert len(_ORDER) == len(set(_ORDER)), "duplicate names in _ORDER"

@@ -181,6 +181,8 @@ ENTRY_QUERY_NAMES = [
     "rate_agg",
     "moving_fn_agg",
     "function_score",
+    "pinned_topk",
+    "vector_range",
 ]
 
 # VERDICT r3 #8: round-over-round totals stopped being comparable as

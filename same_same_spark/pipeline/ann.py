@@ -340,3 +340,53 @@ def ivf_topk_filtered(
         df.filter(F.expr(predicate)), queries, centroids, k=k,
         nprobe=nprobe, id_col=id_col, embedding_col=embedding_col,
     )
+
+
+def range_search(
+    df: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    min_score: float,
+    max_results: int = 1000,
+    id_col: str = "vec_id",
+    embedding_col: str = "embedding",
+) -> DataFrame:
+    """Radius (range) vector search: every vector whose cosine
+    similarity to the query is >= ``min_score`` — the
+    OpenSearch/pgvector radius query and ES kNN's ``similarity``
+    post-filter, exact.
+
+    Pinned semantics: membership compares at the engine's rank
+    precision (``round(score, 9) >= round(min_score, 9)`` — a
+    threshold a half-ulp from a score must cut identically on both
+    engines); results rank under the pinned ``(round(score, 9) DESC,
+    id ASC)`` and truncate to ``max_results`` (a radius query's
+    result set is data-dependent — the cap bounds every downstream
+    buffer exactly like top-k; callers page with a tighter radius or
+    a bigger cap). Dimension mismatches are ignored (the batch rule).
+
+    Scale shape: identical to ``brute_topk`` — map-side broadcast
+    scoring, the filter prunes BEFORE the tournament so only
+    above-threshold rows shuffle.
+    """
+    if not queries:
+        raise ValueError("queries must be non-empty")
+    if max_results < 1:
+        raise ValueError(f"max_results must be >= 1, got {max_results}")
+    e = df.select(
+        F.col(id_col),
+        F.col(embedding_col).cast("array<double>").alias("emb"),
+    )
+    scored = (
+        _with_queries(e, queries)
+        .filter(F.size("emb") == F.size("qvec"))
+        .select(
+            "query_id",
+            id_col,
+            cosine_col(F.col("emb"), F.col("qvec")).alias("score"),
+        )
+        .filter(
+            F.round(F.col("score"), 9)
+            >= F.round(F.lit(float(min_score)), 9)
+        )
+    )
+    return _ranked(scored, max_results, id_col)
