@@ -5766,6 +5766,87 @@ def _sql_boosting_topk() -> str:
     )
 
 
+_QS_QUERIES: list[tuple[int, str]] = [
+    (1, "fast AND (merge OR sort) -slow"),
+    (2, '"fast merge" OR batch'),
+    (3, "lang:en AND vector"),
+    (4, "the a an"),  # analyzer eats every clause -> no rows
+]
+
+
+def _q_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """query_string language (operators/querystring.
+    query_string_search): Lucene-style AND/OR/NOT/parens, quoted
+    phrases, -prohibited clauses and field:value filters parsed
+    driver-side and compiled to ONE corpus scan of column logic;
+    score = Σ BM25 weight over a query's distinct positive terms,
+    filter-only matches score 0. The oracle HAND-TRANSLATES each
+    query string's semantics into SQL predicates (never the parser —
+    the differential covers parsing, compilation and scoring). Sole
+    evidence. Saturation-overflow entry (see _SATURATION_OVERFLOW)."""
+    from same_same_spark.operators.querystring import query_string_search
+
+    out = query_string_search(
+        _docs(spark, sf_dir), _QS_QUERIES, k=REF_K,
+        id_col="doc_id", text_col="text",
+    )
+    return _round6(out, "score")
+
+
+def _sql_query_string() -> str:
+    from same_same_spark.bm25 import duckdb_scored_sql
+    from same_same_spark.text.tokenizer import duckdb_tokens_sql
+
+    # positive term sets, hand-derived: q1 {fast, merge, sort},
+    # q2 {fast, merge, batch}, q3 {vector}. Tokenization is the ONE
+    # bit-frozen X1 definition (shared by design); the hand-derived
+    # part is each query string's boolean/phrase/filter semantics.
+    scores = duckdb_scored_sql(
+        "documents", "doc_id", "text",
+        [(1, "fast merge sort"), (2, "fast merge batch"), (3, "vector")],
+    )
+    phrase = (
+        "EXISTS (SELECT 1 FROM unnest(range(1, len(t.tokens))) u(i) "
+        "WHERE t.tokens[i] = 'fast' AND t.tokens[i + 1] = 'merge')"
+    )
+    return f"""
+WITH toks AS (
+  SELECT d.doc_id, d.lang, {duckdb_tokens_sql("d.text")} AS tokens
+  FROM documents d
+),
+matched AS (
+  SELECT 1 AS query_id, doc_id FROM toks t
+  WHERE list_contains(t.tokens, 'fast')
+    AND (list_contains(t.tokens, 'merge')
+         OR list_contains(t.tokens, 'sort'))
+    AND NOT list_contains(t.tokens, 'slow')
+  UNION ALL
+  SELECT 2, doc_id FROM toks t
+  WHERE {phrase} OR list_contains(t.tokens, 'batch')
+  UNION ALL
+  SELECT 3, doc_id FROM toks t
+  WHERE t.lang = 'en' AND list_contains(t.tokens, 'vector')
+),
+sc AS ({scores}),
+scored AS (
+  SELECT m.query_id, m.doc_id, coalesce(s.score, 0.0) AS score
+  FROM matched m
+  LEFT JOIN sc s
+    ON m.query_id = s.query_id AND m.doc_id = s.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score, row_number() OVER (
+    PARTITION BY query_id
+    ORDER BY round(score, 9) DESC, doc_id ASC
+  ) AS rank
+  FROM scored
+)
+SELECT query_id, doc_id, round(score, 6) AS score,
+       rank::INTEGER AS rank
+FROM ranked WHERE rank <= {REF_K}
+"""
+
+
 def _q_pinned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pinned query (operators/pinned.pinned_search): editorial ids
     rank 1..p in list order (missing ids close up, non-matching docs
@@ -6737,6 +6818,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "rate_agg": (_q_rate_agg, _sql_rate_agg()),
     "moving_fn_agg": (_q_moving_fn_agg, _sql_moving_fn_agg()),
     "function_score": (_q_function_score, _sql_function_score()),
+    "query_string": (_q_query_string, _sql_query_string()),
     "pinned_topk": (_q_pinned_topk, _sql_pinned_topk()),
     "vector_range": (_q_vector_range, _sql_vector_range()),
     "serial_diff_agg": (_q_serial_diff_agg, _sql_serial_diff_agg()),
@@ -6961,6 +7043,7 @@ _ORDER: list[str] = [
     "rate_agg",
     "moving_fn_agg",
     "function_score",
+    "query_string",
     "pinned_topk",
     "vector_range",
     # --- rotate-backs (last green r2/r3) -------------------------------
@@ -7131,6 +7214,7 @@ _SATURATION_OVERFLOW: set[str] = {
     "rate_agg",
     "moving_fn_agg",
     "function_score",
+    "query_string",
     "pinned_topk",
     "vector_range",
 }

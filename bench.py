@@ -183,6 +183,7 @@ ENTRY_QUERY_NAMES = [
     "function_score",
     "pinned_topk",
     "vector_range",
+    "query_string",
 ]
 
 # VERDICT r3 #8: round-over-round totals stopped being comparable as

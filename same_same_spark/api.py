@@ -528,6 +528,10 @@ class SameSameSpark:
           demotion (:mod:`~same_same_spark.operators.boost`); ``q`` =
           ``(positive, negative)`` strings or a dict with those keys;
           ``negative_boost=``.
+        - ``"query_string"`` — the Lucene-style boolean language
+          (:mod:`~same_same_spark.operators.querystring`); ``q`` =
+          the query string (``AND/OR/NOT``, parens, quotes,
+          ``-prohibited``, ``field:value``).
 
         Extra ``kw`` pass through to the operator. Returns
         (id, score, rank) plus the mode's extra columns
@@ -670,6 +674,15 @@ class SameSameSpark:
                 self.docs, [(0, q)], k=k, id_col=self.id_col,
                 text_col=self.text_col, **kw,
             )
+        elif mode == "query_string":
+            from same_same_spark.operators.querystring import (
+                query_string_search,
+            )
+
+            out = query_string_search(
+                self.docs, [(0, q)], k=k, id_col=self.id_col,
+                text_col=self.text_col, **kw,
+            )
         elif mode == "boosting":
             from same_same_spark.operators.boost import boosting_search
 
@@ -686,8 +699,8 @@ class SameSameSpark:
             raise ValueError(
                 f"unknown query mode {mode!r} (expected terms/phrase/"
                 "bool/wildcard/regexp/fuzzy/proximity/boosted/boosting/"
-                "synonym/rescore/span_near/span_first/dis_max/"
-                "multi_match/terms_set/phrase_prefix)"
+                "query_string/synonym/rescore/span_near/span_first/"
+                "dis_max/multi_match/terms_set/phrase_prefix)"
             )
         return out.drop("query_id").withColumnRenamed("doc_id", self.id_col)
 

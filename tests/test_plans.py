@@ -778,3 +778,24 @@ def test_function_score_plan_shape(spark, documents):
     assert "Window" not in p
     assert "CartesianProduct" not in p
     assert "BroadcastHashJoin" in p
+
+
+def test_query_string_plan_shape(spark, documents):
+    """query_string: ALL queries' trees evaluate in ONE corpus scan
+    (no per-query scan union), scores ride broadcast joins, no
+    window, no cartesian."""
+    from same_same_spark.operators.querystring import query_string_search
+
+    df = query_string_search(
+        documents,
+        [(0, 'fast AND (merge OR sort) -slow'), (1, '"fast merge"')],
+        k=5, id_col="doc_id", text_col="text",
+    )
+    p = _plan(df)
+    assert "Window" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+    # one scan feeds the match-set side for BOTH queries (no
+    # per-query scan union); scoring adds its standard two (stats +
+    # postings) -> exactly 3 reads of the docs relation
+    assert p.count("Scan parquet") == 3
