@@ -6242,7 +6242,12 @@ def _q_stream_vector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "stream_vector_topk entry: availableNow drain exceeded "
+            "300s — refusing to compare a partially-drained stream"
+        )
     final = latest_topk(spark.table(name))
     return _round6(final, "score").select(
         "query_id", "vec_id", F.col("score"), "rank"

@@ -686,11 +686,16 @@ class SameSameSpark:
         elif mode == "boosting":
             from same_same_spark.operators.boost import boosting_search
 
-            pos, neg = (
-                (q.get("positive", ""), q.get("negative", ""))
-                if isinstance(q, dict)
-                else q
-            )
+            if isinstance(q, dict):
+                pos, neg = q.get("positive", ""), q.get("negative", "")
+            elif isinstance(q, (tuple, list)) and len(q) == 2:
+                pos, neg = q
+            else:
+                raise ValueError(
+                    "mode='boosting' needs q = (positive, negative) "
+                    "strings or a dict with those keys, got "
+                    f"{type(q).__name__}"
+                )
             out = boosting_search(
                 self.docs, [(0, pos, neg)], k=k, id_col=self.id_col,
                 text_col=self.text_col, **kw,

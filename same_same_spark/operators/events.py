@@ -1219,16 +1219,17 @@ def duckdb_moving_fn_sql(
     part = f"PARTITION BY {', '.join(gcols)} " if gcols else ""
     gsel = "".join(f"{c}, " for c in gcols)
     lo, hi = window - shift, 1 - shift
-    hi_frame = (
-        f"{hi} PRECEDING" if hi > 0 else f"{-hi} FOLLOWING"
-    )
+    # BOTH bounds need the sign flip — shift > window pushes even the
+    # lower bound past the current row ('-1 PRECEDING' is invalid SQL)
+    lo_frame = f"{lo} PRECEDING" if lo > 0 else f"{-lo} FOLLOWING"
+    hi_frame = f"{hi} PRECEDING" if hi > 0 else f"{-hi} FOLLOWING"
     cast = "DOUBLE" if fn == "avg" else "BIGINT"
     return f"""
 WITH series AS ({series_sql})
 SELECT {gsel}{order_col}, {value_col},
        {fn}({value_col}) OVER (
          {part}ORDER BY {order_col} ASC
-         ROWS BETWEEN {lo} PRECEDING AND {hi_frame}
+         ROWS BETWEEN {lo_frame} AND {hi_frame}
        )::{cast} AS moving_{fn}
 FROM series
 """

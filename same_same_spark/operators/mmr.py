@@ -46,10 +46,11 @@ _OUT_SCHEMA = "query_id INT, vec_id LONG, score DOUBLE, rank INT"
 
 
 def _round9_away(x: np.ndarray) -> np.ndarray:
-    """round(x, 9) with ties away from zero — Spark's/DuckDB's ROUND
-    semantics (np.round is half-to-even and would diverge on exact
-    .5e-9 boundaries)."""
-    return np.sign(x) * np.floor(np.abs(x) * 1e9 + 0.5)
+    """The pinned rank rounding (one definition site: operators/topk
+    .round9_away_np)."""
+    from same_same_spark.operators.topk import round9_away_np
+
+    return round9_away_np(x)
 
 
 def _greedy_mmr(pdf: pd.DataFrame, lam: float, k: int) -> pd.DataFrame:

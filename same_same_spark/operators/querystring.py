@@ -89,7 +89,10 @@ class Bool:
 
 
 _TOKEN_RE = re.compile(
-    r'\s*(\(|\)|"[^"]*"|[^\s()]+)'
+    # order matters: field:"quoted value" and -"quoted phrase" must
+    # lex as ONE token before the bare-chunk class (which would
+    # otherwise swallow the '-' or split at the first space)
+    r'\s*(\(|\)|[^\s():]+:"[^"]*"|-?"[^"]*"|[^\s()]+)'
 )
 
 
@@ -140,11 +143,14 @@ class _Parser:
         parts = [(p, ex) for p, ex in parts if p is not None]
         if not parts:
             return None
-        prohibited = [
-            p for p, ex in parts
-            if not ex and isinstance(p, Not) and len(parts) > 1
-        ]
-        positives = [p for p, _ in parts if p not in prohibited]
+        # split by each part's own flag, not value equality: an
+        # explicit 'OR NOT x' must survive even when an implicit '-x'
+        # of the same subtree is also present
+        def _is_prohibited(p, ex):
+            return not ex and isinstance(p, Not) and len(parts) > 1
+
+        prohibited = [p for p, ex in parts if _is_prohibited(p, ex)]
+        positives = [p for p, ex in parts if not _is_prohibited(p, ex)]
         node = None
         if positives:
             node = (
@@ -177,6 +183,12 @@ class _Parser:
             self.next()
             child = self.unary()
             return Not(child) if child is not None else None
+        if tok == "-":
+            # a lone '-' arises from '-(' (the lexer stops a bare
+            # chunk at a parenthesis): negate the whole group
+            self.next()
+            child = self.unary()
+            return Not(child) if child is not None else None
         if tok.startswith("-") and len(tok) > 1:
             self.toks[self.i] = tok[1:]
             child = self.unary()
@@ -200,6 +212,9 @@ class _Parser:
         if ":" in tok:
             name, _, value = tok.partition(":")
             if name and value:
+                # field:"quoted value" compares the raw quoted string
+                if value.startswith('"') and value.endswith('"'):
+                    value = value[1:-1]
                 return Field(name, value)
         toks = tokenize_py(tok)
         if not toks:
@@ -300,8 +315,9 @@ def query_string_search(
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     spark = docs_df.sparkSession
+    id_type = dict(docs_df.dtypes)[id_col]
     empty = spark.createDataFrame(
-        [], "query_id INT, doc_id LONG, score DOUBLE, rank INT"
+        [], f"query_id INT, doc_id {id_type}, score DOUBLE, rank INT"
     )
     asts = [(qid, parse_query(text)) for qid, text in queries]
     asts = [(qid, a) for qid, a in asts if a is not None]

@@ -33,6 +33,17 @@ def neg_rounded_score(score_col: Column) -> Column:
     return F.lit(0.0) - F.round(score_col, 9)
 
 
+def round9_away_np(x):
+    """numpy twin of the pinned rank rounding: round(x, 9) scaled to
+    integers, ties AWAY from zero — Spark's/DuckDB's ROUND semantics
+    (np.round is half-to-even and would diverge on exact .5e-9
+    boundaries). ONE definition site; driver-side numpy rankers
+    (mmr, streaming top-k) import it from here."""
+    import numpy as np
+
+    return np.sign(x) * np.floor(np.abs(x) * 1e9 + 0.5)
+
+
 def prune_local_topk(scored: DataFrame, k: int) -> DataFrame:
     """Exact-safe per-Arrow-batch top-k pre-prune of (query_id, doc_id,
     score) rows under the pinned order — run BEFORE any shuffle so the

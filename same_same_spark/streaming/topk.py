@@ -41,8 +41,10 @@ _STATE = "ids ARRAY<LONG>, scores ARRAY<DOUBLE>, seq INT"
 
 
 def _round9_away(x: np.ndarray) -> np.ndarray:
-    # Spark/DuckDB ROUND is half-away-from-zero; np.round is half-even.
-    return np.sign(x) * np.floor(np.abs(x) * 1e9 + 0.5)
+    # the pinned rank rounding (one definition site: operators/topk)
+    from same_same_spark.operators.topk import round9_away_np
+
+    return round9_away_np(x)
 
 
 def _merge_topk(

@@ -877,3 +877,36 @@ def test_moving_fn_duckdb_differential(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_moving_fn_shift_past_window_duckdb(spark):
+    """Review-pass regression: shift > window pushes BOTH frame bounds
+    past the current row — the twin must render FOLLOWING, not a
+    negative PRECEDING."""
+    import duckdb
+
+    from same_same_spark.operators.events import (
+        duckdb_moving_fn_sql,
+        moving_fn,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, 13), (3, 11), (4, 20)], "bucket INT, doc_count LONG"
+    )
+    got = {
+        r["bucket"]: r["moving_max"]
+        for r in moving_fn(df, "max", window=1, shift=2).collect()
+    }
+    assert got == {1: 13, 2: 11, 3: 20, 4: None}
+    con = duckdb.connect()
+    con.register("series_tbl", df.toPandas())
+    want = dict(
+        con.sql(
+            duckdb_moving_fn_sql(
+                "SELECT * FROM series_tbl", "max", window=1, shift=2
+            )
+        ).df()[["bucket", "moving_max"]].itertuples(index=False)
+    )
+    assert {b: (None if v != v else v) for b, v in want.items()} == {
+        b: (float(v) if v is not None else None) for b, v in got.items()
+    }

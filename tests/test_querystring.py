@@ -163,3 +163,40 @@ def test_unknown_field_and_k_guard(spark):
     )
     assert out.columns == ["query_id", "doc_id", "score", "rank"]
     assert out.collect() == []
+
+
+def test_parse_prohibited_groups_phrases_and_quoted_fields():
+    """Review-pass regressions: '-' before a group or quoted phrase,
+    quoted field values, and explicit-OR-NOT surviving a value-equal
+    implicit prohibition."""
+    # -(group): negates the whole group instead of silently dropping
+    assert parse_query("-(fast OR slow)") == Not(
+        Bool("or", (Term("fast"), Term("slow")))
+    )
+    assert parse_query("merge -(fast OR slow)") == Bool(
+        "and",
+        (Term("merge"), Not(Bool("or", (Term("fast"), Term("slow"))))),
+    )
+    # -"quoted phrase"
+    assert parse_query('merge -"fast merge"') == Bool(
+        "and", (Term("merge"), Not(Phrase(("fast", "merge"))))
+    )
+    # field:"quoted value" keeps the full value incl. the space
+    assert parse_query('lang:"some value"') == Field("lang", "some value")
+    # explicit OR NOT x + implicit -x: the disjunct must survive
+    assert parse_query("fast OR NOT slow -slow") == Bool(
+        "and",
+        (
+            Bool("or", (Term("fast"), Not(Term("slow")))),
+            Not(Term("slow")),
+        ),
+    )
+
+
+def test_prohibited_group_matches(spark):
+    out = query_string_search(
+        _docs_df(spark), [(1, "merge -(slow OR scan)")], k=10,
+        id_col="doc_id", text_col="text",
+    ).collect()
+    # merge docs minus any containing slow or scan: 1, 2, 5
+    assert {r["doc_id"] for r in out} == {1, 2, 5}

@@ -51,7 +51,7 @@ def test_stream_topk_final_state_equals_batch_brute(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180)
     emissions = spark.sql("SELECT * FROM stream_topk_out")
 
     # two batches carried rows for every query -> seq reaches 2
