@@ -5766,6 +5766,78 @@ def _sql_boosting_topk() -> str:
     )
 
 
+_INTERVALS_RULE: dict = {"all_of": {
+    "ordered": True,
+    "max_gaps": 4,
+    "intervals": [
+        {"match": {"query": "fast merge"}},
+        {"any_of": {"intervals": [
+            {"match": {"query": "sort"}},
+            {"match": {"query": "join"}},
+        ]}},
+    ],
+}}
+
+
+def _q_intervals_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intervals query (operators/intervals.intervals_search): nested
+    positional rule — the 'fast merge' phrase followed (ordered,
+    envelope slack <= 4) by one of sort/join; candidates prefilter on
+    the required terms column-side, the interval engine verifies in
+    Arrow batches, BM25 scores over the rule's distinct terms. The
+    oracle HAND-TRANSLATES the fixed rule into nested-lambda
+    positional SQL (never the engine). Sole evidence.
+    Saturation-overflow entry (see _SATURATION_OVERFLOW)."""
+    from same_same_spark.operators.intervals import intervals_search
+
+    out = intervals_search(
+        _docs(spark, sf_dir), [(1, _INTERVALS_RULE)], k=REF_K,
+        id_col="doc_id", text_col="text",
+    )
+    return _round6(out, "score")
+
+
+def _sql_intervals_topk() -> str:
+    from same_same_spark.bm25 import duckdb_scored_sql
+    from same_same_spark.text.tokenizer import duckdb_tokens_sql
+
+    # hand-derived: phrase at i (1-based, adjacent), follower at
+    # j >= i + 2 (ordered, envelope-disjoint), slack
+    # (j - i + 1) - 3 <= 4  =>  j <= i + 6  =>  j in range(i+2, i+7)
+    scores = duckdb_scored_sql(
+        "documents", "doc_id", "text", [(1, "fast join merge sort")]
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {duckdb_tokens_sql("text")} AS t FROM documents
+),
+matched AS (
+  SELECT 1 AS query_id, doc_id FROM toks
+  WHERE len(list_filter(range(1, len(t)), i ->
+          t[i] = 'fast' AND t[i + 1] = 'merge'
+          AND len(list_filter(range(i + 2, i + 7), j ->
+                t[j] IN ('sort', 'join'))) > 0
+        )) > 0
+),
+sc AS ({scores}),
+scored AS (
+  SELECT m.query_id, m.doc_id, coalesce(s.score, 0.0) AS score
+  FROM matched m
+  LEFT JOIN sc s ON m.query_id = s.query_id AND m.doc_id = s.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score, row_number() OVER (
+    PARTITION BY query_id
+    ORDER BY round(score, 9) DESC, doc_id ASC
+  ) AS rank
+  FROM scored
+)
+SELECT query_id, doc_id, round(score, 6) AS score,
+       rank::INTEGER AS rank
+FROM ranked WHERE rank <= {REF_K}
+"""
+
+
 _QS_QUERIES: list[tuple[int, str]] = [
     (1, "fast AND (merge OR sort) -slow"),
     (2, '"fast merge" OR batch'),
@@ -6823,6 +6895,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "rate_agg": (_q_rate_agg, _sql_rate_agg()),
     "moving_fn_agg": (_q_moving_fn_agg, _sql_moving_fn_agg()),
     "function_score": (_q_function_score, _sql_function_score()),
+    "intervals_topk": (_q_intervals_topk, _sql_intervals_topk()),
     "query_string": (_q_query_string, _sql_query_string()),
     "pinned_topk": (_q_pinned_topk, _sql_pinned_topk()),
     "vector_range": (_q_vector_range, _sql_vector_range()),
@@ -7048,6 +7121,7 @@ _ORDER: list[str] = [
     "rate_agg",
     "moving_fn_agg",
     "function_score",
+    "intervals_topk",
     "query_string",
     "pinned_topk",
     "vector_range",
@@ -7219,6 +7293,7 @@ _SATURATION_OVERFLOW: set[str] = {
     "rate_agg",
     "moving_fn_agg",
     "function_score",
+    "intervals_topk",
     "query_string",
     "pinned_topk",
     "vector_range",

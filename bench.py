@@ -184,6 +184,7 @@ ENTRY_QUERY_NAMES = [
     "pinned_topk",
     "vector_range",
     "query_string",
+    "intervals_topk",
 ]
 
 # VERDICT r3 #8: round-over-round totals stopped being comparable as
