@@ -6462,6 +6462,314 @@ def _sql_sampler_terms() -> str:
     )
 
 
+# --- agg stragglers (ninth round-5 session) ---------------------------------
+
+
+def _q_multi_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multi_terms agg (facets.multi_terms_facets): buckets keyed by
+    the (lang, source) tuple over the match set — docs missing either
+    field excluded, key rendered "lang|source", top-5 per query under
+    (count DESC, key ASC) via the bounded tournament. Sole evidence.
+    Saturation-overflow entry (see _SATURATION_OVERFLOW)."""
+    from same_same_spark.operators.facets import multi_terms_facets
+
+    return multi_terms_facets(
+        _docs(spark, sf_dir), REF_QUERIES, ["lang", "source"],
+        topn=5, id_col="doc_id", text_col="text",
+    )
+
+
+def _sql_multi_terms() -> str:
+    from same_same_spark.operators.facets import duckdb_multi_terms_sql
+
+    return duckdb_multi_terms_sql(
+        "documents", "doc_id", "text", REF_QUERIES, ["lang", "source"],
+        topn=5,
+    )
+
+
+def _q_diversified_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """diversified_sampler > terms agg
+    (facets.diversified_sampler_terms_facets): at most 2 docs per
+    source survive the pinned-order dedup (NULL sources bypass), the
+    50 best survivors form the sample, lang counts inside it. Sole
+    evidence for the dedup-cap path (sampler_terms pins the uncapped
+    sampler). Saturation-overflow entry (see _SATURATION_OVERFLOW)."""
+    from same_same_spark.operators.facets import (
+        diversified_sampler_terms_facets,
+    )
+
+    return diversified_sampler_terms_facets(
+        _docs(spark, sf_dir), REF_QUERIES, "lang", "source",
+        max_docs_per_value=2, shard_size=50, topn=5,
+        id_col="doc_id", text_col="text",
+    )
+
+
+def _sql_diversified_sampler() -> str:
+    from same_same_spark.operators.facets import (
+        duckdb_diversified_sampler_sql,
+    )
+
+    return duckdb_diversified_sampler_sql(
+        "documents", "doc_id", "text", REF_QUERIES, "lang", "source",
+        max_docs_per_value=2, shard_size=50, topn=5,
+    )
+
+
+_DATE_RANGE_EDGES = [
+    "2024-01-15 00:00:00", "2024-02-01 00:00:00", "2024-03-01 00:00:00",
+]
+
+
+def _q_date_range_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_range agg (events.date_range_buckets): fixed-shape
+    half-open time buckets with unbounded ends, zero counts included,
+    edge timestamps land in their upper bucket; the oracle re-derives
+    bucket assignment with the independent closed form (count of
+    edges <= t). Sole evidence. Saturation-overflow entry (see
+    _SATURATION_OVERFLOW)."""
+    from same_same_spark.operators.events import date_range_buckets
+
+    return date_range_buckets(_events(spark, sf_dir), _DATE_RANGE_EDGES)
+
+
+def _sql_date_range_agg() -> str:
+    from same_same_spark.operators.events import duckdb_date_range_sql
+
+    return duckdb_date_range_sql("events", _DATE_RANGE_EDGES)
+
+
+def _q_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """change_point agg (events.change_point): the exact two-mean SSE
+    split over each event_type's zero-filled daily histogram —
+    deterministic re-expression of ES's p-value agg (module pin);
+    argmax via one min(struct) per group at (round(gain,9) DESC,
+    change_at ASC). Sole evidence. Saturation-overflow entry (see
+    _SATURATION_OVERFLOW)."""
+    from same_same_spark.operators.events import change_point, date_histogram
+
+    series = date_histogram(
+        _events(spark, sf_dir), "day", group_col="event_type"
+    )
+    out = change_point(series, group_cols=["event_type"])
+    return _round6(out, "before_mean", "after_mean", "gain")
+
+
+def _sql_change_point() -> str:
+    from same_same_spark.operators.events import (
+        duckdb_change_point_sql,
+        duckdb_date_histogram_sql,
+    )
+
+    hist = duckdb_date_histogram_sql("events", "day", group_col="event_type")
+    inner = duckdb_change_point_sql(hist, group_cols=["event_type"])
+    return f"""
+WITH cp AS ({inner})
+SELECT event_type, change_at, round(before_mean, 6) AS before_mean,
+       round(after_mean, 6) AS after_mean, round(gain, 6) AS gain
+FROM cp
+"""
+
+
+def _q_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """frequent_item_sets (operators/itemsets.frequent_pairs): exact
+    A-Priori frequent token PAIRS at 12% support — pass-1 frequent
+    items broadcast-prune the doc-keyed pair join (no cross-document
+    pair explosion), top-50 under (count DESC, pair ASC). Sole
+    evidence. Saturation-overflow entry (see _SATURATION_OVERFLOW)."""
+    from same_same_spark.operators.itemsets import frequent_pairs
+
+    out = frequent_pairs(
+        _docs(spark, sf_dir), 0.12, top_n=50,
+        id_col="doc_id", text_col="text",
+    )
+    return _round6(out, "support")
+
+
+def _sql_frequent_pairs() -> str:
+    from same_same_spark.operators.itemsets import duckdb_frequent_pairs_sql
+
+    inner = duckdb_frequent_pairs_sql(
+        "documents", 0.12, top_n=50, id_col="doc_id", text_col="text"
+    )
+    return f"""
+WITH fp AS ({inner})
+SELECT item_a, item_b, doc_count, round(support, 6) AS support FROM fp
+"""
+
+
+# --- geo family (operators/geo.py) -----------------------------------------
+
+_GEO_ORIGIN = (48.8566, 2.3522)
+
+
+def _geo_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic (id, lat, lon) fixture over events (see
+    geo.synth_point_cols — exact md5-60bit scale-shift, bit-identical
+    cross-engine)."""
+    from same_same_spark.operators.geo import synth_point_cols
+
+    ev = _events(spark, sf_dir)
+    lat, lon = synth_point_cols(F.col("event_id"))
+    return ev.select(
+        F.col("event_id").alias("id"), lat.alias("lat"), lon.alias("lon")
+    )
+
+
+def _geo_points_cte() -> str:
+    from same_same_spark.operators.geo import synth_point_sql
+
+    lat, lon = synth_point_sql("event_id")
+    return (
+        f"p AS (SELECT event_id AS id, {lat} AS lat, {lon} AS lon"
+        f" FROM events)"
+    )
+
+
+def _q_geo_distance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """geo_distance nearest-k (operators/geo.geo_distance_topk): the 50
+    points closest to Paris under (round(d,9) ASC, id ASC), haversine
+    with the pinned expression order, ranked through the bounded
+    tournament (score = -d). Sole evidence for the geo query family.
+    Saturation-overflow entry (see _SATURATION_OVERFLOW)."""
+    from same_same_spark.operators.geo import geo_distance_topk
+
+    out = geo_distance_topk(
+        _geo_points(spark, sf_dir), *_GEO_ORIGIN, 50
+    )
+    return _round6(out, "distance_km")
+
+
+def _sql_geo_distance_topk() -> str:
+    from same_same_spark.operators.geo import haversine_km_sql
+
+    d = haversine_km_sql(
+        repr(_GEO_ORIGIN[0]), repr(_GEO_ORIGIN[1]), "lat", "lon"
+    )
+    return f"""
+WITH {_geo_points_cte()},
+d AS (
+  SELECT id, {d} AS dist FROM p
+  WHERE lat IS NOT NULL AND lon IS NOT NULL
+),
+ranked AS (
+  SELECT id, dist, row_number() OVER (
+    ORDER BY round(dist, 9) ASC, id ASC
+  )::INTEGER AS rank
+  FROM d
+)
+SELECT id, round(dist, 6) AS distance_km, rank
+FROM ranked WHERE rank <= 50
+"""
+
+
+def _q_geotile_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """geotile_grid agg (operators/geo.geotile_grid): Web-Mercator
+    slippy-tile buckets at zoom 5, top 40 under (count DESC, cell ASC);
+    lat clamped to the ES Mercator limit, x wraps. Sole evidence.
+    Saturation-overflow entry (see _SATURATION_OVERFLOW)."""
+    from same_same_spark.operators.geo import geotile_grid
+
+    return geotile_grid(_geo_points(spark, sf_dir), 5, 40)
+
+
+def _sql_geotile_grid() -> str:
+    from same_same_spark.operators.geo import (
+        duckdb_geo_grid_sql,
+        geotile_cell_sql,
+    )
+
+    grid = duckdb_geo_grid_sql("p", geotile_cell_sql("lat", "lon", 5), 40)
+    body = grid.lstrip()[len("WITH "):]
+    return f"WITH {_geo_points_cte()},\n{body}"
+
+
+def _q_geohash_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """geohash_grid agg (operators/geo.geohash_grid): EXACT integer
+    bit-math geohash cells (quantize → interleave → base32 — no
+    transcendentals; bisection-encoder differential in test_geo) at
+    precision 2, top 40. Sole evidence. Saturation-overflow entry
+    (see _SATURATION_OVERFLOW)."""
+    from same_same_spark.operators.geo import geohash_grid
+
+    return geohash_grid(_geo_points(spark, sf_dir), 2, 40)
+
+
+def _sql_geohash_grid() -> str:
+    from same_same_spark.operators.geo import (
+        duckdb_geo_grid_sql,
+        geohash_cell_sql,
+    )
+
+    grid = duckdb_geo_grid_sql("p", geohash_cell_sql("lat", "lon", 2), 40)
+    body = grid.lstrip()[len("WITH "):]
+    return f"WITH {_geo_points_cte()},\n{body}"
+
+
+def _q_geo_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """geo_distance rings agg (operators/geo.geo_distance_rings):
+    fixed-shape half-open distance rings around Paris, zero counts
+    included; the oracle re-derives bucket assignment with the
+    independent closed form (count of edges <= d). Sole evidence.
+    Saturation-overflow entry (see _SATURATION_OVERFLOW)."""
+    from same_same_spark.operators.geo import geo_distance_rings
+
+    return geo_distance_rings(
+        _geo_points(spark, sf_dir), *_GEO_ORIGIN,
+        [2000.0, 5000.0, 9000.0, 13000.0],
+    )
+
+
+def _sql_geo_rings() -> str:
+    from same_same_spark.operators.geo import duckdb_geo_rings_sql
+
+    rings = duckdb_geo_rings_sql(
+        "p", *_GEO_ORIGIN, [2000.0, 5000.0, 9000.0, 13000.0]
+    )
+    # splice the point CTE into the rings query's WITH chain
+    assert rings.lstrip().startswith("WITH ")
+    body = rings.lstrip()[len("WITH "):]
+    return f"WITH {_geo_points_cte()},\n{body}"
+
+
+def _q_geo_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """geo_bounding_box ∘ geo_bounds+centroid (operators/geo): points
+    inside an ANTIMERIDIAN-CROSSING box (left 150 > right -150) folded
+    to the one-row extent + arithmetic centroid agg. Exact comparisons
+    + round-6 floats. Sole evidence. Saturation-overflow entry
+    (see _SATURATION_OVERFLOW)."""
+    from same_same_spark.operators.geo import (
+        geo_bounding_box,
+        geo_bounds_centroid,
+    )
+
+    boxed = geo_bounding_box(
+        _geo_points(spark, sf_dir),
+        top=45.0, left=150.0, bottom=-45.0, right=-150.0,
+    )
+    return _round6(
+        geo_bounds_centroid(boxed),
+        "top", "bottom", "left", "right", "centroid_lat", "centroid_lon",
+    )
+
+
+def _sql_geo_bounds() -> str:
+    from same_same_spark.operators.geo import (
+        duckdb_geo_bounds_sql,
+        geo_bounding_box_sql,
+    )
+
+    pred = geo_bounding_box_sql(
+        top=45.0, left=150.0, bottom=-45.0, right=-150.0,
+        lat_sql="lat", lon_sql="lon",
+    )
+    bounds = duckdb_geo_bounds_sql("p", where_sql=pred, round6=True)
+    assert bounds.lstrip().startswith("WITH ")
+    body = bounds.lstrip()[len("WITH "):]
+    return f"WITH {_geo_points_cte()},\n{body}"
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6907,6 +7215,20 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "bucket_script_agg": (
         _q_bucket_script_agg, _sql_bucket_script_agg(),
     ),
+    # --- agg stragglers (ninth round-5 session) ------------------------
+    "multi_terms": (_q_multi_terms, _sql_multi_terms()),
+    "diversified_sampler": (
+        _q_diversified_sampler, _sql_diversified_sampler(),
+    ),
+    "date_range_agg": (_q_date_range_agg, _sql_date_range_agg()),
+    "change_point": (_q_change_point, _sql_change_point()),
+    "frequent_pairs": (_q_frequent_pairs, _sql_frequent_pairs()),
+    # --- geo family (ninth round-5 session) ----------------------------
+    "geo_distance_topk": (_q_geo_distance_topk, _sql_geo_distance_topk()),
+    "geotile_grid": (_q_geotile_grid, _sql_geotile_grid()),
+    "geohash_grid": (_q_geohash_grid, _sql_geohash_grid()),
+    "geo_rings": (_q_geo_rings, _sql_geo_rings()),
+    "geo_bounds": (_q_geo_bounds, _sql_geo_bounds()),
     # index-dictionary wildcard: rank-identical twin of wildcard_topk
     # (shared oracle; twin-tail placement per the witness contract)
     "wildcard_topk_indexed": (
@@ -7125,6 +7447,16 @@ _ORDER: list[str] = [
     "query_string",
     "pinned_topk",
     "vector_range",
+    "geo_distance_topk",
+    "geotile_grid",
+    "geohash_grid",
+    "geo_rings",
+    "geo_bounds",
+    "multi_terms",
+    "diversified_sampler",
+    "date_range_agg",
+    "change_point",
+    "frequent_pairs",
     # --- rotate-backs (last green r2/r3) -------------------------------
     "euclidean_topk",
     "events_hourly",
@@ -7297,6 +7629,16 @@ _SATURATION_OVERFLOW: set[str] = {
     "query_string",
     "pinned_topk",
     "vector_range",
+    "geo_distance_topk",
+    "geotile_grid",
+    "geohash_grid",
+    "geo_rings",
+    "geo_bounds",
+    "multi_terms",
+    "diversified_sampler",
+    "date_range_agg",
+    "change_point",
+    "frequent_pairs",
 }
 
 assert len(_ORDER) == len(set(_ORDER)), "duplicate names in _ORDER"

@@ -185,6 +185,16 @@ ENTRY_QUERY_NAMES = [
     "vector_range",
     "query_string",
     "intervals_topk",
+    "geo_distance_topk",
+    "geotile_grid",
+    "geohash_grid",
+    "geo_rings",
+    "geo_bounds",
+    "multi_terms",
+    "diversified_sampler",
+    "date_range_agg",
+    "change_point",
+    "frequent_pairs",
 ]
 
 # VERDICT r3 #8: round-over-round totals stopped being comparable as

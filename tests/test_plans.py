@@ -799,3 +799,69 @@ def test_query_string_plan_shape(spark, documents):
     # per-query scan union); scoring adds its standard two (stats +
     # postings) -> exactly 3 reads of the docs relation
     assert p.count("Scan parquet") == 3
+
+
+def test_geo_plan_shape(spark, events):
+    """Geo family: pure column math over one scan — grids are a single
+    hash aggregate + TakeOrdered cut, nearest-k rides the tournament
+    (window-free), rings join the literal shape broadcast."""
+    from same_same_spark.operators.geo import (
+        geo_distance_rings,
+        geo_distance_topk,
+        geohash_grid,
+        geotile_grid,
+        synth_point_cols,
+    )
+
+    lat, lon = synth_point_cols(F.col("event_id"))
+    pts = events.select(
+        F.col("event_id").alias("id"), lat.alias("lat"), lon.alias("lon")
+    )
+    tile = _plan(geotile_grid(pts, 5, 40))
+    hashg = _plan(geohash_grid(pts, 2, 40))
+    topk = _plan(geo_distance_topk(pts, 48.8566, 2.3522, 50))
+    rings = _plan(geo_distance_rings(pts, 48.8566, 2.3522, [2000.0, 9000.0]))
+    for plan in (tile, hashg, topk, rings):
+        assert "Window" not in plan
+        assert "CartesianProduct" not in plan
+    for plan in (tile, hashg):
+        assert "TakeOrderedAndProject" in plan
+        # one partial + one final hash aggregate pair, nothing else
+        assert plan.count("HashAggregate") == 2
+    assert "BroadcastHashJoin" in rings
+    assert "SortMergeJoin" not in rings
+
+
+def test_agg_straggler_plan_shape(spark, documents, events):
+    """Ninth-session agg wave: window-free Spark side (the dedup cap
+    and cuts are bounded tournaments), no cartesians, broadcast where
+    expected (frequent-item prune, sampler metadata fetch)."""
+    from same_same_spark.operators.facets import (
+        diversified_sampler_terms_facets,
+        multi_terms_facets,
+    )
+    from same_same_spark.operators.events import date_range_buckets
+    from same_same_spark.operators.itemsets import frequent_pairs
+
+    queries = [(0, "fast merge join"), (1, "vector table")]
+    mt = _plan(multi_terms_facets(
+        documents, queries, ["lang", "source"], topn=5,
+        id_col="doc_id", text_col="text",
+    ))
+    ds = _plan(diversified_sampler_terms_facets(
+        documents, queries, "lang", "source", max_docs_per_value=2,
+        shard_size=20, topn=5, id_col="doc_id", text_col="text",
+    ))
+    ev = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    dr = _plan(date_range_buckets(ev, ["2024-02-01 00:00:00"]))
+    fp = _plan(frequent_pairs(
+        documents, 0.2, top_n=20, id_col="doc_id", text_col="text"
+    ))
+    for plan in (mt, ds, dr, fp):
+        assert "Window" not in plan
+        assert "CartesianProduct" not in plan
+    for plan in (mt, ds, dr, fp):
+        assert "BroadcastHashJoin" in plan
+    # the pair join is doc-keyed, frequent-items pruned — the ONLY
+    # sort-merge allowed is the doc-keyed self join
+    assert "TakeOrderedAndProject" in fp
