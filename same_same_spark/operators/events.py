@@ -1233,3 +1233,230 @@ SELECT {gsel}{order_col}, {value_col},
        )::{cast} AS moving_{fn}
 FROM series
 """
+
+
+def date_range_buckets(
+    events_df: DataFrame,
+    edges: list[str],
+    time_col: str = "ts",
+) -> DataFrame:
+    """Date-range aggregation (Elasticsearch's ``date_range``):
+    fixed-shape half-open time buckets ``[from, to)`` with unbounded
+    first/last ends, EVERY bucket emitted (zero counts included);
+    NULL timestamps excluded. ``edges`` = ascending inner edge
+    timestamps as ``'YYYY-MM-DD HH:MM:SS'`` strings.
+
+    Returns (bucket INT, from_ts TIMESTAMP nullable, to_ts TIMESTAMP
+    nullable, doc_count LONG).
+
+    Scale shape: one when-chain bucket assignment + one grouped count
+    (map-side combine), the literal shape broadcast back — the
+    :func:`same_same_spark.operators.facets.range_facets` pattern on
+    the time axis.
+    """
+    if sorted(edges) != list(edges) or len(set(edges)) != len(edges):
+        raise ValueError("edges must be strictly ascending and distinct")
+    spark = events_df.sparkSession
+    ts = F.col(time_col).cast("timestamp")
+    rows = events_df.filter(ts.isNotNull()).select(ts.alias("t"))
+    bounds: list[str | None] = [None] + list(edges) + [None]
+    buckets = [
+        (i, bounds[i], bounds[i + 1]) for i in range(len(bounds) - 1)
+    ]
+    bucket_expr = F.lit(len(buckets) - 1)
+    for i, (_, _lo, hi) in reversed(list(enumerate(buckets[:-1]))):
+        bucket_expr = F.when(
+            F.col("t") < F.lit(hi).cast("timestamp"), F.lit(i)
+        ).otherwise(bucket_expr)
+    counted = (
+        rows.withColumn("bucket", bucket_expr)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+    )
+    shape = spark.createDataFrame(
+        [(i, lo, hi) for i, lo, hi in buckets],
+        "bucket INT, lo STRING, hi STRING",
+    ).select(
+        "bucket",
+        F.col("lo").cast("timestamp").alias("from_ts"),
+        F.col("hi").cast("timestamp").alias("to_ts"),
+    )
+    return (
+        F.broadcast(shape)
+        .join(counted, "bucket", "left")
+        .select(
+            F.col("bucket").cast("int").alias("bucket"),
+            "from_ts",
+            "to_ts",
+            F.coalesce(F.col("doc_count"), F.lit(0))
+            .cast("long")
+            .alias("doc_count"),
+        )
+    )
+
+
+def duckdb_date_range_sql(
+    table: str,
+    edges: list[str],
+    time_col: str = "ts",
+) -> str:
+    """DuckDB twin of :func:`date_range_buckets` (bucket re-derived
+    with the independent closed form: count of edges <= t)."""
+    bounds: list[str | None] = [None] + list(edges) + [None]
+    lits = [
+        "NULL" if b is None else f"TIMESTAMP '{b}'" for b in bounds
+    ]
+    brows = ", ".join(
+        f"({i}, CAST({lits[i]} AS TIMESTAMP), "
+        f"CAST({lits[i + 1]} AS TIMESTAMP))"
+        for i in range(len(bounds) - 1)
+    )
+    elist = ", ".join(f"TIMESTAMP '{e}'" for e in edges)
+    return f"""
+WITH rows_ AS (
+  SELECT {time_col} AS t FROM {table} WHERE {time_col} IS NOT NULL
+),
+assigned AS (
+  SELECT len(list_filter([{elist}], e -> e <= t)) AS bucket FROM rows_
+),
+counted AS (
+  SELECT bucket, count(*)::BIGINT AS doc_count FROM assigned GROUP BY bucket
+),
+shape AS (SELECT * FROM (VALUES {brows}) AS s(bucket, from_ts, to_ts))
+SELECT s.bucket::INTEGER AS bucket, s.from_ts, s.to_ts,
+       coalesce(c.doc_count, 0)::BIGINT AS doc_count
+FROM shape s LEFT JOIN counted c ON s.bucket = c.bucket
+"""
+
+
+def change_point(
+    series_df: DataFrame,
+    value_col: str = "doc_count",
+    order_col: str = "bucket",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Change-point detection over a bucketed series (the deterministic
+    re-expression of Elasticsearch's ``change_point`` agg — ES runs
+    p-value tests whose internals aren't reproducible; this engine
+    pins the classical exact criterion instead).
+
+    Pinned semantics (cross-engine, re-derived in
+    :func:`duckdb_change_point_sql`):
+
+    - buckets order by ``order_col`` ASC within each group;
+    - every split k (1 <= k < n, k = left-segment size) scores
+      ``gain(k) = k*(m1-m)^2 + (n-k)*(m2-m)^2`` — the between-segment
+      sum of squares (the exact SSE reduction of a two-mean fit);
+    - the change point is the FIRST bucket of the right segment at the
+      argmax gain, ties broken by the smallest such bucket
+      (``round(gain, 9) DESC, change_at ASC``);
+    - groups with fewer than 2 buckets emit no row.
+
+    Returns ([group cols...,] change_at = ``order_col``'s type,
+    before_mean DOUBLE, after_mean DOUBLE, gain DOUBLE).
+
+    Scale shape: prefix sums over the same partitioned-ordered window
+    as :func:`pipeline_aggs` (bounded by the histogram breaker), then
+    ONE ``min(struct)`` per group picks the argmax — no second sort,
+    no collect.
+    """
+    gcols = list(group_cols or [])
+    if gcols:
+        part = [F.col(c) for c in gcols]
+    else:
+        part = [F.when(F.col(order_col).isNotNull(), F.lit(0))]
+    ordered = Window.partitionBy(*part).orderBy(F.col(order_col).asc())
+    cum = ordered.rowsBetween(Window.unboundedPreceding, 0)
+    whole = Window.partitionBy(*part)
+    v = F.col(value_col).cast("double")
+    pref = series_df.select(
+        *gcols,
+        F.col(order_col),
+        F.sum(v).over(cum).alias("ls"),
+        F.count(F.lit(1)).over(cum).alias("k"),
+        F.sum(v).over(whole).alias("ts"),
+        F.count(F.lit(1)).over(whole).alias("n"),
+        F.lead(F.col(order_col), 1).over(ordered).alias("change_at"),
+    ).filter(F.col("k") < F.col("n"))
+    m = F.col("ts") / F.col("n")
+    m1 = F.col("ls") / F.col("k")
+    m2 = (F.col("ts") - F.col("ls")) / (F.col("n") - F.col("k"))
+    gain = (
+        F.col("k") * (m1 - m) * (m1 - m)
+        + (F.col("n") - F.col("k")) * (m2 - m) * (m2 - m)
+    )
+    scored = pref.select(
+        *gcols,
+        F.struct(
+            (F.lit(0.0) - F.round(gain, 9)).alias("ng"),
+            F.col("change_at").alias("change_at"),
+            m1.alias("before_mean"),
+            m2.alias("after_mean"),
+            gain.alias("gain"),
+        ).alias("s"),
+    )
+    if gcols:
+        best = scored.groupBy(*gcols).agg(F.min("s").alias("s"))
+    else:
+        best = scored.agg(F.min("s").alias("s")).filter(
+            F.col("s").isNotNull()
+        )
+    return best.select(
+        *gcols,
+        F.col("s.change_at").alias("change_at"),
+        F.col("s.before_mean").alias("before_mean"),
+        F.col("s.after_mean").alias("after_mean"),
+        F.col("s.gain").alias("gain"),
+    )
+
+
+def duckdb_change_point_sql(
+    series_sql: str,
+    value_col: str = "doc_count",
+    order_col: str = "bucket",
+    group_cols: list[str] | None = None,
+) -> str:
+    """DuckDB twin of :func:`change_point`."""
+    gcols = list(group_cols or [])
+    part = f"PARTITION BY {', '.join(gcols)} " if gcols else ""
+    gsel = "".join(f"{c}, " for c in gcols)
+    grp = f"PARTITION BY {', '.join(gcols)}" if gcols else ""
+    return f"""
+WITH series AS ({series_sql}),
+pref AS (
+  SELECT {gsel}{order_col},
+         sum(CAST({value_col} AS DOUBLE)) OVER (
+           {part}ORDER BY {order_col} ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS ls,
+         count(*) OVER (
+           {part}ORDER BY {order_col} ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS k,
+         sum(CAST({value_col} AS DOUBLE)) OVER ({part.strip() or ''}) AS ts,
+         count(*) OVER ({part.strip() or ''}) AS n,
+         lead({order_col}, 1) OVER (
+           {part}ORDER BY {order_col} ASC
+         ) AS change_at
+  FROM series
+),
+gains AS (
+  SELECT {gsel}change_at,
+         ls / k AS before_mean,
+         (ts - ls) / (n - k) AS after_mean,
+         (k * (ls / k - ts / n) * (ls / k - ts / n)
+          + (n - k) * ((ts - ls) / (n - k) - ts / n)
+                    * ((ts - ls) / (n - k) - ts / n)) AS gain
+  FROM pref WHERE k < n
+),
+ranked AS (
+  SELECT {gsel}change_at, before_mean, after_mean, gain,
+         row_number() OVER (
+           {grp}
+           ORDER BY round(gain, 9) DESC, change_at ASC
+         ) AS rn
+  FROM gains
+)
+SELECT {gsel}change_at, before_mean, after_mean, gain
+FROM ranked WHERE rn = 1
+"""

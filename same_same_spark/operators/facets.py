@@ -2722,3 +2722,307 @@ SELECT query_id, n_a, n_b,
        ({dof})::DOUBLE AS df
 FROM agg
 """
+
+
+def multi_terms_facets(
+    docs_df: DataFrame,
+    queries: list[tuple[int, str]],
+    facet_cols: list[str],
+    topn: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+) -> DataFrame:
+    """Multi-terms aggregation (Elasticsearch's ``multi_terms``):
+    bucket the match set by a TUPLE of fields.
+
+    Pinned semantics (cross-engine, re-derived per-entry):
+
+    - a doc buckets only when EVERY field is non-NULL (ES skips docs
+      missing any source — no partial tuples);
+    - the bucket key renders as the values joined with ``"|"``
+      (ES's ``key_as_string``), each value string-cast;
+    - top ``topn`` buckets per query under ``(doc_count DESC,
+      key ASC)``.
+
+    Returns (query_id INT, key STRING, doc_count LONG, rank INT).
+
+    Scale shape: one match-set aggregation + one (query, key) count
+    with map-side combine; the cut rides the bounded per-partition
+    tournament (no windows, no buffer proportional to a query's
+    bucket count).
+    """
+    if not facet_cols:
+        raise ValueError("facet_cols must be non-empty")
+    if topn < 1:
+        raise ValueError(f"topn must be >= 1, got {topn}")
+    matched = _match_set(docs_df, queries, id_col, text_col)
+    cols = [F.col(c).cast("string") for c in facet_cols]
+    nonnull = cols[0].isNotNull()
+    for c in cols[1:]:
+        nonnull = nonnull & c.isNotNull()
+    meta = docs_df.select(
+        F.col(id_col).alias("doc_id"),
+        F.when(nonnull, F.concat_ws("|", *cols)).alias("key"),
+    )
+    counts = (
+        matched.join(meta, "doc_id")
+        .filter(F.col("key").isNotNull())
+        .groupBy("query_id", "key")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+    )
+    entry = F.struct(
+        (-F.col("doc_count")).alias("negc"),
+        F.col("key").alias("key"),
+        F.col("doc_count").alias("doc_count"),
+    )
+    local = (
+        counts.withColumn("part", F.spark_partition_id())
+        .groupBy("query_id", "part")
+        .agg(F.slice(F.sort_array(F.collect_list(entry)), 1, topn).alias("c"))
+    )
+    merged = local.groupBy("query_id").agg(
+        F.slice(
+            F.sort_array(F.flatten(F.collect_list("c"))), 1, topn
+        ).alias("top")
+    )
+    return merged.select(
+        "query_id", F.posexplode("top").alias("pos", "s")
+    ).select(
+        "query_id",
+        F.col("s.key").alias("key"),
+        F.col("s.doc_count").cast("long").alias("doc_count"),
+        (F.col("pos") + 1).cast("int").alias("rank"),
+    )
+
+
+def duckdb_multi_terms_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    queries: list[tuple[int, str]],
+    facet_cols: list[str],
+    topn: int = 5,
+) -> str:
+    """DuckDB twin of :func:`multi_terms_facets`."""
+    from same_same_spark.text.tokenizer import duckdb_tokens_sql, tokenize_py
+
+    qrows = [
+        f"({qid}, '{term}')"
+        for qid, text in queries
+        for term in sorted(set(tokenize_py(text)))
+    ]
+    qvalues = ", ".join(qrows) if qrows else "(NULL, NULL) LIMIT 0"
+    nonnull = " AND ".join(f"d.{c} IS NOT NULL" for c in facet_cols)
+    key = " || '|' || ".join(f"CAST(d.{c} AS VARCHAR)" for c in facet_cols)
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id, {duckdb_tokens_sql(text_col)} AS tokens
+  FROM {table}
+),
+qt AS (SELECT * FROM (VALUES {qvalues}) AS v(query_id, term)),
+matched AS (
+  SELECT DISTINCT q.query_id, t.doc_id
+  FROM (
+    SELECT doc_id, unnest(list_distinct(tokens)) AS term FROM toks
+  ) t JOIN qt q ON t.term = q.term
+),
+counts AS (
+  SELECT m.query_id, ({key}) AS key, count(*)::BIGINT AS doc_count
+  FROM matched m JOIN {table} d ON m.doc_id = d.{id_col}
+  WHERE {nonnull}
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, key, doc_count, row_number() OVER (
+    PARTITION BY query_id ORDER BY doc_count DESC, key ASC
+  ) AS rank
+  FROM counts
+)
+SELECT query_id, key, doc_count, rank::INTEGER AS rank
+FROM ranked WHERE rank <= {topn}
+"""
+
+
+def diversified_sampler_terms_facets(
+    docs_df: DataFrame,
+    queries: list[tuple[int, str]],
+    facet_col: str,
+    dedup_col: str,
+    max_docs_per_value: int = 1,
+    shard_size: int = 100,
+    topn: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+) -> DataFrame:
+    """Diversified sampler with a terms sub-agg (Elasticsearch's
+    ``diversified_sampler`` > ``terms``): like
+    :func:`sampler_terms_facets`, but before the ``shard_size`` cut at
+    most ``max_docs_per_value`` docs per ``dedup_col`` value survive —
+    "what do the best matches look like, without one author/domain
+    dominating the sample".
+
+    Pinned semantics (cross-engine, re-derived per-entry):
+
+    - per (query, dedup value): keep the ``max_docs_per_value`` best
+      docs under the pinned BM25 total order ``(round(score, 9) DESC,
+      doc_id ASC)``; docs with a NULL dedup value BYPASS the cap (ES
+      treats missing-field docs as undeduplicated);
+    - then the sample = top ``shard_size`` survivors per query under
+      the same order (global and deterministic — the
+      :func:`sampler_terms_facets` strengthening of ES's per-shard
+      nondeterminism);
+    - within the sample: facet doc_count, rank 1..topn under
+      ``(doc_count DESC, value ASC)``.
+
+    Returns (query_id INT, value STRING, doc_count LONG, rank INT).
+
+    Scale shape: the dedup cap is a two-level bounded tournament keyed
+    on (query, dedup value) — level 1 groups by
+    ``spark_partition_id()`` so no buffer holds more than one input
+    partition's rows for one key; survivors ride
+    :func:`same_same_spark.operators.topk.topk_per_query`. The facet
+    join runs AFTER sampling.
+    """
+    if max_docs_per_value < 1:
+        raise ValueError(
+            f"max_docs_per_value must be >= 1, got {max_docs_per_value}"
+        )
+    if shard_size < 1:
+        raise ValueError(f"shard_size must be >= 1, got {shard_size}")
+    from same_same_spark.bm25 import scored_matches
+    from same_same_spark.operators.topk import (
+        neg_rounded_score,
+        topk_per_query,
+    )
+
+    scored = scored_matches(
+        docs_df, queries, id_col=id_col, text_col=text_col
+    )
+    dedup = docs_df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(dedup_col).cast("string").alias("__dv"),
+    )
+    with_val = scored.join(dedup, "doc_id")
+    capped_part = with_val.filter(F.col("__dv").isNotNull())
+    uncapped = with_val.filter(F.col("__dv").isNull()).select(
+        "query_id", "doc_id", "score"
+    )
+    entry = F.struct(
+        neg_rounded_score(F.col("score")).alias("nk"),
+        F.col("doc_id").alias("doc_id"),
+        F.col("score").alias("score"),
+    )
+    m = max_docs_per_value
+    local = (
+        capped_part.withColumn("part", F.spark_partition_id())
+        .groupBy("query_id", "__dv", "part")
+        .agg(F.slice(F.sort_array(F.collect_list(entry)), 1, m).alias("c"))
+        .groupBy("query_id", "__dv")
+        .agg(
+            F.slice(
+                F.sort_array(F.flatten(F.collect_list("c"))), 1, m
+            ).alias("keep")
+        )
+    )
+    survivors = local.select(
+        "query_id", F.explode("keep").alias("s")
+    ).select(
+        "query_id",
+        F.col("s.doc_id").alias("doc_id"),
+        F.col("s.score").alias("score"),
+    )
+    sample = topk_per_query(
+        survivors.unionByName(uncapped), shard_size
+    ).select("query_id", "doc_id")
+    meta = docs_df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(facet_col).cast("string").alias("value"),
+    )
+    counts = (
+        meta.join(F.broadcast(sample), "doc_id")
+        .filter(F.col("value").isNotNull())
+        .groupBy("query_id", "value")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+    )
+    centry = F.struct(
+        (-F.col("doc_count")).alias("negc"),
+        F.col("value").alias("value"),
+        F.col("doc_count").alias("doc_count"),
+    )
+    clocal = (
+        counts.withColumn("part", F.spark_partition_id())
+        .groupBy("query_id", "part")
+        .agg(F.slice(F.sort_array(F.collect_list(centry)), 1, topn).alias("c"))
+    )
+    cmerged = clocal.groupBy("query_id").agg(
+        F.slice(
+            F.sort_array(F.flatten(F.collect_list("c"))), 1, topn
+        ).alias("top")
+    )
+    return cmerged.select(
+        "query_id", F.posexplode("top").alias("pos", "s")
+    ).select(
+        "query_id",
+        F.col("s.value").alias("value"),
+        F.col("s.doc_count").cast("long").alias("doc_count"),
+        (F.col("pos") + 1).cast("int").alias("rank"),
+    )
+
+
+def duckdb_diversified_sampler_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    queries: list[tuple[int, str]],
+    facet_col: str,
+    dedup_col: str,
+    max_docs_per_value: int = 1,
+    shard_size: int = 100,
+    topn: int = 5,
+) -> str:
+    """DuckDB twin of :func:`diversified_sampler_terms_facets`."""
+    from same_same_spark.bm25 import duckdb_scored_sql
+
+    inner = duckdb_scored_sql(table, id_col, text_col, queries)
+    return f"""
+WITH scored AS ({inner}),
+with_val AS (
+  SELECT s.query_id, s.doc_id, s.score,
+         CAST(d.{dedup_col} AS VARCHAR) AS dv
+  FROM scored s JOIN {table} d ON s.doc_id = d.{id_col}
+),
+capped AS (
+  SELECT query_id, doc_id, score FROM (
+    SELECT query_id, doc_id, score, row_number() OVER (
+      PARTITION BY query_id, dv
+      ORDER BY round(score, 9) DESC, doc_id ASC
+    ) AS rn
+    FROM with_val WHERE dv IS NOT NULL
+  ) WHERE rn <= {max_docs_per_value}
+  UNION ALL
+  SELECT query_id, doc_id, score FROM with_val WHERE dv IS NULL
+),
+sample AS (
+  SELECT query_id, doc_id FROM (
+    SELECT query_id, doc_id, row_number() OVER (
+      PARTITION BY query_id
+      ORDER BY round(score, 9) DESC, doc_id ASC
+    ) AS rn FROM capped
+  ) WHERE rn <= {shard_size}
+),
+counts AS (
+  SELECT s.query_id, CAST(d.{facet_col} AS VARCHAR) AS value,
+         count(*)::BIGINT AS doc_count
+  FROM sample s JOIN {table} d ON s.doc_id = d.{id_col}
+  WHERE d.{facet_col} IS NOT NULL
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, value, doc_count, row_number() OVER (
+    PARTITION BY query_id ORDER BY doc_count DESC, value ASC
+  ) AS rank
+  FROM counts
+)
+SELECT query_id, value, doc_count, rank::INTEGER AS rank
+FROM ranked WHERE rank <= {topn}
+"""
