@@ -6462,6 +6462,65 @@ def _sql_sampler_terms() -> str:
     )
 
 
+# --- language-mixture sampling (ninth round-5 session) ----------------------
+
+
+def _q_temperature_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mC4/XLM-R temperature (alpha) sampling
+    (sampling.sample_language_mix, allocator='temperature'): per-lang
+    rates min(1, U * c^a / Z / c) with Z folded SEQUENTIALLY over the
+    pinned stratum order (the oracle re-folds via an ordered
+    list_aggregate), kept docs via the zero-state md5-60bit hash
+    filter. Budget 250 docs at alpha 0.3 — the cap bites on en. Sole
+    evidence. Saturation-overflow entry (see _SATURATION_OVERFLOW)."""
+    from same_same_spark.pipeline.sampling import sample_language_mix
+
+    out = sample_language_mix(
+        _docs(spark, sf_dir), 250.0, allocator="temperature", alpha=0.3,
+        strata_col="lang", id_col="doc_id", seed="tmix",
+    )
+    return out.select("doc_id", "lang")
+
+
+def _sql_temperature_select() -> str:
+    from same_same_spark.pipeline.sampling import sample_language_mix_sql
+
+    inner = sample_language_mix_sql(
+        "documents", 250.0, allocator="temperature", alpha=0.3,
+        strata_col="lang", id_col="doc_id", seed="tmix",
+    )
+    return f"SELECT doc_id, lang FROM ({inner})"
+
+
+def _q_unimax_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax waterfilling sampling (sampling.sample_language_mix,
+    allocator='unimax'): ascending-total waterfill under a TOKEN
+    budget (weight = n_chars) — small languages keep everything, the
+    threshold caps the big ones; integer-valued weights make every
+    rate EXACT. The oracle re-derives the threshold from sorted
+    prefix sums. Sole evidence. Saturation-overflow entry (see
+    _SATURATION_OVERFLOW)."""
+    from same_same_spark.pipeline.sampling import sample_language_mix
+
+    out = sample_language_mix(
+        _docs(spark, sf_dir), 100000.0, allocator="unimax",
+        strata_col="lang", id_col="doc_id", seed="umix",
+        weight_col="n_chars",
+    )
+    return out.select("doc_id", "lang")
+
+
+def _sql_unimax_select() -> str:
+    from same_same_spark.pipeline.sampling import sample_language_mix_sql
+
+    inner = sample_language_mix_sql(
+        "documents", 100000.0, allocator="unimax",
+        strata_col="lang", id_col="doc_id", seed="umix",
+        weight_expr="n_chars",
+    )
+    return f"SELECT doc_id, lang FROM ({inner})"
+
+
 # --- agg stragglers (ninth round-5 session) ---------------------------------
 
 
@@ -7215,6 +7274,11 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "bucket_script_agg": (
         _q_bucket_script_agg, _sql_bucket_script_agg(),
     ),
+    # --- language-mixture sampling (ninth round-5 session) -------------
+    "temperature_select": (
+        _q_temperature_select, _sql_temperature_select(),
+    ),
+    "unimax_select": (_q_unimax_select, _sql_unimax_select()),
     # --- agg stragglers (ninth round-5 session) ------------------------
     "multi_terms": (_q_multi_terms, _sql_multi_terms()),
     "diversified_sampler": (
@@ -7457,6 +7521,8 @@ _ORDER: list[str] = [
     "date_range_agg",
     "change_point",
     "frequent_pairs",
+    "temperature_select",
+    "unimax_select",
     # --- rotate-backs (last green r2/r3) -------------------------------
     "euclidean_topk",
     "events_hourly",
@@ -7639,6 +7705,8 @@ _SATURATION_OVERFLOW: set[str] = {
     "date_range_agg",
     "change_point",
     "frequent_pairs",
+    "temperature_select",
+    "unimax_select",
 }
 
 assert len(_ORDER) == len(set(_ORDER)), "duplicate names in _ORDER"

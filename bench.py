@@ -195,6 +195,8 @@ ENTRY_QUERY_NAMES = [
     "date_range_agg",
     "change_point",
     "frequent_pairs",
+    "temperature_select",
+    "unimax_select",
 ]
 
 # VERDICT r3 #8: round-over-round totals stopped being comparable as

@@ -28,6 +28,9 @@ Stage order (each optional, each a module this package already ships):
    time),
 6c. per-domain caps — :func:`~same_same_spark.pipeline.sampling.sample_host_cap`
    uniform host budgets over canonical URLs (``cfg.host_cap``),
+6d. language mixture — :func:`~same_same_spark.pipeline.sampling.sample_language_mix`
+   temperature/UniMax budget allocation over ``cfg.strata_col``
+   (``cfg.mix_budget``; eager bounded totals, like the DSIR table),
 7. mix sampling   — :func:`~same_same_spark.pipeline.sampling.sample_stratified`
    per-stratum rates (zero-shuffle hash filter),
 8. split columns  — :func:`~same_same_spark.pipeline.sampling.assign_splits`,
@@ -104,6 +107,18 @@ class MixConfig:
     # budgets are sampling policy, applied to the deduped survivors.
     host_cap: float | None = None
     host_cap_weight_col: str | None = None
+    # language-mixture sampling (sampling.sample_language_mix): sample
+    # the survivors to a WEIGHT budget via mC4 temperature (alpha) or
+    # UniMax waterfilling over strata_col. Runs right before the
+    # explicit per-stratum fractions (both are sampling policy;
+    # fractions is the manual override). Like the DSIR/LM gates, the
+    # bounded per-stratum totals aggregate runs EAGERLY at
+    # plan-construction time — the returned plan itself stays a
+    # single-reference hash filter (not a self-referencing stage).
+    mix_budget: float | None = None
+    mix_allocator: str = "temperature"
+    mix_alpha: float = 0.3
+    mix_weight_col: str | None = None
     fractions: dict[str, float] | None = None
     strata_col: str = "lang"
     default_fraction: float = 0.0
@@ -170,6 +185,8 @@ class MixConfig:
             out.append("dsir")
         if self.host_cap is not None:
             out.append("host_cap")
+        if self.mix_budget is not None:
+            out.append("lang_mix")
         if self.fractions is not None:
             out.append("sample")
         if self.test_frac or self.val_frac:
@@ -393,6 +410,17 @@ def prepare_training_corpus(
             weight_col=cfg.host_cap_weight_col,
         ).drop("url_host")
         out = _barrier(out, "host_cap")
+    if cfg.mix_budget is not None:
+        out = sampling_ops.sample_language_mix(
+            out,
+            cfg.mix_budget,
+            allocator=cfg.mix_allocator,
+            alpha=cfg.mix_alpha,
+            strata_col=cfg.strata_col,
+            id_col=cfg.id_col,
+            seed=cfg.seed + ":langmix",
+            weight_col=cfg.mix_weight_col,
+        )
     if cfg.fractions is not None:
         out = sampling_ops.sample_stratified(
             out,
@@ -486,6 +514,7 @@ def _truncated(cfg: MixConfig, keep: set[str]) -> MixConfig:
         exact=cfg.exact and "exact_dedup" in keep,
         fuzzy_threshold=cfg.fuzzy_threshold if "fuzzy_dedup" in keep else None,
         host_cap=cfg.host_cap if "host_cap" in keep else None,
+        mix_budget=cfg.mix_budget if "lang_mix" in keep else None,
         fractions=cfg.fractions if "sample" in keep else None,
         test_frac=cfg.test_frac if "split" in keep else 0.0,
         val_frac=cfg.val_frac if "split" in keep else 0.0,

@@ -379,3 +379,272 @@ def assign_splits_sql(
         f"WHEN {u} < {float(test_frac + val_frac)!r} THEN 'val' "
         f"ELSE 'train' END"
     )
+
+
+# ---------------------------------------------------------------------------
+# Language-mixture sampling: mC4 temperature (alpha) + UniMax waterfilling
+# ---------------------------------------------------------------------------
+
+def _mix_groups(
+    df: DataFrame, strata_col: str, weight_col: str | None
+) -> list[tuple[object, float]]:
+    """Collect the bounded (stratum, total_weight) table, sorted by
+    ``(stratum ASC, NULLS FIRST)`` — the ONE pinned order every float
+    fold below walks, so driver math and the SQL twins agree
+    term-for-term. Groups with NULL/non-positive totals are kept in
+    the list (allocators rate them 0 — the unverifiable-budget rule).
+    """
+    w = (
+        F.lit(1.0)
+        if weight_col is None
+        else F.col(weight_col).cast("double")
+    )
+    rows = (
+        df.groupBy(F.col(strata_col).alias("_stratum"))
+        .agg(F.sum(w).alias("_total"))
+        .collect()
+    )
+    return sorted(
+        ((r["_stratum"], r["_total"]) for r in rows),
+        key=lambda kv: (kv[0] is not None, kv[0] or ""),
+    )
+
+
+def mix_allocation(
+    df: DataFrame,
+    budget: float,
+    allocator: str = "temperature",
+    alpha: float = 0.3,
+    strata_col: str = "lang",
+    weight_col: str | None = None,
+) -> list[tuple[object, float, float]]:
+    """Per-stratum sampling allocation for a weight ``budget`` —
+    the multilingual-mixing step every large pretraining corpus runs.
+
+    Allocators (both public algorithms):
+
+    - ``"temperature"`` — mC4/XLM-R alpha-sampling (Xue et al. 2021;
+      Conneau et al. 2020): stratum share ``q_g = c_g^alpha / Z`` with
+      ``Z = sum_h c_h^alpha`` folded SEQUENTIALLY over the pinned
+      stratum order; budget ``b_g = budget * q_g``; rate
+      ``min(1, budget * c_g^alpha / Z / c_g)`` (expression order
+      pinned). ``alpha`` < 1 up-samples low-resource strata; 1 =
+      proportional; 0 = equal budgets.
+    - ``"unimax"`` — UniMax (Chung et al. 2023) with max one epoch
+      (docs can't repeat in a sample): waterfill ascending totals —
+      every stratum gets ``min(c_g, t)`` where the threshold ``t``
+      makes the budgets sum to ``budget``; small strata keep
+      everything, the cap binds only on large ones. Closed form over
+      the sorted prefix sums (see the SQL twin); with integer-valued
+      weights every number here is EXACT (prefix sums < 2^53).
+
+    Strata with NULL or non-positive totals get rate 0 (the
+    :func:`sample_quota` unverifiable-budget rule); a NULL stratum
+    value is its own group. Returns [(stratum, total, rate)] in the
+    pinned stratum order — the bounded table callers broadcast.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be > 0, got {budget}")
+    if allocator not in ("temperature", "unimax"):
+        raise ValueError(f"unknown allocator {allocator!r}")
+    import math as _math
+
+    groups = _mix_groups(df, strata_col, weight_col)
+    live = [(s, t) for s, t in groups if t is not None and t > 0]
+    dead = [(s, t) for s, t in groups if t is None or t <= 0]
+    out: dict[object, float] = {s: 0.0 for s, _ in dead}
+    U = float(budget)
+    if allocator == "temperature":
+        a = float(alpha)
+        z = 0.0
+        for _s, t in live:  # pinned stratum order
+            z = z + _math.pow(t, a)
+        for s, t in live:
+            out[s] = min(1.0, U * _math.pow(t, a) / z / t)
+    else:
+        # sort ascending by (total, stratum) — the waterfilling order
+        asc = sorted(
+            live, key=lambda kv: (kv[1], kv[0] is not None, kv[0] or "")
+        )
+        k = len(asc)
+        # full-keep prefix: group i (1-based) keeps everything iff
+        # c_i * (k - i + 1) <= U - P_{i-1}  (P = running prefix sum)
+        P = 0.0
+        j = 0
+        Pj = 0.0
+        for i, (_s, c) in enumerate(asc, start=1):
+            if c * (k - i + 1) <= U - P:
+                j = i
+                Pj = P + c
+            P = P + c
+        for i, (s, c) in enumerate(asc, start=1):
+            if i <= j:
+                out[s] = 1.0
+            elif j == k:
+                out[s] = 1.0
+            else:
+                t = (U - Pj) / (k - j)
+                out[s] = min(1.0, t / c)
+    totals = dict(groups)
+    return [(s, totals[s], out[s]) for s, _t in groups]
+
+
+def sample_language_mix(
+    df: DataFrame,
+    budget: float,
+    allocator: str = "temperature",
+    alpha: float = 0.3,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: str = "",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Sample the corpus to a language mixture (see
+    :func:`mix_allocation`): the bounded rate table broadcast-joins
+    back (null-safe) and the same zero-state hash filter as
+    :func:`sample_stratified` keeps each row iff
+    ``hash_uniform(seed, id) < rate`` — deterministic in (seed, id),
+    one totals pass + one filter pass, no second shuffle.
+    """
+    spark = df.sparkSession
+    alloc = mix_allocation(
+        df, budget, allocator=allocator, alpha=alpha,
+        strata_col=strata_col, weight_col=weight_col,
+    )
+    rates = spark.createDataFrame(
+        [(s, r) for s, _t, r in alloc], f"_stratum STRING, _rate DOUBLE"
+    )
+    joined = df.join(
+        F.broadcast(rates),
+        df[strata_col].eqNullSafe(rates["_stratum"]),
+        "left",
+    )
+    return (
+        joined.filter(
+            hash_uniform_col(F.col(id_col), seed)
+            < F.coalesce(F.col("_rate"), F.lit(0.0))
+        )
+        .drop("_stratum", "_rate")
+    )
+
+
+def _mix_totals_cte(
+    rel: str, strata_col: str, weight_expr: str | None
+) -> str:
+    w = "1.0" if weight_expr is None else f"({weight_expr})::DOUBLE"
+    return (
+        f"totals AS (\n"
+        f"  SELECT {strata_col} AS _stratum, sum({w}) AS _total\n"
+        f"  FROM {rel} GROUP BY 1\n"
+        f")"
+    )
+
+
+def temperature_rates_sql(
+    rel: str,
+    budget: float,
+    alpha: float = 0.3,
+    strata_col: str = "lang",
+    weight_expr: str | None = None,
+) -> str:
+    """DuckDB twin of ``mix_allocation(allocator='temperature')`` —
+    re-derives Z with a SEQUENTIAL fold over the pinned stratum order
+    (``list_aggregate`` of the ordered list; the driver's python loop
+    folds identically), rates with the pinned expression order.
+    Returns (stratum, total, rate) rows."""
+    U = float(budget)
+    a = float(alpha)
+    return f"""
+WITH {_mix_totals_cte(rel, strata_col, weight_expr)},
+z AS (
+  SELECT list_aggregate(
+    list(pow(_total, {a!r}) ORDER BY _stratum ASC NULLS FIRST), 'sum'
+  ) AS z
+  FROM totals WHERE _total IS NOT NULL AND _total > 0
+)
+SELECT t._stratum AS stratum, t._total AS total,
+       CASE WHEN t._total IS NULL OR t._total <= 0 THEN 0.0
+            ELSE least(1.0, {U!r} * pow(t._total, {a!r}) / z.z / t._total)
+       END AS rate
+FROM totals t CROSS JOIN z
+ORDER BY t._stratum ASC NULLS FIRST
+"""
+
+
+def unimax_rates_sql(
+    rel: str,
+    budget: float,
+    strata_col: str = "lang",
+    weight_expr: str | None = None,
+) -> str:
+    """DuckDB twin of ``mix_allocation(allocator='unimax')`` — the
+    waterfilling threshold re-derived via sorted prefix sums:
+    full-keep iff ``c_i * (k - i + 1) <= U - P_{i-1}``, then
+    ``t = (U - P_j) / (k - j)``. Returns (stratum, total, rate)."""
+    U = float(budget)
+    return f"""
+WITH {_mix_totals_cte(rel, strata_col, weight_expr)},
+live AS (
+  SELECT _stratum, _total FROM totals
+  WHERE _total IS NOT NULL AND _total > 0
+),
+ordered AS (
+  SELECT _stratum, _total,
+         row_number() OVER (
+           ORDER BY _total ASC, _stratum ASC NULLS FIRST
+         ) AS i,
+         sum(_total) OVER (
+           ORDER BY _total ASC, _stratum ASC NULLS FIRST
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS p,
+         count(*) OVER () AS k
+  FROM live
+),
+marked AS (
+  SELECT *, (_total * (k - i + 1) <= {U!r} - (p - _total)) AS full_keep
+  FROM ordered
+),
+thresh AS (
+  SELECT coalesce(max(i) FILTER (full_keep), 0) AS j,
+         coalesce(max(p) FILTER (full_keep), 0.0) AS pj,
+         max(k) AS k
+  FROM marked
+)
+SELECT t._stratum AS stratum, t._total AS total,
+       CASE WHEN t._total IS NULL OR t._total <= 0 THEN 0.0
+            WHEN m.i <= th.j OR th.j = th.k THEN 1.0
+            ELSE least(1.0, (({U!r} - th.pj) / (th.k - th.j)) / t._total)
+       END AS rate
+FROM totals t
+LEFT JOIN marked m ON t._stratum IS NOT DISTINCT FROM m._stratum
+CROSS JOIN thresh th
+ORDER BY t._stratum ASC NULLS FIRST
+"""
+
+
+def sample_language_mix_sql(
+    rel: str,
+    budget: float,
+    allocator: str = "temperature",
+    alpha: float = 0.3,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: str = "",
+    weight_expr: str | None = None,
+) -> str:
+    """DuckDB twin of :func:`sample_language_mix` (full SELECT)."""
+    if allocator == "temperature":
+        rates = temperature_rates_sql(
+            rel, budget, alpha=alpha, strata_col=strata_col,
+            weight_expr=weight_expr,
+        )
+    else:
+        rates = unimax_rates_sql(
+            rel, budget, strata_col=strata_col, weight_expr=weight_expr
+        )
+    return f"""
+WITH rates AS ({rates})
+SELECT d.* FROM {rel} d
+LEFT JOIN rates r ON d.{strata_col} IS NOT DISTINCT FROM r.stratum
+WHERE {hash_uniform_sql('d.' + id_col, seed)} < coalesce(r.rate, 0.0)
+"""

@@ -308,3 +308,43 @@ def test_scratch_dir_all_stages_completes(spark, tmp_path):
     # same empty residue; whichever gate removes the residues, the
     # exact stage keeps at most min(11, 12) — 12 can never survive
     assert 12 not in ids
+
+
+def test_lang_mix_stage(spark):
+    from same_same_spark.pipeline.sampling import sample_language_mix
+
+    # skewed languages; budget bites on the big one
+    rows = [
+        (i, f"english document number {i} with plenty of text", "en")
+        for i in range(60)
+    ] + [
+        (100 + i, f"kleines deutsches dokument nummer {i}", "de")
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING, lang STRING")
+    cfg = MixConfig(
+        exact=False, mix_budget=30.0, mix_allocator="unimax", seed="lm"
+    )
+    assert cfg.stages() == ["lang_mix"]
+    out = prepare_training_corpus(df, cfg)
+    kept = {r["doc_id"] for r in out.collect()}
+    # the stage IS sample_language_mix with the derived seed
+    want = {
+        r["doc_id"]
+        for r in sample_language_mix(
+            df, 30.0, allocator="unimax", strata_col="lang",
+            id_col="doc_id", seed="lm:langmix",
+        ).collect()
+    }
+    assert kept == want
+    # small language fully kept, big language capped
+    assert sum(1 for i in kept if i >= 100) == 8
+    assert 0 < sum(1 for i in kept if i < 100) < 60
+    # report path carries the stage and composes with a gate
+    cfg2 = MixConfig(
+        exact=True, mix_budget=30.0, mix_allocator="temperature",
+        mix_alpha=0.5, seed="lm",
+    )
+    assert cfg2.stages() == ["exact_dedup", "lang_mix"]
+    counts = mix_report(df, cfg2)
+    assert counts["lang_mix"] <= counts["exact_dedup"]

@@ -328,3 +328,129 @@ def test_sample_host_cap_rejects_existing_url_host(spark):
     )
     with pytest.raises(ValueError, match="url_host"):
         sampling.sample_host_cap(df, 5)
+
+
+# ------------------------------------------------------------------
+# language-mixture sampling (temperature + UniMax)
+# ------------------------------------------------------------------
+
+def _mix_df(spark):
+    rows = []
+    did = 0
+    for lang, n in (("en", 400), ("fr", 80), ("de", 30), ("zh", 10)):
+        for _ in range(n):
+            rows.append((did, lang, 100 + (did % 7)))
+            did += 1
+    rows.append((did, None, 50))  # NULL stratum
+    return spark.createDataFrame(
+        rows, "doc_id LONG, lang STRING, n_tokens LONG"
+    )
+
+
+def test_temperature_rates_properties(spark):
+    import math
+
+    from same_same_spark.pipeline.sampling import mix_allocation
+
+    df = _mix_df(spark)
+    alloc = mix_allocation(df, 200.0, allocator="temperature", alpha=0.3)
+    rates = {s: r for s, _t, r in alloc}
+    totals = {s: t for s, t, _r in alloc}
+    # low-resource strata get relatively MORE of the budget than
+    # proportional sampling would give
+    assert rates["zh"] > rates["en"]
+    # budgets sum to <= budget (caps at 1.0 can only shrink the total)
+    spent = sum(rates[s] * totals[s] for s in rates)
+    assert spent <= 200.0 + 1e-6
+    # alpha=1 reduces to proportional: equal rates everywhere (< 1)
+    prop = mix_allocation(df, 200.0, allocator="temperature", alpha=1.0)
+    prates = {s: r for s, _t, r in prop if s is not None}
+    assert len(set(round(r, 12) for r in prates.values())) == 1
+    # exact expected rate for zh under the pinned fold
+    live = [(s, t) for s, t, _ in alloc if s is not None or True]
+    z = 0.0
+    for s, t, _ in alloc:
+        z = z + math.pow(t, 0.3)
+    want_zh = min(1.0, 200.0 * math.pow(totals["zh"], 0.3) / z / totals["zh"])
+    assert rates["zh"] == want_zh
+
+
+def test_unimax_waterfill_exact(spark):
+    from same_same_spark.pipeline.sampling import mix_allocation
+
+    df = _mix_df(spark)
+    # budget 200 docs over totals {en:400, fr:80, de:30, zh:10, None:1}:
+    # ascending [1, 10, 30, 80, 400] -> full-keep 1, 10, 30 (41 spent),
+    # remaining 159 split over {fr, en}: fair 79.5 < 80 -> both capped
+    alloc = mix_allocation(df, 200.0, allocator="unimax")
+    rates = {s: r for s, _t, r in alloc}
+    assert rates[None] == 1.0 and rates["zh"] == 1.0 and rates["de"] == 1.0
+    assert rates["fr"] == (200.0 - 41.0) / 2 / 80.0
+    assert rates["en"] == (200.0 - 41.0) / 2 / 400.0
+    # budget >= corpus -> everything kept
+    all_kept = mix_allocation(df, 10_000.0, allocator="unimax")
+    assert all(r == 1.0 for _s, _t, r in all_kept)
+
+
+def test_language_mix_sample_matches_rates(spark):
+    from same_same_spark.pipeline.sampling import (
+        hash_uniform_col,
+        mix_allocation,
+        sample_language_mix,
+    )
+    from pyspark.sql import functions as F
+
+    df = _mix_df(spark)
+    alloc = mix_allocation(df, 150.0, allocator="unimax")
+    rates = {s: r for s, _t, r in alloc}
+    kept = sample_language_mix(
+        df, 150.0, allocator="unimax", seed="t"
+    ).collect()
+    u = {
+        r["doc_id"]: r["u"]
+        for r in df.select(
+            "doc_id", hash_uniform_col(F.col("doc_id"), "t").alias("u")
+        ).collect()
+    }
+    want = {
+        r["doc_id"]
+        for r in df.collect()
+        if u[r["doc_id"]] < rates[r["lang"]]
+    }
+    assert {r["doc_id"] for r in kept} == want
+    # deterministic
+    again = sample_language_mix(df, 150.0, allocator="unimax", seed="t")
+    assert {r["doc_id"] for r in again.collect()} == want
+
+
+def test_language_mix_validation_and_dead_strata(spark):
+    import pytest as _pytest
+
+    from same_same_spark.pipeline.sampling import (
+        mix_allocation,
+        sample_language_mix,
+    )
+
+    df = _mix_df(spark)
+    with _pytest.raises(ValueError):
+        mix_allocation(df, 0.0)
+    with _pytest.raises(ValueError):
+        mix_allocation(df, 10.0, allocator="nope")
+    # NULL weights -> stratum rated 0, kept nothing
+    from pyspark.sql import functions as F
+
+    df2 = df.withColumn(
+        "n_tokens",
+        F.when(F.col("lang") == "fr", F.lit(None)).otherwise(
+            F.col("n_tokens")
+        ),
+    )
+    alloc = mix_allocation(
+        df2, 1000.0, allocator="unimax", weight_col="n_tokens"
+    )
+    rates = {s: r for s, _t, r in alloc}
+    assert rates["fr"] == 0.0
+    kept = sample_language_mix(
+        df2, 1000.0, allocator="unimax", weight_col="n_tokens"
+    ).collect()
+    assert all(r["lang"] != "fr" for r in kept)
