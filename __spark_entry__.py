@@ -6462,6 +6462,67 @@ def _sql_sampler_terms() -> str:
     )
 
 
+# --- federated multi-index search (ninth round-5 session) -------------------
+
+
+def _entry_federated_dirs(spark: SparkSession, sf_dir: str) -> list[str]:
+    """Build (once per content fingerprint) TWO half-corpus indexes
+    (doc_id parity split) for the federated-search entry; cached like
+    :func:`_entry_index_dir`."""
+    import hashlib
+    import os
+    import tempfile
+
+    from same_same_spark.index.build import (
+        LAYOUT_VERSION,
+        TOKENIZER_VERSION,
+        build_index,
+    )
+
+    fp_parts = []
+    doc_dir = os.path.join(sf_dir, "documents.parquet")
+    for p in sorted(
+        os.listdir(doc_dir) if os.path.isdir(doc_dir) else [doc_dir]
+    ):
+        full = os.path.join(doc_dir, p) if os.path.isdir(doc_dir) else doc_dir
+        st = os.stat(full)
+        fp_parts.append(f"{p}:{st.st_size}:{st.st_mtime_ns}")
+    tag = hashlib.md5(
+        f"fed|{sf_dir}|{LAYOUT_VERSION}|{TOKENIZER_VERSION}|"
+        f"{';'.join(fp_parts)}".encode()
+    ).hexdigest()[:10]
+    base = f"{tempfile.gettempdir()}/ss_entry_fed_{tag}"
+    docs = _docs(spark, sf_dir)
+    dirs = []
+    for name, part in (
+        ("even", docs.filter(F.col("doc_id") % 2 == 0)),
+        ("odd", docs.filter(F.col("doc_id") % 2 == 1)),
+    ):
+        d = f"{base}/{name}"
+        build_index(
+            part, d, id_col="doc_id", text_col="text",
+            num_buckets=4, log=lambda *_: None,
+        )
+        dirs.append(d)
+    return dirs
+
+
+def _q_index_federated_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Federated multi-index BM25 (index/query.search_federated): two
+    half-corpus indexes searched as one family with EXACT combined
+    global statistics (N/avgdl/df summed before scoring — ES
+    dfs_query_then_fetch strengthened to exact), so the oracle is the
+    plain WHOLE-CORPUS BM25 SQL: federated must equal monolithic rank-
+    and score-identically. Sole evidence for the rollover/sharded read
+    path. Saturation-overflow entry (see _SATURATION_OVERFLOW)."""
+    from same_same_spark.index.query import search_federated
+
+    out = search_federated(
+        spark, _entry_federated_dirs(spark, sf_dir), REF_QUERIES, k=REF_K
+    )
+    return _round6(out, "score").withColumn("rank", F.col("rank").cast("int"))
+
+
 # --- language-mixture sampling (ninth round-5 session) ----------------------
 
 
@@ -7274,6 +7335,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "bucket_script_agg": (
         _q_bucket_script_agg, _sql_bucket_script_agg(),
     ),
+    # --- federated multi-index search (ninth round-5 session) ----------
+    # oracle = the whole-corpus _SQL_BM25_TOPK: the federated family
+    # must match the monolithic corpus exactly (global-stats identity)
+    "index_federated_topk": (_q_index_federated_topk, _SQL_BM25_TOPK),
     # --- language-mixture sampling (ninth round-5 session) -------------
     "temperature_select": (
         _q_temperature_select, _sql_temperature_select(),
@@ -7523,6 +7588,7 @@ _ORDER: list[str] = [
     "frequent_pairs",
     "temperature_select",
     "unimax_select",
+    "index_federated_topk",
     # --- rotate-backs (last green r2/r3) -------------------------------
     "euclidean_topk",
     "events_hourly",
@@ -7707,6 +7773,7 @@ _SATURATION_OVERFLOW: set[str] = {
     "frequent_pairs",
     "temperature_select",
     "unimax_select",
+    "index_federated_topk",
 }
 
 assert len(_ORDER) == len(set(_ORDER)), "duplicate names in _ORDER"

@@ -197,6 +197,7 @@ ENTRY_QUERY_NAMES = [
     "frequent_pairs",
     "temperature_select",
     "unimax_select",
+    "index_federated_topk",
 ]
 
 # VERDICT r3 #8: round-over-round totals stopped being comparable as

@@ -530,3 +530,167 @@ def search(
 ) -> DataFrame:
     """Single-query convenience wrapper (reference SearchByText shape)."""
     return search_batch(spark, index_dir, [(0, text)], k=k).drop("query_id")
+
+
+def _federated_index_state(
+    spark: SparkSession, index_dir: str, all_terms: list[str]
+) -> tuple:
+    """Per-index effective statistics for :func:`search_federated`:
+    (manifest, n_eff, sum_dl_eff, {term: df_eff}, deleted_ids|None).
+    Tombstone math mirrors :func:`search_batch` exactly (manifest
+    totals, delete-time df deltas)."""
+    manifest = _load_manifest(index_dir)
+    stats = _stats_lookup(spark, index_dir, all_terms)
+    tomb = _load_tombstones(index_dir)
+    n_total = manifest.n_docs
+    if manifest.sum_dl >= 0:
+        sum_dl_total = manifest.sum_dl
+    elif tomb is not None:
+        sum_dl_total = tomb["sum_dl_total"]
+    else:
+        # legacy manifest without exact totals: re-derive from avgdl
+        sum_dl_total = manifest.avgdl * n_total
+    if tomb is not None and tomb["n_removed"]:
+        n_eff = n_total - tomb["n_removed"]
+        sum_dl_eff = sum_dl_total - tomb["sum_dl_removed"]
+        deleted = tomb["ids"]
+        dd = tomb["df_delta"]
+        df_eff = {
+            t: df - dd.get(t, 0)
+            for t, (df, _idf) in stats.items()
+            if df - dd.get(t, 0) > 0
+        }
+    else:
+        n_eff = n_total
+        sum_dl_eff = sum_dl_total
+        deleted = None
+        df_eff = {t: df for t, (df, _idf) in stats.items() if df > 0}
+    return manifest, n_eff, sum_dl_eff, df_eff, deleted
+
+
+def search_federated(
+    spark: SparkSession,
+    index_dirs: list[str],
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    prune: bool = True,
+    merge: str = "auto",
+) -> DataFrame:
+    """Top-k BM25 across MULTIPLE indexes with EXACT global statistics
+    — search a rollover/sharded family without merging it first.
+
+    This is Elasticsearch's multi-index search in its
+    ``dfs_query_then_fetch`` form, strengthened to exact: N, avgdl and
+    every term's df combine across indexes BEFORE scoring (N = Σ n_i,
+    avgdl = Σ sum_dl_i / N — integer totals from the manifests, so the
+    division is the same single float op a monolithic build performs;
+    df additive per term), so results are RANK- AND SCORE-IDENTICAL to
+    one index built over the union corpus (pinned in test_index; the
+    entry's oracle is the plain whole-corpus BM25 SQL). Per-index
+    tombstones compose — each index's deletes adjust its own
+    contribution exactly as :func:`search_batch` does.
+
+    Requirements: every index must share (k1, b); document ids are
+    assumed globally unique across the family (duplicate ids score
+    independently, like ES).
+
+    Scale shape: each index scores its own buckets through the same
+    cogrouped block-max kernel (bucket-local top-ks are exact under
+    the GLOBAL constants, so any merge of them is exact); the unioned
+    candidates ride :func:`_merge_bucket_topks` (bounded driver heap
+    or the distributed tournament). Complements
+    :mod:`same_same_spark.index.merge` — merge rewrites storage,
+    federation leaves the family in place.
+    """
+    if not index_dirs:
+        raise ValueError("index_dirs must be non-empty")
+    term_qids: dict[str, list[int]] = {}
+    for qid, text in queries:
+        for term in sorted(set(tokenize_py(text))):
+            term_qids.setdefault(term, []).append(qid)
+    empty = spark.createDataFrame([], SCORE_SCHEMA + ", rank INT")
+    if not term_qids:
+        return empty
+    all_terms = sorted(term_qids)
+
+    states = [
+        _federated_index_state(spark, d, all_terms) for d in index_dirs
+    ]
+    k1 = states[0][0].k1
+    b = states[0][0].b
+    for (m, *_rest), d in zip(states, index_dirs):
+        if (m.k1, m.b) != (k1, b):
+            raise ValueError(
+                f"index {d!r} has (k1, b) = {(m.k1, m.b)}, "
+                f"expected {(k1, b)} — federated scoring needs one "
+                "shared parameterization"
+            )
+    live = [s for s in states if s[1] > 0]
+    n_fed = sum(s[1] for s in live)
+    if n_fed <= 0:
+        return empty
+    avgdl = sum(s[2] for s in live) / n_fed
+    df_fed: dict[str, int] = {}
+    for _m, _n, _s, df_eff, _del in live:
+        for t, df in df_eff.items():
+            df_fed[t] = df_fed.get(t, 0) + df
+    import math
+
+    term_idf = {
+        t: math.log(1.0 + (float(n_fed) - df + 0.5) / (df + 0.5))
+        for t, df in df_fed.items()
+        if df > 0
+    }
+    if not term_idf:
+        return empty
+    term_qids = {t: qs for t, qs in term_qids.items() if t in term_idf}
+
+    scored_parts = []
+    total_buckets = 0
+    for (manifest, n_eff, _sum_dl, _df_eff, deleted), d in zip(
+        states, index_dirs
+    ):
+        if n_eff <= 0:
+            continue
+        shard_paths = [f"{d}/shards/group-{g}" for g in manifest.groups]
+        postings = (
+            spark.read.parquet(*shard_paths)
+            .filter(
+                (F.col("kind") == "p")
+                & F.col("term").isin(list(term_qids))
+            )
+            .select(
+                "bucket", "grp", "term", "n", "doc_bytes", "tf_bytes",
+                "block_off_doc", "block_off_tf", "block_last_doc",
+                "block_max_tf", "block_min_dl",
+            )
+        )
+        doclens = (
+            spark.read.parquet(*shard_paths)
+            .filter(F.col("kind") == "d")
+            .select(
+                "bucket",
+                "grp",
+                F.col("n").alias("n_docs"),
+                "doc_bytes",
+                F.col("tf_bytes").alias("dl_bytes"),
+            )
+        )
+        fn = _score_bucket_fn(
+            term_idf, term_qids, k, avgdl, k1, b,
+            prune=prune, deleted=deleted,
+        )
+        scored_parts.append(
+            postings.groupby("bucket")
+            .cogroup(doclens.groupby("bucket"))
+            .applyInPandas(fn, SCORE_SCHEMA)
+        )
+        total_buckets += manifest.num_buckets
+    scored = scored_parts[0]
+    for part in scored_parts[1:]:
+        scored = scored.unionByName(part)
+    return _merge_bucket_topks(
+        spark, scored, k,
+        n_candidates=total_buckets * len(queries) * k,
+        merge=merge,
+    )

@@ -511,3 +511,104 @@ def test_dropped_group_then_delta_compaction_no_collision(spark, tmp_path):
     got = canon(search_batch(spark, idx, QUERIES, k=10).collect())
     want = canon(search_batch(spark, fresh, QUERIES, k=10).collect())
     assert got == want
+
+
+# ------------------------------------------------------------------
+# federated multi-index search
+# ------------------------------------------------------------------
+
+def _fed_key(rows):
+    return sorted(
+        (r["query_id"], r["doc_id"], round(r["score"], 12), r["rank"])
+        for r in rows
+    )
+
+
+def test_federated_equals_monolithic(spark, documents, tmp_path_factory):
+    from pyspark.sql import functions as F
+
+    from same_same_spark.index.build import build_index
+    from same_same_spark.index.query import search_batch, search_federated
+
+    base = str(tmp_path_factory.mktemp("fed"))
+    parts = {
+        "a": documents.filter(F.col("doc_id") % 2 == 0),
+        "b": documents.filter(F.col("doc_id") % 2 == 1),
+        "all": documents,
+    }
+    for name, df in parts.items():
+        build_index(
+            df, f"{base}/{name}", id_col="doc_id", text_col="text",
+            num_buckets=4, log=lambda *_: None,
+        )
+    queries = [(0, "fast merge join sort"), (1, "vector table scan")]
+    mono = search_batch(spark, f"{base}/all", queries, k=10).collect()
+    fed = search_federated(
+        spark, [f"{base}/a", f"{base}/b"], queries, k=10
+    ).collect()
+    assert _fed_key(fed) == _fed_key(mono)
+    # single-member family degenerates to plain search
+    one = search_federated(spark, [f"{base}/all"], queries, k=10).collect()
+    assert _fed_key(one) == _fed_key(mono)
+    # stopword-only queries return empty
+    assert (
+        search_federated(
+            spark, [f"{base}/a", f"{base}/b"], [(0, "the of and")], k=5
+        ).collect()
+        == []
+    )
+    with pytest.raises(ValueError, match="non-empty"):
+        search_federated(spark, [], queries)
+
+
+def test_federated_tombstones_compose(spark, documents, tmp_path_factory):
+    from pyspark.sql import functions as F
+
+    from same_same_spark.index.build import build_index
+    from same_same_spark.index.mutate import delete_docs
+    from same_same_spark.index.query import search_batch, search_federated
+
+    base = str(tmp_path_factory.mktemp("fedtomb"))
+    a = documents.filter(F.col("doc_id") % 2 == 0)
+    b = documents.filter(F.col("doc_id") % 2 == 1)
+    for name, df in (("a", a), ("b", b)):
+        build_index(
+            df, f"{base}/{name}", id_col="doc_id", text_col="text",
+            num_buckets=4, log=lambda *_: None,
+        )
+    victims = [r["doc_id"] for r in a.limit(10).collect()]
+    delete_docs(spark, f"{base}/a", victims)
+    build_index(
+        documents.filter(~F.col("doc_id").isin(victims)),
+        f"{base}/fresh", id_col="doc_id", text_col="text",
+        num_buckets=4, log=lambda *_: None,
+    )
+    queries = [(0, "fast merge join sort"), (1, "vector table scan")]
+    fed = search_federated(
+        spark, [f"{base}/a", f"{base}/b"], queries, k=10
+    ).collect()
+    fresh = search_batch(spark, f"{base}/fresh", queries, k=10).collect()
+    assert _fed_key(fed) == _fed_key(fresh)
+
+
+def test_federated_requires_shared_params(spark, documents, tmp_path_factory):
+    from pyspark.sql import functions as F
+
+    from same_same_spark.index.build import build_index
+    from same_same_spark.index.query import search_federated
+
+    base = str(tmp_path_factory.mktemp("fedparam"))
+    a = documents.filter(F.col("doc_id") % 2 == 0)
+    b = documents.filter(F.col("doc_id") % 2 == 1)
+    build_index(
+        a, f"{base}/a", id_col="doc_id", text_col="text",
+        num_buckets=4, log=lambda *_: None,
+    )
+    build_index(
+        b, f"{base}/b", id_col="doc_id", text_col="text",
+        num_buckets=4, k1=0.9, log=lambda *_: None,
+    )
+    with pytest.raises(ValueError, match="k1, b"):
+        search_federated(
+            spark, [f"{base}/a", f"{base}/b"], [(0, "fast merge")], k=5
+        )
