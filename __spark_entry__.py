@@ -6462,6 +6462,67 @@ def _sql_sampler_terms() -> str:
     )
 
 
+# --- residual quantization (ninth round-5 session) --------------------------
+
+
+def _rq_books() -> list[list[list[float]]]:
+    """Fixture-trained RQ codebooks (pipeline/rq.train_rq_codebooks
+    over the same deterministic anisotropic sample protocol as
+    _opq_params). Training runs ONCE at import so the Spark entry and
+    the SQL twin share literally the same codebook doubles — the
+    oracle pins encode → ADC → rank; training determinism/quality is
+    pinned in tests/test_rq.py (SQL cannot re-derive k-means)."""
+    import numpy as np
+
+    from same_same_spark.pipeline.rq import train_rq_codebooks
+
+    rng = np.random.RandomState(7)
+    latent = rng.randn(192, 4)
+    mix = rng.randn(4, 16)
+    sample = latent @ mix + 0.05 * rng.randn(192, 16)
+    return train_rq_codebooks(sample, levels=3, n_codes=8, seed=11)
+
+
+_RQ_BOOKS = _rq_books()
+
+
+def _q_rq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual-quantization ADC top-k (pipeline/rq.py): 3-level
+    additive codebooks over a 16-dim embedding slice — sequential
+    argmin encode with per-row recon_norm2, LUT-only asymmetric
+    distances (q² − 2Σ<q,C_l[c_l]> + ‖recon‖²), bounded tournament
+    rank. The oracle re-derives the residual chain RELATIONALLY (one
+    dists→argmin→residual CTE pair per level). Sole evidence —
+    completes the quantization family (SQ8/BQ/PQ/OPQ/IVF-PQ + RQ).
+    Saturation-overflow entry (see _SATURATION_OVERFLOW)."""
+    from same_same_spark.pipeline.rq import rq_adc_topk, rq_encode
+
+    emb16 = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.slice(F.col("embedding").cast("array<double>"), 1, 16).alias(
+            "emb"
+        ),
+    )
+    codes_df = rq_encode(
+        emb16, _RQ_BOOKS, id_col="vec_id", embedding_col="emb"
+    )
+    qrows = {
+        r["vec_id"]: list(map(float, r["emb"]))
+        for r in emb16.filter(F.col("vec_id").isin([0, 1, 2])).collect()
+    }
+    queries = [(int(i), qrows[i]) for i in sorted(qrows)]
+    out = rq_adc_topk(
+        codes_df, _RQ_BOOKS, queries, k=5, id_col="vec_id"
+    )
+    return _round6(out, "dist")
+
+
+def _sql_rq_adc_topk() -> str:
+    from same_same_spark.pipeline.rq import duckdb_rq_sql
+
+    return duckdb_rq_sql("embeddings", _RQ_BOOKS, [0, 1, 2], k=5)
+
+
 # --- federated multi-index search (ninth round-5 session) -------------------
 
 
@@ -7335,6 +7396,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "bucket_script_agg": (
         _q_bucket_script_agg, _sql_bucket_script_agg(),
     ),
+    # --- residual quantization (ninth round-5 session) -----------------
+    "rq_adc_topk": (_q_rq_adc_topk, _sql_rq_adc_topk()),
     # --- federated multi-index search (ninth round-5 session) ----------
     # oracle = the whole-corpus _SQL_BM25_TOPK: the federated family
     # must match the monolithic corpus exactly (global-stats identity)
@@ -7589,6 +7652,7 @@ _ORDER: list[str] = [
     "temperature_select",
     "unimax_select",
     "index_federated_topk",
+    "rq_adc_topk",
     # --- rotate-backs (last green r2/r3) -------------------------------
     "euclidean_topk",
     "events_hourly",
@@ -7774,6 +7838,7 @@ _SATURATION_OVERFLOW: set[str] = {
     "temperature_select",
     "unimax_select",
     "index_federated_topk",
+    "rq_adc_topk",
 }
 
 assert len(_ORDER) == len(set(_ORDER)), "duplicate names in _ORDER"

@@ -198,6 +198,7 @@ ENTRY_QUERY_NAMES = [
     "temperature_select",
     "unimax_select",
     "index_federated_topk",
+    "rq_adc_topk",
 ]
 
 # VERDICT r3 #8: round-over-round totals stopped being comparable as
