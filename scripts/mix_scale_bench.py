@@ -142,6 +142,16 @@ def _mk_corpus(spark, n_base: int, path: str):
             F.lit(".example.com/p/"), F.col("doc_id").cast("string"),
         ),
     )
+    # skewed languages (~70/15/10/5) so the lang_mix budget has a head
+    # to cap and a tail to keep whole
+    lslot = F.abs(F.pmod(F.xxhash64("doc_id", F.lit("lang")), F.lit(20)))
+    docs = docs.withColumn(
+        "lang",
+        F.when(lslot < 14, F.lit("en"))
+        .when(lslot < 17, F.lit("fr"))
+        .when(lslot < 19, F.lit("de"))
+        .otherwise(F.lit("zh")),
+    )
     docs.write.mode("overwrite").parquet(path)
 
 
@@ -168,6 +178,11 @@ def _full_cfg(n_docs: int):
         max_cc_iter=30,
         dsir_k=int(n_docs * 0.6),
         host_cap=float(max(n_docs // 600, 100)),
+        # language-mixture budget at half the corpus, temperature 0.3 —
+        # the en head gets capped, the zh tail keeps ~everything
+        mix_budget=float(int(n_docs * 0.5)),
+        mix_allocator="temperature",
+        mix_alpha=0.3,
     )
 
 
