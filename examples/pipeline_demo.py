@@ -289,5 +289,55 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     e_opq = opq_ops.quantization_error(sample, R, books)
     print(f"-- OPQ rotation: quantization MSE {e_pq:.3f} -> {e_opq:.3f} --")
 
+    # geo: nearest events + a grid heatmap over hash-derived points
+    from same_same_spark.operators import geo as geo_ops
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    lat, lon = geo_ops.synth_point_cols(F.col("event_id"))
+    pts = ev.select(
+        F.col("event_id").alias("id"), lat.alias("lat"), lon.alias("lon")
+    )
+    near = geo_ops.geo_distance_topk(pts, 48.8566, 2.3522, 3).collect()
+    cells = geo_ops.geohash_grid(pts, 2, 3).collect()
+    print(
+        "-- geo: 3 nearest to Paris "
+        + ", ".join(f"{r['id']}@{r['distance_km']:.0f}km" for r in near)
+        + " | top geohash cells "
+        + ", ".join(f"{r['cell']}({r['doc_count']})" for r in cells)
+        + " --"
+    )
+
+    # language-mixture sampling: temperature vs UniMax budgets
+    from same_same_spark.pipeline import sampling as sampling_ops
+
+    for allocator in ("temperature", "unimax"):
+        alloc = sampling_ops.mix_allocation(
+            docs, 250.0, allocator=allocator, alpha=0.3
+        )
+        rates = ", ".join(f"{s}={r:.2f}" for s, _t, r in alloc)
+        print(f"-- {allocator} mix rates (budget 250): {rates} --")
+
+    # federated search: two half indexes, exact global stats
+    from same_same_spark.index.query import search_federated
+
+    fed_base = tempfile.mkdtemp(prefix="demo-fed-")
+    for name, part in (
+        ("even", docs.filter(F.col("doc_id") % 2 == 0)),
+        ("odd", docs.filter(F.col("doc_id") % 2 == 1)),
+    ):
+        build_index(
+            part, f"{fed_base}/{name}", id_col="doc_id", text_col="text",
+            num_buckets=2, log=lambda *_: None,
+        )
+    fed = search_federated(
+        spark, [f"{fed_base}/even", f"{fed_base}/odd"],
+        [(0, "fast merge join sort")], k=3,
+    ).collect()
+    print(
+        "-- federated (2 indexes, exact global stats): "
+        + ", ".join(f"#{r['rank']} doc {r['doc_id']}" for r in fed)
+        + " --"
+    )
+
 if __name__ == "__main__":
     main(*sys.argv[1:])
