@@ -6462,6 +6462,59 @@ def _sql_sampler_terms() -> str:
     )
 
 
+# --- parent/child join queries (ninth round-5 session) ----------------------
+
+
+def _q_has_child(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """has_child query (operators/joinfield.has_child_topk): parents
+    ranked by their matching chunk children — chunk-level BM25, child
+    scores folded per parent under score_mode='sum', min_children=2
+    (ES join-field semantics over the deterministic chunk relation).
+    Sole evidence. Saturation-overflow entry (see
+    _SATURATION_OVERFLOW)."""
+    from same_same_spark.operators.joinfield import has_child_topk
+
+    out = has_child_topk(
+        _docs(spark, sf_dir), REF_QUERIES, k=REF_K, score_mode="sum",
+        min_children=2, id_col="doc_id", text_col="text",
+        size=120, overlap=30,
+    )
+    return _round6(out, "score")
+
+
+def _sql_has_child() -> str:
+    from same_same_spark.operators.joinfield import duckdb_has_child_sql
+
+    return duckdb_has_child_sql(
+        "documents", REF_QUERIES, k=REF_K, score_mode="sum",
+        min_children=2, id_expr="doc_id", text_expr="text",
+        size=120, overlap=30,
+    )
+
+
+def _q_has_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """has_parent query (operators/joinfield.has_parent_topk): chunk
+    children of matching parents, each carrying the parent's
+    document-level BM25 score, ranked (round9 DESC, cuid ASC). Sole
+    evidence. Saturation-overflow entry (see _SATURATION_OVERFLOW)."""
+    from same_same_spark.operators.joinfield import has_parent_topk
+
+    out = has_parent_topk(
+        _docs(spark, sf_dir), REF_QUERIES, k=REF_K,
+        id_col="doc_id", text_col="text", size=120, overlap=30,
+    )
+    return _round6(out, "score")
+
+
+def _sql_has_parent() -> str:
+    from same_same_spark.operators.joinfield import duckdb_has_parent_sql
+
+    return duckdb_has_parent_sql(
+        "documents", REF_QUERIES, k=REF_K, id_expr="doc_id",
+        text_expr="text", size=120, overlap=30,
+    )
+
+
 # --- residual quantization (ninth round-5 session) --------------------------
 
 
@@ -7396,6 +7449,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "bucket_script_agg": (
         _q_bucket_script_agg, _sql_bucket_script_agg(),
     ),
+    # --- parent/child join queries (ninth round-5 session) -------------
+    "has_child_topk": (_q_has_child, _sql_has_child()),
+    "has_parent_topk": (_q_has_parent, _sql_has_parent()),
     # --- residual quantization (ninth round-5 session) -----------------
     "rq_adc_topk": (_q_rq_adc_topk, _sql_rq_adc_topk()),
     # --- federated multi-index search (ninth round-5 session) ----------
@@ -7653,6 +7709,8 @@ _ORDER: list[str] = [
     "unimax_select",
     "index_federated_topk",
     "rq_adc_topk",
+    "has_child_topk",
+    "has_parent_topk",
     # --- rotate-backs (last green r2/r3) -------------------------------
     "euclidean_topk",
     "events_hourly",
@@ -7839,6 +7897,8 @@ _SATURATION_OVERFLOW: set[str] = {
     "unimax_select",
     "index_federated_topk",
     "rq_adc_topk",
+    "has_child_topk",
+    "has_parent_topk",
 }
 
 assert len(_ORDER) == len(set(_ORDER)), "duplicate names in _ORDER"

@@ -199,6 +199,8 @@ ENTRY_QUERY_NAMES = [
     "unimax_select",
     "index_federated_topk",
     "rq_adc_topk",
+    "has_child_topk",
+    "has_parent_topk",
 ]
 
 # VERDICT r3 #8: round-over-round totals stopped being comparable as
