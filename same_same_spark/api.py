@@ -532,6 +532,11 @@ class SameSameSpark:
           (:mod:`~same_same_spark.operators.querystring`); ``q`` =
           the query string (``AND/OR/NOT``, parens, quotes,
           ``-prohibited``, ``field:value``).
+        - ``"has_child"`` / ``"has_parent"`` — parent/child joins
+          over the chunk relation
+          (:mod:`~same_same_spark.operators.joinfield`); ``q`` =
+          text; ``score_mode=`` / ``min_children=`` (has_child),
+          chunk geometry via ``size=`` / ``overlap=``.
 
         Extra ``kw`` pass through to the operator. Returns
         (id, score, rank) plus the mode's extra columns
@@ -700,12 +705,27 @@ class SameSameSpark:
                 self.docs, [(0, pos, neg)], k=k, id_col=self.id_col,
                 text_col=self.text_col, **kw,
             )
+        elif mode == "has_child":
+            from same_same_spark.operators.joinfield import has_child_topk
+
+            out = has_child_topk(
+                self.docs, [(0, q)], k=k, id_col=self.id_col,
+                text_col=self.text_col, **kw,
+            )
+        elif mode == "has_parent":
+            from same_same_spark.operators.joinfield import has_parent_topk
+
+            out = has_parent_topk(
+                self.docs, [(0, q)], k=k, id_col=self.id_col,
+                text_col=self.text_col, **kw,
+            )
         else:
             raise ValueError(
                 f"unknown query mode {mode!r} (expected terms/phrase/"
                 "bool/wildcard/regexp/fuzzy/proximity/boosted/boosting/"
                 "query_string/synonym/rescore/span_near/span_first/"
-                "dis_max/multi_match/terms_set/phrase_prefix)"
+                "dis_max/multi_match/terms_set/phrase_prefix/"
+                "has_child/has_parent)"
             )
         return out.drop("query_id").withColumnRenamed("doc_id", self.id_col)
 

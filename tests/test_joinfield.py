@@ -132,3 +132,26 @@ def test_join_field_validation(spark, documents):
         has_child_topk(documents, QUERIES, score_mode="prod")
     with pytest.raises(ValueError, match="min_children"):
         has_child_topk(documents, QUERIES, min_children=0)
+
+
+def test_api_query_modes(spark, documents):
+    from same_same_spark.api import SameSameSpark
+
+    api = SameSameSpark(documents, id_col="doc_id", text_col="text")
+    hc = api.query(
+        "fast merge join", k=5, mode="has_child", score_mode="max",
+        size=120, overlap=30,
+    ).collect()
+    want = has_child_topk(
+        documents, [(0, "fast merge join")], k=5, score_mode="max",
+        id_col="doc_id", text_col="text", size=120, overlap=30,
+    ).collect()
+    assert [(r["doc_id"], r["rank"]) for r in hc] == [
+        (r["doc_id"], r["rank"]) for r in want
+    ]
+    hp = api.query(
+        "fast merge join", k=5, mode="has_parent", size=120, overlap=30
+    ).collect()
+    assert len(hp) == 5 and {"chunk_id", "score", "rank"} <= set(
+        hp[0].asDict()
+    )
