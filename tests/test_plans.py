@@ -865,3 +865,51 @@ def test_agg_straggler_plan_shape(spark, documents, events):
     # the pair join is doc-keyed, frequent-items pruned — the ONLY
     # sort-merge allowed is the doc-keyed self join
     assert "TakeOrderedAndProject" in fp
+
+
+def test_joinfield_and_rq_plan_shape(spark, documents):
+    """Ninth-session tail waves: window-free, no cartesians except the
+    broadcast LUT cross joins (RQ's per-query table is broadcast, like
+    every ADC path)."""
+    from same_same_spark.operators.joinfield import (
+        has_child_topk,
+        has_parent_topk,
+    )
+
+    queries = [(0, "fast merge join")]
+    hc = _plan(has_child_topk(
+        documents, queries, k=5, id_col="doc_id", text_col="text",
+        size=120, overlap=30,
+    ))
+    hp = _plan(has_parent_topk(
+        documents, queries, k=5, id_col="doc_id", text_col="text",
+        size=120, overlap=30,
+    ))
+    for plan in (hc, hp):
+        assert "Window" not in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastHashJoin" in plan
+
+    import numpy as np
+
+    from same_same_spark.pipeline.rq import (
+        rq_adc_topk,
+        rq_encode,
+        train_rq_codebooks,
+    )
+
+    rng = np.random.RandomState(3)
+    sample = rng.randn(64, 8)
+    books = train_rq_codebooks(sample, levels=2, n_codes=4, seed=5)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in sample[i]]) for i in range(32)],
+        "vec_id LONG, emb ARRAY<DOUBLE>",
+    )
+    codes = rq_encode(df, books, id_col="vec_id", embedding_col="emb")
+    rq = _plan(rq_adc_topk(
+        codes, books, [(0, [float(v) for v in sample[0]])], k=3,
+        id_col="vec_id",
+    ))
+    assert "Window" not in rq
+    # the per-query LUT is a broadcast nested-loop (tiny literal side)
+    assert "BroadcastNestedLoopJoin" in rq or "BroadcastHashJoin" in rq
