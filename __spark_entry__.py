@@ -6462,6 +6462,67 @@ def _sql_sampler_terms() -> str:
     )
 
 
+# --- late-interaction MaxSim (ninth round-5 session) ------------------------
+
+
+def _q_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style MaxSim (operators/multivector.maxsim_topk):
+    documents = bags of 4 consecutive embeddings (vec_id // 4), two
+    2-vector queries; score = Σ_q max_d dot — max-then-sum grouped
+    folds, tournament rank. Sole evidence for the late-interaction
+    family. Saturation-overflow entry (see _SATURATION_OVERFLOW)."""
+    from same_same_spark.operators.multivector import maxsim_topk
+
+    emb = _emb(spark, sf_dir)
+    dv = emb.select(
+        (F.col("vec_id") / 4).cast("long").alias("doc_id"), "embedding"
+    )
+    qvecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id").isin([0, 1, 2, 3])).collect()
+    }
+    queries = [(0, [qvecs[0], qvecs[1]]), (1, [qvecs[2], qvecs[3]])]
+    out = maxsim_topk(dv, queries, k=REF_K)
+    return _round6(out, "score")
+
+
+def _sql_maxsim_topk() -> str:
+    # literal-free twin: the query bag re-derives in SQL from the SAME
+    # relation (vec_id 0..3) rather than duckdb_maxsim_sql's VALUES
+    # shape, so no doubles leak from the Spark side
+    return f"""
+WITH q AS (
+  SELECT (vec_id // 2)::INTEGER AS query_id, vec_id AS q_idx,
+         embedding::DOUBLE[] AS qvec
+  FROM embeddings WHERE vec_id IN (0, 1, 2, 3)
+),
+d AS (
+  SELECT (vec_id // 4) AS doc_id, embedding::DOUBLE[] AS dv
+  FROM embeddings
+),
+pairs AS (
+  SELECT q.query_id, d.doc_id, q.q_idx,
+         CASE WHEN len(q.qvec) != len(d.dv) THEN 0.0
+              ELSE list_dot_product(q.qvec, d.dv) END AS sim
+  FROM d CROSS JOIN q
+),
+folded AS (
+  SELECT query_id, doc_id, sum(best) AS score FROM (
+    SELECT query_id, doc_id, q_idx, max(sim) AS best
+    FROM pairs GROUP BY 1, 2, 3
+  ) GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id, score, row_number() OVER (
+    PARTITION BY query_id ORDER BY round(score, 9) DESC, doc_id ASC
+  ) AS rank
+  FROM folded
+)
+SELECT query_id, doc_id, round(score, 6) AS score, rank::INTEGER AS rank
+FROM ranked WHERE rank <= {REF_K}
+"""
+
+
 # --- parent/child join queries (ninth round-5 session) ----------------------
 
 
@@ -7449,6 +7510,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "bucket_script_agg": (
         _q_bucket_script_agg, _sql_bucket_script_agg(),
     ),
+    # --- late-interaction MaxSim (ninth round-5 session) ---------------
+    "maxsim_topk": (_q_maxsim_topk, _sql_maxsim_topk()),
     # --- parent/child join queries (ninth round-5 session) -------------
     "has_child_topk": (_q_has_child, _sql_has_child()),
     "has_parent_topk": (_q_has_parent, _sql_has_parent()),
@@ -7711,6 +7774,7 @@ _ORDER: list[str] = [
     "rq_adc_topk",
     "has_child_topk",
     "has_parent_topk",
+    "maxsim_topk",
     # --- rotate-backs (last green r2/r3) -------------------------------
     "euclidean_topk",
     "events_hourly",
@@ -7899,6 +7963,7 @@ _SATURATION_OVERFLOW: set[str] = {
     "rq_adc_topk",
     "has_child_topk",
     "has_parent_topk",
+    "maxsim_topk",
 }
 
 assert len(_ORDER) == len(set(_ORDER)), "duplicate names in _ORDER"

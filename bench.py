@@ -201,6 +201,7 @@ ENTRY_QUERY_NAMES = [
     "rq_adc_topk",
     "has_child_topk",
     "has_parent_topk",
+    "maxsim_topk",
 ]
 
 # VERDICT r3 #8: round-over-round totals stopped being comparable as
