@@ -178,9 +178,11 @@ def _full_cfg(n_docs: int):
         max_cc_iter=30,
         dsir_k=int(n_docs * 0.6),
         host_cap=float(max(n_docs // 600, 100)),
-        # language-mixture budget at half the corpus, temperature 0.3 —
-        # the en head gets capped, the zh tail keeps ~everything
-        mix_budget=float(int(n_docs * 0.5)),
+        # language-mixture budget sized against the pipeline's measured
+        # ~12-13% survivorship (the stage sees ~n/8 docs, so a 6%
+        # budget caps the en head at roughly half while the zh tail
+        # keeps ~everything); temperature 0.3
+        mix_budget=float(int(n_docs * 0.06)),
         mix_allocator="temperature",
         mix_alpha=0.3,
     )
@@ -412,7 +414,7 @@ def main() -> None:
     # _full_cfg edit cannot silently diverge from what is published
     cfg_doc = _full_cfg(TOTAL)
     out = {
-        "version": 2,
+        "version": 3,
         "cpus": CPUS,
         "config": {
             "bands": cfg_doc.minhash_bands,
@@ -427,6 +429,9 @@ def main() -> None:
             "host_cap": cfg_doc.host_cap,
             "dedup_lines_global": cfg_doc.dedup_lines_global,
             "global_line_min_chars": cfg_doc.global_line_min_chars,
+            "mix_budget_frac": round(cfg_doc.mix_budget / TOTAL, 3),
+            "mix_allocator": cfg_doc.mix_allocator,
+            "mix_alpha": cfg_doc.mix_alpha,
             "stage_list_note": (
                 "per-stage rows measured at the reduced MIX_STAGE_DOCS "
                 "scale (cumulative-prefix runs cost ~#stages x a full "
