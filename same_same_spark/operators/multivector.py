@@ -16,6 +16,8 @@ Pinned semantics (re-derived relationally in the duckdb twin):
 - dimension-mismatched (qv, dv) pairs contribute ``0.0`` (the X5
   cosine rule; a mismatched pair can still lose the max to a matched
   one);
+- NULL vector rows are dropped before scoring (a doc whose every
+  vector is NULL never appears);
 - documents with NO vector rows never appear;
 - rank 1..k per query under ``(round(score, 9) DESC, id ASC)``.
 
@@ -63,7 +65,7 @@ def maxsim_topk(
         sim = F.when(
             F.size(F.col("qvec")) != F.size(dv), F.lit(0.0)
         ).otherwise(_dot(F.col("qvec"), dv))
-    pairs = doc_vecs_df.select(
+    pairs = doc_vecs_df.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("doc_id"), dv.alias(vec_col)
     ).crossJoin(F.broadcast(qdf)).select(
         "query_id", "doc_id", "q_idx", sim.alias("sim")
@@ -113,6 +115,7 @@ def duckdb_maxsim_sql(
 WITH q(query_id, q_idx, qvec) AS (VALUES {qrows}),
 d AS (
   SELECT {id_expr} AS doc_id, ({vec_expr})::DOUBLE[] AS dv FROM {table}
+  WHERE ({vec_expr}) IS NOT NULL
 ),
 pairs AS (
   SELECT q.query_id, d.doc_id, q.q_idx, {sim} AS sim

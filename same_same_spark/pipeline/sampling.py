@@ -404,9 +404,12 @@ def _mix_groups(
         .agg(F.sum(w).alias("_total"))
         .collect()
     )
+    # native value ordering (NULL first) — matches the SQL twins'
+    # ORDER BY _stratum ASC NULLS FIRST for strings AND numerics
+    # (the second key is only ever compared among non-None values)
     return sorted(
         ((r["_stratum"], r["_total"]) for r in rows),
-        key=lambda kv: (kv[0] is not None, kv[0] or ""),
+        key=lambda kv: (kv[0] is not None, kv[0]),
     )
 
 
@@ -464,7 +467,7 @@ def mix_allocation(
     else:
         # sort ascending by (total, stratum) — the waterfilling order
         asc = sorted(
-            live, key=lambda kv: (kv[1], kv[0] is not None, kv[0] or "")
+            live, key=lambda kv: (kv[1], kv[0] is not None, kv[0])
         )
         k = len(asc)
         # full-keep prefix: group i (1-based) keeps everything iff
@@ -506,13 +509,22 @@ def sample_language_mix(
     ``hash_uniform(seed, id) < rate`` — deterministic in (seed, id),
     one totals pass + one filter pass, no second shuffle.
     """
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
     spark = df.sparkSession
     alloc = mix_allocation(
         df, budget, allocator=allocator, alpha=alpha,
         strata_col=strata_col, weight_col=weight_col,
     )
+    # rate table typed from the DATAFRAME's stratum field — a
+    # hardcoded STRING would silently mis-join non-string strata
+    stratum_field = df.schema[strata_col]
     rates = spark.createDataFrame(
-        [(s, r) for s, _t, r in alloc], f"_stratum STRING, _rate DOUBLE"
+        [(s, r) for s, _t, r in alloc],
+        StructType([
+            StructField("_stratum", stratum_field.dataType, True),
+            StructField("_rate", DoubleType(), False),
+        ]),
     )
     joined = df.join(
         F.broadcast(rates),

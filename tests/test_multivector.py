@@ -100,3 +100,13 @@ def test_maxsim_validation(spark, doc_vecs):
     dv, _rows = doc_vecs
     with pytest.raises(ValueError, match="at least one vector"):
         maxsim_topk(dv, [(0, [])])
+
+
+def test_maxsim_null_vectors_dropped(spark):
+    dv = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (1, None), (2, None)],
+        "doc_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    got = maxsim_topk(dv, [(0, [[1.0, 1.0]])], k=5).collect()
+    # doc 2's only vector is NULL -> absent; doc 1 scores its real one
+    assert [(r["doc_id"], r["score"]) for r in got] == [(1, 1.0)]

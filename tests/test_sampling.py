@@ -454,3 +454,28 @@ def test_language_mix_validation_and_dead_strata(spark):
         df2, 1000.0, allocator="unimax", weight_col="n_tokens"
     ).collect()
     assert all(r["lang"] != "fr" for r in kept)
+
+
+def test_language_mix_non_string_strata(spark):
+    from same_same_spark.pipeline.sampling import (
+        mix_allocation,
+        sample_language_mix,
+    )
+
+    rows = [(i, i % 3, 10) for i in range(90)]
+    df = spark.createDataFrame(
+        rows, "doc_id LONG, region INT, n_tokens LONG"
+    )
+    alloc = mix_allocation(
+        df, 30.0, allocator="unimax", strata_col="region"
+    )
+    assert {s for s, _t, _r in alloc} == {0, 1, 2}
+    kept = sample_language_mix(
+        df, 30.0, allocator="unimax", strata_col="region", seed="i"
+    ).collect()
+    # int strata must join (non-zero keep; rate = 10/30 per region)
+    assert 0 < len(kept) < 90
+    per = {}
+    for r in kept:
+        per[r["region"]] = per.get(r["region"], 0) + 1
+    assert set(per) <= {0, 1, 2}
