@@ -287,3 +287,86 @@ def audio_features(samples: np.ndarray, sample_rate: int) -> dict:
         "peak": round(peak, 6),
         "zcr": round(zcr, 6),
     }
+
+
+def audio_coverage_kind(data) -> str:
+    """Total classification for mixed binary corpora — quantifies how
+    much of a corpus the audio gates actually bite (``wav-*`` and
+    ``flac`` rows DECODE here; ``mp3`` / ``ogg-*`` raise in
+    :func:`decode_audio` — their huffman/codebook tables aren't
+    reproducible from public memory with a catchable differential, the
+    lossy-VP8 ruling). Container/header walk only, never raises:
+
+    - ``wav-pcm`` / ``wav-float`` / ``wav-alaw`` / ``wav-mulaw``
+      (decodable), ``wav-fmt-0x<tag>`` (other format tags, gated),
+      ``wav-no-fmt`` (malformed);
+    - ``flac``;
+    - ``mp3`` (ID3 tag or MPEG frame sync);
+    - ``ogg-vorbis`` / ``ogg-opus`` / ``ogg-flac`` / ``ogg-other``
+      (first-page codec id);
+    - ``not-audio`` for anything else (including NULL/empty).
+    """
+    if not data:
+        return "not-audio"
+    b = bytes(data)
+    kind = sniff_audio(b) if len(b) >= 12 else "unknown"
+    if kind == "wav":
+        try:
+            for cc, payload in _iter_chunks(b):
+                if cc != b"fmt ":
+                    continue
+                (tag,) = struct.unpack_from("<H", payload, 0)
+                if tag == WAVE_FORMAT_EXTENSIBLE and len(payload) >= 26:
+                    (tag,) = struct.unpack_from("<H", payload, 24)
+                return {
+                    WAVE_FORMAT_PCM: "wav-pcm",
+                    WAVE_FORMAT_IEEE_FLOAT: "wav-float",
+                    WAVE_FORMAT_ALAW: "wav-alaw",
+                    WAVE_FORMAT_MULAW: "wav-mulaw",
+                }.get(tag, f"wav-fmt-0x{tag:04x}")
+        except (ValueError, struct.error):
+            return "wav-no-fmt"
+        return "wav-no-fmt"
+    if kind == "flac":
+        return "flac"
+    if kind == "mp3":
+        return "mp3"
+    if kind == "ogg":
+        # first page payload starts after the 27-byte header + the
+        # segment table; codec magic sits at the packet head
+        try:
+            nsegs = b[26]
+            head = b[27 + nsegs : 27 + nsegs + 16]
+        except IndexError:
+            return "ogg-other"
+        if head[:7] == b"\x01vorbis":
+            return "ogg-vorbis"
+        if head[:8] == b"OpusHead":
+            return "ogg-opus"
+        if head[:5] == b"\x7fFLAC":
+            return "ogg-flac"
+        return "ogg-other"
+    return "not-audio"
+
+
+def audio_coverage_stats(
+    df, content_col: str = "content", kind_col: str = "kind"
+):
+    """Per-kind counts over a binary column (the
+    :func:`~same_same_spark.pipeline.webpcodec.webp_coverage_stats`
+    shape): Arrow-batched header classification, then one map-side-
+    combined groupBy on the low-cardinality kind — corpus-scan-bound
+    at any scale."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _kind(s):
+        return pd.Series(s.map(audio_coverage_kind))
+
+    return (
+        df.select(_kind(F.col(content_col)).alias(kind_col))
+        .groupBy(kind_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -312,3 +312,87 @@ def test_decode_audio_features_dataframe(spark):
     assert rows[2]["rms"] == 0.0 and rows[2]["duration_sec"] == round(
         5 / 16000, 6
     )
+
+
+# ------------------------------------------------------------------
+# container-level coverage classification (audio_coverage_stats)
+# ------------------------------------------------------------------
+
+def _wav_with_fmt(tag: int, extensible: bool = False) -> bytes:
+    import struct as _s
+
+    if extensible:
+        sub = _s.pack("<HHIIHH", 0xFFFE, 1, 8000, 16000, 2, 16)
+        # cbSize, valid bits, channel mask, then the GUID whose first
+        # two bytes are the real format tag
+        sub += _s.pack("<HHI", 22, 16, 0) + _s.pack("<H", tag) + bytes(14)
+    else:
+        sub = _s.pack("<HHIIHH", tag, 1, 8000, 16000, 2, 16)
+    body = b"WAVE" + b"fmt " + _s.pack("<I", len(sub)) + sub
+    return b"RIFF" + _s.pack("<I", 4 + len(body) - 4) + body
+
+
+def _ogg_page(payload: bytes) -> bytes:
+    return b"OggS" + bytes(22) + bytes([1]) + bytes([len(payload)]) + payload
+
+
+def test_audio_coverage_kind():
+    from same_same_spark.pipeline.audiocodec import (
+        audio_coverage_kind,
+        encode_wav,
+    )
+    import numpy as np
+
+    real = encode_wav(np.zeros((8, 1), dtype=np.float64), 8000)
+    assert audio_coverage_kind(real) == "wav-pcm"
+    assert audio_coverage_kind(_wav_with_fmt(0x0003)) == "wav-float"
+    assert audio_coverage_kind(_wav_with_fmt(0x0006)) == "wav-alaw"
+    assert audio_coverage_kind(_wav_with_fmt(0x0007)) == "wav-mulaw"
+    assert audio_coverage_kind(_wav_with_fmt(0x0011)) == "wav-fmt-0x0011"
+    assert (
+        audio_coverage_kind(_wav_with_fmt(0x0002, extensible=True))
+        == "wav-fmt-0x0002"
+    )
+    # extensible wrapper resolving to PCM stays decodable
+    assert (
+        audio_coverage_kind(_wav_with_fmt(0x0001, extensible=True))
+        == "wav-pcm"
+    )
+    import struct as _s
+
+    no_fmt = b"RIFF" + _s.pack("<I", 4) + b"WAVE"
+    assert audio_coverage_kind(no_fmt) == "wav-no-fmt"
+    assert audio_coverage_kind(b"fLaC" + bytes(16)) == "flac"
+    assert audio_coverage_kind(b"ID3" + bytes(16)) == "mp3"
+    assert audio_coverage_kind(b"\xff\xfb" + bytes(16)) == "mp3"
+    assert audio_coverage_kind(_ogg_page(b"\x01vorbis" + bytes(8))) == "ogg-vorbis"
+    assert audio_coverage_kind(_ogg_page(b"OpusHead" + bytes(8))) == "ogg-opus"
+    assert audio_coverage_kind(_ogg_page(b"\x7fFLAC" + bytes(8))) == "ogg-flac"
+    assert audio_coverage_kind(_ogg_page(b"speex??" + bytes(8))) == "ogg-other"
+    assert audio_coverage_kind(b"OggS" + bytes(10)) == "ogg-other"  # truncated page
+    assert audio_coverage_kind(b"") == "not-audio"
+    assert audio_coverage_kind(None) == "not-audio"
+    assert audio_coverage_kind(b"PNG...junk") == "not-audio"
+
+
+def test_audio_coverage_stats(spark):
+    from same_same_spark.pipeline.audiocodec import (
+        audio_coverage_stats,
+        encode_wav,
+    )
+    import numpy as np
+
+    real = encode_wav(np.zeros((8, 1), dtype=np.float64), 8000)
+    rows = [
+        (1, bytearray(real)),
+        (2, bytearray(real)),
+        (3, bytearray(b"fLaC" + bytes(16))),
+        (4, bytearray(b"ID3" + bytes(16))),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "id LONG, content BINARY")
+    got = {
+        r["kind"]: r["n"]
+        for r in audio_coverage_stats(df).collect()
+    }
+    assert got == {"wav-pcm": 2, "flac": 1, "mp3": 1, "not-audio": 1}
