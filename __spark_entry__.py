@@ -6462,6 +6462,50 @@ def _sql_sampler_terms() -> str:
     )
 
 
+# --- geo distance_feature (ninth round-5 session) ---------------------------
+
+
+def _q_geo_distance_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES distance_feature with a GEO-POINT origin
+    (geo.geo_distance_feature_topk): BM25 + boost * pivot /
+    (pivot + haversine_km to Paris) — the numeric rank_feature shape
+    with the pinned haversine as the distance; NULL coordinates
+    contribute 0. Sole evidence for the geo×relevance composition.
+    Saturation-overflow entry (see _SATURATION_OVERFLOW)."""
+    from same_same_spark.operators.geo import (
+        geo_distance_feature_topk,
+        synth_point_cols,
+    )
+
+    docs = _docs(spark, sf_dir)
+    lat, lon = synth_point_cols(F.col("doc_id"))
+    docs_geo = docs.withColumn("lat", lat).withColumn("lon", lon)
+    out = geo_distance_feature_topk(
+        docs_geo, REF_QUERIES, *_GEO_ORIGIN, pivot_km=2000.0, boost=0.5,
+        k=REF_K, id_col="doc_id", text_col="text",
+    )
+    return _round6(out, "score")
+
+
+def _sql_geo_distance_feature() -> str:
+    from same_same_spark.operators.geo import (
+        duckdb_geo_distance_feature_sql,
+        synth_point_sql,
+    )
+
+    lat, lon = synth_point_sql("doc_id")
+    inner = duckdb_geo_distance_feature_sql(
+        "dgeo", REF_QUERIES, *_GEO_ORIGIN, pivot_km=2000.0, boost=0.5,
+        k=REF_K, id_col="doc_id", text_col="text",
+    )
+    assert inner.lstrip().startswith("WITH ")
+    body = inner.lstrip()[len("WITH "):]
+    return (
+        f"WITH dgeo AS (SELECT *, {lat} AS lat, {lon} AS lon"
+        f" FROM documents),\n{body}"
+    )
+
+
 # --- late-interaction MaxSim (ninth round-5 session) ------------------------
 
 
@@ -7510,6 +7554,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "bucket_script_agg": (
         _q_bucket_script_agg, _sql_bucket_script_agg(),
     ),
+    # --- geo distance_feature (ninth round-5 session) ------------------
+    "geo_distance_feature": (
+        _q_geo_distance_feature, _sql_geo_distance_feature(),
+    ),
     # --- late-interaction MaxSim (ninth round-5 session) ---------------
     "maxsim_topk": (_q_maxsim_topk, _sql_maxsim_topk()),
     # --- parent/child join queries (ninth round-5 session) -------------
@@ -7775,6 +7823,7 @@ _ORDER: list[str] = [
     "has_child_topk",
     "has_parent_topk",
     "maxsim_topk",
+    "geo_distance_feature",
     # --- rotate-backs (last green r2/r3) -------------------------------
     "euclidean_topk",
     "events_hourly",
@@ -7964,6 +8013,7 @@ _SATURATION_OVERFLOW: set[str] = {
     "has_child_topk",
     "has_parent_topk",
     "maxsim_topk",
+    "geo_distance_feature",
 }
 
 assert len(_ORDER) == len(set(_ORDER)), "duplicate names in _ORDER"

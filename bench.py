@@ -202,6 +202,7 @@ ENTRY_QUERY_NAMES = [
     "has_child_topk",
     "has_parent_topk",
     "maxsim_topk",
+    "geo_distance_feature",
 ]
 
 # VERDICT r3 #8: round-over-round totals stopped being comparable as

@@ -584,3 +584,84 @@ SELECT {_r('max(lat)')} AS top, {_r('min(lat)')} AS bottom,
        count(*)::BIGINT AS doc_count
 FROM pts
 """
+
+
+def geo_distance_feature_topk(
+    docs_df: DataFrame,
+    queries: list[tuple[int, str]],
+    origin_lat: float,
+    origin_lon: float,
+    pivot_km: float,
+    boost: float = 1.0,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+):
+    """ES ``distance_feature`` with a GEO-POINT origin: BM25 text
+    relevance boosted by proximity to a coordinate —
+
+        score = BM25(q, d) + boost * pivot / (pivot + haversine_km)
+
+    (the :mod:`~same_same_spark.operators.feature` numeric shape with
+    the pinned haversine as the distance). Docs with NULL coordinates
+    contribute 0 (they still match on text). Same scale shape as
+    rank_feature_topk: one scored-matches plan, the feature folded as
+    a column expression, bounded tournament."""
+    from same_same_spark.operators.feature import _boosted
+
+    if pivot_km <= 0:
+        raise ValueError(f"pivot_km must be > 0, got {pivot_km}")
+    d = haversine_km_col(
+        F.lit(float(origin_lat)), F.lit(float(origin_lon)),
+        F.col(lat_col), F.col(lon_col),
+    )
+    contrib = F.when(
+        F.col(lat_col).isNotNull() & F.col(lon_col).isNotNull(),
+        F.lit(float(boost))
+        * (F.lit(float(pivot_km)) / (F.lit(float(pivot_km)) + d)),
+    ).otherwise(F.lit(0.0))
+    from same_same_spark.bm25 import B_DEFAULT, K1_DEFAULT
+
+    return _boosted(
+        docs_df, queries, id_col, text_col, K1_DEFAULT, B_DEFAULT,
+        contrib, k,
+    )
+
+
+def duckdb_geo_distance_feature_sql(
+    table: str,
+    queries: list[tuple[int, str]],
+    origin_lat: float,
+    origin_lon: float,
+    pivot_km: float,
+    boost: float = 1.0,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    lat_sql: str = "lat",
+    lon_sql: str = "lon",
+    round_score: int = 6,
+) -> str:
+    """DuckDB twin of :func:`geo_distance_feature_topk`."""
+    from same_same_spark.operators.feature import _duckdb_boosted
+
+    d = haversine_km_sql(
+        repr(float(origin_lat)), repr(float(origin_lon)),
+        f"d.{lat_sql}" if lat_sql.isidentifier() else lat_sql,
+        f"d.{lon_sql}" if lon_sql.isidentifier() else lon_sql,
+    )
+    lat_ref = f"d.{lat_sql}" if lat_sql.isidentifier() else lat_sql
+    lon_ref = f"d.{lon_sql}" if lon_sql.isidentifier() else lon_sql
+    contrib = (
+        f"CASE WHEN ({lat_ref}) IS NOT NULL AND ({lon_ref}) IS NOT NULL "
+        f"THEN {float(boost)!r} * ({float(pivot_km)!r} / "
+        f"({float(pivot_km)!r} + {d})) ELSE 0.0 END"
+    )
+    from same_same_spark.bm25 import B_DEFAULT, K1_DEFAULT
+
+    return _duckdb_boosted(
+        table, id_col, text_col, queries, contrib, k,
+        K1_DEFAULT, B_DEFAULT, round_score,
+    )

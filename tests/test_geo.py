@@ -355,3 +355,50 @@ def test_grid_null_coords_excluded(spark):
     assert geohash_grid(df, 3, 10).count() == 1
     assert geotile_grid(df, 3, 10).count() == 1
     assert geo_distance_topk(df, 0.0, 0.0, 10).count() == 1
+
+
+def test_geo_distance_feature_boost(spark, documents):
+    from same_same_spark.bm25 import scored_matches
+    from same_same_spark.operators.geo import (
+        geo_distance_feature_topk,
+        haversine_km_col,
+        synth_point_cols,
+    )
+
+    lat, lon = synth_point_cols(F.col("doc_id"))
+    dg = documents.withColumn("lat", lat).withColumn("lon", lon)
+    queries = [(0, "fast merge join")]
+    origin = (48.8566, 2.3522)
+    got = geo_distance_feature_topk(
+        dg, queries, *origin, pivot_km=2000.0, boost=0.5, k=8,
+        id_col="doc_id", text_col="text",
+    ).collect()
+    base = {
+        r["doc_id"]: r["score"]
+        for r in scored_matches(
+            documents, queries, id_col="doc_id", text_col="text"
+        ).collect()
+    }
+    dists = {
+        r["doc_id"]: r["d"]
+        for r in dg.select(
+            "doc_id",
+            haversine_km_col(
+                F.lit(origin[0]), F.lit(origin[1]),
+                F.col("lat"), F.col("lon"),
+            ).alias("d"),
+        ).collect()
+    }
+    want = sorted(
+        (
+            (did, s + 0.5 * (2000.0 / (2000.0 + dists[did])))
+            for did, s in base.items()
+        ),
+        key=lambda kv: (-round(kv[1] * 1e9) / 1e9, kv[0]),
+    )[:8]
+    mine = sorted(got, key=lambda r: r["rank"])
+    assert [r["doc_id"] for r in mine] == [d for d, _ in want]
+    for r, (_d, s) in zip(mine, want):
+        assert r["score"] == pytest.approx(s, rel=1e-12)
+    with pytest.raises(ValueError, match="pivot_km"):
+        geo_distance_feature_topk(dg, queries, 0.0, 0.0, pivot_km=0.0)
